@@ -1,0 +1,56 @@
+"""pixeltable_spark — a PySpark-native engine with the query and
+data-processing capabilities of pixeltable/pixeltable (reference at
+/root/reference, studied not copied; see SURVEY.md).
+
+Public API shape mirrors the reference's ``pxt`` / ``pxtf`` surface:
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark import functions as pxtf
+
+    t = pxt.table_from_parquet(spark, ".../lineitem.parquet")
+    (t.where(t.l_shipdate <= datetime(1998, 9, 2))
+      .group_by(t.l_returnflag)
+      .select(t.l_returnflag, sum_qty=pxtf.sum(t.l_quantity))
+      .order_by(t.l_returnflag)
+      .collect())
+"""
+
+from .exprs import Expr, Literal, ColumnRef, InlineArray, InlineDict
+from .plans.query import Query, TableRef, SampleClause
+from .session import get_session
+from .sources.registry import (
+    load_sf_tables,
+    table_from_csv,
+    table_from_json,
+    table_from_pandas,
+    table_from_parquet,
+    table_from_rows,
+)
+from .type_system import ArrayType, ColumnType, TypeKind
+from .functions.udf import udf, uda, Aggregator
+
+String = ColumnType.string
+Int = ColumnType.int_
+Float = ColumnType.float_
+Bool = ColumnType.bool_
+Timestamp = ColumnType.timestamp
+Date = ColumnType.date
+Json = ColumnType.json
+Array = ColumnType.array
+Binary = ColumnType.binary
+Image = ColumnType.image
+Video = ColumnType.video
+Audio = ColumnType.audio
+Document = ColumnType.document
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Expr", "Literal", "ColumnRef", "InlineArray", "InlineDict",
+    "Query", "TableRef", "SampleClause", "get_session",
+    "table_from_parquet", "table_from_csv", "table_from_json",
+    "table_from_pandas", "table_from_rows", "load_sf_tables",
+    "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",
+    "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
+    "Binary", "Image", "Video", "Audio", "Document",
+]

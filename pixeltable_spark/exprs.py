@@ -1,0 +1,803 @@
+"""Expression tree + Expr -> pyspark.sql.Column compiler.
+
+This is the engine's single highest-leverage component (SURVEY §7.2): the
+analog of the reference's ``exprs/`` package (reference pixeltable/exprs/,
+6,246 LoC — expr.py, arithmetic_expr.py:17, comparison.py:19,
+compound_predicate.py:17, in_predicate.py:16, is_null.py:16, type_cast.py:13,
+json_path.py:22-140, inline_expr.py:18,100,139, method_ref.py:14,
+function_call.py) re-designed for Spark:
+
+* every Expr compiles to a ``pyspark.sql.Column`` via :meth:`Expr.to_column`
+  whenever the semantics are expressible in Catalyst (the analog of the
+  reference's ``Expr.sql_expr`` / SqlElementCache split,
+  reference exprs/sql_element_cache.py:9-40) — those run JVM-side inside
+  WholeStageCodegen, fully vectorized, with predicate pushdown for free;
+* anything not expressible (arbitrary Python ``apply``, Python UDFs) falls
+  back to an Arrow-batched pandas UDF over exactly the input columns the
+  subtree needs — never row-at-a-time Python.
+
+At 100 TB scale this split is the whole ballgame: the compiled path keeps
+filters/projections inside the parquet scan and codegen; the fallback path
+is Arrow-vectorized and only ships the referenced columns.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json as _json
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .type_system import ArrayType, ColumnType, TypeKind
+
+
+class CompileCtx:
+    """Resolution context handed to to_column(): maps a ColumnRef to the
+    concrete Column of the bound DataFrame (qualified when joining)."""
+
+    def __init__(self, resolve: Optional[Callable[["ColumnRef"], Column]] = None):
+        self._resolve = resolve
+
+    def col(self, ref: "ColumnRef") -> Column:
+        if self._resolve is not None:
+            return self._resolve(ref)
+        return F.col(ref.name)
+
+
+_DEFAULT_CTX = CompileCtx()
+
+
+class Expr:
+    """Base expression node (reference exprs/expr.py)."""
+
+    def __init__(self, col_type: ColumnType, components: Sequence["Expr"] = ()):
+        self.col_type = col_type
+        self.components: list[Expr] = list(components)
+
+    # -- compilation -------------------------------------------------------
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        """Spark Column for this expr, or None if not Catalyst-expressible."""
+        raise NotImplementedError
+
+    def eval_py(self, row: dict) -> Any:
+        """Python fallback evaluation against a dict row (pandas UDF path)."""
+        raise NotImplementedError(f"{type(self).__name__} has no Python fallback")
+
+    def compile(self, ctx: Optional[CompileCtx] = None) -> Column:
+        """Column for this expr, falling back to a pandas UDF when needed."""
+        ctx = ctx or _DEFAULT_CTX
+        col = self.to_column(ctx)
+        if col is not None:
+            return col
+        return compile_via_pandas_udf(self, ctx)
+
+    # -- traversal ---------------------------------------------------------
+    def column_refs(self) -> list["ColumnRef"]:
+        out: list[ColumnRef] = []
+        seen: set[str] = set()
+
+        def walk(e: Expr) -> None:
+            if isinstance(e, ColumnRef):
+                if e.name not in seen:
+                    seen.add(e.name)
+                    out.append(e)
+            for c in e.components:
+                walk(c)
+
+        walk(self)
+        return out
+
+    def is_agg(self) -> bool:
+        if isinstance(self, FunctionCall) and self.fn.is_agg and not self.is_window():
+            return True
+        return any(c.is_agg() for c in self.components)
+
+    def has_window(self) -> bool:
+        if isinstance(self, FunctionCall) and self.is_window():
+            return True
+        return any(c.has_window() for c in self.components)
+
+    # -- operator overloads (build the tree) -------------------------------
+    def __add__(self, o):  return _arith("+", self, o)
+    def __radd__(self, o): return _arith("+", o, self)
+    def __sub__(self, o):  return _arith("-", self, o)
+    def __rsub__(self, o): return _arith("-", o, self)
+    def __mul__(self, o):  return _arith("*", self, o)
+    def __rmul__(self, o): return _arith("*", o, self)
+    def __truediv__(self, o):  return _arith("/", self, o)
+    def __rtruediv__(self, o): return _arith("/", o, self)
+    def __mod__(self, o):  return _arith("%", self, o)
+    def __rmod__(self, o): return _arith("%", o, self)
+    def __floordiv__(self, o):  return _arith("//", self, o)
+    def __rfloordiv__(self, o): return _arith("//", o, self)
+    def __pow__(self, o):  return _arith("**", self, o)
+    def __rpow__(self, o): return _arith("**", o, self)
+    def __neg__(self): return _arith("-", Literal(0), self)
+
+    def __eq__(self, o):  # type: ignore[override]
+        if o is None:
+            return IsNull(self)
+        return Comparison("==", self, to_expr(o))
+
+    def __ne__(self, o):  # type: ignore[override]
+        if o is None:
+            return CompoundPredicate("not", [IsNull(self)])
+        return Comparison("!=", self, to_expr(o))
+
+    def __lt__(self, o): return Comparison("<", self, to_expr(o))
+    def __le__(self, o): return Comparison("<=", self, to_expr(o))
+    def __gt__(self, o): return Comparison(">", self, to_expr(o))
+    def __ge__(self, o): return Comparison(">=", self, to_expr(o))
+
+    def __and__(self, o):  return CompoundPredicate("and", [self, to_expr(o)])
+    def __rand__(self, o): return CompoundPredicate("and", [to_expr(o), self])
+    def __or__(self, o):   return CompoundPredicate("or", [self, to_expr(o)])
+    def __ror__(self, o):  return CompoundPredicate("or", [to_expr(o), self])
+    def __invert__(self):  return CompoundPredicate("not", [self])
+
+    def __hash__(self):
+        return id(self)
+
+    # -- method-style sugar --------------------------------------------------
+    def isin(self, values) -> "InPredicate":
+        return InPredicate(self, values)
+
+    def astype(self, t: ColumnType) -> "TypeCast":
+        return TypeCast(self, t)
+
+    def apply(self, fn: Callable, col_type: Optional[ColumnType] = None) -> "AppliedExpr":
+        return AppliedExpr(self, fn, col_type or ColumnType.json())
+
+    def alias(self, name: str) -> "AliasedExpr":
+        return AliasedExpr(self, name)
+
+    def is_null(self) -> "IsNull":
+        return IsNull(self)
+
+    def between(self, lo, hi) -> "CompoundPredicate":
+        return (self >= lo) & (self <= hi)
+
+    def __getitem__(self, item) -> "Expr":
+        if self.col_type.is_json:
+            return JsonPath(self, [item])
+        if self.col_type.kind == TypeKind.ARRAY:
+            return ArraySlice(self, item)
+        if self.col_type.is_string:
+            from .functions import string as _s
+            if isinstance(item, slice):
+                return _s.slice_(self, item.start, item.stop)
+            raise TypeError("string subscript must be a slice")
+        return JsonPath(self, [item])
+
+    def __getattr__(self, name: str) -> "Expr":
+        # JSON path navigation sugar: t.c6.f1 (reference exprs/json_path.py:22)
+        if name.startswith("_") or name in ("col_type", "components"):
+            raise AttributeError(name)
+        ct = self.__dict__.get("col_type")
+        if ct is not None and ct.is_json:
+            return JsonPath(self, [name])
+        return MethodRef(self, name)
+
+
+def to_expr(v: Any) -> Expr:
+    return v if isinstance(v, Expr) else Literal(v)
+
+
+def _arith(op: str, a, b) -> "ArithmeticExpr":
+    a, b = to_expr(a), to_expr(b)
+    if op == "+" and (a.col_type.is_string or b.col_type.is_string):
+        return StringOp("+", a, b)  # type: ignore[return-value]
+    if op == "*" and a.col_type.is_string:
+        return StringOp("*", a, b)  # type: ignore[return-value]
+    return ArithmeticExpr(op, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Leaf nodes
+# ---------------------------------------------------------------------------
+
+
+class ColumnRef(Expr):
+    """Reference to a table column (reference exprs/column_ref.py)."""
+
+    def __init__(self, name: str, col_type: ColumnType, tbl: Any = None):
+        super().__init__(col_type)
+        self.name = name
+        self.tbl = tbl  # owning TableRef (for join disambiguation)
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        return ctx.col(self)
+
+    def eval_py(self, row: dict) -> Any:
+        return row[self.name]
+
+    def __getstate__(self):
+        # the owning TableRef holds a DataFrame -> SparkContext, which must
+        # never ride along into a pickled UDF closure (SPARK-5063)
+        st = self.__dict__.copy()
+        st["tbl"] = None
+        return st
+
+    def __repr__(self):
+        return f"ColumnRef({self.name})"
+
+
+class Literal(Expr):
+    """Constant (reference exprs/literal.py)."""
+
+    def __init__(self, val: Any, col_type: Optional[ColumnType] = None):
+        super().__init__(col_type or ColumnType.infer_literal(val))
+        self.val = val
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        v = self.val
+        if isinstance(v, (list, tuple)):
+            return F.array(*[F.lit(x) for x in v])
+        if isinstance(v, dict):
+            return F.lit(_json.dumps(v))
+        return F.lit(v)
+
+    def eval_py(self, row: dict) -> Any:
+        return self.val
+
+    def __repr__(self):
+        return f"Literal({self.val!r})"
+
+
+class Variable(Expr):
+    """Named query-template parameter (reference exprs/variable.py:15).
+    Bound to a literal at call time by QueryTemplate."""
+
+    def __init__(self, name: str, col_type: ColumnType):
+        super().__init__(col_type)
+        self.name = name
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        raise RuntimeError(f"unbound query parameter: {self.name}")
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+_CMP_PY = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+class Comparison(Expr):
+    """== != < <= > >= (reference exprs/comparison.py:19)."""
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        super().__init__(ColumnType.bool_(), [a, b])
+        self.op = op
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        a = self.components[0].to_column(ctx)
+        b = self.components[1].to_column(ctx)
+        if a is None or b is None:
+            return None
+        return {
+            "==": a == b, "!=": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[self.op]
+
+    def eval_py(self, row: dict) -> Any:
+        a = self.components[0].eval_py(row)
+        b = self.components[1].eval_py(row)
+        if a is None or b is None:
+            return None
+        return _CMP_PY[self.op](a, b)
+
+
+class CompoundPredicate(Expr):
+    """AND / OR / NOT with conjunct flattening
+    (reference exprs/compound_predicate.py:17)."""
+
+    def __init__(self, op: str, operands: Sequence[Expr]):
+        flat: list[Expr] = []
+        for o in operands:
+            if isinstance(o, CompoundPredicate) and o.op == op and op != "not":
+                flat.extend(o.components)
+            else:
+                flat.append(o)
+        super().__init__(ColumnType.bool_(), flat)
+        self.op = op
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        cols = [c.to_column(ctx) for c in self.components]
+        if any(c is None for c in cols):
+            return None
+        if self.op == "not":
+            return ~cols[0]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if self.op == "and" else (out | c)
+        return out
+
+    def eval_py(self, row: dict) -> Any:
+        vals = [c.eval_py(row) for c in self.components]
+        if self.op == "not":
+            return None if vals[0] is None else not vals[0]
+        if self.op == "and":
+            return all(bool(v) for v in vals)
+        return any(bool(v) for v in vals)
+
+    def split_conjuncts(self) -> list[Expr]:
+        """Top-level AND conjuncts (used by the planner for pushdown split,
+        reference plan.py:64-70)."""
+        if self.op == "and":
+            return list(self.components)
+        return [self]
+
+
+class InPredicate(Expr):
+    """isin (reference exprs/in_predicate.py:16)."""
+
+    def __init__(self, operand: Expr, values: Iterable[Any]):
+        super().__init__(ColumnType.bool_(), [operand])
+        self.values = list(values)
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        if c is None:
+            return None
+        return c.isin(self.values)
+
+    def eval_py(self, row: dict) -> Any:
+        return self.components[0].eval_py(row) in self.values
+
+
+class IsNull(Expr):
+    """IS NULL (reference exprs/is_null.py:16)."""
+
+    def __init__(self, operand: Expr):
+        super().__init__(ColumnType.bool_(), [operand])
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        return None if c is None else c.isNull()
+
+    def eval_py(self, row: dict) -> Any:
+        return self.components[0].eval_py(row) is None
+
+
+class ArithmeticExpr(Expr):
+    """+ - * / % // ** with Python semantics for % and //
+    (reference exprs/arithmetic_expr.py:17; enum exprs/globals.py:68-75).
+
+    Note: ``%`` and ``//`` follow Python sign semantics (result takes the
+    sign of the divisor), which differ from SQL; compiled as
+    ``((a % b) + b) % b`` and ``floor(a / b)`` respectively so the whole
+    thing stays JVM-side."""
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        st = a.col_type.supertype(b.col_type) or ColumnType.float_()
+        if op in ("/", "**"):
+            st = ColumnType.float_(st.nullable)
+        super().__init__(st, [a, b])
+        self.op = op
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        a = self.components[0].to_column(ctx)
+        b = self.components[1].to_column(ctx)
+        if a is None or b is None:
+            return None
+        op = self.op
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return ((a % b) + b) % b
+        if op == "//":
+            res = F.floor(a / b)
+            if self.col_type.kind == TypeKind.FLOAT:
+                res = res.cast(T.DoubleType())
+            return res
+        if op == "**":
+            return F.pow(a, b)
+        return None
+
+    def eval_py(self, row: dict) -> Any:
+        a = self.components[0].eval_py(row)
+        b = self.components[1].eval_py(row)
+        if a is None or b is None:
+            return None
+        return {
+            "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
+            "/": lambda: a / b, "%": lambda: a % b, "//": lambda: a // b,
+            "**": lambda: a ** b,
+        }[self.op]()
+
+
+class StringOp(Expr):
+    """String concat (+) and repeat (*) (reference exprs/string_op.py:17)."""
+
+    def __init__(self, op: str, a: Expr, b: Expr):
+        super().__init__(ColumnType.string(), [a, b])
+        self.op = op
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        a = self.components[0].to_column(ctx)
+        b = self.components[1].to_column(ctx)
+        if a is None or b is None:
+            return None
+        if self.op == "+":
+            return F.concat(a, b)
+        return F.repeat(a, b.cast(T.IntegerType()))
+
+    def eval_py(self, row: dict) -> Any:
+        a = self.components[0].eval_py(row)
+        b = self.components[1].eval_py(row)
+        if a is None or b is None:
+            return None
+        return a + b if self.op == "+" else a * b
+
+
+_CAST_SPARK = {
+    TypeKind.STRING: T.StringType(),
+    TypeKind.INT: T.LongType(),
+    TypeKind.FLOAT: T.DoubleType(),
+    TypeKind.BOOL: T.BooleanType(),
+    TypeKind.TIMESTAMP: T.TimestampType(),
+    TypeKind.DATE: T.DateType(),
+}
+
+
+class TypeCast(Expr):
+    """astype (reference exprs/type_cast.py:13)."""
+
+    def __init__(self, operand: Expr, target: ColumnType):
+        super().__init__(target, [operand])
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        if c is None:
+            return None
+        k = self.col_type.kind
+        if k in _CAST_SPARK:
+            return c.cast(_CAST_SPARK[k])
+        if k == TypeKind.JSON:
+            return F.to_json(c)
+        if isinstance(self.col_type, ArrayType):
+            return c.cast(self.col_type.spark_type())
+        return None  # media casts handled by UDF fallback
+
+    def eval_py(self, row: dict) -> Any:
+        v = self.components[0].eval_py(row)
+        if v is None:
+            return None
+        k = self.col_type.kind
+        py = {TypeKind.STRING: str, TypeKind.INT: int, TypeKind.FLOAT: float,
+              TypeKind.BOOL: bool}
+        if k in py:
+            return py[k](v)
+        return v
+
+
+class ArraySlice(Expr):
+    """numpy-style array slicing (reference exprs/array_slice.py:14)."""
+
+    def __init__(self, operand: Expr, index: Any):
+        el = operand.col_type.element if isinstance(operand.col_type, ArrayType) else ColumnType.float_()
+        ct = el if isinstance(index, int) else operand.col_type
+        super().__init__(ct, [operand])
+        self.index = index
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        if c is None:
+            return None
+        ix = self.index
+        if isinstance(ix, int):
+            # python semantics: 0-based, negative from end
+            return F.element_at(c, ix + 1) if ix >= 0 else F.element_at(c, ix)
+        if isinstance(ix, slice) and ix.step is None:
+            start = ix.start or 0
+            if start >= 0 and (ix.stop is None or ix.stop >= 0):
+                length = (ix.stop - start) if ix.stop is not None else (1 << 30)
+                return F.slice(c, start + 1, F.lit(length))
+        return None
+
+    def eval_py(self, row: dict) -> Any:
+        v = self.components[0].eval_py(row)
+        return None if v is None else v[self.index]
+
+
+class JsonPath(Expr):
+    """JSON path navigation t.c.f1[0].f2 (reference exprs/json_path.py:22-140).
+    Compiled to get_json_object on the JSON string column."""
+
+    def __init__(self, anchor: Expr, path: list):
+        base_path = anchor.path if isinstance(anchor, JsonPath) else []
+        base = anchor.components[0] if isinstance(anchor, JsonPath) else anchor
+        super().__init__(ColumnType.json(), [base])
+        self.path = base_path + list(path)
+
+    def __getattr__(self, name: str) -> "Expr":
+        if name.startswith("_") or name in ("col_type", "components", "path"):
+            raise AttributeError(name)
+        return JsonPath(self, [name])
+
+    def __getitem__(self, item) -> "Expr":
+        return JsonPath(self, [item])
+
+    def json_path_str(self) -> str:
+        parts = ["$"]
+        for p in self.path:
+            if isinstance(p, str):
+                parts.append(f".{p}" if p != "*" else "[*]")
+            elif isinstance(p, int):
+                parts.append(f"[{p}]")
+            elif isinstance(p, slice):
+                parts.append("[*]")
+        return "".join(parts)
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        if c is None:
+            return None
+        return F.get_json_object(c.cast(T.StringType()), self.json_path_str())
+
+    def eval_py(self, row: dict) -> Any:
+        v = self.components[0].eval_py(row)
+        if isinstance(v, str):
+            v = _json.loads(v)
+        for p in self.path:
+            if v is None:
+                return None
+            try:
+                v = v[p]
+            except (KeyError, IndexError, TypeError):
+                return None
+        return v
+
+    def astype(self, t: ColumnType) -> Expr:
+        """Typed extraction: cast the string that get_json_object returns."""
+        return TypeCast(self, t)
+
+
+class InlineArray(Expr):
+    """Literal array constructor from exprs (reference exprs/inline_expr.py:18)."""
+
+    def __init__(self, elements: Sequence[Any]):
+        exprs = [to_expr(e) for e in elements]
+        el = exprs[0].col_type if exprs else ColumnType.float_()
+        super().__init__(ArrayType(el, (len(exprs),)), exprs)
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        cols = [c.to_column(ctx) for c in self.components]
+        if any(c is None for c in cols):
+            return None
+        return F.array(*cols)
+
+    def eval_py(self, row: dict) -> Any:
+        return [c.eval_py(row) for c in self.components]
+
+
+class InlineDict(Expr):
+    """Literal dict constructor -> JSON string (reference exprs/inline_expr.py:139)."""
+
+    def __init__(self, items: dict):
+        self.keys = list(items.keys())
+        exprs = [to_expr(v) for v in items.values()]
+        super().__init__(ColumnType.json(), exprs)
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        cols = [c.to_column(ctx) for c in self.components]
+        if any(c is None for c in cols):
+            return None
+        return F.to_json(F.struct(*[c.alias(k) for k, c in zip(self.keys, cols)]))
+
+    def eval_py(self, row: dict) -> Any:
+        return {k: c.eval_py(row) for k, c in zip(self.keys, self.components)}
+
+
+class AliasedExpr(Expr):
+    def __init__(self, operand: Expr, name: str):
+        super().__init__(operand.col_type, [operand])
+        self.name = name
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        c = self.components[0].to_column(ctx)
+        return None if c is None else c.alias(self.name)
+
+    def eval_py(self, row: dict) -> Any:
+        return self.components[0].eval_py(row)
+
+
+class AppliedExpr(Expr):
+    """.apply(python_fn) — always the pandas-UDF fallback path
+    (reference exprs/expr.py apply)."""
+
+    def __init__(self, operand: Expr, fn: Callable, col_type: ColumnType):
+        super().__init__(col_type, [operand])
+        self.fn = fn
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        return None
+
+    def eval_py(self, row: dict) -> Any:
+        v = self.components[0].eval_py(row)
+        return None if v is None else self.fn(v)
+
+
+class MethodRef:
+    """Method-style call sugar on typed columns: t.s.upper(), t.img.resize()
+    (reference exprs/method_ref.py:14). Resolution happens at call time
+    against the function registry."""
+
+    def __init__(self, base: Expr, name: str):
+        self.base = base
+        self.name = name
+
+    def __call__(self, *args, **kwargs) -> Expr:
+        from . import functions as _fns
+        fn = _fns.lookup_method(self.base.col_type, self.name)
+        if fn is None:
+            raise AttributeError(
+                f"no method {self.name!r} for type {self.base.col_type!r}"
+            )
+        return fn(self.base, *args, **kwargs)
+
+    def __repr__(self):
+        return f"MethodRef({self.name})"
+
+
+# ---------------------------------------------------------------------------
+# Function calls (scalar / aggregate / window)
+# ---------------------------------------------------------------------------
+
+
+class Function:
+    """A registered scalar or aggregate function (the analog of
+    reference func/function.py + functions/globals.py registrations).
+
+    spark_fn: builds a Column from arg Columns (JVM-side fast path).
+    py_fn: per-row Python fallback.
+    pandas_fn: optional vectorized pandas batch implementation.
+    agg_spark_fn: for aggregates, builds the aggregate Column.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        ret_type: ColumnType,
+        spark_fn: Optional[Callable[..., Column]] = None,
+        py_fn: Optional[Callable] = None,
+        pandas_fn: Optional[Callable] = None,
+        is_agg: bool = False,
+        allows_window: bool = False,
+    ):
+        self.name = name
+        self.ret_type = ret_type
+        self.spark_fn = spark_fn
+        self.py_fn = py_fn
+        self.pandas_fn = pandas_fn
+        self.is_agg = is_agg
+        self.allows_window = allows_window
+
+    def __call__(self, *args, group_by: Any = None, order_by: Any = None, **kwargs) -> "FunctionCall":
+        return FunctionCall(self, [to_expr(a) for a in args],
+                            group_by=group_by, order_by=order_by, kwargs=kwargs)
+
+    def __repr__(self):
+        return f"Function({self.name})"
+
+
+class FunctionCall(Expr):
+    """Call of a registered function (reference exprs/function_call.py).
+
+    Window form (reference exprs/function_call.py:239-253,447-461): an
+    aggregate called with group_by=/order_by= becomes a running aggregate
+    over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW.
+    """
+
+    def __init__(self, fn: Function, args: list[Expr], group_by=None, order_by=None,
+                 kwargs: Optional[dict] = None):
+        super().__init__(fn.ret_type, args)
+        self.fn = fn
+        self.kwargs = kwargs or {}
+        self.window_group_by = _as_expr_list(group_by)
+        self.window_order_by = _as_expr_list(order_by)
+
+    def is_window(self) -> bool:
+        return self.fn.is_agg and (self.window_group_by or self.window_order_by) != []
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        cols = [c.to_column(ctx) for c in self.components]
+        if any(c is None for c in cols):
+            return None
+        if self.fn.spark_fn is None:
+            return None
+        col = self.fn.spark_fn(*cols, **self.kwargs)
+        if self.is_window():
+            from pyspark.sql import Window as W
+            parts = [e.to_column(ctx) for e in self.window_group_by]
+            orders = [e.to_column(ctx) for e in self.window_order_by]
+            if any(c is None for c in parts + orders):
+                return None
+            w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
+            if orders:
+                w = w.orderBy(*orders)
+            w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            col = col.over(w)
+        return col
+
+    def eval_py(self, row: dict) -> Any:
+        if self.fn.py_fn is None:
+            raise NotImplementedError(f"{self.fn.name} has no Python fallback")
+        args = [c.eval_py(row) for c in self.components]
+        return self.fn.py_fn(*args, **self.kwargs)
+
+
+def _as_expr_list(v) -> list[Expr]:
+    if v is None:
+        return []
+    if isinstance(v, (list, tuple)):
+        return [to_expr(x) for x in v]
+    return [to_expr(v)]
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF fallback compilation
+# ---------------------------------------------------------------------------
+
+
+def compile_via_pandas_udf(expr: Expr, ctx: CompileCtx) -> Column:
+    """Compile a non-Catalyst-expressible expr subtree into one Arrow-batched
+    pandas UDF over exactly the columns the subtree references.
+
+    The analog of the reference's ExprEvalNode Python path
+    (reference exec/expr_eval/expr_eval_node.py:25-60), but vectorized:
+    one Arrow batch in, one out — never row-at-a-time over the wire.
+    """
+    refs = expr.column_refs()
+    names = [r.name for r in refs]
+    ret_spark = expr.col_type.spark_type()
+
+    def batch_eval(*series: pd.Series) -> pd.Series:
+        n = len(series[0]) if series else 0
+        out = []
+        for i in range(n):
+            row = {nm: _from_pandas(series[j].iloc[i]) for j, nm in enumerate(names)}
+            out.append(expr.eval_py(row))
+        return pd.Series(out, dtype=object)
+
+    udf = F.pandas_udf(batch_eval, returnType=ret_spark)
+    cols = [r.to_column(ctx) for r in refs]
+    return udf(*cols)
+
+
+def _from_pandas(v: Any) -> Any:
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if hasattr(v, "item") and not isinstance(v, (bytes, str)):
+        try:
+            return v.item()
+        except (AttributeError, ValueError):
+            pass
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    return v

@@ -1,0 +1,77 @@
+"""Scalar + aggregate function library.
+
+The analog of the reference's ``functions/`` package (reference
+pixeltable/functions/, 20,808 LoC). Every function is a registered
+:class:`~pixeltable_spark.exprs.Function` with a Spark Column builder
+(JVM-side, codegen'd — the equivalent of the reference's ``to_sql``
+pushdown overloads, e.g. reference functions/globals.py:60,107,154,206,257)
+and, where Spark lacks a native equivalent, a Python fallback that the
+compiler wraps in an Arrow-batched pandas UDF.
+
+Builtin aggregates sum/count/min/max/mean (reference
+functions/globals.py:21,72,115,167,214) are window-capable: calling them
+with group_by=/order_by= produces a running aggregate over
+ROWS UNBOUNDED PRECEDING..CURRENT ROW (reference
+exprs/function_call.py:239-253 — pixeltable's only window form).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import functions as F
+
+from ..exprs import Expr, Function, FunctionCall
+from ..type_system import ColumnType, TypeKind
+
+# (TypeKind, method_name) -> callable(base_expr, *args, **kwargs) -> Expr
+_METHOD_REGISTRY: dict[tuple[TypeKind, str], Callable] = {}
+
+
+def register_method(kind: TypeKind, name: str, builder: Callable) -> None:
+    _METHOD_REGISTRY[(kind, name)] = builder
+
+
+def lookup_method(col_type: ColumnType, name: str) -> Optional[Callable]:
+    return _METHOD_REGISTRY.get((col_type.kind, name))
+
+
+# ---------------------------------------------------------------------------
+# builtin aggregates (window-capable)
+# ---------------------------------------------------------------------------
+
+sum = Function("sum", ColumnType.float_(), spark_fn=F.sum, is_agg=True, allows_window=True)  # noqa: A001
+count = Function("count", ColumnType.int_(), spark_fn=F.count, is_agg=True, allows_window=True)
+min = Function("min", ColumnType.float_(), spark_fn=F.min, is_agg=True, allows_window=True)  # noqa: A001
+max = Function("max", ColumnType.float_(), spark_fn=F.max, is_agg=True, allows_window=True)  # noqa: A001
+mean = Function("mean", ColumnType.float_(), spark_fn=F.avg, is_agg=True, allows_window=True)
+
+# Spark-native extras exposed first-class (SURVEY §2.4 "free in Spark")
+count_distinct = Function("count_distinct", ColumnType.int_(), spark_fn=F.countDistinct, is_agg=True)
+approx_count_distinct = Function(
+    "approx_count_distinct", ColumnType.int_(), spark_fn=F.approx_count_distinct, is_agg=True
+)
+stddev = Function("stddev", ColumnType.float_(), spark_fn=F.stddev, is_agg=True, allows_window=True)
+variance = Function("variance", ColumnType.float_(), spark_fn=F.variance, is_agg=True, allows_window=True)
+
+# collect values into a JSON list (reference functions/json.py make_list)
+make_list = Function(
+    "make_list", ColumnType.json(), spark_fn=lambda c: F.to_json(F.collect_list(c)),
+    is_agg=True,
+)
+
+
+def count_star() -> FunctionCall:
+    return Function("count", ColumnType.int_(), spark_fn=lambda: F.count(F.lit(1)), is_agg=True)()
+
+
+# submodules register their methods on import
+from . import array, date, json, math, string, timestamp  # noqa: E402,F401
+from .udf import uda, udf  # noqa: E402,F401
+
+__all__ = [
+    "sum", "count", "min", "max", "mean", "count_distinct",
+    "approx_count_distinct", "stddev", "variance", "make_list", "count_star",
+    "string", "math", "timestamp", "date", "json", "array",
+    "udf", "uda", "register_method", "lookup_method",
+]

@@ -1,0 +1,136 @@
+"""String function library (reference functions/string.py:27-990, 57 fns).
+
+Python ``str``-method semantics, compiled to native Spark column expressions
+wherever Spark has an equivalent (JVM-side, codegen'd); the rest carry a
+Python fallback that the compiler wraps in an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import textwrap
+import unicodedata
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exprs import Expr, Function, to_expr
+from ..type_system import ColumnType, TypeKind
+from . import register_method
+
+_STR = ColumnType.string()
+_INT = ColumnType.int_()
+_BOOL = ColumnType.bool_()
+_JSON = ColumnType.json()
+
+
+def _fn(name, ret, spark_fn=None, py_fn=None):
+    f = Function(name, ret, spark_fn=spark_fn, py_fn=py_fn)
+    globals()[name] = f
+    register_method(TypeKind.STRING, name, lambda base, *a, _f=f, **kw: _f(base, *a, **kw))
+    return f
+
+
+_i = T.IntegerType()
+
+# --- native Spark mappings (fast path) -------------------------------------
+_fn("len", _INT, lambda s: F.length(s), lambda s: len(s))
+_fn("lower", _STR, lambda s: F.lower(s), lambda s: s.lower())
+_fn("upper", _STR, lambda s: F.upper(s), lambda s: s.upper())
+_fn("casefold", _STR, lambda s: F.lower(s), lambda s: s.casefold())
+_fn("capitalize", _STR,
+    lambda s: F.concat(F.upper(F.substring(s, 1, 1)), F.lower(F.substring(s, 2, 1 << 30))),
+    lambda s: s.capitalize())
+_fn("strip", _STR, lambda s: F.trim(s), lambda s: s.strip())
+_fn("lstrip", _STR, lambda s: F.ltrim(s), lambda s: s.lstrip())
+_fn("rstrip", _STR, lambda s: F.rtrim(s), lambda s: s.rstrip())
+_fn("reverse", _STR, lambda s: F.reverse(s), lambda s: s[::-1])
+_fn("repeat", _STR, lambda s, n: F.repeat(s, n.cast(_i)), lambda s, n: s * n)
+_fn("contains", _BOOL, lambda s, sub: F.contains(s, sub), lambda s, sub: sub in s)
+_fn("startswith", _BOOL, lambda s, p: F.startswith(s, p), lambda s, p: s.startswith(p))
+_fn("endswith", _BOOL, lambda s, p: F.endswith(s, p), lambda s, p: s.endswith(p))
+_fn("find", _INT, lambda s, sub: F.instr(s, sub) - 1, lambda s, sub: s.find(sub))
+_fn("index", _INT, lambda s, sub: F.instr(s, sub) - 1, lambda s, sub: s.index(sub))
+_fn("rfind", _INT, None, lambda s, sub: s.rfind(sub))
+_fn("rindex", _INT, None, lambda s, sub: s.rindex(sub))
+_fn("count", _INT,
+    lambda s, sub: F.when(F.length(sub) > 0,
+                          (F.length(s) - F.length(F.replace(s, sub, F.lit("")))) / F.length(sub)
+                          ).otherwise(F.length(s) + 1).cast(T.LongType()),
+    lambda s, sub: s.count(sub))
+_fn("replace", _STR, lambda s, old, new: F.replace(s, old, new),
+    lambda s, old, new: s.replace(old, new))
+_fn("replace_re", _STR, lambda s, pat, repl: F.regexp_replace(s, pat, repl),
+    lambda s, pat, repl: __import__("re").sub(pat, repl, s))
+_fn("contains_re", _BOOL, lambda s, pat: s.rlike(pat.cast(T.StringType())) if hasattr(pat, "cast") else s.rlike(pat),
+    lambda s, pat: __import__("re").search(pat, s) is not None)
+_fn("match", _BOOL, None, lambda s, pat: __import__("re").match(pat, s) is not None)
+_fn("fullmatch", _BOOL, None, lambda s, pat: __import__("re").fullmatch(pat, s) is not None)
+_fn("findall", _JSON, None, lambda s, pat: __import__("re").findall(pat, s))
+_fn("ljust", _STR, lambda s, w: F.rpad(s, w, " "), lambda s, w: s.ljust(w))
+_fn("rjust", _STR, lambda s, w: F.lpad(s, w, " "), lambda s, w: s.rjust(w))
+_fn("center", _STR, None, lambda s, w: s.center(w))
+_fn("zfill", _STR, None, lambda s, w: s.zfill(w))
+_fn("pad", _STR, None, lambda s, w, side="left", fillchar=" ":
+    s.rjust(w, fillchar) if side == "left" else (s.ljust(w, fillchar) if side == "right" else s.center(w, fillchar)))
+_fn("slice", _STR, None, lambda s, start=None, stop=None: s[start:stop])
+_fn("slice_replace", _STR, None,
+    lambda s, start=None, stop=None, repl="": s[: (start or 0)] + repl + s[(stop if stop is not None else len(s)):])
+_fn("split", _JSON, None, lambda s, sep=None, maxsplit=-1: s.split(sep, maxsplit))
+_fn("rsplit", _JSON, None, lambda s, sep=None, maxsplit=-1: s.rsplit(sep, maxsplit))
+_fn("splitlines", _JSON, None, lambda s: s.splitlines())
+_fn("partition", _JSON, None, lambda s, sep: list(s.partition(sep)))
+_fn("rpartition", _JSON, None, lambda s, sep: list(s.rpartition(sep)))
+_fn("removeprefix", _STR,
+    lambda s, p: F.when(F.startswith(s, p), F.substring(s, F.length(p) + 1, 1 << 30)).otherwise(s),
+    lambda s, p: s.removeprefix(p))
+_fn("removesuffix", _STR,
+    lambda s, p: F.when(F.endswith(s, p), F.substring(s, 1, F.length(s) - F.length(p))).otherwise(s),
+    lambda s, p: s.removesuffix(p))
+_fn("title", _STR, None, lambda s: s.title())
+_fn("swapcase", _STR, None, lambda s: s.swapcase())
+_fn("normalize", _STR, None, lambda s, form="NFC": unicodedata.normalize(form, s))
+_fn("wrap", _JSON, None, lambda s, width=70: textwrap.wrap(s, width))
+_fn("fill", _STR, None, lambda s, width=70: textwrap.fill(s, width))
+_fn("format", _STR, None, lambda s, *a, **kw: s.format(*a, **kw))
+_fn("join", _STR, None, lambda s, parts: s.join(parts))
+
+# predicates (Python-only semantics)
+for _name in ("isalnum", "isalpha", "isascii", "isdecimal", "isdigit",
+              "isidentifier", "islower", "isnumeric", "isupper", "istitle",
+              "isspace"):
+    _fn(_name, _BOOL, None, (lambda n: (lambda s: getattr(s, n)()))(_name))
+
+
+def slice_(base: Expr, start=None, stop=None) -> Expr:
+    """s[a:b] sugar used by Expr.__getitem__ — native substring when bounds
+    are non-negative literals."""
+    if (start is None or (isinstance(start, int) and start >= 0)) and (
+        stop is None or (isinstance(stop, int) and stop >= 0)
+    ):
+        st = start or 0
+        ln = (stop - st) if stop is not None else (1 << 30)
+        f = Function("slice", _STR,
+                     spark_fn=lambda s: F.substring(s, st + 1, ln),
+                     py_fn=lambda s: s[st:stop])
+        return f(base)
+    return globals()["slice"](base, start=start, stop=stop)
+
+
+# substring as its own callable (native, for direct API use)
+substring = Function(
+    "substring", _STR,
+    spark_fn=lambda s, pos, ln: F.substring(s, pos.cast(_i) + 1, ln.cast(_i)),
+    py_fn=lambda s, pos, ln: s[pos:pos + ln],
+)
+
+concat_ws = Function(
+    "concat_ws", _STR,
+    spark_fn=lambda *cols, sep=" ": F.concat_ws(sep, *cols),
+    py_fn=lambda *vals, sep=" ": sep.join(str(v) for v in vals),
+)
+
+format_string = Function(
+    "format_string", _STR,
+    spark_fn=lambda *cols, fmt="%s": F.format_string(fmt, *cols),
+    py_fn=lambda *vals, fmt="%s": fmt % vals,
+)

@@ -1,0 +1,121 @@
+"""@udf / @uda decorators — the user extension surface.
+
+The analog of reference func/udf.py:29-250 (@pxt.udf: typed scalar UDF from
+signature hints, optional batching) and func/aggregate_function.py:18-328
+(@pxt.uda: Aggregator class with init/update/value, window-capable).
+
+Spark mapping: scalar UDFs become Arrow-batched pandas UDFs (never
+row-at-a-time over the wire); UDAs run via applyInPandas — grouped form
+produces one row per group, window form produces a running value per row
+within each partition (reference exprs/function_call.py:447-461 semantics:
+ROWS UNBOUNDED PRECEDING..CURRENT ROW).
+"""
+
+from __future__ import annotations
+
+import datetime
+import inspect
+import typing
+from typing import Any, Callable, Optional
+
+from ..exprs import Function
+from ..type_system import ArrayType, ColumnType
+
+
+_HINT_MAP = {
+    str: ColumnType.string,
+    int: ColumnType.int_,
+    float: ColumnType.float_,
+    bool: ColumnType.bool_,
+    bytes: ColumnType.binary,
+    datetime.datetime: ColumnType.timestamp,
+    datetime.date: ColumnType.date,
+    dict: ColumnType.json,
+    list: ColumnType.json,
+}
+
+
+def _hint_to_type(hint: Any) -> ColumnType:
+    if hint is None or hint is inspect.Parameter.empty:
+        return ColumnType.json()
+    origin = typing.get_origin(hint)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(hint) if a is not type(None)]
+        t = _hint_to_type(args[0]) if args else ColumnType.json()
+        t.nullable = True
+        return t
+    if origin in (list, tuple):
+        args = typing.get_args(hint)
+        if args and args[0] in (int, float):
+            return ArrayType(_hint_to_type(args[0]))
+        return ColumnType.json()
+    if hint in _HINT_MAP:
+        return _HINT_MAP[hint]()
+    return ColumnType.json()
+
+
+def udf(fn: Optional[Callable] = None, *, batch_size: Optional[int] = None,
+        return_type: Optional[ColumnType] = None):
+    """@udf — typed scalar UDF from signature hints
+    (reference func/udf.py:29). The compiler wraps it in an Arrow-batched
+    pandas UDF over exactly the referenced columns."""
+
+    def wrap(f: Callable) -> Function:
+        hints = typing.get_type_hints(f) if f.__annotations__ else {}
+        ret = return_type or _hint_to_type(hints.get("return"))
+        func = Function(f.__name__, ret, spark_fn=None, py_fn=f)
+        func.batch_size = batch_size  # type: ignore[attr-defined]
+        return func
+
+    return wrap(fn) if fn is not None else wrap
+
+
+class Aggregator:
+    """Base class for @uda aggregators
+    (reference func/aggregate_function.py:276-328)."""
+
+    def update(self, *args: Any) -> None:
+        raise NotImplementedError
+
+    def value(self) -> Any:
+        raise NotImplementedError
+
+
+def uda(cls: Optional[type] = None, *, return_type: Optional[ColumnType] = None,
+        allows_window: bool = True, requires_order_by: bool = False):
+    """@uda — custom aggregate from an init/update/value class
+    (reference func/aggregate_function.py:18-59)."""
+
+    def wrap(c: type) -> Function:
+        hints = typing.get_type_hints(c.value) if getattr(c.value, "__annotations__", None) else {}
+        ret = return_type or _hint_to_type(hints.get("return"))
+        func = Function(c.__name__, ret, spark_fn=None, py_fn=None,
+                        is_agg=True, allows_window=allows_window)
+        func.uda_class = c  # type: ignore[attr-defined]
+        func.requires_order_by = requires_order_by  # type: ignore[attr-defined]
+        return func
+
+    return wrap(cls) if cls is not None else wrap
+
+
+def run_uda_over_values(uda_cls: type, columns: list[list[Any]],
+                        init_kwargs: Optional[dict] = None) -> Any:
+    """Grouped evaluation: one aggregator instance per group
+    (reference exec/aggregation_node.py:15-123 — minus the pre-sort, which
+    Spark's shuffle-based grouping makes unnecessary)."""
+    agg = uda_cls(**(init_kwargs or {}))
+    for row in zip(*columns):
+        agg.update(*row)
+    return agg.value()
+
+
+def run_uda_running(uda_cls: type, columns: list[list[Any]],
+                    init_kwargs: Optional[dict] = None) -> list[Any]:
+    """Window evaluation: running value per row (rows must already be in
+    order-by order within the partition)."""
+    agg = uda_cls(**(init_kwargs or {}))
+    out = []
+    for row in zip(*columns):
+        agg.update(*row)
+        out.append(agg.value())
+    return out

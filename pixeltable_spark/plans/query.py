@@ -1,0 +1,444 @@
+"""Query clauses + planner: declarative Query -> Spark DataFrame.
+
+The analog of the reference's Query/Planner split
+(reference pixeltable/_query.py:447-559 clause lists,
+query_clauses.py:14-152, plan.py:913/47-251 Analyzer,
+plan.py:1012-1225 physical planning) — but where the reference assembles an
+ExecNode tree over Postgres + a Python async evaluator, we assemble ONE
+logical DataFrame and let Catalyst/AQE do analysis, pushdown, join
+selection, and codegen. The planner's only real jobs on Spark:
+
+* compile Exprs to Columns (JVM fast path) with pandas-UDF fallback,
+  filtering with Catalyst-expressible conjuncts FIRST so they reach the
+  parquet scan (the reference's sql_where_clause vs filter split,
+  reference plan.py:64-70);
+* classify select items into grouping / aggregate / window
+  (reference plan.py:129-221);
+* deterministic md5-keyed sampling (reference exec/sql_node.py:715-889).
+
+Scale notes: joins go through Catalyst/AQE (broadcast for small dims is
+automatic under AQE; `join_hint` lets callers force it); global top-k
+(order_by+limit) becomes TakeOrderedAndProject, never a full sort; sample(n)
+uses orderBy(key).limit(n) for the same reason.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..exprs import (
+    AliasedExpr,
+    ColumnRef,
+    CompileCtx,
+    CompoundPredicate,
+    Expr,
+    FunctionCall,
+    to_expr,
+)
+from ..type_system import ColumnType
+
+
+class JoinClause:
+    """One join step (reference _query.py:1359-1446, query_clauses.py:14-40).
+    Join types match the reference surface: inner/left/full_outer/cross,
+    plus Spark-native extras semi/anti."""
+
+    TYPES = {"inner", "left", "full_outer", "cross", "semi", "anti", "right"}
+    _SPARK = {"full_outer": "full_outer", "semi": "left_semi", "anti": "left_anti"}
+
+    def __init__(self, tbl: "TableRef", on: Any, how: str):
+        if how not in self.TYPES:
+            raise ValueError(f"join type {how!r} not supported")
+        self.tbl = tbl
+        self.on = on
+        self.how = self._SPARK.get(how, how)
+
+
+class SampleClause:
+    """Deterministic repeatable sampling (reference query_clauses.py:96-152,
+    exec/sql_node.py:715-889): keyed by md5(seed || '___' || rowid)."""
+
+    def __init__(self, n=None, n_per_stratum=None, fraction=None, seed=0,
+                 stratify_by: Optional[Sequence[Expr]] = None):
+        if fraction is not None and (n is not None or n_per_stratum is not None):
+            raise ValueError("fraction is incompatible with n/n_per_stratum")
+        self.n = n
+        self.n_per_stratum = n_per_stratum
+        self.fraction = fraction
+        self.seed = seed
+        self.stratify_by = list(stratify_by or [])
+
+    @staticmethod
+    def fraction_to_md5_hex(fraction: float) -> str:
+        """16-hex-digit threshold: rows with md5-prefix <= threshold are kept
+        (reference query_clauses.py:143-152)."""
+        return format(int(fraction * float(1 << 64)), "016x")
+
+
+class TableRef:
+    """A named, typed table bound to a Spark DataFrame.
+
+    Attribute access returns ColumnRefs: t.l_quantity, t.l_shipdate...
+    rowid_cols identify a row deterministically (primary key) — they drive
+    head/tail insertion order and repeatable sampling.
+    """
+
+    def __init__(self, df: DataFrame, name: str, schema: dict[str, ColumnType],
+                 rowid_cols: Optional[list[str]] = None):
+        self._df = df
+        self._name = name
+        self._schema = schema
+        self._rowid_cols = rowid_cols or []
+
+    @classmethod
+    def from_df(cls, df: DataFrame, name: str,
+                rowid_cols: Optional[list[str]] = None,
+                json_cols: Sequence[str] = ()) -> "TableRef":
+        schema = {}
+        for f in df.schema.fields:
+            ct = ColumnType.from_spark(f.dataType, f.nullable)
+            if f.name in json_cols:
+                ct = ColumnType.json(f.nullable)
+            schema[f.name] = ct
+        return cls(df, name, schema, rowid_cols)
+
+    def __getattr__(self, name: str) -> ColumnRef:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in self._schema:
+            raise AttributeError(f"table {self._name!r} has no column {name!r}")
+        return ColumnRef(name, self._schema[name], tbl=self)
+
+    def __getitem__(self, name: str) -> ColumnRef:
+        return getattr(self, name)
+
+    def column_names(self) -> list[str]:
+        return list(self._schema)
+
+    # -- query builders ----------------------------------------------------
+    def _q(self) -> "Query":
+        return Query(self)
+
+    def select(self, *items, **named):   return self._q().select(*items, **named)
+    def where(self, pred):               return self._q().where(pred)
+    def join(self, other, on=None, how="inner"):  return self._q().join(other, on, how)
+    def group_by(self, *exprs):          return self._q().group_by(*exprs)
+    def order_by(self, *exprs, asc=True): return self._q().order_by(*exprs, asc=asc)
+    def limit(self, n, offset=0):        return self._q().limit(n, offset)
+    def distinct(self):                  return self._q().distinct()
+    def sample(self, **kw):              return self._q().sample(**kw)
+    def head(self, n=10):                return self._q().head(n)
+    def tail(self, n=10):                return self._q().tail(n)
+    def count(self) -> int:              return self._q().count()
+    def collect(self):                   return self._q().collect()
+    def df(self) -> DataFrame:           return self._df
+
+
+class Query:
+    """Immutable-ish clause accumulator (reference _query.py:447-559)."""
+
+    def __init__(self, tbl: TableRef):
+        self.tbl = tbl
+        self.joins: list[JoinClause] = []
+        self.select_items: list[tuple[Optional[str], Expr]] = []
+        self.where_pred: Optional[Expr] = None
+        self.group_by_exprs: list[Expr] = []
+        self.order_by_items: list[tuple[Expr, bool]] = []
+        self.limit_n: Optional[int] = None
+        self.offset_n: int = 0
+        self.distinct_flag = False
+        self.sample_clause: Optional[SampleClause] = None
+
+    def _copy(self) -> "Query":
+        q = Query(self.tbl)
+        q.joins = list(self.joins)
+        q.select_items = list(self.select_items)
+        q.where_pred = self.where_pred
+        q.group_by_exprs = list(self.group_by_exprs)
+        q.order_by_items = list(self.order_by_items)
+        q.limit_n, q.offset_n = self.limit_n, self.offset_n
+        q.distinct_flag = self.distinct_flag
+        q.sample_clause = self.sample_clause
+        return q
+
+    # -- clause builders ---------------------------------------------------
+    def select(self, *items, **named) -> "Query":
+        q = self._copy()
+        q.select_items = []
+        for it in items:
+            e = to_expr(it)
+            name = None
+            if isinstance(e, AliasedExpr):
+                name, e = e.name, e.components[0]
+            elif isinstance(e, ColumnRef):
+                name = e.name
+            q.select_items.append((name, e))
+        for name, it in named.items():
+            e = to_expr(it)
+            if isinstance(e, AliasedExpr):
+                e = e.components[0]
+            q.select_items.append((name, e))
+        return q
+
+    def where(self, pred: Expr) -> "Query":
+        q = self._copy()
+        q.where_pred = pred if q.where_pred is None else (q.where_pred & pred)
+        return q
+
+    def join(self, other: "TableRef | Query", on=None, how: str = "inner") -> "Query":
+        q = self._copy()
+        if isinstance(other, Query):
+            other = TableRef.from_df(other.df(), f"__subq{len(q.joins)}")
+        q.joins.append(JoinClause(other, on, how))
+        return q
+
+    def group_by(self, *exprs) -> "Query":
+        q = self._copy()
+        q.group_by_exprs = [to_expr(e) for e in exprs]
+        return q
+
+    def order_by(self, *exprs, asc: bool = True) -> "Query":
+        q = self._copy()
+        q.order_by_items = q.order_by_items + [(to_expr(e), asc) for e in exprs]
+        return q
+
+    def limit(self, n: int, offset: int = 0) -> "Query":
+        q = self._copy()
+        q.limit_n, q.offset_n = n, offset
+        return q
+
+    def distinct(self) -> "Query":
+        q = self._copy()
+        q.distinct_flag = True
+        return q
+
+    def sample(self, n=None, n_per_stratum=None, fraction=None, seed=0,
+               stratify_by=None) -> "Query":
+        q = self._copy()
+        strat = [to_expr(e) for e in (stratify_by or [])]
+        q.sample_clause = SampleClause(n, n_per_stratum, fraction, seed, strat)
+        return q
+
+    def head(self, n: int = 10) -> "Query":
+        """First n in insertion (rowid) order (reference _query.py:806-875)."""
+        self._require_rowid("head")
+        q = self.order_by(*[self.tbl[c] for c in self.tbl._rowid_cols]).limit(n)
+        return q
+
+    def tail(self, n: int = 10) -> "Query":
+        self._require_rowid("tail")
+        q = self._copy()
+        q.order_by_items = [(self.tbl[c], False) for c in self.tbl._rowid_cols]
+        q.limit_n = n
+        q._tail_resort = True  # type: ignore[attr-defined]
+        return q
+
+    def _require_rowid(self, op: str) -> None:
+        if not self.tbl._rowid_cols:
+            raise ValueError(f"{op}() requires a table with rowid/primary-key columns")
+        if self.order_by_items or self.joins or self.group_by_exprs or self.sample_clause:
+            raise ValueError(f"{op}() cannot be combined with order_by/join/group_by/sample")
+
+    # -- execution ---------------------------------------------------------
+    def df(self) -> DataFrame:
+        return Planner(self).to_df()
+
+    def collect(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.df().collect()]
+
+    def count(self) -> int:
+        """COUNT(*) — stays fully in the JVM (reference _query.py:1018-1060)."""
+        q = self._copy()
+        q.select_items, q.order_by_items, q.limit_n = [], [], None
+        return q.df().count()
+
+
+class Planner:
+    """Assemble the DataFrame. Catalyst takes it from there."""
+
+    def __init__(self, q: Query):
+        self.q = q
+        self._aliases: dict[int, str] = {}
+
+    # -- ColumnRef resolution with join disambiguation --------------------
+    def _ctx(self) -> CompileCtx:
+        aliases = self._aliases
+
+        def resolve(ref: ColumnRef) -> Column:
+            if ref.tbl is not None and id(ref.tbl) in aliases:
+                return F.col(f"{aliases[id(ref.tbl)]}.{ref.name}")
+            return F.col(ref.name)
+
+        return CompileCtx(resolve)
+
+    def to_df(self) -> DataFrame:
+        q = self.q
+        base = q.tbl
+        if q.joins:
+            self._aliases[id(base)] = "t0"
+            df = base.df().alias("t0")
+            for i, jc in enumerate(q.joins):
+                self._aliases[id(jc.tbl)] = f"t{i + 1}"
+        else:
+            df = base.df()
+        ctx = self._ctx()
+
+        for i, jc in enumerate(q.joins):
+            right = jc.tbl.df().alias(f"t{i + 1}")
+            if jc.on is None:
+                df = df.crossJoin(right) if jc.how == "cross" else df.join(right, how=jc.how)
+            elif isinstance(jc.on, Expr):
+                df = df.join(right, on=jc.on.compile(ctx), how=jc.how)
+            else:
+                on = [jc.on] if isinstance(jc.on, str) else list(jc.on)
+                df = df.join(right, on=on, how=jc.how)
+
+        # WHERE: Catalyst-expressible conjuncts first (pushdown), UDF conjuncts after
+        if q.where_pred is not None:
+            fast, slow = self._split_where(q.where_pred, ctx)
+            for c in fast:
+                df = df.filter(c)
+            for e in slow:
+                df = df.filter(e.compile(ctx))
+
+        if q.sample_clause is not None:
+            df = self._apply_sample(df, q.sample_clause, ctx)
+
+        has_agg = any(e.is_agg() for _, e in q.select_items)
+        if q.group_by_exprs or has_agg:
+            df = self._apply_groupby(df, ctx)
+        elif q.select_items:
+            cols = []
+            for i, (name, e) in enumerate(q.select_items):
+                col = e.compile(ctx)
+                cols.append(col.alias(name or f"col_{i}"))
+            df = df.select(*cols)
+
+        if q.distinct_flag:
+            df = df.distinct()
+
+        order_cols = [
+            (e.compile(ctx) if (q.group_by_exprs or has_agg) is False else self._post_agg_col(e, ctx))
+            for e, _ in q.order_by_items
+        ]
+        if q.order_by_items:
+            ordered = [c if asc else c.desc() for c, (_, asc) in zip(order_cols, q.order_by_items)]
+            df = df.orderBy(*ordered)
+
+        if q.offset_n:
+            df = df.offset(q.offset_n)
+        if q.limit_n is not None:
+            df = df.limit(q.limit_n)
+        if getattr(q, "_tail_resort", False):
+            df = df.orderBy(*[F.col(c) for c in q.tbl._rowid_cols])
+        return df
+
+    def _post_agg_col(self, e: Expr, ctx: CompileCtx) -> Column:
+        """order_by after group_by refers to output columns by select name."""
+        for name, se in self.q.select_items:
+            if name is not None and _expr_key(se) == _expr_key(e):
+                return F.col(name)
+        return e.compile(ctx)
+
+    def _split_where(self, pred: Expr, ctx: CompileCtx):
+        conjuncts = (
+            pred.split_conjuncts()
+            if isinstance(pred, CompoundPredicate)
+            else [pred]
+        )
+        fast: list[Column] = []
+        slow: list[Expr] = []
+        for c in conjuncts:
+            col = c.to_column(ctx)
+            if col is not None:
+                fast.append(col)
+            else:
+                slow.append(c)
+        return fast, slow
+
+    def _apply_groupby(self, df: DataFrame, ctx: CompileCtx) -> DataFrame:
+        q = self.q
+        gkeys: list[str] = []
+        gmap: dict[tuple, str] = {}
+        tmp = df
+        for i, ge in enumerate(q.group_by_exprs):
+            key = f"__g{i}"
+            tmp = tmp.withColumn(key, ge.compile(ctx))
+            gkeys.append(key)
+            gmap[_expr_key(ge)] = key
+
+        agg_cols: list[Column] = []
+        out_names: list[str] = []
+        out_cols: list[Column] = []
+        for i, (name, e) in enumerate(q.select_items):
+            name = name or f"col_{i}"
+            out_names.append(name)
+            if e.is_agg():
+                agg_cols.append(e.compile(ctx).alias(name))
+                out_cols.append(F.col(name))
+            else:
+                gk = gmap.get(_expr_key(e))
+                if gk is None:
+                    raise ValueError(
+                        f"select item {name!r} is neither an aggregate nor a group_by expression"
+                    )
+                out_cols.append(F.col(gk).alias(name))
+        if not agg_cols:
+            # pure grouping select == distinct on grouping exprs
+            return tmp.select(*[F.col(k).alias(n) for k, n in zip(gkeys, out_names)]).distinct()
+        grouped = tmp.groupBy(*[F.col(k) for k in gkeys]) if gkeys else tmp.groupBy()
+        res = grouped.agg(*agg_cols)
+        return res.select(*out_cols)
+
+    def _apply_sample(self, df: DataFrame, sc: SampleClause, ctx: CompileCtx) -> DataFrame:
+        rowid = self.q.tbl._rowid_cols
+        if not rowid:
+            raise ValueError("sample() requires rowid/primary-key columns for determinism")
+        key = F.md5(
+            F.concat_ws("___", F.lit(str(sc.seed)), *[F.col(c).cast("string") for c in rowid])
+        )
+        if sc.fraction is not None:
+            thresh = SampleClause.fraction_to_md5_hex(sc.fraction)
+            return df.filter(F.substring(key, 1, 16) <= F.lit(thresh))
+        if sc.stratify_by and sc.n_per_stratum is not None:
+            from pyspark.sql import Window as W
+            strata = [e.compile(ctx) for e in sc.stratify_by]
+            w = W.partitionBy(*strata).orderBy(key)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= sc.n_per_stratum)
+                .drop("__rn")
+            )
+        if sc.n is not None:
+            if sc.stratify_by:
+                raise NotImplementedError("proportional stratified n-sampling: round 2")
+            # global n: top-n by hash key -> TakeOrderedAndProject, no full sort
+            return df.orderBy(key).limit(sc.n)
+        raise ValueError("sample() requires n, n_per_stratum, or fraction")
+
+
+def _expr_key(e: Expr) -> tuple:
+    """Structural identity key for expr matching (the reference gives every
+    Expr a content-derived id for CSE — reference tests/test_query.py:333)."""
+    from ..exprs import ArithmeticExpr, Comparison, JsonPath, Literal
+
+    if isinstance(e, ColumnRef):
+        return ("col", e.name, id(e.tbl) if e.tbl else None)
+    if isinstance(e, Literal):
+        return ("lit", repr(e.val))
+    if isinstance(e, AliasedExpr):
+        return _expr_key(e.components[0])
+    op = getattr(e, "op", None)
+    path = tuple(getattr(e, "path", ()) or ())
+    fn = getattr(e, "fn", None)
+    return (
+        type(e).__name__,
+        op,
+        path,
+        fn.name if fn is not None and hasattr(fn, "name") else None,
+        tuple(_expr_key(c) for c in e.components),
+    )

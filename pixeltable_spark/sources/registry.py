@@ -1,0 +1,117 @@
+"""Table sources: bind parquet/CSV/JSON/pandas data to typed TableRefs.
+
+The analog of the reference's scan + import surface
+(reference exec/sql_node.py:503-562 SqlScanNode; io/csv.py:18,
+io/parquet.py:96, io/json.py:15, io/pandas.py:22). On Spark a "scan node"
+is just spark.read.* — Catalyst handles projection/predicate pushdown into
+the parquet reader, which is the part that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.query import TableRef
+
+# Primary keys of the driver-provided testdata tables — these drive
+# deterministic sampling and head/tail insertion order.
+TESTDATA_ROWIDS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# JSON-typed columns in the testdata (stored as strings in parquet)
+TESTDATA_JSON_COLS: dict[str, list[str]] = {"events": ["props"]}
+
+# parquet TIMESTAMP(NANOS) columns: Spark has no nanosecond timestamp type,
+# so (with spark.sql.legacy.parquet.nanosAsLong) they arrive as int64 nanos
+# and get cast to microsecond timestamps here — a pure JVM-side projection.
+TESTDATA_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def table_from_parquet(
+    spark: SparkSession,
+    path: str,
+    name: Optional[str] = None,
+    rowid_cols: Optional[list[str]] = None,
+    json_cols: Sequence[str] = (),
+) -> TableRef:
+    if name is None:
+        name = path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".parquet")
+    if rowid_cols is None:
+        rowid_cols = TESTDATA_ROWIDS.get(name, [])
+    if not json_cols:
+        json_cols = TESTDATA_JSON_COLS.get(name, [])
+    df = spark.read.parquet(path)
+    for c in TESTDATA_NANO_TS_COLS.get(name, []):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return TableRef.from_df(df, name, rowid_cols=rowid_cols, json_cols=json_cols)
+
+
+def table_from_csv(spark: SparkSession, path: str, name: str,
+                   schema=None, header: bool = True, **opts) -> TableRef:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        from ..type_system import schema_to_struct
+        reader = reader.schema(schema_to_struct(schema) if isinstance(schema, dict) else schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return TableRef.from_df(reader.csv(path, **opts), name)
+
+
+def table_from_json(spark: SparkSession, path: str, name: str, schema=None) -> TableRef:
+    reader = spark.read
+    if schema is not None:
+        from ..type_system import schema_to_struct
+        reader = reader.schema(schema_to_struct(schema) if isinstance(schema, dict) else schema)
+    return TableRef.from_df(reader.json(path), name)
+
+
+def table_from_pandas(spark: SparkSession, pdf, name: str,
+                      rowid_cols: Optional[list[str]] = None) -> TableRef:
+    return TableRef.from_df(spark.createDataFrame(pdf), name, rowid_cols=rowid_cols)
+
+
+def table_from_rows(spark: SparkSession, rows: list[dict], name: str,
+                    schema: Optional[dict] = None,
+                    rowid_cols: Optional[list[str]] = None) -> TableRef:
+    """In-memory row dicts -> table (reference exec/in_memory_data_node.py)."""
+    if schema is not None:
+        from ..type_system import schema_to_struct
+        df = spark.createDataFrame(rows, schema_to_struct(schema))
+    else:
+        df = spark.createDataFrame(rows)
+    return TableRef.from_df(df, name, rowid_cols=rowid_cols)
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, TableRef]:
+    """All driver testdata tables for a scale-factor directory."""
+    return {
+        name: table_from_parquet(spark, f"{sf_dir}/{name}.parquet", name)
+        for name in TESTDATA_ROWIDS
+    }
+
+
+def export_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
