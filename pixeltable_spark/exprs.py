@@ -180,7 +180,13 @@ class Expr:
         ct = self.__dict__.get("col_type")
         if ct is not None and ct.is_json:
             return JsonPath(self, [name])
-        return MethodRef(self, name)
+        # method-style sugar only for registered methods — everything else
+        # must raise so getattr(expr, x, default) behaves normally
+        if ct is not None:
+            from . import functions as _fns
+            if _fns.lookup_method(ct, name) is not None:
+                return MethodRef(self, name)
+        raise AttributeError(name)
 
 
 def to_expr(v: Any) -> Expr:
@@ -682,6 +688,7 @@ class Function:
         pandas_fn: Optional[Callable] = None,
         is_agg: bool = False,
         allows_window: bool = False,
+        ranking: bool = False,
     ):
         self.name = name
         self.ret_type = ret_type
@@ -690,6 +697,9 @@ class Function:
         self.pandas_fn = pandas_fn
         self.is_agg = is_agg
         self.allows_window = allows_window
+        # ranking=True: window-only function (row_number/rank/lag/...) that
+        # must NOT get an explicit ROWS frame
+        self.ranking = ranking
 
     def __call__(self, *args, group_by: Any = None, order_by: Any = None, **kwargs) -> "FunctionCall":
         return FunctionCall(self, [to_expr(a) for a in args],
@@ -716,6 +726,8 @@ class FunctionCall(Expr):
         self.window_order_by = _as_expr_list(order_by)
 
     def is_window(self) -> bool:
+        if self.fn.ranking:
+            return True
         return self.fn.is_agg and (self.window_group_by or self.window_order_by) != []
 
     def to_column(self, ctx: CompileCtx) -> Optional[Column]:
@@ -734,7 +746,9 @@ class FunctionCall(Expr):
             w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
             if orders:
                 w = w.orderBy(*orders)
-            w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            if not self.fn.ranking:
+                # running-aggregate frame (reference exprs/function_call.py:447)
+                w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
             col = col.over(w)
         return col
 

@@ -60,6 +60,18 @@ make_list = Function(
     is_agg=True,
 )
 
+# window-only ranking/navigation functions (beyond-reference Spark extras;
+# called with group_by=/order_by= like any window UDA)
+row_number = Function("row_number", ColumnType.int_(),
+                      spark_fn=lambda: F.row_number(), ranking=True)
+rank = Function("rank", ColumnType.int_(), spark_fn=lambda: F.rank(), ranking=True)
+dense_rank = Function("dense_rank", ColumnType.int_(),
+                      spark_fn=lambda: F.dense_rank(), ranking=True)
+lag = Function("lag", ColumnType.float_(),
+               spark_fn=lambda c, offset=1: F.lag(c, offset), ranking=True)
+lead = Function("lead", ColumnType.float_(),
+                spark_fn=lambda c, offset=1: F.lead(c, offset), ranking=True)
+
 
 def count_star() -> FunctionCall:
     return Function("count", ColumnType.int_(), spark_fn=lambda: F.count(F.lit(1)), is_agg=True)()
@@ -72,6 +84,7 @@ from .udf import uda, udf  # noqa: E402,F401
 __all__ = [
     "sum", "count", "min", "max", "mean", "count_distinct",
     "approx_count_distinct", "stddev", "variance", "make_list", "count_star",
+    "row_number", "rank", "dense_rank", "lag", "lead",
     "string", "math", "timestamp", "date", "json", "array",
     "udf", "uda", "register_method", "lookup_method",
 ]

@@ -26,16 +26,18 @@ def _fn(name, ret, spark_fn, py_fn):
 _fn("abs", _FLOAT, lambda x: F.abs(x), lambda x: abs(x))
 _fn("ceil", _INT, lambda x: F.ceil(x).cast(T.LongType()), lambda x: _m.ceil(x))
 _fn("floor", _INT, lambda x: F.floor(x).cast(T.LongType()), lambda x: _m.floor(x))
-# Python round() is banker's rounding; Spark's bround matches it
+# Python round() is banker's rounding; Spark's bround matches it.
+# digits is a plain-Python kwarg (it selects the codegen'd expression, it's
+# not data): pxtf.math.round(x, digits=2)
 _fn("round", _FLOAT,
-    lambda x, *d: F.bround(x, d[0].cast(T.IntegerType()) if d else 0),
-    lambda x, *d: round(x, d[0] if d else None))
+    lambda x, digits=0: F.bround(x, digits),
+    lambda x, digits=0: round(x, digits))
 _fn("pow", _FLOAT, lambda x, y: F.pow(x, y), lambda x, y: x ** y)
 _fn("sqrt", _FLOAT, lambda x: F.sqrt(x), lambda x: _m.sqrt(x))
 _fn("exp", _FLOAT, lambda x: F.exp(x), lambda x: _m.exp(x))
 _fn("log", _FLOAT,
-    lambda x, *b: F.log(x) if not b else F.log(x) / F.log(b[0]),
-    lambda x, *b: _m.log(x, *b))
+    lambda x, base=None: F.log(x) if base is None else F.log(x) / F.lit(_m.log(base)),
+    lambda x, base=None: _m.log(x) if base is None else _m.log(x, base))
 _fn("log10", _FLOAT, lambda x: F.log10(x), lambda x: _m.log10(x))
 _fn("bitwise_and", _INT, lambda x, y: x.bitwiseAND(y), lambda x, y: x & y)
 _fn("bitwise_or", _INT, lambda x, y: x.bitwiseOR(y), lambda x, y: x | y)

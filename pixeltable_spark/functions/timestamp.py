@@ -68,6 +68,9 @@ _fn("toordinal", _INT,
 _fn("posix_timestamp", _FLOAT,
     lambda t: F.unix_micros(t) / 1_000_000.0,
     lambda t: t.timestamp())
+_fn("epoch_micros", _INT,
+    lambda t: F.unix_micros(t),
+    lambda t: int(t.timestamp() * 1_000_000))
 
 make_timestamp = Function(
     "make_timestamp", _TS,

@@ -1,0 +1,14 @@
+"""Large-scale training-data pipeline operators — first-class components
+beyond the reference's own surface (BASELINE.json north star): deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(language-ID, quality scoring, token counting, fingerprinting), and
+multimodal binary-column plumbing.
+
+All hashing is md5-based and engine-portable, so every operator is
+oracle-checkable against DuckDB with identical results.
+"""
+
+from . import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]
