@@ -560,7 +560,7 @@ sh AS (SELECT doc_id, unnest(list_distinct(words)) AS shingle FROM toks)
 
 def _minhash_sql(num_hashes: int) -> str:
     sigs = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(num_hashes)
+        f"min(substr(md5(shingle), {8 * i + 1}, 8)) AS sig_{i}" for i in range(num_hashes)
     )
     return f"WITH {_SHINGLE3_CTE} SELECT doc_id, {sigs} FROM sh GROUP BY doc_id ORDER BY doc_id"
 
@@ -574,7 +574,9 @@ def _minhash_lsh_sql(num_hashes: int, bands: int) -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, key_{b} AS key FROM sigs" for b in range(bands)
     )
-    sigs_inner = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(num_hashes))
+    sigs_inner = ", ".join(
+        f"min(substr(md5(shingle), {8 * i + 1}, 8)) AS sig_{i}" for i in range(num_hashes)
+    )
     return f"""
 WITH {_SHINGLE3_CTE},
 raw_sigs AS (SELECT doc_id, {sigs_inner} FROM sh GROUP BY doc_id),
@@ -587,7 +589,7 @@ ORDER BY id_a, id_b"""
 
 def _simhash_sql(bits: int) -> str:
     sums = ", ".join(
-        f"sum((ascii(substr(md5('b{b}|' || shingle), 1, 1)) % 2) * 2 - 1) AS s_{b}"
+        f"sum((ascii(substr(md5(shingle), {b + 1}, 1)) % 2) * 2 - 1) AS s_{b}"
         for b in range(bits)
     )
     val = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))

@@ -66,18 +66,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
-    # indexes 0..len-n ; shingle i = concat_ws(' ', toks[i..i+n-1]).
-    # guard: sequence(0, negative) would generate a DESCENDING range, so
-    # short docs (< n tokens) explicitly get zero shingles
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
-    )
-    return F.when(F.size(toks) >= n, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+    # zip the token array with its shifted selves: shingle i =
+    # toks[i] + ' ' + toks[i+1] + ... — O(tokens) work per row.
+    # (A transform(sequence(...), i -> element_at(toks, i+j)) formulation is
+    # catastrophically slower: projection collapse inlines the regex split
+    # into every element access, making it O(tokens^2) splits per doc.)
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, 1 << 30)
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with null -> tail entries are null;
+    # keep only the size-n+1 leading valid shingles (0 for short docs)
+    sh = F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(sh)
 
 
 def explode_shingles(df: DataFrame, text_col: str = "text",
@@ -94,15 +95,20 @@ def explode_shingles(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
-    """K-permutation MinHash: h_i(s) = md5(i || '|' || s); sig_i = min_s h_i.
+    """K-permutation MinHash. The K hash functions are the K disjoint
+    8-hex-char (32-bit) slices of ONE md5 per shingle — one hash invocation
+    regardless of K (md5 is the per-row hot cost at 100 TB), K <= 4.
+    sig_i = min_s substr(md5(s), 8i+1, 8).
 
     One explode + one groupBy with K min() aggregates; partial (map-side)
-    aggregation reduces shuffle to K strings per doc regardless of doc size.
-    Output: id, sig_0..sig_{K-1}.
+    aggregation reduces shuffle to K short strings per doc regardless of
+    doc size. Output: id, sig_0..sig_{K-1}.
     """
+    assert num_hashes <= 4, "md5 yields 4 independent 32-bit slices"
     ex = explode_shingles(df, text_col, id_col, shingle_n)
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(F.substring(h, 8 * i + 1, 8)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -151,10 +157,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Single explode + single groupBy with `bits` sum() aggregates — shuffle
     is `bits` ints per doc."""
+    assert bits <= 32, "md5 yields 32 hex-char parities"
     ex = explode_shingles(df, text_col, id_col, n=1)
+    h = F.md5(F.col("shingle"))
     aggs = []
     for b in range(bits):
-        parity = F.ascii(F.substring(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle"))), 1, 1)) % 2
+        # bit b = parity of hex char b of ONE md5 per token (balanced 0/1 map)
+        parity = F.ascii(F.substring(h, b + 1, 1)) % 2
         aggs.append(F.sum(parity * 2 - 1).alias(f"s_{b}"))
     sums = ex.groupBy(id_col).agg(*aggs)
     val = F.lit(0).cast(T.LongType())
@@ -188,7 +197,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     per-doc sizes. Returns id_a < id_b with jaccard rounded to 6 dp."""
     ex = explode_shingles(df, text_col, id_col, n)
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # shingles that occur in only one document cannot produce a pair —
+    # dropping them before the self-join shrinks the join input massively
+    # (most shingles are unique) without changing the result
+    repeated = (
+        ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > 1).select("shingle")
+    )
+    ex2 = ex.join(repeated, "shingle")
+    a, b = ex2.alias("a"), ex2.alias("b")
     inter = (
         a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
@@ -215,22 +232,66 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.95,
                              n_planes: int = 0) -> DataFrame:
-    """Pairs with cosine >= threshold. With n_planes > 0, candidates are
-    restricted to LSH hyperplane buckets (scale path — see similarity.py);
-    n_planes=0 compares all pairs block-wise (correctness baseline)."""
-    from ..functions.array import cosine_col
+    """All pairs with cosine >= threshold (exact).
+
+    Executed as a blocked matrix product: the right side is broadcast as one
+    float64 numpy matrix and each left partition computes a BLAS dgemm
+    against it inside mapInPandas — thousands of times faster than per-pair
+    expression evaluation, with the same result to 6 dp.
+
+    Scale path: a broadcastable side is required (like any broadcast join).
+    For corpora where neither side fits an executor, set n_planes > 0 to
+    LSH-block first (candidates = same hyperplane bucket; see
+    similarity.hyperplane_bucket) and run the same BLAS kernel per bucket —
+    the standard recall/cost trade."""
+    import numpy as np
+    import pandas as pd
+
     from .similarity import hyperplane_bucket
 
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    spark = df.sparkSession
     if n_planes > 0:
-        left = left.withColumn("bkt", hyperplane_bucket(F.col("va"), n_planes))
-        right = right.withColumn("bkt", hyperplane_bucket(F.col("vb"), n_planes))
-        joined = left.join(right, on=[F.col("id_a") < F.col("id_b"), F.col("bkt") == right["bkt"]])
+        df = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), n_planes))
+        sel = df.select(F.col(id_col), F.col(vec_col), F.col("__bkt"))
+        df = df.repartition(F.col("__bkt"))
     else:
-        joined = left.join(right, on=F.col("id_a") < F.col("id_b"))
-    return (
-        joined.withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
-    )
+        sel = df.select(F.col(id_col), F.col(vec_col))
+    rows = sel.collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bkts = np.array([r[2] for r in rows], dtype=np.int64) if n_planes > 0 else None
+    bc = spark.sparkContext.broadcast((ids, mat, norms, bkts))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def op(batches):
+        r_ids, r_mat, r_norms, r_bkts = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            groups = pdf.groupby("__bkt") if r_bkts is not None else [(None, pdf)]
+            for bkt, g in groups:
+                if r_bkts is not None:
+                    mask = r_bkts == bkt  # candidates: same LSH bucket only
+                    c_ids, c_mat, c_norms = r_ids[mask], r_mat[mask], r_norms[mask]
+                else:
+                    c_ids, c_mat, c_norms = r_ids, r_mat, r_norms
+                if len(c_ids) == 0:
+                    continue
+                l_ids = g[id_col].to_numpy(dtype=np.int64)
+                l_mat = np.array(list(g[vec_col]), dtype=np.float64)
+                l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
+                cos = (l_mat @ c_mat.T) / np.outer(l_norms, c_norms)
+                cos = np.round(cos, 6)
+                li, ri = np.nonzero((cos >= threshold) & (l_ids[:, None] < c_ids[None, :]))
+                yield pd.DataFrame({
+                    "id_a": l_ids[li], "id_b": c_ids[ri], "cos": cos[li, ri],
+                })
+
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col("__bkt")] if n_planes > 0 else [])
+    return df.select(*cols).mapInPandas(op, out_schema)
