@@ -163,6 +163,7 @@ class Query:
         q.limit_n, q.offset_n = self.limit_n, self.offset_n
         q.distinct_flag = self.distinct_flag
         q.sample_clause = self.sample_clause
+        q._tail_resort = getattr(self, "_tail_resort", False)
         return q
 
     # -- clause builders ---------------------------------------------------
@@ -251,9 +252,13 @@ class Query:
         return [r.asDict(recursive=True) for r in self.df().collect()]
 
     def count(self) -> int:
-        """COUNT(*) — stays fully in the JVM (reference _query.py:1018-1060)."""
+        """COUNT(*) of the query result — stays fully in the JVM
+        (reference _query.py:1018-1060). Only ordering is stripped (it
+        cannot change the count); select/distinct/limit all can."""
         q = self._copy()
-        q.select_items, q.order_by_items, q.limit_n = [], [], None
+        q.order_by_items = []
+        if not q.distinct_flag and q.limit_n is None:
+            q.select_items = []  # let Catalyst count the bare scan
         return q.df().count()
 
 
@@ -308,13 +313,30 @@ class Planner:
         if q.sample_clause is not None:
             df = self._apply_sample(df, q.sample_clause, ctx)
 
+        # window-form custom UDAs (running aggregates over applyInPandas) —
+        # the reference's per-partition aggregator loop
+        # (reference exprs/function_call.py:447-461) computed executor-side
+        self._window_uda_cols: dict[int, str] = {}
+        for i, (_, e) in enumerate(q.select_items):
+            fc = e.components[0] if isinstance(e, AliasedExpr) else e
+            if (
+                isinstance(fc, FunctionCall) and fc.is_window()
+                and getattr(fc.fn, "uda_class", None) is not None
+            ):
+                out_name = f"__wuda{i}"
+                df = self._apply_window_uda(df, fc, ctx, out_name)
+                self._window_uda_cols[id(e)] = out_name
+
         has_agg = any(e.is_agg() for _, e in q.select_items)
         if q.group_by_exprs or has_agg:
             df = self._apply_groupby(df, ctx)
         elif q.select_items:
             cols = []
             for i, (name, e) in enumerate(q.select_items):
-                col = e.compile(ctx)
+                if id(e) in self._window_uda_cols:
+                    col = F.col(self._window_uda_cols[id(e)])
+                else:
+                    col = e.compile(ctx)
                 cols.append(col.alias(name or f"col_{i}"))
             df = df.select(*cols)
 
@@ -372,13 +394,19 @@ class Planner:
             gmap[_expr_key(ge)] = key
 
         agg_cols: list[Column] = []
+        uda_specs: list[tuple[str, FunctionCall]] = []
         out_names: list[str] = []
         out_cols: list[Column] = []
         for i, (name, e) in enumerate(q.select_items):
             name = name or f"col_{i}"
             out_names.append(name)
             if e.is_agg():
-                agg_cols.append(e.compile(ctx).alias(name))
+                fc = e.components[0] if isinstance(e, AliasedExpr) else e
+                if (isinstance(fc, FunctionCall)
+                        and getattr(fc.fn, "uda_class", None) is not None):
+                    uda_specs.append((name, fc))
+                else:
+                    agg_cols.append(e.compile(ctx).alias(name))
                 out_cols.append(F.col(name))
             else:
                 gk = gmap.get(_expr_key(e))
@@ -387,12 +415,115 @@ class Planner:
                         f"select item {name!r} is neither an aggregate nor a group_by expression"
                     )
                 out_cols.append(F.col(gk).alias(name))
-        if not agg_cols:
+        if not agg_cols and not uda_specs:
             # pure grouping select == distinct on grouping exprs
             return tmp.select(*[F.col(k).alias(n) for k, n in zip(gkeys, out_names)]).distinct()
-        grouped = tmp.groupBy(*[F.col(k) for k in gkeys]) if gkeys else tmp.groupBy()
-        res = grouped.agg(*agg_cols)
+
+        res = None
+        if agg_cols:
+            grouped = tmp.groupBy(*[F.col(k) for k in gkeys]) if gkeys else tmp.groupBy()
+            res = grouped.agg(*agg_cols)
+        if uda_specs:
+            uda_res = self._apply_grouped_udas(tmp, gkeys, uda_specs, ctx)
+            if res is None:
+                res = uda_res
+            else:
+                # both sides are partitioned by the same keys -> cheap join
+                res = res.join(uda_res, on=gkeys) if gkeys else res.crossJoin(uda_res)
         return res.select(*out_cols)
+
+    def _apply_grouped_udas(self, tmp: DataFrame, gkeys: list[str],
+                            uda_specs: list, ctx: CompileCtx) -> DataFrame:
+        """Custom @uda aggregates: one Aggregator instance per group,
+        executed via applyInPandas (the reference's AggregationNode,
+        reference exec/aggregation_node.py:15-123 — Spark's shuffle-based
+        grouping removes the need for its sorted-input streaming)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..functions.udf import run_uda_over_values
+
+        in_cols: dict[str, list[str]] = {}
+        for j, (name, fc) in enumerate(uda_specs):
+            cols = []
+            for k, arg in enumerate(fc.components):
+                c = f"__ua{j}_{k}"
+                tmp = tmp.withColumn(c, arg.compile(ctx))
+                cols.append(c)
+            in_cols[name] = cols
+
+        fields = [tmp.schema[k] for k in gkeys] + [
+            T.StructField(name, fc.col_type.spark_type())
+            for name, fc in uda_specs
+        ]
+        schema = T.StructType(fields)
+        specs = [(name, fc.fn.uda_class, in_cols[name], fc.kwargs)
+                 for name, fc in uda_specs]
+
+        def agg_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            row = dict(zip(gkeys, key))
+            for name, cls, cols, kwargs in specs:
+                row[name] = run_uda_over_values(
+                    cls, [pdf[c].tolist() for c in cols], kwargs)
+            return pd.DataFrame([row])
+
+        grouped = tmp.groupBy(*[F.col(k) for k in gkeys]) if gkeys else tmp.groupBy(F.lit(1).alias("__one"))
+        if not gkeys:
+            fields = [T.StructField("__one", T.IntegerType())] + fields
+            schema = T.StructType(fields)
+
+            def agg_fn_global(key, pdf):  # noqa: ANN001
+                row = {"__one": 1}
+                for name, cls, cols, kwargs in specs:
+                    row[name] = run_uda_over_values(
+                        cls, [pdf[c].tolist() for c in cols], kwargs)
+                return pd.DataFrame([row])
+
+            return grouped.applyInPandas(agg_fn_global, schema).drop("__one")
+        return grouped.applyInPandas(agg_fn, schema)
+
+    def _apply_window_uda(self, df: DataFrame, fc: FunctionCall,
+                          ctx: CompileCtx, out_name: str) -> DataFrame:
+        """Running custom UDA per partition: sort by order keys inside each
+        group's pandas frame, emit aggregator.value() per row."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..functions.udf import run_uda_running
+
+        tmp = df
+        pkeys, okeys, akeys = [], [], []
+        for i, e in enumerate(fc.window_group_by):
+            c = f"__wp{i}"
+            tmp = tmp.withColumn(c, e.compile(ctx))
+            pkeys.append(c)
+        for i, e in enumerate(fc.window_order_by):
+            c = f"__wo{i}"
+            tmp = tmp.withColumn(c, e.compile(ctx))
+            okeys.append(c)
+        for i, e in enumerate(fc.components):
+            c = f"__wa{i}"
+            tmp = tmp.withColumn(c, e.compile(ctx))
+            akeys.append(c)
+
+        schema = T.StructType(
+            list(tmp.schema.fields) + [T.StructField(out_name, fc.col_type.spark_type())]
+        )
+        cls = fc.fn.uda_class
+        kwargs = fc.kwargs
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if okeys:
+                pdf = pdf.sort_values(okeys, kind="stable")
+            pdf = pdf.copy()
+            pdf[out_name] = run_uda_running(cls, [pdf[c].tolist() for c in akeys], kwargs)
+            return pdf
+
+        if pkeys:
+            out = tmp.groupBy(*[F.col(k) for k in pkeys]).applyInPandas(fn, schema)
+        else:
+            out = tmp.groupBy(F.lit(1)).applyInPandas(fn, schema)
+        return out.drop(*pkeys, *okeys, *akeys)
 
     def _apply_sample(self, df: DataFrame, sc: SampleClause, ctx: CompileCtx) -> DataFrame:
         rowid = self.q.tbl._rowid_cols

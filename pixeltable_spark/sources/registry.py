@@ -92,8 +92,9 @@ def table_from_rows(spark: SparkSession, rows: list[dict], name: str,
     if schema is not None:
         from ..type_system import schema_to_struct
         df = spark.createDataFrame(rows, schema_to_struct(schema))
-    else:
-        df = spark.createDataFrame(rows)
+        # keep the DECLARED ColumnTypes (json vs string is invisible to Spark)
+        return TableRef(df, name, dict(schema), rowid_cols or [])
+    df = spark.createDataFrame(rows)
     return TableRef.from_df(df, name, rowid_cols=rowid_cols)
 
 
