@@ -28,6 +28,7 @@ from .sources.registry import (
 )
 from .type_system import ArrayType, ColumnType, TypeKind
 from .functions.udf import udf, uda, Aggregator
+from .catalog import Catalog, Table, View, Snapshot
 
 String = ColumnType.string
 Int = ColumnType.int_
@@ -51,6 +52,7 @@ __all__ = [
     "table_from_parquet", "table_from_csv", "table_from_json",
     "table_from_pandas", "table_from_rows", "load_sf_tables",
     "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",
+    "Catalog", "Table", "View", "Snapshot",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
     "Binary", "Image", "Video", "Audio", "Document",
 ]

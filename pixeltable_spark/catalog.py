@@ -1,0 +1,655 @@
+"""Versioned table catalog: create_table / insert / update / delete /
+computed columns / views / component views / snapshots / revert / history.
+
+The analog of the reference's catalog + store layer (reference
+catalog/table.py:52-1111, catalog/view.py:38-328, store.py:27-58 MVCC
+layout, plan.py:255-487 insert/update plans) — re-architected for a
+parquet lakehouse:
+
+Physical layout (reference store.py:27-58):
+* every row-version carries ``_rowid`` (monotonic insert order),
+  ``_v_min`` / ``_v_max``: live at version V iff ``_v_min <= V < _v_max``.
+* a table is a directory of parquet files; mutations are copy-on-write
+  epochs (write new data dir, swap) — the same mechanics Delta Lake uses,
+  spelled out explicitly so versioning semantics (revert, time travel,
+  per-row lineage) are first-class rather than delegated.
+* computed columns materialize at insert time over ONLY the inserted
+  slice (incremental computation — the reference's defining capability);
+  update(cascade=True) recomputes transitively dependent columns.
+* per-cell error capture: on_error='ignore' stores a sibling
+  ``_cellmd_<col>`` struct {errortype, errormsg} instead of failing the
+  batch (reference exprs/column_property_ref.py:18-31).
+
+Views are materialized to their own storage keyed by base ``_rowid``
+(+ ``_pos`` for iterator/component views) and maintained incrementally:
+base.insert() runs the view's plan over just the new base rows
+(reference catalog/table_version.py:1076-1091 propagation).
+
+Scale: inserts append parquet part-files (no rewrite); updates/deletes
+rewrite only because local parquet lacks MERGE — on a real deployment the
+same code paths emit Delta MERGE. All computation is DataFrame-level:
+the computed-column DAG compiles to one withColumns projection, views'
+incremental loads are plain filtered scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid as _uuid
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .exprs import Expr
+from .plans.query import TableRef
+from .type_system import ColumnType, schema_to_struct
+
+MAXV = 1 << 62
+_ROWID, _VMIN, _VMAX, _POS = "_rowid", "_v_min", "_v_max", "_pos"
+SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS}
+
+
+def _cellmd_col(name: str) -> str:
+    return f"_cellmd_{name}"
+
+
+_CELLMD_TYPE = T.StructType([
+    T.StructField("errortype", T.StringType()),
+    T.StructField("errormsg", T.StringType()),
+])
+
+
+class ComputedColumn:
+    def __init__(self, name: str, expr: Expr, col_type: ColumnType,
+                 on_error: str = "abort"):
+        self.name = name
+        self.expr = expr
+        self.col_type = col_type
+        self.on_error = on_error
+
+
+class Catalog:
+    """Directory-tree namespace of tables/views/snapshots
+    (reference catalog/dir.py, globals.py:854 create_dir)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, Table] = {}
+
+    # -- namespace ---------------------------------------------------------
+    def create_dir(self, path: str) -> None:
+        os.makedirs(os.path.join(self.root, *path.split(".")), exist_ok=True)
+
+    def _tbl_dir(self, name: str) -> str:
+        return os.path.join(self.root, *name.split("."))
+
+    # -- tables ------------------------------------------------------------
+    def create_table(self, name: str, schema: dict[str, ColumnType],
+                     primary_key: Optional[Sequence[str]] = None,
+                     if_exists: str = "error") -> "Table":
+        d = self._tbl_dir(name)
+        if os.path.exists(d):
+            if if_exists == "replace":
+                shutil.rmtree(d)
+            elif if_exists == "ignore":
+                return self.get_table(name)
+            else:
+                raise ValueError(f"table {name!r} already exists")
+        t = Table._create(self, name, d, schema, list(primary_key or []))
+        self._tables[name] = t
+        return t
+
+    def get_table(self, name: str) -> "Table":
+        if name not in self._tables:
+            self._tables[name] = Table._load(self, name, self._tbl_dir(name))
+        return self._tables[name]
+
+    def drop_table(self, name: str) -> None:
+        d = self._tbl_dir(name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        self._tables.pop(name, None)
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(self.root):
+            if "meta.json" in filenames:
+                rel = os.path.relpath(dirpath, self.root)
+                out.append(rel.replace(os.sep, "."))
+        return sorted(out)
+
+    # -- views / snapshots -------------------------------------------------
+    def create_view(self, name: str, base: "Table",
+                    predicate: Optional[Expr] = None,
+                    extra_columns: Optional[dict[str, tuple[Expr, ColumnType]]] = None,
+                    iterator: Optional[Callable[[DataFrame], DataFrame]] = None,
+                    ) -> "View":
+        v = View._create(self, name, self._tbl_dir(name), base, predicate,
+                         extra_columns or {}, iterator)
+        base._views.append(v)
+        self._tables[name] = v
+        return v
+
+    def create_snapshot(self, name: str, base: "Table") -> "Snapshot":
+        return Snapshot(base, base.version)
+
+
+class Table:
+    """Insertable, versioned table (reference catalog/insertable_table.py,
+    catalog/table.py:52-1111)."""
+
+    def __init__(self, catalog: Catalog, name: str, path: str):
+        self.catalog = catalog
+        self.name = name
+        self.path = path
+        self.schema: dict[str, ColumnType] = {}
+        self.primary_key: list[str] = []
+        self.computed: dict[str, ComputedColumn] = {}
+        self.version = 0
+        self.next_rowid = 0
+        self.history: list[dict] = []
+        self._views: list[View] = []
+
+    # -- creation / persistence -------------------------------------------
+    @classmethod
+    def _create(cls, catalog: Catalog, name: str, path: str,
+                schema: dict[str, ColumnType], primary_key: list[str]) -> "Table":
+        t = cls(catalog, name, path)
+        t.schema = dict(schema)
+        t.primary_key = primary_key
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t._log("create")
+        t._save_meta()
+        return t
+
+    @classmethod
+    def _load(cls, catalog: Catalog, name: str, path: str) -> "Table":
+        t = cls(catalog, name, path)
+        t._load_meta()
+        return t
+
+    def _save_meta(self) -> None:
+        meta = {
+            "name": self.name,
+            "version": self.version,
+            "next_rowid": self.next_rowid,
+            "primary_key": self.primary_key,
+            "history": self.history,
+            "schema": {k: (v.kind.name, v.nullable) for k, v in self.schema.items()},
+        }
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        # computed-column exprs carry arbitrary python callables ->
+        # cloudpickle (same serializer Spark uses for UDF closures)
+        from pyspark import cloudpickle
+        with open(os.path.join(self.path, "computed.pkl"), "wb") as f:
+            cloudpickle.dump(self.computed, f)
+
+    def _load_meta(self) -> None:
+        from .type_system import TypeKind
+        with open(os.path.join(self.path, "meta.json")) as f:
+            meta = json.load(f)
+        self.version = meta["version"]
+        self.next_rowid = meta["next_rowid"]
+        self.primary_key = meta["primary_key"]
+        self.history = meta["history"]
+        self.schema = {
+            k: ColumnType(TypeKind[kind], nullable)
+            for k, (kind, nullable) in meta["schema"].items()
+        }
+        cpath = os.path.join(self.path, "computed.pkl")
+        if os.path.exists(cpath):
+            from pyspark import cloudpickle
+            with open(cpath, "rb") as f:
+                self.computed = cloudpickle.load(f)
+
+    def _log(self, op: str, **kw: Any) -> None:
+        self.history.append({"version": self.version, "op": op,
+                             "ts": time.time(), **kw})
+
+    # -- storage -----------------------------------------------------------
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _has_data(self) -> bool:
+        d = self._data_dir
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def _store_df(self) -> DataFrame:
+        """All row-versions, including expired ones."""
+        spark = self.catalog.spark
+        if not self._has_data():
+            return spark.createDataFrame([], self._store_schema())
+        return spark.read.parquet(self._data_dir)
+
+    def _store_schema(self) -> T.StructType:
+        fields = [
+            T.StructField(_ROWID, T.LongType(), False),
+            T.StructField(_VMIN, T.LongType(), False),
+            T.StructField(_VMAX, T.LongType(), False),
+        ]
+        fields += list(schema_to_struct(self.schema).fields)
+        for cc in self.computed.values():
+            fields.append(T.StructField(cc.name, cc.col_type.spark_type()))
+            if cc.on_error == "ignore":
+                fields.append(T.StructField(_cellmd_col(cc.name), _CELLMD_TYPE))
+        return T.StructType(fields)
+
+    def _append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self._data_dir)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Copy-on-write epoch swap (what Delta MERGE does transactionally)."""
+        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(tmp)
+        old = self._data_dir
+        back = old + ".old"
+        os.rename(old, back)
+        os.rename(tmp, old)
+        shutil.rmtree(back)
+
+    # -- read path ---------------------------------------------------------
+    def df(self, version: Optional[int] = None) -> DataFrame:
+        """Live rows at a version (default: current) — the version-interval
+        visibility predicate (reference store.py:39-42)."""
+        v = self.version if version is None else version
+        return self._store_df().filter((F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
+
+    def user_df(self, version: Optional[int] = None) -> DataFrame:
+        cols = [c for c in self.column_names()]
+        return self.df(version).select(*cols)
+
+    def ref(self, version: Optional[int] = None) -> TableRef:
+        """Bind as a queryable TableRef (system cols hidden, _rowid kept as
+        the insertion-order key for head/tail/sample)."""
+        df = self.df(version)
+        schema = dict(self.schema)
+        for cc in self.computed.values():
+            schema[cc.name] = cc.col_type
+        keep = [_ROWID] + list(schema)
+        schema_with_rowid = {_ROWID: ColumnType.int_(False), **schema}
+        for cc in self.computed.values():
+            if cc.on_error == "ignore":
+                md = _cellmd_col(cc.name)
+                keep.append(md)
+                schema_with_rowid[md] = ColumnType.json()
+        return TableRef(df.select(*keep), self.name, schema_with_rowid,
+                        rowid_cols=[_ROWID])
+
+    def column_names(self) -> list[str]:
+        return list(self.schema) + list(self.computed)
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def collect(self) -> list[dict]:
+        return [r.asDict(recursive=True)
+                for r in self.user_df().orderBy(_ROWID).collect()]
+
+    # -- computed columns --------------------------------------------------
+    def add_computed_column(self, name: str, expr: Expr,
+                            col_type: Optional[ColumnType] = None,
+                            on_error: str = "abort") -> None:
+        """Add + backfill a computed column (reference catalog/table.py:333,
+        plan.py:1230 create_add_column_plan). Backfill touches every live
+        row once; new inserts compute incrementally."""
+        if name in self.schema or name in self.computed:
+            raise ValueError(f"duplicate column {name!r}")
+        cc = ComputedColumn(name, expr, col_type or expr.col_type, on_error)
+        self.computed[name] = cc
+        if self._has_data():
+            store = self._store_df()
+            store = self._eval_computed(store, [cc])
+            self._rewrite(store)
+        self.version += 1
+        self._log("add_computed_column", column=name)
+        self._save_meta()
+
+    def _eval_computed(self, df: DataFrame, ccs: Sequence[ComputedColumn]) -> DataFrame:
+        """Evaluate computed columns in declaration (topo) order — each may
+        reference earlier ones (the RowBuilder DAG,
+        reference exprs/row_builder.py:59-482, collapses to sequential
+        withColumn over the slice: Catalyst fuses them into one projection)."""
+        for cc in ccs:
+            if cc.on_error == "ignore":
+                df = self._eval_with_cellmd(df, cc)
+            else:
+                df = df.withColumn(cc.name, cc.expr.compile())
+        return df
+
+    def _eval_with_cellmd(self, df: DataFrame, cc: ComputedColumn) -> DataFrame:
+        """Per-cell error capture (reference exec/exec_context.py
+        ignore_errors; cellmd in exprs/data_row.py:24-83): evaluate via the
+        Python path under try/except, store (value, errortype, errormsg)."""
+        import pandas as pd
+
+        expr = cc.expr
+        refs = expr.column_refs()
+        names = [r.name for r in refs]
+        ret = T.StructType([
+            T.StructField("value", cc.col_type.spark_type()),
+            T.StructField("errortype", T.StringType()),
+            T.StructField("errormsg", T.StringType()),
+        ])
+
+        from .exprs import _from_pandas
+
+        def batch(*series):  # -> pd.DataFrame of (value, errortype, errormsg)
+            vals, ets, ems = [], [], []
+            n = len(series[0]) if series else 0
+            for i in range(n):
+                row = {nm: _from_pandas(series[j].iloc[i]) for j, nm in enumerate(names)}
+                try:
+                    vals.append(expr.eval_py(row))
+                    ets.append(None)
+                    ems.append(None)
+                except Exception as e:  # noqa: BLE001
+                    vals.append(None)
+                    ets.append(type(e).__name__)
+                    ems.append(str(e))
+            return pd.DataFrame({"value": vals, "errortype": ets, "errormsg": ems})
+
+        udf = F.pandas_udf(batch, returnType=ret)
+        tmp = "__cellmd_tmp"
+        df = df.withColumn(tmp, udf(*[F.col(n) for n in names]))
+        return (
+            df.withColumn(cc.name, F.col(f"{tmp}.value"))
+            .withColumn(_cellmd_col(cc.name),
+                        F.struct(F.col(f"{tmp}.errortype").alias("errortype"),
+                                 F.col(f"{tmp}.errormsg").alias("errormsg")))
+            .drop(tmp)
+        )
+
+    # -- mutations ---------------------------------------------------------
+    def insert(self, rows: "list[dict] | DataFrame | TableRef") -> int:
+        """Append rows: validate, assign _rowid/_v_min, evaluate computed
+        columns over ONLY the new slice, persist, then propagate to views
+        (reference catalog/table.py:675-804, plan.py:255-324)."""
+        spark = self.catalog.spark
+        if isinstance(rows, TableRef):
+            src = rows.df()
+        elif isinstance(rows, DataFrame):
+            src = rows
+        else:
+            for i, r in enumerate(rows):
+                for c, ct in self.schema.items():
+                    if not ct.nullable and r.get(c) is None:
+                        raise ValueError(
+                            f"missing required column {c!r} in row {i}")
+            src = spark.createDataFrame(rows, schema_to_struct(self.schema))
+        missing = [c for c in self.schema if c not in src.columns]
+        for c in missing:
+            if not self.schema[c].nullable:
+                raise ValueError(f"missing required column {c!r}")
+            src = src.withColumn(c, F.lit(None).cast(self.schema[c].spark_type()))
+        src = src.select(*[F.col(c).cast(self.schema[c].spark_type()) for c in self.schema])
+
+        n = src.count()
+        new_version = self.version + 1
+        # monotonic _rowid continuing from next_rowid: zipWithIndex-free,
+        # pure DataFrame: row_number over a stable ordering of the batch
+        from pyspark.sql import Window as W
+        w = W.orderBy(F.monotonically_increasing_id())
+        slice_df = (
+            src.withColumn(_ROWID, F.row_number().over(w) + (self.next_rowid - 1))
+            .withColumn(_VMIN, F.lit(new_version))
+            .withColumn(_VMAX, F.lit(MAXV))
+        )
+        slice_df = self._eval_computed(slice_df, list(self.computed.values()))
+        slice_df = slice_df.select(*[f.name for f in self._store_schema().fields])
+        self._append(slice_df)
+        self.version = new_version
+        self.next_rowid += n
+        self._log("insert", rows=n)
+        self._save_meta()
+        self._propagate_insert()
+        return n
+
+    def update(self, value_spec: dict[str, Any], where: Optional[Expr] = None,
+               cascade: bool = True) -> int:
+        """Expire matching row-versions, re-insert updated versions at the
+        new version; cascade recomputes dependent computed columns
+        (reference catalog/table.py:940, plan.py:415-487)."""
+        new_version = self.version + 1
+        store = self._store_df()
+        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        pred = where.compile() if where is not None else F.lit(True)
+        matched = live & pred
+
+        n = store.filter(matched).count()
+        # old row-versions: expire at new_version
+        expired = store.withColumn(
+            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
+        )
+        # new row-versions for matched rows
+        updated = store.filter(matched)
+        for col, val in value_spec.items():
+            if col not in self.schema:
+                raise ValueError(f"unknown or non-updatable column {col!r}")
+            val_col = val.compile() if isinstance(val, Expr) else F.lit(val)
+            updated = updated.withColumn(col, val_col.cast(self.schema[col].spark_type()))
+        updated = updated.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
+        if cascade:
+            updated = self._eval_computed(updated, list(self.computed.values()))
+        out = expired.unionByName(updated)
+        self._rewrite(out)
+        self.version = new_version
+        self._log("update", rows=n)
+        self._save_meta()
+        self._propagate_refresh()
+        return n
+
+    def batch_update(self, rows: list[dict]) -> int:
+        """Per-row updates matched by primary key
+        (reference catalog/table.py:978, plan.py:619)."""
+        from .exprs import ColumnRef
+
+        if not self.primary_key:
+            raise ValueError("batch_update requires a primary key")
+        n_total = 0
+        for row in rows:
+            pred = None
+            spec = {}
+            for k, v in row.items():
+                if k in self.primary_key:
+                    p = ColumnRef(k, self.schema[k]) == v
+                    pred = p if pred is None else (pred & p)
+                else:
+                    spec[k] = v
+            if pred is None:
+                raise ValueError("batch_update rows must include primary key values")
+            n_total += self.update(spec, where=pred)
+        return n_total
+
+    def delete(self, where: Optional[Expr] = None) -> int:
+        """Expire matching rows (reference catalog/table.py:1062)."""
+        new_version = self.version + 1
+        store = self._store_df()
+        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        pred = where.compile() if where is not None else F.lit(True)
+        matched = live & pred
+        n = store.filter(matched).count()
+        out = store.withColumn(
+            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
+        )
+        self._rewrite(out)
+        self.version = new_version
+        self._log("delete", rows=n)
+        self._save_meta()
+        self._propagate_refresh()
+        return n
+
+    def recompute_columns(self, cols: Sequence[str],
+                          where: Optional[Expr] = None) -> int:
+        """Force recomputation of computed columns on a row subset
+        (reference catalog/table.py:1025)."""
+        ccs = [self.computed[c] for c in cols]
+        new_version = self.version + 1
+        store = self._store_df()
+        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        pred = where.compile() if where is not None else F.lit(True)
+        matched = live & pred
+        n = store.filter(matched).count()
+        expired = store.withColumn(
+            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX)))
+        recomputed = self._eval_computed(store.filter(matched), ccs)
+        recomputed = recomputed.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
+        self._rewrite(expired.unionByName(recomputed))
+        self.version = new_version
+        self._log("recompute", rows=n, columns=list(cols))
+        self._save_meta()
+        self._propagate_refresh()
+        return n
+
+    def revert(self) -> None:
+        """Undo the latest version (reference catalog/table.py:1079):
+        rows born at V disappear, rows expired at V come back."""
+        if self.version == 0:
+            raise ValueError("nothing to revert")
+        v = self.version
+        store = self._store_df()
+        out = (
+            store.filter(F.col(_VMIN) < v)
+            .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV)).otherwise(F.col(_VMAX)))
+        )
+        self._rewrite(out)
+        self.version = v - 1
+        self.history = [h for h in self.history if h["version"] < v]
+        self._save_meta()
+        self._propagate_refresh()
+
+    def get_versions(self) -> list[dict]:
+        return list(self.history)
+
+    # -- compute without persistence (reference catalog/table.py:806) ------
+    def compute(self, rows: list[dict]) -> list[dict]:
+        """Ephemeral evaluation of the computed-column DAG on uninserted
+        rows (prototyping path, no version bump, nothing persisted)."""
+        spark = self.catalog.spark
+        df = spark.createDataFrame(rows, schema_to_struct(self.schema))
+        df = self._eval_computed(df, list(self.computed.values()))
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    # -- view propagation --------------------------------------------------
+    def _propagate_insert(self) -> None:
+        for v in self._views:
+            v._load_increment()
+
+    def _propagate_refresh(self) -> None:
+        for v in self._views:
+            v._full_refresh()
+
+
+class View(Table):
+    """Materialized view over a base table: predicate + extra computed
+    columns, optionally exploded by an iterator (component view)
+    (reference catalog/view.py:38-146).
+
+    Rows are keyed by the base's _rowid (+_pos when an iterator explodes);
+    insert-propagation evaluates the view plan over ONLY base rows created
+    at the latest base version (reference plan.py:761-836
+    create_view_load_plan(propagates_insert=True))."""
+
+    def __init__(self, catalog: Catalog, name: str, path: str):
+        super().__init__(catalog, name, path)
+        self.base: Optional[Table] = None
+        self.predicate: Optional[Expr] = None
+        self.extra: dict[str, tuple[Expr, ColumnType]] = {}
+        self.iterator: Optional[Callable[[DataFrame], DataFrame]] = None
+        self._loaded_base_version = -1
+
+    @classmethod
+    def _create(cls, catalog: Catalog, name: str, path: str, base: Table,
+                predicate: Optional[Expr],
+                extra: dict[str, tuple[Expr, ColumnType]],
+                iterator: Optional[Callable[[DataFrame], DataFrame]]) -> "View":
+        v = cls(catalog, name, path)
+        v.base = base
+        v.predicate = predicate
+        v.extra = extra
+        v.iterator = iterator
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        v._full_refresh()
+        return v
+
+    def _view_plan(self, base_df: DataFrame) -> DataFrame:
+        df = base_df
+        if self.predicate is not None:
+            df = df.filter(self.predicate.compile())
+        if self.iterator is not None:
+            df = self.iterator(df)  # must add _pos and may explode rows
+        for name, (expr, _ct) in self.extra.items():
+            df = df.withColumn(name, expr.compile())
+        return df
+
+    def _materialized_schema(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def _full_refresh(self) -> None:
+        base_live = self.base.df()
+        out = self._view_plan(base_live)
+        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self._data_dir):
+            back = self._data_dir + ".old"
+            os.rename(self._data_dir, back)
+            os.rename(tmp, self._data_dir)
+            shutil.rmtree(back)
+        else:
+            os.rename(tmp, self._data_dir)
+        self._loaded_base_version = self.base.version
+        self.version += 1
+
+    def _load_increment(self) -> None:
+        """Incremental maintenance: only base rows created at the current
+        base version flow through the view plan."""
+        new_rows = self.base.df().filter(F.col(_VMIN) == self.base.version)
+        out = self._view_plan(new_rows)
+        out.write.mode("append").parquet(self._data_dir)
+        self._loaded_base_version = self.base.version
+        self.version += 1
+        self._propagate_insert()
+
+    # views read their own materialized storage
+    def df(self, version: Optional[int] = None) -> DataFrame:
+        spark = self.catalog.spark
+        return spark.read.parquet(self._data_dir)
+
+    def ref(self, version: Optional[int] = None) -> TableRef:
+        return TableRef.from_df(self.df(), self.name, rowid_cols=[_ROWID])
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def collect(self) -> list[dict]:
+        df = self.df()
+        order = [_ROWID] + ([_POS] if _POS in df.columns else [])
+        drop = [c for c in df.columns if c in SYSTEM_COLS]
+        return [r.asDict(recursive=True)
+                for r in df.orderBy(*order).drop(*drop).collect()]
+
+
+class Snapshot:
+    """Frozen version of a table — pure metadata
+    (reference pixeltable/globals.py:459, catalog/view.py:43-45)."""
+
+    def __init__(self, base: Table, version: int):
+        self.base = base
+        self.version = version
+
+    def df(self) -> DataFrame:
+        return self.base.df(version=self.version)
+
+    def ref(self) -> TableRef:
+        return self.base.ref(version=self.version)
+
+    def count(self) -> int:
+        return self.df().count()

@@ -107,11 +107,13 @@ class TableRef:
         return cls(df, name, schema, rowid_cols)
 
     def __getattr__(self, name: str) -> ColumnRef:
+        schema = self.__dict__.get("_schema") or {}
+        if name in schema:  # includes system columns like _rowid
+            return ColumnRef(name, schema[name], tbl=self)
         if name.startswith("_"):
             raise AttributeError(name)
-        if name not in self._schema:
-            raise AttributeError(f"table {self._name!r} has no column {name!r}")
-        return ColumnRef(name, self._schema[name], tbl=self)
+        raise AttributeError(
+            f"table {self.__dict__.get('_name')!r} has no column {name!r}")
 
     def __getitem__(self, name: str) -> ColumnRef:
         return getattr(self, name)
