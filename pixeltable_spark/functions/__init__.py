@@ -79,6 +79,9 @@ def count_star() -> FunctionCall:
 
 # submodules register their methods on import
 from . import array, date, json, math, string, timestamp  # noqa: E402,F401
+from . import audio, document, image, llm, video, vision  # noqa: E402,F401
+from . import uuid_net_util as util  # noqa: E402,F401
+from .query_template import Tool, invoke_tools, mcp_udfs, query, tools  # noqa: E402,F401
 from .udf import uda, udf  # noqa: E402,F401
 
 __all__ = [
@@ -86,5 +89,7 @@ __all__ = [
     "approx_count_distinct", "stddev", "variance", "make_list", "count_star",
     "row_number", "rank", "dense_rank", "lag", "lead",
     "string", "math", "timestamp", "date", "json", "array",
+    "image", "video", "audio", "vision", "document", "llm", "util",
+    "query", "tools", "invoke_tools", "mcp_udfs", "Tool",
     "udf", "uda", "register_method", "lookup_method",
 ]

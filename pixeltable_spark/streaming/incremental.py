@@ -1,0 +1,110 @@
+"""Structured Streaming wrappers: the idiomatic Spark expression of the
+reference's incremental-computation story (SURVEY §2.11).
+
+The reference has no stream processing — its "streaming" is incremental
+view maintenance on insert (reference catalog/table_version.py:1076-1091).
+On Spark the same contract is a Structured Streaming pipeline with an
+``availableNow`` trigger: each run processes exactly the files that
+arrived since the last checkpoint, runs the computed-column / view plan
+over only that slice, and appends — which is precisely
+``Table.insert`` + view propagation, but driven by a directory instead of
+an API call. Watermarked windowed aggregation and stateful sessionization
+go beyond the reference (north-star training-pipeline operators).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_from_directory(spark: SparkSession, path: str,
+                          schema: T.StructType,
+                          fmt: str = "parquet") -> DataFrame:
+    """File-source stream: new files in `path` become micro-batches."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def incremental_ingest(stream_df: DataFrame, table,
+                       checkpoint_dir: Optional[str] = None,
+                       transform: Optional[Callable[[DataFrame], DataFrame]] = None):
+    """Incrementally ingest a stream into a catalog Table: each micro-batch
+    flows through Table.insert(), which evaluates computed columns over the
+    new slice only and propagates to dependent views — exactly-once via the
+    streaming checkpoint + availableNow trigger.
+
+    Returns the StreamingQuery; call .awaitTermination() (availableNow
+    stops by itself when caught up).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(table.path, "_checkpoint")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if batch_df.isEmpty():
+            return
+        table.insert(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(stream_df: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "5 minutes",
+                          slide: Optional[str] = None,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation with late-data
+    handling — the event-time analog of q16's batch time bucketing."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w, F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col(key_col), F.col("n"), F.col("total_value"),
+        )
+    )
+
+
+def sessionize_stream(stream_df: DataFrame, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session windows with a dynamic gap — the streaming counterpart of the
+    batch lag+cumsum sessionization (q22)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(key_col), F.col("n_events"),
+        )
+    )
+
+
+def run_stream_to_memory(agg_df: DataFrame, query_name: str,
+                         output_mode: str = "append"):
+    """Drive a streaming frame to completion synchronously against the
+    in-memory sink (test/smoke harness; real deployments write to a table
+    sink with a processing-time trigger)."""
+    q = (
+        agg_df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
