@@ -367,6 +367,84 @@ def q22_sessionize(spark, sf_dir):
     )
 
 
+def q23_date_funcs(spark, sf_dir):
+    """Date extraction/arithmetic via the date/timestamp function library."""
+    t = _t(spark, sf_dir, "lineitem")
+    d = t.l_shipdate.date()
+    return (
+        t.where(t.l_orderkey < 40)
+        .select(
+            t.l_orderkey, t.l_linenumber,
+            ship_date=d.isoformat(),
+            y=t.l_shipdate.year(), m=t.l_shipdate.month(),
+            wd=t.l_shipdate.weekday(),
+            plus_week=d.add_days(7).isoformat(),
+        )
+        .order_by(t.l_orderkey, t.l_linenumber)
+        .df()
+    )
+
+
+def q24_higher_order_array(spark, sf_dir):
+    """Array higher-order functions over tokenized text (JVM-side)."""
+    df = _df(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        df.select(
+            F.col("doc_id"),
+            F.size(words).alias("n_words"),
+            F.upper(F.element_at(words, 1)).alias("first_upper"),
+            F.array_max(F.transform(words, lambda w: F.length(w))).alias("longest"),
+            F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q25_string_battery2(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            p.p_partkey,
+            cnt_a=p.p_name.count("a"),
+            sw=p.p_type.startswith("S"),
+            cre=p.p_name.contains_re("[aeiou]{2}"),
+            lp=p.p_brand.rjust(12),
+            dup=p.p_brand * 2,
+        )
+        .order_by(p.p_partkey)
+        .limit(100)
+        .df()
+    )
+
+
+def q26_rollup(spark, sf_dir):
+    """ROLLUP aggregation (beyond-reference Spark extra, SURVEY §2.4)."""
+    df = _df(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q27_rank_lag(spark, sf_dir):
+    """rank + lag navigation windows."""
+    o = _t(spark, sf_dir, "orders")
+    rk = pxtf.rank(group_by=o.o_custkey,
+                   order_by=[o.o_totalprice, o.o_orderkey])
+    prev = pxtf.lag(o.o_totalprice, group_by=o.o_custkey,
+                    order_by=[o.o_totalprice, o.o_orderkey])
+    return (
+        o.where(o.o_custkey < 100)
+        .select(o.o_custkey, o.o_orderkey, rk=rk, prev=prev)
+        .order_by(o.o_custkey, o.o_orderkey)
+        .df()
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (operators/)
 # ---------------------------------------------------------------------------
@@ -489,6 +567,62 @@ def q44_image_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q45_minhash_jaccard_est(spark, sf_dir):
+    """Jaccard estimation from MinHash signature agreement over the LSH
+    candidate pairs — the classic MinHash-LSH dedup composition."""
+    df = _df(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(df, num_hashes=4, shingle_n=3)
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=4, bands=2, shingle_n=3)
+    a = sigs.select(F.col("doc_id").alias("id_a"),
+                    *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(4)])
+    b = sigs.select(F.col("doc_id").alias("id_b"),
+                    *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(4)])
+    est = None
+    for i in range(4):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (est / 4.0).alias("jaccard_est"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q46_token_histogram(spark, sf_dir):
+    """Global token frequency top-20 (corpus vocabulary head)."""
+    df = _df(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        df.select(F.explode(words).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q47_tfidf_top_term(spark, sf_dir):
+    """Per-document top term by tf-idf (text-analysis composition:
+    tokenize -> tf -> df -> idf -> rank)."""
+    from pyspark.sql import Window as W
+    df = _df(spark, sf_dir, "documents")
+    n_docs = df.count()
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = df.select("doc_id", F.explode(words).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "score")
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -518,6 +652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_semi_join": q20_semi_join,
         "q21_anti_join": q21_anti_join,
         "q22_sessionize": q22_sessionize,
+        "q23_date_funcs": q23_date_funcs,
+        "q24_higher_order_array": q24_higher_order_array,
+        "q25_string_battery2": q25_string_battery2,
+        "q26_rollup": q26_rollup,
+        "q27_rank_lag": q27_rank_lag,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_minhash_sigs": q31_minhash_sigs,
         "q32_minhash_lsh_pairs": q32_minhash_lsh_pairs,
@@ -533,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_token_stats": q42_token_stats,
         "q43_doc_chunks": q43_doc_chunks,
         "q44_image_meta": q44_image_meta,
+        "q45_minhash_jaccard_est": q45_minhash_jaccard_est,
+        "q46_token_histogram": q46_token_histogram,
+        "q47_tfidf_top_term": q47_tfidf_top_term,
     }
 
 
@@ -815,6 +957,39 @@ WITH x AS (
 SELECT user_id,
        sum(CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions
 FROM x GROUP BY user_id ORDER BY user_id""",
+        "q23_date_funcs": """
+SELECT l_orderkey, l_linenumber,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+       CAST(year(l_shipdate) AS BIGINT) AS y,
+       CAST(month(l_shipdate) AS BIGINT) AS m,
+       CAST(isodow(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS wd,
+       strftime(CAST(l_shipdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week
+FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber""",
+        "q24_higher_order_array": r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+SELECT doc_id, len(words) AS n_words, upper(words[1]) AS first_upper,
+       list_max(list_transform(words, x -> length(x))) AS longest,
+       len(list_filter(words, x -> length(x) > 4)) AS n_long
+FROM w ORDER BY doc_id""",
+        "q25_string_battery2": """
+SELECT p_partkey,
+       CAST((length(p_name) - length(replace(p_name, 'a', ''))) AS BIGINT) AS cnt_a,
+       starts_with(p_type, 'S') AS sw,
+       regexp_matches(p_name, '[aeiou]{2}') AS cre,
+       lpad(p_brand, 12, ' ') AS lp,
+       p_brand || p_brand AS dup
+FROM part ORDER BY p_partkey LIMIT 100""",
+        "q26_rollup": """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+        "q27_rank_lag": """
+SELECT o_custkey, o_orderkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rk,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice, o_orderkey) AS prev
+FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey""",
         "q30_dedup_exact": r"""
 SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
        count(*) AS n_dups, min(doc_id) AS rep_id
@@ -901,6 +1076,50 @@ SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(start_token AS BIGINT) AS start_
        CAST(least(50, len(words) - start_token) AS BIGINT) AS n_chunk_tokens,
        array_to_string(words[start_token + 1 : start_token + 50], ' ') AS chunk
 FROM starts ORDER BY doc_id, pos""",
+        "q45_minhash_jaccard_est": f"""
+WITH {_SHINGLE3_CTE},
+raw_sigs AS (SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig_0,
+    min(substr(md5(shingle), 9, 8)) AS sig_1,
+    min(substr(md5(shingle), 17, 8)) AS sig_2,
+    min(substr(md5(shingle), 25, 8)) AS sig_3
+  FROM sh GROUP BY doc_id),
+sigs AS (SELECT doc_id, md5(sig_0 || '|' || sig_1) AS key_0,
+                md5(sig_2 || '|' || sig_3) AS key_1 FROM raw_sigs),
+banded AS (SELECT doc_id, 0 AS band, key_0 AS key FROM sigs
+           UNION ALL SELECT doc_id, 1, key_1 FROM sigs),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       ((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)) / 4.0 AS jaccard_est
+FROM pairs JOIN raw_sigs sa ON sa.doc_id = id_a
+JOIN raw_sigs sb ON sb.doc_id = id_b
+ORDER BY id_a, id_b""",
+        "q46_token_histogram": r"""
+WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+           FROM documents)
+SELECT token, count(*) AS freq FROM w GROUP BY token
+ORDER BY freq DESC, token LIMIT 20""",
+        "q47_tfidf_top_term": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, score FROM ranked WHERE rn = 1 ORDER BY doc_id""",
         "q44_image_meta": f"""
 SELECT doc_id,
        64 + {_hexbyte_sql('text', 1)} % 192 AS width,

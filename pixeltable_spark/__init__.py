@@ -15,7 +15,7 @@ Public API shape mirrors the reference's ``pxt`` / ``pxtf`` surface:
       .collect())
 """
 
-from .exprs import Expr, Literal, ColumnRef, InlineArray, InlineDict
+from .exprs import Expr, Literal, ColumnRef, InlineArray, InlineDict, R
 from .plans.query import Query, TableRef, SampleClause
 from .session import get_session
 from .sources.registry import (
@@ -49,7 +49,7 @@ Document = ColumnType.document
 __version__ = "0.1.0"
 
 __all__ = [
-    "Expr", "Literal", "ColumnRef", "InlineArray", "InlineDict",
+    "Expr", "Literal", "ColumnRef", "InlineArray", "InlineDict", "R",
     "Query", "TableRef", "SampleClause", "get_session",
     "table_from_parquet", "table_from_csv", "table_from_json",
     "table_from_pandas", "table_from_rows", "load_sf_tables",

@@ -368,6 +368,70 @@ class Table:
             .drop(tmp)
         )
 
+    # -- schema evolution (reference catalog/table.py:221-459) -------------
+    def add_column(self, name: str, col_type: ColumnType,
+                   default: Any = None) -> None:
+        """Add a plain (non-computed) column; existing rows get `default`."""
+        if name in self.schema or name in self.computed:
+            raise ValueError(f"duplicate column {name!r}")
+        if not col_type.nullable and default is None:
+            raise ValueError("non-nullable add_column requires a default")
+        self.schema[name] = col_type
+        if self._has_data():
+            store = self._store_df().withColumn(
+                name, F.lit(default).cast(col_type.spark_type()))
+            self._rewrite(store.select(*[f.name for f in self._store_schema().fields]))
+        self.version += 1
+        self._log("add_column", column=name)
+        self._save_meta()
+
+    def drop_column(self, name: str) -> None:
+        if name in self.computed:
+            del self.computed[name]
+        elif name in self.schema:
+            deps = [cc.name for cc in self.computed.values()
+                    if any(r.name == name for r in cc.expr.column_refs())]
+            if deps:
+                raise ValueError(
+                    f"column {name!r} is referenced by computed columns {deps}")
+            del self.schema[name]
+        else:
+            raise ValueError(f"unknown column {name!r}")
+        if self._has_data():
+            self._rewrite(self._store_df().drop(name, _cellmd_col(name)))
+        self.version += 1
+        self._log("drop_column", column=name)
+        self._save_meta()
+
+    def rename_column(self, old: str, new: str) -> None:
+        if new in self.schema or new in self.computed:
+            raise ValueError(f"duplicate column {new!r}")
+        if old in self.schema:
+            self.schema = {new if k == old else k: v for k, v in self.schema.items()}
+        elif old in self.computed:
+            cc = self.computed.pop(old)
+            cc.name = new
+            self.computed[new] = cc
+        else:
+            raise ValueError(f"unknown column {old!r}")
+        # rewrite computed-column refs to the renamed column (every
+        # occurrence, not just the first-per-name that column_refs() dedups)
+        from .exprs import ColumnRef as _CR
+
+        def _walk(e):
+            if isinstance(e, _CR) and e.name == old:
+                e.name = new
+            for c in e.components:
+                _walk(c)
+
+        for cc in self.computed.values():
+            _walk(cc.expr)
+        if self._has_data():
+            self._rewrite(self._store_df().withColumnRenamed(old, new))
+        self.version += 1
+        self._log("rename_column", old=old, new=new)
+        self._save_meta()
+
     # -- mutations ---------------------------------------------------------
     def insert(self, rows: "list[dict] | DataFrame | TableRef") -> int:
         """Append rows: validate, assign _rowid/_v_min, evaluate computed

@@ -133,6 +133,11 @@ class Expr:
     def __gt__(self, o): return Comparison(">", self, to_expr(o))
     def __ge__(self, o): return Comparison(">=", self, to_expr(o))
 
+    def __rshift__(self, o):
+        # JsonMapper sugar: t.c7 >> (R.f2 * 2) maps over a JSON list
+        # (reference exprs/json_mapper.py:20-60)
+        return JsonMapperExpr(self, to_expr(o))
+
     def __and__(self, o):  return CompoundPredicate("and", [self, to_expr(o)])
     def __rand__(self, o): return CompoundPredicate("and", [to_expr(o), self])
     def __or__(self, o):   return CompoundPredicate("or", [self, to_expr(o)])
@@ -613,6 +618,48 @@ class InlineDict(Expr):
         return {k: c.eval_py(row) for k, c in zip(self.keys, self.components)}
 
 
+class RelativePath(Expr):
+    """The ``R`` variable: refers to the current element inside a
+    JsonMapper scope (reference exprs/json_mapper.py relative-path scope).
+    Only meaningful under a ``>>`` mapper."""
+
+    def __init__(self):
+        super().__init__(ColumnType.json())
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        return None  # mapper subtrees always evaluate on the Python path
+
+    def eval_py(self, row: dict) -> Any:
+        return row["__R__"]
+
+    def column_refs(self) -> list["ColumnRef"]:
+        return []
+
+
+R = RelativePath()
+
+
+class JsonMapperExpr(Expr):
+    """``target >> mapper``: per-element map over a JSON list, with R bound
+    to each element (reference exprs/json_mapper.py:20-60,
+    JsonMapperDispatch). Compiled via the Arrow-batched Python path."""
+
+    def __init__(self, target: Expr, mapper: Expr):
+        super().__init__(ColumnType.json(), [target, mapper])
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        return None
+
+    def eval_py(self, row: dict) -> Any:
+        v = self.components[0].eval_py(row)
+        if isinstance(v, str):
+            v = _json.loads(v)
+        if v is None:
+            return None
+        mapper = self.components[1]
+        return [mapper.eval_py({**row, "__R__": el}) for el in v]
+
+
 class AliasedExpr(Expr):
     def __init__(self, operand: Expr, name: str):
         super().__init__(operand.col_type, [operand])
@@ -783,13 +830,19 @@ def compile_via_pandas_udf(expr: Expr, ctx: CompileCtx) -> Column:
     refs = expr.column_refs()
     names = [r.name for r in refs]
     ret_spark = expr.col_type.spark_type()
+    is_json_ret = expr.col_type.is_json
 
     def batch_eval(*series: pd.Series) -> pd.Series:
         n = len(series[0]) if series else 0
         out = []
         for i in range(n):
             row = {nm: _from_pandas(series[j].iloc[i]) for j, nm in enumerate(names)}
-            out.append(expr.eval_py(row))
+            v = expr.eval_py(row)
+            if is_json_ret and v is not None and not isinstance(v, str):
+                # JSON travels as a string column: serialize structured
+                # results; scalar strings stay raw (get_json_object parity)
+                v = _json.dumps(v)
+            out.append(v)
         return pd.Series(out, dtype=object)
 
     udf = F.pandas_udf(batch_eval, returnType=ret_spark)

@@ -61,7 +61,7 @@ _fn("replace", _STR, lambda s, old, new: F.replace(s, old, new),
     lambda s, old, new: s.replace(old, new))
 _fn("replace_re", _STR, lambda s, pat, repl: F.regexp_replace(s, pat, repl),
     lambda s, pat, repl: __import__("re").sub(pat, repl, s))
-_fn("contains_re", _BOOL, lambda s, pat: s.rlike(pat.cast(T.StringType())) if hasattr(pat, "cast") else s.rlike(pat),
+_fn("contains_re", _BOOL, lambda s, pat: F.regexp_like(s, pat),
     lambda s, pat: __import__("re").search(pat, s) is not None)
 _fn("match", _BOOL, None, lambda s, pat: __import__("re").match(pat, s) is not None)
 _fn("fullmatch", _BOOL, None, lambda s, pat: __import__("re").fullmatch(pat, s) is not None)

@@ -253,6 +253,23 @@ class Query:
     def collect(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.df().collect()]
 
+    # -- set operations (absent in the reference — SURVEY §2.7 notes Spark
+    # provides them free; exposed first-class here) -----------------------
+    def union_all(self, other: "Query | TableRef") -> "Query":
+        df = self.df().unionByName(_as_df(other))
+        return TableRef.from_df(df, "__union")._q()
+
+    def union(self, other: "Query | TableRef") -> "Query":
+        return self.union_all(other).distinct()
+
+    def intersect(self, other: "Query | TableRef") -> "Query":
+        df = self.df().intersect(_as_df(other))
+        return TableRef.from_df(df, "__intersect")._q()
+
+    def except_(self, other: "Query | TableRef") -> "Query":
+        df = self.df().exceptAll(_as_df(other))
+        return TableRef.from_df(df, "__except")._q()
+
     def count(self) -> int:
         """COUNT(*) of the query result — stays fully in the JVM
         (reference _query.py:1018-1060). Only ordering is stripped (it
@@ -552,6 +569,10 @@ class Planner:
             # global n: top-n by hash key -> TakeOrderedAndProject, no full sort
             return df.orderBy(key).limit(sc.n)
         raise ValueError("sample() requires n, n_per_stratum, or fraction")
+
+
+def _as_df(q: "Query | TableRef") -> DataFrame:
+    return q.df()
 
 
 def _expr_key(e: Expr) -> tuple:
