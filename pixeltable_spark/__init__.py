@@ -27,7 +27,7 @@ from .sources.registry import (
     table_from_rows,
 )
 from .type_system import ArrayType, ColumnType, TypeKind
-from .functions.udf import udf, uda, Aggregator
+from .functions.udf import udf, uda, Aggregator, iterator, IteratorFn
 from .catalog import Catalog, Table, View, Snapshot
 from .index import EmbeddingIndex, add_embedding_index
 from .sources import io
@@ -54,6 +54,7 @@ __all__ = [
     "table_from_parquet", "table_from_csv", "table_from_json",
     "table_from_pandas", "table_from_rows", "load_sf_tables",
     "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",
+    "iterator", "IteratorFn",
     "Catalog", "Table", "View", "Snapshot",
     "EmbeddingIndex", "add_embedding_index", "io",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",

@@ -184,7 +184,22 @@ class Expr:
             raise AttributeError(name)
         ct = self.__dict__.get("col_type")
         if ct is not None and ct.is_json:
+            # json path navigation takes precedence on json-typed columns
             return JsonPath(self, [name])
+        # ColumnPropertyRef sugar (reference exprs/column_property_ref.py:
+        # 18-31): per-cell metadata of computed/media columns
+        if isinstance(self, ColumnRef) and name in ("errortype", "errormsg"):
+            return ColumnRef(f"_cellmd_{self.name}.{name}",
+                             ColumnType.string(), tbl=None)
+        if isinstance(self, ColumnRef) and name in ("fileurl", "localpath"):
+            # media is by-reference: the cell value IS the url/path
+            return ColumnRef(self.name, ColumnType.string(), tbl=self.tbl)
+        if isinstance(self, ColumnRef) and name == "cellmd":
+            from pyspark.sql import functions as _F
+            cm = f"_cellmd_{self.name}"
+            fn = Function("cellmd", ColumnType.json(),
+                          spark_fn=lambda c: _F.to_json(c))
+            return fn(ColumnRef(cm, ColumnType.json(), tbl=None))
         # method-style sugar only for registered methods — everything else
         # must raise so getattr(expr, x, default) behaves normally
         if ct is not None:

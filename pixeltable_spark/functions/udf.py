@@ -98,6 +98,81 @@ def uda(cls: Optional[type] = None, *, return_type: Optional[ColumnType] = None,
     return wrap(cls) if cls is not None else wrap
 
 
+class IteratorFn:
+    """@iterator — a UDTF: a generator function yielding dicts, exploding
+    each input row into N component rows (reference func/iterator.py:48-285,
+    iterators/base.py:14-62; drives component views via
+    exec/component_iteration_node.py).
+
+    Spark mapping: mapInPandas explode with an emitted ``_pos`` ordinal —
+    a narrow transformation, no shuffle, codegen-friendly schema.
+    """
+
+    def __init__(self, fn: Callable, output_schema: dict):
+        self.fn = fn
+        self.name = fn.__name__
+        self.output_schema = dict(output_schema)
+
+    def explode(self, df, input_cols: Optional[dict[str, str]] = None,
+                keep_cols: Optional[list[str]] = None):
+        """Explode a DataFrame: one output row per yielded dict, carrying
+        keep_cols + _pos + the iterator's declared outputs."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        import inspect as _inspect
+        params = list(_inspect.signature(self.fn).parameters)
+        input_cols = input_cols or {p: p for p in params}
+        keep_cols = keep_cols if keep_cols is not None else [
+            c for c in df.columns if c not in input_cols.values()]
+
+        out_fields = [df.schema[c] for c in keep_cols]
+        out_fields.append(T.StructField("_pos", T.LongType()))
+        for name, ct in self.output_schema.items():
+            out_fields.append(T.StructField(name, ct.spark_type()))
+        schema = T.StructType(out_fields)
+        fn = self.fn
+        out_names = list(self.output_schema)
+
+        def op(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    kwargs = {p: r[c] for p, c in input_cols.items()}
+                    for pos, item in enumerate(fn(**kwargs)):
+                        row = {c: r[c] for c in keep_cols}
+                        row["_pos"] = pos
+                        for n in out_names:
+                            row[n] = item.get(n)
+                        rows.append(row)
+                yield pd.DataFrame(rows, columns=keep_cols + ["_pos"] + out_names)
+
+        return df.mapInPandas(op, schema)
+
+    def as_view_iterator(self, input_cols: Optional[dict[str, str]] = None):
+        """Adapter for Catalog.create_view(iterator=...): preserves the
+        base's system columns (_rowid/_v_min/_v_max) through the explode."""
+        def view_it(df):
+            keep = [c for c in ("_rowid", "_v_min", "_v_max") if c in df.columns]
+            extra = [c for c in df.columns if c not in keep]
+            return self.explode(df, input_cols=input_cols,
+                                keep_cols=keep + [c for c in extra if c not in (input_cols or {}).values()])
+        return view_it
+
+
+def iterator(fn: Optional[Callable] = None, *,
+             output_schema: Optional[dict] = None):
+    """@iterator decorator (reference func/iterator.py:48). Requires a
+    declared output schema: {'word': pxt.String(), 'len': pxt.Int()}."""
+    if output_schema is None:
+        raise ValueError("@iterator requires output_schema={name: ColumnType}")
+
+    def wrap(f: Callable) -> IteratorFn:
+        return IteratorFn(f, output_schema)
+
+    return wrap(fn) if fn is not None else wrap
+
+
 def run_uda_over_values(uda_cls: type, columns: list[list[Any]],
                         init_kwargs: Optional[dict] = None) -> Any:
     """Grouped evaluation: one aggregator instance per group

@@ -121,6 +121,80 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
     return df.mapInPandas(op, out_schema)
 
 
+def prefetch_payloads(df: DataFrame, path_col: str = "media_path",
+                      payload_col: str = "payload",
+                      max_workers: int = 15) -> DataFrame:
+    """Fetch by-reference media into inline payloads — the executor-side
+    analog of the reference's CachePrefetchNode (reference
+    exec/cache_prefetch_node.py: 15 workers, batched): a thread pool per
+    Arrow batch overlaps I/O, rows with missing/unreadable files get a null
+    payload plus an error string instead of failing the batch.
+
+    Local paths are read directly; extending to object stores means
+    swapping the opener (the threading/batching shape is the design)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(payload_col, T.BinaryType()),
+           T.StructField(f"_fetch_error_{payload_col}", T.StringType())]
+    )
+
+    def fetch_one(path):
+        if path is None:
+            return None, "null path"
+        try:
+            with open(path, "rb") as f:
+                return f.read(), None
+        except OSError as e:
+            return None, f"{type(e).__name__}: {e}"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for pdf in batches:
+                results = list(pool.map(fetch_one, pdf[path_col]))
+                pdf = pdf.copy()
+                pdf[payload_col] = [r[0] for r in results]
+                pdf[f"_fetch_error_{payload_col}"] = [r[1] for r in results]
+                yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
+def save_payloads(df: DataFrame, dest_dir: str,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id",
+                  ext: str = "bin") -> DataFrame:
+    """Persist generated media from executors and return the destination
+    URL column — the ObjectStoreSaveNode analog (reference
+    exec/object_store_save_node.py): files are written where they are
+    computed; only the reference string travels back through the plan."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("media_url", T.StringType())]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    urls.append(None)
+                    continue
+                path = os.path.join(dest_dir, f"{r[id_col]}.{ext}")
+                with open(path, "wb") as f:
+                    f.write(p)
+                urls.append("file://" + path)
+            pdf = pdf.copy()
+            pdf["media_url"] = urls
+            yield pdf
+
+    return df.mapInPandas(op, out_schema)
+
+
 def documents_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter used by tests: treat utf-8 text bytes as an opaque payload so
     the binary pipeline can be exercised with the driver's documents table."""

@@ -1,0 +1,96 @@
+"""@iterator UDTF, media prefetch/save, and cell-metadata property tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import pixeltable_spark as pxt
+from pixeltable_spark.exprs import ColumnRef
+from pixeltable_spark.operators import multimodal
+
+
+@pxt.iterator(output_schema={"word": pxt.String(), "wlen": pxt.Int()})
+def word_iter(text: str):
+    for w in text.split():
+        yield {"word": w, "wlen": len(w)}
+
+
+class TestIterator:
+    def test_explode_with_pos(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "a bb ccc"},
+                                    {"doc_id": 2, "text": "x"}])
+        out = word_iter.explode(df).orderBy("doc_id", "_pos").collect()
+        assert [(r.doc_id, r._pos, r.word, r.wlen) for r in out] == [
+            (1, 0, "a", 1), (1, 1, "bb", 2), (1, 2, "ccc", 3), (2, 0, "x", 1)]
+
+    def test_component_view_with_iterator_decorator(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("docs", {"doc_id": pxt.Int(False),
+                                      "text": pxt.String(False)})
+        t.insert([{"doc_id": 1, "text": "alpha beta"}])
+        v = cat.create_view("words", t, iterator=word_iter.as_view_iterator())
+        assert v.count() == 2
+        t.insert([{"doc_id": 2, "text": "gamma delta epsilon"}])
+        assert v.count() == 5  # incremental: only the new doc explodes
+        rows = v.collect()
+        assert {r["word"] for r in rows} == {"alpha", "beta", "gamma", "delta", "epsilon"}
+
+    def test_missing_output_schema_rejected(self):
+        with pytest.raises(ValueError, match="output_schema"):
+            @pxt.iterator
+            def bad(text: str):
+                yield {}
+
+
+class TestMediaLifecycle:
+    def test_prefetch_save_roundtrip(self, spark, tmp_path):
+        # write some "media" files, reference them by path, prefetch -> save
+        src_dir = tmp_path / "media_src"
+        src_dir.mkdir()
+        rows = []
+        for i in range(5):
+            p = src_dir / f"m{i}.bin"
+            p.write_bytes(bytes([i]) * (10 + i))
+            rows.append({"media_id": i, "media_path": str(p)})
+        rows.append({"media_id": 99, "media_path": str(src_dir / "missing.bin")})
+        df = spark.createDataFrame(rows)
+
+        fetched = multimodal.prefetch_payloads(df)
+        got = {r.media_id: r for r in fetched.collect()}
+        assert got[3].payload == bytes([3]) * 13
+        assert got[3]["_fetch_error_payload"] is None
+        # missing file -> null payload + error string, batch survives
+        assert got[99].payload is None
+        assert "FileNotFoundError" in got[99]["_fetch_error_payload"]
+
+        dest = str(tmp_path / "media_out")
+        saved = multimodal.save_payloads(fetched.filter(F.col("payload").isNotNull()), dest)
+        out = {r.media_id: r.media_url for r in saved.collect()}
+        assert out[0].startswith("file://")
+        assert os.path.exists(out[0].removeprefix("file://"))
+        with open(out[2].removeprefix("file://"), "rb") as f:
+            assert f.read() == bytes([2]) * 12
+
+
+class TestCellmdProperties:
+    def test_errortype_errormsg_sugar(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("t", {"k": pxt.Int(False), "v": pxt.Float(True)})
+        t.insert([{"k": 0, "v": 0.0}, {"k": 1, "v": 2.0}])
+        t.add_computed_column(
+            "inv", ColumnRef("v", pxt.Float()).apply(lambda v: 1.0 / v, pxt.Float()),
+            on_error="ignore")
+        r = t.ref()
+        got = {x["k"]: x for x in
+               r.select(r.k, et=r.inv.errortype, em=r.inv.errormsg).collect()}
+        assert got[0]["et"] == "ZeroDivisionError"
+        assert "division" in got[0]["em"]
+        assert got[1]["et"] is None
+
+    def test_fileurl_identity(self, test_tbl):
+        t = test_tbl
+        got = t.where(t.c2 == 1).select(u=t.c1.fileurl).collect()
+        assert got[0]["u"] == "test string 1"
