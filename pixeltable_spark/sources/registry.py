@@ -52,6 +52,14 @@ def table_from_parquet(
         rowid_cols = TESTDATA_ROWIDS.get(name, [])
     if not json_cols:
         json_cols = TESTDATA_JSON_COLS.get(name, [])
+    # self-sufficient against sessions we didn't build (e.g. the driver's):
+    # TIMESTAMP(NANOS) parquet is unreadable without this legacy conf
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp part-extraction must agree with the (TZ-naive) oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — read-only conf in some environments
+        pass
     df = spark.read.parquet(path)
     for c in TESTDATA_NANO_TS_COLS.get(name, []):
         from pyspark.sql import functions as F
