@@ -108,7 +108,13 @@ class Catalog:
 
     def get_table(self, name: str) -> "Table":
         if name not in self._tables:
-            self._tables[name] = Table._load(self, name, self._tbl_dir(name))
+            d = self._tbl_dir(name)
+            with open(os.path.join(d, "meta.json")) as f:
+                kind = json.load(f).get("kind", "table")
+            if kind == "view":
+                self._tables[name] = View._load_view(self, name, d)
+            else:
+                self._tables[name] = Table._load(self, name, d)
         return self._tables[name]
 
     def drop_table(self, name: str) -> None:
@@ -177,6 +183,7 @@ class Table:
 
     def _save_meta(self) -> None:
         meta = {
+            "kind": "table",
             "name": self.name,
             "version": self.version,
             "next_rowid": self.next_rowid,
@@ -642,6 +649,40 @@ class View(Table):
         v.iterator = iterator
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         v._full_refresh()
+        v._save_view_meta()
+        return v
+
+    def _save_view_meta(self) -> None:
+        from pyspark import cloudpickle
+        meta = {"kind": "view", "name": self.name, "base": self.base.name,
+                "version": self.version,
+                "loaded_base_version": self._loaded_base_version}
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(self.path, "view.pkl"), "wb") as f:
+            cloudpickle.dump(
+                {"predicate": self.predicate, "extra": self.extra,
+                 "iterator": self.iterator}, f)
+
+    @classmethod
+    def _load_view(cls, catalog: Catalog, name: str, path: str) -> "View":
+        from pyspark import cloudpickle
+        v = cls(catalog, name, path)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(path, "view.pkl"), "rb") as f:
+            spec = cloudpickle.load(f)
+        v.base = catalog.get_table(meta["base"])
+        v.version = meta["version"]
+        v._loaded_base_version = meta.get("loaded_base_version", -1)
+        v.predicate = spec["predicate"]
+        v.extra = spec["extra"]
+        v.iterator = spec["iterator"]
+        v.base._views.append(v)
+        # catch up on base versions inserted while this view was not loaded
+        if v._loaded_base_version < v.base.version:
+            v._full_refresh()
+            v._save_view_meta()
         return v
 
     def _view_plan(self, base_df: DataFrame) -> DataFrame:
@@ -671,6 +712,8 @@ class View(Table):
             os.rename(tmp, self._data_dir)
         self._loaded_base_version = self.base.version
         self.version += 1
+        if self.base is not None:
+            self._save_view_meta()
 
     def _load_increment(self) -> None:
         """Incremental maintenance: only base rows created at the current
@@ -680,6 +723,7 @@ class View(Table):
         out.write.mode("append").parquet(self._data_dir)
         self._loaded_base_version = self.base.version
         self.version += 1
+        self._save_view_meta()
         self._propagate_insert()
 
     # views read their own materialized storage

@@ -189,6 +189,12 @@ class Expr:
         # ColumnPropertyRef sugar (reference exprs/column_property_ref.py:
         # 18-31): per-cell metadata of computed/media columns
         if isinstance(self, ColumnRef) and name in ("errortype", "errormsg"):
+            if self.tbl is not None and hasattr(self.tbl, "_schema") \
+                    and f"_cellmd_{self.name}" not in self.tbl._schema:
+                raise AttributeError(
+                    f"column {self.name!r} has no cell metadata — only "
+                    f"computed columns created with on_error='ignore' carry "
+                    f".errortype/.errormsg")
             return ColumnRef(f"_cellmd_{self.name}.{name}",
                              ColumnType.string(), tbl=None)
         if isinstance(self, ColumnRef) and name in ("fileurl", "localpath"):
@@ -786,6 +792,12 @@ class FunctionCall(Expr):
         self.kwargs = kwargs or {}
         self.window_group_by = _as_expr_list(group_by)
         self.window_order_by = _as_expr_list(order_by)
+        # reference func/aggregate_function.py:35-59 requires_order_by flag
+        if (getattr(fn, "requires_order_by", False)
+                and (self.window_group_by or self.window_order_by)
+                and not self.window_order_by):
+            raise ValueError(
+                f"{fn.name} requires order_by= when used as a window function")
 
     def is_window(self) -> bool:
         if self.fn.ranking:

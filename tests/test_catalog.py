@@ -231,3 +231,56 @@ class TestQueryOverCatalog:
         t = _mk(cat)
         r = t.ref()
         assert [x["k"] for x in r.head(3).select(r.k).collect()] == [0, 1, 2]
+
+
+class TestViewPersistence:
+    def test_view_survives_catalog_reload(self, cat, spark):
+        t = _mk(cat)
+        v = cat.create_view("evens", t, predicate=col(t, "k") % 2 == 0)
+        assert v.count() == 5
+        # new session-equivalent: fresh Catalog object over the same root
+        cat2 = pxt.Catalog(spark, cat.root)
+        t2 = cat2.get_table("t")
+        v2 = cat2.get_table("evens")
+        assert isinstance(v2, pxt.View)
+        assert v2.count() == 5
+        # propagation works through the reloaded pair
+        t2.insert([{"k": 100, "v": 1.0, "s": "x"}, {"k": 101, "v": 1.0, "s": "y"}])
+        assert v2.count() == 6
+
+    def test_view_catches_up_on_missed_inserts(self, cat, spark):
+        t = _mk(cat)
+        cat.create_view("evens", t, predicate=col(t, "k") % 2 == 0)
+        # simulate another session mutating the base WITHOUT the view loaded
+        cat_b = pxt.Catalog(spark, cat.root)
+        t_b = cat_b.get_table("t")          # base only; view not loaded
+        t_b.insert([{"k": 200, "v": 1.0, "s": "z"}])
+        # a later session loads the view -> catch-up refresh
+        cat_c = pxt.Catalog(spark, cat.root)
+        v_c = cat_c.get_table("evens")
+        assert v_c.count() == 6
+
+
+class TestUDAValidation:
+    def test_requires_order_by_enforced(self, spark):
+        @pxt.uda(requires_order_by=True)
+        class strict_run:
+            def __init__(self):
+                self.s = 0.0
+
+            def update(self, x):
+                self.s += x
+
+            def value(self) -> float:
+                return self.s
+
+        from pixeltable_spark.exprs import ColumnRef
+        c = ColumnRef("x", pxt.Float())
+        with pytest.raises(ValueError, match="requires order_by"):
+            strict_run(c, group_by=c)
+        strict_run(c, group_by=c, order_by=c)  # fine
+
+    def test_errortype_on_plain_column_friendly(self, test_tbl):
+        t = test_tbl
+        with pytest.raises(AttributeError, match="no cell metadata"):
+            t.c1.errortype
