@@ -623,6 +623,91 @@ def q47_tfidf_top_term(spark, sf_dir):
     )
 
 
+def q48_custom_uda(spark, sf_dir):
+    """Custom @uda aggregate (applyInPandas path) checked against a SQL
+    oracle: quantity-weighted average price per return flag."""
+    @pxt.uda
+    class weighted_avg:
+        def __init__(self):
+            self.num, self.den = 0.0, 0.0
+
+        def update(self, price, qty):
+            if price is not None and qty is not None:
+                self.num += price * qty
+                self.den += qty
+
+        def value(self) -> float:
+            return round(self.num / self.den, 4) if self.den else None
+
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t.group_by(t.l_returnflag)
+        .select(t.l_returnflag,
+                wavg_price=weighted_avg(t.l_extendedprice, t.l_quantity),
+                n=pxtf.count(t.l_orderkey))
+        .order_by(t.l_returnflag)
+        .df()
+    )
+
+
+def q49_stream_windowed(spark, sf_dir):
+    """Structured Streaming: hourly watermarked windowed counts over the
+    events table driven to completion with availableNow — results equal the
+    batch date_trunc bucketing, so the oracle is plain SQL."""
+    from pyspark.sql import types as T
+
+    from pixeltable_spark import streaming
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    # stream the parquet file; nanos ts arrives as long under the legacy conf
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001
+        pass
+    nano_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(nano_schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = "q49_win_" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                "event_type", "n",
+                F.round("total_value", 4).alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q50_llm_chat(spark, sf_dir):
+    """Async rate-limited inference runtime over documents; the
+    deterministic fake client is md5-derived, so even model output is
+    oracle-checkable."""
+    from pixeltable_spark.functions import llm
+    df = _df(spark, sf_dir, "documents")
+    out = llm.chat_completions(df, "text", model="fake-chat-1",
+                               requests_per_minute=1e9, concurrency=64)
+    return out.select("doc_id", "response").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -675,6 +760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_minhash_jaccard_est": q45_minhash_jaccard_est,
         "q46_token_histogram": q46_token_histogram,
         "q47_tfidf_top_term": q47_tfidf_top_term,
+        "q48_custom_uda": q48_custom_uda,
+        "q49_stream_windowed": q49_stream_windowed,
+        "q50_llm_chat": q50_llm_chat,
     }
 
 
@@ -1120,6 +1208,19 @@ ranked AS (
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
   FROM scored)
 SELECT doc_id, term, score FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+        "q48_custom_uda": """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+       count(l_orderkey) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "q49_stream_windowed": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+        "q50_llm_chat": """
+SELECT doc_id,
+       'response[' || substr(md5('fake-chat-1|' || text), 1, 12) || ']' AS response
+FROM documents ORDER BY doc_id""",
         "q44_image_meta": f"""
 SELECT doc_id,
        64 + {_hexbyte_sql('text', 1)} % 192 AS width,
