@@ -463,14 +463,10 @@ class Table:
             src = src.withColumn(c, F.lit(None).cast(self.schema[c].spark_type()))
         src = src.select(*[F.col(c).cast(self.schema[c].spark_type()) for c in self.schema])
 
-        n = src.count()
         new_version = self.version + 1
-        # monotonic _rowid continuing from next_rowid: zipWithIndex-free,
-        # pure DataFrame: row_number over a stable ordering of the batch
-        from pyspark.sql import Window as W
-        w = W.orderBy(F.monotonically_increasing_id())
+        slice_df, n = self._assign_rowids(src, self.next_rowid)
         slice_df = (
-            src.withColumn(_ROWID, F.row_number().over(w) + (self.next_rowid - 1))
+            slice_df
             .withColumn(_VMIN, F.lit(new_version))
             .withColumn(_VMAX, F.lit(MAXV))
         )
@@ -483,6 +479,35 @@ class Table:
         self._save_meta()
         self._propagate_insert()
         return n
+
+    def _assign_rowids(self, src: DataFrame, start: int) -> tuple[DataFrame, int]:
+        """Monotonic _rowid continuing from `start`, assigned scalably:
+        per-partition counts (tiny driver collect) give each partition an
+        offset; the ranking window is PARTITION-LOCAL, so no single-reducer
+        bottleneck at any batch size — the standard distributed
+        zipWithIndex formulation, DataFrame-native."""
+        from pyspark.sql import Window as W
+
+        tagged = src.withColumn("__pid", F.spark_partition_id()) \
+                    .withColumn("__mid", F.monotonically_increasing_id())
+        counts = {r["__pid"]: r["cnt"] for r in
+                  tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, start
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        n = acc - start
+        off_col = F.lit(start)
+        if counts:
+            mapping = F.create_map(
+                *[x for pid in counts for x in (F.lit(pid), F.lit(offsets[pid]))])
+            off_col = mapping[F.col("__pid")]
+        w = W.partitionBy("__pid").orderBy("__mid")
+        out = (
+            tagged.withColumn(_ROWID, off_col + F.row_number().over(w) - 1)
+            .drop("__pid", "__mid")
+        )
+        return out, n
 
     def update(self, value_spec: dict[str, Any], where: Optional[Expr] = None,
                cascade: bool = True) -> int:

@@ -166,6 +166,7 @@ class Query:
         q.distinct_flag = self.distinct_flag
         q.sample_clause = self.sample_clause
         q._tail_resort = getattr(self, "_tail_resort", False)
+        q.having_pred = getattr(self, "having_pred", None)
         return q
 
     # -- clause builders ---------------------------------------------------
@@ -219,6 +220,14 @@ class Query:
         q.distinct_flag = True
         return q
 
+    def having(self, pred: Expr) -> "Query":
+        """Filter on aggregate outputs (post-group_by). Predicate refs
+        resolve against the SELECT-list names."""
+        q = self._copy()
+        q.having_pred = pred if getattr(q, "having_pred", None) is None \
+            else (q.having_pred & pred)  # type: ignore[attr-defined]
+        return q
+
     def sample(self, n=None, n_per_stratum=None, fraction=None, seed=0,
                stratify_by=None) -> "Query":
         q = self._copy()
@@ -252,6 +261,12 @@ class Query:
 
     def collect(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.df().collect()]
+
+    def to_pandas(self):
+        return self.df().toPandas()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df().explain(mode)
 
     # -- set operations (absent in the reference — SURVEY §2.7 notes Spark
     # provides them free; exposed first-class here) -----------------------
@@ -349,6 +364,10 @@ class Planner:
         has_agg = any(e.is_agg() for _, e in q.select_items)
         if q.group_by_exprs or has_agg:
             df = self._apply_groupby(df, ctx)
+            having = getattr(q, "having_pred", None)
+            if having is not None:
+                # refs resolve against the aggregated output's column names
+                df = df.filter(having.compile(CompileCtx()))
         elif q.select_items:
             cols = []
             for i, (name, e) in enumerate(q.select_items):

@@ -257,3 +257,30 @@ class TestUDF:
             st[0] += 1
             st[1] += float(r["c2"])
             assert r["rm"] == pytest.approx(st[1] / st[0])
+
+
+class TestHaving:
+    def test_having_on_agg_output(self, test_tbl):
+        from pixeltable_spark.exprs import ColumnRef
+        t = test_tbl
+        decade = t.c2 // 10
+        q = (
+            t.group_by(decade)
+            .select(dec=decade, s=pxtf.sum(t.c3))
+            .having(ColumnRef("s", pxt.Float()) > 500.0)
+            .order_by(ColumnRef("dec", pxt.Int()))
+        )
+        got = q.collect()
+        # decades 5..9 have sums 545..945
+        assert [r["dec"] for r in got] == [5, 6, 7, 8, 9]
+
+    def test_having_composes_with_count(self, lineitem):
+        from pixeltable_spark.exprs import ColumnRef
+        t = lineitem
+        q = (
+            t.group_by(t.l_suppkey)
+            .select(t.l_suppkey, n=pxtf.count(t.l_orderkey))
+            .having(ColumnRef("n", pxt.Int()) > 600)
+        )
+        for r in q.collect():
+            assert r["n"] > 600
