@@ -684,7 +684,8 @@ def q49_stream_windowed(spark, sf_dir):
            .option("pathGlobFilter", "events.parquet").load(sf_dir))
     stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
-    name = "q49_win_" + sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    import uuid as _uuid
+    name = "q49_win_" + _uuid.uuid4().hex[:10]  # unique per invocation
     q = (agg.writeStream.outputMode("complete").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination()
@@ -706,6 +707,38 @@ def q50_llm_chat(spark, sf_dir):
     out = llm.chat_completions(df, "text", model="fake-chat-1",
                                requests_per_minute=1e9, concurrency=64)
     return out.select("doc_id", "response").orderBy("doc_id")
+
+
+def q52_sample_stratified_n(spark, sf_dir):
+    """Proportional stratified n-sampling: 100 rows allocated across
+    return-flag strata by largest remainder, md5-ordered within strata."""
+    t = _t(spark, sf_dir, "lineitem")
+    return (
+        t.sample(n=100, stratify_by=[t.l_returnflag], seed=11)
+        .select(t.l_orderkey, t.l_linenumber, t.l_returnflag)
+        .order_by(t.l_orderkey, t.l_linenumber)
+        .df()
+    )
+
+
+def q51_bbox_ops(spark, sf_dir):
+    """Vision bbox geometry as pure column math (functions/vision.py):
+    boxes synthesized from lineitem numerics, IoU/area/clip oracle-checked."""
+    from pixeltable_spark.functions import vision
+    df = _df(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 60)
+    a = F.array(F.col("l_quantity"), F.col("l_discount") * 100,
+                F.col("l_quantity") + 20, F.col("l_discount") * 100 + 15)
+    b = F.array(F.col("l_quantity") + 10, F.col("l_discount") * 100 + 5,
+                F.col("l_quantity") + 30, F.col("l_discount") * 100 + 20)
+    return (
+        df.select(
+            "l_orderkey", "l_linenumber",
+            F.round(vision.bbox_area(a), 4).alias("area_a"),
+            F.round(vision.bbox_iou(a, b), 6).alias("iou"),
+            F.round(F.element_at(vision.bboxes_clip(a, 25.0, 10.0), 3), 4).alias("x2_clipped"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -763,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_custom_uda": q48_custom_uda,
         "q49_stream_windowed": q49_stream_windowed,
         "q50_llm_chat": q50_llm_chat,
+        "q51_bbox_ops": q51_bbox_ops,
+        "q52_sample_stratified_n": q52_sample_stratified_n,
     }
 
 
@@ -1221,6 +1256,48 @@ FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
 SELECT doc_id,
        'response[' || substr(md5('fake-chat-1|' || text), 1, 12) || ']' AS response
 FROM documents ORDER BY doc_id""",
+        "q52_sample_stratified_n": f"""
+WITH counts AS (
+  SELECT l_returnflag AS s, count(*) AS c FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM counts),
+alloc AS (
+  SELECT s, floor(100.0 * c / tot.n) AS fq,
+         100.0 * c / tot.n - floor(100.0 * c / tot.n) AS rem
+  FROM counts, tot),
+base AS (SELECT sum(fq) AS used FROM alloc),
+ranked AS (
+  SELECT s, fq, row_number() OVER (ORDER BY rem DESC, s) AS rk FROM alloc),
+quota AS (
+  SELECT s, CAST(fq + CASE WHEN rk <= 100 - base.used THEN 1 ELSE 0 END AS BIGINT) AS q
+  FROM ranked, base),
+keyed AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY
+           {("md5('11___' || CAST(l_orderkey AS VARCHAR) || '___' || CAST(l_linenumber AS VARCHAR))")}) AS rn
+  FROM lineitem)
+SELECT k.l_orderkey, k.l_linenumber, k.l_returnflag
+FROM keyed k JOIN quota ON quota.s = k.l_returnflag
+WHERE k.rn <= quota.q
+ORDER BY k.l_orderkey, k.l_linenumber""",
+        "q51_bbox_ops": """
+WITH boxes AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS ax1, l_discount * 100 AS ay1,
+         l_quantity + 20 AS ax2, l_discount * 100 + 15 AS ay2,
+         l_quantity + 10 AS bx1, l_discount * 100 + 5 AS by1,
+         l_quantity + 30 AS bx2, l_discount * 100 + 20 AS by2
+  FROM lineitem WHERE l_orderkey < 60)
+SELECT l_orderkey, l_linenumber,
+       round(greatest(ax2 - ax1, 0) * greatest(ay2 - ay1, 0), 4) AS area_a,
+       round(
+         (greatest(least(ax2, bx2) - greatest(ax1, bx1), 0)
+          * greatest(least(ay2, by2) - greatest(ay1, by1), 0))
+         / (greatest(ax2 - ax1, 0) * greatest(ay2 - ay1, 0)
+            + greatest(bx2 - bx1, 0) * greatest(by2 - by1, 0)
+            - greatest(least(ax2, bx2) - greatest(ax1, bx1), 0)
+              * greatest(least(ay2, by2) - greatest(ay1, by1), 0)), 6) AS iou,
+       round(least(greatest(ax2, 0), 25.0), 4) AS x2_clipped
+FROM boxes ORDER BY l_orderkey, l_linenumber""",
         "q44_image_meta": f"""
 SELECT doc_id,
        64 + {_hexbyte_sql('text', 1)} % 192 AS width,

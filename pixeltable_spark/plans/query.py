@@ -584,10 +584,47 @@ class Planner:
             )
         if sc.n is not None:
             if sc.stratify_by:
-                raise NotImplementedError("proportional stratified n-sampling: round 2")
+                return self._stratified_n(df, sc, key, ctx)
             # global n: top-n by hash key -> TakeOrderedAndProject, no full sort
             return df.orderBy(key).limit(sc.n)
         raise ValueError("sample() requires n, n_per_stratum, or fraction")
+
+    def _stratified_n(self, df: DataFrame, sc: SampleClause, key: Column,
+                      ctx: CompileCtx) -> DataFrame:
+        """Proportional allocation of n across strata
+        (reference exec/sql_node.py:829-889): quota_i =
+        floor(n*c_i/N) + largest-remainder top-up, ties broken by stratum
+        key order — fully deterministic, and reproducible in SQL so the
+        oracle can replicate it. Strata counts are collected to the driver
+        (stratification keys are low-cardinality by construction)."""
+        import math
+
+        from pyspark.sql import Window as W
+
+        strata = [e.compile(ctx) for e in sc.stratify_by]
+        skey = F.concat_ws("\x1f", *[s.cast("string") for s in strata])
+        counts = {r["sk"]: r["c"] for r in
+                  df.withColumn("sk", skey).groupBy("sk")
+                  .agg(F.count(F.lit(1)).alias("c")).collect()}
+        total = sum(counts.values())
+        alloc = {}
+        rems = []
+        for k in sorted(counts):
+            exact = sc.n * 1.0 * counts[k] / total
+            fq = math.floor(exact)
+            alloc[k] = fq
+            rems.append((-(exact - fq), k))  # largest remainder first, then key
+        extra = sc.n - sum(alloc.values())
+        for _, k in sorted(rems)[:max(0, extra)]:
+            alloc[k] += 1
+        quota = F.create_map(*[x for k in alloc for x in (F.lit(k), F.lit(alloc[k]))])
+        w = W.partitionBy(skey).orderBy(key)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__q", quota[skey])
+            .filter(F.col("__rn") <= F.col("__q"))
+            .drop("__rn", "__q")
+        )
 
 
 def _as_df(q: "Query | TableRef") -> DataFrame:
