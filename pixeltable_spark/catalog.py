@@ -410,6 +410,21 @@ class Table:
         self._log("drop_column", column=name)
         self._save_meta()
 
+    def alter_column(self, name: str, col_type: ColumnType) -> None:
+        """Change a plain column's type (reference catalog/table.py
+        alter_column); stored values are cast, incompatible casts become
+        NULL (Spark cast semantics)."""
+        if name not in self.schema:
+            raise ValueError(f"unknown or non-alterable column {name!r}")
+        self.schema[name] = col_type
+        if self._has_data():
+            store = self._store_df().withColumn(
+                name, F.col(name).cast(col_type.spark_type()))
+            self._rewrite(store)
+        self.version += 1
+        self._log("alter_column", column=name, new_type=col_type.kind.name)
+        self._save_meta()
+
     def rename_column(self, old: str, new: str) -> None:
         if new in self.schema or new in self.computed:
             raise ValueError(f"duplicate column {new!r}")

@@ -284,3 +284,18 @@ class TestUDAValidation:
         t = test_tbl
         with pytest.raises(AttributeError, match="no cell metadata"):
             t.c1.errortype
+
+
+class TestAlterColumn:
+    def test_alter_type(self, cat):
+        t = _mk(cat)
+        t.alter_column("v", pxt.String())
+        rows = t.collect()
+        assert rows[3]["v"] == "3.0"
+        t.insert([{"k": 50, "v": "hello", "s": "x"}])
+        assert t.collect()[-1]["v"] == "hello"
+
+    def test_alter_unknown_rejected(self, cat):
+        t = _mk(cat)
+        with pytest.raises(ValueError, match="non-alterable"):
+            t.alter_column("nope", pxt.Int())

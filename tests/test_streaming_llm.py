@@ -164,3 +164,28 @@ class TestVision:
         assert (got.tp, got.fp, got.fn) == (1, 1, 1)
         assert got.precision == pytest.approx(0.5)
         assert got.recall == pytest.approx(0.5)
+
+
+class TestLLMBatching:
+    def test_batched_embeddings_equal_unbatched(self, documents_df):
+        df = documents_df.limit(30)
+        single = {r.doc_id: r.embedding for r in
+                  llm.embeddings(df, "text", dim=8).select("doc_id", "embedding").collect()}
+        batched = {r.doc_id: r.embedding for r in
+                   llm.embeddings(df, "text", dim=8, batch_size=7)
+                   .select("doc_id", "embedding").collect()}
+        assert single == batched
+
+    def test_batched_failure_marks_whole_batch(self, documents_df):
+        class FailOnce:
+            def __init__(self):
+                self.calls = 0
+
+            async def embed_many(self, texts, model, dim=16, **kw):
+                self.calls += 1
+                raise llm.RetryableError("perma")
+
+        out = llm.embeddings(documents_df.limit(6).coalesce(1), "text",
+                             batch_size=3, client_factory=FailOnce)
+        rows = out.select("embedding").collect()
+        assert all(r.embedding is None for r in rows)
