@@ -114,11 +114,22 @@ class IteratorFn:
         self.output_schema = dict(output_schema)
 
     def explode(self, df, input_cols: Optional[dict[str, str]] = None,
-                keep_cols: Optional[list[str]] = None):
+                keep_cols: Optional[list[str]] = None,
+                on_error: str = "abort"):
         """Explode a DataFrame: one output row per yielded dict, carrying
-        keep_cols + _pos + the iterator's declared outputs."""
+        keep_cols + _pos + the iterator's declared outputs.
+
+        on_error='ignore' (reference exec/exec_context.py ignore_errors):
+        a source row whose iterator raises emits ONE row with _pos NULL,
+        NULL outputs, and per-output ``_cellmd_<out>`` structs holding
+        {errortype, errormsg} — the batch survives, errors stay queryable
+        via ``view.<out>.errortype``.
+        """
         import pandas as pd
         from pyspark.sql import types as T
+
+        if on_error not in ("abort", "ignore"):
+            raise ValueError("on_error must be 'abort' or 'ignore'")
 
         import inspect as _inspect
         params = list(_inspect.signature(self.fn).parameters)
@@ -126,37 +137,62 @@ class IteratorFn:
         keep_cols = keep_cols if keep_cols is not None else [
             c for c in df.columns if c not in input_cols.values()]
 
+        cellmd_t = T.StructType([T.StructField("errortype", T.StringType()),
+                                 T.StructField("errormsg", T.StringType())])
         out_fields = [df.schema[c] for c in keep_cols]
         out_fields.append(T.StructField("_pos", T.LongType()))
         for name, ct in self.output_schema.items():
             out_fields.append(T.StructField(name, ct.spark_type()))
+        out_names = list(self.output_schema)
+        md_names: list[str] = []
+        if on_error == "ignore":
+            md_names = [f"_cellmd_{n}" for n in out_names]
+            out_fields.extend(T.StructField(m, cellmd_t) for m in md_names)
         schema = T.StructType(out_fields)
         fn = self.fn
-        out_names = list(self.output_schema)
+        all_names = keep_cols + ["_pos"] + out_names + md_names
 
         def op(batches):
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
                     kwargs = {p: r[c] for p, c in input_cols.items()}
-                    for pos, item in enumerate(fn(**kwargs)):
-                        row = {c: r[c] for c in keep_cols}
-                        row["_pos"] = pos
+                    base = {c: r[c] for c in keep_cols}
+                    try:
+                        for pos, item in enumerate(fn(**kwargs)):
+                            row = dict(base)
+                            row["_pos"] = pos
+                            for n in out_names:
+                                row[n] = item.get(n)
+                            for m in md_names:
+                                row[m] = None
+                            rows.append(row)
+                    except Exception as exc:
+                        if on_error == "abort":
+                            raise
+                        md = {"errortype": type(exc).__name__,
+                              "errormsg": str(exc)}
+                        row = dict(base)
+                        row["_pos"] = None
                         for n in out_names:
-                            row[n] = item.get(n)
+                            row[n] = None
+                        for m in md_names:
+                            row[m] = md
                         rows.append(row)
-                yield pd.DataFrame(rows, columns=keep_cols + ["_pos"] + out_names)
+                yield pd.DataFrame(rows, columns=all_names)
 
         return df.mapInPandas(op, schema)
 
-    def as_view_iterator(self, input_cols: Optional[dict[str, str]] = None):
+    def as_view_iterator(self, input_cols: Optional[dict[str, str]] = None,
+                         on_error: str = "abort"):
         """Adapter for Catalog.create_view(iterator=...): preserves the
         base's system columns (_rowid/_v_min/_v_max) through the explode."""
         def view_it(df):
             keep = [c for c in ("_rowid", "_v_min", "_v_max") if c in df.columns]
             extra = [c for c in df.columns if c not in keep]
             return self.explode(df, input_cols=input_cols,
-                                keep_cols=keep + [c for c in extra if c not in (input_cols or {}).values()])
+                                keep_cols=keep + [c for c in extra if c not in (input_cols or {}).values()],
+                                on_error=on_error)
         return view_it
 
 

@@ -94,3 +94,45 @@ class TestCellmdProperties:
         t = test_tbl
         got = t.where(t.c2 == 1).select(u=t.c1.fileurl).collect()
         assert got[0]["u"] == "test string 1"
+
+
+@pxt.iterator(output_schema={"word": pxt.String()})
+def brittle_iter(text: str):
+    if "boom" in text:
+        raise ValueError(f"bad doc: {text}")
+    for w in text.split():
+        yield {"word": w}
+
+
+class TestIteratorErrors:
+    def test_abort_default(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "boom"}])
+        with pytest.raises(Exception):
+            brittle_iter.explode(df).collect()
+
+    def test_ignore_captures_per_row(self, spark):
+        df = spark.createDataFrame([{"doc_id": 1, "text": "ok fine"},
+                                    {"doc_id": 2, "text": "boom now"},
+                                    {"doc_id": 3, "text": "yes"}])
+        out = brittle_iter.explode(df, on_error="ignore") \
+            .orderBy("doc_id", "_pos").collect()
+        good = [(r.doc_id, r.word) for r in out if r._pos is not None]
+        assert good == [(1, "ok"), (1, "fine"), (3, "yes")]
+        bad = [r for r in out if r._pos is None]
+        assert len(bad) == 1 and bad[0].doc_id == 2
+        assert bad[0]._cellmd_word.errortype == "ValueError"
+        assert "bad doc" in bad[0]._cellmd_word.errormsg
+
+    def test_ignore_in_component_view(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("docs", {"doc_id": pxt.Int(False),
+                                      "text": pxt.String(False)})
+        t.insert([{"doc_id": 1, "text": "alpha"},
+                  {"doc_id": 2, "text": "boom"}])
+        v = cat.create_view(
+            "words", t,
+            iterator=brittle_iter.as_view_iterator(on_error="ignore"))
+        rows = v.collect()
+        assert len(rows) == 2  # one component + one error row
+        errs = [r for r in rows if r["word"] is None]
+        assert len(errs) == 1
