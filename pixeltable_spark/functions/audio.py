@@ -46,13 +46,36 @@ def audio_splitter(df: DataFrame, chunk_bytes: int = 1 << 20,
     return df.mapInPandas(op, out_schema)
 
 
-def multiply_volume(col: Column, factor: float) -> Column:
+def _audio_transform_udf(name: str) -> Column:
     """STUB at the codec boundary: deterministic re-hash standing in for an
     ffmpeg filter graph; swap the body when ffmpeg/PyAV is available."""
     @F.pandas_udf(T.BinaryType())
     def fn(s):
         return pd.Series([
-            None if p is None else hashlib.md5(p + f"vol{factor}".encode()).digest()
+            None if p is None else hashlib.md5(p + name.encode()).digest()
             for p in s
         ])
-    return fn(col)
+    return fn
+
+
+def multiply_volume(col: Column, factor: float) -> Column:
+    return _audio_transform_udf(f"vol{factor}")(col)
+
+
+def encode_audio(col: Column, codec: str = "mp3",
+                 bitrate: str = "128k") -> Column:
+    """Re-encode (reference functions/audio.py encode_audio)."""
+    return _audio_transform_udf(f"encode{codec}{bitrate}")(col)
+
+
+def fade_in(col: Column, seconds: float = 1.0) -> Column:
+    return _audio_transform_udf(f"fade_in{seconds}")(col)
+
+
+def fade_out(col: Column, seconds: float = 1.0) -> Column:
+    return _audio_transform_udf(f"fade_out{seconds}")(col)
+
+
+def normalize(col: Column, target_db: float = -14.0) -> Column:
+    """Loudness normalization (reference functions/audio.py normalize)."""
+    return _audio_transform_udf(f"normalize{target_db}")(col)

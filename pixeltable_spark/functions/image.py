@@ -146,3 +146,188 @@ def thumbnail(col: Column, size: tuple = (128, 128)) -> Column:
         img.thumbnail(size)
         return img
     return _transform_udf(f"thumb{size}", t)(col)
+
+
+def getchannel(col: Column, channel: int) -> Column:
+    return _transform_udf(f"getchannel{channel}",
+                          lambda img: img.getchannel(channel))(col)
+
+
+def point(col: Column, scale: float, offset: float = 0.0) -> Column:
+    """Per-pixel linear map (reference functions/image.py point; the lut
+    form reduces to scale/offset for the common case)."""
+    return _transform_udf(f"point{scale},{offset}",
+                          lambda img: img.point(lambda v: v * scale + offset))(col)
+
+
+def effect_spread(col: Column, distance: int) -> Column:
+    return _transform_udf(f"spread{distance}",
+                          lambda img: img.effect_spread(distance))(col)
+
+
+def transpose(col: Column, method: int = 0) -> Column:
+    return _transform_udf(f"transpose{method}",
+                          lambda img: img.transpose(method))(col)
+
+
+def quantize(col: Column, colors: int = 256) -> Column:
+    return _transform_udf(f"quantize{colors}",
+                          lambda img: img.quantize(colors))(col)
+
+
+def reduce(col: Column, factor: int) -> Column:
+    return _transform_udf(f"reduce{factor}",
+                          lambda img: img.reduce(factor))(col)
+
+
+def _binary_transform_udf(name: str, transform):
+    """Two-image transform (alpha_composite/blend/composite family);
+    stub = deterministic hash of both payloads + op."""
+    @F.pandas_udf(T.BinaryType())
+    def fn(a, b):
+        import pandas as pd
+        out = []
+        for p, q in zip(a, b):
+            if p is None or q is None:
+                out.append(None)
+            elif HAS_PIL:
+                buf = io.BytesIO()
+                transform(_load_image(p), _load_image(q)).save(buf, format="PNG")
+                out.append(buf.getvalue())
+            else:
+                out.append(hashlib.md5(p + q + name.encode()).digest())
+        return pd.Series(out)
+    return fn
+
+
+def alpha_composite(a: Column, b: Column) -> Column:
+    return _binary_transform_udf(
+        "alpha_composite", lambda x, y: _PILImage.alpha_composite(x, y))(a, b)
+
+
+def blend(a: Column, b: Column, alpha: float = 0.5) -> Column:
+    return _binary_transform_udf(
+        f"blend{alpha}", lambda x, y: _PILImage.blend(x, y, alpha))(a, b)
+
+
+def composite(a: Column, b: Column, mask: Column) -> Column:
+    """Three-input composite; the mask participates in the stub hash too."""
+    @F.pandas_udf(T.BinaryType())
+    def fn(s1, s2, s3):
+        import pandas as pd
+        out = []
+        for p, q, m in zip(s1, s2, s3):
+            if p is None or q is None or m is None:
+                out.append(None)
+            elif HAS_PIL:
+                buf = io.BytesIO()
+                _PILImage.composite(_load_image(p), _load_image(q),
+                                    _load_image(m)).save(buf, format="PNG")
+                out.append(buf.getvalue())
+            else:
+                out.append(hashlib.md5(p + q + m + b"composite").digest())
+        return pd.Series(out)
+    return fn(a, b, mask)
+
+
+def _extract_udf(name: str, ret: T.DataType, pil_fn, stub_fn):
+    """Image->scalar/array extraction; deterministic hash-derived stub."""
+    @F.pandas_udf(ret)
+    def fn(s):
+        import pandas as pd
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+            elif HAS_PIL:
+                out.append(pil_fn(_load_image(p)))
+            else:
+                out.append(stub_fn(p))
+        return pd.Series(out)
+    return fn
+
+
+def entropy(col: Column) -> Column:
+    return _extract_udf(
+        "entropy", T.DoubleType(), lambda img: float(img.entropy()),
+        lambda p: (int.from_bytes(hashlib.md5(p).digest()[:4], "big") % 8000)
+        / 1000.0)(col)
+
+
+def getbands(col: Column) -> Column:
+    return _extract_udf(
+        "getbands", T.ArrayType(T.StringType()),
+        lambda img: list(img.getbands()),
+        lambda p: list(_stub_meta(p)["mode"]))(col)
+
+
+def getbbox(col: Column) -> Column:
+    return _extract_udf(
+        "getbbox", T.ArrayType(T.IntegerType()),
+        lambda img: list(img.getbbox() or ()),
+        lambda p: [0, 0, _stub_meta(p)["width"], _stub_meta(p)["height"]])(col)
+
+
+def size(col: Column) -> Column:
+    return _extract_udf(
+        "size", T.ArrayType(T.IntegerType()),
+        lambda img: [img.width, img.height],
+        lambda p: [_stub_meta(p)["width"], _stub_meta(p)["height"]])(col)
+
+
+def histogram(col: Column) -> Column:
+    """Pixel histogram (256 bins per band); stub derives 16 deterministic
+    pseudo-counts from the payload hash."""
+    def stub(p):
+        h = hashlib.md5(p).digest()
+        return [int(b) for b in h]
+    return _extract_udf(
+        "histogram", T.ArrayType(T.IntegerType()),
+        lambda img: list(img.histogram()), stub)(col)
+
+
+def getextrema(col: Column) -> Column:
+    import json as _json
+    return _extract_udf(
+        "getextrema", T.StringType(),
+        lambda img: _json.dumps(img.getextrema()),
+        lambda p: _json.dumps([[0, 255]] * len(_stub_meta(p)["mode"])))(col)
+
+
+def getcolors(col: Column, maxcolors: int = 256) -> Column:
+    import json as _json
+    def stub(p):
+        h = hashlib.md5(p).digest()
+        return _json.dumps([[int(h[i]), [int(h[i + 1])] * 3] for i in range(0, 8, 2)])
+    return _extract_udf(
+        f"getcolors{maxcolors}", T.StringType(),
+        lambda img: _json.dumps(img.getcolors(maxcolors)), stub)(col)
+
+
+def getpalette(col: Column) -> Column:
+    return _extract_udf(
+        "getpalette", T.ArrayType(T.IntegerType()),
+        lambda img: list(img.getpalette()) if img.getpalette() else None,
+        lambda p: None)(col)
+
+
+def getpixel(col: Column, xy: tuple) -> Column:
+    def stub(p):
+        h = hashlib.md5(p + f"{xy}".encode()).digest()
+        return [int(h[0]), int(h[1]), int(h[2])]
+    def pil(img):
+        v = img.getpixel(xy)
+        return list(v) if isinstance(v, tuple) else [v]
+    return _extract_udf(f"getpixel{xy}", T.ArrayType(T.IntegerType()),
+                        pil, stub)(col)
+
+
+def getprojection(col: Column) -> Column:
+    import json as _json
+    def stub(p):
+        m = _stub_meta(p)
+        return _json.dumps([[1] * m["width"], [1] * m["height"]])
+    return _extract_udf(
+        "getprojection", T.StringType(),
+        lambda img: _json.dumps([list(x) for x in img.getprojection()]),
+        stub)(col)

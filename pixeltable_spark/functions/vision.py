@@ -60,6 +60,95 @@ def bbox_iou(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def bboxes_convert(box: Column, src: str = "xyxy", dst: str = "xywh") -> Column:
+    """Box format conversion (reference bboxes_convert): xyxy <-> xywh <->
+    cxcywh, all native column math."""
+    x1, y1 = F.element_at(box, 1), F.element_at(box, 2)
+    a3, a4 = F.element_at(box, 3), F.element_at(box, 4)
+    if src == "xyxy":
+        xy = (x1, y1, a3, a4)
+    elif src == "xywh":
+        xy = (x1, y1, x1 + a3, y1 + a4)
+    elif src == "cxcywh":
+        xy = (x1 - a3 / 2, y1 - a4 / 2, x1 + a3 / 2, y1 + a4 / 2)
+    else:
+        raise ValueError(f"unknown box format {src!r}")
+    bx1, by1, bx2, by2 = xy
+    if dst == "xyxy":
+        return F.array(bx1, by1, bx2, by2)
+    if dst == "xywh":
+        return F.array(bx1, by1, bx2 - bx1, by2 - by1)
+    if dst == "cxcywh":
+        return F.array((bx1 + bx2) / 2, (by1 + by2) / 2, bx2 - bx1, by2 - by1)
+    raise ValueError(f"unknown box format {dst!r}")
+
+
+def bboxes_resize(box: Column, orig_w: float, orig_h: float,
+                  new_w: float, new_h: float) -> Column:
+    """Rescale boxes after an image resize (reference bboxes_resize)."""
+    return bboxes_scale(box, new_w / orig_w, new_h / orig_h)
+
+
+def bboxes_pad(box: Column, pad_x: float, pad_y: float) -> Column:
+    """Shift boxes after padding the canvas (reference bboxes_pad)."""
+    return bboxes_shift(box, pad_x, pad_y)
+
+
+def bboxes_crop(box: Column, crop_x1: float, crop_y1: float,
+                crop_x2: float, crop_y2: float) -> Column:
+    """Re-express boxes in a cropped image's coordinates, clipped to the
+    crop bounds (reference bboxes_crop)."""
+    shifted = bboxes_shift(box, -crop_x1, -crop_y1)
+    return bboxes_clip(shifted, crop_x2 - crop_x1, crop_y2 - crop_y1)
+
+
+def bboxes_resize_canvas(box: Column, orig_w: float, orig_h: float,
+                         new_w: float, new_h: float) -> Column:
+    """Letterbox transform: scale to fit + center offset
+    (reference bboxes_resize_canvas)."""
+    s = min(new_w / orig_w, new_h / orig_h)
+    dx = (new_w - orig_w * s) / 2
+    dy = (new_h - orig_h * s) / 2
+    return bboxes_shift(bboxes_scale(box, s, s), dx, dy)
+
+
+def bboxes_draw(img: Column, boxes: Column) -> Column:
+    """Rasterize boxes onto the image (reference bboxes_draw). Needs PIL;
+    stub = deterministic hash of payload + box coords."""
+    import hashlib
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(p_s, b_s):
+        out = []
+        for p, bs in zip(p_s, b_s):
+            if p is None:
+                out.append(None)
+            else:
+                boxes_list = [] if bs is None else [list(b) for b in bs]
+                key = json.dumps(boxes_list).encode()
+                out.append(hashlib.md5(p + key + b"draw").digest())
+        return pd.Series(out)
+    return fn(img, boxes)
+
+
+def overlay_segmentation(img: Column, mask: Column,
+                         alpha: float = 0.5) -> Column:
+    """Blend a segmentation mask over the image (reference
+    overlay_segmentation); stub at the raster boundary."""
+    import hashlib
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(p_s, m_s):
+        out = []
+        for p, m in zip(p_s, m_s):
+            if p is None or m is None:
+                out.append(None)
+            else:
+                out.append(hashlib.md5(p + m + f"seg{alpha}".encode()).digest())
+        return pd.Series(out)
+    return fn(img, mask)
+
+
 def _iou_py(a, b) -> float:
     ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
     ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])

@@ -189,3 +189,100 @@ class TestLLMBatching:
                              batch_size=3, client_factory=FailOnce)
         rows = out.select("embedding").collect()
         assert all(r.embedding is None for r in rows)
+
+
+class TestMediaSurface:
+    """New image/video/audio/vision fns: schema + determinism + null safety."""
+
+    def _payload_df(self, spark):
+        return spark.createDataFrame(
+            [(1, b"\x89PNG-fake-payload-one"), (2, b"\x89PNG-other-payload"),
+             (3, None)], "media_id long, payload binary")
+
+    def test_image_extractors(self, spark):
+        from pixeltable_spark.functions import image as img
+        df = self._payload_df(spark)
+        out = df.select(
+            "media_id",
+            img.entropy(F.col("payload")).alias("ent"),
+            img.getbands(F.col("payload")).alias("bands"),
+            img.getbbox(F.col("payload")).alias("bbox"),
+            img.size(F.col("payload")).alias("sz"),
+            img.histogram(F.col("payload")).alias("hist"),
+        ).orderBy("media_id").collect()
+        assert out[0].ent is not None and 0 <= out[0].ent < 8.0
+        assert out[0].bbox[0] == 0 and out[0].bbox[2] == out[0].sz[0]
+        assert len(out[0].hist) == 16
+        assert all(v is None for v in (out[2].ent, out[2].bands, out[2].sz))
+
+    def test_image_two_input_transforms(self, spark):
+        from pixeltable_spark.functions import image as img
+        df = self._payload_df(spark).withColumn("p2", F.col("payload"))
+        out = df.select(
+            "media_id",
+            img.alpha_composite(F.col("payload"), F.col("p2")).alias("ac"),
+            img.blend(F.col("payload"), F.col("p2"), 0.3).alias("bl"),
+            img.composite(F.col("payload"), F.col("p2"), F.col("p2")).alias("cp"),
+        ).orderBy("media_id").collect()
+        assert out[0].ac is not None and out[0].ac != out[0].bl
+        assert out[2].ac is None  # null payload propagates
+
+    def test_video_edit_chain_deterministic(self, spark):
+        from pixeltable_spark.functions import video as vid
+        df = self._payload_df(spark)
+        sel = df.select(
+            "media_id",
+            vid.resize(vid.fade_in(F.col("payload")), 64, 64).alias("v"),
+            vid.get_duration(F.col("payload")).alias("dur"),
+            vid.scene_detect(F.col("payload")).alias("cuts"),
+        )
+        a = {r.media_id: r.v for r in sel.collect()}
+        b = {r.media_id: r.v for r in sel.collect()}
+        assert a == b and a[1] is not None and a[3] is None
+        row = sel.orderBy("media_id").first()
+        assert row.dur > 0 and row.cuts == sorted(row.cuts)
+
+    def test_video_segment_and_make_video(self, spark):
+        from pixeltable_spark.functions import video as vid
+        df = self._payload_df(spark)
+        segs = vid.segment_video(df, n_segments=3)
+        assert segs.where("media_id = 1").count() == 3
+        frames = vid.frame_iterator(df, every_n=1)
+        videos = vid.make_video(frames, "media_id")
+        got = {r.media_id: r.n_frames for r in videos.collect()}
+        assert set(got) == {1, 2} and all(n >= 1 for n in got.values())
+
+    def test_audio_transforms(self, spark):
+        from pixeltable_spark.functions import audio as aud
+        df = self._payload_df(spark)
+        out = df.select(
+            "media_id",
+            aud.normalize(F.col("payload")).alias("n"),
+            aud.encode_audio(F.col("payload"), "aac").alias("e"),
+        ).orderBy("media_id").collect()
+        assert out[0].n != out[0].e and out[2].n is None
+
+    def test_bbox_convert_roundtrip(self, spark):
+        from pixeltable_spark.functions import vision as vis
+        df = spark.createDataFrame([([10.0, 20.0, 50.0, 80.0],)], "box array<double>")
+        out = df.select(
+            vis.bboxes_convert(vis.bboxes_convert(F.col("box"), "xyxy", "cxcywh"),
+                               "cxcywh", "xyxy").alias("rt"),
+            vis.bboxes_convert(F.col("box"), "xyxy", "xywh").alias("xywh"),
+            vis.bboxes_resize(F.col("box"), 100, 100, 200, 50).alias("rs"),
+            vis.bboxes_crop(F.col("box"), 5, 5, 45, 45).alias("cr"),
+        ).first()
+        assert out.rt == pytest.approx([10.0, 20.0, 50.0, 80.0])
+        assert out.xywh == pytest.approx([10.0, 20.0, 40.0, 60.0])
+        assert out.rs == pytest.approx([20.0, 10.0, 100.0, 40.0])
+        assert out.cr == pytest.approx([5.0, 15.0, 40.0, 40.0])
+
+    def test_bboxes_draw_null_safety(self, spark):
+        from pixeltable_spark.functions import vision as vis
+        df = self._payload_df(spark).withColumn(
+            "boxes", F.array(F.array(F.lit(1.0), F.lit(1.0), F.lit(2.0), F.lit(2.0))))
+        out = df.select("media_id",
+                        vis.bboxes_draw(F.col("payload"), F.col("boxes")).alias("d"),
+                        vis.overlay_segmentation(F.col("payload"), F.col("payload")).alias("o"),
+                        ).orderBy("media_id").collect()
+        assert out[0].d is not None and out[2].d is None and out[0].o is not None
