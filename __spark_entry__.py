@@ -682,7 +682,7 @@ def q49_stream_windowed(spark, sf_dir):
     ])
     raw = (spark.readStream.format("parquet").schema(nano_schema)
            .option("pathGlobFilter", "events.parquet").load(sf_dir))
-    stream = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     import uuid as _uuid
     name = "q49_win_" + _uuid.uuid4().hex[:10]  # unique per invocation
@@ -1078,7 +1078,7 @@ WITH x AS (
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
 SELECT user_id,
-       sum(CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM x GROUP BY user_id ORDER BY user_id""",
         "q23_date_funcs": """
 SELECT l_orderkey, l_linenumber,
@@ -1186,7 +1186,7 @@ FROM m ORDER BY doc_id""",
         "q42_token_stats": f"""
 SELECT source, lang, count(*) AS docs,
        round(avg({_TOKCOUNT}), 4) AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source, lang ORDER BY source, lang""",
         "q43_doc_chunks": r"""
 WITH toks AS (

@@ -51,7 +51,10 @@ from .type_system import ColumnType, schema_to_struct
 
 MAXV = 1 << 62
 _ROWID, _VMIN, _VMAX, _POS = "_rowid", "_v_min", "_v_max", "_pos"
-SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS}
+# view-local version interval (a view has its own version counter, distinct
+# from the base's _v_min/_v_max which pass through the view plan)
+_VVMIN, _VVMAX = "_vv_min", "_vv_max"
+SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX}
 
 
 def _cellmd_col(name: str) -> str:
@@ -189,7 +192,7 @@ class Table:
             "next_rowid": self.next_rowid,
             "primary_key": self.primary_key,
             "history": self.history,
-            "schema": {k: (v.kind.name, v.nullable) for k, v in self.schema.items()},
+            "schema": {k: v.as_dict() for k, v in self.schema.items()},
         }
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -200,7 +203,6 @@ class Table:
             cloudpickle.dump(self.computed, f)
 
     def _load_meta(self) -> None:
-        from .type_system import TypeKind
         with open(os.path.join(self.path, "meta.json")) as f:
             meta = json.load(f)
         self.version = meta["version"]
@@ -208,8 +210,7 @@ class Table:
         self.primary_key = meta["primary_key"]
         self.history = meta["history"]
         self.schema = {
-            k: ColumnType(TypeKind[kind], nullable)
-            for k, (kind, nullable) in meta["schema"].items()
+            k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
         cpath = os.path.join(self.path, "computed.pkl")
         if os.path.exists(cpath):
@@ -676,6 +677,9 @@ class View(Table):
         self.extra: dict[str, tuple[Expr, ColumnType]] = {}
         self.iterator: Optional[Callable[[DataFrame], DataFrame]] = None
         self._loaded_base_version = -1
+        # earliest view version still reconstructible (a full refresh
+        # rewrites storage and truncates history below it)
+        self._version_floor = 0
 
     @classmethod
     def _create(cls, catalog: Catalog, name: str, path: str, base: Table,
@@ -696,6 +700,7 @@ class View(Table):
         from pyspark import cloudpickle
         meta = {"kind": "view", "name": self.name, "base": self.base.name,
                 "version": self.version,
+                "version_floor": self._version_floor,
                 "loaded_base_version": self._loaded_base_version}
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -714,6 +719,7 @@ class View(Table):
             spec = cloudpickle.load(f)
         v.base = catalog.get_table(meta["base"])
         v.version = meta["version"]
+        v._version_floor = meta.get("version_floor", meta["version"])
         v._loaded_base_version = meta.get("loaded_base_version", -1)
         v.predicate = spec["predicate"]
         v.extra = spec["extra"]
@@ -741,6 +747,8 @@ class View(Table):
     def _full_refresh(self) -> None:
         base_live = self.base.df()
         out = self._view_plan(base_live)
+        new_v = self.version + 1
+        out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
         tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
         out.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self._data_dir):
@@ -752,6 +760,8 @@ class View(Table):
             os.rename(tmp, self._data_dir)
         self._loaded_base_version = self.base.version
         self.version += 1
+        # a rewrite truncates reconstructible history at the new version
+        self._version_floor = self.version
         if self.base is not None:
             self._save_view_meta()
 
@@ -760,6 +770,8 @@ class View(Table):
         base version flow through the view plan."""
         new_rows = self.base.df().filter(F.col(_VMIN) == self.base.version)
         out = self._view_plan(new_rows)
+        new_v = self.version + 1
+        out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
         out.write.mode("append").parquet(self._data_dir)
         self._loaded_base_version = self.base.version
         self.version += 1
@@ -768,11 +780,24 @@ class View(Table):
 
     # views read their own materialized storage
     def df(self, version: Optional[int] = None) -> DataFrame:
+        """Live view rows at a view version (default: current). Versions
+        below the last full refresh are not reconstructible — the rewrite
+        discarded them (reference pins snapshot versions via MVCC;
+        catalog/view.py:43-45)."""
         spark = self.catalog.spark
-        return spark.read.parquet(self._data_dir)
+        raw = spark.read.parquet(self._data_dir)
+        v = self.version if version is None else version
+        if version is not None and version < self._version_floor:
+            raise ValueError(
+                f"view {self.name!r} version {version} predates the last "
+                f"full refresh (floor={self._version_floor}) and is no "
+                "longer reconstructible")
+        if _VVMIN in raw.columns:
+            return raw.filter((F.col(_VVMIN) <= v) & (F.col(_VVMAX) > v))
+        return raw  # pre-versioning storage (legacy)
 
     def ref(self, version: Optional[int] = None) -> TableRef:
-        return TableRef.from_df(self.df(), self.name, rowid_cols=[_ROWID])
+        return TableRef.from_df(self.df(version), self.name, rowid_cols=[_ROWID])
 
     def count(self) -> int:
         return self.df().count()

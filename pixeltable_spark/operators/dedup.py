@@ -96,19 +96,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """K-permutation MinHash. The K hash functions are the K disjoint
-    8-hex-char (32-bit) slices of ONE md5 per shingle — one hash invocation
-    regardless of K (md5 is the per-row hot cost at 100 TB), K <= 4.
-    sig_i = min_s substr(md5(s), 8i+1, 8).
+    8-hex-char (32-bit) slices of md5 per shingle — ceil(K/4) hash
+    invocations regardless of K (md5 is the per-row hot cost at 100 TB);
+    K > 4 derives further independent slices from salted md5s.
+    sig_i = min_s substr(md5(salt_{i//4} || s), 8*(i%4)+1, 8).
 
     One explode + one groupBy with K min() aggregates; partial (map-side)
     aggregation reduces shuffle to K short strings per doc regardless of
     doc size. Output: id, sig_0..sig_{K-1}.
     """
-    assert num_hashes <= 4, "md5 yields 4 independent 32-bit slices"
+    n_md5 = (num_hashes + 3) // 4
     ex = explode_shingles(df, text_col, id_col, shingle_n)
-    h = F.md5(F.col("shingle"))
+    # materialize each salted md5 once so the K slices don't recompute it
+    hash_cols = [
+        (F.md5(F.col("shingle")) if j == 0
+         else F.md5(F.concat(F.lit(f"mh{j}|"), F.col("shingle")))).alias(f"__h{j}")
+        for j in range(n_md5)
+    ]
+    ex = ex.select(F.col(id_col), *hash_cols)
     aggs = [
-        F.min(F.substring(h, 8 * i + 1, 8)).alias(f"sig_{i}")
+        F.min(F.substring(F.col(f"__h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)

@@ -75,8 +75,11 @@ class SampleClause:
     @staticmethod
     def fraction_to_md5_hex(fraction: float) -> str:
         """16-hex-digit threshold: rows with md5-prefix <= threshold are kept
-        (reference query_clauses.py:143-152)."""
-        return format(int(fraction * float(1 << 64)), "016x")
+        (reference query_clauses.py:143-152). Clamped to 2^64-1 so
+        fraction >= 1.0 keeps every row (a 17-hex string would compare
+        lexicographically BELOW most 16-hex prefixes and drop ~94% of rows)."""
+        raw = int(fraction * float(1 << 64))
+        return format(min(max(raw, 0), (1 << 64) - 1), "016x")
 
 
 class TableRef:
@@ -291,8 +294,14 @@ class Query:
         cannot change the count); select/distinct/limit all can."""
         q = self._copy()
         q.order_by_items = []
-        if not q.distinct_flag and q.limit_n is None:
-            q.select_items = []  # let Catalyst count the bare scan
+        # A grouped/aggregated query's count is the number of result rows
+        # (groups, or 1 for a global aggregate) — the select list must be
+        # kept so the aggregation still happens. Only a plain projection can
+        # be dropped to let Catalyst count the bare scan.
+        has_agg = any(e.is_agg() for _, e in q.select_items)
+        if (not q.distinct_flag and q.limit_n is None
+                and not q.group_by_exprs and not has_agg):
+            q.select_items = []
         return q.df().count()
 
 

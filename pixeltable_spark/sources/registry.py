@@ -65,7 +65,7 @@ def table_from_parquet(
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
         if isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return TableRef.from_df(df, name, rowid_cols=rowid_cols, json_cols=json_cols)
 
 

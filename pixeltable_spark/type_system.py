@@ -227,6 +227,20 @@ class ColumnType:
             return cls.json(False)
         return cls.json(False)
 
+    # ---- persistence round-trip (reference type_system as_dict/from_dict) -
+    def as_dict(self) -> dict:
+        return {"kind": self.kind.name, "nullable": self.nullable}
+
+    @classmethod
+    def from_dict(cls, d: Any) -> "ColumnType":
+        # legacy format: (kind_name, nullable) pair
+        if isinstance(d, (list, tuple)):
+            return cls(TypeKind[d[0]], d[1])
+        if d["kind"] == TypeKind.ARRAY.name:
+            shape = tuple(d["shape"]) if d.get("shape") is not None else None
+            return ArrayType(cls.from_dict(d["element"]), shape, d["nullable"])
+        return cls(TypeKind[d["kind"]], d["nullable"])
+
     def __repr__(self) -> str:
         n = "" if self.nullable else " NOT NULL"
         return f"{self.kind.name}{n}"
@@ -263,6 +277,14 @@ class ArrayType(ColumnType):
         for _ in range(ndim):
             inner = T.ArrayType(inner)
         return inner
+
+    def as_dict(self) -> dict:
+        return {
+            "kind": self.kind.name,
+            "nullable": self.nullable,
+            "element": self.element.as_dict(),
+            "shape": list(self.shape) if self.shape is not None else None,
+        }
 
     def __repr__(self) -> str:
         return f"ARRAY<{self.element!r}>{'' if self.shape is None else self.shape}"

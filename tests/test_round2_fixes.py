@@ -1,0 +1,120 @@
+"""Regression tests for the round-1 judge/advisor findings: grouped count(),
+ArrayType persistence round-trip, frozen view snapshots, fraction=1.0
+sampling, num_hashes>4 MinHash, and exact ns->us conversion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pixeltable_spark as pxt
+from pixeltable_spark import functions as pxtf
+from pixeltable_spark.exprs import ColumnRef
+from pixeltable_spark.operators.dedup import minhash_signatures, minhash_lsh_pairs
+from pixeltable_spark.plans.query import SampleClause
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return pxt.Catalog(spark, str(tmp_path / "warehouse"))
+
+
+class TestGroupedCount:
+    def test_count_of_grouped_query_is_group_count(self, test_tbl):
+        t = test_tbl
+        q = t.select(t.c4, n=pxtf.count(t.c2)).group_by(t.c4)
+        assert q.count() == 2  # two groups (c4 is bool)
+
+    def test_count_of_global_agg_is_one(self, test_tbl):
+        t = test_tbl
+        assert t.select(total=pxtf.sum(t.c2)).count() == 1
+
+    def test_plain_count_unaffected(self, test_tbl):
+        assert test_tbl.count() == 100
+
+
+class TestArrayTypePersistence:
+    def test_array_column_survives_reload(self, cat, spark):
+        emb = pxt.ColumnType.array(pxt.ColumnType.float_(), shape=(4,))
+        t = cat.create_table("vecs", {"k": pxt.Int(False), "e": emb},
+                             primary_key=["k"])
+        t.insert([{"k": i, "e": [float(i), 0.0, 1.0, 2.0]} for i in range(3)])
+        # simulate a fresh session: drop the cached handle and reload meta
+        cat._tables.pop("vecs")
+        t2 = cat.get_table("vecs")
+        assert t2.schema["e"].kind == pxt.TypeKind.ARRAY
+        assert t2.schema["e"].element.kind == pxt.TypeKind.FLOAT
+        assert t2.schema["e"].shape == (4,)
+        # the operation that previously raised 'no spark type for ARRAY'
+        t2.insert([{"k": 10, "e": [9.0, 9.0, 9.0, 9.0]}])
+        assert t2.count() == 4
+
+
+class TestViewVersioning:
+    def test_snapshot_of_view_is_frozen(self, cat):
+        t = cat.create_table("base", {"k": pxt.Int(False)}, primary_key=["k"])
+        t.insert([{"k": i} for i in range(5)])
+        v = cat.create_view("v_even", t,
+                            predicate=ColumnRef("k", t.schema["k"]) % 2 == 0)
+        assert v.count() == 3  # 0,2,4
+        snap_version = v.version
+        t.insert([{"k": 6}, {"k": 7}, {"k": 8}])  # incremental propagation
+        assert v.count() == 5  # 0,2,4,6,8 live
+        # the frozen version still shows exactly the original rows
+        assert v.df(version=snap_version).count() == 3
+
+    def test_pre_refresh_version_rejected(self, cat):
+        t = cat.create_table("base2", {"k": pxt.Int(False)}, primary_key=["k"])
+        t.insert([{"k": i} for i in range(5)])
+        v = cat.create_view("v_all", t)
+        old = v.version
+        v._full_refresh()  # truncates history
+        with pytest.raises(ValueError, match="no longer reconstructible"):
+            v.df(version=old)
+
+
+class TestSampleFractionOne:
+    def test_threshold_is_16_hex(self):
+        assert len(SampleClause.fraction_to_md5_hex(1.0)) == 16
+        assert SampleClause.fraction_to_md5_hex(1.0) == "f" * 16
+
+    def test_fraction_one_keeps_every_row(self, test_tbl):
+        assert test_tbl.sample(fraction=1.0, seed=7).count() == 100
+
+    def test_fraction_half_is_not_degenerate(self, test_tbl):
+        n = test_tbl.sample(fraction=0.5, seed=7).count()
+        assert 25 <= n <= 75
+
+
+class TestMinHashDefaults:
+    def test_eight_hashes_supported(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(6)],
+            "doc_id long, text string")
+        sigs = minhash_signatures(df)  # default num_hashes=8
+        assert [c for c in sigs.columns if c.startswith("sig_")] == \
+            [f"sig_{i}" for i in range(8)]
+        assert sigs.count() == 6
+
+    def test_salted_slices_are_independent(self, spark):
+        df = spark.createDataFrame([(1, "aaa bbb ccc ddd eee fff")],
+                                   "doc_id long, text string")
+        row = minhash_signatures(df, num_hashes=8).collect()[0]
+        assert row["sig_0"] != row["sig_4"]  # salt actually changes the hash
+
+    def test_lsh_pairs_default_args_run(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t")],
+            "doc_id long, text string")
+        pairs = minhash_lsh_pairs(df).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+class TestNanosConversion:
+    def test_integer_division_exact(self, spark):
+        # a ns value whose float64 division is off by >= 1 us
+        ns = 1_600_000_000_000_000_896
+        assert int(float(ns) / 1000) != ns // 1000  # premise of the bug
+        got = (spark.range(1).select(F.lit(ns).alias("ts"))
+               .select(F.expr("ts div 1000").alias("us")).collect()[0]["us"])
+        assert got == ns // 1000
