@@ -235,70 +235,117 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
-                             id_col: str = "vec_id",
-                             threshold: float = 0.95,
-                             n_planes: int = 0) -> DataFrame:
-    """All pairs with cosine >= threshold (exact).
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("cos", T.DoubleType()),
+])
 
-    Executed as a blocked matrix product: the right side is broadcast as one
-    float64 numpy matrix and each left partition computes a BLAS dgemm
-    against it inside mapInPandas — thousands of times faster than per-pair
-    expression evaluation, with the same result to 6 dp.
+# rows of the left matrix processed per dgemm call — bounds kernel memory to
+# ~_MM_CHUNK * group_size doubles regardless of group size
+_MM_CHUNK = 4096
 
-    Scale path: a broadcastable side is required (like any broadcast join).
-    For corpora where neither side fits an executor, set n_planes > 0 to
-    LSH-block first (candidates = same hyperplane bucket; see
-    similarity.hyperplane_bucket) and run the same BLAS kernel per bucket —
-    the standard recall/cost trade."""
+
+def _emit_pairs(ids_a, mat_a, ids_b, mat_b, threshold, upper_triangle):
+    """Chunked BLAS cosine between two id/vector blocks; yields DataFrames of
+    (id_a, id_b, cos) with cos >= threshold and id_a < id_b."""
     import numpy as np
     import pandas as pd
 
+    norms_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    for lo in range(0, len(ids_a), _MM_CHUNK):
+        hi = min(lo + _MM_CHUNK, len(ids_a))
+        cos = (mat_a[lo:hi] @ mat_b.T) / np.outer(norms_a[lo:hi], norms_b)
+        cos = np.round(cos, 6)
+        mask = (cos >= threshold) & (ids_a[lo:hi, None] != ids_b[None, :])
+        if upper_triangle:
+            mask &= ids_a[lo:hi, None] < ids_b[None, :]
+        li, ri = np.nonzero(mask)
+        ia, ib = ids_a[lo:hi][li], ids_b[ri]
+        if not upper_triangle:
+            # cross-block pairs: normalize to unordered (min, max)
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        yield pd.DataFrame({"id_a": ia, "id_b": ib, "cos": cos[li, ri]})
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.95,
+                             n_planes: int = 0,
+                             n_blocks: int = 8) -> DataFrame:
+    """All pairs with cosine >= threshold.
+
+    Fully distributed — no vector ever travels to the driver:
+
+    * n_planes == 0 (exact): block-pair decomposition. Each row hashes into
+      one of n_blocks blocks; every unordered block pair (bi <= bj) becomes
+      one applyInPandas group holding just those two blocks, which run a
+      chunked BLAS dgemm against each other (diagonal groups do the upper
+      triangle). Work is the inherent O(n^2/2) of exact all-pairs but split
+      into n_blocks*(n_blocks+1)/2 independent tasks whose memory is
+      2n/n_blocks vectors — raise n_blocks as the corpus grows. Shuffle
+      volume: each row is replicated n_blocks times (once per partner
+      block), keyed well enough for AQE to balance.
+    * n_planes > 0 (LSH, the 100 TB path): candidates = same hyperplane
+      bucket (similarity.hyperplane_bucket); one shuffle on the bucket key,
+      per-bucket BLAS in the same kernel. Standard recall/cost trade.
+
+    Replaces the round-1 design that collect()ed every vector to the driver
+    (reference capability: index/embedding_index.py:268-297)."""
+    import numpy as np
+
     from .similarity import hyperplane_bucket
 
-    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+
     if n_planes > 0:
-        df = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), n_planes))
-        sel = df.select(F.col(id_col), F.col(vec_col), F.col("__bkt"))
-        df = df.repartition(F.col("__bkt"))
-    else:
-        sel = df.select(F.col(id_col), F.col(vec_col))
-    rows = sel.collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bkts = np.array([r[2] for r in rows], dtype=np.int64) if n_planes > 0 else None
-    bc = spark.sparkContext.broadcast((ids, mat, norms, bkts))
+        bucketed = base.withColumn("__bkt", hyperplane_bucket(F.col("__vec"), n_planes))
 
-    out_schema = T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
-    ])
+        def bucket_kernel(pdf):
+            import numpy as np
+            import pandas as pd
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+            outs = list(_emit_pairs(ids, mat, ids, mat, threshold, True))
+            return pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos": []})
 
-    def op(batches):
-        r_ids, r_mat, r_norms, r_bkts = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            groups = pdf.groupby("__bkt") if r_bkts is not None else [(None, pdf)]
-            for bkt, g in groups:
-                if r_bkts is not None:
-                    mask = r_bkts == bkt  # candidates: same LSH bucket only
-                    c_ids, c_mat, c_norms = r_ids[mask], r_mat[mask], r_norms[mask]
-                else:
-                    c_ids, c_mat, c_norms = r_ids, r_mat, r_norms
-                if len(c_ids) == 0:
-                    continue
-                l_ids = g[id_col].to_numpy(dtype=np.int64)
-                l_mat = np.array(list(g[vec_col]), dtype=np.float64)
-                l_norms = np.sqrt((l_mat * l_mat).sum(axis=1))
-                cos = (l_mat @ c_mat.T) / np.outer(l_norms, c_norms)
-                cos = np.round(cos, 6)
-                li, ri = np.nonzero((cos >= threshold) & (l_ids[:, None] < c_ids[None, :]))
-                yield pd.DataFrame({
-                    "id_a": l_ids[li], "id_b": c_ids[ri], "cos": cos[li, ri],
-                })
+        return bucketed.groupBy("__bkt").applyInPandas(bucket_kernel, _PAIR_SCHEMA)
 
-    cols = [F.col(id_col), F.col(vec_col)] + ([F.col("__bkt")] if n_planes > 0 else [])
-    return df.select(*cols).mapInPandas(op, out_schema)
+    # exact: replicate each row to every (own-block, partner-block) pair key
+    blk = F.pmod(F.xxhash64(F.col("__id").cast("string")), F.lit(n_blocks)).cast("int")
+    tagged = base.withColumn("__blk", blk)
+    pair_keys = F.array_distinct(F.array(*[
+        F.struct(F.least(F.col("__blk"), F.lit(o)).alias("bi"),
+                 F.greatest(F.col("__blk"), F.lit(o)).alias("bj"))
+        for o in range(n_blocks)
+    ]))
+    rep = tagged.withColumn("__pk", F.explode(pair_keys)).select(
+        "__id", "__vec", "__blk",
+        F.col("__pk.bi").alias("__bi"), F.col("__pk.bj").alias("__bj"))
+
+    def block_pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+        bi, bj = int(pdf["__bi"].iloc[0]), int(pdf["__bj"].iloc[0])
+        if bi == bj:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+            outs = list(_emit_pairs(ids, mat, ids, mat, threshold, True))
+        else:
+            a = pdf[pdf["__blk"] == bi]
+            b = pdf[pdf["__blk"] == bj]
+            if len(a) == 0 or len(b) == 0:
+                outs = []
+            else:
+                outs = list(_emit_pairs(
+                    a["__id"].to_numpy(dtype=np.int64),
+                    np.array(list(a["__vec"]), dtype=np.float64),
+                    b["__id"].to_numpy(dtype=np.int64),
+                    np.array(list(b["__vec"]), dtype=np.float64),
+                    threshold, False))
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos": []})
+
+    return rep.groupBy("__bi", "__bj").applyInPandas(block_pair_kernel, _PAIR_SCHEMA)

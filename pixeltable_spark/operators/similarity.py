@@ -113,7 +113,17 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              vec_col: str = "embedding", left_id: str = "vec_id",
              right_id: str = "vec_id", n_planes: int = 0) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
-    n_planes>0 restricts candidates to shared LSH buckets (scale path)."""
+
+    n_planes>0 restricts candidates to shared LSH buckets — the
+    table-vs-table scale path (one equi-join shuffle on the bucket key).
+
+    n_planes==0 is exact and requires a BROADCASTABLE left (probe) side:
+    the big right side never shuffles — left is broadcast into a
+    nested-loop join, each right partition scores its rows, and a
+    partition-local pandas top-k reduces the stream to k rows per (lid,
+    batch) BEFORE the only shuffle (the final per-lid ranking window). A
+    table-vs-table exact kNN would be a cartesian product; use n_planes>0
+    for that shape."""
     from pyspark.sql import Window as W
 
     l = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
@@ -122,9 +132,31 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         l = l.withColumn("bkt", hyperplane_bucket(F.col("lv"), n_planes))
         r = r.withColumn("bkt", hyperplane_bucket(F.col("rv"), n_planes))
         joined = l.join(r, "bkt")
+        scored = joined.withColumn(
+            "cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
     else:
-        joined = l.crossJoin(r)
-    scored = joined.withColumn("cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
+        # broadcast the probes; BroadcastNestedLoopJoin keeps `right`
+        # partition-local (no shuffle of the big side)
+        joined = r.crossJoin(F.broadcast(l))
+        scored = joined.withColumn(
+            "cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
+        # partial top-k per Arrow batch: the window below then ranks at most
+        # k * n_batches rows per lid instead of |right| rows per lid
+        out_schema = T.StructType([
+            T.StructField("lid", scored.schema["lid"].dataType),
+            T.StructField("rid", scored.schema["rid"].dataType),
+            T.StructField("cos", T.DoubleType()),
+        ])
+
+        def partial_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(["cos", "rid"], ascending=[False, True])
+                yield pdf.groupby("lid", sort=False).head(k)[["lid", "rid", "cos"]]
+
+        scored = scored.select("lid", "rid", "cos").mapInPandas(
+            partial_topk, out_schema)
     w = W.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -110,6 +110,52 @@ class TestMinHashDefaults:
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+class TestDistributedNearDup:
+    @pytest.fixture()
+    def vecs(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(12, 8))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+            rows.append((100 + i, [float(x * 1.001 + 0.0005) for x in v]))  # near-dups
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _pairs(self, df, **kw):
+        from pixeltable_spark.operators.dedup import embedding_near_dup_pairs
+        return {(r["id_a"], r["id_b"], r["cos"])
+                for r in embedding_near_dup_pairs(df, threshold=0.99, **kw).collect()}
+
+    def test_exact_invariant_to_block_count(self, vecs):
+        p1 = self._pairs(vecs, n_blocks=1)
+        p3 = self._pairs(vecs, n_blocks=3)
+        p8 = self._pairs(vecs, n_blocks=8)
+        assert p1 == p3 == p8 and len(p1) >= 12
+
+    def test_lsh_path_is_subset_of_exact(self, vecs):
+        exact = self._pairs(vecs)
+        lsh = self._pairs(vecs, n_planes=4)
+        assert lsh <= exact
+        assert len(lsh) >= len(exact) // 2  # near-identical vectors co-bucket
+
+    def test_knn_exact_matches_numpy(self, spark, vecs):
+        import numpy as np
+        from pixeltable_spark.operators.similarity import knn_join
+        probes = vecs.limit(3)
+        got = {(r["lid"], r["rk"]): r["rid"]
+               for r in knn_join(probes, vecs, k=4).collect()}
+        rows = sorted((r["vec_id"], r["embedding"]) for r in vecs.collect())
+        ids = np.array([r[0] for r in rows])
+        mat = np.array([r[1] for r in rows])
+        nrm = np.linalg.norm(mat, axis=1)
+        for pid, pvec in sorted((r["vec_id"], r["embedding"]) for r in probes.collect()):
+            cos = np.round(mat @ np.array(pvec) / (nrm * np.linalg.norm(pvec)), 6)
+            order = sorted(zip(-cos, ids))  # cos desc, id asc — same tiebreak
+            for rk in range(1, 5):
+                assert got[(pid, rk)] == order[rk - 1][1]
+
+
 class TestNanosConversion:
     def test_integer_division_exact(self, spark):
         # a ns value whose float64 division is off by >= 1 us
