@@ -556,30 +556,78 @@ class Table:
         self.version = new_version
         self._log("update", rows=n)
         self._save_meta()
-        self._propagate_refresh()
+        self._propagate_changes()
         return n
 
-    def batch_update(self, rows: list[dict]) -> int:
-        """Per-row updates matched by primary key
-        (reference catalog/table.py:978, plan.py:619)."""
-        from .exprs import ColumnRef
-
+    def batch_update(self, rows: list[dict], cascade: bool = True) -> int:
+        """Batched per-row updates matched by primary key — ONE plan for the
+        whole batch: a keys DataFrame joined against the store, one version
+        bump, one rewrite (reference catalog/table.py:978, plan.py:619,
+        exec/row_update_node.py; the MERGE shape). Rows may update different
+        column subsets; unmentioned columns keep their values."""
         if not self.primary_key:
             raise ValueError("batch_update requires a primary key")
-        n_total = 0
+        if not rows:
+            return 0
+        upd_cols: list[str] = []
+        seen_keys = set()
         for row in rows:
-            pred = None
-            spec = {}
-            for k, v in row.items():
+            for pk in self.primary_key:
+                if pk not in row:
+                    raise ValueError("batch_update rows must include primary key values")
+            key = tuple(row[pk] for pk in self.primary_key)
+            if key in seen_keys:
+                raise ValueError(f"duplicate primary key in batch: {key!r}")
+            seen_keys.add(key)
+            for k in row:
                 if k in self.primary_key:
-                    p = ColumnRef(k, self.schema[k]) == v
-                    pred = p if pred is None else (pred & p)
-                else:
-                    spec[k] = v
-            if pred is None:
-                raise ValueError("batch_update rows must include primary key values")
-            n_total += self.update(spec, where=pred)
-        return n_total
+                    continue
+                if k not in self.schema:
+                    raise ValueError(f"unknown or non-updatable column {k!r}")
+                if k not in upd_cols:
+                    upd_cols.append(k)
+
+        fields = [T.StructField(pk, self.schema[pk].spark_type(), False)
+                  for pk in self.primary_key]
+        for c in upd_cols:
+            fields.append(T.StructField(f"__upd_{c}", self.schema[c].spark_type(), True))
+            fields.append(T.StructField(f"__has_{c}", T.BooleanType(), False))
+        fields.append(T.StructField("__matched", T.BooleanType(), False))
+        data = [
+            tuple([row[pk] for pk in self.primary_key]
+                  + [x for c in upd_cols for x in (row.get(c), c in row)]
+                  + [True])
+            for row in rows
+        ]
+        upd_df = self.catalog.spark.createDataFrame(data, T.StructType(fields))
+
+        new_version = self.version + 1
+        store = self._store_df()
+        joined = store.join(F.broadcast(upd_df), on=self.primary_key, how="left")
+        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        matched = live & F.coalesce(F.col("__matched"), F.lit(False))
+        helper_cols = ["__matched"] + [x for c in upd_cols
+                                       for x in (f"__upd_{c}", f"__has_{c}")]
+        n = joined.filter(matched).count()
+        expired = joined.withColumn(
+            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
+        ).drop(*helper_cols)
+        updated = joined.filter(matched)
+        for c in upd_cols:
+            updated = updated.withColumn(
+                c, F.when(F.col(f"__has_{c}"), F.col(f"__upd_{c}"))
+                    .otherwise(F.col(c)).cast(self.schema[c].spark_type()))
+        updated = (updated.drop(*helper_cols)
+                   .withColumn(_VMIN, F.lit(new_version))
+                   .withColumn(_VMAX, F.lit(MAXV)))
+        if cascade:
+            updated = self._eval_computed(updated, list(self.computed.values()))
+        self._rewrite(expired.unionByName(updated))
+        self.version = new_version
+        self._log("batch_update", rows=n)
+        self._save_meta()
+        self._propagate_changes()
+        return n
 
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
@@ -596,7 +644,7 @@ class Table:
         self.version = new_version
         self._log("delete", rows=n)
         self._save_meta()
-        self._propagate_refresh()
+        self._propagate_changes()
         return n
 
     def recompute_columns(self, cols: Sequence[str],
@@ -618,7 +666,7 @@ class Table:
         self.version = new_version
         self._log("recompute", rows=n, columns=list(cols))
         self._save_meta()
-        self._propagate_refresh()
+        self._propagate_changes()
         return n
 
     def revert(self) -> None:
@@ -658,6 +706,20 @@ class Table:
     def _propagate_refresh(self) -> None:
         for v in self._views:
             v._full_refresh()
+
+    def _propagate_changes(self) -> None:
+        """Incremental update/delete propagation: dependent views expire and
+        recompute ONLY the rows whose base `_rowid` changed at the current
+        version (reference plan.py:717-760 create_view_update_plan), instead
+        of a full re-materialization."""
+        if not self._views:
+            return
+        v = self.version
+        affected = (self._store_df()
+                    .filter((F.col(_VMIN) == v) | (F.col(_VMAX) == v))
+                    .select(_ROWID).distinct())
+        for view in self._views:
+            view._apply_base_update(affected)
 
 
 class View(Table):
@@ -777,6 +839,34 @@ class View(Table):
         self.version += 1
         self._save_view_meta()
         self._propagate_insert()
+
+    def _apply_base_update(self, affected_rowids: DataFrame) -> None:
+        """Incremental update/delete propagation: expire live view rows for
+        the affected base ``_rowid``s, re-run the view plan over ONLY those
+        base rows (as they now stand), append the results — unaffected rows
+        are never rescanned by the plan (reference plan.py:717-760
+        create_view_update_plan)."""
+        spark = self.catalog.spark
+        new_v = self.version + 1
+        raw = spark.read.parquet(self._data_dir)
+        aff = affected_rowids.withColumn("__aff", F.lit(True))
+        live = (F.col(_VVMIN) <= self.version) & (F.col(_VVMAX) > self.version)
+        marked = raw.join(aff, on=_ROWID, how="left")
+        expired = marked.withColumn(
+            _VVMAX,
+            F.when(live & F.coalesce(F.col("__aff"), F.lit(False)), F.lit(new_v))
+             .otherwise(F.col(_VVMAX))).drop("__aff")
+        # deleted base rows simply produce no replacement view rows
+        base_rows = self.base.df().join(affected_rowids, on=_ROWID, how="left_semi")
+        out = (self._view_plan(base_rows)
+               .withColumn(_VVMIN, F.lit(new_v))
+               .withColumn(_VVMAX, F.lit(MAXV)))
+        self._rewrite(expired.unionByName(out))
+        self._loaded_base_version = self.base.version
+        self.version = new_v
+        self._save_view_meta()
+        for child in self._views:
+            child._apply_base_update(affected_rowids)
 
     # views read their own materialized storage
     def df(self, version: Optional[int] = None) -> DataFrame:

@@ -73,6 +73,69 @@ class TestViewVersioning:
             v.df(version=old)
 
 
+class TestBatchUpdateSinglePass:
+    def test_one_rewrite_per_batch(self, cat, monkeypatch):
+        t = cat.create_table("bu", {"k": pxt.Int(False), "v": pxt.Float(True),
+                                    "s": pxt.String(True)}, primary_key=["k"])
+        t.insert([{"k": i, "v": float(i), "s": f"s{i}"} for i in range(10)])
+        calls = []
+        orig = type(t)._rewrite
+        monkeypatch.setattr(type(t), "_rewrite",
+                            lambda self, df: calls.append(1) or orig(self, df))
+        n = t.batch_update([{"k": 1, "v": 100.0},
+                            {"k": 3, "s": "updated"},          # different col set
+                            {"k": 5, "v": 500.0, "s": "both"},
+                            {"k": 99, "v": 1.0}])              # no such key
+        assert len(calls) == 1, "batch_update must rewrite once, not per row"
+        assert n == 3
+        rows = {r["k"]: r for r in t.collect()}
+        assert rows[1]["v"] == 100.0 and rows[1]["s"] == "s1"
+        assert rows[3]["s"] == "updated" and rows[3]["v"] == 3.0
+        assert rows[5]["v"] == 500.0 and rows[5]["s"] == "both"
+        assert t.version == 2  # one version bump for the whole batch
+        assert 99 not in rows
+
+    def test_duplicate_pk_rejected(self, cat):
+        t = cat.create_table("bu2", {"k": pxt.Int(False), "v": pxt.Float(True)},
+                             primary_key=["k"])
+        t.insert([{"k": 1, "v": 1.0}])
+        with pytest.raises(ValueError, match="duplicate"):
+            t.batch_update([{"k": 1, "v": 2.0}, {"k": 1, "v": 3.0}])
+
+
+class TestIncrementalUpdatePropagation:
+    def test_update_only_recomputes_affected_view_rows(self, cat):
+        t = cat.create_table("ib", {"k": pxt.Int(False), "v": pxt.Float(True)},
+                             primary_key=["k"])
+        t.insert([{"k": i, "v": float(i)} for i in range(6)])
+        view = cat.create_view(
+            "iv", t, predicate=ColumnRef("k", t.schema["k"]) < 4)
+        assert view.count() == 4
+        v0 = view.version
+        t.update({"v": 99.0}, where=ColumnRef("k", t.schema["k"]) == 2)
+        rows = {r["k"]: r["v"] for r in view.collect()}
+        assert rows == {0: 0.0, 1: 1.0, 2: 99.0, 3: 3.0}
+        # unaffected view rows were NOT re-materialized: their _vv_min
+        # still predates the update increment
+        spark = cat.spark
+        raw = spark.read.parquet(view._data_dir)
+        live = {r["k"]: r["_vv_min"] for r in raw.filter(
+            (F.col("_vv_min") <= view.version) & (F.col("_vv_max") > view.version)).collect()}
+        assert live[2] == view.version  # recomputed
+        assert all(live[k] <= v0 for k in (0, 1, 3))  # untouched
+        # and history below the update is still reconstructible (no refresh)
+        assert view.df(version=v0).count() == 4
+
+    def test_delete_propagates_incrementally(self, cat):
+        t = cat.create_table("ib2", {"k": pxt.Int(False)}, primary_key=["k"])
+        t.insert([{"k": i} for i in range(5)])
+        view = cat.create_view("iv2", t)
+        v0 = view.version
+        t.delete(where=ColumnRef("k", t.schema["k"]) >= 3)
+        assert view.count() == 3
+        assert view.df(version=v0).count() == 5  # frozen history intact
+
+
 class TestSampleFractionOne:
     def test_threshold_is_16_hex(self):
         assert len(SampleClause.fraction_to_md5_hex(1.0)) == 16
