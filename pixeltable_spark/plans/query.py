@@ -29,6 +29,7 @@ from typing import Any, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..exprs import (
     AliasedExpr,
@@ -568,8 +569,21 @@ class Planner:
 
         if pkeys:
             out = tmp.groupBy(*[F.col(k) for k in pkeys]).applyInPandas(fn, schema)
+        elif okeys and hasattr(cls, "merge"):
+            out = _global_running_uda_two_pass(
+                tmp, cls, kwargs, okeys, akeys, out_name,
+                fc.col_type.spark_type())
         else:
-            out = tmp.groupBy(F.lit(1)).applyInPandas(fn, schema)
+            # un-partitioned, un-mergeable (or orderless) running UDA:
+            # inherently sequential — the whole input becomes one pandas
+            # group. Give the UDA class a merge(other) method to get the
+            # distributed two-pass plan instead.
+            one = tmp.withColumn("__one", F.lit(1))
+
+            def fn_global(pdf: pd.DataFrame) -> pd.DataFrame:
+                return fn(pdf.drop(columns="__one"))
+
+            out = one.groupBy("__one").applyInPandas(fn_global, schema)
         return out.drop(*pkeys, *okeys, *akeys)
 
     def _apply_sample(self, df: DataFrame, sc: SampleClause, ctx: CompileCtx) -> DataFrame:
@@ -634,6 +648,90 @@ class Planner:
             .filter(F.col("__rn") <= F.col("__q"))
             .drop("__rn", "__q")
         )
+
+
+def _global_running_uda_two_pass(tmp: DataFrame, cls: type, kwargs: dict,
+                                 okeys: list[str], akeys: list[str],
+                                 out_name: str, out_type: T.DataType) -> DataFrame:
+    """Distributed un-partitioned running UDA (frame = unbounded preceding
+    .. current row over the WHOLE table) for aggregators that implement
+    merge(other) — the formulation SURVEY §7(b) calls out.
+
+    1. Global range-sort on the order keys (repartitionByRange +
+       sortWithinPartitions) — partition i holds keys <= partition i+1's.
+    2. Pass 1: each partition folds its rows into one aggregator state;
+       only the P pickled states (not rows) reach the driver.
+    3. The driver prefix-merges states so partition i gets the combined
+       state of partitions 0..i-1 (broadcast back, bytes per partition).
+    4. Pass 2: each partition re-runs the running aggregation seeded with
+       its prefix state and emits value() per row.
+
+    Cost: the sorted shuffle is computed twice (pass 1 and pass 2) — the
+    price of never holding more than one partition of rows in one Python
+    worker, vs the groupBy(lit(1)) plan that OOMs on a 100 TB table."""
+    import pandas as pd
+    from pyspark import cloudpickle as pickle  # classes defined anywhere
+
+    spark = tmp.sparkSession
+    sorted_df = (tmp.repartitionByRange(*[F.col(k) for k in okeys])
+                 .sortWithinPartitions(*okeys))
+    pid_df = sorted_df.withColumn("__pid", F.spark_partition_id())
+    init_kwargs = dict(kwargs or {})
+
+    state_schema = T.StructType([
+        T.StructField("__pid", T.IntegerType()),
+        T.StructField("state", T.BinaryType()),
+    ])
+
+    def pass1(batches):
+        agg, pid = cls(**init_kwargs), None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            for row in zip(*[pdf[c].tolist() for c in akeys]):
+                agg.update(*row)
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "state": [pickle.dumps(agg)]})
+
+    states = {r["__pid"]: r["state"]
+              for r in pid_df.select("__pid", *akeys)
+              .mapInPandas(pass1, state_schema).collect()}
+
+    prefixes: dict[int, bytes] = {}
+    acc = None
+    for pid in sorted(states):
+        if acc is not None:
+            prefixes[pid] = pickle.dumps(acc)
+        part = pickle.loads(states[pid])
+        if acc is None:
+            acc = part
+        else:
+            acc.merge(part)
+    bc = spark.sparkContext.broadcast(prefixes)
+
+    out_schema = T.StructType(
+        list(pid_df.schema.fields) + [T.StructField(out_name, out_type)]
+    )
+
+    def pass2(batches):
+        agg = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if agg is None:
+                pid = int(pdf["__pid"].iloc[0])
+                blob = bc.value.get(pid)
+                agg = pickle.loads(blob) if blob is not None else cls(**init_kwargs)
+            pdf = pdf.copy()
+            vals = []
+            for row in zip(*[pdf[c].tolist() for c in akeys]):
+                agg.update(*row)
+                vals.append(agg.value())
+            pdf[out_name] = vals
+            yield pdf
+
+    return pid_df.mapInPandas(pass2, out_schema).drop("__pid")
 
 
 def _as_df(q: "Query | TableRef") -> DataFrame:

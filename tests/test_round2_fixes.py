@@ -219,6 +219,53 @@ class TestDistributedNearDup:
                 assert got[(pid, rk)] == order[rk - 1][1]
 
 
+class TestGlobalWindowUdaTwoPass:
+    def test_mergeable_uda_runs_distributed(self, test_tbl, spark):
+        @pxt.uda
+        class running_total:
+            def __init__(self):
+                self.s = 0.0
+
+            def update(self, v):
+                if v is not None:
+                    self.s += v
+
+            def merge(self, other):
+                self.s += other.s
+
+            def value(self) -> float:
+                return self.s
+
+        t = test_tbl
+        q = t.select(t.c2, rt=running_total(t.c3, order_by=t.c2)).order_by(t.c2)
+        # physical plan must not be the single-group applyInPandas shape
+        plan = q.df()._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan
+        got = q.collect()
+        acc = 0.0
+        for r in got:
+            acc += float(r["c2"])
+            assert r["rt"] == pytest.approx(acc)
+
+    def test_unmergeable_uda_still_correct(self, test_tbl):
+        @pxt.uda
+        class running_count:
+            def __init__(self):
+                self.n = 0
+
+            def update(self, v):
+                self.n += 1
+
+            def value(self) -> int:
+                return self.n
+
+        t = test_tbl
+        got = (t.where(t.c2 < 10)
+               .select(t.c2, rc=running_count(t.c3, order_by=t.c2))
+               .order_by(t.c2).collect())
+        assert [r["rc"] for r in got] == list(range(1, 11))
+
+
 class TestNanosConversion:
     def test_integer_division_exact(self, spark):
         # a ns value whose float64 division is off by >= 1 us
