@@ -196,22 +196,35 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Pairs with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Candidates come from a self-equi-join on shingle (shuffle keyed by
     shingle — no cross join); |A∩B| = count of shared shingles; |A∪B| from
-    per-doc sizes. Returns id_a < id_b with jaccard rounded to 6 dp."""
+    per-doc sizes. Returns id_a < id_b with jaccard rounded to 6 dp.
+
+    max_df is the hot-key ceiling (standard prefix filtering): a shingle
+    occurring in k documents contributes k^2 rows to the self-join, so ONE
+    boilerplate line shared by 10^6 docs would explode to 10^12 rows. With
+    max_df set, shingles with document frequency > max_df are excluded from
+    the shingle universe — both intersection AND union — so the result is
+    the exact Jaccard over the restricted universe (discriminative
+    shingles), not an approximation with mismatched denominators. Set it at
+    scale; None preserves full-universe semantics."""
     ex = explode_shingles(df, text_col, id_col, n)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    if max_df is not None:
+        keep = dfreq.filter(F.col("df_") <= max_df).select("shingle")
+        ex = ex.join(keep, "shingle")
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # shingles that occur in only one document cannot produce a pair —
     # dropping them before the self-join shrinks the join input massively
     # (most shingles are unique) without changing the result
-    repeated = (
-        ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > 1).select("shingle")
-    )
-    ex2 = ex.join(repeated, "shingle")
+    repeated = dfreq.filter(F.col("df_") > 1)
+    if max_df is not None:
+        repeated = repeated.filter(F.col("df_") <= max_df)
+    ex2 = ex.join(repeated.select("shingle"), "shingle")
     a, b = ex2.alias("a"), ex2.alias("b")
     inter = (
         a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),

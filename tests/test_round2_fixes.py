@@ -219,6 +219,29 @@ class TestDistributedNearDup:
                 assert got[(pid, rk)] == order[rk - 1][1]
 
 
+class TestJaccardHotShingleCeiling:
+    def test_max_df_prunes_boilerplate_pairs(self, spark):
+        from pixeltable_spark.operators.dedup import ngram_jaccard_pairs
+        # 30 docs share ONE boilerplate shingle; everything else is unique.
+        rows = [(i, f"common header line u{i}a u{i}b u{i}c") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        full = ngram_jaccard_pairs(df, threshold=0.05)
+        assert full.count() == 435  # C(30,2): every pair rides the hot shingle
+        pruned = ngram_jaccard_pairs(df, threshold=0.05, max_df=5)
+        # the df=30 shingle is excluded from the universe -> no candidates:
+        # the self-join input is bounded by max_df^2 per shingle
+        assert pruned.count() == 0
+
+    def test_max_df_keeps_real_dups_exact(self, spark):
+        from pixeltable_spark.operators.dedup import ngram_jaccard_pairs
+        rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+                (3, "totally different content here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=10).collect()}
+        assert got == {(1, 2): 1.0}
+
+
 class TestGlobalWindowUdaTwoPass:
     def test_mergeable_uda_runs_distributed(self, test_tbl, spark):
         @pxt.uda
