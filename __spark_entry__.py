@@ -741,6 +741,24 @@ def q51_bbox_ops(spark, sf_dir):
     )
 
 
+def q53_json_mapper_typed(spark, sf_dir):
+    """JVM-side JsonMapper: a typed `>>` mapper compiles to
+    transform(from_json(...), x -> ...) — no pandas UDF in the plan
+    (reference exprs/json_mapper.py:20-60 MAP semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    j = (d.df().where(F.size(words) >= 4)
+         .select("doc_id", F.to_json(F.slice(words, 1, 4)).alias("toks")))
+    t = pxt.TableRef.from_df(j, "doc_toks", rowid_cols=["doc_id"],
+                             json_cols=["toks"])
+    mapped = t.toks >> pxt.R.astype(pxt.String()).len()
+    return (
+        t.select(t.doc_id, l0=mapped[0], l1=mapped[1], l2=mapped[2], l3=mapped[3])
+        .order_by(t.doc_id)
+        .df()
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -798,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_llm_chat": q50_llm_chat,
         "q51_bbox_ops": q51_bbox_ops,
         "q52_sample_stratified_n": q52_sample_stratified_n,
+        "q53_json_mapper_typed": q53_json_mapper_typed,
     }
 
 
@@ -1306,4 +1325,13 @@ SELECT doc_id,
             ELSE 'L' END AS mode,
        octet_length(encode(text)) AS n_bytes
 FROM documents ORDER BY doc_id""",
+        "q53_json_mapper_typed": r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+SELECT doc_id,
+       CAST(length(words[1]) AS BIGINT) AS l0,
+       CAST(length(words[2]) AS BIGINT) AS l1,
+       CAST(length(words[3]) AS BIGINT) AS l2,
+       CAST(length(words[4]) AS BIGINT) AS l3
+FROM w WHERE len(words) >= 4 ORDER BY doc_id""",
     }

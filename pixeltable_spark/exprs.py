@@ -648,7 +648,9 @@ class RelativePath(Expr):
         super().__init__(ColumnType.json())
 
     def to_column(self, ctx: CompileCtx) -> Optional[Column]:
-        return None  # mapper subtrees always evaluate on the Python path
+        # bound only inside a JsonMapperExpr transform() lambda — there the
+        # ctx carries the lambda variable (element JSON text)
+        return getattr(ctx, "r_col", None)
 
     def eval_py(self, row: dict) -> Any:
         return row["__R__"]
@@ -663,13 +665,44 @@ R = RelativePath()
 class JsonMapperExpr(Expr):
     """``target >> mapper``: per-element map over a JSON list, with R bound
     to each element (reference exprs/json_mapper.py:20-60,
-    JsonMapperDispatch). Compiled via the Arrow-batched Python path."""
+    JsonMapperDispatch).
+
+    Compilation: when the mapper subtree has a concrete (non-JSON) result
+    type AND compiles to a Column, the whole mapper stays JVM-side as
+    ``transform(from_json(target, 'array<string>'), x -> mapper(x))`` —
+    from_json with string elements yields each element's raw JSON text, so
+    R-paths compile to get_json_object(x, ...). The result is then a real
+    typed array column (array<mapper type>), not a JSON string. Untyped
+    (JSON-result) mappers keep the Arrow-batched Python path with Python
+    number/object semantics (reference forces json-operand arithmetic to
+    Python too)."""
 
     def __init__(self, target: Expr, mapper: Expr):
-        super().__init__(ColumnType.json(), [target, mapper])
+        out_t = (ColumnType.json() if mapper.col_type.is_json
+                 else ArrayType(mapper.col_type, None, True))
+        super().__init__(out_t, [target, mapper])
 
     def to_column(self, ctx: CompileCtx) -> Optional[Column]:
-        return None
+        if self.col_type.is_json:
+            return None  # untyped mapper: Python semantics
+        tgt = self.components[0].to_column(ctx)
+        if tgt is None:
+            return None
+        mapper = self.components[1]
+
+        def bound_ctx(x: Column) -> CompileCtx:
+            sub = CompileCtx(ctx._resolve)
+            sub.r_col = x  # type: ignore[attr-defined]
+            return sub
+
+        # probe-compile before committing to transform(): the lambda passed
+        # to F.transform must return a Column
+        if mapper.to_column(bound_ctx(F.lit(""))) is None:
+            return None
+        return F.transform(
+            F.from_json(tgt.cast(T.StringType()), "array<string>"),
+            lambda x: mapper.to_column(bound_ctx(x)),
+        )
 
     def eval_py(self, row: dict) -> Any:
         v = self.components[0].eval_py(row)

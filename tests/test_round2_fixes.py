@@ -289,6 +289,36 @@ class TestGlobalWindowUdaTwoPass:
         assert [r["rc"] for r in got] == list(range(1, 11))
 
 
+class TestJvmJsonMapper:
+    def test_typed_mapper_has_no_pandas_udf(self, test_tbl):
+        t = test_tbl
+        mapped = t.c7 >> pxt.R.astype(pxt.String()).len()
+        q = t.where(t.c2 < 5).select(t.c2, m0=mapped[0]).order_by(t.c2)
+        plan = q.df()._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        got = q.collect()
+        # c7 = [{"f1": "a", "f2": 1}, ...]: element text is the object JSON;
+        # astype(str).len() = length of that JSON text — check type is long
+        assert all(isinstance(r["m0"], int) for r in got)
+
+    def test_typed_numeric_mapper_values(self, spark):
+        df = spark.createDataFrame([(1, '[10, 20, 30]'), (2, '[5]'), (3, None)],
+                                   "k long, j string")
+        t = pxt.TableRef.from_df(df, "jm", rowid_cols=["k"], json_cols=["j"])
+        mapped = t.j >> (pxt.R.astype(pxt.Float()) * 2)
+        q = t.select(t.k, first=mapped[0]).order_by(t.k)
+        plan = q.df()._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        got = {r["k"]: r["first"] for r in q.collect()}
+        assert got == {1: 20.0, 2: 10.0, 3: None}
+
+    def test_untyped_mapper_keeps_python_semantics(self, test_tbl):
+        import json
+        t = test_tbl
+        got = (t.where(t.c2 == 1).select(m=t.c7 >> (pxt.R.f2 * 10)).collect())
+        assert json.loads(got[0]["m"]) == [10, 20]  # ints, Python arithmetic
+
+
 class TestNanosConversion:
     def test_integer_division_exact(self, spark):
         # a ns value whose float64 division is off by >= 1 us
