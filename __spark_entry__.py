@@ -759,6 +759,35 @@ def q53_json_mapper_typed(spark, sf_dir):
     )
 
 
+def q54_provider_embeddings(spark, sf_dir):
+    """Provider-module surface (functions/openai.py embeddings — reference
+    functions/openai.py:862) through the async-UDF runtime: per-row
+    embedding as a select item, reduced to scalars for comparison."""
+    from pixeltable_spark.functions import openai as oai
+    t = _t(spark, sf_dir, "documents")
+    e = oai.embeddings(t.text, model="oracle-emb")
+    return (
+        t.select(t.doc_id,
+                 e0=pxtf.math.round(e[0], 6),
+                 e7=pxtf.math.round(e[7], 6))
+        .order_by(t.doc_id)
+        .df()
+    )
+
+
+def q55_doc_sections(spark, sf_dir):
+    """Separator-aware document splitter (paragraph + sentence boundaries)
+    — reference functions/document.py document_splitter separators option;
+    capture-group regex form is RE2-compatible so DuckDB replicates it."""
+    from pixeltable_spark.functions.document import document_splitter_v2
+    df = _df(spark, sf_dir, "documents")
+    out = document_splitter_v2(df, separators="paragraph,sentence")
+    return (out.select("doc_id", "pos",
+                       F.length("text").alias("n_chars"),
+                       F.substring("text", 1, 20).alias("head20"))
+            .orderBy("doc_id", "pos"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -817,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_bbox_ops": q51_bbox_ops,
         "q52_sample_stratified_n": q52_sample_stratified_n,
         "q53_json_mapper_typed": q53_json_mapper_typed,
+        "q54_provider_embeddings": q54_provider_embeddings,
+        "q55_doc_sections": q55_doc_sections,
     }
 
 
@@ -1334,4 +1365,32 @@ SELECT doc_id,
        CAST(length(words[3]) AS BIGINT) AS l2,
        CAST(length(words[4]) AS BIGINT) AS l3
 FROM w WHERE len(words) >= 4 ORDER BY doc_id""",
+        "q54_provider_embeddings": f"""
+WITH b AS (
+  SELECT doc_id,
+         {', '.join(f"({_hexbyte_sql(chr(39) + 'oracle-emb|' + chr(39) + ' || text', 2 * i + 1)} - 127.5) / 127.5 AS r{i}" for i in range(16))}
+  FROM documents),
+n AS (SELECT doc_id, sqrt({' + '.join(f'r{i}*r{i}' for i in range(16))}) AS nm,
+             r0, r7 FROM b)
+SELECT doc_id, round(r0 / nm, 6) AS e0, round(r7 / nm, 6) AS e7
+FROM n ORDER BY doc_id""",
+        "q55_doc_sections": r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(text, '\n\s*\n', chr(1), 'g'),
+             '([.!?])\s+', '\1' || chr(1), 'g'),
+           chr(1)) AS parts
+  FROM documents),
+u AS (
+  SELECT doc_id, trim(part) AS part, ord
+  FROM (SELECT doc_id, unnest(parts) AS part,
+               unnest(range(1, len(parts) + 1)) AS ord FROM s)
+  WHERE length(trim(part)) > 0)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS pos,
+       CAST(length(part) AS BIGINT) AS n_chars,
+       substr(part, 1, 20) AS head20
+FROM u ORDER BY doc_id, pos""",
     }

@@ -860,6 +860,15 @@ class FunctionCall(Expr):
         return col
 
     def eval_py(self, row: dict) -> Any:
+        if getattr(self.fn, "is_async", False):
+            # async calls are batch-evaluated ahead of the per-row pass
+            # (compile_via_pandas_udf) and their results stashed in the row
+            vals = row.get("__async_vals__")
+            if vals is None or id(self) not in vals:
+                raise NotImplementedError(
+                    f"async UDF {self.fn.name!r} evaluates on the batched "
+                    "async runtime; it cannot be called row-at-a-time")
+            return vals[id(self)]
         if self.fn.py_fn is None:
             raise NotImplementedError(f"{self.fn.name} has no Python fallback")
         args = [c.eval_py(row) for c in self.components]
@@ -887,6 +896,11 @@ def compile_via_pandas_udf(expr: Expr, ctx: CompileCtx) -> Column:
     (reference exec/expr_eval/expr_eval_node.py:25-60), but vectorized:
     one Arrow batch in, one out — never row-at-a-time over the wire.
     """
+    async_nodes = _find_async_nodes(expr)
+    for n in async_nodes:
+        # resolved driver-side; id()s don't survive pickling, attributes do
+        n._resolved_rate = _async_rate(n.fn)
+
     refs = expr.column_refs()
     names = [r.name for r in refs]
     ret_spark = expr.col_type.spark_type()
@@ -894,9 +908,32 @@ def compile_via_pandas_udf(expr: Expr, ctx: CompileCtx) -> Column:
 
     def batch_eval(*series: pd.Series) -> pd.Series:
         n = len(series[0]) if series else 0
+        rows = [
+            {nm: _from_pandas(series[j].iloc[i]) for j, nm in enumerate(names)}
+            for i in range(n)
+        ]
+        # phase 1: each async subtree evaluates as ONE bounded-concurrency
+        # gather over the whole Arrow batch (worker-shared rate limiter,
+        # retries) — the reference's resource-pool scheduler shape
+        # (reference exec/expr_eval/schedulers.py:25-417). Inner-to-outer
+        # order lets chained provider calls feed each other.
+        if async_nodes:
+            from .functions.llm import run_async_batch
+            for node in async_nodes:
+                afn = node.fn.async_fn  # type: ignore[attr-defined]
+                kw = dict(node.kwargs)
+                argsets = [[c.eval_py(row) for c in node.components]
+                           for row in rows]
+                results = run_async_batch(
+                    [(lambda a=a: afn(*a, **kw)) for a in argsets],
+                    pool=node.fn.name, rate=node._resolved_rate,
+                    concurrency=getattr(node.fn, "concurrency", 16))
+                for row, r in zip(rows, results):
+                    if isinstance(r, Exception):
+                        raise r
+                    row.setdefault("__async_vals__", {})[id(node)] = r
         out = []
-        for i in range(n):
-            row = {nm: _from_pandas(series[j].iloc[i]) for j, nm in enumerate(names)}
+        for row in rows:
             v = expr.eval_py(row)
             if is_json_ret and v is not None and not isinstance(v, str):
                 # JSON travels as a string column: serialize structured
@@ -908,6 +945,34 @@ def compile_via_pandas_udf(expr: Expr, ctx: CompileCtx) -> Column:
     udf = F.pandas_udf(batch_eval, returnType=ret_spark)
     cols = [r.to_column(ctx) for r in refs]
     return udf(*cols)
+
+
+def _find_async_nodes(expr: Expr) -> list["FunctionCall"]:
+    """Async FunctionCall subtrees in post-order (inner before outer)."""
+    out: list[FunctionCall] = []
+
+    def walk(e: Expr) -> None:
+        for c in e.components:
+            walk(c)
+        if isinstance(e, FunctionCall) and getattr(e.fn, "is_async", False):
+            out.append(e)
+
+    walk(expr)
+    return out
+
+
+def _async_rate(fn: "Function") -> float:
+    """Per-executor share of the function's global request budget,
+    resolved driver-side at compile time."""
+    rpm = getattr(fn, "requests_per_minute", 600.0)
+    try:
+        from pyspark.sql import SparkSession
+        conf = dict(SparkSession.getActiveSession()
+                    .sparkContext.getConf().getAll())
+        n_exec = int(conf.get("spark.executor.instances", "1") or 1)
+    except Exception:  # noqa: BLE001
+        n_exec = 1
+    return max(1.0, rpm / max(1, n_exec))
 
 
 def _from_pandas(v: Any) -> Any:

@@ -44,6 +44,128 @@ def document_splitter(df: DataFrame, chunk_tokens: int = 50, overlap: int = 10,
     )
 
 
+_SENT = "\x01"  # sentinel inserted at structural boundaries before split
+
+_VALID_SEPARATORS = {"heading", "paragraph", "sentence", "token_limit",
+                     "char_limit", "page"}
+
+
+def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
+                         limit: int = 300, overlap: int = 0,
+                         metadata: str = "",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Separator-aware chunking (reference functions/document.py
+    document_splitter + iterators/document.py:10): the document is chunked
+    by the requested `separators` — structural ones first (`heading` on
+    markdown heading lines, `paragraph` on blank lines, `sentence` after
+    .!? + whitespace), then `token_limit`/`char_limit` subdivide each
+    section into windows of at most `limit` tokens/chars with `overlap`.
+
+    `metadata` may request `title` (first heading of the doc) and
+    `heading` (the currently-open heading hierarchy h1..h6 as JSON — the
+    reference's Heading TypedDict shape).
+
+    Spark-first: boundaries are INSERTED as sentinel chars by
+    regexp_replace (capture-group form — no lookbehind, so the same regex
+    runs on any RE2-based oracle engine), then one split+posexplode; the
+    heading hierarchy is a running last-non-null window per level, and the
+    chunk ordinal a row_number — everything stays in codegen, chunking
+    100 TB needs no Python and no shuffle except the metadata windows.
+
+    `page` requires PDF parsing (no PDF library in this container).
+
+    Output: id, pos, text [, title, heading].
+    """
+    from pyspark.sql import Window as W
+
+    seps = [s.strip() for s in separators.split(",") if s.strip()]
+    bad = set(seps) - _VALID_SEPARATORS
+    if bad:
+        raise ValueError(
+            f"invalid separators {sorted(bad)}; valid: {sorted(_VALID_SEPARATORS)}")
+    if "page" in seps:
+        raise NotImplementedError(
+            "'page' chunking requires PDF parsing, unavailable in this "
+            "environment (reference iterators/document.py PDF path)")
+    meta = [m.strip() for m in metadata.split(",") if m.strip()]
+    bad_meta = set(meta) - {"title", "heading"}
+    if bad_meta:
+        raise ValueError(f"unsupported metadata {sorted(bad_meta)}")
+    if overlap and overlap >= limit:
+        raise ValueError("overlap must be smaller than limit")
+
+    col = F.col(text_col)
+    # structural boundaries -> sentinel inserts (order matters; mirrored by
+    # the oracle SQL)
+    if "heading" in seps:
+        col = F.regexp_replace(col, r"(?m)^(#{1,6}\s)", _SENT + "$1")
+    if "paragraph" in seps:
+        col = F.regexp_replace(col, r"\n\s*\n", _SENT)
+    if "sentence" in seps:
+        col = F.regexp_replace(col, r"([.!?])\s+", "$1" + _SENT)
+    sections = F.split(col, _SENT)
+
+    out = (df.select(F.col(id_col), F.posexplode(sections)
+                     .alias("__sec_pos", "__section"))
+           .filter(F.length(F.trim(F.col("__section"))) > 0)
+           .withColumn("__section", F.trim(F.col("__section"))))
+
+    if "title" in meta or "heading" in meta:
+        lvl = F.length(F.regexp_extract("__section", r"^(#{1,6})\s", 1))
+        htext = F.regexp_extract("__section", r"^#{1,6}\s*([^\n]*)", 1)
+        out = out.withColumn("__hlvl", lvl).withColumn("__htext", htext)
+        wdoc = (W.partitionBy(id_col).orderBy("__sec_pos")
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        if "heading" in meta:
+            levels = [
+                F.last(F.when(F.col("__hlvl") == n, F.col("__htext")), True)
+                 .over(wdoc).alias(f"h{n}")
+                for n in range(1, 7)
+            ]
+            out = out.withColumn("heading", F.to_json(F.struct(*levels)))
+        if "title" in meta:
+            wall = (W.partitionBy(id_col).orderBy("__sec_pos")
+                    .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            out = out.withColumn(
+                "title",
+                F.first(F.when(F.col("__hlvl") > 0, F.col("__htext")), True).over(wall))
+        out = out.drop("__hlvl", "__htext")
+
+    # limit stage: subdivide each section into windows
+    if "token_limit" in seps or "char_limit" in seps:
+        stride = limit - overlap
+        if "token_limit" in seps:
+            words = F.split(F.col("__section"), r"\s+")
+            starts = F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)),
+                                F.lit(stride))
+            out = (out.withColumn("__w", words)
+                   .select("*", F.posexplode(starts).alias("__k", "__start"))
+                   .withColumn("__chunk", F.array_join(
+                       F.slice("__w", F.col("__start") + 1, limit), " "))
+                   .drop("__w", "__k"))
+        else:
+            starts = F.sequence(
+                F.lit(0),
+                F.greatest(F.length("__section") - 1, F.lit(0)), F.lit(stride))
+            out = (out.select("*", F.posexplode(starts).alias("__k", "__start"))
+                   .withColumn("__chunk", F.substring(
+                       F.col("__section"), F.col("__start") + 1, limit))
+                   .drop("__k"))
+        order = [F.col("__sec_pos"), F.col("__start")]
+    else:
+        out = out.withColumn("__chunk", F.col("__section"))
+        order = [F.col("__sec_pos")]
+
+    wpos = W.partitionBy(id_col).orderBy(*order)
+    keep = [id_col, "pos", "text"] + [m for m in ("title", "heading")
+                                      if m in meta]
+    return (out.withColumn("pos", (F.row_number().over(wpos) - 1)
+                           .cast(T.LongType()))
+            .withColumn("text", F.col("__chunk"))
+            .select(*keep))
+
+
 def string_splitter(df: DataFrame, separator: str = r"\n\n",
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Separator-based splitter (reference functions/string.py

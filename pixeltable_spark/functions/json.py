@@ -44,10 +44,11 @@ def _fn(name, ret, spark_fn, py_fn):
 
 
 _fn("dumps", _STR, lambda j: j.cast(T.StringType()), lambda j: _json.dumps(_parse(j)))
+_py_len = len  # _fn rebinds the module global "len" to a Function
 _fn("len", _INT,
     lambda j: F.json_array_length(j.cast(T.StringType())).cast(T.LongType()),
-    lambda j: len(_parse(j)))
-_fn("is_empty", _BOOL, None, lambda j: len(_parse(j)) == 0)
+    lambda j: _py_len(_parse(j)))
+_fn("is_empty", _BOOL, None, lambda j: _py_len(_parse(j)) == 0)
 _fn("contains", _BOOL, None, lambda j, v: v in _parse(j))
 _fn("get", _JSON, None, lambda j, k, default=None: _parse(j).get(k, default))
 _fn("keys", _JSON,

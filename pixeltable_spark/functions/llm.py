@@ -46,10 +46,15 @@ class RateLimiter:
         self.tokens = rate
         self.updated = time.monotonic()
         self._lock: Optional[asyncio.Lock] = None
+        self._loop: Any = None
 
     async def acquire(self) -> None:
-        if self._lock is None:
+        loop = asyncio.get_running_loop()
+        if self._lock is None or self._loop is not loop:
+            # limiters outlive event loops (they are cached per worker
+            # process so the token budget spans batches); rebind the lock
             self._lock = asyncio.Lock()
+            self._loop = loop
         async with self._lock:
             while True:
                 now = time.monotonic()
@@ -153,6 +158,33 @@ async def _gather_bounded(tasks: Sequence[Callable], limiter: RateLimiter,
 
     await asyncio.gather(*[run(i) for i in range(len(tasks))])
     return results
+
+
+# one limiter per (pool, rate) per python worker process — workers are
+# reused across batches/tasks, so the token budget genuinely spans a job
+_LIMITERS: dict[tuple, RateLimiter] = {}
+
+
+def limiter_for(pool: str, rate: float) -> RateLimiter:
+    key = (pool, rate)
+    lim = _LIMITERS.get(key)
+    if lim is None:
+        lim = _LIMITERS[key] = RateLimiter(rate)
+    return lim
+
+
+def run_async_batch(tasks: Sequence[Callable], pool: str, rate: float,
+                    concurrency: int) -> list[Any]:
+    """Execute a batch of async provider calls on one event loop with the
+    worker's shared rate limiter; exceptions come back as values (the
+    caller decides raise-vs-cellmd)."""
+    limiter = limiter_for(pool, rate)
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(
+            _gather_bounded(list(tasks), limiter, concurrency))
+    finally:
+        loop.close()
 
 
 def _executor_rate(requests_per_minute: float, spark_conf: dict) -> float:

@@ -23,7 +23,11 @@ def _fn(name, ret, spark_fn, py_fn):
     return f
 
 
-_fn("abs", _FLOAT, lambda x: F.abs(x), lambda x: abs(x))
+# _fn rebinds module globals (abs/round/pow/...) to Function objects, so
+# py_fn lambdas must use the captured builtins, not the bare names
+_py_abs, _py_round, _py_pow = abs, round, pow
+
+_fn("abs", _FLOAT, lambda x: F.abs(x), lambda x: _py_abs(x))
 _fn("ceil", _INT, lambda x: F.ceil(x).cast(T.LongType()), lambda x: _m.ceil(x))
 _fn("floor", _INT, lambda x: F.floor(x).cast(T.LongType()), lambda x: _m.floor(x))
 # Python round() is banker's rounding; Spark's bround matches it.
@@ -31,7 +35,7 @@ _fn("floor", _INT, lambda x: F.floor(x).cast(T.LongType()), lambda x: _m.floor(x
 # not data): pxtf.math.round(x, digits=2)
 _fn("round", _FLOAT,
     lambda x, digits=0: F.bround(x, digits),
-    lambda x, digits=0: round(x, digits))
+    lambda x, digits=0: _py_round(x, digits))
 _fn("pow", _FLOAT, lambda x, y: F.pow(x, y), lambda x, y: x ** y)
 _fn("sqrt", _FLOAT, lambda x: F.sqrt(x), lambda x: _m.sqrt(x))
 _fn("exp", _FLOAT, lambda x: F.exp(x), lambda x: _m.exp(x))

@@ -33,7 +33,8 @@ def _fn(name, ret, spark_fn=None, py_fn=None):
 _i = T.IntegerType()
 
 # --- native Spark mappings (fast path) -------------------------------------
-_fn("len", _INT, lambda s: F.length(s), lambda s: len(s))
+_py_len = len  # _fn rebinds the module global "len" to a Function
+_fn("len", _INT, lambda s: F.length(s), lambda s: _py_len(s))
 _fn("lower", _STR, lambda s: F.lower(s), lambda s: s.lower())
 _fn("upper", _STR, lambda s: F.upper(s), lambda s: s.upper())
 _fn("casefold", _STR, lambda s: F.lower(s), lambda s: s.casefold())

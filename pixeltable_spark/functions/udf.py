@@ -54,6 +54,29 @@ def _hint_to_type(hint: Any) -> ColumnType:
     return ColumnType.json()
 
 
+def async_udf(fn: Optional[Callable] = None, *,
+              return_type: Optional[ColumnType] = None,
+              requests_per_minute: float = 600.0,
+              concurrency: int = 16):
+    """@async_udf — an async scalar UDF (provider inference call) executed
+    by the batched async runtime: each Arrow batch runs on one event loop
+    per worker with a shared token-bucket rate limiter and bounded
+    in-flight requests (reference func/udf.py async support +
+    exec/expr_eval/schedulers.py resource pools)."""
+
+    def wrap(f: Callable) -> Function:
+        hints = typing.get_type_hints(f) if f.__annotations__ else {}
+        ret = return_type or _hint_to_type(hints.get("return"))
+        func = Function(f.__name__, ret, spark_fn=None, py_fn=None)
+        func.async_fn = f  # type: ignore[attr-defined]
+        func.is_async = True  # type: ignore[attr-defined]
+        func.requests_per_minute = requests_per_minute  # type: ignore[attr-defined]
+        func.concurrency = concurrency  # type: ignore[attr-defined]
+        return func
+
+    return wrap(fn) if fn is not None else wrap
+
+
 def udf(fn: Optional[Callable] = None, *, batch_size: Optional[int] = None,
         return_type: Optional[ColumnType] = None):
     """@udf — typed scalar UDF from signature hints

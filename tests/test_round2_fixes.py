@@ -319,6 +319,26 @@ class TestJvmJsonMapper:
         assert json.loads(got[0]["m"]) == [10, 20]  # ints, Python arithmetic
 
 
+class TestPyFnBuiltinShadowing:
+    """_fn() rebinds module globals (round/len/abs) to Function objects;
+    their own py_fn lambdas must still call the BUILTIN on the Python
+    fallback path (this returned expr objects instead of values)."""
+
+    def test_math_round_python_path(self):
+        from pixeltable_spark.functions import math as pxm
+        assert pxm.round.py_fn(1.23456, 2) == 1.23
+        assert pxm.abs.py_fn(-3.5) == 3.5
+
+    def test_string_len_python_path(self):
+        from pixeltable_spark.functions import string as pxs
+        assert pxs.len.py_fn("hello") == 5
+
+    def test_json_len_python_path(self):
+        from pixeltable_spark.functions import json as pxj
+        assert pxj.len.py_fn("[1,2,3]") == 3
+        assert pxj.is_empty.py_fn("[]") is True
+
+
 class TestNanosConversion:
     def test_integer_division_exact(self, spark):
         # a ns value whose float64 division is off by >= 1 us
