@@ -838,6 +838,10 @@ class FunctionCall(Expr):
         return self.fn.is_agg and (self.window_group_by or self.window_order_by) != []
 
     def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        # async calls hoisted by the planner read their materialized column
+        acols = getattr(ctx, "async_cols", None)
+        if acols is not None and id(self) in acols:
+            return F.col(acols[id(self)])
         cols = [c.to_column(ctx) for c in self.components]
         if any(c is None for c in cols):
             return None

@@ -19,6 +19,12 @@ from .udf import async_udf
 _client_singleton: Any = None
 _HAVE_ANTHROPIC: Optional[bool] = None
 
+try:  # rate limits only apply to a REAL endpoint; the offline fake is local
+    import anthropic as _anthropic_lib  # noqa: F401
+    _RPM = 600.0
+except ImportError:
+    _RPM = 1e12
+
 
 def _anthropic_client() -> Any:
     """Cached AsyncAnthropic client, or None when the library is absent
@@ -42,7 +48,7 @@ def _digest(*parts: Any) -> str:
         for p in parts).encode()).hexdigest()
 
 
-@async_udf(return_type=ColumnType.json(), requests_per_minute=600, concurrency=16)
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM, concurrency=16)
 async def messages(messages: list, *, model: str, max_tokens: int = 1024,
                    model_kwargs: Optional[dict] = None,
                    tools: Optional[list] = None,

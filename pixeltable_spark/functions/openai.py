@@ -25,6 +25,12 @@ from .udf import async_udf
 _client_singleton: Any = None
 _HAVE_OPENAI: Optional[bool] = None
 
+try:  # resolved at import: rate limits only apply to a REAL endpoint —
+    import openai as _openai_lib  # noqa: F401 — the offline fake is local math
+    _RPM_CHAT, _RPM_EMBED = 600.0, 3000.0
+except ImportError:
+    _RPM_CHAT = _RPM_EMBED = 1e12
+
 
 def _openai_client() -> Any:
     """Cached AsyncOpenAI client, or None when the library is absent
@@ -59,7 +65,7 @@ def _norm_messages(messages: Any) -> list:
     return messages
 
 
-@async_udf(return_type=ColumnType.json(), requests_per_minute=600, concurrency=16)
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM_CHAT, concurrency=16)
 async def chat_completions(messages: list, *, model: str,
                            model_kwargs: Optional[dict] = None,
                            tools: Optional[list] = None,
@@ -94,7 +100,7 @@ async def chat_completions(messages: list, *, model: str,
 
 
 @async_udf(return_type=ArrayType(ColumnType.float_()),
-           requests_per_minute=3000, concurrency=32)
+           requests_per_minute=_RPM_EMBED, concurrency=32)
 async def embeddings(input: str, *, model: str,
                      model_kwargs: Optional[dict] = None) -> list:
     """Embedding vector for the input text — the OpenAI `embeddings`
@@ -109,7 +115,7 @@ async def embeddings(input: str, *, model: str,
     return await DeterministicFakeClient().embed(input, model, dim=dim)
 
 
-@async_udf(return_type=ColumnType.json(), requests_per_minute=600, concurrency=8)
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM_CHAT, concurrency=8)
 async def moderations(input: str, *, model: str = "omni-moderation-latest") -> dict:
     """Content moderation (reference functions/openai.py:1316)."""
     client = _openai_client()

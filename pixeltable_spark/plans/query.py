@@ -371,6 +371,25 @@ class Planner:
                 df = self._apply_window_uda(df, fc, ctx, out_name)
                 self._window_uda_cols[id(e)] = out_name
 
+        # hoist async provider calls: each DISTINCT async node (by object
+        # identity — select items share subtrees) evaluates ONCE as an
+        # intermediate column; downstream exprs then compile against that
+        # column JVM-side instead of re-invoking the provider per item
+        # (the reference's RowBuilder unique-subexpr slots, for the async
+        # path — reference exprs/row_builder.py:59-122)
+        from ..exprs import _find_async_nodes, compile_via_pandas_udf
+        anodes: dict[int, FunctionCall] = {}
+        for _, e in q.select_items:
+            for node in _find_async_nodes(e):
+                anodes.setdefault(id(node), node)
+        if anodes:
+            acols = dict(getattr(ctx, "async_cols", None) or {})
+            for i, (nid, node) in enumerate(anodes.items()):
+                cname = f"__async{i}"
+                df = df.withColumn(cname, compile_via_pandas_udf(node, ctx))
+                acols[nid] = cname
+            ctx.async_cols = acols  # type: ignore[attr-defined]
+
         has_agg = any(e.is_agg() for _, e in q.select_items)
         if q.group_by_exprs or has_agg:
             df = self._apply_groupby(df, ctx)
