@@ -788,6 +788,23 @@ def q55_doc_sections(spark, sf_dir):
             .orderBy("doc_id", "pos"))
 
 
+def q56_json_typed_schema(spark, sf_dir):
+    """JSON structural schema (reference type_system.py:497-533): declaring
+    props as Json(fields={'k': Int}) types the path extraction — t.props.k
+    is a BIGINT column with no explicit astype, arithmetic stays JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    schema = dict(e._schema)
+    schema["props"] = pxt.ColumnType.json(fields={"k": pxt.Int()})
+    t = pxt.TableRef(e.df(), "events_typed", schema, rowid_cols=["event_id"])
+    k = t.props.k  # typed: BIGINT, no astype
+    return (
+        t.where(k % 7 == 0)
+        .select(t.event_id, k_val=k, k2=k * 2 + 1)
+        .order_by(t.event_id)
+        .df()
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -848,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_json_mapper_typed": q53_json_mapper_typed,
         "q54_provider_embeddings": q54_provider_embeddings,
         "q55_doc_sections": q55_doc_sections,
+        "q56_json_typed_schema": q56_json_typed_schema,
     }
 
 
@@ -1393,4 +1411,11 @@ SELECT doc_id,
        CAST(length(part) AS BIGINT) AS n_chars,
        substr(part, 1, 20) AS head20
 FROM u ORDER BY doc_id, pos""",
+        "q56_json_typed_schema": """
+WITH x AS (
+  SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+  FROM events)
+SELECT event_id, k_val, k_val * 2 + 1 AS k2
+FROM x WHERE ((k_val % 7) + 7) % 7 = 0 ORDER BY event_id""",
     }

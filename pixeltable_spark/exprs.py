@@ -116,7 +116,8 @@ class Expr:
     def __rfloordiv__(self, o): return _arith("//", o, self)
     def __pow__(self, o):  return _arith("**", self, o)
     def __rpow__(self, o): return _arith("**", o, self)
-    def __neg__(self): return _arith("-", Literal(0), self)
+    # -x as -1*x (not 0-x, which maps float -0.0 to +0.0)
+    def __neg__(self): return _arith("*", Literal(-1), self)
 
     def __eq__(self, o):  # type: ignore[override]
         if o is None:
@@ -557,8 +558,23 @@ class JsonPath(Expr):
     def __init__(self, anchor: Expr, path: list):
         base_path = anchor.path if isinstance(anchor, JsonPath) else []
         base = anchor.components[0] if isinstance(anchor, JsonPath) else anchor
-        super().__init__(ColumnType.json(), [base])
-        self.path = base_path + list(path)
+        full_path = base_path + list(path)
+        # typed extraction: resolve the path against a declared JSON
+        # structural schema when present (reference type_system.py:497-533
+        # json_schema path typing)
+        ct: ColumnType = ColumnType.json()
+        t = base.col_type
+        for p in full_path:
+            ft = t.field_type(p) if (hasattr(t, "field_type")
+                                     and isinstance(p, str)) else None
+            if ft is None:
+                t = ColumnType.json()
+                break
+            t = ft
+        else:
+            ct = t
+        super().__init__(ct, [base])
+        self.path = full_path
 
     def __getattr__(self, name: str) -> "Expr":
         if name.startswith("_") or name in ("col_type", "components", "path"):
@@ -583,7 +599,11 @@ class JsonPath(Expr):
         c = self.components[0].to_column(ctx)
         if c is None:
             return None
-        return F.get_json_object(c.cast(T.StringType()), self.json_path_str())
+        out = F.get_json_object(c.cast(T.StringType()), self.json_path_str())
+        if not self.col_type.is_json:
+            # schema-typed path: cast the extraction to the declared type
+            out = out.cast(self.col_type.spark_type())
+        return out
 
     def eval_py(self, row: dict) -> Any:
         v = self.components[0].eval_py(row)

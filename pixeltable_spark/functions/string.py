@@ -50,7 +50,9 @@ _fn("contains", _BOOL, lambda s, sub: F.contains(s, sub), lambda s, sub: sub in 
 _fn("startswith", _BOOL, lambda s, p: F.startswith(s, p), lambda s, p: s.startswith(p))
 _fn("endswith", _BOOL, lambda s, p: F.endswith(s, p), lambda s, p: s.endswith(p))
 _fn("find", _INT, lambda s, sub: F.instr(s, sub) - 1, lambda s, sub: s.find(sub))
-_fn("index", _INT, lambda s, sub: F.instr(s, sub) - 1, lambda s, sub: s.index(sub))
+# index() must RAISE on not-found (Python str.index semantics) — the JVM
+# instr()-1 form would return -1, so index stays on the Python path
+_fn("index", _INT, None, lambda s, sub: s.index(sub))
 _fn("rfind", _INT, None, lambda s, sub: s.rfind(sub))
 _fn("rindex", _INT, None, lambda s, sub: s.rindex(sub))
 _fn("count", _INT,

@@ -88,7 +88,15 @@ class ColumnType:
         return cls(TypeKind.BINARY, nullable)
 
     @classmethod
-    def json(cls, nullable: bool = True) -> "ColumnType":
+    def json(cls, nullable: bool = True,
+             fields: Optional[dict] = None) -> "ColumnType":
+        """JSON value; `fields` optionally declares a structural schema
+        (name -> ColumnType, nesting allowed) — the reference's
+        TypedDict/pydantic-derived JSON schemas (type_system.py:497-533).
+        With a schema, JsonPath extraction resolves to the declared type
+        (typed columns, no explicit astype)."""
+        if fields is not None:
+            return JsonType(fields, nullable)
         return cls(TypeKind.JSON, nullable)
 
     @classmethod
@@ -239,6 +247,9 @@ class ColumnType:
         if d["kind"] == TypeKind.ARRAY.name:
             shape = tuple(d["shape"]) if d.get("shape") is not None else None
             return ArrayType(cls.from_dict(d["element"]), shape, d["nullable"])
+        if d["kind"] == TypeKind.JSON.name and d.get("fields") is not None:
+            return JsonType({k: cls.from_dict(v) for k, v in d["fields"].items()},
+                            d["nullable"])
         return cls(TypeKind[d["kind"]], d["nullable"])
 
     def __repr__(self) -> str:
@@ -288,6 +299,28 @@ class ArrayType(ColumnType):
 
     def __repr__(self) -> str:
         return f"ARRAY<{self.element!r}>{'' if self.shape is None else self.shape}"
+
+
+class JsonType(ColumnType):
+    """JSON with a declared structural schema (reference
+    type_system.py:497-533 json_schema support): `fields` maps key ->
+    ColumnType (values may themselves be JsonType for nesting). Storage is
+    still a JSON string column; the schema types path extraction."""
+
+    def __init__(self, fields: dict, nullable: bool = True):
+        super().__init__(TypeKind.JSON, nullable)
+        self.fields = dict(fields)
+
+    def field_type(self, name: str) -> Optional[ColumnType]:
+        return self.fields.get(name)
+
+    def as_dict(self) -> dict:
+        return {"kind": self.kind.name, "nullable": self.nullable,
+                "fields": {k: v.as_dict() for k, v in self.fields.items()}}
+
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{k}: {v!r}" for k, v in self.fields.items())
+        return f"JSON{{{inner}}}"
 
 
 def schema_to_struct(schema: dict) -> T.StructType:

@@ -319,6 +319,42 @@ class TestJvmJsonMapper:
         assert json.loads(got[0]["m"]) == [10, 20]  # ints, Python arithmetic
 
 
+class TestJsonStructuralSchema:
+    def test_typed_path_no_astype(self, spark):
+        t = pxt.table_from_rows(
+            spark,
+            [{"k": 1, "j": '{"n": 5, "s": "hi", "sub": {"f": 1.5}}'},
+             {"k": 2, "j": '{"n": 7, "s": "yo", "sub": {"f": 2.5}}'}],
+            "jt",
+            schema={"k": pxt.Int(False),
+                    "j": pxt.ColumnType.json(fields={
+                        "n": pxt.Int(), "s": pxt.String(),
+                        "sub": pxt.ColumnType.json(fields={"f": pxt.Float()})})},
+            rowid_cols=["k"])
+        q = t.select(t.k, n2=t.j.n * 2, s=t.j.s, f=t.j.sub.f)
+        # typed path compiles JVM-side: no pandas UDF anywhere
+        plan = q.df()._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        rows = {r["k"]: r for r in q.collect()}
+        assert rows[1]["n2"] == 10 and rows[2]["n2"] == 14  # int, not str
+        assert rows[1]["f"] == 1.5
+        assert rows[1]["s"] == "hi"
+
+    def test_undeclared_field_stays_json(self, spark):
+        t = pxt.table_from_rows(
+            spark, [{"k": 1, "j": '{"n": 5, "x": [1,2]}'}], "jt2",
+            schema={"k": pxt.Int(False),
+                    "j": pxt.ColumnType.json(fields={"n": pxt.Int()})},
+            rowid_cols=["k"])
+        assert t.j.x.col_type.kind == pxt.TypeKind.JSON
+
+    def test_schema_roundtrips_via_meta(self):
+        jt = pxt.ColumnType.json(fields={"n": pxt.Int(), "s": pxt.String()})
+        back = pxt.ColumnType.from_dict(jt.as_dict())
+        assert back.field_type("n").kind == pxt.TypeKind.INT
+        assert back.field_type("s").kind == pxt.TypeKind.STRING
+
+
 class TestPyFnBuiltinShadowing:
     """_fn() rebinds module globals (round/len/abs) to Function objects;
     their own py_fn lambdas must still call the BUILTIN on the Python
