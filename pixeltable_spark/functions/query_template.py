@@ -87,8 +87,15 @@ class Tool:
             self._hints = {}
 
     def spec(self) -> dict:
+        if getattr(self, "parameters_schema", None) is not None:
+            # MCP tools carry the server-declared JSON schema verbatim
+            return {"name": self.name, "description": self.description,
+                    "parameters": self.parameters_schema}
         params = {}
         for pname, p in self.signature.parameters.items():
+            if p.kind in (inspect.Parameter.VAR_KEYWORD,
+                          inspect.Parameter.VAR_POSITIONAL):
+                continue
             params[pname] = {"type": _json_type(self._hints.get(pname, p.annotation))}
         return {
             "name": self.name,
@@ -143,10 +150,98 @@ def invoke_tools(tool_list: list[Tool], llm_response: "dict | str") -> list[dict
     return out
 
 
+class _McpClient:
+    """Minimal MCP streamable-HTTP client (JSON-RPC 2.0 over POST) built on
+    stdlib urllib — the public protocol the reference's `mcp` library
+    speaks (reference func/mcp.py:14-42 uses streamablehttp_client).
+    Handles both plain-JSON and SSE-framed responses and the
+    Mcp-Session-Id handshake."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+        self.session_id: "str | None" = None
+        self._next_id = 0
+
+    def _post(self, payload: dict) -> "dict | None":
+        import urllib.request
+
+        headers = {
+            "Content-Type": "application/json",
+            "Accept": "application/json, text/event-stream",
+        }
+        if self.session_id:
+            headers["Mcp-Session-Id"] = self.session_id
+        req = urllib.request.Request(
+            self.url, data=json.dumps(payload).encode(), headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            sid = resp.headers.get("Mcp-Session-Id")
+            if sid:
+                self.session_id = sid
+            body = resp.read().decode()
+            ctype = resp.headers.get("Content-Type", "")
+        if not body:
+            return None
+        if "text/event-stream" in ctype:
+            # SSE framing: take the last data: line (the response message)
+            datas = [ln[5:].strip() for ln in body.splitlines()
+                     if ln.startswith("data:")]
+            body = datas[-1] if datas else ""
+            if not body:
+                return None
+        msg = json.loads(body)
+        if "error" in msg:
+            raise RuntimeError(f"MCP error: {msg['error']}")
+        return msg
+
+    def request(self, method: str, params: "dict | None" = None) -> dict:
+        self._next_id += 1
+        msg = self._post({"jsonrpc": "2.0", "id": self._next_id,
+                          "method": method, "params": params or {}})
+        return (msg or {}).get("result", {})
+
+    def notify(self, method: str) -> None:
+        self._post({"jsonrpc": "2.0", "method": method})
+
+    def initialize(self) -> None:
+        self.request("initialize", {
+            "protocolVersion": "2025-03-26",
+            "capabilities": {},
+            "clientInfo": {"name": "pixeltable_spark", "version": "0.1"},
+        })
+        self.notify("notifications/initialized")
+
+
 def mcp_udfs(server_url: str) -> list[Tool]:
-    """Import MCP server tools as UDFs (reference func/mcp.py:14-42).
-    Requires an MCP client library, not present in this container."""
-    raise NotImplementedError(
-        "MCP client not available in this environment; when installed, list "
-        "the server's tools and wrap each as a Tool whose invoke() posts a "
-        "tools/call request")
+    """Import an MCP server's tools as callable Tools
+    (reference func/mcp.py:14-42 mcp_udfs): initialize the session, list
+    tools, and wrap each as a Tool whose invoke() posts a `tools/call`
+    JSON-RPC request. Built on the public streamable-HTTP protocol with
+    stdlib urllib — no client library needed."""
+    client = _McpClient(server_url)
+    client.initialize()
+    listed = client.request("tools/list").get("tools", [])
+    out = []
+    for spec in listed:
+        name = spec["name"]
+        schema = spec.get("inputSchema", {"type": "object", "properties": {}})
+
+        def call(_name=name, **kwargs: Any):
+            res = client.request("tools/call",
+                                 {"name": _name, "arguments": kwargs})
+            if res.get("isError"):
+                raise RuntimeError(f"MCP tool {_name} failed: {res}")
+            content = res.get("content", [])
+            texts = [c.get("text") for c in content if c.get("type") == "text"]
+            if len(texts) == 1:
+                try:
+                    return json.loads(texts[0])
+                except (ValueError, TypeError):
+                    return texts[0]
+            return texts or res
+        call.__name__ = name
+        call.__doc__ = spec.get("description", "")
+        t = Tool(call, name=name, description=spec.get("description", ""))
+        t.parameters_schema = schema  # server-declared JSON schema
+        out.append(t)
+    return out

@@ -206,6 +206,67 @@ class IteratorFn:
 
         return df.mapInPandas(op, schema)
 
+    def explode_at(self, df, pos, input_cols: Optional[dict[str, str]] = None,
+                   keep_cols: Optional[list[str]] = None):
+        """Seekable fetch: ONE output row per input row, at component
+        position `pos` (an int, or the name of a column holding the
+        per-row position). A class-based iterator implementing
+        ``set_pos(pos)`` (reference func/iterator.py:48-285 seekable
+        iterators, iterators/base.py:14-62) seeks directly — e.g. frame
+        500 of a video without decoding 0..499; plain generators fall
+        back to islice.
+
+        Rows whose iterator has fewer than pos+1 components produce no
+        output row."""
+        import itertools
+
+        import pandas as pd
+        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import types as T
+
+        import inspect as _inspect
+        target = self.fn.__init__ if _inspect.isclass(self.fn) else self.fn
+        params = [p for p in _inspect.signature(target).parameters
+                  if p != "self"]
+        input_cols = input_cols or {p: p for p in params}
+        keep_cols = keep_cols if keep_cols is not None else [
+            c for c in df.columns if c not in input_cols.values()]
+        pos_col = pos if isinstance(pos, str) else None
+
+        out_fields = [df.schema[c] for c in keep_cols]
+        out_fields.append(T.StructField("_pos", T.LongType()))
+        for name, ct in self.output_schema.items():
+            out_fields.append(T.StructField(name, ct.spark_type()))
+        schema = T.StructType(out_fields)
+        out_names = list(self.output_schema)
+        all_names = keep_cols + ["_pos"] + out_names
+        fn = self.fn
+        is_class = _inspect.isclass(fn)
+
+        def op(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    p = int(r[pos_col]) if pos_col else int(pos)
+                    kwargs = {k: r[c] for k, c in input_cols.items()}
+                    it = fn(**kwargs)
+                    try:
+                        if hasattr(it, "set_pos"):
+                            it.set_pos(p)  # O(1)/O(log) seek, no replay
+                            item = next(iter(it))
+                        else:
+                            item = next(itertools.islice(iter(it), p, p + 1))
+                    except StopIteration:
+                        continue
+                    row = {c: r[c] for c in keep_cols}
+                    row["_pos"] = p
+                    for n in out_names:
+                        row[n] = item.get(n)
+                    rows.append(row)
+                yield pd.DataFrame(rows, columns=all_names)
+
+        return df.mapInPandas(op, schema)
+
     def as_view_iterator(self, input_cols: Optional[dict[str, str]] = None,
                          on_error: str = "abort"):
         """Adapter for Catalog.create_view(iterator=...): preserves the

@@ -136,3 +136,65 @@ class TestIteratorErrors:
         assert len(rows) == 2  # one component + one error row
         errs = [r for r in rows if r["word"] is None]
         assert len(errs) == 1
+
+
+@pxt.iterator(output_schema={"tok": pxt.String(), "ncalls": pxt.Int()})
+class seekable_tokens:
+    """Class-based seekable iterator (reference func/iterator.py:48-285
+    set_pos): counts __next__ calls so tests can prove the seek path did
+    NOT replay positions 0..p-1."""
+
+    def __init__(self, text: str):
+        self.toks = text.split()
+        self.i = 0
+        self.ncalls = 0
+
+    def set_pos(self, pos: int) -> None:
+        self.i = pos
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.ncalls += 1
+        if self.i >= len(self.toks):
+            raise StopIteration
+        t = {"tok": self.toks[self.i], "ncalls": self.ncalls}
+        self.i += 1
+        return t
+
+
+class TestSeekableIterator:
+    def test_explode_at_fixed_pos(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y"), (3, "p q r")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               seekable_tokens.explode_at(df, 2).collect()}
+        assert out[1]["tok"] == "c" and out[3]["tok"] == "r"
+        assert 2 not in out  # only 2 tokens, pos 2 out of range
+        # seek proof: exactly ONE __next__ call, not three
+        assert out[1]["ncalls"] == 1
+
+    def test_explode_at_per_row_pos_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", 0), (2, "x y z", 2)],
+            "doc_id long, text string, want long")
+        out = {r["doc_id"]: r["tok"] for r in
+               seekable_tokens.explode_at(df, "want").collect()}
+        assert out == {1: "a", 2: "z"}
+
+    def test_plain_generator_falls_back_to_islice(self, spark):
+        @pxt.iterator(output_schema={"w": pxt.String()})
+        def words(text: str):
+            for w in text.split():
+                yield {"w": w}
+
+        df = spark.createDataFrame([(1, "u v w")], "doc_id long, text string")
+        out = words.explode_at(df, 1).collect()
+        assert len(out) == 1 and out[0]["w"] == "v"
+
+    def test_class_iterator_full_explode(self, spark):
+        df = spark.createDataFrame([(1, "m n")], "doc_id long, text string")
+        rows = seekable_tokens.explode(df).orderBy("_pos").collect()
+        assert [r["tok"] for r in rows] == ["m", "n"]
