@@ -123,6 +123,75 @@ def export_lancedb(df: DataFrame, uri: str, table: str) -> None:
     raise NotImplementedError("wire lancedb.connect(uri).create_table here")
 
 
+def export_huggingface(df: DataFrame):
+    """Spark -> HuggingFace via Arrow (reference io/hf_datasets.py
+    export direction): returns a ``datasets.Dataset`` when the library is
+    installed, else the underlying ``pyarrow.Table`` (the same payload —
+    ``datasets.Dataset(table)`` wraps it 1:1)."""
+    import pyarrow as pa
+
+    pdf = df.toPandas()
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    try:
+        import datasets
+        return datasets.Dataset(table)
+    except ImportError:
+        return table
+
+
+def export_fiftyone(df: DataFrame, out_dir: str,
+                    image_col: str = "image_path",
+                    boxes_col: Optional[str] = None,
+                    labels_col: Optional[str] = None,
+                    dataset_name: str = "pxt_export"):
+    """FiftyOne export (reference io/globals.py:12 create_fiftyone_dataset).
+
+    With the fiftyone library installed, builds a live ``fo.Dataset``.
+    Without it, writes FiftyOne's documented dataset-directory layout
+    (``samples.json`` with per-sample filepath + Detections labels) that
+    ``fo.Dataset.from_dir(..., dataset_type=FiftyOneDataset)`` imports."""
+    cols = [image_col] + [c for c in (boxes_col, labels_col) if c]
+    rows = df.select(*cols).collect()
+    samples = []
+    for r in rows:
+        sample: dict[str, Any] = {"filepath": r[image_col]}
+        if boxes_col and labels_col:
+            dets = []
+            for box, label in zip(r[boxes_col] or [], r[labels_col] or []):
+                x1, y1, x2, y2 = box
+                dets.append({
+                    "_cls": "Detection",
+                    "label": str(label),
+                    # FiftyOne uses [x, y, w, h] in relative coords; absolute
+                    # pixel boxes pass through (importer rescales via image)
+                    "bounding_box": [x1, y1, x2 - x1, y2 - y1],
+                })
+            sample["ground_truth"] = {"_cls": "Detections",
+                                      "detections": dets}
+        samples.append(sample)
+    try:
+        import fiftyone as fo
+        ds = fo.Dataset(dataset_name)
+        fo_samples = []
+        for s in samples:
+            smp = fo.Sample(filepath=s["filepath"])
+            if "ground_truth" in s:
+                smp["ground_truth"] = fo.Detections(detections=[
+                    fo.Detection(label=d["label"],
+                                 bounding_box=d["bounding_box"])
+                    for d in s["ground_truth"]["detections"]])
+            fo_samples.append(smp)
+        ds.add_samples(fo_samples)
+        return ds
+    except ImportError:
+        os.makedirs(out_dir, exist_ok=True)
+        doc = {"name": dataset_name, "samples": samples}
+        path = os.path.join(out_dir, "samples.json")
+        with open(path, "w") as f:
+            _json.dump(doc, f)
+        return path
+
+
 def export_pytorch(df: DataFrame, out_dir: str,
                    shard_rows: int = 10_000) -> list[str]:
     """Materialize as a directory of pickled row-dict shards consumable by a

@@ -106,3 +106,41 @@ class TestIO:
         pdf = documents_df.limit(10).toPandas()
         back = pio.import_pandas(spark, pdf)
         assert back.count() == 10
+
+
+class TestHfFiftyoneRoundtrip:
+    def test_hf_arrow_roundtrip(self, spark, tmp_path):
+        """Spark -> Arrow (the datasets.Dataset payload) -> Spark
+        (reference io/hf_datasets.py:108 both directions)."""
+        from pixeltable_spark.sources import io as pio
+
+        src = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", 2.5)], "k long, s string, v double")
+        table = pio.export_huggingface(src)  # pyarrow.Table offline
+
+        class FakeHfDataset:  # datasets.Dataset duck-type: .data.table
+            class _Data:
+                def __init__(self, t): self.table = t
+            def __init__(self, t): self.data = self._Data(t)
+
+        back = pio.import_huggingface_dataset(spark, FakeHfDataset(table))
+        key = lambda r: r["k"]  # noqa: E731
+        assert sorted((r.asDict() for r in back.collect()), key=key) == \
+            sorted((r.asDict() for r in src.collect()), key=key)
+
+    def test_fiftyone_dataset_dir_export(self, spark, tmp_path):
+        import json
+        from pixeltable_spark.sources import io as pio
+
+        df = spark.createDataFrame(
+            [("img1.jpg", [[0.0, 0.0, 10.0, 10.0]], ["cat"]),
+             ("img2.jpg", [], [])],
+            "image_path string, boxes array<array<double>>, labels array<string>")
+        out = pio.export_fiftyone(df, str(tmp_path / "fo"),
+                                  boxes_col="boxes", labels_col="labels")
+        doc = json.load(open(out))
+        by_path = {s["filepath"]: s for s in doc["samples"]}
+        dets = by_path["img1.jpg"]["ground_truth"]["detections"]
+        assert dets[0]["label"] == "cat"
+        assert dets[0]["bounding_box"] == [0.0, 0.0, 10.0, 10.0]
+        assert by_path["img2.jpg"]["ground_truth"]["detections"] == []
