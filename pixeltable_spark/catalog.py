@@ -54,7 +54,9 @@ _ROWID, _VMIN, _VMAX, _POS = "_rowid", "_v_min", "_v_max", "_pos"
 # view-local version interval (a view has its own version counter, distinct
 # from the base's _v_min/_v_max which pass through the view plan)
 _VVMIN, _VVMAX = "_vv_min", "_vv_max"
-SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX}
+# bucket partition column: _rowid % n_buckets — the unit of mutation
+_BKT = "_bkt"
+SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 
 
 def _cellmd_col(name: str) -> str:
@@ -165,6 +167,9 @@ class Table:
         self.next_rowid = 0
         self.history: list[dict] = []
         self._views: list[View] = []
+        # bucket count for the partitioned store layout; 16 suits local
+        # testing — a real deployment sizes this so a bucket ~ 1 GB
+        self.n_buckets = 16
 
     # -- creation / persistence -------------------------------------------
     @classmethod
@@ -192,6 +197,7 @@ class Table:
             "next_rowid": self.next_rowid,
             "primary_key": self.primary_key,
             "history": self.history,
+            "n_buckets": self.n_buckets,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
         }
         with open(os.path.join(self.path, "meta.json"), "w") as f:
@@ -209,6 +215,7 @@ class Table:
         self.next_rowid = meta["next_rowid"]
         self.primary_key = meta["primary_key"]
         self.history = meta["history"]
+        self.n_buckets = meta.get("n_buckets", 16)
         self.schema = {
             k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
@@ -229,14 +236,30 @@ class Table:
 
     def _has_data(self) -> bool:
         d = self._data_dir
-        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+        if not os.path.isdir(d):
+            return False
+        for dirpath, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _with_bkt(self, df: DataFrame) -> DataFrame:
+        """Ensure the bucket partition column: _bkt = _rowid % n_buckets.
+        Buckets are the unit of mutation — an update/delete rewrites ONLY
+        the bucket directories holding matched rows (the plain-parquet
+        analog of Delta MERGE's file-level rewrite; reference gets this
+        from Postgres row-level updates, store.py:27-58)."""
+        if _BKT in df.columns or _ROWID not in df.columns:
+            return df
+        return df.withColumn(
+            _BKT, F.pmod(F.col(_ROWID), F.lit(self.n_buckets)).cast("int"))
 
     def _store_df(self) -> DataFrame:
-        """All row-versions, including expired ones."""
+        """All row-versions, including expired ones (+ `_bkt`)."""
         spark = self.catalog.spark
         if not self._has_data():
-            return spark.createDataFrame([], self._store_schema())
-        return spark.read.parquet(self._data_dir)
+            return self._with_bkt(spark.createDataFrame([], self._store_schema()))
+        return self._with_bkt(spark.read.parquet(self._data_dir))
 
     def _store_schema(self) -> T.StructType:
         fields = [
@@ -251,18 +274,65 @@ class Table:
                 fields.append(T.StructField(_cellmd_col(cc.name), _CELLMD_TYPE))
         return T.StructType(fields)
 
+    def _flat_layout(self) -> bool:
+        """True if the data dir predates bucketing (bare parquet files, no
+        `_bkt=N` partition dirs). Mixed flat+partitioned layouts are not
+        readable, so writes must not introduce partition dirs here."""
+        d = self._data_dir
+        if not os.path.isdir(d):
+            return False
+        return any(f.endswith(".parquet") for f in os.listdir(d))
+
     def _append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._data_dir)
+        df = self._with_bkt(df)
+        w = df.write.mode("append")
+        if _BKT in df.columns and not self._flat_layout():
+            w = w.partitionBy(_BKT)
+        else:
+            df = df.drop(_BKT)
+            w = df.write.mode("append")
+        w.parquet(self._data_dir)
 
     def _rewrite(self, df: DataFrame) -> None:
-        """Copy-on-write epoch swap (what Delta MERGE does transactionally)."""
+        """Copy-on-write epoch swap of the WHOLE table (schema changes,
+        revert fallback — what Delta MERGE does transactionally). Row-level
+        mutations go through _rewrite_buckets instead."""
+        df = self._with_bkt(df)
         tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if _BKT in df.columns:
+            w = w.partitionBy(_BKT)
+        w.parquet(tmp)
         old = self._data_dir
         back = old + ".old"
         os.rename(old, back)
         os.rename(tmp, old)
         shutil.rmtree(back)
+
+    def _rewrite_buckets(self, df: DataFrame, buckets: Sequence[int]) -> None:
+        """Swap ONLY the named bucket directories with the new content in
+        `df` (which must hold exactly those buckets' rows). Unaffected
+        buckets are never read or written — mutation cost scales with
+        matched data, not table size."""
+        if not buckets:
+            return
+        df = self._with_bkt(df)
+        if self._flat_layout():
+            # legacy flat table: one full rewrite migrates it to buckets
+            rest = self._store_df().filter(~F.col(_BKT).isin(list(buckets)))
+            self._rewrite(rest.unionByName(df))
+            return
+        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").partitionBy(_BKT).parquet(tmp)
+        for b in buckets:
+            sub = f"{_BKT}={b}"
+            old_sub = os.path.join(self._data_dir, sub)
+            new_sub = os.path.join(tmp, sub)
+            if os.path.isdir(old_sub):
+                shutil.rmtree(old_sub)
+            if os.path.isdir(new_sub):
+                os.rename(new_sub, old_sub)
+        shutil.rmtree(tmp)
 
     # -- read path ---------------------------------------------------------
     def df(self, version: Optional[int] = None) -> DataFrame:
@@ -536,13 +606,18 @@ class Table:
         pred = where.compile() if where is not None else F.lit(True)
         matched = live & pred
 
-        n = store.filter(matched).count()
+        # one scan finds both the match count and the affected buckets;
+        # everything after reads/writes ONLY those bucket directories
+        per_bkt = {r[0]: r[1] for r in store.filter(matched)
+                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
+        n, aff = sum(per_bkt.values()), sorted(per_bkt)
+        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
         # old row-versions: expire at new_version
-        expired = store.withColumn(
+        expired = sub.withColumn(
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
         )
         # new row-versions for matched rows
-        updated = store.filter(matched)
+        updated = sub.filter(matched)
         for col, val in value_spec.items():
             if col not in self.schema:
                 raise ValueError(f"unknown or non-updatable column {col!r}")
@@ -551,8 +626,7 @@ class Table:
         updated = updated.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
         if cascade:
             updated = self._eval_computed(updated, list(self.computed.values()))
-        out = expired.unionByName(updated)
-        self._rewrite(out)
+        self._rewrite_buckets(expired.unionByName(updated), aff)
         self.version = new_version
         self._log("update", rows=n)
         self._save_meta()
@@ -608,7 +682,10 @@ class Table:
         matched = live & F.coalesce(F.col("__matched"), F.lit(False))
         helper_cols = ["__matched"] + [x for c in upd_cols
                                        for x in (f"__upd_{c}", f"__has_{c}")]
-        n = joined.filter(matched).count()
+        per_bkt = {r[0]: r[1] for r in joined.filter(matched)
+                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
+        n, aff = sum(per_bkt.values()), sorted(per_bkt)
+        joined = (joined.filter(F.col(_BKT).isin(aff)) if aff else joined)
         expired = joined.withColumn(
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
         ).drop(*helper_cols)
@@ -622,7 +699,7 @@ class Table:
                    .withColumn(_VMAX, F.lit(MAXV)))
         if cascade:
             updated = self._eval_computed(updated, list(self.computed.values()))
-        self._rewrite(expired.unionByName(updated))
+        self._rewrite_buckets(expired.unionByName(updated), aff)
         self.version = new_version
         self._log("batch_update", rows=n)
         self._save_meta()
@@ -636,11 +713,14 @@ class Table:
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
         matched = live & pred
-        n = store.filter(matched).count()
-        out = store.withColumn(
+        per_bkt = {r[0]: r[1] for r in store.filter(matched)
+                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
+        n, aff = sum(per_bkt.values()), sorted(per_bkt)
+        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
+        out = sub.withColumn(
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
         )
-        self._rewrite(out)
+        self._rewrite_buckets(out, aff)
         self.version = new_version
         self._log("delete", rows=n)
         self._save_meta()
@@ -657,12 +737,15 @@ class Table:
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
         matched = live & pred
-        n = store.filter(matched).count()
-        expired = store.withColumn(
+        per_bkt = {r[0]: r[1] for r in store.filter(matched)
+                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
+        n, aff = sum(per_bkt.values()), sorted(per_bkt)
+        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
+        expired = sub.withColumn(
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX)))
-        recomputed = self._eval_computed(store.filter(matched), ccs)
+        recomputed = self._eval_computed(sub.filter(matched), ccs)
         recomputed = recomputed.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
-        self._rewrite(expired.unionByName(recomputed))
+        self._rewrite_buckets(expired.unionByName(recomputed), aff)
         self.version = new_version
         self._log("recompute", rows=n, columns=list(cols))
         self._save_meta()
@@ -676,11 +759,15 @@ class Table:
             raise ValueError("nothing to revert")
         v = self.version
         store = self._store_df()
+        touched = (F.col(_VMIN) == v) | (F.col(_VMAX) == v)
+        aff = sorted(r[0] for r in
+                     store.filter(touched).select(_BKT).distinct().collect())
+        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
         out = (
-            store.filter(F.col(_VMIN) < v)
+            sub.filter(F.col(_VMIN) < v)
             .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV)).otherwise(F.col(_VMAX)))
         )
-        self._rewrite(out)
+        self._rewrite_buckets(out, aff)
         self.version = v - 1
         self.history = [h for h in self.history if h["version"] < v]
         self._save_meta()

@@ -137,3 +137,28 @@ format_string = Function(
     spark_fn=lambda *cols, fmt="%s": F.format_string(fmt, *cols),
     py_fn=lambda *vals, fmt="%s": fmt % vals,
 )
+
+
+# --- string_splitter iterator (reference functions/string.py:873) ----------
+from .udf import iterator as _iterator  # noqa: E402
+from ..type_system import ColumnType as _CT  # noqa: E402
+
+
+@_iterator(output_schema={"text": _CT.string()})
+def string_splitter(text: str, separators: str = "sentence"):
+    """Iterator over chunks of a string (reference functions/string.py:873
+    string_splitter): one row per chunk with a `text` column. `'sentence'`
+    splits after .!? + whitespace (regex segmentation — no spaCy in this
+    environment); `'paragraph'` splits on blank lines."""
+    import re as _re
+
+    if separators == "sentence":
+        parts = _re.split(r"(?<=[.!?])\s+", text or "")
+    elif separators == "paragraph":
+        parts = _re.split(r"\n\s*\n", text or "")
+    else:
+        raise ValueError(f"unsupported separators {separators!r}")
+    for p in parts:
+        p = p.strip()
+        if p:
+            yield {"text": p}
