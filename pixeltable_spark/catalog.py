@@ -898,8 +898,15 @@ class View(Table):
         out = self._view_plan(base_live)
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
+        # views use the same bucketed layout as base tables so that ALL
+        # writers (_load_increment append, _apply_base_update bucket swap)
+        # agree — mixed flat+partitioned dirs are unreadable by Spark
+        out = self._with_bkt(out)
         tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
-        out.write.mode("overwrite").parquet(tmp)
+        w = out.write.mode("overwrite")
+        if _BKT in out.columns:
+            w = w.partitionBy(_BKT)
+        w.parquet(tmp)
         if os.path.exists(self._data_dir):
             back = self._data_dir + ".old"
             os.rename(self._data_dir, back)
@@ -921,7 +928,8 @@ class View(Table):
         out = self._view_plan(new_rows)
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
-        out.write.mode("append").parquet(self._data_dir)
+        # layout-aware append (partitioned by _bkt unless legacy flat dir)
+        self._append(out)
         self._loaded_base_version = self.base.version
         self.version += 1
         self._save_view_meta()
@@ -934,11 +942,25 @@ class View(Table):
         are never rescanned by the plan (reference plan.py:717-760
         create_view_update_plan)."""
         spark = self.catalog.spark
-        new_v = self.version + 1
         raw = spark.read.parquet(self._data_dir)
+        if _VVMIN not in raw.columns:
+            # legacy pre-versioning storage: no interval columns to expire —
+            # a full refresh rebuilds (and migrates the layout in one pass)
+            self._full_refresh()
+            self._propagate_refresh()
+            return
+        new_v = self.version + 1
+        # only the affected base rowids' buckets are read or rewritten:
+        # a one-row base update touches one bucket dir, not the whole view
+        bkts = sorted(
+            r[0] for r in affected_rowids.select(
+                F.pmod(F.col(_ROWID), F.lit(self.n_buckets)).cast("int")
+            ).distinct().collect())
+        raw = self._with_bkt(raw)
+        scoped = raw.filter(F.col(_BKT).isin(bkts)) if bkts else raw.limit(0)
         aff = affected_rowids.withColumn("__aff", F.lit(True))
         live = (F.col(_VVMIN) <= self.version) & (F.col(_VVMAX) > self.version)
-        marked = raw.join(aff, on=_ROWID, how="left")
+        marked = scoped.join(aff, on=_ROWID, how="left")
         expired = marked.withColumn(
             _VVMAX,
             F.when(live & F.coalesce(F.col("__aff"), F.lit(False)), F.lit(new_v))
@@ -948,7 +970,7 @@ class View(Table):
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
-        self._rewrite(expired.unionByName(out))
+        self._rewrite_buckets(expired.unionByName(self._with_bkt(out)), bkts)
         self._loaded_base_version = self.base.version
         self.version = new_v
         self._save_view_meta()
@@ -963,6 +985,8 @@ class View(Table):
         catalog/view.py:43-45)."""
         spark = self.catalog.spark
         raw = spark.read.parquet(self._data_dir)
+        if _BKT in raw.columns:  # storage detail, recomputable from _rowid
+            raw = raw.drop(_BKT)
         v = self.version if version is None else version
         if version is not None and version < self._version_floor:
             raise ValueError(

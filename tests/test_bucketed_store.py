@@ -112,6 +112,39 @@ class TestBucketedLayout:
         rows = _rows(t)
         assert rows[1] == -1 and rows[17] == -2
 
+    def test_view_update_then_insert_propagates(self, cat):
+        """Regression: _apply_base_update used to leave the view storage
+        bucket-partitioned while _load_increment appended flat files at the
+        dir root, which Spark partition discovery silently ignores — rows
+        inserted after any base update vanished from the view."""
+        t = cat.create_table("vb", {"k": pxt.Int(False)}, primary_key=["k"])
+        t.insert([{"k": i} for i in range(6)])
+        v = cat.create_view("vbv", t)
+        assert v.count() == 6
+        k = ColumnRef("k", t.schema["k"])
+        t.update({"k": 100}, where=k == 0)
+        assert v.count() == 6
+        t.insert([{"k": i} for i in range(10, 20)])
+        rows = {r["k"] for r in v.collect()}
+        assert len(rows) == 16 and 10 in rows and 19 in rows and 100 in rows
+        # and another update after the insert still propagates
+        t.update({"k": 200}, where=k == 10)
+        rows = {r["k"] for r in v.collect()}
+        assert 200 in rows and 10 not in rows and len(rows) == 16
+
+    def test_view_update_rewrites_only_affected_buckets(self, cat):
+        t = _make_table(cat)  # 64 rows, 16 buckets
+        v = cat.create_view("btv", t)
+        before = _bucket_state(v._data_dir)
+        assert before, "view storage must be bucket-partitioned"
+        k = ColumnRef("k", t.schema["k"])
+        t.update({"v": -5}, where=k == 9)
+        after = _bucket_state(v._data_dir)
+        changed = [b for b in before if before[b] != after.get(b)]
+        assert len(changed) == 1, f"expected 1 view bucket rewritten, got {changed}"
+        rows = {r["k"]: r["v"] for r in v.collect()}
+        assert rows[9] == -5 and rows[8] == 80 and len(rows) == 64
+
     def test_n_buckets_persisted(self, cat):
         t = _make_table(cat, n=4)
         cat._tables.pop("bt")
