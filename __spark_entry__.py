@@ -805,6 +805,42 @@ def q56_json_typed_schema(spark, sf_dir):
     )
 
 
+def q57_gemini_generate(spark, sf_dir):
+    """Gemini provider surface (functions/gemini.py generate_content —
+    reference functions/gemini.py:96) through the async-UDF runtime: the
+    deterministic fake is md5-derived, so response text AND token usage are
+    oracle-checkable."""
+    from pixeltable_spark.functions import gemini
+    t = _t(spark, sf_dir, "documents")
+    r = gemini.generate_content(t.text, model="gem-oracle")
+    return (
+        t.select(t.doc_id,
+                 resp=r["candidates"][0]["content"]["parts"][0]["text"]
+                 .astype(pxt.String()),
+                 total_tokens=r["usage_metadata"]["total_token_count"]
+                 .astype(pxt.Int()))
+        .order_by(t.doc_id)
+        .df()
+    )
+
+
+def q58_whisper_segments(spark, sf_dir):
+    """Whisper local-transcription surface (functions/whisper.py transcribe
+    — reference functions/whisper.py:21): deterministic fake transcript,
+    segment texts + language extracted via typed JSON paths."""
+    from pixeltable_spark.functions import whisper
+    t = _t(spark, sf_dir, "documents")
+    r = whisper.transcribe(t.text, model="base.en")
+    return (
+        t.select(t.doc_id,
+                 lang=r["language"].astype(pxt.String()),
+                 seg0=r["segments"][0]["text"].astype(pxt.String()),
+                 seg1=r["segments"][1]["text"].astype(pxt.String()))
+        .order_by(t.doc_id)
+        .df()
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -866,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_provider_embeddings": q54_provider_embeddings,
         "q55_doc_sections": q55_doc_sections,
         "q56_json_typed_schema": q56_json_typed_schema,
+        "q57_gemini_generate": q57_gemini_generate,
+        "q58_whisper_segments": q58_whisper_segments,
     }
 
 
@@ -1418,4 +1456,15 @@ WITH x AS (
   FROM events)
 SELECT event_id, k_val, k_val * 2 + 1 AS k2
 FROM x WHERE ((k_val % 7) + 7) % 7 = 0 ORDER BY event_id""",
+        "q57_gemini_generate": f"""
+SELECT doc_id,
+       'response[' || substr(md5('gem-oracle|' || text || '|null'), 1, 12) || ']' AS resp,
+       CAST({_TOKCOUNT} + 1 AS BIGINT) AS total_tokens
+FROM documents ORDER BY doc_id""",
+        "q58_whisper_segments": """
+SELECT doc_id,
+       'en' AS lang,
+       ' segment[' || substr(md5(md5(text) || '|base.en|0'), 1, 12) || ']' AS seg0,
+       ' segment[' || substr(md5(md5(text) || '|base.en|1'), 1, 12) || ']' AS seg1
+FROM documents ORDER BY doc_id""",
     }

@@ -1,0 +1,44 @@
+"""Deepseek provider functions (reference functions/deepseek.py:
+chat_completions:38). Deepseek speaks the OpenAI wire protocol via an
+AsyncOpenAI client pointed at api.deepseek.com; offline, a deterministic
+OpenAI-shaped fake is returned.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from ..type_system import ColumnType
+from ._provider_util import ClientCache, fake_openai_chat, norm_messages, offline_rpm
+from .udf import async_udf
+
+_RPM = offline_rpm("openai")
+
+
+def _make_client() -> Any:
+    import openai
+    return openai.AsyncOpenAI(base_url="https://api.deepseek.com")
+
+
+_cache = ClientCache("openai", _make_client)
+
+
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM, concurrency=16)
+async def chat_completions(messages: list, *, model: str,
+                           model_kwargs: Optional[dict] = None,
+                           tools: Optional[list] = None,
+                           tool_choice: Optional[dict] = None) -> dict:
+    """Chat completion — the Deepseek `chat/completions` endpoint
+    (reference functions/deepseek.py:38)."""
+    messages = norm_messages(messages)
+    client = _cache.get()
+    if client is not None:
+        kw: dict[str, Any] = dict(model_kwargs or {})
+        if tools is not None:
+            kw["tools"] = tools
+        if tool_choice is not None:
+            kw["tool_choice"] = tool_choice
+        resp = await client.chat.completions.create(
+            messages=messages, model=model, **kw)
+        return resp.model_dump()
+    return fake_openai_chat(model, messages)
