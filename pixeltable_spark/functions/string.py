@@ -23,8 +23,8 @@ _BOOL = ColumnType.bool_()
 _JSON = ColumnType.json()
 
 
-def _fn(name, ret, spark_fn=None, py_fn=None):
-    f = Function(name, ret, spark_fn=spark_fn, py_fn=py_fn)
+def _fn(name, ret, spark_fn=None, py_fn=None, pandas_fn=None):
+    f = Function(name, ret, spark_fn=spark_fn, py_fn=py_fn, pandas_fn=pandas_fn)
     globals()[name] = f
     register_method(TypeKind.STRING, name, lambda base, *a, _f=f, **kw: _f(base, *a, **kw))
     return f
@@ -51,10 +51,15 @@ _fn("startswith", _BOOL, lambda s, p: F.startswith(s, p), lambda s, p: s.startsw
 _fn("endswith", _BOOL, lambda s, p: F.endswith(s, p), lambda s, p: s.endswith(p))
 _fn("find", _INT, lambda s, sub: F.instr(s, sub) - 1, lambda s, sub: s.find(sub))
 # index() must RAISE on not-found (Python str.index semantics) — the JVM
-# instr()-1 form would return -1, so index stays on the Python path
-_fn("index", _INT, None, lambda s, sub: s.index(sub))
-_fn("rfind", _INT, None, lambda s, sub: s.rfind(sub))
-_fn("rindex", _INT, None, lambda s, sub: s.rindex(sub))
+# instr()-1 form would return -1, so index stays on the Python path.
+# These carry a Series-level pandas_fn: one vectorized accessor call per
+# Arrow batch instead of a per-row eval loop (VERDICT r2 item 6).
+_fn("index", _INT, None, lambda s, sub: s.index(sub),
+    pandas_fn=lambda s, sub: s.str.index(sub).astype("Int64"))
+_fn("rfind", _INT, None, lambda s, sub: s.rfind(sub),
+    pandas_fn=lambda s, sub: s.str.rfind(sub).astype("Int64"))
+_fn("rindex", _INT, None, lambda s, sub: s.rindex(sub),
+    pandas_fn=lambda s, sub: s.str.rindex(sub).astype("Int64"))
 _fn("count", _INT,
     lambda s, sub: F.when(F.length(sub) > 0,
                           (F.length(s) - F.length(F.replace(s, sub, F.lit("")))) / F.length(sub)
@@ -66,19 +71,28 @@ _fn("replace_re", _STR, lambda s, pat, repl: F.regexp_replace(s, pat, repl),
     lambda s, pat, repl: __import__("re").sub(pat, repl, s))
 _fn("contains_re", _BOOL, lambda s, pat: F.regexp_like(s, pat),
     lambda s, pat: __import__("re").search(pat, s) is not None)
-_fn("match", _BOOL, None, lambda s, pat: __import__("re").match(pat, s) is not None)
-_fn("fullmatch", _BOOL, None, lambda s, pat: __import__("re").fullmatch(pat, s) is not None)
-_fn("findall", _JSON, None, lambda s, pat: __import__("re").findall(pat, s))
+_fn("match", _BOOL, None, lambda s, pat: __import__("re").match(pat, s) is not None,
+    pandas_fn=lambda s, pat: s.str.match(pat))
+_fn("fullmatch", _BOOL, None, lambda s, pat: __import__("re").fullmatch(pat, s) is not None,
+    pandas_fn=lambda s, pat: s.str.fullmatch(pat))
+_fn("findall", _JSON, None, lambda s, pat: __import__("re").findall(pat, s),
+    pandas_fn=lambda s, pat: s.str.findall(pat))
 _fn("ljust", _STR, lambda s, w: F.rpad(s, w, " "), lambda s, w: s.ljust(w))
 _fn("rjust", _STR, lambda s, w: F.lpad(s, w, " "), lambda s, w: s.rjust(w))
-_fn("center", _STR, None, lambda s, w: s.center(w))
-_fn("zfill", _STR, None, lambda s, w: s.zfill(w))
+_fn("center", _STR, None, lambda s, w: s.center(w),
+    pandas_fn=lambda s, w: s.str.center(w))
+_fn("zfill", _STR, None, lambda s, w: s.zfill(w),
+    pandas_fn=lambda s, w: s.str.zfill(w))
 _fn("pad", _STR, None, lambda s, w, side="left", fillchar=" ":
     s.rjust(w, fillchar) if side == "left" else (s.ljust(w, fillchar) if side == "right" else s.center(w, fillchar)))
 _fn("slice", _STR, None, lambda s, start=None, stop=None: s[start:stop])
 _fn("slice_replace", _STR, None,
     lambda s, start=None, stop=None, repl="": s[: (start or 0)] + repl + s[(stop if stop is not None else len(s)):])
-_fn("split", _JSON, None, lambda s, sep=None, maxsplit=-1: s.split(sep, maxsplit))
+_fn("split", _JSON, None, lambda s, sep=None, maxsplit=-1: s.split(sep, maxsplit),
+    # regex=False: pandas would otherwise treat a multi-char sep as a regex
+    pandas_fn=lambda s, sep=None, maxsplit=-1:
+    s.str.split(sep, n=maxsplit) if sep is None
+    else s.str.split(sep, n=maxsplit, regex=False))
 _fn("rsplit", _JSON, None, lambda s, sep=None, maxsplit=-1: s.rsplit(sep, maxsplit))
 _fn("splitlines", _JSON, None, lambda s: s.splitlines())
 _fn("partition", _JSON, None, lambda s, sep: list(s.partition(sep)))
@@ -89,19 +103,26 @@ _fn("removeprefix", _STR,
 _fn("removesuffix", _STR,
     lambda s, p: F.when(F.endswith(s, p), F.substring(s, 1, F.length(s) - F.length(p))).otherwise(s),
     lambda s, p: s.removesuffix(p))
-_fn("title", _STR, None, lambda s: s.title())
-_fn("swapcase", _STR, None, lambda s: s.swapcase())
+_fn("title", _STR, None, lambda s: s.title(),
+    pandas_fn=lambda s: s.str.title())
+_fn("swapcase", _STR, None, lambda s: s.swapcase(),
+    pandas_fn=lambda s: s.str.swapcase())
 _fn("normalize", _STR, None, lambda s, form="NFC": unicodedata.normalize(form, s))
 _fn("wrap", _JSON, None, lambda s, width=70: textwrap.wrap(s, width))
 _fn("fill", _STR, None, lambda s, width=70: textwrap.fill(s, width))
 _fn("format", _STR, None, lambda s, *a, **kw: s.format(*a, **kw))
 _fn("join", _STR, None, lambda s, parts: s.join(parts))
 
-# predicates (Python-only semantics)
+# predicates (Python-only semantics); pandas has vectorized accessors for
+# most (isascii/isidentifier are Python-3-only — per-row there)
+_PD_PREDS = {"isalnum", "isalpha", "isdecimal", "isdigit", "islower",
+             "isnumeric", "isupper", "istitle", "isspace"}
 for _name in ("isalnum", "isalpha", "isascii", "isdecimal", "isdigit",
               "isidentifier", "islower", "isnumeric", "isupper", "istitle",
               "isspace"):
-    _fn(_name, _BOOL, None, (lambda n: (lambda s: getattr(s, n)()))(_name))
+    _fn(_name, _BOOL, None, (lambda n: (lambda s: getattr(s, n)()))(_name),
+        pandas_fn=(lambda n: (lambda s: getattr(s.str, n)()))(_name)
+        if _name in _PD_PREDS else None)
 
 
 def slice_(base: Expr, start=None, stop=None) -> Expr:

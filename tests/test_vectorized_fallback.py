@@ -1,0 +1,107 @@
+"""Series-level pandas_fn fallback (VERDICT r2 item 6): when a subtree has
+no Catalyst form, the compiler now tries one vectorized pandas accessor
+call per Arrow batch before the per-row eval_py loop."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+import pixeltable_spark as pxt
+from pixeltable_spark.exprs import _try_eval_pandas
+from pixeltable_spark.functions import string as pxs
+
+
+@pytest.fixture()
+def docs(spark):
+    return pxt.table_from_rows(
+        spark, [{"doc_id": i, "text": f"alpha beta{i} Gamma delta"}
+                for i in range(20)],
+        "vec_docs", rowid_cols=["doc_id"])
+
+
+class TestVectorizedCorrectness:
+    def test_rfind_matches_python(self, docs):
+        rows = docs.select(docs.doc_id, r=docs.text.rfind("a")).collect()
+        for r in rows:
+            assert r["r"] == f"alpha beta{r['doc_id']} Gamma delta".rfind("a")
+
+    def test_index_raises_like_python(self, docs):
+        with pytest.raises(Exception, match="(?i)substring not found"):
+            docs.select(r=docs.text.index("zzz")).collect()
+
+    def test_title_split_findall(self, docs):
+        import json
+        rows = docs.select(
+            docs.doc_id,
+            t=docs.text.title(),
+            parts=docs.text.split(" "),
+            words=docs.text.findall(r"[a-z]+"),
+        ).collect()
+        for r in rows:
+            src = f"alpha beta{r['doc_id']} Gamma delta"
+            assert r["t"] == src.title()
+            assert json.loads(r["parts"]) == src.split(" ")
+            assert json.loads(r["words"]) == __import__("re").findall(r"[a-z]+", src)
+
+    def test_predicates(self, docs):
+        rows = docs.select(a=docs.text.isalpha(),
+                           b=docs.text.islower()).collect()
+        assert all(r["a"] is False for r in rows)  # contains spaces
+        assert all(r["b"] is False for r in rows)  # contains 'Gamma'
+
+    def test_null_propagates(self, spark):
+        t = pxt.table_from_rows(
+            spark, [{"k": 0, "s": "abc"}, {"k": 1, "s": None}],
+            "vec_nulls", rowid_cols=["k"])
+        rows = {r["k"]: r["r"] for r in t.select(t.k, r=t.s.rfind("b")).collect()}
+        assert rows[0] == 1 and rows[1] is None
+
+
+class TestProbe:
+    def test_probe_accepts_pandas_fn_over_colref(self, docs):
+        e = pxs.rfind(docs.text, "a")
+        assert _try_eval_pandas(e, None, 0, probe=True)
+
+    def test_probe_rejects_fn_without_pandas_fn(self, docs):
+        e = pxs.normalize(docs.text)  # per-row only
+        assert not _try_eval_pandas(e, None, 0, probe=True)
+
+    def test_probe_rejects_column_valued_method_arg(self, docs):
+        e = pxs.rfind(docs.text, docs.text)  # arg 2 not a Literal
+        assert not _try_eval_pandas(e, None, 0, probe=True)
+
+    def test_probe_accepts_chained_pandas_fns(self, docs):
+        e = pxs.rfind(pxs.title(docs.text), "G")
+        assert _try_eval_pandas(e, None, 0, probe=True)
+
+
+class TestVectorizedSpeedup:
+    def test_kernel_speedup_at_100k(self):
+        """The evaluation kernel itself (what the pandas_fn path replaces):
+        one Series accessor call vs 100k dict-build + eval_py calls.
+        Measured directly — through Spark the fixed job overhead (~0.5 s on
+        local[32]) hides the kernel, but at 100 TB the kernel dominates."""
+        import pandas as pd
+        n = 100_000
+        s = pd.Series([f"prefix padding text value {i} suffix"
+                       for i in range(n)])
+        fn = pxs.rfind
+        expr = fn(pxt.ColumnRef("s", pxt.ColumnType.string()), "x")
+
+        t0 = time.perf_counter()
+        out_vec = _try_eval_pandas(expr, {"s": s}, n)
+        vec = time.perf_counter() - t0
+
+        # the replaced path, exactly as batch_eval builds it: per-row dict
+        # of _from_pandas(series.iloc[i]) then eval_py
+        from pixeltable_spark.exprs import _from_pandas
+        t0 = time.perf_counter()
+        rows = [{"s": _from_pandas(s.iloc[i])} for i in range(n)]
+        out_row = pd.Series(
+            [expr.eval_py(row) for row in rows], dtype="Int64")
+        slow = time.perf_counter() - t0
+
+        assert list(out_vec) == list(out_row)
+        assert slow / vec >= 5.0, f"vectorized {vec:.3f}s vs row-loop {slow:.3f}s"
