@@ -111,7 +111,9 @@ def ivf_centroids(df: DataFrame, vec_col: str = "embedding",
 
 def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
              vec_col: str = "embedding", left_id: str = "vec_id",
-             right_id: str = "vec_id", n_planes: int = 0) -> DataFrame:
+             right_id: str = "vec_id", n_planes: int = 0,
+             allow_broadcast: bool = False,
+             max_probe_rows: int = 100_000) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
 
     n_planes>0 restricts candidates to shared LSH buckets — the
@@ -135,6 +137,19 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         scored = joined.withColumn(
             "cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
     else:
+        # exact mode broadcasts the whole probe side — guard against the
+        # naive table-vs-table call that would broadcast 100 TB: a bounded
+        # count (limit pushdown stops the scan at max_probe_rows+1) unless
+        # the caller vouches with allow_broadcast=True
+        if not allow_broadcast:
+            n_probe = l.limit(max_probe_rows + 1).count()
+            if n_probe > max_probe_rows:
+                raise ValueError(
+                    f"exact kNN (n_planes=0) broadcasts the probe side, but "
+                    f"left has > {max_probe_rows} rows; pass n_planes>0 for "
+                    "the LSH-bucketed table-vs-table path, or "
+                    "allow_broadcast=True if the probe side really fits in "
+                    "executor memory")
         # broadcast the probes; BroadcastNestedLoopJoin keeps `right`
         # partition-local (no shuffle of the big side)
         joined = r.crossJoin(F.broadcast(l))

@@ -597,6 +597,13 @@ class Planner:
             # inherently sequential — the whole input becomes one pandas
             # group. Give the UDA class a merge(other) method to get the
             # distributed two-pass plan instead.
+            import warnings
+            warnings.warn(
+                f"global running UDA {fc.fn.name!r} without a merge(other) "
+                "method collapses the input to a single partition (will OOM "
+                "at scale); implement merge(other) on the aggregator class "
+                "to get the distributed two-pass plan",
+                RuntimeWarning, stacklevel=2)
             one = tmp.withColumn("__one", F.lit(1))
 
             def fn_global(pdf: pd.DataFrame) -> pd.DataFrame:

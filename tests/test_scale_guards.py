@@ -1,0 +1,84 @@
+"""Scale-trap guards (VERDICT r2 item 7): the two remaining plans that are
+correct-but-OOM-at-100x now announce themselves — a warning for the
+single-group global running UDA, an error for table-vs-table exact kNN."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+import pixeltable_spark as pxt
+from pixeltable_spark.operators.similarity import knn_join
+
+
+class TestUnmergeableUdaWarns:
+    def test_warning_names_merge(self, test_tbl):
+        @pxt.uda
+        class running_count:
+            def __init__(self):
+                self.n = 0
+
+            def update(self, v):
+                self.n += 1
+
+            def value(self) -> int:
+                return self.n
+
+        t = test_tbl
+        with pytest.warns(RuntimeWarning, match=r"merge\(other\)"):
+            q = t.where(t.c2 < 5).select(
+                t.c2, rc=running_count(t.c3, order_by=t.c2))
+            q.collect()
+
+    def test_mergeable_uda_does_not_warn(self, test_tbl):
+        @pxt.uda
+        class running_sum:
+            def __init__(self):
+                self.s = 0.0
+
+            def update(self, v):
+                if v is not None:
+                    self.s += v
+
+            def merge(self, other):
+                self.s += other.s
+
+            def value(self) -> float:
+                return self.s
+
+        t = test_tbl
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            t.where(t.c2 < 5).select(
+                t.c2, rs=running_sum(t.c3, order_by=t.c2)).collect()
+
+
+class TestExactKnnGuard:
+    @pytest.fixture()
+    def vecs(self, spark):
+        return spark.createDataFrame(
+            [{"vec_id": i, "embedding": [float(i + 1), float(2 * i + 1)]}
+             for i in range(50)])
+
+    def test_large_probe_side_raises(self, vecs):
+        with pytest.raises(ValueError, match="n_planes>0|allow_broadcast"):
+            knn_join(vecs, vecs, k=2, max_probe_rows=10)
+
+    def test_allow_broadcast_overrides(self, vecs):
+        got = knn_join(vecs, vecs, k=1, max_probe_rows=10,
+                       allow_broadcast=True).collect()
+        # rank-1 of a self-join has cos 1.0 (self, or a collinear tie)
+        assert len(got) == 50
+        assert all(r.cos == pytest.approx(1.0) for r in got)
+
+    def test_small_probe_side_passes_bounded_count(self, vecs):
+        probes = vecs.filter(F.col("vec_id") < 5)
+        got = knn_join(probes, vecs, k=1, max_probe_rows=10).collect()
+        assert len(got) == 5
+
+    def test_lsh_path_needs_no_guard(self, vecs):
+        got = knn_join(vecs, vecs, k=1, n_planes=2,
+                       max_probe_rows=10).collect()
+        assert len(got) > 0
