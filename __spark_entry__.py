@@ -841,6 +841,34 @@ def q58_whisper_segments(spark, sf_dir):
     )
 
 
+def q59_html_sections(spark, sf_dir):
+    """HTML document parsing with heading metadata (functions/document.py
+    html_to_markdown + document_splitter_v2 input_format='html' — reference
+    iterators/document.py _html_sections): HTML synthesized from the
+    documents corpus, split on headings, h1/h2 hierarchy + title extracted.
+    The whole pipeline is regexp_replace/split/posexplode column math —
+    RE2-compatible, so DuckDB replicates it exactly."""
+    from pixeltable_spark.functions.document import document_splitter_v2
+    df = _df(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), ids, F.lit(" &amp; Co</h1><p>"),
+        F.regexp_replace(F.col("text"), r"\n\s*\n", "</p><p>"),
+        F.lit("</p><h2>Tail</h2><p>End of doc "), ids,
+        F.lit(".</p></body></html>"))
+    out = document_splitter_v2(
+        df.select("doc_id", html.alias("text")),
+        separators="heading", metadata="title,heading", input_format="html")
+    return (out.select(
+        "doc_id", "pos",
+        F.length("text").alias("n_chars"),
+        F.substring("text", 1, 20).alias("head20"),
+        "title",
+        F.get_json_object("heading", "$.h1").alias("h1"),
+        F.get_json_object("heading", "$.h2").alias("h2"))
+        .orderBy("doc_id", "pos"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -904,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_json_typed_schema": q56_json_typed_schema,
         "q57_gemini_generate": q57_gemini_generate,
         "q58_whisper_segments": q58_whisper_segments,
+        "q59_html_sections": q59_html_sections,
     }
 
 
@@ -1467,4 +1496,69 @@ SELECT doc_id,
        ' segment[' || substr(md5(md5(text) || '|base.en|0'), 1, 12) || ']' AS seg0,
        ' segment[' || substr(md5(md5(text) || '|base.en|1'), 1, 12) || ']' AS seg1
 FROM documents ORDER BY doc_id""",
+        "q59_html_sections": r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &amp; Co</h1><p>'
+         || regexp_replace(text, '\n\s*\n', '</p><p>', 'g')
+         || '</p><h2>Tail</h2><p>End of doc ' || CAST(doc_id AS VARCHAR)
+         || '.</p></body></html>' AS html
+  FROM documents),
+md AS (
+  -- exactly the engine's html_to_markdown chain, in the same order
+  -- (script/style strip and h3-h6 / inline-tag / other-entity passes are
+  -- no-ops on this constructed input and elided)
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+      replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<h1[^>]*>(.*?)</h1\s*>',
+          chr(10)||chr(10)||'# \1'||chr(10)||chr(10), 'g'),
+          '(?is)<h2[^>]*>(.*?)</h2\s*>',
+          chr(10)||chr(10)||'## \1'||chr(10)||chr(10), 'g'),
+          '(?i)<(?:/p|p[^>]*|br\s*/?|/li|li[^>]*)>', chr(10)||chr(10), 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&amp;', '&'),
+      '[ '||chr(9)||']+', ' ', 'g'),
+      ' ?'||chr(10)||' ?', chr(10), 'g') AS md_text
+  FROM h),
+sec AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(md_text, '(?m)^(#{1,6}\s)', chr(1)||'\1', 'g'),
+           chr(1)) AS parts
+  FROM md),
+u AS (
+  SELECT doc_id, trim(part) AS part, ord
+  FROM (SELECT doc_id, unnest(parts) AS part,
+               unnest(range(1, len(parts) + 1)) AS ord FROM sec)
+  WHERE length(trim(part)) > 0),
+lv AS (
+  SELECT doc_id, part, ord,
+         length(regexp_extract(part, '^(#{1,6})\s', 1)) AS hlvl,
+         regexp_extract(part, '^#{1,6}\s*([^\n]*)', 1) AS htext
+  FROM u),
+w AS (
+  SELECT doc_id, part, ord,
+         last_value(CASE WHEN hlvl = 1 THEN htext END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS UNBOUNDED PRECEDING) AS h1,
+         last_value(CASE WHEN hlvl BETWEEN 1 AND 2 THEN hlvl END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS UNBOUNDED PRECEDING) AS l2,
+         last_value(CASE WHEN hlvl BETWEEN 1 AND 2 THEN htext END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS UNBOUNDED PRECEDING) AS l2t,
+         first_value(CASE WHEN hlvl > 0 THEN htext END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS title
+  FROM lv)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS pos,
+       CAST(length(part) AS BIGINT) AS n_chars,
+       substr(part, 1, 20) AS head20,
+       title, h1,
+       CASE WHEN l2 = 2 THEN l2t END AS h2
+FROM w ORDER BY doc_id, pos""",
     }

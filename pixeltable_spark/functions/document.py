@@ -50,11 +50,52 @@ _VALID_SEPARATORS = {"heading", "paragraph", "sentence", "token_limit",
                      "char_limit", "page"}
 
 
+def html_to_markdown(col):
+    """Normalize an HTML document to markdown-ish plain text with ATX
+    headings, as a pure column expression (reference iterators/document.py
+    _html_sections walks a bs4 tree; here the structural signal — heading
+    level + paragraph boundary — is extracted by a regex chain so 100 TB of
+    HTML chunks inside whole-stage codegen with no Python).
+
+    <h1..6>text</h1..6> → '#'*n text, <p>/<br>/<li> → blank-line breaks,
+    script/style bodies dropped, remaining tags stripped, the five
+    predefined entities + &nbsp; unescaped.
+    """
+    # drop non-content element bodies (two passes — no backreference, so
+    # the same regex runs on RE2-based oracle engines)
+    col = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    col = F.regexp_replace(col, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    # headings → ATX markers (one pass per level: the marker length cannot
+    # be computed inside a single replacement)
+    for n in range(1, 7):
+        col = F.regexp_replace(
+            col, rf"(?is)<h{n}[^>]*>(.*?)</h{n}\s*>",
+            "\n\n" + "#" * n + " $1\n\n")
+    # block boundaries → blank lines
+    col = F.regexp_replace(col, r"(?i)<(?:/p|p[^>]*|br\s*/?|/li|li[^>]*)>", "\n\n")
+    # inline formatting tags vanish without leaving a space ("<b>x</b>." → "x.")
+    col = F.regexp_replace(
+        col, r"(?i)</?(?:b|i|em|strong|u|s|code|span|a)(?:\s[^>]*)?>", "")
+    # strip remaining tags
+    col = F.regexp_replace(col, r"(?s)<[^>]+>", " ")
+    # minimal entity unescape (the predefined XML set + nbsp) — before the
+    # whitespace collapse so an unescaped &nbsp; collapses too
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    # collapse intra-line whitespace runs (tag-strip artifacts); newlines
+    # stay — they carry the paragraph structure
+    col = F.regexp_replace(col, r"[ \t]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    return col
+
+
 def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
                          limit: int = 300, overlap: int = 0,
                          metadata: str = "",
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         input_format: str = "text") -> DataFrame:
     """Separator-aware chunking (reference functions/document.py
     document_splitter + iterators/document.py:10): the document is chunked
     by the requested `separators` — structural ones first (`heading` on
@@ -95,7 +136,13 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     if overlap and overlap >= limit:
         raise ValueError("overlap must be smaller than limit")
 
+    if input_format not in ("text", "markdown", "html"):
+        raise ValueError(
+            f"input_format must be text|markdown|html, got {input_format!r}")
+
     col = F.col(text_col)
+    if input_format == "html":
+        col = html_to_markdown(col)
     # structural boundaries -> sentinel inserts (order matters; mirrored by
     # the oracle SQL)
     if "heading" in seps:
@@ -118,11 +165,17 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
         wdoc = (W.partitionBy(id_col).orderBy("__sec_pos")
                 .rowsBetween(W.unboundedPreceding, W.currentRow))
         if "heading" in meta:
-            levels = [
-                F.last(F.when(F.col("__hlvl") == n, F.col("__htext")), True)
-                 .over(wdoc).alias(f"h{n}")
-                for n in range(1, 7)
-            ]
+            # reference semantics (iterators/document.py update_metadata): a
+            # heading CLOSES all lower levels — h_n is set only if the most
+            # recent heading of level <= n is exactly level n
+            levels = []
+            for n in range(1, 7):
+                ev = F.last(
+                    F.when((F.col("__hlvl") >= 1) & (F.col("__hlvl") <= n),
+                           F.struct(F.col("__hlvl").alias("l"),
+                                    F.col("__htext").alias("t"))),
+                    True).over(wdoc)
+                levels.append(F.when(ev["l"] == n, ev["t"]).alias(f"h{n}"))
             out = out.withColumn("heading", F.to_json(F.struct(*levels)))
         if "title" in meta:
             wall = (W.partitionBy(id_col).orderBy("__sec_pos")

@@ -103,3 +103,60 @@ class TestLimitSeparators:
     def test_overlap_must_be_smaller(self, docs):
         with pytest.raises(ValueError, match="overlap"):
             document_splitter_v2(docs, separators="token_limit", limit=4, overlap=4)
+
+
+HTML = """<html><head><title>x</title><style>p {color:red}</style></head>
+<body>
+<h1 class="big">Guide</h1>
+<p>Intro paragraph one. It has two sentences.</p>
+<h2>Install</h2>
+<p>Run the &amp; installer.<br>Then restart.</p>
+<h2>Usage</h2>
+<p>Use it <b>daily</b>.</p>
+<h1>Appendix</h1>
+<p>Extra notes here.</p>
+<script>var x = "<h1>not a heading</h1>";</script>
+</body></html>"""
+
+
+class TestHtmlInput:
+    @pytest.fixture()
+    def html_docs(self, spark):
+        return spark.createDataFrame([(1, HTML)], "doc_id long, text string")
+
+    def test_heading_split_with_metadata(self, html_docs):
+        rows = document_splitter_v2(
+            html_docs, separators="heading", metadata="title,heading",
+            input_format="html").collect()
+        rows.sort(key=lambda r: r["pos"])
+        assert all(r["title"] == "Guide" for r in rows)
+        heads = [json.loads(r["heading"]) for r in rows]
+        texts = [r["text"] for r in rows]
+        # the Install section carries h1=Guide, h2=Install
+        install = next(i for i, t in enumerate(texts) if "installer" in t)
+        assert heads[install]["h1"] == "Guide"
+        assert heads[install]["h2"] == "Install"
+        # h2 resets when the next h1 opens
+        appendix = next(i for i, t in enumerate(texts) if "Extra notes" in t)
+        assert heads[appendix]["h1"] == "Appendix"
+        # a new h1 closes h2: the key is absent (reference Heading carries
+        # only the currently-open levels)
+        assert heads[appendix].get("h2") is None
+        # style/script bodies are gone, tags stripped, entities unescaped
+        joined = " ".join(texts)
+        assert "color:red" not in joined and "not a heading" not in joined
+        assert "Run the & installer." in joined
+        assert "<b>" not in joined and "daily" in joined
+
+    def test_paragraph_split_html(self, html_docs):
+        rows = document_splitter_v2(
+            html_docs, separators="heading,paragraph",
+            input_format="html").collect()
+        texts = [r["text"] for r in sorted(rows, key=lambda r: r["pos"])]
+        assert any(t.startswith("# Guide") for t in texts)
+        assert "Run the & installer." in texts  # <br> makes its own break
+        assert "Then restart." in texts
+
+    def test_bad_format_raises(self, html_docs):
+        with pytest.raises(ValueError, match="input_format"):
+            document_splitter_v2(html_docs, input_format="pdf")
