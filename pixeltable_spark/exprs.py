@@ -1045,17 +1045,26 @@ def _find_async_nodes(expr: Expr) -> list["FunctionCall"]:
 
 
 def _async_rate(fn: "Function") -> float:
-    """Per-executor share of the function's global request budget,
-    resolved driver-side at compile time."""
+    """Per-worker share of the function's global request budget, resolved
+    driver-side at compile time.
+
+    Derived from sc.defaultParallelism (total cores across the cluster,
+    dynamic-allocation-aware), NOT spark.executor.instances — the latter is
+    unset on local[*] and under dynamic allocation, which would over-admit
+    by a full budget per worker. The divisor is the number of concurrent
+    Python workers that can each hold a rate limiter: one per simultaneous
+    Arrow batch, bounded by total cores.
+    """
     rpm = getattr(fn, "requests_per_minute", 600.0)
+    if rpm >= 1e12:  # offline fake — no throttle, skip the conf lookup
+        return rpm
     try:
         from pyspark.sql import SparkSession
-        conf = dict(SparkSession.getActiveSession()
-                    .sparkContext.getConf().getAll())
-        n_exec = int(conf.get("spark.executor.instances", "1") or 1)
+        sc = SparkSession.getActiveSession().sparkContext
+        n_workers = max(1, int(sc.defaultParallelism))
     except Exception:  # noqa: BLE001
-        n_exec = 1
-    return max(1.0, rpm / max(1, n_exec))
+        n_workers = 1
+    return max(1.0, rpm / n_workers)
 
 
 def _from_pandas(v: Any) -> Any:

@@ -183,16 +183,47 @@ class _McpClient:
         if not body:
             return None
         if "text/event-stream" in ctype:
-            # SSE framing: take the last data: line (the response message)
-            datas = [ln[5:].strip() for ln in body.splitlines()
-                     if ln.startswith("data:")]
-            body = datas[-1] if datas else ""
-            if not body:
+            msg = self._parse_sse(body, payload.get("id"))
+            if msg is None:
                 return None
-        msg = json.loads(body)
+        else:
+            msg = json.loads(body)
         if "error" in msg:
             raise RuntimeError(f"MCP error: {msg['error']}")
         return msg
+
+    @staticmethod
+    def _parse_sse(body: str, want_id: "int | str | None") -> "dict | None":
+        """SSE framing per the spec: events are blank-line delimited,
+        multi-line data: fields join with newline (one leading space after
+        the colon stripped). The server may interleave other JSON-RPC
+        messages (notifications, server requests) on the stream — the
+        response is matched by JSON-RPC id, not stream position."""
+        events: list[str] = []
+        cur: list[str] = []
+        for ln in body.splitlines():
+            if ln == "":
+                if cur:
+                    events.append("\n".join(cur))
+                    cur = []
+                continue
+            if ln.startswith("data:"):
+                cur.append(ln[5:].removeprefix(" "))
+        if cur:
+            events.append("\n".join(cur))
+        fallback: "dict | None" = None
+        for ev in events:
+            try:
+                parsed = json.loads(ev)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(parsed, dict):
+                continue
+            if want_id is not None and parsed.get("id") == want_id:
+                return parsed
+            if fallback is None or ("id" in parsed and "id" not in fallback):
+                fallback = parsed
+        return fallback
 
     def request(self, method: str, params: "dict | None" = None) -> dict:
         self._next_id += 1

@@ -143,28 +143,46 @@ def export_fiftyone(df: DataFrame, out_dir: str,
                     image_col: str = "image_path",
                     boxes_col: Optional[str] = None,
                     labels_col: Optional[str] = None,
+                    width_col: Optional[str] = None,
+                    height_col: Optional[str] = None,
                     dataset_name: str = "pxt_export"):
     """FiftyOne export (reference io/globals.py:12 create_fiftyone_dataset).
 
     With the fiftyone library installed, builds a live ``fo.Dataset``.
     Without it, writes FiftyOne's documented dataset-directory layout
     (``samples.json`` with per-sample filepath + Detections labels) that
-    ``fo.Dataset.from_dir(..., dataset_type=FiftyOneDataset)`` imports."""
-    cols = [image_col] + [c for c in (boxes_col, labels_col) if c]
+    ``fo.Dataset.from_dir(..., dataset_type=FiftyOneDataset)`` imports.
+
+    FiftyOne's Detection.bounding_box format is [x, y, w, h] RELATIVE to
+    the image size in [0, 1]: pass ``width_col``/``height_col`` when boxes
+    are absolute-pixel [x1, y1, x2, y2] and they are rescaled here;
+    without dimension columns, boxes are required to already be relative
+    (all coordinates in [0, 1]) and an error is raised otherwise."""
+    cols = [image_col] + [c for c in (boxes_col, labels_col,
+                                      width_col, height_col) if c]
     rows = df.select(*cols).collect()
     samples = []
     for r in rows:
         sample: dict[str, Any] = {"filepath": r[image_col]}
         if boxes_col and labels_col:
+            w = float(r[width_col]) if width_col else 1.0
+            h = float(r[height_col]) if height_col else 1.0
             dets = []
             for box, label in zip(r[boxes_col] or [], r[labels_col] or []):
                 x1, y1, x2, y2 = box
+                if not width_col and not (
+                        0 <= x1 <= 1 and 0 <= y1 <= 1
+                        and 0 <= x2 <= 1 and 0 <= y2 <= 1):
+                    raise ValueError(
+                        "export_fiftyone: boxes look absolute-pixel "
+                        f"({[x1, y1, x2, y2]}) but no width_col/height_col "
+                        "given; pass image dimensions so they can be "
+                        "rescaled to FiftyOne's relative [0,1] format")
                 dets.append({
                     "_cls": "Detection",
                     "label": str(label),
-                    # FiftyOne uses [x, y, w, h] in relative coords; absolute
-                    # pixel boxes pass through (importer rescales via image)
-                    "bounding_box": [x1, y1, x2 - x1, y2 - y1],
+                    "bounding_box": [x1 / w, y1 / h,
+                                     (x2 - x1) / w, (y2 - y1) / h],
                 })
             sample["ground_truth"] = {"_cls": "Detections",
                                       "detections": dets}

@@ -132,15 +132,42 @@ class TestHfFiftyoneRoundtrip:
         import json
         from pixeltable_spark.sources import io as pio
 
+        # absolute-pixel boxes + image dims → rescaled to FiftyOne's
+        # relative [x, y, w, h]
         df = spark.createDataFrame(
-            [("img1.jpg", [[0.0, 0.0, 10.0, 10.0]], ["cat"]),
-             ("img2.jpg", [], [])],
-            "image_path string, boxes array<array<double>>, labels array<string>")
+            [("img1.jpg", [[10.0, 5.0, 30.0, 25.0]], ["cat"], 100, 50),
+             ("img2.jpg", [], [], 100, 50)],
+            "image_path string, boxes array<array<double>>, "
+            "labels array<string>, w int, h int")
         out = pio.export_fiftyone(df, str(tmp_path / "fo"),
-                                  boxes_col="boxes", labels_col="labels")
+                                  boxes_col="boxes", labels_col="labels",
+                                  width_col="w", height_col="h")
         doc = json.load(open(out))
         by_path = {s["filepath"]: s for s in doc["samples"]}
         dets = by_path["img1.jpg"]["ground_truth"]["detections"]
         assert dets[0]["label"] == "cat"
-        assert dets[0]["bounding_box"] == [0.0, 0.0, 10.0, 10.0]
+        assert dets[0]["bounding_box"] == [0.1, 0.1, 0.2, 0.4]
         assert by_path["img2.jpg"]["ground_truth"]["detections"] == []
+
+    def test_fiftyone_relative_boxes_pass_through(self, spark, tmp_path):
+        import json
+        from pixeltable_spark.sources import io as pio
+
+        df = spark.createDataFrame(
+            [("img1.jpg", [[0.1, 0.2, 0.5, 0.6]], ["dog"])],
+            "image_path string, boxes array<array<double>>, labels array<string>")
+        out = pio.export_fiftyone(df, str(tmp_path / "fo2"),
+                                  boxes_col="boxes", labels_col="labels")
+        doc = json.load(open(out))
+        box = doc["samples"][0]["ground_truth"]["detections"][0]["bounding_box"]
+        assert box == pytest.approx([0.1, 0.2, 0.4, 0.4])
+
+    def test_fiftyone_absolute_boxes_without_dims_raise(self, spark, tmp_path):
+        from pixeltable_spark.sources import io as pio
+
+        df = spark.createDataFrame(
+            [("img1.jpg", [[0.0, 0.0, 10.0, 10.0]], ["cat"])],
+            "image_path string, boxes array<array<double>>, labels array<string>")
+        with pytest.raises(ValueError, match="width_col"):
+            pio.export_fiftyone(df, str(tmp_path / "fo3"),
+                                boxes_col="boxes", labels_col="labels")

@@ -99,3 +99,45 @@ class TestMcpUdfs:
         out = invoke_tools(tools, llm_response)
         assert out[0]["result"] == 3
         assert out[1]["result"] == "hello pxt"
+
+
+class TestSseParsing:
+    """SSE framing per spec: blank-line-delimited events, multi-line data
+    joined with newline, response matched by JSON-RPC id (not position)."""
+
+    def test_multiline_data_joined(self):
+        from pixeltable_spark.functions.query_template import _McpClient
+        body = 'data: {"jsonrpc": "2.0",\ndata:  "id": 7, "result": {"ok": 1}}\n\n'
+        msg = _McpClient._parse_sse(body, 7)
+        assert msg == {"jsonrpc": "2.0", "id": 7, "result": {"ok": 1}}
+
+    def test_interleaved_notification_skipped(self):
+        from pixeltable_spark.functions.query_template import _McpClient
+        body = (
+            'data: {"jsonrpc": "2.0", "method": "notifications/progress", '
+            '"params": {"p": 1}}\n\n'
+            'data: {"jsonrpc": "2.0", "id": 3, "result": {"v": 42}}\n\n'
+            'data: {"jsonrpc": "2.0", "method": "notifications/progress", '
+            '"params": {"p": 2}}\n\n')
+        msg = _McpClient._parse_sse(body, 3)
+        assert msg["result"] == {"v": 42}
+
+    def test_fallback_prefers_id_bearing_message(self):
+        from pixeltable_spark.functions.query_template import _McpClient
+        body = (
+            'data: {"jsonrpc": "2.0", "method": "n/1"}\n\n'
+            'data: {"jsonrpc": "2.0", "id": 99, "result": {}}\n\n')
+        # no id match (want 5) -> the id-bearing message wins over the
+        # notification
+        msg = _McpClient._parse_sse(body, 5)
+        assert msg["id"] == 99
+
+    def test_event_fields_other_than_data_ignored(self):
+        from pixeltable_spark.functions.query_template import _McpClient
+        body = ('event: message\nid: e1\nretry: 100\n'
+                'data: {"jsonrpc": "2.0", "id": 1, "result": {"x": 2}}\n\n')
+        assert _McpClient._parse_sse(body, 1)["result"] == {"x": 2}
+
+    def test_empty_stream(self):
+        from pixeltable_spark.functions.query_template import _McpClient
+        assert _McpClient._parse_sse("", 1) is None

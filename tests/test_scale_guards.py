@@ -82,3 +82,22 @@ class TestExactKnnGuard:
         got = knn_join(vecs, vecs, k=1, n_planes=2,
                        max_probe_rows=10).collect()
         assert len(got) > 0
+
+
+class TestAsyncRateClusterMath:
+    def test_divides_by_default_parallelism(self, spark, monkeypatch):
+        from pixeltable_spark import exprs as E
+
+        class FakeFn:
+            requests_per_minute = 640.0
+
+        n = spark.sparkContext.defaultParallelism
+        assert E._async_rate(FakeFn()) == max(1.0, 640.0 / n)
+
+    def test_offline_fake_unthrottled(self, spark):
+        from pixeltable_spark import exprs as E
+
+        class FakeFn:
+            requests_per_minute = 1e12
+
+        assert E._async_rate(FakeFn()) == 1e12
