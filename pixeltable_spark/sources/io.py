@@ -103,11 +103,18 @@ def export_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
 
 def export_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Iceberg-native writeTo (reference io/iceberg.py:21). Needs the
-    iceberg-spark runtime jar on the classpath — not in this image."""
+    iceberg-spark runtime jar on the classpath — not in this image, so the
+    capability gate checks the classpath UP FRONT (a late AnalysisException
+    from writeTo().append() would mask the real cause)."""
+    spark = df.sparkSession
     try:
-        writer = df.writeTo(table)
-    except Exception as e:  # pragma: no cover
-        raise NotImplementedError("Iceberg catalog not configured") from e
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception as e:
+        raise NotImplementedError(
+            "Iceberg export requires the iceberg-spark-runtime jar on the "
+            "Spark classpath (org.apache.iceberg.spark.SparkCatalog is not "
+            "loadable)") from e
+    writer = df.writeTo(table)
     if mode == "overwrite":
         writer.createOrReplace()
     else:
