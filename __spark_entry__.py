@@ -672,17 +672,24 @@ def q49_stream_windowed(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001
         pass
-    nano_schema = T.StructType([
+    # the testdata's ts physical type differs by generator version:
+    # TIMESTAMP(NANOS) (long under the legacy conf) vs TIMESTAMP_NTZ
+    # (micros) — probe the static footer once to pick the stream schema
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    read_schema = T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", ts_type),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ])
-    raw = (spark.readStream.format("parquet").schema(nano_schema)
+    raw = (spark.readStream.format("parquet").schema(read_schema)
            .option("pathGlobFilter", "events.parquet").load(sf_dir))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     import uuid as _uuid
     name = "q49_win_" + _uuid.uuid4().hex[:10]  # unique per invocation

@@ -64,8 +64,17 @@ def table_from_parquet(
     for c in TESTDATA_NANO_TS_COLS.get(name, []):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
-        if isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) under nanosAsLong → int64 nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # micros-precision NTZ parquet: normalize to TIMESTAMP so
+            # unix_micros()/window() accept it — value-preserving because
+            # the session TZ is pinned to UTC above
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return TableRef.from_df(df, name, rowid_cols=rowid_cols, json_cols=json_cols)
 
 
