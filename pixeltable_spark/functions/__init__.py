@@ -82,9 +82,11 @@ from . import array, date, json, math, string, timestamp  # noqa: E402,F401
 from . import audio, document, image, llm, video, vision  # noqa: E402,F401
 # provider modules (reference functions/<provider>.py) — import-light:
 # each gates its SDK behind a lazy ClientCache, so importing here is cheap
-from . import anthropic, bedrock, deepseek, fireworks, gemini, groq  # noqa: E402,F401
-from . import huggingface, jina, llama_cpp, mistralai, ollama, openai  # noqa: E402,F401
-from . import replicate, together, vllm, voyageai, whisper  # noqa: E402,F401
+from . import anthropic, bedrock, bfl, deepseek, fabric, fal  # noqa: E402,F401
+from . import fireworks, gemini, groq, huggingface, jina, llama_cpp  # noqa: E402,F401
+from . import mistralai, nebius, ollama, openai, openrouter, replicate  # noqa: E402,F401
+from . import reve, runwayml, together, twelvelabs, vllm, voyageai  # noqa: E402,F401
+from . import whisper, whisperx, yolox  # noqa: E402,F401
 from . import uuid_net_util as util  # noqa: E402,F401
 from .query_template import Tool, invoke_tools, mcp_udfs, query, tools  # noqa: E402,F401
 from .udf import uda, udf  # noqa: E402,F401
@@ -95,9 +97,11 @@ __all__ = [
     "row_number", "rank", "dense_rank", "lag", "lead",
     "string", "math", "timestamp", "date", "json", "array",
     "image", "video", "audio", "vision", "document", "llm", "util",
-    "anthropic", "bedrock", "deepseek", "fireworks", "gemini", "groq",
-    "huggingface", "jina", "llama_cpp", "mistralai", "ollama", "openai",
-    "replicate", "together", "vllm", "voyageai", "whisper",
+    "anthropic", "bedrock", "bfl", "deepseek", "fabric", "fal",
+    "fireworks", "gemini", "groq", "huggingface", "jina", "llama_cpp",
+    "mistralai", "nebius", "ollama", "openai", "openrouter", "replicate",
+    "reve", "runwayml", "together", "twelvelabs", "vllm", "voyageai",
+    "whisper", "whisperx", "yolox",
     "query", "tools", "invoke_tools", "mcp_udfs", "Tool",
     "udf", "uda", "register_method", "lookup_method",
 ]

@@ -230,3 +230,100 @@ class TestRerankers:
         out = asyncio.run(rr("q", ["a", "b"], model="jina-reranker"))
         assert {r["index"] for r in out["results"]} == {0, 1}
         assert "document" not in out["results"][0]
+
+
+class TestBreadthWave2:
+    @pytest.mark.parametrize("mod", ["openrouter", "nebius", "fabric"])
+    def test_openai_compatible_chat(self, docs, mod):
+        import importlib
+        m = importlib.import_module(f"pixeltable_spark.functions.{mod}")
+        rows = docs.select(r=m.chat_completions(_msgs(docs), model="m")).collect()
+        resp = json.loads(rows[0]["r"])
+        assert resp["object"] == "chat.completion"
+        assert resp["choices"][0]["message"]["content"].startswith("response[")
+
+    def test_nebius_and_twelvelabs_embeddings(self, docs):
+        from pixeltable_spark.functions import nebius, twelvelabs
+        rows = docs.select(
+            a=nebius.embeddings(docs.text, model="m"),
+            b=twelvelabs.embed(docs.text, model_name="marengo"),
+        ).collect()
+        for r in rows:
+            assert sum(x * x for x in r["a"]) == pytest.approx(1.0, abs=1e-9)
+            assert sum(x * x for x in r["b"]) == pytest.approx(1.0, abs=1e-9)
+
+    def test_fal_run(self, docs):
+        from pixeltable_spark.functions import fal
+        rows = docs.select(r=fal.run(
+            InlineDict({"prompt": docs.text}), app="fal-ai/flux")).collect()
+        resp = json.loads(rows[0]["r"])
+        assert resp["status"] == "COMPLETED" and resp["app"] == "fal-ai/flux"
+
+    def test_image_gen_gated(self):
+        from pixeltable_spark.functions import bfl, reve, runwayml, twelvelabs
+        for fn in (bfl.generate_image, reve.generate_image, reve.edit_image,
+                   runwayml.text_to_image, runwayml.text_to_video,
+                   twelvelabs.embed_image):
+            with pytest.raises(NotImplementedError):
+                fn("x")
+
+
+class TestYolox:
+    @pytest.fixture()
+    def imgs(self, spark):
+        return pxt.table_from_rows(
+            spark, [{"media_id": i, "payload": bytes([i]) * 100}
+                    for i in range(8)],
+            "r4yolo", rowid_cols=["media_id"])
+
+    def test_detection_shape_and_determinism(self, imgs):
+        from pixeltable_spark.functions import yolox as yx
+        q = imgs.select(imgs.media_id,
+                        d=yx.yolox(imgs.payload, model_id="yolox_s"))
+        a = {r["media_id"]: r["d"] for r in q.collect()}
+        b = {r["media_id"]: r["d"] for r in q.collect()}
+        assert a == b
+        dets = [json.loads(v) for v in a.values()]
+        assert any(d["bboxes"] for d in dets)  # some payloads produce boxes
+        for d in dets:
+            assert len(d["bboxes"]) == len(d["scores"]) == len(d["labels"])
+            assert all(s >= 0.5 for s in d["scores"])
+            assert all(0 <= lab < 80 for lab in d["labels"])
+
+    def test_threshold_filters(self, imgs):
+        from pixeltable_spark.functions import yolox as yx
+        lo = imgs.select(d=yx.yolox(imgs.payload, model_id="yolox_s",
+                                    threshold=0.5)).collect()
+        hi = imgs.select(d=yx.yolox(imgs.payload, model_id="yolox_s",
+                                    threshold=0.95)).collect()
+        n_lo = sum(len(json.loads(r["d"])["bboxes"]) for r in lo)
+        n_hi = sum(len(json.loads(r["d"])["bboxes"]) for r in hi)
+        assert n_hi <= n_lo
+
+    def test_bad_model_id_raises(self, imgs):
+        from pixeltable_spark.functions import yolox as yx
+        with pytest.raises(Exception, match="unknown model_id"):
+            imgs.select(d=yx.yolox(imgs.payload, model_id="nope")).collect()
+
+    def test_yolo_to_coco_pure_math(self):
+        from pixeltable_spark.functions import yolox as yx
+        dets = {"bboxes": [[10.2, 5.8, 30.4, 25.1]], "scores": [0.9],
+                "labels": [17]}
+        out = yx.yolo_to_coco.py_fn(dets)
+        assert out == [{"bbox": [10, 6, 20, 19], "category": 17}]
+
+
+class TestWhisperX:
+    def test_alignment_and_diarization_shapes(self, spark):
+        from pixeltable_spark.functions import whisperx as wx
+        t = pxt.table_from_rows(
+            spark, [{"media_id": 0, "payload": bytes(range(64)) * 1500}],
+            "r4wx", rowid_cols=["media_id"])
+        r = t.select(x=wx.transcribe(t.payload, model="large-v2",
+                                     alignment=True,
+                                     diarization=True)).collect()[0]
+        res = json.loads(r["x"])
+        assert res["language"] == "en"
+        seg = res["segments"][0]
+        assert seg["words"][0]["word"].startswith("segment[")
+        assert seg["speaker"].startswith("SPEAKER_")
