@@ -876,6 +876,45 @@ def q59_html_sections(spark, sf_dir):
         .orderBy("doc_id", "pos"))
 
 
+def q60_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/stateful.py
+    stream_dedup_stateful — applyInPandasWithState with TTL'd per-key
+    GroupState): exactly-once dedup of the events stream on a derived key.
+    The emitted KEY SET is deterministic (one row per distinct key), so it
+    oracle-checks; the carried row values depend on arrival order and are
+    projected away."""
+    from pyspark.sql import types as T
+
+    from pixeltable_spark import streaming
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    keyed = raw.withColumn("dedup_key",
+                           F.concat_ws("|", "user_id", "event_type"))
+    deduped = streaming.stream_dedup_stateful(
+        keyed, id_col="dedup_key", ts_col="ts")
+    import uuid as _uuid
+    name = "q60_dedup_" + _uuid.uuid4().hex[:10]
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id", "event_type")
+            .orderBy("user_id", "event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -940,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_gemini_generate": q57_gemini_generate,
         "q58_whisper_segments": q58_whisper_segments,
         "q59_html_sections": q59_html_sections,
+        "q60_stream_dedup": q60_stream_dedup,
     }
 
 
@@ -1503,6 +1543,9 @@ SELECT doc_id,
        ' segment[' || substr(md5(md5(text) || '|base.en|0'), 1, 12) || ']' AS seg0,
        ' segment[' || substr(md5(md5(text) || '|base.en|1'), 1, 12) || ']' AS seg1
 FROM documents ORDER BY doc_id""",
+        "q60_stream_dedup": """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type""",
         "q59_html_sections": r"""
 WITH h AS (
   SELECT doc_id,

@@ -5,8 +5,13 @@ from .incremental import (
     sessionize_stream,
     run_stream_to_memory,
 )
+from .stateful import (
+    stream_dedup_stateful,
+    stateful_running_uda,
+)
 
 __all__ = [
     "incremental_ingest", "stream_from_directory", "windowed_event_counts",
     "sessionize_stream", "run_stream_to_memory",
+    "stream_dedup_stateful", "stateful_running_uda",
 ]

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operators (applyInPandasWithState):
+streaming dedup with TTL state + the @uda surface over streams."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import pixeltable_spark as pxt
+from pixeltable_spark import streaming
+
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture()
+def dup_landing(spark, tmp_path):
+    """Landing dir with duplicated event_ids across two files."""
+    rows = [(i % 6, f"2024-01-01 00:{i:02d}:00", i % 3, float(i))
+            for i in range(12)]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, v) for eid, ts, uid, v in rows],
+        "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "landing")
+    df.filter(F.col("event_id") < 3).coalesce(1).write.mode("append").parquet(d)
+    df.filter(F.col("event_id") >= 3).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+class TestStreamDedupStateful:
+    def test_emits_first_row_per_key(self, spark, dup_landing):
+        stream = streaming.stream_from_directory(spark, dup_landing, SCHEMA)
+        deduped = streaming.stream_dedup_stateful(
+            stream, id_col="event_id", ts_col="ts")
+        q = streaming.run_stream_to_memory(deduped, "dedup_t1",
+                                           output_mode="append")
+        out = spark.table("dedup_t1").collect()
+        ids = [r["event_id"] for r in out]
+        assert sorted(ids) == [0, 1, 2, 3, 4, 5]  # 12 rows in, 6 unique out
+        # each emitted row is the FIRST occurrence (min value for that id)
+        vals = {r["event_id"]: r["value"] for r in out}
+        assert vals[0] == 0.0 and vals[5] == 5.0
+
+    def test_state_dedups_across_restart_with_checkpoint(self, spark, tmp_path,
+                                                         dup_landing):
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "out")  # file sink: supports ckpt recovery
+
+        def run_once():
+            stream = streaming.stream_from_directory(spark, dup_landing, SCHEMA)
+            deduped = streaming.stream_dedup_stateful(
+                stream, id_col="event_id", ts_col="ts")
+            q = (deduped.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run_once()
+        assert spark.read.parquet(sink).count() == 6
+        # second run over the same checkpoint with NEW files: old ids are
+        # still in state and get dropped; a brand-new id passes
+        extra = spark.createDataFrame(
+            [(1, "2024-01-01 00:20:00", 9, 99.0),
+             (100, "2024-01-01 00:21:00", 9, 7.0)],
+            "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        extra.coalesce(1).write.mode("append").parquet(dup_landing)
+        run_once()
+        after = spark.read.parquet(sink)
+        assert after.count() == 7  # only event_id=100 added
+        assert after.filter(F.col("event_id") == 1).count() == 1
+
+
+class TestStatefulRunningUda:
+    def test_uda_runs_incrementally_per_key(self, spark, dup_landing):
+        @pxt.uda
+        class running_sum:
+            def __init__(self):
+                self.s = 0.0
+
+            def update(self, v):
+                if v is not None:
+                    self.s += float(v)
+
+            def value(self) -> float:
+                return self.s
+
+        stream = streaming.stream_from_directory(spark, dup_landing, SCHEMA)
+        agg = streaming.stateful_running_uda(
+            stream, running_sum, key_col="user_id", value_col="value")
+        streaming.run_stream_to_memory(agg, "uda_t1", output_mode="update")
+        out = spark.table("uda_t1").collect()
+        # final state per key equals the batch groupBy sum
+        final = {}
+        for r in out:  # update mode may emit per micro-batch; last wins
+            final[r["user_id"]] = (r["n_updates"], r["value"])
+        expect = {uid: (4, float(sum(range(uid, 12, 3))))
+                  for uid in range(3)}
+        assert {k: v for k, v in final.items()} == expect
