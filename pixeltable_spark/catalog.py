@@ -234,14 +234,170 @@ class Table:
     def _data_dir(self) -> str:
         return os.path.join(self.path, "data")
 
+    # -- manifest commit protocol ------------------------------------------
+    # Every mutation writes NEW parquet files only, then atomically commits
+    # a manifest (the list of files forming the current snapshot) by
+    # renaming a temp file over CURRENT — the same single-pointer-swap
+    # design as Delta's _delta_log / Iceberg's metadata pointer, which the
+    # directory-swap scheme it replaces could not provide (a crash between
+    # two os.rename calls lost the table; on S3 there is no directory
+    # rename at all). Readers resolve CURRENT → manifest → exact file list;
+    # files from crashed writes are simply never referenced, and a
+    # post-commit vacuum deletes unreferenced files.
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _atomic_write(self, path: str, data: str) -> None:
+        tmp = path + ".tmp-" + _uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic on POSIX
+
+    def _scan_parquet(self, root: str) -> list[str]:
+        """All .parquet files under `root`, as paths relative to
+        self.path (skips in-flight .tmp-* write dirs)."""
+        out = []
+        for dirpath, dirnames, files in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".tmp-")]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.relpath(os.path.join(dirpath, f),
+                                               self.path))
+        return sorted(out)
+
+    def _current_files(self) -> list[str]:
+        """The current snapshot's file list; legacy (pre-manifest) tables
+        fall back to a directory scan and upgrade on their next commit."""
+        if os.path.exists(self._current_path):
+            with open(self._current_path) as f:
+                cur = json.load(f)
+            with open(os.path.join(self.path, cur["manifest"])) as f:
+                return json.load(f)["files"]
+        if os.path.isdir(self._data_dir):
+            return self._scan_parquet(self._data_dir)
+        return []
+
+    @staticmethod
+    def _bucket_of(relpath: str) -> Optional[int]:
+        for part in relpath.split(os.sep):
+            if part.startswith(_BKT + "="):
+                try:
+                    return int(part.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
+    def _write_snapshot_files(self, df: DataFrame) -> list[str]:
+        """Write `df` as NEW parquet files into the stable `_bkt=N/` layout
+        (flat when unbucketed) and return their relative paths. Existing
+        files are never touched; nothing becomes visible until
+        _commit_files."""
+        tmp = os.path.join(self._data_dir, ".tmp-" + _uuid.uuid4().hex[:8])
+        partitioned = _BKT in df.columns
+        w = df.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy(_BKT)
+        w.parquet(tmp)
+        snap = _uuid.uuid4().hex[:12]
+        moved: list[str] = []
+        i = 0
+        for dirpath, _dirs, files in os.walk(tmp):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, tmp)
+                dest_dir = (self._data_dir if rel_dir == "."
+                            else os.path.join(self._data_dir, rel_dir))
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"snap-{snap}-{i:05d}.parquet")
+                os.rename(os.path.join(dirpath, f), dest)
+                moved.append(os.path.relpath(dest, self.path))
+                i += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not moved:
+            # empty snapshot: one schema-bearing empty file so readers can
+            # always infer the store schema from the file list
+            os.makedirs(self._data_dir, exist_ok=True)
+            sub = os.path.join(self._data_dir, ".tmp-" + _uuid.uuid4().hex[:8])
+            df.drop(_BKT).limit(0).coalesce(1).write.mode("overwrite").parquet(sub)
+            for f in sorted(os.listdir(sub)):
+                if f.endswith(".parquet"):
+                    dest = os.path.join(self._data_dir,
+                                        f"snap-{snap}-empty.parquet")
+                    os.rename(os.path.join(sub, f), dest)
+                    moved.append(os.path.relpath(dest, self.path))
+                    break
+            shutil.rmtree(sub, ignore_errors=True)
+        return moved
+
+    def _commit_files(self, files: Sequence[str]) -> None:
+        """The commit point: write a new manifest, swap CURRENT onto it
+        (atomic rename), then best-effort vacuum of unreferenced files.
+        A crash before the CURRENT swap leaves the old snapshot intact; a
+        crash after it leaves only unreferenced garbage for the next
+        vacuum."""
+        os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
+        mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
+        self._atomic_write(os.path.join(self.path, mrel),
+                           json.dumps({"files": sorted(files)}))
+        self._atomic_write(self._current_path, json.dumps({"manifest": mrel}))
+        self._vacuum(set(files), keep_manifest=mrel)
+
+    def _vacuum(self, keep: set, keep_manifest: str) -> None:
+        """Remove data files and manifests no longer referenced by CURRENT.
+        Runs strictly after the commit point, so a crash here only delays
+        cleanup. (On an object store this directory walk becomes a prefix
+        listing — same contract.)"""
+        for rel in self._scan_parquet(self._data_dir):
+            if rel not in keep:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+        # prune stray non-parquet write debris (_SUCCESS etc.) and stale
+        # tmp dirs / empty bucket dirs
+        for dirpath, dirnames, files in os.walk(self._data_dir, topdown=False):
+            for d in list(dirnames):
+                full = os.path.join(dirpath, d)
+                if d.startswith(".tmp-"):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    try:
+                        os.rmdir(full)  # only succeeds when empty
+                    except OSError:
+                        pass
+            for f in files:
+                if not f.endswith(".parquet"):
+                    try:
+                        os.remove(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        mdir = os.path.join(self.path, "manifests")
+        if os.path.isdir(mdir):
+            keep_name = os.path.basename(keep_manifest)
+            for f in os.listdir(mdir):
+                if f != keep_name and f.endswith(".json"):
+                    try:
+                        os.remove(os.path.join(mdir, f))
+                    except OSError:
+                        pass
+
+    def _read_current_raw(self) -> Optional[DataFrame]:
+        """The current snapshot as a raw DataFrame (system + user columns,
+        no visibility filter), or None when the table has no files yet."""
+        files = self._current_files()
+        if not files:
+            return None
+        spark = self.catalog.spark
+        return spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files])
+
     def _has_data(self) -> bool:
-        d = self._data_dir
-        if not os.path.isdir(d):
-            return False
-        for dirpath, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return bool(self._current_files())
 
     def _with_bkt(self, df: DataFrame) -> DataFrame:
         """Ensure the bucket partition column: _bkt = _rowid % n_buckets.
@@ -256,10 +412,12 @@ class Table:
 
     def _store_df(self) -> DataFrame:
         """All row-versions, including expired ones (+ `_bkt`)."""
-        spark = self.catalog.spark
-        if not self._has_data():
-            return self._with_bkt(spark.createDataFrame([], self._store_schema()))
-        return self._with_bkt(spark.read.parquet(self._data_dir))
+        raw = self._read_current_raw()
+        if raw is None:
+            spark = self.catalog.spark
+            return self._with_bkt(
+                spark.createDataFrame([], self._store_schema()))
+        return self._with_bkt(raw)
 
     def _store_schema(self) -> T.StructType:
         fields = [
@@ -274,65 +432,38 @@ class Table:
                 fields.append(T.StructField(_cellmd_col(cc.name), _CELLMD_TYPE))
         return T.StructType(fields)
 
-    def _flat_layout(self) -> bool:
-        """True if the data dir predates bucketing (bare parquet files, no
-        `_bkt=N` partition dirs). Mixed flat+partitioned layouts are not
-        readable, so writes must not introduce partition dirs here."""
-        d = self._data_dir
-        if not os.path.isdir(d):
-            return False
-        return any(f.endswith(".parquet") for f in os.listdir(d))
-
     def _append(self, df: DataFrame) -> None:
-        df = self._with_bkt(df)
-        w = df.write.mode("append")
-        if _BKT in df.columns and not self._flat_layout():
-            w = w.partitionBy(_BKT)
-        else:
-            df = df.drop(_BKT)
-            w = df.write.mode("append")
-        w.parquet(self._data_dir)
+        """Add new rows: new files + manifest commit (current ∪ new)."""
+        cur = self._current_files()
+        new = self._write_snapshot_files(self._with_bkt(df))
+        self._commit_files(list(cur) + new)
 
     def _rewrite(self, df: DataFrame) -> None:
-        """Copy-on-write epoch swap of the WHOLE table (schema changes,
+        """Copy-on-write snapshot swap of the WHOLE table (schema changes,
         revert fallback — what Delta MERGE does transactionally). Row-level
         mutations go through _rewrite_buckets instead."""
-        df = self._with_bkt(df)
-        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
-        w = df.write.mode("overwrite")
-        if _BKT in df.columns:
-            w = w.partitionBy(_BKT)
-        w.parquet(tmp)
-        old = self._data_dir
-        back = old + ".old"
-        os.rename(old, back)
-        os.rename(tmp, old)
-        shutil.rmtree(back)
+        new = self._write_snapshot_files(self._with_bkt(df))
+        self._commit_files(new)
 
     def _rewrite_buckets(self, df: DataFrame, buckets: Sequence[int]) -> None:
-        """Swap ONLY the named bucket directories with the new content in
+        """Replace ONLY the named buckets' files with the new content in
         `df` (which must hold exactly those buckets' rows). Unaffected
-        buckets are never read or written — mutation cost scales with
-        matched data, not table size."""
+        buckets' files carry over into the new manifest untouched —
+        mutation cost scales with matched data, not table size."""
         if not buckets:
             return
         df = self._with_bkt(df)
-        if self._flat_layout():
-            # legacy flat table: one full rewrite migrates it to buckets
+        cur = self._current_files()
+        if any(self._bucket_of(f) is None for f in cur):
+            # legacy flat files have no bucket identity: one full rewrite
+            # migrates the table to the bucketed layout
             rest = self._store_df().filter(~F.col(_BKT).isin(list(buckets)))
             self._rewrite(rest.unionByName(df))
             return
-        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").partitionBy(_BKT).parquet(tmp)
-        for b in buckets:
-            sub = f"{_BKT}={b}"
-            old_sub = os.path.join(self._data_dir, sub)
-            new_sub = os.path.join(tmp, sub)
-            if os.path.isdir(old_sub):
-                shutil.rmtree(old_sub)
-            if os.path.isdir(new_sub):
-                os.rename(new_sub, old_sub)
-        shutil.rmtree(tmp)
+        bset = set(int(b) for b in buckets)
+        keep = [f for f in cur if self._bucket_of(f) not in bset]
+        new = self._write_snapshot_files(df)
+        self._commit_files(keep + new)
 
     # -- read path ---------------------------------------------------------
     def df(self, version: Optional[int] = None) -> DataFrame:
@@ -898,22 +1029,10 @@ class View(Table):
         out = self._view_plan(base_live)
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
-        # views use the same bucketed layout as base tables so that ALL
-        # writers (_load_increment append, _apply_base_update bucket swap)
-        # agree — mixed flat+partitioned dirs are unreadable by Spark
-        out = self._with_bkt(out)
-        tmp = self._data_dir + ".tmp-" + _uuid.uuid4().hex[:8]
-        w = out.write.mode("overwrite")
-        if _BKT in out.columns:
-            w = w.partitionBy(_BKT)
-        w.parquet(tmp)
-        if os.path.exists(self._data_dir):
-            back = self._data_dir + ".old"
-            os.rename(self._data_dir, back)
-            os.rename(tmp, self._data_dir)
-            shutil.rmtree(back)
-        else:
-            os.rename(tmp, self._data_dir)
+        # views use the same bucketed layout + manifest commit as base
+        # tables, so ALL writers (_load_increment append, _apply_base_update
+        # bucket swap) agree on one protocol
+        self._rewrite(self._with_bkt(out))
         self._loaded_base_version = self.base.version
         self.version += 1
         # a rewrite truncates reconstructible history at the new version
@@ -941,9 +1060,8 @@ class View(Table):
         base rows (as they now stand), append the results — unaffected rows
         are never rescanned by the plan (reference plan.py:717-760
         create_view_update_plan)."""
-        spark = self.catalog.spark
-        raw = spark.read.parquet(self._data_dir)
-        if _VVMIN not in raw.columns:
+        raw = self._read_current_raw()
+        if raw is None or _VVMIN not in raw.columns:
             # legacy pre-versioning storage: no interval columns to expire —
             # a full refresh rebuilds (and migrates the layout in one pass)
             self._full_refresh()
@@ -983,8 +1101,9 @@ class View(Table):
         below the last full refresh are not reconstructible — the rewrite
         discarded them (reference pins snapshot versions via MVCC;
         catalog/view.py:43-45)."""
-        spark = self.catalog.spark
-        raw = spark.read.parquet(self._data_dir)
+        raw = self._read_current_raw()
+        if raw is None:
+            raise ValueError(f"view {self.name!r} has no materialized data")
         if _BKT in raw.columns:  # storage detail, recomputable from _rowid
             raw = raw.drop(_BKT)
         v = self.version if version is None else version
