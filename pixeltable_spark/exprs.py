@@ -1005,6 +1005,16 @@ def _try_eval_pandas(expr: Expr, cols: Optional[dict], n: int,
         return True if probe else cols[expr.name]
     if isinstance(expr, Literal):
         return True if probe else expr.val
+    if isinstance(expr, AppliedExpr):
+        v = _try_eval_pandas(expr.components[0], cols, n, probe=probe)
+        if v is None:
+            return None
+        if probe:
+            return True
+        if not isinstance(v, pd.Series):
+            v = pd.Series([v] * n)
+        # map skips nulls (na_action) — same contract as eval_py's None gate
+        return v.map(expr.fn, na_action="ignore")
     if isinstance(expr, FunctionCall):
         fn = getattr(expr.fn, "pandas_fn", None)
         if fn is None or expr.is_window() or getattr(expr.fn, "is_async", False):

@@ -105,3 +105,27 @@ class TestVectorizedSpeedup:
 
         assert list(out_vec) == list(out_row)
         assert slow / vec >= 5.0, f"vectorized {vec:.3f}s vs row-loop {slow:.3f}s"
+
+
+class TestAppliedExprVectorized:
+    def test_apply_goes_through_series_map(self, docs):
+        e = docs.text.apply(lambda s: s[::-1], col_type=pxt.String())
+        assert _try_eval_pandas(e, None, 0, probe=True)
+        rows = docs.select(docs.doc_id, r=e).collect()
+        for r in rows:
+            assert r["r"] == f"alpha beta{r['doc_id']} Gamma delta"[::-1]
+
+    def test_apply_null_propagates(self, spark):
+        t = pxt.table_from_rows(
+            spark, [{"k": 0, "s": "ab"}, {"k": 1, "s": None}],
+            "vec_apply_nulls", rowid_cols=["k"])
+        e = t.s.apply(len, col_type=pxt.Int())
+        rows = {r["k"]: r["r"] for r in t.select(t.k, r=e).collect()}
+        assert rows[0] == 2 and rows[1] is None
+
+    def test_apply_chains_with_pandas_fn(self, docs):
+        e = pxs.title(docs.text).apply(lambda s: s.count("A"),
+                                       col_type=pxt.Int())
+        assert _try_eval_pandas(e, None, 0, probe=True)
+        rows = docs.select(r=e).collect()
+        assert all(r["r"] >= 1 for r in rows)
