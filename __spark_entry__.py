@@ -919,6 +919,53 @@ def q60_stream_dedup(spark, sf_dir):
             .orderBy("user_id", "event_type"))
 
 
+def q61_image_codec(spark, sf_dir):
+    """REAL image kernels without PIL (functions/image_codec.py): PNGs are
+    synthesized per doc (dims + fill derived from doc_id), then decoded
+    back through the image-function surface — width/height/mode/resize
+    dims/first-pixel/entropy are all arithmetic in doc_id, so DuckDB
+    checks the whole encode→probe→decode→resize pipeline without ever
+    seeing a PNG."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import image as pxi
+    from pixeltable_spark.functions.image_codec import decode, encode_png
+
+    df = _df(spark, sf_dir, "documents").select("doc_id")
+
+    def _make_png(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            w, h = 4 + int(i) % 13, 3 + int(i) % 7
+            arr = np.full((h, w, 3), int(i) % 256, dtype=np.uint8)
+            out.append(encode_png(arr, "RGB"))
+        return pd.Series(out)
+
+    def _first_pixel(payloads):
+        return pd.Series([int(decode(bytes(p)).getpixel((0, 0))[0])
+                          for p in payloads])
+
+    # lambdas/no-hint fns: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf cannot resolve against local imports
+    make_png = F.pandas_udf(_make_png, T.BinaryType())
+    first_pixel = F.pandas_udf(_first_pixel, T.IntegerType())
+
+    img = df.withColumn("png", make_png(F.col("doc_id")))
+    resized = pxi.resize(F.col("png"), 3, 2)
+    return (img.select(
+        "doc_id",
+        pxi.width(F.col("png")).alias("w"),
+        pxi.height(F.col("png")).alias("h"),
+        pxi.mode(F.col("png")).alias("m"),
+        pxi.width(resized).alias("rw"),
+        pxi.height(resized).alias("rh"),
+        first_pixel(F.col("png")).alias("px"),
+        F.round(pxi.entropy(F.col("png")), 6).alias("ent"),
+    ).orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -984,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_whisper_segments": q58_whisper_segments,
         "q59_html_sections": q59_html_sections,
         "q60_stream_dedup": q60_stream_dedup,
+        "q61_image_codec": q61_image_codec,
     }
 
 
@@ -1550,6 +1598,16 @@ FROM documents ORDER BY doc_id""",
         "q60_stream_dedup": """
 SELECT DISTINCT user_id, event_type
 FROM events ORDER BY user_id, event_type""",
+        "q61_image_codec": """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS w,
+       CAST(3 + doc_id % 7 AS INTEGER) AS h,
+       'RGB' AS m,
+       CAST(3 AS INTEGER) AS rw,
+       CAST(2 AS INTEGER) AS rh,
+       CAST(doc_id % 256 AS INTEGER) AS px,
+       0.0 AS ent
+FROM documents ORDER BY doc_id""",
         "q59_html_sections": r"""
 WITH h AS (
   SELECT doc_id,

@@ -2,11 +2,12 @@
 
 Images are by-reference (path/URL string) or inline binary payloads
 (SURVEY §1.3). Every function here is an Arrow-batched pandas UDF; the
-pixel work is delegated to PIL when installed. This container has no PIL,
-so decode falls back to the deterministic md5 stub in
-operators/multimodal.py — the Spark plumbing (schema, batching, UDF
-signatures) is identical either way, and swapping in PIL changes only
-``_load_image``.
+pixel work is delegated to PIL when installed, else to the pure-stdlib
+codec in functions/image_codec.py — REAL pixel kernels for PNG (8-bit),
+BMP (24/32) and PPM, plus real header metadata for JPEG/GIF. Payloads
+neither codec understands fall back to the deterministic md5 stub in
+operators/multimodal.py, so offline pipelines on synthetic payloads stay
+testable and nothing fails silently.
 """
 
 from __future__ import annotations
@@ -29,16 +30,43 @@ except ImportError:
 
 
 def _load_image(payload: bytes):
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "PIL is not installed in this environment; metadata functions "
-            "use the deterministic stub instead")
-    return _PILImage.open(io.BytesIO(payload))
+    """The narrow waist: PIL when installed, else the pure-python codec
+    (raises ValueError for formats outside its subset)."""
+    if HAS_PIL:
+        return _PILImage.open(io.BytesIO(payload))
+    from . import image_codec
+    return image_codec.decode(payload)
+
+
+def _encode(img) -> bytes:
+    if HAS_PIL:
+        buf = io.BytesIO()
+        img.save(buf, format=getattr(img, "format", None) or "PNG")
+        return buf.getvalue()
+    return img.save_bytes()
 
 
 def _stub_meta(payload: Optional[bytes]) -> dict:
     from ..operators.multimodal import _decode_image_stub
     return _decode_image_stub(payload)
+
+
+def _real_meta(payload: bytes) -> Optional[dict]:
+    """Header-derived metadata (no pixel decode needed) for any format the
+    probe recognizes; None for non-image payloads."""
+    if HAS_PIL:
+        try:
+            img = _load_image(payload)
+            return {"width": img.width, "height": img.height,
+                    "mode": img.mode, "n_bytes": len(payload)}
+        except Exception:  # noqa: BLE001
+            return None
+    from . import image_codec
+    info = image_codec.probe(payload)
+    if info is None:
+        return None
+    return {"width": info["width"], "height": info["height"],
+            "mode": info["mode"], "n_bytes": len(payload)}
 
 
 def _meta_udf(field: str, ret: T.DataType):
@@ -50,12 +78,7 @@ def _meta_udf(field: str, ret: T.DataType):
             if p is None:
                 out.append(None)
                 continue
-            if HAS_PIL:
-                img = _load_image(p)
-                vals = {"width": img.width, "height": img.height,
-                        "mode": img.mode, "n_bytes": len(p)}
-            else:
-                vals = _stub_meta(p)
+            vals = _real_meta(p) or _stub_meta(p)
             out.append(vals[field])
         return pd.Series(out)
     return fn
@@ -84,10 +107,11 @@ def get_metadata(col: Column) -> Column:
             if p is None:
                 out.append(None)
                 continue
-            if HAS_PIL:
-                img = _load_image(p)
-                out.append(json.dumps({"width": img.width, "height": img.height,
-                                       "mode": img.mode}))
+            m = _real_meta(p)
+            if m is not None:
+                out.append(json.dumps({"width": m["width"],
+                                       "height": m["height"],
+                                       "mode": m["mode"]}))
             else:
                 out.append(json.dumps(_stub_meta(p)))
         return pd.Series(out)
@@ -101,8 +125,10 @@ def b64_encode(col: Column) -> Column:
 
 
 def _transform_udf(name: str, transform):
-    """Payload->payload transform; without PIL, a deterministic re-hash
-    keyed by the operation (keeps pipelines testable offline)."""
+    """Payload->payload transform: real decode→transform→PNG-encode via
+    PIL or the pure-python codec; payloads/ops outside either codec's
+    subset fall back to a deterministic re-hash keyed by the operation
+    (keeps pipelines on synthetic payloads testable offline)."""
     @F.pandas_udf(T.BinaryType())
     def fn(s):
         import pandas as pd
@@ -110,12 +136,10 @@ def _transform_udf(name: str, transform):
         for p in s:
             if p is None:
                 out.append(None)
-            elif HAS_PIL:
-                img = _load_image(p)
-                buf = io.BytesIO()
-                transform(img).save(buf, format=img.format or "PNG")
-                out.append(buf.getvalue())
-            else:
+                continue
+            try:
+                out.append(_encode(transform(_load_image(p))))
+            except Exception:  # noqa: BLE001 — unsupported format/op
                 out.append(hashlib.md5(p + name.encode()).digest())
         return pd.Series(out)
     return fn
@@ -180,6 +204,15 @@ def reduce(col: Column, factor: int) -> Column:
                           lambda img: img.reduce(factor))(col)
 
 
+def _image_module():
+    """The module providing alpha_composite/blend/composite: PIL.Image
+    when installed, else the pure-python codec's implementations."""
+    if HAS_PIL:
+        return _PILImage
+    from . import image_codec
+    return image_codec
+
+
 def _binary_transform_udf(name: str, transform):
     """Two-image transform (alpha_composite/blend/composite family);
     stub = deterministic hash of both payloads + op."""
@@ -190,11 +223,10 @@ def _binary_transform_udf(name: str, transform):
         for p, q in zip(a, b):
             if p is None or q is None:
                 out.append(None)
-            elif HAS_PIL:
-                buf = io.BytesIO()
-                transform(_load_image(p), _load_image(q)).save(buf, format="PNG")
-                out.append(buf.getvalue())
-            else:
+                continue
+            try:
+                out.append(_encode(transform(_load_image(p), _load_image(q))))
+            except Exception:  # noqa: BLE001
                 out.append(hashlib.md5(p + q + name.encode()).digest())
         return pd.Series(out)
     return fn
@@ -202,12 +234,13 @@ def _binary_transform_udf(name: str, transform):
 
 def alpha_composite(a: Column, b: Column) -> Column:
     return _binary_transform_udf(
-        "alpha_composite", lambda x, y: _PILImage.alpha_composite(x, y))(a, b)
+        "alpha_composite",
+        lambda x, y: _image_module().alpha_composite(x, y))(a, b)
 
 
 def blend(a: Column, b: Column, alpha: float = 0.5) -> Column:
     return _binary_transform_udf(
-        f"blend{alpha}", lambda x, y: _PILImage.blend(x, y, alpha))(a, b)
+        f"blend{alpha}", lambda x, y: _image_module().blend(x, y, alpha))(a, b)
 
 
 def composite(a: Column, b: Column, mask: Column) -> Column:
@@ -219,19 +252,19 @@ def composite(a: Column, b: Column, mask: Column) -> Column:
         for p, q, m in zip(s1, s2, s3):
             if p is None or q is None or m is None:
                 out.append(None)
-            elif HAS_PIL:
-                buf = io.BytesIO()
-                _PILImage.composite(_load_image(p), _load_image(q),
-                                    _load_image(m)).save(buf, format="PNG")
-                out.append(buf.getvalue())
-            else:
+                continue
+            try:
+                out.append(_encode(_image_module().composite(
+                    _load_image(p), _load_image(q), _load_image(m))))
+            except Exception:  # noqa: BLE001
                 out.append(hashlib.md5(p + q + m + b"composite").digest())
         return pd.Series(out)
     return fn(a, b, mask)
 
 
 def _extract_udf(name: str, ret: T.DataType, pil_fn, stub_fn):
-    """Image->scalar/array extraction; deterministic hash-derived stub."""
+    """Image->scalar/array extraction; real decode via either codec,
+    deterministic hash-derived stub for undecodable payloads."""
     @F.pandas_udf(ret)
     def fn(s):
         import pandas as pd
@@ -239,9 +272,10 @@ def _extract_udf(name: str, ret: T.DataType, pil_fn, stub_fn):
         for p in s:
             if p is None:
                 out.append(None)
-            elif HAS_PIL:
+                continue
+            try:
                 out.append(pil_fn(_load_image(p)))
-            else:
+            except Exception:  # noqa: BLE001
                 out.append(stub_fn(p))
         return pd.Series(out)
     return fn

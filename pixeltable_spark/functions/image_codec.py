@@ -1,0 +1,465 @@
+"""Pure-stdlib image codec: REAL pixel kernels without PIL.
+
+Implements the subset of image handling the engine needs from public
+format specs (PNG: RFC 2083 / W3C PNG spec; BMP: Windows BITMAPINFOHEADER;
+PPM: Netpbm P6; JPEG/GIF: header probing only):
+
+* ``probe(payload)`` — format/width/height/mode from file headers (PNG,
+  JPEG via SOF scan, GIF, BMP, PPM).
+* ``decode(payload)`` — full pixel decode to a numpy array for PNG
+  (8-bit, color types 0/2/3/6, non-interlaced, all five scanline
+  filters), BMP (24/32-bit uncompressed), PPM (P6).
+* ``MiniImage`` — width/height/mode + resize (nearest-neighbor), crop,
+  convert, right-angle rotate/transpose, getchannel, point, histogram,
+  extrema, entropy, bbox, colors — the numpy forms of the PIL calls the
+  reference uses (reference functions/image.py).
+* ``encode_png(arr, mode)`` — PNG writer (filter 0 + zlib + CRC chunks).
+
+Kept deliberately separate from functions/image.py: that module's narrow
+waist (`_load_image`) prefers PIL when installed and falls back here, so
+a real PIL install still takes over with no other change.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+from typing import Any, Optional
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_MODE_CHANNELS = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+# ---------------------------------------------------------------------------
+# header probing
+# ---------------------------------------------------------------------------
+
+def probe(payload: bytes) -> Optional[dict]:
+    """Format + dimensions + mode from the file header, or None if the
+    payload is not a recognizable image."""
+    if payload is None or len(payload) < 10:
+        return None
+    p = bytes(payload[:64])
+    if p.startswith(_PNG_SIG):
+        w, h = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type = payload[24], payload[25]
+        mode = {0: "L", 2: "RGB", 3: "RGB", 4: "LA", 6: "RGBA"}.get(
+            color_type, "RGB")
+        return {"format": "PNG", "width": int(w), "height": int(h),
+                "mode": mode, "bit_depth": int(bit_depth)}
+    if p.startswith(b"\xff\xd8"):
+        return _probe_jpeg(payload)
+    if p.startswith((b"GIF87a", b"GIF89a")):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "GIF", "width": int(w), "height": int(h),
+                "mode": "P"}
+    if p.startswith(b"BM") and len(payload) >= 30:
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        return {"format": "BMP", "width": int(w), "height": abs(int(h)),
+                "mode": "RGBA" if bpp == 32 else "RGB"}
+    if p.startswith(b"P6"):
+        try:
+            w, h, _maxv, _off = _parse_ppm_header(payload)
+            return {"format": "PPM", "width": w, "height": h, "mode": "RGB"}
+        except ValueError:
+            return None
+    return None
+
+
+def _probe_jpeg(payload: bytes) -> Optional[dict]:
+    """Scan JPEG markers for the SOFn frame header (public JFIF layout)."""
+    i = 2
+    n = len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            ncomp = payload[i + 9]
+            mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB")
+            return {"format": "JPEG", "width": int(w), "height": int(h),
+                    "mode": mode}
+        i += 2 + seg_len
+    return None
+
+
+def _parse_ppm_header(payload: bytes) -> tuple:
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    return int(toks[0]), int(toks[1]), int(toks[2]), i + 1
+
+
+# ---------------------------------------------------------------------------
+# PNG decode
+# ---------------------------------------------------------------------------
+
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
+    stride = width * nch
+    out = np.empty((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, nch)
+
+
+def _decode_png(payload: bytes) -> "MiniImage":
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    ihdr = None
+    plte = None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit depth {depth}, interlace {interlace})")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    arr = _png_unfilter(raw, w, h, nch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        arr = plte[arr[:, :, 0]]
+        mode = "RGB"
+    else:
+        mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[color_type]
+    return MiniImage(arr, mode, "PNG")
+
+
+def _decode_bmp(payload: bytes) -> "MiniImage":
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    nch = bpp // 8
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * nch + 3) & ~3
+    arr = np.empty((h, w, nch), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * nch,
+                            offset=data_off + y * row_size)
+        arr[h - 1 - y if flipped else y] = row.reshape(w, nch)
+    # BMP stores BGR(A) → RGB(A)
+    if nch >= 3:
+        arr = arr[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+    return MiniImage(arr, "RGBA" if nch == 4 else "RGB", "BMP")
+
+
+def _decode_ppm(payload: bytes) -> "MiniImage":
+    w, h, maxv, off = _parse_ppm_header(payload)
+    if maxv != 255:
+        raise ValueError(f"unsupported PPM maxval {maxv}")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=off).reshape(h, w, 3).copy()
+    return MiniImage(arr, "RGB", "PPM")
+
+
+def decode(payload: bytes) -> "MiniImage":
+    """Full pixel decode, or ValueError when the format/variant is outside
+    the pure-python subset (PNG 8-bit, BMP 24/32 uncompressed, PPM P6)."""
+    info = probe(payload)
+    if info is None:
+        raise ValueError("not a recognizable image payload")
+    if info["format"] == "PNG":
+        return _decode_png(bytes(payload))
+    if info["format"] == "BMP":
+        return _decode_bmp(bytes(payload))
+    if info["format"] == "PPM":
+        return _decode_ppm(bytes(payload))
+    raise ValueError(
+        f"{info['format']} pixel decode needs a real codec (header "
+        "probing works; install PIL for full decode)")
+
+
+# ---------------------------------------------------------------------------
+# PNG encode
+# ---------------------------------------------------------------------------
+
+def encode_png(arr: np.ndarray, mode: str) -> bytes:
+    """Minimal PNG writer: filter 0 scanlines, one zlib IDAT."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# MiniImage — the numpy forms of the PIL calls the engine uses
+# ---------------------------------------------------------------------------
+
+class MiniImage:
+    def __init__(self, arr: np.ndarray, mode: str, fmt: str = "PNG"):
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        self.arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        self.mode = mode
+        self.format = fmt
+
+    # PIL-compatible surface ------------------------------------------------
+    @property
+    def width(self) -> int:
+        return self.arr.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.arr.shape[0]
+
+    @property
+    def size(self) -> tuple:
+        return (self.width, self.height)
+
+    def tobytes(self) -> bytes:
+        return self.arr.tobytes()
+
+    def save_bytes(self) -> bytes:
+        return encode_png(self.arr, self.mode)
+
+    def copy(self) -> "MiniImage":
+        return MiniImage(self.arr.copy(), self.mode, self.format)
+
+    def resize(self, size: tuple) -> "MiniImage":
+        w, h = int(size[0]), int(size[1])
+        ys = (np.arange(h) * (self.height / h)).astype(int).clip(0, self.height - 1)
+        xs = (np.arange(w) * (self.width / w)).astype(int).clip(0, self.width - 1)
+        return MiniImage(self.arr[np.ix_(ys, xs)], self.mode, self.format)
+
+    def thumbnail(self, size: tuple) -> None:
+        ratio = min(size[0] / self.width, size[1] / self.height, 1.0)
+        w = max(1, int(self.width * ratio))
+        h = max(1, int(self.height * ratio))
+        self.arr = self.resize((w, h)).arr
+
+    def reduce(self, factor: int) -> "MiniImage":
+        return self.resize((max(1, self.width // factor),
+                            max(1, self.height // factor)))
+
+    def crop(self, box: tuple) -> "MiniImage":
+        x1, y1, x2, y2 = (int(v) for v in box)
+        return MiniImage(self.arr[y1:y2, x1:x2], self.mode, self.format)
+
+    def convert(self, target: str) -> "MiniImage":
+        if target == self.mode:
+            return self.copy()
+        a = self.arr
+        # to RGB first
+        if self.mode == "L":
+            rgb = np.repeat(a, 3, axis=2)
+        elif self.mode == "LA":
+            rgb = np.repeat(a[:, :, :1], 3, axis=2)
+        elif self.mode == "RGBA":
+            rgb = a[:, :, :3]
+        else:
+            rgb = a
+        if target == "RGB":
+            return MiniImage(rgb, "RGB", self.format)
+        if target == "RGBA":
+            alpha = (a[:, :, -1:] if self.mode in ("LA", "RGBA")
+                     else np.full(rgb.shape[:2] + (1,), 255, np.uint8))
+            return MiniImage(np.concatenate([rgb, alpha], axis=2), "RGBA",
+                             self.format)
+        if target == "L":
+            # ITU-R 601-2 luma, PIL's formula
+            lum = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
+                   + rgb[:, :, 2] * 114) // 1000
+            return MiniImage(lum.astype(np.uint8), "L", self.format)
+        raise ValueError(f"unsupported convert target {target!r}")
+
+    def rotate(self, degrees: float) -> "MiniImage":
+        d = degrees % 360
+        if d == 0:
+            return self.copy()
+        if d == 90:
+            return MiniImage(np.rot90(self.arr, 1), self.mode, self.format)
+        if d == 180:
+            return MiniImage(np.rot90(self.arr, 2), self.mode, self.format)
+        if d == 270:
+            return MiniImage(np.rot90(self.arr, 3), self.mode, self.format)
+        raise ValueError(
+            "pure-python rotate supports right angles only (install PIL "
+            "for arbitrary-angle resampling)")
+
+    def transpose(self, method: int = 0) -> "MiniImage":
+        # PIL constants: 0=FLIP_LEFT_RIGHT 1=FLIP_TOP_BOTTOM 2=ROTATE_90
+        # 3=ROTATE_180 4=ROTATE_270 5=TRANSPOSE 6=TRANSVERSE
+        if method == 0:
+            return MiniImage(self.arr[:, ::-1], self.mode, self.format)
+        if method == 1:
+            return MiniImage(self.arr[::-1], self.mode, self.format)
+        if method in (2, 3, 4):
+            return self.rotate({2: 90, 3: 180, 4: 270}[method])
+        if method == 5:
+            return MiniImage(np.swapaxes(self.arr, 0, 1), self.mode, self.format)
+        if method == 6:
+            return MiniImage(np.swapaxes(self.arr, 0, 1)[::-1, ::-1],
+                             self.mode, self.format)
+        raise ValueError(f"unknown transpose method {method}")
+
+    def getchannel(self, channel: int) -> "MiniImage":
+        return MiniImage(self.arr[:, :, channel], "L", self.format)
+
+    def point(self, fn) -> "MiniImage":
+        lut = np.array([max(0, min(255, int(fn(v)))) for v in range(256)],
+                       dtype=np.uint8)
+        return MiniImage(lut[self.arr], self.mode, self.format)
+
+    def getbands(self) -> tuple:
+        return tuple(self.mode)
+
+    def histogram(self) -> list:
+        out = []
+        for c in range(self.arr.shape[2]):
+            out.extend(np.bincount(self.arr[:, :, c].ravel(),
+                                   minlength=256).tolist())
+        return out
+
+    def getextrema(self):
+        ext = [(int(self.arr[:, :, c].min()), int(self.arr[:, :, c].max()))
+               for c in range(self.arr.shape[2])]
+        return ext[0] if len(ext) == 1 else ext
+
+    def entropy(self) -> float:
+        counts = np.bincount(self.convert("L").arr.ravel(), minlength=256)
+        p = counts[counts > 0] / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    def getbbox(self):
+        nz = np.argwhere(self.arr.any(axis=2))
+        if len(nz) == 0:
+            return None
+        (y1, x1), (y2, x2) = nz.min(0), nz.max(0)
+        return (int(x1), int(y1), int(x2) + 1, int(y2) + 1)
+
+    def getcolors(self, maxcolors: int = 256):
+        flat = self.arr.reshape(-1, self.arr.shape[2])
+        uniq, counts = np.unique(flat, axis=0, return_counts=True)
+        if len(uniq) > maxcolors:
+            return None
+        return [(int(c), tuple(int(v) for v in u) if len(u) > 1 else int(u[0]))
+                for c, u in zip(counts, uniq)]
+
+    def getpalette(self):
+        return None  # MiniImage images are always truecolor/grayscale
+
+    def getpixel(self, xy: tuple):
+        x, y = int(xy[0]), int(xy[1])
+        v = self.arr[y, x]
+        return tuple(int(c) for c in v) if len(v) > 1 else int(v[0])
+
+    def getprojection(self) -> tuple:
+        nz = self.arr.any(axis=2)
+        return ([1 if c else 0 for c in nz.any(axis=0)],
+                [1 if r else 0 for r in nz.any(axis=1)])
+
+
+# module-level binary ops (the PIL.Image module functions the engine uses)
+
+def alpha_composite(a: MiniImage, b: MiniImage) -> MiniImage:
+    """Porter-Duff 'over' of b onto a (both RGBA)."""
+    fa = a.convert("RGBA").arr.astype(np.float32) / 255.0
+    fb = b.convert("RGBA").arr.astype(np.float32) / 255.0
+    aa, ab = fa[:, :, 3:4], fb[:, :, 3:4]
+    ao = ab + aa * (1 - ab)
+    safe = np.where(ao == 0, 1.0, ao)
+    rgb = (fb[:, :, :3] * ab + fa[:, :, :3] * aa * (1 - ab)) / safe
+    out = np.concatenate([rgb, ao], axis=2)
+    return MiniImage((out * 255 + 0.5).astype(np.uint8), "RGBA")
+
+
+def blend(a: MiniImage, b: MiniImage, alpha: float) -> MiniImage:
+    fa = a.arr.astype(np.float32)
+    fb = b.convert(a.mode).arr.astype(np.float32)
+    return MiniImage(((1 - alpha) * fa + alpha * fb + 0.5).astype(np.uint8),
+                     a.mode)
+
+
+def composite(a: MiniImage, b: MiniImage, mask: MiniImage) -> MiniImage:
+    m = mask.convert("L").arr[:, :, 0].astype(np.float32) / 255.0
+    fa = a.arr.astype(np.float32)
+    fb = b.convert(a.mode).arr.astype(np.float32)
+    out = fa * m[:, :, None] + fb * (1 - m[:, :, None])
+    return MiniImage((out + 0.5).astype(np.uint8), a.mode)

@@ -30,9 +30,9 @@ IMAGE_META_SCHEMA = T.StructType([
 
 
 def _decode_image_stub(payload: bytes) -> dict:
-    """STUB for PIL.Image.open(...): deterministic fake metadata derived from
-    the payload hash. Replace the body with a real decoder when PIL is
-    available — the mapInPandas plumbing stays identical.
+    """Deterministic fake metadata for payloads that are NOT decodable
+    images (synthetic test bytes); real image payloads take the header
+    probe in _image_meta below.
     """
     if payload is None:
         return {"width": None, "height": None, "mode": None, "n_bytes": None}
@@ -45,11 +45,29 @@ def _decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def _image_meta(payload: bytes) -> dict:
+    """REAL header metadata for PNG/JPEG/GIF/BMP/PPM (pure-stdlib probe,
+    functions/image_codec.py); the deterministic stub only for payloads no
+    codec recognizes."""
+    if payload is not None:
+        from ..functions.image_codec import probe
+        info = probe(payload)
+        if info is not None:
+            return {"width": info["width"], "height": info["height"],
+                    "mode": info["mode"], "n_bytes": len(payload)}
+    return _decode_image_stub(payload)
+
+
 def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB for an actual resample: deterministic re-hash of payload+dims."""
+    """Real nearest-neighbor resample + PNG re-encode when the payload is
+    in the pure-python codec's subset; deterministic re-hash otherwise."""
     if payload is None:
         return None
-    return hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+    try:
+        from ..functions.image_codec import decode
+        return decode(payload).resize((width, height)).save_bytes()
+    except Exception:  # noqa: BLE001 — not a decodable image
+        return hashlib.md5(payload + f"{width}x{height}".encode()).digest()
 
 
 def extract_image_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
@@ -67,7 +85,7 @@ def extract_image_metadata(df: DataFrame, binary_col: str = "payload") -> DataFr
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["image_meta"] = [_decode_image_stub(p) for p in pdf[binary_col]]
+            pdf["image_meta"] = [_image_meta(p) for p in pdf[binary_col]]
             yield pdf
 
     return df.mapInPandas(op, out_schema)

@@ -1,0 +1,174 @@
+"""Pure-stdlib image codec: real PNG/BMP/PPM pixel kernels without PIL
+(functions/image_codec.py) and their wiring through the image-function
+surface (functions/image.py) and multimodal operators."""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pixeltable_spark.functions import image as pxi
+from pixeltable_spark.functions import image_codec as ic
+
+
+def _checker_png(w=8, h=6) -> bytes:
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[::2, ::2] = [255, 0, 0]
+    arr[1::2, 1::2] = [0, 255, 0]
+    return ic.encode_png(arr, "RGB")
+
+
+class TestCodecCore:
+    def test_png_roundtrip_all_modes(self):
+        for mode, nch in (("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)):
+            arr = (np.arange(5 * 4 * nch, dtype=np.uint8)
+                   .reshape(4, 5, nch) * 7 % 256).astype(np.uint8)
+            img = ic.decode(ic.encode_png(arr, mode))
+            assert img.mode == mode and img.size == (5, 4)
+            assert (img.arr == arr).all()
+
+    def test_decodes_external_reference_png(self):
+        # canonical 1x1 RGBA PNG (public test vector) — written by an
+        # EXTERNAL encoder, so filters/chunks aren't our own dialect
+        ext = base64.b64decode(
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+            "+M9QDwADhgGAWjR9awAAAABJRU5ErkJggg==")
+        img = ic.decode(ext)
+        assert img.size == (1, 1) and img.mode == "RGBA"
+
+    def test_png_filter_types_decode(self):
+        """Hand-build a PNG using each filter type and check unfiltering."""
+        arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        stride = 4 * 3
+        rows = []
+        # filter 0 (None), 2 (Up), 1 (Sub), 4 (Paeth) on successive rows
+        prev = np.zeros(stride, dtype=int)
+        raw = arr.reshape(4, stride)
+        rows.append(b"\x00" + raw[0].tobytes())
+        rows.append(b"\x02" + ((raw[1].astype(int) - raw[0]) % 256)
+                    .astype(np.uint8).tobytes())
+        sub = raw[2].astype(int).copy()
+        sub[3:] = (sub[3:] - raw[2][:-3].astype(int)) % 256
+        rows.append(b"\x01" + sub.astype(np.uint8).tobytes())
+        paeth = raw[3].astype(int).copy()
+        for x in range(stride):
+            a = int(raw[3][x - 3]) if x >= 3 else 0
+            b = int(raw[2][x])
+            c = int(raw[2][x - 3]) if x >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            paeth[x] = (paeth[x] - pred) % 256
+        rows.append(b"\x04" + paeth.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+        assert (ic.decode(png).arr == arr).all()
+
+    def test_bmp_decode(self):
+        # hand-build a 2x2 24-bit BMP (bottom-up, BGR, 4-byte padded rows)
+        pixels = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+        rows = b""
+        for y in (1, 0):  # bottom-up
+            row = b"".join(bytes((b, g, r)) for r, g, b in pixels[y])
+            rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+        header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                  + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                                len(rows), 2835, 2835, 0, 0))
+        img = ic.decode(header + rows)
+        assert img.size == (2, 2) and img.mode == "RGB"
+        assert tuple(img.arr[0, 0]) == (255, 0, 0)
+        assert tuple(img.arr[1, 1]) == (255, 255, 255)
+
+    def test_jpeg_and_gif_header_probe(self):
+        # minimal JFIF: SOI + APP0 + SOF0 (public marker layout)
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x01\x11\x00"
+        jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof0
+        info = ic.probe(jpeg)
+        assert info == {"format": "JPEG", "width": 640, "height": 480,
+                        "mode": "RGB"}
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+        assert ic.probe(gif)["width"] == 320
+
+    def test_transforms(self):
+        img = ic.decode(_checker_png(8, 6))
+        assert img.resize((4, 3)).size == (4, 3)
+        assert img.crop((2, 1, 6, 5)).size == (4, 4)
+        assert img.rotate(90).size == (6, 8)
+        assert img.convert("L").mode == "L"
+        assert img.getchannel(0).mode == "L"
+        assert len(img.histogram()) == 3 * 256
+        assert img.getextrema()[0] == (0, 255)
+        e = img.entropy()
+        assert 0.0 < e < 8.0
+        px = img.getpixel((0, 0))
+        assert px == (255, 0, 0)
+
+    def test_blend_and_composite(self):
+        a = ic.MiniImage(np.full((2, 2, 3), 100, np.uint8), "RGB")
+        b = ic.MiniImage(np.full((2, 2, 3), 200, np.uint8), "RGB")
+        assert int(ic.blend(a, b, 0.5).arr[0, 0, 0]) == 150
+        mask = ic.MiniImage(np.full((2, 2, 1), 255, np.uint8), "L")
+        assert int(ic.composite(a, b, mask).arr[0, 0, 0]) == 100
+
+
+class TestImageFunctionsReal:
+    @pytest.fixture()
+    def img_df(self, spark):
+        return spark.createDataFrame(
+            [(1, _checker_png(8, 6)), (2, b"not an image at all........")],
+            "media_id long, payload binary")
+
+    def test_metadata_real_vs_stub(self, img_df):
+        rows = {r["media_id"]: r for r in img_df.select(
+            "media_id",
+            pxi.width(F.col("payload")).alias("w"),
+            pxi.height(F.col("payload")).alias("h"),
+            pxi.mode(F.col("payload")).alias("m")).collect()}
+        assert (rows[1]["w"], rows[1]["h"], rows[1]["m"]) == (8, 6, "RGB")
+        # non-image payload keeps the deterministic stub contract
+        assert 64 <= rows[2]["w"] <= 255
+
+    def test_resize_produces_real_png(self, img_df):
+        rows = {r["media_id"]: r["out"] for r in img_df.select(
+            "media_id", pxi.resize(F.col("payload"), 4, 3).alias("out")
+        ).collect()}
+        out = ic.decode(bytes(rows[1]))
+        assert out.size == (4, 3)
+        assert len(rows[2]) == 16  # md5 stub for the non-image payload
+
+    def test_extract_real_values(self, img_df):
+        rows = {r["media_id"]: r for r in img_df.select(
+            "media_id",
+            pxi.size(F.col("payload")).alias("sz"),
+            pxi.getbands(F.col("payload")).alias("bands"),
+            pxi.getextrema(F.col("payload")).alias("ext")).collect()}
+        assert rows[1]["sz"] == [8, 6]
+        assert rows[1]["bands"] == ["R", "G", "B"]
+        assert json.loads(rows[1]["ext"])[0] == [0, 255]
+
+    def test_multimodal_meta_real(self, spark):
+        from pixeltable_spark.operators import multimodal as mm
+        df = spark.createDataFrame(
+            [(1, _checker_png(10, 4))], "media_id long, payload binary")
+        out = mm.extract_image_metadata(df).collect()[0]["image_meta"]
+        assert (out["width"], out["height"]) == (10, 4)
+
+    def test_multimodal_resize_real(self, spark):
+        from pixeltable_spark.operators import multimodal as mm
+        df = spark.createDataFrame(
+            [(1, _checker_png(10, 4))], "media_id long, payload binary")
+        out = mm.resize_images(df, 5, 2).collect()[0]["resized"]
+        assert ic.decode(bytes(out)).size == (5, 2)
