@@ -1,0 +1,90 @@
+"""Pure-stdlib WAV codec: real audio kernels without ffmpeg
+(functions/audio_codec.py) and their wiring through the audio-function
+surface."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pixeltable_spark.functions import audio as pxa
+from pixeltable_spark.functions import audio_codec as ac
+
+
+def _sine_wav(freq=440.0, rate=8000, seconds=1.0, channels=1,
+              amp=10000) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    mono = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    arr = np.stack([mono] * channels, axis=1)
+    return ac.encode(arr, rate, 2)
+
+
+class TestCodecCore:
+    def test_probe_and_roundtrip(self):
+        wav = _sine_wav(channels=2)
+        info = ac.probe(wav)
+        assert info["channels"] == 2 and info["sample_rate"] == 8000
+        assert info["duration_s"] == pytest.approx(1.0)
+        arr, rate, width = ac.decode(wav)
+        assert arr.shape == (8000, 2) and rate == 8000 and width == 2
+        assert ac.decode(ac.encode(arr, rate, width))[0].tolist() == arr.tolist()
+
+    def test_probe_rejects_non_wav(self):
+        assert ac.probe(b"definitely not riff data....") is None
+
+    def test_volume_and_normalize(self):
+        wav = _sine_wav(amp=1000)
+        loud, _r, _w = ac.decode(ac.multiply_volume(wav, 2.0))
+        assert abs(loud).max() == pytest.approx(2000, abs=2)
+        norm, _r, _w = ac.decode(ac.normalize(wav, target_db=0.0))
+        assert abs(norm).max() == pytest.approx(32767, abs=40)
+
+    def test_fades(self):
+        wav = _sine_wav(seconds=0.5)
+        fin, _r, _w = ac.decode(ac.fade_in(wav, 0.25))
+        assert abs(fin[0]).max() <= 1  # starts silent
+        fout, _r, _w = ac.decode(ac.fade_out(wav, 0.25))
+        assert abs(fout[-1]).max() <= 1  # ends silent
+
+    def test_clip_and_mono_and_concat(self):
+        wav = _sine_wav(seconds=1.0, channels=2)
+        half, rate, _w = ac.decode(ac.clip(wav, 0.25, 0.75))
+        assert len(half) == 4000
+        mono, _r, _w = ac.decode(ac.to_mono(wav))
+        assert mono.shape[1] == 1
+        both, _r, _w = ac.decode(ac.concat([wav, wav]))
+        assert len(both) == 16000
+
+
+class TestAudioFunctionsReal:
+    @pytest.fixture()
+    def wav_df(self, spark):
+        return spark.createDataFrame(
+            [(1, _sine_wav()), (2, b"not audio data ............")],
+            "media_id long, payload binary")
+
+    def test_metadata_real_vs_fallback(self, wav_df):
+        rows = {r["media_id"]: json.loads(r["m"]) for r in wav_df.select(
+            "media_id", pxa.get_metadata(F.col("payload")).alias("m")
+        ).collect()}
+        assert rows[1]["sample_rate"] == 8000
+        assert rows[1]["duration_s"] == pytest.approx(1.0)
+        assert set(rows[2]) == {"n_bytes"}  # non-WAV: length only
+
+    def test_transforms_real_for_wav_stub_for_other(self, wav_df):
+        rows = {r["media_id"]: r["v"] for r in wav_df.select(
+            "media_id",
+            pxa.multiply_volume(F.col("payload"), 0.5).alias("v"),
+        ).collect()}
+        arr, rate, _w = ac.decode(bytes(rows[1]))  # real WAV out
+        assert rate == 8000 and abs(arr).max() == pytest.approx(5000, abs=2)
+        assert len(rows[2]) == 16  # md5 stub for non-audio
+
+    def test_clip_through_surface(self, wav_df):
+        rows = wav_df.filter("media_id = 1").select(
+            pxa.clip(F.col("payload"), 0.0, 0.5).alias("c")).collect()
+        arr, rate, _w = ac.decode(bytes(rows[0]["c"]))
+        assert len(arr) == 4000
