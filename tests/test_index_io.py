@@ -208,3 +208,37 @@ class TestIcebergContract:
         from pixeltable_spark.sources import io as pio2
         pio2.export_iceberg(df, "pxt_ice.db.t")
         assert spark.table("pxt_ice.db.t").count() == 5
+
+
+class TestJdbcRoundtrip:
+    """Real JDBC source/sink (SqlDataNode analog, reference io sql.py)
+    against the Derby embedded driver that ships in Spark's jars — no
+    external database needed."""
+
+    def test_export_then_import(self, spark, tmp_path):
+        from pixeltable_spark.sources import io as pio
+
+        url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+        driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        src = spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", -1.0)],
+            "k bigint, s string, v double")
+        pio.export_jdbc(src, url, "t_round", mode="overwrite", driver=driver)
+        back = pio.import_jdbc(spark, url, "t_round", driver=driver)
+        key = lambda r: r["K"] if "K" in r.asDict() else r["k"]  # noqa: E731
+        got = sorted((tuple(r) for r in back.collect()))
+        want = sorted((tuple(r) for r in src.collect()))
+        assert got == want
+
+    def test_import_pushdown_query(self, spark, tmp_path):
+        from pixeltable_spark.sources import io as pio
+
+        url = f"jdbc:derby:{tmp_path}/derbydb2;create=true"
+        driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        src = spark.createDataFrame(
+            [(i, float(i) * 2) for i in range(20)], "k bigint, v double")
+        pio.export_jdbc(src, url, "t_push", mode="overwrite", driver=driver)
+        sub = pio.import_jdbc(
+            spark, url, '(SELECT "k", "v" FROM t_push WHERE "k" < 5) q',
+            driver=driver)
+        assert sub.count() == 5
