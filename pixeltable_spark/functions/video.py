@@ -2,17 +2,26 @@
 iterators.py frame_iterator).
 
 Videos are by-reference path strings / binary payloads; frame extraction
-is the component-view pattern (explode via mapInPandas). ffmpeg/PyAV are
-not in this container — the codec boundary is
-``operators.multimodal.sample_video_frames``'s stub; everything
-Spark-side (explode shape, schema, partitioning) is real.
+is the component-view pattern (explode via mapInPandas). Uncompressed AVI
+payloads get REAL frame kernels via the pure-stdlib codec
+(functions/video_codec.py: RIFF/AVI container + numpy frame math) —
+metadata, clip, crop, resize, reverse, speed, fades, frame extraction,
+crossfade transitions, image overlay, scene detection, segmentation, and
+make_video (frames → AVI). Compressed codecs (h264/vp9) need ffmpeg/PyAV
+(absent here); those payloads keep the deterministic md5 stubs, so every
+pipeline stage stays runnable and testable offline.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import video_codec as _vc
 
 try:  # pragma: no cover
     import av  # noqa: F401
@@ -25,21 +34,34 @@ def frame_iterator(df: DataFrame, every_n: int = 30,
                    payload_col: str = "payload",
                    id_col: str = "media_id") -> DataFrame:
     """Explode videos into frame rows (reference iterators frame_iterator;
-    drives component views). Real decode requires PyAV; stubbed decode
-    keeps the pipeline runnable offline."""
+    drives component views). Real PNG frames for uncompressed AVI; the
+    deterministic stub for payloads needing ffmpeg."""
     from ..operators.multimodal import sample_video_frames
-    if HAS_AV:
-        raise NotImplementedError("wire PyAV decode here when available")
     return sample_video_frames(df, every_n=every_n, binary_col=payload_col,
                                id_col=id_col)
 
 
 def get_metadata(col: Column) -> Column:
-    """Byte-level metadata without a codec (duration etc. need ffmpeg)."""
-    return F.to_json(F.struct(
-        F.length(col).alias("n_bytes"),
-        F.substring(F.hex(col), 1, 8).alias("magic"),
-    ))
+    """Container metadata: real AVI header fields (width/height/fps/
+    n_frames/duration) when the payload is RIFF/AVI, byte-level info
+    otherwise."""
+    @F.pandas_udf(T.StringType())
+    def fn(s):
+        import json
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+                continue
+            info = _vc.probe(p)
+            if info is None:
+                info = {"n_bytes": len(p),
+                        "magic": bytes(p[:4]).hex().upper()}
+            else:
+                info["n_bytes"] = len(p)
+            out.append(json.dumps(info, sort_keys=True))
+        return pd.Series(out)
+    return fn(col)
 
 
 def clip(df: DataFrame, start_frame: int, end_frame: int,
@@ -51,76 +73,99 @@ def clip(df: DataFrame, start_frame: int, end_frame: int,
         (F.col("frame_idx") >= start_frame) & (F.col("frame_idx") < end_frame))
 
 
-def _video_transform_udf(name: str):
+def _video_transform_udf(name: str, real_fn=None):
     """Payload->payload edit (reference functions/video/editing.py and
-    filters.py: crop/resize/reverse/fade/speed/overlay...). Real transcode
-    needs ffmpeg/PyAV; the deterministic stub keeps every pipeline stage —
-    schema, Arrow batching, null handling — runnable and testable offline."""
-    import hashlib
-
-    import pandas as pd
-
+    filters.py). Real kernel for uncompressed AVI via video_codec; the
+    deterministic stub for compressed payloads keeps every pipeline stage
+    — schema, Arrow batching, null handling — runnable offline."""
     @F.pandas_udf(T.BinaryType())
     def fn(s):
-        if HAS_AV:
-            raise NotImplementedError(f"wire PyAV {name} here when available")
-        return s.map(lambda p: None if p is None
-                     else hashlib.md5(p + name.encode()).digest())
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+                continue
+            if real_fn is not None:
+                try:
+                    out.append(real_fn(bytes(p)))
+                    continue
+                except Exception:  # noqa: BLE001 — not uncompressed AVI
+                    pass
+            out.append(hashlib.md5(p + name.encode()).digest())
+        return pd.Series(out)
     return fn
 
 
 def crop(col: Column, box: tuple) -> Column:
-    return _video_transform_udf(f"crop{box}")(col)
+    return _video_transform_udf(f"crop{box}",
+                                lambda p: _vc.crop(p, box))(col)
 
 
 def resize(col: Column, w: int, h: int) -> Column:
-    return _video_transform_udf(f"resize{w}x{h}")(col)
+    return _video_transform_udf(f"resize{w}x{h}",
+                                lambda p: _vc.resize(p, w, h))(col)
 
 
 def reverse(col: Column) -> Column:
-    return _video_transform_udf("reverse")(col)
+    return _video_transform_udf("reverse", _vc.reverse)(col)
 
 
 def fade_in(col: Column, seconds: float = 1.0) -> Column:
-    return _video_transform_udf(f"fade_in{seconds}")(col)
+    return _video_transform_udf(
+        f"fade_in{seconds}", lambda p: _vc.fade(p, seconds, out=False))(col)
 
 
 def fade_out(col: Column, seconds: float = 1.0) -> Column:
-    return _video_transform_udf(f"fade_out{seconds}")(col)
+    return _video_transform_udf(
+        f"fade_out{seconds}", lambda p: _vc.fade(p, seconds, out=True))(col)
 
 
 def speed(col: Column, factor: float) -> Column:
-    return _video_transform_udf(f"speed{factor}")(col)
+    return _video_transform_udf(f"speed{factor}",
+                                lambda p: _vc.speed(p, factor))(col)
+
+
+def clip_frames(col: Column, start: int, end: int) -> Column:
+    """Frame-range clip as a payload transform (reference editing.py clip)."""
+    return _video_transform_udf(
+        f"clip{start}-{end}", lambda p: _vc.clip_frames(p, start, end))(col)
 
 
 def overlay_text(col: Column, text: str, x: int = 0, y: int = 0) -> Column:
+    """Text overlay needs font rasterization (PIL/ffmpeg) — stub only."""
     return _video_transform_udf(f"overlay_text{text}@{x},{y}")(col)
 
 
 def extract_frame(col: Column, frame_idx: int = 0) -> Column:
-    """Single-frame grab as an image payload (reference editing.py
-    extract_frame)."""
-    return _video_transform_udf(f"extract_frame{frame_idx}")(col)
+    """Single-frame grab as a PNG image payload (reference editing.py
+    extract_frame) — composes with the image-function surface."""
+    return _video_transform_udf(
+        f"extract_frame{frame_idx}",
+        lambda p: _vc.extract_frame(p, frame_idx))(col)
 
 
 def extract_audio(col: Column) -> Column:
-    """Demux the audio track (reference editing.py extract_audio)."""
+    """Demux the audio track (reference editing.py extract_audio);
+    uncompressed-AVI payloads here carry no audio stream — stub."""
     return _video_transform_udf("extract_audio")(col)
 
 
-def _video_binary_udf(name: str):
-    import hashlib
-
-    import pandas as pd
-
+def _video_binary_udf(name: str, real_fn=None):
     @F.pandas_udf(T.BinaryType())
     def fn(a, b):
-        if HAS_AV:
-            raise NotImplementedError(f"wire PyAV {name} here when available")
-        return pd.Series([
-            None if (p is None or q is None)
-            else hashlib.md5(p + q + name.encode()).digest()
-            for p, q in zip(a, b)])
+        out = []
+        for p, q in zip(a, b):
+            if p is None or q is None:
+                out.append(None)
+                continue
+            if real_fn is not None:
+                try:
+                    out.append(real_fn(bytes(p), bytes(q)))
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
+            out.append(hashlib.md5(p + q + name.encode()).digest())
+        return pd.Series(out)
     return fn
 
 
@@ -132,37 +177,81 @@ def mix_audio(video: Column, audio: Column, volume: float = 1.0) -> Column:
     return _video_binary_udf(f"mix_audio{volume}")(video, audio)
 
 
+def _overlay_image_real(x: int, y: int):
+    def fn(video: bytes, image: bytes) -> bytes:
+        import numpy as np
+        from .image_codec import decode as img_decode
+        frames, fps = _vc.decode(video)
+        img = img_decode(image).convert("RGB").arr
+        h, w = img.shape[:2]
+        out = frames.copy()
+        out[:, y:y + h, x:x + w] = img[:max(0, min(h, out.shape[1] - y)),
+                                       :max(0, min(w, out.shape[2] - x))]
+        return _vc.encode(out, fps)
+    return fn
+
+
 def overlay_image(video: Column, image: Column, x: int = 0, y: int = 0) -> Column:
-    return _video_binary_udf(f"overlay_image{x},{y}")(video, image)
+    return _video_binary_udf(f"overlay_image{x},{y}",
+                             _overlay_image_real(x, y))(video, image)
+
+
+def _crossfade_real(seconds: float):
+    def fn(pa: bytes, pb: bytes) -> bytes:
+        import numpy as np
+        fa, fps = _vc.decode(pa)
+        fb, _fps2 = _vc.decode(pb)
+        n = max(1, int(seconds * fps))
+        n = min(n, len(fa), len(fb))
+        ramp = np.linspace(0.0, 1.0, n)[:, None, None, None]
+        mix = (fa[-n:].astype(np.float32) * (1 - ramp)
+               + fb[:n].astype(np.float32) * ramp).astype(np.uint8)
+        return _vc.encode(
+            np.concatenate([fa[:-n], mix, fb[n:]]), fps)
+    return fn
 
 
 def transition(a: Column, b: Column, kind: str = "crossfade",
                seconds: float = 1.0) -> Column:
-    return _video_binary_udf(f"transition{kind}{seconds}")(a, b)
+    real = _crossfade_real(seconds) if kind == "crossfade" else None
+    return _video_binary_udf(f"transition{kind}{seconds}", real)(a, b)
 
 
 def get_duration(col: Column) -> Column:
-    """Duration estimate; stub assumes the fake 1-frame-per-256-bytes model
-    at 30 fps (consistent with sample_video_frames)."""
-    return (F.greatest(F.length(col) / F.lit(256), F.lit(1)) / F.lit(30.0)) \
-        .cast(T.DoubleType())
+    """Duration in seconds: real from the AVI header; the byte-model
+    estimate (1 frame per 256 bytes at 30 fps, matching the frame stub)
+    for payloads needing ffmpeg."""
+    @F.pandas_udf(T.DoubleType())
+    def fn(s):
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+                continue
+            info = _vc.probe(p)
+            if info is not None and "duration_s" in info:
+                out.append(float(info["duration_s"]))
+            else:
+                out.append(max(1.0, len(p) / 256) / 30.0)
+        return pd.Series(out)
+    return fn(col)
 
 
 def scene_detect(col: Column, threshold: float = 27.0) -> Column:
-    """Scene-cut frame indices (reference functions/video/scene_detect.py).
-    Stub: deterministic cut positions derived from the payload hash."""
-    import hashlib
-
-    import pandas as pd
-
+    """Scene-cut frame indices (reference functions/video/scene_detect.py):
+    real mean-absolute-frame-difference detection for AVI; deterministic
+    stub positions otherwise."""
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def fn(s):
         def cuts(p):
             if p is None:
                 return None
-            n_frames = max(1, len(p) // 256)
-            h = hashlib.md5(p).digest()
-            return sorted({h[i] % n_frames for i in range(4)})
+            try:
+                return _vc.scene_cuts(bytes(p), threshold)
+            except Exception:  # noqa: BLE001
+                n_frames = max(1, len(p) // 256)
+                h = hashlib.md5(bytes(p)).digest()
+                return sorted({h[i] % n_frames for i in range(4)})
         return s.map(cuts)
     return fn(col)
 
@@ -171,11 +260,8 @@ def segment_video(df: DataFrame, n_segments: int = 4,
                   payload_col: str = "payload",
                   id_col: str = "media_id") -> DataFrame:
     """Explode each video into N segment rows (reference editing.py
-    segment_video) — UDTF shape over mapInPandas, a narrow transformation."""
-    import hashlib
-
-    import pandas as pd
-
+    segment_video) — UDTF shape over mapInPandas, a narrow transformation.
+    AVI payloads yield REAL sub-videos (frame-range re-encodes)."""
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("segment_idx", T.IntegerType()),
@@ -189,14 +275,25 @@ def segment_video(df: DataFrame, n_segments: int = 4,
                 p = r[payload_col]
                 if p is None:
                     continue
+                try:
+                    frames, fps = _vc.decode(bytes(p))
+                    step = max(1, len(frames) // n_segments)
+                    for i in range(n_segments):
+                        part = frames[i * step:(i + 1) * step]
+                        if len(part) == 0:
+                            break
+                        rows.append({id_col: r[id_col], "segment_idx": i,
+                                     "segment": _vc.encode(part, fps)})
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
                 step = max(1, len(p) // n_segments)
                 for i in range(n_segments):
                     chunk = p[i * step:(i + 1) * step]
                     if not chunk:
                         break
                     rows.append({id_col: r[id_col], "segment_idx": i,
-                                 "segment": hashlib.md5(chunk).digest()
-                                 if not HAS_AV else None})
+                                 "segment": hashlib.md5(chunk).digest()})
             yield pd.DataFrame(rows, columns=[id_col, "segment_idx", "segment"])
 
     return df.mapInPandas(op, out_schema)
@@ -206,14 +303,11 @@ def make_video(df: DataFrame, group_col: str, frame_col: str = "frame",
                order_col: str = "frame_idx") -> DataFrame:
     """Frames -> one video per group: the reference's make_video /
     concat_videos_agg media AGGREGATOR (functions/video/editing.py:25,658)
-    as applyInPandas. Frames shuffle once on the group key; each group is
-    encoded independently on its executor — at scale this parallelizes per
-    video, and group size (frames per video) bounds executor memory, not
-    total data size."""
-    import hashlib
-
-    import pandas as pd
-
+    as applyInPandas. PNG frames of equal dims encode to a REAL AVI; mixed
+    or undecodable frames keep the digest stub. Frames shuffle once on the
+    group key; each group is encoded independently on its executor — at
+    scale this parallelizes per video, and group size (frames per video)
+    bounds executor memory, not total data size."""
     out_schema = T.StructType([
         df.schema[group_col],
         T.StructField("video", T.BinaryType()),
@@ -222,14 +316,22 @@ def make_video(df: DataFrame, group_col: str, frame_col: str = "frame",
 
     def enc(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        h = hashlib.md5()
-        n = 0
-        for p in pdf[frame_col]:
-            if p is not None:
+        payloads = [p for p in pdf[frame_col] if p is not None]
+        video: bytes
+        try:
+            import numpy as np
+            from .image_codec import decode as img_decode
+            imgs = [img_decode(bytes(p)).convert("RGB").arr for p in payloads]
+            if not imgs or len({im.shape for im in imgs}) != 1:
+                raise ValueError("no frames or mixed dimensions")
+            video = _vc.encode(np.stack(imgs), fps=30.0)
+        except Exception:  # noqa: BLE001
+            h = hashlib.md5()
+            for p in payloads:
                 h.update(p)
-                n += 1
-        return pd.DataFrame([{group_col: key[0], "video": h.digest(),
-                              "n_frames": n}])
+            video = h.digest()
+        return pd.DataFrame([{group_col: key[0], "video": video,
+                              "n_frames": len(payloads)}])
 
     return df.groupBy(group_col).applyInPandas(enc, out_schema)
 

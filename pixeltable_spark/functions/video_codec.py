@@ -1,0 +1,213 @@
+"""Pure-stdlib video codec: REAL frame kernels without ffmpeg/PyAV.
+
+Uncompressed AVI (RIFF 'AVI ' container with 'DIB ' raw-BGR frames — the
+public Microsoft RIFF/AVI layout, the same variant OpenCV writes with
+fourcc 0) parsed and written with struct + numpy:
+
+* ``probe(payload)`` — width/height/fps/n_frames/duration from avih/strf.
+* ``decode(payload)`` — frames as an (n, h, w, 3) RGB uint8 array + fps.
+* ``encode(frames, fps)`` — AVI writer (24-bit DIB, bottom-up, padded).
+* frame kernels (compose with functions/image_codec.MiniImage for
+  per-frame ops): clip, crop, resize, reverse, speed, fade in/out,
+  extract_frame (PNG via image_codec), scene cut detection by mean
+  absolute frame difference.
+
+Compressed codecs (h264/vp9/mjpeg) still need ffmpeg — those payloads
+fall back to the deterministic stubs in functions/video.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from .image_codec import MiniImage, encode_png
+
+
+def probe(payload: bytes) -> Optional[dict]:
+    if payload is None or len(payload) < 12:
+        return None
+    if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"AVI ":
+        return None
+    meta: dict = {"format": "AVI"}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = bytes(payload[pos:pos + 4])
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"avih":
+                (us_per_frame, _mbps, _pad, _flags, total, _init,
+                 _streams, _buf, w, h) = struct.unpack(
+                    "<10I", payload[body:body + 40])
+                meta.update(width=w, height=h, n_frames=total,
+                            fps=round(1e6 / us_per_frame, 6)
+                            if us_per_frame else 0.0)
+            elif fourcc == b"strh":
+                fcc_type = bytes(payload[body:body + 4])
+                if fcc_type == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", payload[body + 20:body + 28])
+                    if scale:
+                        meta["fps"] = round(rate / scale, 6)
+            elif fourcc == b"strf" and "bit_count" not in meta:
+                (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", payload[body:body + 20])
+                meta.update(bit_count=bits, compression=comp)
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if "width" not in meta:
+        return None
+    if meta.get("fps"):
+        meta["duration_s"] = round(meta["n_frames"] / meta["fps"], 6)
+    return meta
+
+
+def decode(payload: bytes) -> tuple:
+    """(frames (n, h, w, 3) RGB uint8, fps) — raises ValueError outside
+    the uncompressed 24-bit subset."""
+    info = probe(payload)
+    if info is None:
+        raise ValueError("not an AVI payload")
+    if info.get("compression", 0) != 0 or info.get("bit_count", 24) != 24:
+        raise ValueError(
+            f"compressed AVI (fourcc {info.get('compression')}) needs a "
+            "real codec; only uncompressed 24-bit DIB decodes here")
+    w, h = info["width"], info["height"]
+    row = (w * 3 + 3) & ~3
+    frames = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = bytes(payload[pos:pos + 4])
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc in (b"00db", b"00dc") and size >= row * h:
+                raw = np.frombuffer(payload, dtype=np.uint8, count=row * h,
+                                    offset=body).reshape(h, row)
+                # bottom-up BGR → top-down RGB
+                arr = raw[::-1, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+                frames.append(arr)
+            pos = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no uncompressed frames")
+    return np.stack(frames), info.get("fps", 30.0) or 30.0
+
+
+def encode(frames: np.ndarray, fps: float = 30.0) -> bytes:
+    """Write (n, h, w, 3) RGB frames as an uncompressed 24-bit AVI."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _c = frames.shape
+    row = (w * 3 + 3) & ~3
+    frame_size = row * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = int(1e6 / fps) if fps else 33333
+    avih = struct.pack("<10I16x", us_per_frame, frame_size * int(fps or 30),
+                       0, 0x10, n, 0, 1, frame_size, w, h)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
+                                            1000, int((fps or 30) * 1000),
+                                            0, n, frame_size, 0xFFFFFFFF
+                                            if False else 0, 0,
+                                            0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    for f in frames:
+        # top-down RGB → bottom-up BGR with padded rows
+        bgr = f[::-1, :, ::-1]
+        if row != w * 3:
+            padded = np.zeros((h, row), dtype=np.uint8)
+            padded[:, :w * 3] = bgr.reshape(h, w * 3)
+            body = padded.tobytes()
+        else:
+            body = bgr.tobytes()
+        movi_body += chunk(b"00db", body)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# frame kernels
+# ---------------------------------------------------------------------------
+
+def _transform(payload: bytes, fn) -> bytes:
+    frames, fps = decode(payload)
+    return encode(fn(frames), fps)
+
+
+def clip_frames(payload: bytes, start: int, end: Optional[int] = None) -> bytes:
+    frames, fps = decode(payload)
+    return encode(frames[start:end if end is not None else len(frames)], fps)
+
+
+def crop(payload: bytes, box: tuple) -> bytes:
+    x1, y1, x2, y2 = (int(v) for v in box)
+    return _transform(payload, lambda f: f[:, y1:y2, x1:x2])
+
+
+def resize(payload: bytes, w: int, h: int) -> bytes:
+    def fn(frames):
+        return np.stack([MiniImage(f, "RGB").resize((w, h)).arr
+                         for f in frames])
+    return _transform(payload, fn)
+
+
+def reverse(payload: bytes) -> bytes:
+    return _transform(payload, lambda f: f[::-1])
+
+
+def speed(payload: bytes, factor: float) -> bytes:
+    """Keep every `factor`-th frame (fps unchanged → shorter video)."""
+    frames, fps = decode(payload)
+    idx = np.arange(0, len(frames), factor).astype(int)
+    return encode(frames[idx.clip(0, len(frames) - 1)], fps)
+
+
+def fade(payload: bytes, seconds: float, out: bool) -> bytes:
+    frames, fps = decode(payload)
+    n = min(len(frames), max(1, int(seconds * fps)))
+    ramp = np.linspace(0.0, 1.0, n)
+    f = frames.astype(np.float32)
+    if out:
+        f[-n:] *= ramp[::-1, None, None, None]
+    else:
+        f[:n] *= ramp[:, None, None, None]
+    return encode(f.astype(np.uint8), fps)
+
+
+def extract_frame(payload: bytes, frame_idx: int = 0) -> bytes:
+    """One frame as PNG (composes with the image kernel surface)."""
+    frames, _fps = decode(payload)
+    return encode_png(frames[min(frame_idx, len(frames) - 1)], "RGB")
+
+
+def scene_cuts(payload: bytes, threshold: float = 27.0) -> list:
+    """Frame indices where mean absolute difference to the previous frame
+    exceeds `threshold` (the content-detector rule scene-detection tools
+    publish)."""
+    frames, _fps = decode(payload)
+    if len(frames) < 2:
+        return []
+    diffs = np.abs(frames[1:].astype(np.int16)
+                   - frames[:-1].astype(np.int16)).mean(axis=(1, 2, 3))
+    return [int(i) + 1 for i in np.nonzero(diffs > threshold)[0]]

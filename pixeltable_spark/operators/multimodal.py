@@ -112,7 +112,9 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
     """Frame-sampling plumbing (UDTF shape): each video row explodes into
     frame rows with frame_idx — the component-view pattern
     (reference exec/component_iteration_node.py) over mapInPandas.
-    Frame payloads are stub hashes; a real impl yields decoded frames."""
+    Uncompressed-AVI payloads yield REAL PNG frames
+    (functions/video_codec.py); other payloads keep the deterministic
+    1-frame-per-256-bytes stub."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -120,12 +122,24 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
     ])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.image_codec import encode_png
+        from ..functions.video_codec import decode as avi_decode
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload = r[binary_col]
                 if payload is None:
                     continue
+                try:
+                    frames, _fps = avi_decode(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        rows.append({
+                            id_col: r[id_col], "frame_idx": i,
+                            "frame": encode_png(frames[i], "RGB"),
+                        })
+                    continue
+                except Exception:  # noqa: BLE001 — needs a real codec
+                    pass
                 # stub: pretend 1 frame per 256 payload bytes
                 n_frames = max(1, len(payload) // 256)
                 for i in range(0, n_frames, every_n):

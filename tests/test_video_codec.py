@@ -1,0 +1,120 @@
+"""Pure-stdlib AVI video codec: real frame kernels without ffmpeg
+(functions/video_codec.py) and their wiring through the video-function
+surface — frame_iterator, transforms, make_video roundtrip."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pixeltable_spark.functions import image_codec as icodec
+from pixeltable_spark.functions import video as pxv
+from pixeltable_spark.functions import video_codec as vc
+
+
+def _gradient_video(n=6, h=4, w=6, fps=10.0) -> bytes:
+    frames = np.stack([np.full((h, w, 3), i * 40 % 256, np.uint8)
+                       for i in range(n)])
+    return vc.encode(frames, fps)
+
+
+class TestCodecCore:
+    def test_roundtrip(self):
+        frames = np.random.default_rng(7).integers(
+            0, 256, (5, 4, 6, 3), dtype=np.uint8)
+        avi = vc.encode(frames, 25.0)
+        info = vc.probe(avi)
+        assert (info["width"], info["height"], info["n_frames"]) == (6, 4, 5)
+        assert info["fps"] == pytest.approx(25.0)
+        back, fps = vc.decode(avi)
+        assert (back == frames).all() and fps == pytest.approx(25.0)
+
+    def test_odd_width_row_padding(self):
+        frames = np.arange(3 * 2 * 5 * 3, dtype=np.uint8).reshape(3, 2, 5, 3)
+        back, _fps = vc.decode(vc.encode(frames, 30.0))
+        assert (back == frames).all()
+
+    def test_probe_rejects_non_avi(self):
+        assert vc.probe(b"RIFFxxxxWAVEfmt ....") is None
+        assert vc.probe(b"garbage data here...") is None
+
+    def test_scene_cuts_real(self):
+        a = np.zeros((3, 4, 4, 3), np.uint8)
+        b = np.full((3, 4, 4, 3), 200, np.uint8)
+        avi = vc.encode(np.concatenate([a, b]), 30.0)
+        assert vc.scene_cuts(avi, threshold=27.0) == [3]
+
+
+class TestVideoSurface:
+    @pytest.fixture()
+    def vid_df(self, spark):
+        return spark.createDataFrame(
+            [(1, _gradient_video()), (2, b"not video data ...........")],
+            "media_id long, payload binary")
+
+    def test_metadata_real_vs_fallback(self, vid_df):
+        rows = {r["media_id"]: json.loads(r["m"]) for r in vid_df.select(
+            "media_id", pxv.get_metadata(F.col("payload")).alias("m")
+        ).collect()}
+        assert rows[1]["n_frames"] == 6 and rows[1]["fps"] == 10.0
+        assert rows[1]["duration_s"] == pytest.approx(0.6)
+        assert "magic" in rows[2]
+
+    def test_transforms_real(self, vid_df):
+        rows = vid_df.filter("media_id = 1").select(
+            pxv.resize(F.col("payload"), 3, 2).alias("rs"),
+            pxv.reverse(F.col("payload")).alias("rev"),
+            pxv.speed(F.col("payload"), 2.0).alias("sp"),
+            pxv.clip_frames(F.col("payload"), 1, 4).alias("cl"),
+            pxv.extract_frame(F.col("payload"), 2).alias("fr"),
+            pxv.get_duration(F.col("payload")).alias("dur"),
+        ).collect()[0]
+        assert vc.probe(bytes(rows["rs"]))["width"] == 3
+        rev, _ = vc.decode(bytes(rows["rev"]))
+        assert rev[0][0, 0, 0] == 5 * 40  # last frame first
+        assert vc.probe(bytes(rows["sp"]))["n_frames"] == 3
+        assert vc.probe(bytes(rows["cl"]))["n_frames"] == 3
+        img = icodec.decode(bytes(rows["fr"]))  # PNG frame
+        assert img.size == (6, 4) and img.getpixel((0, 0))[0] == 80
+        assert rows["dur"] == pytest.approx(0.6)
+
+    def test_stub_for_non_avi(self, vid_df):
+        rows = vid_df.filter("media_id = 2").select(
+            pxv.resize(F.col("payload"), 3, 2).alias("rs")).collect()
+        assert len(rows[0]["rs"]) == 16  # md5 stub
+
+    def test_frame_iterator_real_png_frames(self, vid_df):
+        out = pxv.frame_iterator(vid_df.filter("media_id = 1"),
+                                 every_n=2).collect()
+        assert [r["frame_idx"] for r in out] == [0, 2, 4]
+        img = icodec.decode(bytes(out[1]["frame"]))
+        assert img.getpixel((0, 0))[0] == 80
+
+    def test_segment_video_real_subvideos(self, vid_df):
+        segs = pxv.segment_video(vid_df.filter("media_id = 1"),
+                                 n_segments=3).collect()
+        assert len(segs) == 3
+        for s in segs:
+            assert vc.probe(bytes(s["segment"]))["n_frames"] == 2
+
+    def test_transition_crossfade_real(self, spark):
+        a = vc.encode(np.zeros((4, 2, 2, 3), np.uint8), 4.0)
+        b = vc.encode(np.full((4, 2, 2, 3), 200, np.uint8), 4.0)
+        df = spark.createDataFrame([(a, b)], "a binary, b binary")
+        out = df.select(pxv.transition(
+            F.col("a"), F.col("b"), seconds=1.0).alias("t")).collect()[0]["t"]
+        frames, _ = vc.decode(bytes(out))
+        assert len(frames) == 4  # 4 + 4 with a 4-frame overlap
+        assert frames[0].max() < frames[-1].min()  # monotone fade
+
+    def test_make_video_from_png_frames(self, spark):
+        pngs = [(1, i, icodec.encode_png(
+            np.full((3, 5, 3), i * 30, np.uint8), "RGB")) for i in range(4)]
+        df = spark.createDataFrame(pngs, "gid long, frame_idx int, frame binary")
+        out = pxv.make_video(df, "gid").collect()[0]
+        assert out["n_frames"] == 4
+        frames, fps = vc.decode(bytes(out["video"]))
+        assert frames.shape == (4, 3, 5, 3) and frames[2][0, 0, 0] == 60
