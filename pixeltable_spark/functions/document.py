@@ -45,6 +45,26 @@ def document_splitter(df: DataFrame, chunk_tokens: int = 50, overlap: int = 10,
 
 
 _SENT = "\x01"  # sentinel inserted at structural boundaries before split
+_PAGE = "\x02"  # page boundary sentinel (PDF input)
+
+
+def _pdf_pages_col(col):
+    """Binary PDF payload → extracted text with _PAGE between pages
+    (reference iterators/document.py PDF path; extractor is the
+    pure-stdlib functions/pdf_codec.py)."""
+    import pandas as pd
+
+    def fn(s):
+        from .pdf_codec import extract_pages
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+                continue
+            out.append(_PAGE.join(extract_pages(bytes(p))))
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, T.StringType())(col)
 
 _VALID_SEPARATORS = {"heading", "paragraph", "sentence", "token_limit",
                      "char_limit", "page"}
@@ -125,10 +145,10 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     if bad:
         raise ValueError(
             f"invalid separators {sorted(bad)}; valid: {sorted(_VALID_SEPARATORS)}")
-    if "page" in seps:
-        raise NotImplementedError(
-            "'page' chunking requires PDF parsing, unavailable in this "
-            "environment (reference iterators/document.py PDF path)")
+    if "page" in seps and input_format != "pdf":
+        raise ValueError(
+            "'page' chunking requires input_format='pdf' "
+            "(reference iterators/document.py PDF path)")
     meta = [m.strip() for m in metadata.split(",") if m.strip()]
     bad_meta = set(meta) - {"title", "heading"}
     if bad_meta:
@@ -136,13 +156,19 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     if overlap and overlap >= limit:
         raise ValueError("overlap must be smaller than limit")
 
-    if input_format not in ("text", "markdown", "html"):
+    if input_format not in ("text", "markdown", "html", "pdf"):
         raise ValueError(
-            f"input_format must be text|markdown|html, got {input_format!r}")
+            f"input_format must be text|markdown|html|pdf, got {input_format!r}")
 
     col = F.col(text_col)
     if input_format == "html":
         col = html_to_markdown(col)
+    elif input_format == "pdf":
+        # binary payload → page texts (pure-stdlib extractor,
+        # functions/pdf_codec.py) joined by the page sentinel
+        col = _pdf_pages_col(col)
+        col = F.regexp_replace(
+            col, _PAGE, _SENT if "page" in seps else "\n\n")
     # structural boundaries -> sentinel inserts (order matters; mirrored by
     # the oracle SQL)
     if "heading" in seps:

@@ -64,8 +64,8 @@ class TestStructuralSeparators:
         with pytest.raises(ValueError, match="invalid separators"):
             document_splitter_v2(docs, separators="chapter")
 
-    def test_page_gated(self, docs):
-        with pytest.raises(NotImplementedError):
+    def test_page_requires_pdf_input(self, docs):
+        with pytest.raises(ValueError, match="input_format='pdf'"):
             document_splitter_v2(docs, separators="page")
 
 
@@ -159,4 +159,80 @@ class TestHtmlInput:
 
     def test_bad_format_raises(self, html_docs):
         with pytest.raises(ValueError, match="input_format"):
-            document_splitter_v2(html_docs, input_format="pdf")
+            document_splitter_v2(html_docs, input_format="docx")
+
+
+def _make_pdf(pages: list) -> bytes:
+    """Minimal two-object-per-page PDF with FlateDecode content streams
+    (enough of ISO 32000 to exercise the extractor)."""
+    import zlib
+
+    objs = []
+    page_refs = []
+    n_fixed = 2  # catalog=1, pages=2
+    for i, lines in enumerate(pages):
+        content_id = n_fixed + 1 + 2 * i
+        page_id = content_id + 1
+        ops = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+            f"({ln}) Tj" for ln in lines) + " ET"
+        stream = zlib.compress(ops.encode("latin-1"))
+        objs.append((content_id,
+                     b"<< /Filter /FlateDecode /Length "
+                     + str(len(stream)).encode() + b" >>\nstream\n"
+                     + stream + b"\nendstream\n"))
+        objs.append((page_id,
+                     f"<< /Type /Page /Parent 2 0 R /Contents {content_id} 0 R >>\n"
+                     .encode()))
+        page_refs.append(page_id)
+    kids = " ".join(f"{r} 0 R" for r in page_refs)
+    objs.insert(0, (2, f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>\n".encode()))
+    objs.insert(0, (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"))
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"endobj\n"
+    out += b"trailer << /Root 1 0 R >>\n%%EOF"
+    return bytes(out)
+
+
+class TestPdfInput:
+    def test_extract_pages(self):
+        from pixeltable_spark.functions.pdf_codec import extract_pages, probe
+        pdf = _make_pdf([["First page line one.", "Second line."],
+                         ["Page two content here."]])
+        pages = extract_pages(pdf)
+        assert len(pages) == 2
+        assert "First page line one." in pages[0]
+        assert "Second line." in pages[0]
+        assert "Page two content here." in pages[1]
+        assert probe(pdf)["n_pages"] == 2
+
+    def test_non_pdf_raises(self):
+        from pixeltable_spark.functions.pdf_codec import extract_pages
+        with pytest.raises(ValueError, match="not a PDF"):
+            extract_pages(b"plain text")
+
+    def test_page_separator_through_splitter(self, spark):
+        pdf = _make_pdf([["Alpha one.", "Alpha two."], ["Beta page."],
+                         ["Gamma page text."]])
+        df = spark.createDataFrame([(1, pdf)], "doc_id long, text binary")
+        rows = document_splitter_v2(df, separators="page",
+                                    input_format="pdf").collect()
+        rows.sort(key=lambda r: r["pos"])
+        assert len(rows) == 3
+        assert rows[0]["text"].startswith("Alpha one.")
+        assert rows[1]["text"] == "Beta page."
+        assert rows[2]["text"] == "Gamma page text."
+
+    def test_page_plus_sentence(self, spark):
+        pdf = _make_pdf([["One. Two.", "Three."], ["Four."]])
+        df = spark.createDataFrame([(1, pdf)], "doc_id long, text binary")
+        rows = document_splitter_v2(df, separators="page,sentence",
+                                    input_format="pdf").collect()
+        texts = [r["text"] for r in sorted(rows, key=lambda r: r["pos"])]
+        assert texts[0].startswith("One.") and "Four." in texts[-1]
+        assert len(texts) >= 4
+
+    def test_page_without_pdf_format_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="input_format='pdf'"):
+            document_splitter_v2(df, separators="page")
