@@ -365,3 +365,35 @@ def getprojection(col: Column) -> Column:
         "getprojection", T.StringType(),
         lambda img: _json.dumps([list(x) for x in img.getprojection()]),
         stub)(col)
+
+
+def to_video(col: Column, duration: float, fps: int = 24) -> Column:
+    """Loop a still image into a video of `duration` seconds (reference
+    functions/image.py:656 to_video, ffmpeg -loop). REAL for payloads the
+    pure-python codec decodes (output: uncompressed AVI); md5 stub
+    otherwise."""
+    def real(p: bytes) -> bytes:
+        import numpy as np
+
+        from . import video_codec
+        from .image_codec import decode as img_decode
+        frame = img_decode(p).convert("RGB").arr
+        n = max(1, int(duration * fps))
+        return video_codec.encode(
+            np.repeat(frame[None, :, :, :], n, axis=0), float(fps))
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(s):
+        import pandas as pd
+        out = []
+        for p in s:
+            if p is None:
+                out.append(None)
+                continue
+            try:
+                out.append(real(bytes(p)))
+            except Exception:  # noqa: BLE001
+                out.append(hashlib.md5(
+                    p + f"to_video{duration}x{fps}".encode()).digest())
+        return pd.Series(out)
+    return fn(col)

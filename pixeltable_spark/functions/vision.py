@@ -219,3 +219,100 @@ def eval_detections(df: DataFrame,
                                               "precision", "recall"])
 
     return df.mapInPandas(op, out_schema)
+
+
+def _to_xyxy(b: Column, fmt: str):
+    c1, c2 = F.element_at(b, 1), F.element_at(b, 2)
+    c3, c4 = F.element_at(b, 3), F.element_at(b, 4)
+    if fmt == "xyxy":
+        return c1, c2, c3, c4
+    if fmt == "xywh":
+        return c1, c2, c1 + c3, c2 + c4
+    if fmt == "cxcywh":
+        return (c1 - c3 / 2, c2 - c4 / 2, c1 + c3 / 2, c2 + c4 / 2)
+    raise ValueError(f"unknown bbox format {fmt!r}")
+
+
+def _from_xyxy(x1, y1, x2, y2, fmt: str) -> Column:
+    if fmt == "xyxy":
+        return F.array(x1, y1, x2, y2)
+    if fmt == "xywh":
+        return F.array(x1, y1, x2 - x1, y2 - y1)
+    if fmt == "cxcywh":
+        return F.array((x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1)
+    raise ValueError(f"unknown bbox format {fmt!r}")
+
+
+def bboxes_clip_to_canvas(bboxes: Column, format: str = "xyxy",  # noqa: A002
+                          width: Optional[int] = None,
+                          height: Optional[int] = None,
+                          min_visibility: float = 0.0,
+                          min_area: float = 0.0) -> Column:
+    """Clip a LIST of boxes to the canvas, dropping boxes whose clipped
+    area falls under min_area or whose visible fraction falls under
+    min_visibility (reference functions/vision.py:950
+    bboxes_clip_to_canvas) — pure higher-order column math: one
+    transform + one filter, no UDF."""
+    if (width is None) != (height is None):
+        raise ValueError(
+            "bboxes_clip_to_canvas(): both width and height must be "
+            "specified for absolute coordinates")
+    w = float(width) if width is not None else 1.0
+    h = float(height) if height is not None else 1.0
+
+    def clip_one(b):
+        x1, y1, x2, y2 = _to_xyxy(b, format)
+        cx1 = F.least(F.greatest(x1, F.lit(0.0)), F.lit(w))
+        cy1 = F.least(F.greatest(y1, F.lit(0.0)), F.lit(h))
+        cx2 = F.least(F.greatest(x2, F.lit(0.0)), F.lit(w))
+        cy2 = F.least(F.greatest(y2, F.lit(0.0)), F.lit(h))
+        orig = F.greatest(x2 - x1, F.lit(0.0)) * F.greatest(y2 - y1, F.lit(0.0))
+        new = F.greatest(cx2 - cx1, F.lit(0.0)) * F.greatest(cy2 - cy1, F.lit(0.0))
+        vis = F.when(orig > 0, new / orig).otherwise(F.lit(0.0))
+        # carry the metrics through a 6-element array, filter, then strip
+        return F.concat(_from_xyxy(cx1, cy1, cx2, cy2, format),
+                        F.array(new, vis))
+
+    clipped = F.transform(bboxes, clip_one)
+    kept = F.filter(clipped, lambda b: (F.element_at(b, 5) >= F.lit(float(min_area)))
+                    & (F.element_at(b, 6) >= F.lit(float(min_visibility)))
+                    & (F.element_at(b, 5) > 0))
+    return F.transform(kept, lambda b: F.slice(b, 1, 4))
+
+
+def bboxes_crop_canvas(bboxes: Column, format: str = "xyxy",  # noqa: A002
+                       canvas_region: "list | None" = None,
+                       canvas_region_format: str = "xyxy",
+                       canvas_width: Optional[int] = None,
+                       canvas_height: Optional[int] = None) -> Column:
+    """Re-express boxes relative to a cropped canvas region (reference
+    functions/vision.py:1071 bboxes_crop_canvas): shift by the region
+    origin; relative coordinates additionally rescale by the region size.
+    Boxes may extend beyond the new canvas (the reference's contract)."""
+    if canvas_region is None or len(canvas_region) != 4:
+        raise ValueError(
+            "bboxes_crop_canvas(): canvas_region must be a list of 4 "
+            "coordinates")
+    r = [float(v) for v in canvas_region]
+    if canvas_region_format == "xywh":
+        rx1, ry1, rx2, ry2 = r[0], r[1], r[0] + r[2], r[1] + r[3]
+    elif canvas_region_format == "cxcywh":
+        rx1, ry1 = r[0] - r[2] / 2, r[1] - r[3] / 2
+        rx2, ry2 = r[0] + r[2] / 2, r[1] + r[3] / 2
+    elif canvas_region_format == "xyxy":
+        rx1, ry1, rx2, ry2 = r
+    else:
+        raise ValueError(f"unknown bbox format {canvas_region_format!r}")
+    absolute = canvas_width is not None
+    rw, rh = rx2 - rx1, ry2 - ry1
+
+    def crop_one(b):
+        x1, y1, x2, y2 = _to_xyxy(b, format)
+        if absolute:
+            nx1, ny1, nx2, ny2 = x1 - rx1, y1 - ry1, x2 - rx1, y2 - ry1
+        else:
+            nx1, ny1 = (x1 - rx1) / rw, (y1 - ry1) / rh
+            nx2, ny2 = (x2 - rx1) / rw, (y2 - ry1) / rh
+        return _from_xyxy(nx1, ny1, nx2, ny2, format)
+
+    return F.transform(bboxes, crop_one)

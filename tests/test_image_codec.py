@@ -172,3 +172,93 @@ class TestImageFunctionsReal:
             [(1, _checker_png(10, 4))], "media_id long, payload binary")
         out = mm.resize_images(df, 5, 2).collect()[0]["resized"]
         assert ic.decode(bytes(out)).size == (5, 2)
+
+
+class TestFunctionGapFill:
+    def test_image_to_video_real(self, spark):
+        from pixeltable_spark.functions import video_codec as vcodec
+        df = spark.createDataFrame([(1, _checker_png(4, 3))],
+                                   "media_id long, payload binary")
+        out = df.select(pxi.to_video(F.col("payload"), duration=0.5,
+                                     fps=8).alias("v")).collect()[0]["v"]
+        frames, fps = vcodec.decode(bytes(out))
+        assert frames.shape == (4, 3, 4, 3) and fps == 8.0
+
+    def test_json_cell_reductions(self, spark):
+        import pixeltable_spark as pxt
+        t = pxt.table_from_rows(
+            spark, [{"k": 0, "scores": "[1.0, 2.0, 3.5]"},
+                    {"k": 1, "scores": "[]"}],
+            "jm_docs", rowid_cols=["k"])
+        from pixeltable_spark.functions import json as pxj
+        rows = {r["k"]: r for r in t.select(
+            t.k, s=pxj.sum(t.scores), mn=pxj.min(t.scores),
+            mx=pxj.max(t.scores), av=pxj.mean(t.scores)).collect()}
+        assert rows[0]["s"] == 6.5 and rows[0]["mn"] == 1.0
+        assert rows[0]["mx"] == 3.5 and rows[0]["av"] == pytest.approx(6.5 / 3)
+        assert rows[1]["s"] == 0.0 and rows[1]["mn"] is None
+
+    def test_json_count_value(self, spark):
+        import pixeltable_spark as pxt
+        t = pxt.table_from_rows(
+            spark, [{"k": 0, "labels": '["cat", "dog", "cat"]'}],
+            "jc_docs", rowid_cols=["k"])
+        from pixeltable_spark.functions import json as pxj
+        r = t.select(c=pxj.count(t.labels, "cat")).collect()[0]
+        assert r["c"] == 2
+
+    def test_list_iterator_both_forms(self, spark):
+        import pixeltable_spark as pxt
+        from pixeltable_spark.functions.json import list_iterator
+        df = spark.createDataFrame(
+            [(1, '[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]',
+              '[10, 20, 30]', '["p", "q"]')],
+            "doc_id long, els string, l1 string, l2 string")
+        out = list_iterator(df, elements="els",
+                            fields={"a": pxt.Int(), "b": pxt.String()})
+        rows = sorted((r["pos"], r["a"], r["b"]) for r in out.collect())
+        assert rows == [(0, 1, "x"), (1, 2, "y")]
+        padded = list_iterator(df, mode="padded", v1="l1", v2="l2").collect()
+        assert len(padded) == 3
+        last = max(padded, key=lambda r: r["pos"])
+        assert last["v2"] is None
+        import pytest as _pt
+        with _pt.raises(Exception, match="different lengths"):
+            list_iterator(df, mode="strict", v1="l1", v2="l2").collect()
+
+    def test_bboxes_canvas_ops(self, spark):
+        from pixeltable_spark.functions import vision
+        df = spark.createDataFrame(
+            [(1, [[ -5.0, 2.0, 15.0, 8.0], [100.0, 100.0, 120.0, 130.0],
+                  [2.0, 2.0, 4.0, 4.0]],)],
+            "k long, boxes array<array<double>>")
+        out = df.select(vision.bboxes_clip_to_canvas(
+            F.col("boxes"), "xyxy", width=10, height=10).alias("c")).collect()[0]["c"]
+        assert [list(b) for b in out] == [[0.0, 2.0, 10.0, 8.0],
+                                         [2.0, 2.0, 4.0, 4.0]]
+        # min_visibility drops the heavily-clipped first box (10/20 wide -> 0.5 vis)
+        out2 = df.select(vision.bboxes_clip_to_canvas(
+            F.col("boxes"), "xyxy", width=10, height=10,
+            min_visibility=0.6).alias("c")).collect()[0]["c"]
+        assert [list(b) for b in out2] == [[2.0, 2.0, 4.0, 4.0]]
+        crop = df.select(vision.bboxes_crop_canvas(
+            F.col("boxes"), "xyxy", canvas_region=[2.0, 2.0, 12.0, 12.0],
+            canvas_region_format="xyxy", canvas_width=10,
+            canvas_height=10).alias("c")).collect()[0]["c"]
+        assert list(crop[2]) == [0.0, 0.0, 2.0, 2.0]
+
+    def test_uuid_and_util_extras(self, spark):
+        from pixeltable_spark.functions import uuid_net_util as u
+        v7a, v7b = u._uuid7_py(), u._uuid7_py()
+        assert v7a[14] == "7" and v7a[:13] <= v7b[:13]  # ms-ordered prefix
+        import uuid as _u
+        x = _u.uuid4()
+        assert u.hex.py_fn(str(x)) == x.hex
+        assert u.to_string.py_fn(str(x)) == str(x)
+        assert u.presigned_url("/local/file.png") == "/local/file.png"
+        import pytest as _pt
+        with _pt.raises(NotImplementedError, match="credentials"):
+            u.presigned_url("s3://bucket/key.png")
+        assert u.resolve_torch_device() == "cpu"
+        meta = u.get_media_metadata(_checker_png(3, 2))
+        assert meta["format"] == "PNG" and meta["width"] == 3
