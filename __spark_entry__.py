@@ -966,6 +966,115 @@ def q61_image_codec(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q62_audio_codec(spark, sf_dir):
+    """REAL WAV kernels without ffmpeg (functions/audio_codec.py): PCM
+    sine WAVs synthesized per doc (rate/length/amplitude derived from
+    doc_id), then probed/clipped/volume-scaled — every output is
+    arithmetic in doc_id, so DuckDB checks the decode→transform→encode
+    pipeline without ever seeing a WAV."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import audio_codec as ac
+
+    df = _df(spark, sf_dir, "documents").select("doc_id")
+
+    def _make_wav(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            rate = 4000 + 1000 * (int(i) % 3)          # 4000/5000/6000
+            n = rate // 2 + int(i) % 5                 # ~0.5 s
+            amp = 1000 + int(i) % 7 * 100
+            t = np.arange(n)
+            wave = (amp * np.sin(2 * np.pi * 220 * t / rate)).astype(np.int16)
+            out.append(ac.encode(wave[:, None], rate, 2))
+        return pd.Series(out)
+
+    def _pipeline(payloads):
+        import json
+        out = []
+        for p in payloads:
+            p = bytes(p)
+            info = ac.probe(p)
+            clipped = ac.clip(p, 0.0, 0.25)
+            doubled, _r, _w = ac.decode(ac.multiply_volume(p, 2.0))
+            orig, _r2, _w2 = ac.decode(p)
+            out.append(json.dumps({
+                "rate": info["sample_rate"],
+                "n": info["n_frames"],
+                "clip_n": ac.probe(clipped)["n_frames"],
+                "peak_ratio": int(round(abs(doubled).max()
+                                        / abs(orig).max())),
+            }, sort_keys=True))
+        return pd.Series(out)
+
+    make_wav = F.pandas_udf(_make_wav, T.BinaryType())
+    pipe = F.pandas_udf(_pipeline, T.StringType())
+    out = df.withColumn("r", pipe(make_wav(F.col("doc_id"))))
+    return (out.select(
+        "doc_id",
+        F.get_json_object("r", "$.rate").cast("long").alias("rate"),
+        F.get_json_object("r", "$.n").cast("long").alias("n"),
+        F.get_json_object("r", "$.clip_n").cast("long").alias("clip_n"),
+        F.get_json_object("r", "$.peak_ratio").cast("long").alias("peak_ratio"),
+    ).orderBy("doc_id"))
+
+
+def q63_video_codec(spark, sf_dir):
+    """REAL AVI kernels without ffmpeg (functions/video_codec.py): videos
+    synthesized per doc (dims/frame-count/fps from doc_id, one hard
+    luminance jump mid-stream), then probed, speed-adjusted, and
+    scene-detected — all outputs arithmetic in doc_id for the DuckDB
+    oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import video_codec as vc
+
+    df = _df(spark, sf_dir, "documents").select("doc_id")
+
+    def _make_avi(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            w, h = 4 + int(i) % 5, 3 + int(i) % 4
+            n = 4 + int(i) % 6                 # 4..9 frames
+            cut = n // 2
+            frames = np.stack(
+                [np.full((h, w, 3), 0 if k < cut else 200, np.uint8)
+                 for k in range(n)])
+            out.append(vc.encode(frames, fps=10.0))
+        return pd.Series(out)
+
+    def _pipeline(payloads):
+        import json
+        out = []
+        for p in payloads:
+            p = bytes(p)
+            info = vc.probe(p)
+            cuts = vc.scene_cuts(p, threshold=27.0)
+            half = vc.probe(vc.speed(p, 2.0))
+            out.append(json.dumps({
+                "w": info["width"], "h": info["height"],
+                "n": info["n_frames"], "cut": cuts[0] if cuts else -1,
+                "half_n": half["n_frames"],
+            }, sort_keys=True))
+        return pd.Series(out)
+
+    make_avi = F.pandas_udf(_make_avi, T.BinaryType())
+    pipe = F.pandas_udf(_pipeline, T.StringType())
+    out = df.withColumn("r", pipe(make_avi(F.col("doc_id"))))
+    return (out.select(
+        "doc_id",
+        F.get_json_object("r", "$.w").cast("long").alias("w"),
+        F.get_json_object("r", "$.h").cast("long").alias("h"),
+        F.get_json_object("r", "$.n").cast("long").alias("n"),
+        F.get_json_object("r", "$.cut").cast("long").alias("cut"),
+        F.get_json_object("r", "$.half_n").cast("long").alias("half_n"),
+    ).orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1032,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_html_sections": q59_html_sections,
         "q60_stream_dedup": q60_stream_dedup,
         "q61_image_codec": q61_image_codec,
+        "q62_audio_codec": q62_audio_codec,
+        "q63_video_codec": q63_video_codec,
     }
 
 
@@ -1607,6 +1718,21 @@ SELECT doc_id,
        CAST(2 AS INTEGER) AS rh,
        CAST(doc_id % 256 AS INTEGER) AS px,
        0.0 AS ent
+FROM documents ORDER BY doc_id""",
+        "q62_audio_codec": """
+SELECT doc_id,
+       4000 + 1000 * (doc_id % 3) AS rate,
+       (4000 + 1000 * (doc_id % 3)) // 2 + doc_id % 5 AS n,
+       (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
+       CAST(2 AS BIGINT) AS peak_ratio
+FROM documents ORDER BY doc_id""",
+        "q63_video_codec": """
+SELECT doc_id,
+       4 + doc_id % 5 AS w,
+       3 + doc_id % 4 AS h,
+       4 + doc_id % 6 AS n,
+       (4 + doc_id % 6) // 2 AS cut,
+       (4 + doc_id % 6 + 1) // 2 AS half_n
 FROM documents ORDER BY doc_id""",
         "q59_html_sections": r"""
 WITH h AS (
