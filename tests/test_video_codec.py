@@ -118,3 +118,49 @@ class TestVideoSurface:
         assert out["n_frames"] == 4
         frames, fps = vc.decode(bytes(out["video"]))
         assert frames.shape == (4, 3, 5, 3) and frames[2][0, 0, 0] == 60
+
+
+class TestComponentViewIntegration:
+    """The reference's flagship pattern: a component view exploding videos
+    into frames (reference iterators frame_iterator driving
+    create_view), with REAL frames and incremental maintenance."""
+
+    @pytest.fixture()
+    def frame_view(self, spark, tmp_path):
+        import pixeltable_spark as pxt
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table(
+            "vids", {"media_id": pxt.Int(False),
+                     "payload": pxt.ColumnType.binary()},
+            primary_key=["media_id"])
+        t.insert([{"media_id": 1, "payload": _gradient_video(n=4)}])
+
+        @pxt.iterator(output_schema={"frame_idx": pxt.Int(),
+                                     "frame": pxt.ColumnType.binary()})
+        def frames(payload: bytes):
+            fr, _fps = vc.decode(payload)
+            for i in range(len(fr)):
+                yield {"frame_idx": i,
+                       "frame": icodec.encode_png(fr[i], "RGB")}
+
+        v = cat.create_view("vframes", t, iterator=frames.as_view_iterator())
+        return cat, t, v
+
+    def test_real_frames_in_view(self, frame_view):
+        _cat, _t, v = frame_view
+        rows = v.collect()
+        assert len(rows) == 4
+        img = icodec.decode(bytes(rows[0]["frame"]))
+        assert img.size == (6, 4)
+
+    def test_incremental_on_insert(self, frame_view):
+        _cat, t, v = frame_view
+        t.insert([{"media_id": 2, "payload": _gradient_video(n=3)}])
+        assert v.count() == 7  # only the new video explodes
+
+    def test_base_delete_propagates(self, frame_view):
+        from pixeltable_spark.exprs import ColumnRef
+        _cat, t, v = frame_view
+        mid = ColumnRef("media_id", t.schema["media_id"])
+        t.delete(where=mid == 1)
+        assert v.count() == 0
