@@ -271,12 +271,16 @@ class Table:
 
     def _current_files(self) -> list[str]:
         """The current snapshot's file list; legacy (pre-manifest) tables
-        fall back to a directory scan and upgrade on their next commit."""
+        fall back to a directory scan and upgrade on their next commit.
+        Records the manifest observed so _commit_files can detect a
+        concurrent writer (optimistic concurrency)."""
         if os.path.exists(self._current_path):
             with open(self._current_path) as f:
                 cur = json.load(f)
+            self._manifest_at_read = cur["manifest"]
             with open(os.path.join(self.path, cur["manifest"])) as f:
                 return json.load(f)["files"]
+        self._manifest_at_read = None
         if os.path.isdir(self._data_dir):
             return self._scan_parquet(self._data_dir)
         return []
@@ -341,10 +345,24 @@ class Table:
         crash after it leaves only unreferenced garbage for the next
         vacuum."""
         os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
+        # optimistic concurrency: if CURRENT moved since this mutation read
+        # its base snapshot, another writer committed in between — abort
+        # rather than silently dropping their files at vacuum (a real
+        # multi-writer deployment does this CAS against the metastore)
+        if os.path.exists(self._current_path):
+            with open(self._current_path) as f:
+                now = json.load(f)["manifest"]
+            expected = getattr(self, "_manifest_at_read", now)
+            if expected is not None and now != expected:
+                raise RuntimeError(
+                    f"concurrent modification of table {self.name!r}: "
+                    f"CURRENT moved from {expected} to {now} during this "
+                    "mutation; re-read and retry")
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
         self._atomic_write(os.path.join(self.path, mrel),
                            json.dumps({"files": sorted(files)}))
         self._atomic_write(self._current_path, json.dumps({"manifest": mrel}))
+        self._manifest_at_read = mrel
         self._vacuum(set(files), keep_manifest=mrel)
 
     def _vacuum(self, keep: set, keep_manifest: str) -> None:

@@ -89,16 +89,16 @@ def encode(arr: np.ndarray, rate: int, width: int = 2) -> bytes:
 
 def _transform(payload: bytes, fn) -> bytes:
     arr, rate, width = decode(payload)
-    out = fn(arr.astype(np.float64), rate)
+    out = fn(arr.astype(np.float64), rate, width)
     return encode(np.round(out), rate, width)
 
 
 def multiply_volume(payload: bytes, factor: float) -> bytes:
-    return _transform(payload, lambda a, r: a * factor)
+    return _transform(payload, lambda a, r, w: a * factor)
 
 
 def fade_in(payload: bytes, duration: float) -> bytes:
-    def fn(a, rate):
+    def fn(a, rate, width):
         n = min(len(a), max(1, int(duration * rate)))
         ramp = np.linspace(0.0, 1.0, n)[:, None]
         a[:n] *= ramp
@@ -107,7 +107,7 @@ def fade_in(payload: bytes, duration: float) -> bytes:
 
 
 def fade_out(payload: bytes, duration: float) -> bytes:
-    def fn(a, rate):
+    def fn(a, rate, width):
         n = min(len(a), max(1, int(duration * rate)))
         a[-n:] *= np.linspace(1.0, 0.0, n)[:, None]
         return a
@@ -115,9 +115,9 @@ def fade_out(payload: bytes, duration: float) -> bytes:
 
 
 def normalize(payload: bytes, target_db: float = -1.0) -> bytes:
-    """Peak-normalize to target dBFS."""
-    def fn(a, rate):
-        _arr, _r, width = decode(payload)
+    """Peak-normalize to target dBFS (width arrives from the single
+    decode in _transform — no second parse of the payload)."""
+    def fn(a, rate, width):
         full = float(2 ** (8 * width - 1) - 1)
         peak = np.abs(a).max()
         if peak == 0:

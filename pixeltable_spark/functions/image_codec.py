@@ -45,6 +45,8 @@ def probe(payload: bytes) -> Optional[dict]:
         return None
     p = bytes(payload[:64])
     if p.startswith(_PNG_SIG):
+        if len(payload) < 26:  # truncated header: not a decodable image
+            return None
         w, h = struct.unpack(">II", payload[16:24])
         bit_depth, color_type = payload[24], payload[25]
         mode = {0: "L", 2: "RGB", 3: "RGB", 4: "LA", 6: "RGBA"}.get(
@@ -54,10 +56,14 @@ def probe(payload: bytes) -> Optional[dict]:
     if p.startswith(b"\xff\xd8"):
         return _probe_jpeg(payload)
     if p.startswith((b"GIF87a", b"GIF89a")):
+        if len(payload) < 10:
+            return None
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "GIF", "width": int(w), "height": int(h),
                 "mode": "P"}
-    if p.startswith(b"BM") and len(payload) >= 30:
+    if p.startswith(b"BM"):
+        if len(payload) < 30:
+            return None
         w, h = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
         return {"format": "BMP", "width": int(w), "height": abs(int(h)),
@@ -83,8 +89,12 @@ def _probe_jpeg(payload: bytes) -> Optional[dict]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            return None
         seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 10 > n:  # truncated SOF segment
+                return None
             h, w = struct.unpack(">HH", payload[i + 5:i + 9])
             ncomp = payload[i + 9]
             mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB")

@@ -72,13 +72,13 @@ def _literal_string(tok: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal
-                oct_digits = tok[i + 1:i + 4]
-                oct_digits = oct_digits[:len(re.match(rb"[0-7]{1,3}",
-                                                      oct_digits).group(0))]
+            m = re.match(rb"[0-7]{1,3}", tok[i + 1:i + 4])
+            if m:  # octal escape
+                oct_digits = m.group(0)
                 out.append(int(oct_digits, 8) & 0xFF)
                 i += 1 + len(oct_digits)
                 continue
+            # unknown escape (incl. \8, \9): spec says drop the backslash
             i += 1
             continue
         out += c

@@ -88,11 +88,19 @@ _fn("pad", _STR, None, lambda s, w, side="left", fillchar=" ":
 _fn("slice", _STR, None, lambda s, start=None, stop=None: s[start:stop])
 _fn("slice_replace", _STR, None,
     lambda s, start=None, stop=None, repl="": s[: (start or 0)] + repl + s[(stop if stop is not None else len(s)):])
-_fn("split", _JSON, None, lambda s, sep=None, maxsplit=-1: s.split(sep, maxsplit),
+def _split_pandas(s, sep=None, maxsplit=-1):
+    # pandas n<=0 means "all splits" but Python maxsplit=0 means "no
+    # splits" — route 0 through the exact Python semantics
+    if maxsplit == 0:
+        return s.map(lambda x: x.split(sep, 0), na_action="ignore")
+    if sep is None:
+        return s.str.split(None, n=maxsplit)
     # regex=False: pandas would otherwise treat a multi-char sep as a regex
-    pandas_fn=lambda s, sep=None, maxsplit=-1:
-    s.str.split(sep, n=maxsplit) if sep is None
-    else s.str.split(sep, n=maxsplit, regex=False))
+    return s.str.split(sep, n=maxsplit, regex=False)
+
+
+_fn("split", _JSON, None, lambda s, sep=None, maxsplit=-1: s.split(sep, maxsplit),
+    pandas_fn=_split_pandas)
 _fn("rsplit", _JSON, None, lambda s, sep=None, maxsplit=-1: s.rsplit(sep, maxsplit))
 _fn("splitlines", _JSON, None, lambda s: s.splitlines())
 _fn("partition", _JSON, None, lambda s, sep: list(s.partition(sep)))

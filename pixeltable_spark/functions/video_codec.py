@@ -35,27 +35,31 @@ def probe(payload: bytes) -> Optional[dict]:
 
     def walk(start: int, end: int) -> None:
         pos = start
+        end = min(end, len(payload))
         while pos + 8 <= end:
             fourcc = bytes(payload[pos:pos + 4])
             size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
             body = pos + 8
+            # truncated chunk bodies (partial download) end the walk —
+            # probe degrades to "not recognizable", never raises
             if fourcc == b"LIST":
                 walk(body + 4, body + size)
-            elif fourcc == b"avih":
+            elif fourcc == b"avih" and body + 40 <= len(payload):
                 (us_per_frame, _mbps, _pad, _flags, total, _init,
                  _streams, _buf, w, h) = struct.unpack(
                     "<10I", payload[body:body + 40])
                 meta.update(width=w, height=h, n_frames=total,
                             fps=round(1e6 / us_per_frame, 6)
                             if us_per_frame else 0.0)
-            elif fourcc == b"strh":
+            elif fourcc == b"strh" and body + 28 <= len(payload):
                 fcc_type = bytes(payload[body:body + 4])
                 if fcc_type == b"vids":
                     scale, rate = struct.unpack(
                         "<II", payload[body + 20:body + 28])
                     if scale:
                         meta["fps"] = round(rate / scale, 6)
-            elif fourcc == b"strf" and "bit_count" not in meta:
+            elif (fourcc == b"strf" and "bit_count" not in meta
+                  and body + 20 <= len(payload)):
                 (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", payload[body:body + 20])
                 meta.update(bit_count=bits, compression=comp)
@@ -124,9 +128,9 @@ def encode(frames: np.ndarray, fps: float = 30.0) -> bytes:
                        0, 0x10, n, 0, 1, frame_size, w, h)
     strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
                                             1000, int((fps or 30) * 1000),
-                                            0, n, frame_size, 0xFFFFFFFF
-                                            if False else 0, 0,
-                                            0, 0, w, h))
+                                            0, n, frame_size,
+                                            0,  # dwQuality (driver default)
+                                            0, 0, 0, w, h))
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
                        2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)

@@ -289,6 +289,10 @@ def bboxes_crop_canvas(bboxes: Column, format: str = "xyxy",  # noqa: A002
     functions/vision.py:1071 bboxes_crop_canvas): shift by the region
     origin; relative coordinates additionally rescale by the region size.
     Boxes may extend beyond the new canvas (the reference's contract)."""
+    if (canvas_width is None) != (canvas_height is None):
+        raise ValueError(
+            "bboxes_crop_canvas(): both canvas_width and canvas_height "
+            "must be specified for absolute coordinates")
     if canvas_region is None or len(canvas_region) != 4:
         raise ValueError(
             "bboxes_crop_canvas(): canvas_region must be a list of 4 "

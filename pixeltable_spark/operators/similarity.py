@@ -142,6 +142,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         # count (limit pushdown stops the scan at max_probe_rows+1) unless
         # the caller vouches with allow_broadcast=True
         if not allow_broadcast:
+            # persist before the bounded guard count so the crossJoin below
+            # reuses the computed probes instead of re-running their lineage
+            l = l.persist()
             n_probe = l.limit(max_probe_rows + 1).count()
             if n_probe > max_probe_rows:
                 raise ValueError(

@@ -81,6 +81,7 @@ def stateful_running_uda(stream_df: DataFrame, uda_cls: type,
                          key_col: str, value_col: str,
                          ts_col: str = "ts",
                          watermark: str = "1 hour",
+                         state_ttl_ms: int = 86_400_000,
                          out_type: Optional[T.DataType] = None) -> DataFrame:
     """Run an @uda Aggregator class incrementally per key over a stream.
 
@@ -119,12 +120,20 @@ def stateful_running_uda(stream_df: DataFrame, uda_cls: type,
             agg.__dict__.update(pickle.loads(bytes(blob)))
         else:
             n = 0
+        max_ts_ms = 0
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
+            if len(pdf) > 0:
+                max_ts_ms = max(max_ts_ms,
+                                int(pdf[ts_col].max().value // 1_000_000))
             for v in pdf[value_col]:
                 agg.update(v)
                 n += 1
         state.update((pickle.dumps(agg.__dict__), n))
+        # idle keys expire state_ttl_ms after their newest event — without
+        # a TTL, unbounded key cardinality grows the state store forever
+        if max_ts_ms > 0:
+            state.setTimeoutTimestamp(max_ts_ms + state_ttl_ms)
         yield pd.DataFrame(
             [{key_col: key[0], "n_updates": n, "value": agg.value()}])
 
@@ -133,5 +142,5 @@ def stateful_running_uda(stream_df: DataFrame, uda_cls: type,
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update",
-            GroupStateTimeout.NoTimeout)
+            GroupStateTimeout.EventTimeTimeout)
     )

@@ -91,3 +91,46 @@ class TestVectorizedStringEquivalence:
         from pixeltable_spark.functions import string as pxs
         got = pxs.title.pandas_fn(pd.Series(texts))
         assert list(got) == [t.title() for t in texts]
+
+
+class TestReviewRegressions:
+    """Regressions for the round-4 self-review findings."""
+
+    def test_truncated_headers_probe_none(self):
+        assert ic.probe(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+        assert ic.probe(b"BM" + b"\x00" * 10) is None
+        assert ic.probe(b"GIF89a" + b"\x00" * 2) is None
+        assert ic.probe(b"\xff\xd8\xff\xc0\x00") is None
+        assert vc.probe(b"RIFF\x20\x00\x00\x00AVI LIST\x10\x00\x00\x00hdrlavih\x28\x00\x00\x00") is None
+
+    def test_pdf_invalid_escape_tolerated(self):
+        from pixeltable_spark.functions.pdf_codec import _literal_string
+        assert _literal_string(rb"foo\8bar") == "foo8bar"
+        assert _literal_string(rb"a\101b") == "aAb"  # octal 101 = 'A'
+
+    def test_split_maxsplit_zero_matches_python(self):
+        from pixeltable_spark.functions import string as pxs
+        got = pxs.split.pandas_fn(pd.Series(["a b c"]), " ", 0)
+        assert list(got)[0] == ["a b c"]
+        got1 = pxs.split.pandas_fn(pd.Series(["a b c"]), " ", 1)
+        assert list(got1)[0] == ["a", "b c"]
+
+    def test_manifest_cas_detects_concurrent_writer(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        import pixeltable_spark as pxt
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("cc", {"k": pxt.Int(False)}, primary_key=["k"])
+        t.insert([{"k": 1}])
+        # simulate another writer moving CURRENT between read and commit
+        t._current_files()
+        with open(t._current_path) as f:
+            cur = _json.load(f)
+        other = os.path.join("manifests", "m-intruder.json")
+        t._atomic_write(os.path.join(t.path, other),
+                        _json.dumps({"files": []}))
+        t._atomic_write(t._current_path, _json.dumps({"manifest": other}))
+        import pytest as _pt
+        with _pt.raises(RuntimeError, match="concurrent modification"):
+            t._commit_files([])
