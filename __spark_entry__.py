@@ -903,14 +903,14 @@ def q60_stream_dedup(spark, sf_dir):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     keyed = raw.withColumn("dedup_key",
                            F.concat_ws("|", "user_id", "event_type"))
+    # bucketed state: applyInPandasWithState costs one Python call per
+    # GROUP per micro-batch, so per-key grouping would pay 7.5k Arrow
+    # round-trips at sf0.1; 64 buckets (2× local cores) pays 64 calls
+    # with the same live-key state split across bucket dicts
     deduped = streaming.stream_dedup_stateful(
-        keyed, id_col="dedup_key", ts_col="ts")
+        keyed, id_col="dedup_key", ts_col="ts", num_buckets=64)
     import uuid as _uuid
     name = "q60_dedup_" + _uuid.uuid4().hex[:10]
-    # cost profile: applyInPandasWithState invokes the python fn once per
-    # distinct key per micro-batch (7.5k keys at sf0.1) — parallelism
-    # across state-store partitions is what amortizes it, so the session's
-    # shuffle width is kept as-is
     q = (deduped.writeStream.outputMode("append").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination()

@@ -48,6 +48,45 @@ class TestStreamDedupStateful:
         vals = {r["event_id"]: r["value"] for r in out}
         assert vals[0] == 0.0 and vals[5] == 5.0
 
+    def test_bucketed_state_same_emit_set(self, spark, dup_landing):
+        stream = streaming.stream_from_directory(spark, dup_landing, SCHEMA)
+        deduped = streaming.stream_dedup_stateful(
+            stream, id_col="event_id", ts_col="ts", num_buckets=3)
+        q = streaming.run_stream_to_memory(deduped, "dedup_bkt1",
+                                           output_mode="append")
+        out = spark.table("dedup_bkt1").collect()
+        ids = [r["event_id"] for r in out]
+        assert sorted(ids) == [0, 1, 2, 3, 4, 5]
+        vals = {r["event_id"]: r["value"] for r in out}
+        assert vals[0] == 0.0 and vals[5] == 5.0
+
+    def test_bucketed_dedups_across_restart(self, spark, tmp_path,
+                                            dup_landing):
+        ckpt = str(tmp_path / "ckpt_b")
+        sink = str(tmp_path / "out_b")
+
+        def run_once():
+            stream = streaming.stream_from_directory(spark, dup_landing, SCHEMA)
+            deduped = streaming.stream_dedup_stateful(
+                stream, id_col="event_id", ts_col="ts", num_buckets=2)
+            q = (deduped.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run_once()
+        assert spark.read.parquet(sink).count() == 6
+        extra = spark.createDataFrame(
+            [(2, "2024-01-01 00:22:00", 9, 88.0),
+             (200, "2024-01-01 00:23:00", 9, 8.0)],
+            "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        extra.coalesce(1).write.mode("append").parquet(dup_landing)
+        run_once()
+        after = spark.read.parquet(sink)
+        assert after.count() == 7  # only event_id=200 added
+        assert after.filter(F.col("event_id") == 2).count() == 1
+
     def test_state_dedups_across_restart_with_checkpoint(self, spark, tmp_path,
                                                          dup_landing):
         ckpt = str(tmp_path / "ckpt")
