@@ -932,7 +932,11 @@ def q61_image_codec(spark, sf_dir):
     from pixeltable_spark.functions import image as pxi
     from pixeltable_spark.functions.image_codec import decode, encode_png
 
-    df = _df(spark, sf_dir, "documents").select("doc_id")
+    # documents.parquet is one small file -> one scan task; the codec stage
+    # is CPU-bound Python, so spread payload synthesis/decoding across all
+    # cores (at 100 TB: repartition media payloads before any decode stage)
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def _make_png(ids):
         import numpy as np
@@ -977,7 +981,8 @@ def q62_audio_codec(spark, sf_dir):
 
     from pixeltable_spark.functions import audio_codec as ac
 
-    df = _df(spark, sf_dir, "documents").select("doc_id")
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def _make_wav(ids):
         import numpy as np
@@ -1032,7 +1037,8 @@ def q63_video_codec(spark, sf_dir):
 
     from pixeltable_spark.functions import video_codec as vc
 
-    df = _df(spark, sf_dir, "documents").select("doc_id")
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def _make_avi(ids):
         import numpy as np

@@ -382,6 +382,25 @@ class Planner:
         for _, e in q.select_items:
             for node in _find_async_nodes(e):
                 anodes.setdefault(id(node), node)
+        # Python-backed select items (async providers, local-model fns,
+        # pandas fallbacks) are CPU/IO-bound per row: a single-file scan
+        # yields one task (one row group -> one split), serializing the
+        # whole Python stage on one core. Spread rows first — a no-op
+        # whenever the scan already parallelizes (many files / row groups,
+        # i.e. any real at-scale table).
+        needs_python = bool(anodes)
+        if not needs_python:
+            for _, e in q.select_items:
+                try:
+                    if e.to_column(ctx) is None:
+                        needs_python = True
+                        break
+                except Exception:  # noqa: BLE001 — compiled for real below
+                    break
+        if needs_python:
+            sc = df.sparkSession.sparkContext
+            if df.rdd.getNumPartitions() < sc.defaultParallelism:
+                df = df.repartition(sc.defaultParallelism)
         if anodes:
             acols = dict(getattr(ctx, "async_cols", None) or {})
             for i, (nid, node) in enumerate(anodes.items()):
