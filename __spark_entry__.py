@@ -624,8 +624,11 @@ def q47_tfidf_top_term(spark, sf_dir):
 
 
 def q48_custom_uda(spark, sf_dir):
-    """Custom @uda aggregate (applyInPandas path) checked against a SQL
-    oracle: quantity-weighted average price per return flag."""
+    """Custom @uda aggregate checked against a SQL oracle: quantity-weighted
+    average price per return flag. merge(other) opts into the map-side
+    combine plan — per-input-partition partial states via mapInPandas, so
+    only #groups x #partitions pickled states shuffle (not 100 TB of rows
+    into 3 groups)."""
     @pxt.uda
     class weighted_avg:
         def __init__(self):
@@ -635,6 +638,10 @@ def q48_custom_uda(spark, sf_dir):
             if price is not None and qty is not None:
                 self.num += price * qty
                 self.den += qty
+
+        def merge(self, other):
+            self.num += other.num
+            self.den += other.den
 
         def value(self) -> float:
             return round(self.num / self.den, 4) if self.den else None

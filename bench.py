@@ -25,8 +25,18 @@ def main() -> None:
     spark = pxt.get_session(app_name="pxt_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup so per-query numbers measure the plan, not startup
+    # JVM/codegen + Python-worker-pool warmup so per-query numbers measure
+    # the plan, not startup: one codegen agg, one parquet scan, one Arrow
+    # pandas-UDF round trip (spark.python.worker.reuse keeps the pool warm)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = F.pandas_udf(lambda s: s + 1, T.LongType())
+    (spark.range(1000).repartition(64)
+     .select(warm(F.col("id"))).write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -42,6 +42,10 @@ from ..exprs import (
 )
 from ..type_system import ColumnType
 
+# max live groups a partition's map-side UDA combine holds before spilling
+# a batch of partial-state rows (they re-merge in the reduce stage)
+_UDA_COMBINE_FLUSH_AT = 100_000
+
 
 class JoinClause:
     """One join step (reference _query.py:1359-1446, query_clauses.py:14-40).
@@ -553,6 +557,13 @@ class Planner:
                     cls, [pdf[c].tolist() for c in cols], kwargs)
             return pd.DataFrame([row])
 
+        if (gkeys
+                and all(callable(getattr(cls, "merge", None))
+                        for _, cls, _, _ in specs)
+                and all(isinstance(tmp.schema[k].dataType, T.AtomicType)
+                        for k in gkeys)):  # dict-keyable group keys only
+            return self._apply_grouped_udas_mergeable(tmp, gkeys, specs, schema)
+
         grouped = tmp.groupBy(*[F.col(k) for k in gkeys]) if gkeys else tmp.groupBy(F.lit(1).alias("__one"))
         if not gkeys:
             fields = [T.StructField("__one", T.IntegerType())] + fields
@@ -567,6 +578,85 @@ class Planner:
 
             return grouped.applyInPandas(agg_fn_global, schema).drop("__one")
         return grouped.applyInPandas(agg_fn, schema)
+
+    def _apply_grouped_udas_mergeable(self, tmp: DataFrame, gkeys: list[str],
+                                      specs: list, schema) -> DataFrame:
+        """Map-side combine for @uda aggregates whose class implements
+        merge(other): fold each INPUT partition into one state per group
+        locally (mapInPandas — no row shuffle), then shuffle only the tiny
+        pickled states and merge per group.
+
+        The naive plan (groupBy().applyInPandas over raw rows) shuffles
+        every row and concentrates each group's entire data in one Python
+        worker — with few heavy groups (e.g. 3 return flags over 100 TB of
+        lineitem) that's both a full-table shuffle and an OOM. Here the
+        shuffle carries #groups x #partitions one-row states. Partial
+        state dicts are flushed at a cap so high-cardinality group keys
+        spill to extra state rows instead of unbounded executor memory
+        (they merge again in stage 2)."""
+        import pandas as pd
+        from pyspark import cloudpickle as pickle
+        from pyspark.sql import types as T
+
+        key_fields = [tmp.schema[k] for k in gkeys]
+        state_fields = [T.StructField(f"__s{j}", T.BinaryType())
+                        for j in range(len(specs))]
+        partial_schema = T.StructType(key_fields + state_fields)
+        in_cols = [cols for _, _, cols, _ in specs]
+        all_in = sorted({c for cols in in_cols for c in cols})
+        flush_at = _UDA_COMBINE_FLUSH_AT  # captured for the executor closure
+
+        def make_aggs():
+            return [cls(**dict(kw or {})) for _, cls, _, kw in specs]
+
+        def partial(batches):
+            states: dict[tuple, list] = {}
+
+            def flush():
+                rows = []
+                for key, aggs in states.items():
+                    row = dict(zip(gkeys, key))
+                    for j, agg in enumerate(aggs):
+                        row[f"__s{j}"] = pickle.dumps(agg)
+                    rows.append(row)
+                states.clear()
+                return pd.DataFrame(rows, columns=gkeys + [f"__s{j}" for j in range(len(specs))])
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                kcols = [pdf[k].tolist() for k in gkeys]
+                vcols = {c: pdf[c].tolist() for c in all_in}
+                for i in range(len(pdf)):
+                    key = tuple(None if pd.isna(v) else v
+                                for v in (kc[i] for kc in kcols))
+                    aggs = states.get(key)
+                    if aggs is None:
+                        aggs = states[key] = make_aggs()
+                    for j, cols in enumerate(in_cols):
+                        aggs[j].update(*(vcols[c][i] for c in cols))
+                if len(states) >= flush_at:
+                    yield flush()
+            if states:
+                yield flush()
+
+        partials = tmp.select(*gkeys, *all_in).mapInPandas(partial, partial_schema)
+
+        def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            row = dict(zip(gkeys, key))
+            for j, (name, _, _, _) in enumerate(specs):
+                agg = None
+                for blob in pdf[f"__s{j}"]:
+                    part = pickle.loads(bytes(blob))
+                    if agg is None:
+                        agg = part
+                    else:
+                        agg.merge(part)
+                row[name] = agg.value() if agg is not None else None
+            return pd.DataFrame([row])
+
+        return (partials.groupBy(*[F.col(k) for k in gkeys])
+                .applyInPandas(final, schema))
 
     def _apply_window_uda(self, df: DataFrame, fc: FunctionCall,
                           ctx: CompileCtx, out_name: str) -> DataFrame:
