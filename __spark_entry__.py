@@ -1088,6 +1088,72 @@ def q63_video_codec(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q64_pii_scrub(spark, sf_dir):
+    """PII detection + scrubbing (operators/pii.py — pure-JVM regexp in the
+    Java-regex ∩ RE2 subset): PII is synthesized into each doc from doc_id
+    so counts, the scrubbed text length, and the flag are all
+    oracle-checkable."""
+    from pixeltable_spark.operators.pii import has_pii, pii_counts, scrub_pii
+    df = _df(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ids, F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    counts = pii_counts(ptext, ["email", "ipv4", "ssn"])
+    return (df.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        F.length(scrub_pii(ptext, ["email", "ssn", "ipv4"])).alias("scrub_len"),
+        has_pii(ptext, ["email"]).alias("flagged"),
+    ).orderBy("doc_id"))
+
+
+def q65_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals (operators/text.py repetition_stats
+    — Rae et al. 2021 §A1.1): word-3-gram duplicate fraction and
+    top-n-gram coverage per doc, one explode + two aggregations."""
+    from pixeltable_spark.operators.text import repetition_stats
+    df = _df(spark, sf_dir, "documents")
+    out = repetition_stats(df, n=3)
+    return (out.select(
+        "doc_id",
+        F.round("dup_ngram_frac", 6).alias("dup_frac"),
+        F.round("top_ngram_frac", 6).alias("top_frac"),
+    ).orderBy("doc_id"))
+
+
+def q66_contamination(spark, sf_dir):
+    """Benchmark-contamination check (operators/dedup.py
+    ngram_contamination — the GPT-3 decontamination rule): every 50th doc
+    plays the 'benchmark'; per-doc shared-3-gram counts via a broadcast
+    join on the n-gram, corpus never shuffles."""
+    from pixeltable_spark.operators.dedup import ngram_contamination
+    df = _df(spark, sf_dir, "documents")
+    bench = df.where(F.col("doc_id") % 50 == 0)
+    out = ngram_contamination(df, bench, n=3)
+    return (out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        F.round("contamination_frac", 6).alias("contam_frac"),
+    ).orderBy("doc_id"))
+
+
+def q67_dup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution (operators/dedup.py dedup_clusters):
+    MinHash-LSH candidate pairs -> connected components via alternating
+    large-star/small-star (Kiveris et al. SOCC'14) -> (id, component =
+    min reachable id). The oracle replays the pair graph with a recursive
+    CTE, so the whole iterative algorithm is EXACT-checked."""
+    from pixeltable_spark.operators.dedup import dedup_clusters
+    df = _df(spark, sf_dir, "documents")
+    out = dedup_clusters(df, k=4, bands=2)
+    return (out.select(F.col("id").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1156,6 +1222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_image_codec": q61_image_codec,
         "q62_audio_codec": q62_audio_codec,
         "q63_video_codec": q63_video_codec,
+        "q64_pii_scrub": q64_pii_scrub,
+        "q65_repetition_quality": q65_repetition_quality,
+        "q66_contamination": q66_contamination,
+        "q67_dup_clusters": q67_dup_clusters,
     }
 
 
@@ -1812,4 +1882,58 @@ SELECT doc_id,
        title, h1,
        CASE WHEN l2 = 2 THEN l2t END AS h2
 FROM w ORDER BY doc_id, pos""",
+        "q64_pii_scrub": r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g')) AS INT) AS scrub_len,
+       regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS flagged
+FROM p ORDER BY doc_id""",
+        "q65_repetition_quality": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_filter(
+           list_transform(words, (w, i) -> CASE WHEN i + 2 <= len(words)
+             THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2] END),
+           x -> x IS NOT NULL)) AS ngram
+  FROM toks),
+per AS (SELECT doc_id, ngram, count(*) AS c FROM grams GROUP BY doc_id, ngram)
+SELECT doc_id,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac
+FROM per GROUP BY doc_id ORDER BY doc_id""",
+        "q66_contamination": f"""
+WITH {_SHINGLE3_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT s.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS contam_frac
+FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+GROUP BY s.doc_id ORDER BY s.doc_id""",
+        "q67_dup_clusters": f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql(4, 2).replace("ORDER BY id_a, id_b", "")}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY id ORDER BY doc_id""",
     }

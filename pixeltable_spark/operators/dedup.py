@@ -62,23 +62,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text (array<string>).
-    Computed with native higher-order functions — no UDF."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    if n == 1:
-        return F.array_distinct(toks)
-    # zip the token array with its shifted selves: shingle i =
-    # toks[i] + ' ' + toks[i+1] + ... — O(tokens) work per row.
-    # (A transform(sequence(...), i -> element_at(toks, i+j)) formulation is
-    # catastrophically slower: projection collapse inlines the regex split
-    # into every element access, making it O(tokens^2) splits per doc.)
-    sh = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, 1 << 30)
-        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    # zip_with pads the shorter side with null -> tail entries are null;
-    # keep only the size-n+1 leading valid shingles (0 for short docs)
-    sh = F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(sh)
+    Computed with native higher-order functions — no UDF. The zip-with-
+    shifted-selves kernel lives in text.shingle_array: O(tokens) per row
+    (a transform(sequence(...), i -> element_at(toks, i+j)) formulation is
+    catastrophically slower — projection collapse inlines the regex split
+    into every element access, making it O(tokens^2) splits per doc)."""
+    from .text import shingle_array
+    return F.array_distinct(shingle_array(text, n))
 
 
 def explode_shingles(df: DataFrame, text_col: str = "text",
@@ -362,3 +352,133 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
             {"id_a": [], "id_b": [], "cos": []})
 
     return rep.groupBy("__bi", "__bj").applyInPandas(block_pair_kernel, _PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (n-gram overlap vs an eval/benchmark corpus —
+# the GPT-3/PaLM decontamination check, Brown et al. 2020 §C, public)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(df: DataFrame, bench_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text", n: int = 8,
+                        broadcast_bench: bool = True) -> DataFrame:
+    """Per-document contamination against a benchmark corpus: the number
+    and fraction of the document's DISTINCT word n-grams that also occur
+    anywhere in the benchmark set.
+
+    Plan: both sides explode to distinct n-grams; the benchmark side is
+    collapsed to its distinct n-gram set and broadcast (eval benchmarks
+    are tiny next to a 100 TB corpus), so the probe is a broadcast
+    left-semi-style join — the corpus never shuffles. Per-doc distinct
+    counts come from one groupBy. Set ``broadcast_bench=False`` for a
+    benchmark too large to broadcast (falls back to a shuffle equi-join
+    on the n-gram).
+
+    Returns (id_col, n_grams, n_contaminated, contamination_frac),
+    including zero rows for clean documents (left join).
+    """
+    corpus = explode_shingles(df, text_col, id_col, n)
+    bench = (bench_df.select(
+        F.explode(word_shingles(F.col(bench_text_col), n)).alias("shingle"))
+        .distinct())
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    hits = (corpus.join(bench.withColumn("__hit", F.lit(1)),
+                        on="shingle", how="left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated")))
+    return hits.withColumn(
+        "contamination_frac", F.col("n_contaminated") / F.col("n_grams"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over candidate pairs
+# (alternating large-star/small-star — Kiveris et al., "Connected
+#  Components in MapReduce and Beyond", SOCC'14, public)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Resolve candidate duplicate PAIRS (e.g. minhash_lsh_pairs output)
+    into clusters: returns (id, component) where component = min id
+    reachable through the pair graph.
+
+    Implementation is the alternating large-star/small-star iteration:
+
+    * large-star: every node points each LARGER neighbor at its current
+      minimum neighbor (or itself) — edges (v, m) for v > m.
+    * small-star: every node points its smaller-or-equal neighbors at the
+      minimum — collapsing chains.
+
+    Both steps are one groupBy(node) each over the current edge set; edge
+    count never grows beyond the input and converges in O(log n) rounds
+    (vs O(diameter) for naive label propagation — the difference between
+    8 and 500 shuffles on a chain-shaped 100 TB dup graph). Each round
+    localCheckpoints to cut lineage, and convergence is detected by an
+    edge-set count fixpoint (cheap count per round, no full compare).
+    """
+    # normalize to undirected unique edges u<v, drop self loops; checkpoint
+    # so the (possibly expensive) pair-generation lineage runs exactly once
+    # instead of once per star round
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("id"))
+             .union(e.select(F.col("v").alias("id")))
+             .distinct())
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: group neighbors of each node (both directions),
+        # connect strictly-larger neighbors to min(neighborhood ∪ self)
+        nbrs = e.select("u", "v").union(e.select(F.col("v").alias("u"),
+                                                 F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (nbrs.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        e = (large.where(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("u"),
+                     F.greatest("u", "v").alias("v"))
+             .distinct())
+        # small-star: for edges u>=v (here canonical u<v: group by the
+        # larger endpoint), point all smaller neighbors + self at the min
+        m2 = e.groupBy("v").agg(F.min("u").alias("m"))
+        small = (e.join(m2, "v")
+                 .select(F.col("u"), F.col("m").alias("w"))
+                 .union(m2.select(F.col("v").alias("u"),
+                                  F.col("m").alias("w"))))
+        e = (small.where(F.col("u") != F.col("w"))
+             .select(F.least("u", "w").alias("u"),
+                     F.greatest("u", "w").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        # fixpoint: the edge set is stable when (count, sum(u), sum(v))
+        # stops changing — one tiny agg per round
+        sig = tuple(e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every edge is (member, root): component = min
+    # endpoint; isolated nodes are their own component
+    comp = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    comp = comp.groupBy("id").agg(F.min("component").alias("component"))
+    return (nodes.join(comp, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                   shingle_n: int = 3, max_iter: int = 25) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
+    connected components -> (id, component). Keep `component == id` rows
+    to retain one representative per cluster."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes=k, bands=bands,
+                              shingle_n=shingle_n)
+    return connected_components(pairs, "id_a", "id_b", max_iter)

@@ -114,3 +114,80 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality signals (Gopher rules 4-8: "repetitious documents
+# are low quality" — Rae et al. 2021 §A1.1, public)
+# ---------------------------------------------------------------------------
+
+def shingle_array(text: Column, n: int) -> Column:
+    """All word n-grams of the lowercased text in order, WITH repeats
+    (array<string>). zip_with-of-shifted-selves formulation — O(tokens)
+    per row; see dedup.word_shingles for why transform(sequence(...))
+    degenerates to O(tokens^2) under projection collapse."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    if n == 1:
+        return toks
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, 1 << 30)
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with null -> drop the null tail
+    return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document word-n-gram repetition signals:
+
+    * ``dup_ngram_frac`` — fraction of n-gram OCCURRENCES that are repeats
+      of an earlier occurrence (1 - distinct/total).
+    * ``top_ngram_frac`` — fraction of all n-gram occurrences taken by the
+      most frequent n-gram (the max count is unique even under ties, so
+      the value is deterministic and oracle-checkable).
+
+    Plan: one explode -> one groupBy(doc, ngram) with map-side partial
+    counts -> one groupBy(doc). Shuffle volume is distinct n-grams per doc,
+    never raw text; AQE handles boilerplate-heavy skew. A filter on either
+    fraction composes as a plain post-aggregation predicate.
+    """
+    grams = shingle_array(F.col(text_col), n)
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    per_gram = exploded.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            (1.0 - F.count(F.lit(1)) / F.sum("c")).alias("dup_ngram_frac"),
+            (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
+        )
+    )
+
+
+def duplicate_line_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         sep: str = "\n") -> DataFrame:
+    """Per-document duplicate-line signals (Gopher rules 1-2):
+
+    * ``dup_line_frac`` — fraction of non-empty lines that repeat an
+      earlier line.
+    * ``dup_line_char_frac`` — fraction of line characters inside repeated
+      occurrences (each line's chars beyond its first occurrence).
+
+    Same two-aggregation shape as :func:`repetition_stats`.
+    """
+    lines = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), sep)).alias("line"))
+        .where(F.trim("line") != "")
+    )
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("c"), F.length("line").alias("len"))
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            (1.0 - F.count(F.lit(1)) / F.sum("c")).alias("dup_line_frac"),
+            (F.sum((F.col("c") - 1) * F.col("len"))
+             / F.sum(F.col("c") * F.col("len"))).alias("dup_line_char_frac"),
+        )
+    )
