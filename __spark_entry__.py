@@ -1154,6 +1154,51 @@ def q67_dup_clusters(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q68_jpeg_codec(spark, sf_dir):
+    """REAL baseline JPEG kernels without PIL (functions/jpeg_codec.py —
+    full DCT/quant/Huffman encode + decode): flat-color JPEGs synthesized
+    per doc roundtrip EXACTLY (verified over all fill values), so
+    width/height/mode/first-pixel after a full encode->decode->resize
+    chain are arithmetic in doc_id for the DuckDB oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import image as pxi
+    from pixeltable_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def _make_jpeg(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            w, h = 8 + int(i) % 9, 8 + int(i) % 5
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            arr[:, :] = ((int(i) * 7) % 256, (int(i) * 13) % 256,
+                         (int(i) * 29) % 256)
+            out.append(encode_jpeg(arr, "RGB", 90))
+        return pd.Series(out)
+
+    def _px(payloads):
+        return pd.Series([int(decode_jpeg(bytes(p))[0][0, 0, 0])
+                          for p in payloads])
+
+    make_jpeg = F.pandas_udf(_make_jpeg, T.BinaryType())
+    px = F.pandas_udf(_px, T.IntegerType())
+    img = df.withColumn("jp", make_jpeg(F.col("doc_id")))
+    resized = pxi.resize(F.col("jp"), 4, 3)
+    return (img.select(
+        "doc_id",
+        pxi.width(F.col("jp")).alias("w"),
+        pxi.height(F.col("jp")).alias("h"),
+        pxi.mode(F.col("jp")).alias("m"),
+        pxi.width(resized).alias("rw"),
+        pxi.height(resized).alias("rh"),
+        px(F.col("jp")).alias("px"),
+    ).orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1226,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_repetition_quality": q65_repetition_quality,
         "q66_contamination": q66_contamination,
         "q67_dup_clusters": q67_dup_clusters,
+        "q68_jpeg_codec": q68_jpeg_codec,
     }
 
 
@@ -1936,4 +1982,13 @@ reach(id, r) AS (
   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY id ORDER BY doc_id""",
+        "q68_jpeg_codec": """
+SELECT doc_id,
+       CAST(8 + doc_id % 9 AS INT) AS w,
+       CAST(8 + doc_id % 5 AS INT) AS h,
+       'RGB' AS m,
+       CAST(4 AS INT) AS rw,
+       CAST(3 AS INT) AS rh,
+       CAST((doc_id * 7) % 256 AS INT) AS px
+FROM documents ORDER BY doc_id""",
     }

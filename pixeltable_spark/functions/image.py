@@ -43,7 +43,7 @@ def _encode(img) -> bytes:
         buf = io.BytesIO()
         img.save(buf, format=getattr(img, "format", None) or "PNG")
         return buf.getvalue()
-    return img.save_bytes()
+    return img.save_bytes(getattr(img, "format", None))
 
 
 def _stub_meta(payload: Optional[bytes]) -> dict:

@@ -241,7 +241,8 @@ def _decode_ppm(payload: bytes) -> "MiniImage":
 
 def decode(payload: bytes) -> "MiniImage":
     """Full pixel decode, or ValueError when the format/variant is outside
-    the pure-python subset (PNG 8-bit, BMP 24/32 uncompressed, PPM P6)."""
+    the pure-python subset (PNG 8-bit, BMP 24/32 uncompressed, PPM P6,
+    baseline 4:4:4 JPEG)."""
     info = probe(payload)
     if info is None:
         raise ValueError("not a recognizable image payload")
@@ -251,6 +252,10 @@ def decode(payload: bytes) -> "MiniImage":
         return _decode_bmp(bytes(payload))
     if info["format"] == "PPM":
         return _decode_ppm(bytes(payload))
+    if info["format"] == "JPEG":
+        from .jpeg_codec import decode_jpeg
+        arr, mode = decode_jpeg(bytes(payload))
+        return MiniImage(arr, mode, "JPEG")
     raise ValueError(
         f"{info['format']} pixel decode needs a real codec (header "
         "probing works; install PIL for full decode)")
@@ -306,7 +311,11 @@ class MiniImage:
     def tobytes(self) -> bytes:
         return self.arr.tobytes()
 
-    def save_bytes(self) -> bytes:
+    def save_bytes(self, fmt: Optional[str] = None, quality: int = 85) -> bytes:
+        fmt = (fmt or "PNG").upper()
+        if fmt in ("JPEG", "JPG"):
+            from .jpeg_codec import encode_jpeg
+            return encode_jpeg(self.arr, self.mode, quality)
         return encode_png(self.arr, self.mode)
 
     def copy(self) -> "MiniImage":
