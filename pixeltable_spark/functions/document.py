@@ -134,7 +134,7 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     chunk ordinal a row_number — everything stays in codegen, chunking
     100 TB needs no Python and no shuffle except the metadata windows.
 
-    `page` requires PDF parsing (no PDF library in this container).
+    `page` requires input_format='pdf' (pure-stdlib pdf_codec.py).
 
     Output: id, pos, text [, title, heading].
     """

@@ -2,13 +2,15 @@
 
 Implements the subset of image handling the engine needs from public
 format specs (PNG: RFC 2083 / W3C PNG spec; BMP: Windows BITMAPINFOHEADER;
-PPM: Netpbm P6; JPEG/GIF: header probing only):
+PPM: Netpbm P6; baseline JPEG via jpeg_codec.py; GIF via gif_codec.py):
 
 * ``probe(payload)`` — format/width/height/mode from file headers (PNG,
   JPEG via SOF scan, GIF, BMP, PPM).
 * ``decode(payload)`` — full pixel decode to a numpy array for PNG
   (8-bit, color types 0/2/3/6, non-interlaced, all five scanline
-  filters), BMP (24/32-bit uncompressed), PPM (P6).
+  filters), BMP (24/32-bit uncompressed), PPM (P6), baseline 4:4:4 JPEG
+  (jpeg_codec.py), GIF87a/89a incl. interlace + transparency
+  (gif_codec.py; progressive/subsampled JPEG still raises).
 * ``MiniImage`` — width/height/mode + resize (nearest-neighbor), crop,
   convert, right-angle rotate/transpose, getchannel, point, histogram,
   extrema, entropy, bbox, colors — the numpy forms of the PIL calls the
@@ -256,6 +258,10 @@ def decode(payload: bytes) -> "MiniImage":
         from .jpeg_codec import decode_jpeg
         arr, mode = decode_jpeg(bytes(payload))
         return MiniImage(arr, mode, "JPEG")
+    if info["format"] == "GIF":
+        from .gif_codec import decode_gif
+        arr, mode = decode_gif(bytes(payload))
+        return MiniImage(arr, mode, "GIF")
     raise ValueError(
         f"{info['format']} pixel decode needs a real codec (header "
         "probing works; install PIL for full decode)")
@@ -316,6 +322,9 @@ class MiniImage:
         if fmt in ("JPEG", "JPG"):
             from .jpeg_codec import encode_jpeg
             return encode_jpeg(self.arr, self.mode, quality)
+        if fmt == "GIF":
+            from .gif_codec import encode_gif
+            return encode_gif(self.arr, self.mode)
         return encode_png(self.arr, self.mode)
 
     def copy(self) -> "MiniImage":
