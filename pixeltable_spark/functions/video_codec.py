@@ -73,16 +73,21 @@ def probe(payload: bytes) -> Optional[dict]:
     return meta
 
 
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode(payload: bytes) -> tuple:
     """(frames (n, h, w, 3) RGB uint8, fps) — raises ValueError outside
-    the uncompressed 24-bit subset."""
+    the uncompressed-24-bit-DIB / MJPEG subset."""
     info = probe(payload)
     if info is None:
         raise ValueError("not an AVI payload")
-    if info.get("compression", 0) != 0 or info.get("bit_count", 24) != 24:
+    comp = info.get("compression", 0)
+    is_mjpeg = comp == _MJPG
+    if not is_mjpeg and (comp != 0 or info.get("bit_count", 24) != 24):
         raise ValueError(
-            f"compressed AVI (fourcc {info.get('compression')}) needs a "
-            "real codec; only uncompressed 24-bit DIB decodes here")
+            f"compressed AVI (fourcc {comp}) needs a real codec; "
+            "uncompressed 24-bit DIB and MJPEG decode here")
     w, h = info["width"], info["height"]
     row = (w * 3 + 3) & ~3
     frames = []
@@ -95,7 +100,13 @@ def decode(payload: bytes) -> tuple:
             body = pos + 8
             if fourcc == b"LIST":
                 walk(body + 4, body + size)
-            elif fourcc in (b"00db", b"00dc") and size >= row * h:
+            elif is_mjpeg and fourcc == b"00dc" and size > 2:
+                from .jpeg_codec import decode_jpeg
+                arr, mode = decode_jpeg(bytes(payload[body:body + size]))
+                if mode == "L":
+                    arr = np.repeat(arr, 3, axis=2)
+                frames.append(arr[:h, :w])
+            elif not is_mjpeg and fourcc in (b"00db", b"00dc") and size >= row * h:
                 raw = np.frombuffer(payload, dtype=np.uint8, count=row * h,
                                     offset=body).reshape(h, row)
                 # bottom-up BGR → top-down RGB
@@ -105,7 +116,7 @@ def decode(payload: bytes) -> tuple:
 
     walk(12, len(payload))
     if not frames:
-        raise ValueError("AVI contains no uncompressed frames")
+        raise ValueError("AVI contains no decodable frames")
     return np.stack(frames), info.get("fps", 30.0) or 30.0
 
 
@@ -146,6 +157,43 @@ def encode(frames: np.ndarray, fps: float = 30.0) -> bytes:
         else:
             body = bgr.tobytes()
         movi_body += chunk(b"00db", body)
+    riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_mjpeg(frames: np.ndarray, fps: float = 30.0,
+                 quality: int = 85) -> bytes:
+    """Write (n, h, w, 3) RGB frames as an MJPEG AVI — every '00dc' chunk
+    is a standalone baseline JPEG (jpeg_codec.py). ~10x smaller than DIB
+    for natural content, and the variant OpenCV/ffmpeg write with fourcc
+    'MJPG'."""
+    from .jpeg_codec import encode_jpeg
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _c = frames.shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = [encode_jpeg(f, "RGB", quality) for f in frames]
+    buf_size = max(len(j) for j in jpegs) if jpegs else 0
+    us_per_frame = int(1e6 / fps) if fps else 33333
+    avih = struct.pack("<10I16x", us_per_frame, buf_size * int(fps or 30),
+                       0, 0x10, n, 0, 1, buf_size, w, h)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
+                                            1000, int((fps or 30) * 1000),
+                                            0, n, buf_size, 0, 0, 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG,
+                       buf_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    for j in jpegs:
+        movi_body += chunk(b"00dc", j)
     riff_body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 

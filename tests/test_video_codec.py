@@ -164,3 +164,58 @@ class TestComponentViewIntegration:
         mid = ColumnRef("media_id", t.schema["media_id"])
         t.delete(where=mid == 1)
         assert v.count() == 0
+
+
+class TestMjpeg:
+    """MJPEG AVI ('MJPG' fourcc, per-frame baseline JPEG chunks) — the
+    compressed-video variant the codec can now handle for real."""
+
+    def _flat_frames(self, n=5, h=16, w=24):
+        import numpy as np
+        return np.stack([np.full((h, w, 3), (i * 40) % 256, np.uint8)
+                         for i in range(n)])
+
+    def test_flat_roundtrip_exact(self):
+        import numpy as np
+        from pixeltable_spark.functions import video_codec as vc
+        frames = self._flat_frames()
+        p = vc.encode_mjpeg(frames, fps=10)
+        info = vc.probe(p)
+        assert (info["width"], info["height"], info["n_frames"],
+                info["fps"]) == (24, 16, 5, 10.0)
+        assert info["compression"] == vc._MJPG
+        d, fps = vc.decode(p)
+        assert fps == 10.0 and np.array_equal(d, frames)
+
+    def test_smaller_than_dib(self):
+        from pixeltable_spark.functions import video_codec as vc
+        frames = self._flat_frames()
+        assert len(vc.encode_mjpeg(frames, 10)) < len(vc.encode(frames, 10))
+
+    def test_gradient_bounded_error(self):
+        import numpy as np
+        from pixeltable_spark.functions import video_codec as vc
+        yy, xx = np.mgrid[0:16, 0:24]
+        g = np.stack([np.dstack([(xx * 8 + i * 3) % 256, (yy * 8) % 256,
+                                 ((xx + yy) * 4) % 256]).astype(np.uint8)
+                      for i in range(3)])
+        d, _ = vc.decode(vc.encode_mjpeg(g, 5, quality=90))
+        assert np.abs(d.astype(int) - g.astype(int)).mean() < 3
+
+    def test_frame_kernels_accept_mjpeg(self):
+        import numpy as np
+        from pixeltable_spark.functions import video_codec as vc
+        frames = self._flat_frames()
+        d, _ = vc.decode(vc.clip_frames(vc.encode_mjpeg(frames, 10), 1, 3))
+        assert np.array_equal(d, frames[1:3])
+
+    def test_other_compression_still_rejected(self):
+        import struct
+
+        import numpy as np
+        import pytest
+        from pixeltable_spark.functions import video_codec as vc
+        p = vc.encode_mjpeg(self._flat_frames(), 10)
+        p = p.replace(b"MJPG", b"H264")  # strh handler + strf compression
+        with pytest.raises(ValueError, match="real codec"):
+            vc.decode(p)
