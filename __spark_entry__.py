@@ -1199,6 +1199,25 @@ def q68_jpeg_codec(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q69_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality gate (operators/text.py ngram_lm_train/
+    ngram_lm_score — Wenzek et al. 2019, char-trigram model standing in
+    for KenLM): train on every 10th doc, score all docs by average gram
+    log-probability with an OOV floor; model broadcasts, corpus never
+    shuffles raw text."""
+    from pixeltable_spark.operators.text import ngram_lm_score, ngram_lm_train
+    # single-file scan -> 1 task; spread docs before the heavy char-gram
+    # explode (no-op on a real many-file corpus)
+    df = (_df(spark, sf_dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism))
+    model = ngram_lm_train(df.where(F.col("doc_id") % 10 == 0), n=3)
+    out = ngram_lm_score(df, model, n=3)
+    return (out.select("doc_id",
+                       F.round("lm_score", 6).alias("lm_score"),
+                       "n_grams_scored")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1272,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_contamination": q66_contamination,
         "q67_dup_clusters": q67_dup_clusters,
         "q68_jpeg_codec": q68_jpeg_codec,
+        "q69_lm_quality": q69_lm_quality,
     }
 
 
@@ -1991,4 +2011,23 @@ SELECT doc_id,
        CAST(3 AS INT) AS rh,
        CAST((doc_id * 7) % 256 AS INT) AS px
 FROM documents ORDER BY doc_id""",
+        "q69_lm_quality": r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents),
+tg AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(t) - 1, 1)),
+           i -> substr(t, CAST(i AS INT), 3))) AS gram
+  FROM norm),
+train AS (SELECT gram FROM tg WHERE doc_id % 10 = 0),
+model AS (
+  SELECT gram, ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM train)) AS logp
+  FROM train GROUP BY gram)
+SELECT tg.doc_id,
+       round(avg(coalesce(model.logp, -20.0)), 6) AS lm_score,
+       count(*) AS n_grams_scored
+FROM tg LEFT JOIN model ON tg.gram = model.gram
+GROUP BY tg.doc_id ORDER BY tg.doc_id""",
     }

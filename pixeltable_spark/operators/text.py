@@ -191,3 +191,58 @@ def duplicate_line_stats(df: DataFrame, text_col: str = "text",
              / F.sum(F.col("c") * F.col("len"))).alias("dup_line_char_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram LM quality score (the CCNet/Wenzek et al. 2019
+# perplexity-filter design, public — with a char-n-gram model standing in
+# for KenLM so the whole pipeline is engine-native and oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def _char_ngrams(text: Column, n: int) -> Column:
+    """All char n-grams of the whitespace-normalized lowercased text.
+    Same zip-with-shifted-selves trick as shingle_array (a
+    transform(sequence, i -> substr(norm, i, n)) formulation re-inlines
+    the normalization regex into every element under projection collapse
+    — O(len^2) per doc)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    chars = F.split(norm, "")
+    sh = chars
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(chars, j + 1, 1 << 30),
+                        lambda a, b: F.concat(a, b))
+    return F.slice(sh, 1, F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+
+
+def ngram_lm_train(train_df: DataFrame, text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """Train a char-n-gram language model: (gram, logp) with
+    logp = ln(count / total). The model's size is bounded by the charset
+    (not the corpus), so it broadcasts — training is one explode + one
+    groupBy however large the reference corpus is."""
+    grams = train_df.select(
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("gram", F.log(F.col("c") / F.col("t")).alias("logp")))
+
+
+def ngram_lm_score(df: DataFrame, model: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3,
+                   oov_logp: float = -20.0) -> DataFrame:
+    """Score each document by the average log-probability of its char
+    n-gram occurrences under the model (out-of-vocabulary grams get the
+    ``oov_logp`` floor). Low scores = distributionally unusual text — the
+    CCNet quality gate.
+
+    Plan: explode grams -> broadcast-join the (small) model -> one
+    groupBy(doc). The corpus-side shuffle is per-doc partial averages
+    only (map-side agg); the model never shuffles."""
+    grams = df.select(F.col(id_col),
+                      F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
+    joined = grams.join(F.broadcast(model), on="gram", how="left")
+    return (joined.groupBy(id_col)
+            .agg(F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp)))
+                 .alias("lm_score"),
+                 F.count(F.lit(1)).alias("n_grams_scored")))

@@ -195,3 +195,35 @@ class TestConnectedComponents:
         # band so it appears only if LSH pairs it (it cannot: distinct text)
         assert got[0] == got[1] == got[2] == 0
         assert 10 not in got
+
+
+class TestNgramLm:
+    def test_known_model_and_score(self, spark):
+        import math
+        from pixeltable_spark.operators.text import (
+            ngram_lm_score, ngram_lm_train)
+        train = spark.createDataFrame([(0, "aaab")], ["doc_id", "text"])
+        model = {r["gram"]: r["logp"]
+                 for r in ngram_lm_train(train, n=2).collect()}
+        # grams of 'aaab': aa, aa, ab
+        assert model.keys() == {"aa", "ab"}
+        assert model["aa"] == pytest.approx(math.log(2 / 3))
+        assert model["ab"] == pytest.approx(math.log(1 / 3))
+
+        docs = spark.createDataFrame(
+            [(1, "ab  cd"), (2, "zz")], ["doc_id", "text"])
+        got = {r["doc_id"]: (r["lm_score"], r["n_grams_scored"])
+               for r in ngram_lm_score(
+                   docs, ngram_lm_train(train, n=2), n=2).collect()}
+        # doc1 normalizes to 'ab cd': grams ab, 'b ', ' c', cd -> one known
+        exp1 = (math.log(1 / 3) + 3 * -20.0) / 4
+        assert got[1] == (pytest.approx(exp1), 4)
+        assert got[2] == (pytest.approx(-20.0), 1)
+
+    def test_model_broadcast_in_plan(self, spark):
+        from pixeltable_spark.operators.text import (
+            ngram_lm_score, ngram_lm_train)
+        df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+        plan = (ngram_lm_score(df, ngram_lm_train(df))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Broadcast" in plan
