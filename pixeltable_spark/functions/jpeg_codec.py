@@ -117,7 +117,13 @@ def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _build_codes(bits, values):
-    """symbol -> (code, length) per the canonical JPEG procedure."""
+    """symbol -> (code, length) per the canonical JPEG procedure.
+    Cached: the standard tables are rebuilt for every encode call
+    otherwise (hot in per-row UDFs)."""
+    key = (tuple(bits), tuple(values))
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -125,11 +131,17 @@ def _build_codes(bits, values):
             code += 1
             k += 1
         code <<= 1
+    _CODES_CACHE[key] = codes
     return codes
 
 
 def _build_decode_map(bits, values):
-    """(length, code) -> symbol for the decoder."""
+    """(length, code) -> symbol for the decoder (cached — per-payload
+    rebuild dominates small-image decode otherwise)."""
+    key = (tuple(bits), tuple(values))
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        return hit
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -137,7 +149,12 @@ def _build_decode_map(bits, values):
             code += 1
             k += 1
         code <<= 1
+    _DECODE_CACHE[key] = out
     return out
+
+
+_CODES_CACHE: dict = {}
+_DECODE_CACHE: dict = {}
 
 
 class _BitWriter:
