@@ -338,12 +338,91 @@ class Table:
             shutil.rmtree(sub, ignore_errors=True)
         return moved
 
+    def _collect_stats(self, relpaths: Sequence[str]) -> dict:
+        """Per-file min/max column statistics from the parquet FOOTERS
+        (no data scan — the stats are already there). Only
+        JSON-portable scalar types are kept; columns without usable
+        stats are simply absent (pruning treats absent as unknowable).
+        This is the Delta/Iceberg data-skipping design: at 100 TB the
+        planner prunes files from the manifest without opening them."""
+        import pyarrow.parquet as pq
+        out: dict[str, dict] = {}
+        for rel in relpaths:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            except Exception:  # noqa: BLE001 — stats are an optimization
+                continue
+            cols: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        cols[c.path_in_schema] = None  # poison: unknowable
+                        continue
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str, bool)):
+                        cols[c.path_in_schema] = None
+                        continue
+                    prev = cols.get(c.path_in_schema)
+                    if c.path_in_schema in cols and prev is None:
+                        continue
+                    if prev is None:
+                        cols[c.path_in_schema] = [lo, hi]
+                    else:
+                        cols[c.path_in_schema] = [min(prev[0], lo),
+                                                  max(prev[1], hi)]
+            out[rel] = {k: v for k, v in cols.items() if v is not None}
+        return out
+
+    def _current_stats(self) -> dict:
+        """File stats of the current manifest ({} for legacy manifests)."""
+        if not os.path.exists(self._current_path):
+            return {}
+        with open(self._current_path) as f:
+            cur = json.load(f)
+        with open(os.path.join(self.path, cur["manifest"])) as f:
+            return json.load(f).get("stats", {})
+
+    @staticmethod
+    def _prune_files(files: Sequence[str], stats: dict,
+                     ranges: Sequence[tuple]) -> list[str]:
+        """Drop files whose min/max stats prove no row can satisfy ALL of
+        the (col, op, literal) conjuncts. Comparisons are null-rejecting
+        and parquet min/max ignore nulls, so pruning on them is safe for
+        files that also hold nulls."""
+        keep = []
+        for f in files:
+            st = stats.get(f) or {}
+            skip = False
+            for col, op, v in ranges:
+                mm = st.get(col)
+                if not mm:
+                    continue
+                lo, hi = mm
+                try:
+                    if ((op == "==" and (v < lo or v > hi))
+                            or (op == "<" and not (lo < v))
+                            or (op == "<=" and not (lo <= v))
+                            or (op == ">" and not (hi > v))
+                            or (op == ">=" and not (hi >= v))):
+                        skip = True
+                        break
+                except TypeError:  # incomparable types: keep the file
+                    continue
+            if not skip:
+                keep.append(f)
+        return keep
+
     def _commit_files(self, files: Sequence[str]) -> None:
-        """The commit point: write a new manifest, swap CURRENT onto it
-        (atomic rename), then best-effort vacuum of unreferenced files.
-        A crash before the CURRENT swap leaves the old snapshot intact; a
-        crash after it leaves only unreferenced garbage for the next
-        vacuum."""
+        """The commit point: write a new manifest (file list + per-file
+        footer stats for data skipping), swap CURRENT onto it (atomic
+        rename), then best-effort vacuum of unreferenced files. A crash
+        before the CURRENT swap leaves the old snapshot intact; a crash
+        after it leaves only unreferenced garbage for the next vacuum.
+        Stats for carried-over files come from the previous manifest;
+        only NEW files pay a footer read."""
         os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
         # optimistic concurrency: if CURRENT moved since this mutation read
         # its base snapshot, another writer committed in between — abort
@@ -358,9 +437,14 @@ class Table:
                     f"concurrent modification of table {self.name!r}: "
                     f"CURRENT moved from {expected} to {now} during this "
                     "mutation; re-read and retry")
+        prev_stats = self._current_stats()
+        stats = {f: prev_stats[f] for f in files if f in prev_stats}
+        new_files = [f for f in files if f not in stats]
+        stats.update(self._collect_stats(new_files))
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
         self._atomic_write(os.path.join(self.path, mrel),
-                           json.dumps({"files": sorted(files)}))
+                           json.dumps({"files": sorted(files),
+                                       "stats": stats}))
         self._atomic_write(self._current_path, json.dumps({"manifest": mrel}))
         self._manifest_at_read = mrel
         self._vacuum(set(files), keep_manifest=mrel)
@@ -404,13 +488,25 @@ class Table:
                     except OSError:
                         pass
 
-    def _read_current_raw(self) -> Optional[DataFrame]:
+    def _read_current_raw(self, ranges: Optional[Sequence[tuple]] = None
+                          ) -> Optional[DataFrame]:
         """The current snapshot as a raw DataFrame (system + user columns,
-        no visibility filter), or None when the table has no files yet."""
+        no visibility filter), or None when the table has no files yet.
+        `ranges` = (col, op, literal) conjuncts for manifest-stats file
+        skipping; pruning everything still returns an empty-but-typed
+        scan over one file so the schema survives."""
         files = self._current_files()
         if not files:
             return None
         spark = self.catalog.spark
+        if ranges:
+            pruned = self._prune_files(files, self._current_stats(), ranges)
+            if not pruned:
+                # keep one file for schema; no row can match, but the
+                # caller still applies the row-level predicate
+                return (spark.read.parquet(os.path.join(self.path, files[0]))
+                        .limit(0))
+            files = pruned
         return spark.read.parquet(
             *[os.path.join(self.path, f) for f in files])
 
@@ -428,9 +524,9 @@ class Table:
         return df.withColumn(
             _BKT, F.pmod(F.col(_ROWID), F.lit(self.n_buckets)).cast("int"))
 
-    def _store_df(self) -> DataFrame:
+    def _store_df(self, ranges: Optional[Sequence[tuple]] = None) -> DataFrame:
         """All row-versions, including expired ones (+ `_bkt`)."""
-        raw = self._read_current_raw()
+        raw = self._read_current_raw(ranges)
         if raw is None:
             spark = self.catalog.spark
             return self._with_bkt(
@@ -488,7 +584,12 @@ class Table:
         """Live rows at a version (default: current) — the version-interval
         visibility predicate (reference store.py:39-42)."""
         v = self.version if version is None else version
-        return self._store_df().filter((F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
+        # manifest-stats skipping: a file whose every row was created
+        # after v (or expired at/before v) never opens — time travel on a
+        # 100 TB table reads only the files that existed at v
+        ranges = [(_VMIN, "<=", v), (_VMAX, ">", v)]
+        return self._store_df(ranges).filter(
+            (F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
 
     def user_df(self, version: Optional[int] = None) -> DataFrame:
         cols = [c for c in self.column_names()]
@@ -510,6 +611,56 @@ class Table:
                 schema_with_rowid[md] = ColumnType.json()
         return TableRef(df.select(*keep), self.name, schema_with_rowid,
                         rowid_cols=[_ROWID])
+
+    @staticmethod
+    def _extract_ranges(pred) -> list[tuple]:
+        """(col, op, literal) conjuncts usable for file skipping: walks
+        top-level ANDs, keeps `col <op> literal` / `literal <op> col`
+        comparisons on scalar columns, ignores everything else (which
+        simply doesn't prune)."""
+        from .exprs import ColumnRef, Comparison, CompoundPredicate, Literal
+        _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                 "==": "==", "!=": "!="}
+        out: list[tuple] = []
+
+        def visit(e) -> None:
+            if isinstance(e, CompoundPredicate) and e.op == "and":
+                for c in e.components:
+                    visit(c)
+                return
+            if isinstance(e, Comparison) and e.op != "!=":
+                a, b = e.components
+                if isinstance(a, ColumnRef) and isinstance(b, Literal) \
+                        and isinstance(b.val, (int, float, str, bool)):
+                    out.append((a.name, e.op, b.val))
+                elif isinstance(b, ColumnRef) and isinstance(a, Literal) \
+                        and isinstance(a.val, (int, float, str, bool)):
+                    out.append((b.name, _FLIP[e.op], a.val))
+
+        visit(pred)
+        return out
+
+    def scan(self, where=None, version: Optional[int] = None):
+        """Pruned read: drops data files via manifest min/max stats for
+        the simple conjuncts of `where` BEFORE Spark ever lists them,
+        then applies the full predicate row-level. Returns a Query
+        (TableRef when where is None). On a 100 TB table a selective
+        scan opens only the files whose stats admit matches — the
+        Delta/Iceberg data-skipping read path."""
+        v = self.version if version is None else version
+        ranges = [(_VMIN, "<=", v), (_VMAX, ">", v)]
+        if where is not None:
+            ranges += self._extract_ranges(where)
+        df = self._store_df(ranges).filter(
+            (F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
+        schema = dict(self.schema)
+        for cc in self.computed.values():
+            schema[cc.name] = cc.col_type
+        keep = [_ROWID] + list(schema)
+        schema_with_rowid = {_ROWID: ColumnType.int_(False), **schema}
+        ref = TableRef(df.select(*keep), self.name, schema_with_rowid,
+                       rowid_cols=[_ROWID])
+        return ref.where(where) if where is not None else ref
 
     def column_names(self) -> list[str]:
         return list(self.schema) + list(self.computed)
