@@ -579,6 +579,59 @@ class Table:
         new = self._write_snapshot_files(df)
         self._commit_files(keep + new)
 
+    def optimize(self, purge_before: Optional[int] = None) -> dict:
+        """Compact the store: rewrite every bucket that has more than one
+        data file into a single file (the Delta OPTIMIZE / Iceberg
+        rewrite_data_files maintenance op). Logical content, version
+        counter, and time travel are unchanged — this is a storage-only
+        commit. With ``purge_before=v``, row-versions already expired at
+        v (_v_max <= v) are dropped during the rewrite, reclaiming MVCC
+        garbage at the cost of time travel earlier than v.
+
+        Small files are the classic death-by-metadata failure at scale:
+        every insert commits at least one file per touched bucket, and a
+        100 TB table fed by streaming inserts ends up scanning millions
+        of tiny files. Compaction cost scales with the affected buckets'
+        data; untouched buckets carry over without being read.
+
+        Returns {"compacted_buckets": n, "files_before": a, "files_after": b}.
+        """
+        cur = self._current_files()
+        by_bucket: dict[Optional[int], list[str]] = {}
+        for f in cur:
+            by_bucket.setdefault(self._bucket_of(f), []).append(f)
+        crowded = [b for b, fs in by_bucket.items()
+                   if b is not None and len(fs) > 1]
+        legacy_flat = by_bucket.get(None, [])
+        if legacy_flat:
+            # legacy files have no bucket identity: a full rewrite migrates
+            # to the bucketed layout and compacts in one pass
+            store = self._store_df()
+            if purge_before is not None:
+                store = store.filter(F.col(_VMAX) > purge_before)
+            self._rewrite(store)
+            after = self._current_files()
+            self._log("optimize", files_before=len(cur), files_after=len(after))
+            return {"compacted_buckets": len(by_bucket),
+                    "files_before": len(cur), "files_after": len(after)}
+        if not crowded and purge_before is None:
+            return {"compacted_buckets": 0, "files_before": len(cur),
+                    "files_after": len(cur)}
+        targets = crowded if purge_before is None else [
+            b for b in by_bucket if b is not None]
+        sub = self._store_df().filter(F.col(_BKT).isin([int(b) for b in targets]))
+        if purge_before is not None:
+            sub = sub.filter(F.col(_VMAX) > purge_before)
+        # one shuffle task per bucket -> exactly one output file per bucket
+        sub = sub.repartition(max(len(targets), 1), F.col(_BKT))
+        keep = [f for f in cur if self._bucket_of(f) not in set(targets)]
+        new = self._write_snapshot_files(sub)
+        self._commit_files(keep + new)
+        after = self._current_files()
+        self._log("optimize", files_before=len(cur), files_after=len(after))
+        return {"compacted_buckets": len(targets),
+                "files_before": len(cur), "files_after": len(after)}
+
     # -- read path ---------------------------------------------------------
     def df(self, version: Optional[int] = None) -> DataFrame:
         """Live rows at a version (default: current) — the version-interval

@@ -119,3 +119,61 @@ class TestTimeTravelPruning:
         r0 = t.ref(version=v0)
         old = [r["txt"] for r in r0.where(r0.k == 5).select(r0.txt).collect()]
         assert now == ["changed"] and old == ["row 5"]
+
+
+class TestOptimize:
+    def test_compacts_to_one_file_per_bucket(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh2"))
+        t = cat.create_table("t", {"k": pxt.Int(False)})
+        t.n_buckets = 4
+        for batch in range(5):
+            t.insert([{"k": batch * 10 + i} for i in range(8)])
+        before = t._current_files()
+        rows_before = sorted(r["k"] for r in t.collect())
+        res = t.optimize()
+        after = t._current_files()
+        assert res["files_after"] == len(after) < len(before)
+        per_bucket: dict = {}
+        for f in after:
+            per_bucket.setdefault(t._bucket_of(f), []).append(f)
+        assert all(len(v) == 1 for v in per_bucket.values()), per_bucket
+        assert sorted(r["k"] for r in t.collect()) == rows_before
+        # stats present for the compacted files too
+        assert set(t._current_stats()) == set(after)
+
+    def test_noop_when_already_compact(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh3"))
+        t = cat.create_table("t", {"k": pxt.Int(False)})
+        t.n_buckets = 2
+        t.insert([{"k": i} for i in range(4)])
+        t.optimize()
+        files = t._current_files()
+        res = t.optimize()
+        assert res["compacted_buckets"] == 0
+        assert t._current_files() == files
+
+    def test_time_travel_survives_optimize(self, skip_tbl):
+        t = skip_tbl
+        ref = t.ref()
+        v0 = t.version
+        t.update({"txt": pxt.Literal("upd")}, where=ref.k == 3)
+        t.optimize()
+        r0 = t.ref(version=v0)
+        old = [r["txt"] for r in r0.where(r0.k == 3).select(r0.txt).collect()]
+        r1 = t.ref()
+        new = [r["txt"] for r in r1.where(r1.k == 3).select(r1.txt).collect()]
+        assert old == ["row 3"] and new == ["upd"]
+
+    def test_purge_before_reclaims_expired(self, skip_tbl):
+        t = skip_tbl
+        ref = t.ref()
+        t.delete(where=ref.k < 5)
+        v = t.version
+        raw_before = t._store_df().count()
+        t.optimize(purge_before=v)
+        raw_after = t._store_df().count()
+        assert raw_after == raw_before - 5
+        # live content unchanged
+        ks = sorted(r["k"] for r in t.collect())
+        assert ks == sorted(list(range(5, 10)) + list(range(100, 110))
+                            + list(range(200, 210)))
