@@ -697,12 +697,20 @@ def q49_stream_windowed(spark, sf_dir):
         stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         stream = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
     import uuid as _uuid
-    name = "q49_win_" + _uuid.uuid4().hex[:10]  # unique per invocation
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    # stateful-operator parallelism: state cardinality here is
+    # #windows x #event_types (hundreds) — 8 state stores, not 32
+    # (each store pays fixed commit/snapshot cost per micro-batch)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        name = "q49_win_" + _uuid.uuid4().hex[:10]  # unique per invocation
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return (
         spark.table(name)
         .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -912,15 +920,24 @@ def q60_stream_dedup(spark, sf_dir):
                            F.concat_ws("|", "user_id", "event_type"))
     # bucketed state: applyInPandasWithState costs one Python call per
     # GROUP per micro-batch, so per-key grouping would pay 7.5k Arrow
-    # round-trips at sf0.1; 64 buckets (2× local cores) pays 64 calls
-    # with the same live-key state split across bucket dicts
-    deduped = streaming.stream_dedup_stateful(
-        keyed, id_col="dedup_key", ts_col="ts", num_buckets=64)
+    # round-trips at sf0.1; 16 buckets pays 16 calls with the same
+    # live-key state split across bucket dicts. Each stateful shuffle
+    # partition also carries a state-store instance with fixed per-batch
+    # cost (commit, snapshot, maintenance) — size the stream's shuffle
+    # width to the STATE cardinality, not the session default (at real
+    # scale this is exactly how you size stateful-operator parallelism)
     import uuid as _uuid
-    name = "q60_dedup_" + _uuid.uuid4().hex[:10]
-    q = (deduped.writeStream.outputMode("append").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        deduped = streaming.stream_dedup_stateful(
+            keyed, id_col="dedup_key", ts_col="ts", num_buckets=16)
+        name = "q60_dedup_" + _uuid.uuid4().hex[:10]
+        q = (deduped.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return (spark.table(name)
             .select("user_id", "event_type")
             .orderBy("user_id", "event_type"))
