@@ -255,11 +255,14 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
 
 
 def _dct2(blocks: np.ndarray) -> np.ndarray:
-    return np.einsum("ij,njk,lk->nil", _C, blocks, _C, optimize=True)
+    # C @ B @ C.T as broadcast matmul (einsum's optimize=True re-derives
+    # the contraction path on EVERY call — measurable at one call per
+    # tiny image inside a UDF)
+    return _C @ blocks @ _C.T
 
 
 def _idct2(blocks: np.ndarray) -> np.ndarray:
-    return np.einsum("ji,njk,kl->nil", _C, blocks, _C, optimize=True)
+    return _C.T @ blocks @ _C
 
 
 def _encode_plane(bw: _BitWriter, coefs: np.ndarray, dc_codes, ac_codes,
