@@ -98,7 +98,12 @@ class Catalog:
     # -- tables ------------------------------------------------------------
     def create_table(self, name: str, schema: dict[str, ColumnType],
                      primary_key: Optional[Sequence[str]] = None,
-                     if_exists: str = "error") -> "Table":
+                     if_exists: str = "error",
+                     n_buckets: Optional[int] = None) -> "Table":
+        """`n_buckets` sizes the mutation unit (`_bkt = _rowid % n`,
+        default 16): more buckets = finer-grained update/delete rewrites
+        and more files; size it to expected-table-size / target-file-size
+        on a real deployment."""
         d = self._tbl_dir(name)
         if os.path.exists(d):
             if if_exists == "replace":
@@ -108,6 +113,9 @@ class Catalog:
             else:
                 raise ValueError(f"table {name!r} already exists")
         t = Table._create(self, name, d, schema, list(primary_key or []))
+        if n_buckets is not None:
+            t.n_buckets = int(n_buckets)
+            t._save_meta()
         self._tables[name] = t
         return t
 

@@ -2,13 +2,16 @@
 beyond the reference's own surface (BASELINE.json north star): deduplication
 (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup),
 similarity search (brute-force + LSH-bucketed ANN), text analysis
-(language-ID, quality scoring, token counting, fingerprinting), and
-multimodal binary-column plumbing.
+(language-ID, heuristic + char-n-gram-LM quality scoring, Gopher
+repetition signals, token counting, fingerprinting), PII
+detection/scrubbing, benchmark contamination checks, duplicate-cluster
+resolution (connected components over LSH pairs), and multimodal
+binary-column plumbing.
 
 All hashing is md5-based and engine-portable, so every operator is
 oracle-checkable against DuckDB with identical results.
 """
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pii, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pii"]

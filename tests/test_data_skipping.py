@@ -124,8 +124,7 @@ class TestTimeTravelPruning:
 class TestOptimize:
     def test_compacts_to_one_file_per_bucket(self, spark, tmp_path):
         cat = pxt.Catalog(spark, str(tmp_path / "wh2"))
-        t = cat.create_table("t", {"k": pxt.Int(False)})
-        t.n_buckets = 4
+        t = cat.create_table("t", {"k": pxt.Int(False)}, n_buckets=4)
         for batch in range(5):
             t.insert([{"k": batch * 10 + i} for i in range(8)])
         before = t._current_files()
@@ -143,8 +142,7 @@ class TestOptimize:
 
     def test_noop_when_already_compact(self, spark, tmp_path):
         cat = pxt.Catalog(spark, str(tmp_path / "wh3"))
-        t = cat.create_table("t", {"k": pxt.Int(False)})
-        t.n_buckets = 2
+        t = cat.create_table("t", {"k": pxt.Int(False)}, n_buckets=2)
         t.insert([{"k": i} for i in range(4)])
         t.optimize()
         files = t._current_files()
