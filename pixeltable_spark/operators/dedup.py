@@ -187,7 +187,8 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        prefix_filter: bool = False) -> DataFrame:
     """Pairs with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Candidates come from a self-equi-join on shingle (shuffle keyed by
@@ -201,29 +202,68 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the shingle universe — both intersection AND union — so the result is
     the exact Jaccard over the restricted universe (discriminative
     shingles), not an approximation with mismatched denominators. Set it at
-    scale; None preserves full-universe semantics."""
+    scale; None preserves full-universe semantics.
+
+    prefix_filter enables the AllPairs/PPJoin prefix optimization
+    (Bayardo et al. WWW'07, public): each doc only joins on its
+    ``|x| - ceil(t*|x|) + 1`` globally-rarest shingles — any pair with
+    Jaccard >= t must share one of them — and the surviving candidate
+    pairs verify exactly against both docs' full shingle sets. Result is
+    IDENTICAL to the plain self-join; the join input shrinks from every
+    repeated shingle occurrence to just the prefixes, which is the
+    difference between quadratic blowup and linear candidates on
+    boilerplate-heavy corpora."""
     ex = explode_shingles(df, text_col, id_col, n)
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_df is not None:
         keep = dfreq.filter(F.col("df_") <= max_df).select("shingle")
         ex = ex.join(keep, "shingle")
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    # shingles that occur in only one document cannot produce a pair —
-    # dropping them before the self-join shrinks the join input massively
-    # (most shingles are unique) without changing the result
-    repeated = dfreq.filter(F.col("df_") > 1)
-    if max_df is not None:
-        repeated = repeated.filter(F.col("df_") <= max_df)
-    ex2 = ex.join(repeated.select("shingle"), "shingle")
-    a, b = ex2.alias("a"), ex2.alias("b")
-    inter = (
-        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+
+    if prefix_filter:
+        from pyspark.sql import Window as W
+        # global shingle order: rarest first (df asc, shingle tie-break) —
+        # both docs of a pair rank by the same total order, which the
+        # prefix-filter theorem requires
+        ranked = (ex.join(dfreq, "shingle")
+                  .withColumn("rk", F.row_number().over(
+                      W.partitionBy(id_col).orderBy("df_", "shingle"))))
+        pref = (ranked.join(sizes, id_col)
+                .filter(F.col("rk")
+                        <= F.col("sz") - F.ceil(threshold * F.col("sz")) + 1)
+                .select(id_col, "shingle"))
+        a, b = pref.alias("a"), pref.alias("b")
+        cand = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
+                              F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .distinct())
+        sets = ex.groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+        inter = (cand
+                 .join(sets.select(F.col(id_col).alias("id_a"),
+                                   F.col("ss").alias("ss_a")), "id_a")
+                 .join(sets.select(F.col(id_col).alias("id_b"),
+                                   F.col("ss").alias("ss_b")), "id_b")
+                 .select("id_a", "id_b",
+                         F.size(F.array_intersect("ss_a", "ss_b")).alias("c")))
+    else:
+        # shingles that occur in only one document cannot produce a pair —
+        # dropping them before the self-join shrinks the join input
+        # massively (most shingles are unique) without changing the result
+        repeated = dfreq.filter(F.col("df_") > 1)
+        if max_df is not None:
+            repeated = repeated.filter(F.col("df_") <= max_df)
+        ex2 = ex.join(repeated.select("shingle"), "shingle")
+        a, b = ex2.alias("a"), ex2.alias("b")
+        inter = (
+            a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", F.round(

@@ -227,3 +227,31 @@ class TestNgramLm:
         plan = (ngram_lm_score(df, ngram_lm_train(df))
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Broadcast" in plan
+
+
+class TestPrefixFilterJaccard:
+    def test_identical_to_plain_join(self, spark):
+        from pixeltable_spark.operators.dedup import ngram_jaccard_pairs
+        rows = [(i, "the quick brown fox jumps over the lazy dog once more")
+                for i in range(4)]
+        rows += [(10, "the quick brown fox naps under a warm summer sun"),
+                 (11, "completely unrelated content with distinct words only"),
+                 (12, "another entirely different body of text here now")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        for t in (0.2, 0.5, 0.9):
+            plain = sorted(map(tuple, ngram_jaccard_pairs(
+                df, n=2, threshold=t).collect()))
+            pref = sorted(map(tuple, ngram_jaccard_pairs(
+                df, n=2, threshold=t, prefix_filter=True).collect()))
+            assert plain == pref and plain, (t, plain, pref)
+
+    def test_with_max_df(self, spark):
+        from pixeltable_spark.operators.dedup import ngram_jaccard_pairs
+        rows = [(i, f"shared boiler plate line plus unique token u{i} here")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        plain = sorted(map(tuple, ngram_jaccard_pairs(
+            df, n=2, threshold=0.1, max_df=4).collect()))
+        pref = sorted(map(tuple, ngram_jaccard_pairs(
+            df, n=2, threshold=0.1, max_df=4, prefix_filter=True).collect()))
+        assert plain == pref
