@@ -1235,6 +1235,22 @@ def q69_lm_quality(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q70_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_train/encode/
+    topk_rerank — Jégou et al. TPAMI'11): deterministic codebook
+    training, distributed uint8 encoding, JVM-side ADC shortlist of 100,
+    exact cosine rerank to top-10. Deliberately has NO oracle_sql entry:
+    k-means training is not SQL-expressible, so the driver records the
+    weaker rows-only check; output is nonetheless fully deterministic,
+    and recall/exactness properties are pinned by
+    tests/test_pq_index.py."""
+    from pixeltable_spark.operators import similarity as S
+    df = _df(spark, sf_dir, "embeddings")
+    books = S.pq_train(df, m=8, k=16, iters=5)
+    codes = S.pq_encode(df, books)
+    return S.pq_topk_rerank(df, codes, books, QUERY_VEC, k=10, rerank=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1309,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_dup_clusters": q67_dup_clusters,
         "q68_jpeg_codec": q68_jpeg_codec,
         "q69_lm_quality": q69_lm_quality,
+        "q70_pq_ann": q70_pq_ann,
     }
 
 

@@ -181,3 +181,133 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("lid", "rid", "cos", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011, public) — the memory-compression ANN path:
+# a 64-dim float32 vector (256 B) becomes M uint8 codes (M bytes), and
+# query scoring is M table lookups instead of a dot product.
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 8, k: int = 16,
+             iters: int = 10, sample: int = 10_000) -> "np.ndarray":
+    """Train PQ codebooks: split dims into `m` subspaces, k-means each to
+    `k` centroids. Deterministic end to end: the training sample is the
+    md5-first `sample` vectors (bounded driver memory however large the
+    table), init takes every len/k-th sample in that order, and Lloyd
+    iterations are fixed-count numpy float64. Returns (m, k, d/m)
+    codebooks — kilobytes, broadcastable anywhere.
+
+    Driver-side training on a bounded sample is the standard design
+    (FAISS trains on a sample too); encoding and search stay fully
+    distributed with the codebooks broadcast."""
+    import numpy as np
+
+    rows = (df.select(id_col, vec_col)
+            .withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o").limit(sample)
+            .select(vec_col).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books = np.empty((m, k, sub))
+    for mi in range(m):
+        Xs = X[:, mi * sub:(mi + 1) * sub]
+        cent = Xs[:: max(1, n // k)][:k].copy()
+        if len(cent) < k:  # tiny inputs: pad by repeating
+            cent = np.resize(cent, (k, sub))
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = Xs[mask].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector to its M nearest-centroid codes
+    (id, codes array<int>). mapInPandas with the broadcast codebooks —
+    one pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks))
+    m, k, sub = np.asarray(codebooks).shape
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def enc(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                Xs = X[:, mi * sub:(mi + 1) * sub]
+                d2 = ((Xs[:, None, :] - books[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes.tolist())})
+
+    return df.select(id_col, vec_col).mapInPandas(enc, schema)
+
+
+def pq_topk(codes_df: DataFrame, codebooks, query, k: int = 10,
+            id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): precompute the
+    query's M x K distance lookup table on the driver (tiny), broadcast
+    it, score each code row with M table lookups, and let Catalyst plan
+    the TakeOrderedAndProject. Returns (id, adc) ascending — smaller is
+    closer in L2 (normalize vectors first for cosine ranking)."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    q = np.asarray(query, dtype=np.float64)
+    m, kk, sub = books.shape
+    lut = np.empty((m, kk))
+    for mi in range(m):
+        lut[mi] = (((books[mi] - q[mi * sub:(mi + 1) * sub][None, :]) ** 2)
+                   .sum(axis=1))
+    # JVM-side scoring: the LUT becomes a nested array literal; adc =
+    # sum over subspaces of lut[mi][code] — element_at over array
+    # literals stays in codegen, no Python in the scoring path
+    lut_col = F.array(*[
+        F.array(*[F.lit(float(v)) for v in lut[mi]]) for mi in range(m)])
+    adc = None
+    for mi in range(m):
+        term = F.element_at(F.element_at(lut_col, mi + 1),
+                            F.element_at(F.col("codes"), mi + 1) + 1)
+        adc = term if adc is None else adc + term
+    return (codes_df.select(id_col, F.round(adc, 6).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def pq_topk_rerank(df: DataFrame, codes_df: DataFrame, codebooks, query,
+                   k: int = 10, rerank: int = 100,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """The production PQ pattern: ADC shortlist of `rerank` candidates
+    (table lookups over compressed codes — the only full pass), then
+    exact re-scoring of just those candidates against their original
+    vectors (semi-join fetch, tiny). Recall approaches exact search as
+    `rerank`/`k` grows while the full-scan cost stays at M bytes/vector."""
+    short = pq_topk(codes_df, codebooks, query, k=rerank, id_col=id_col)
+    cand = df.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+    return (cand.select(id_col,
+                        F.round(cosine_to_query(F.col(vec_col), query), 6)
+                        .alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            .limit(k))
