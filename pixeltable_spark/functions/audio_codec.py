@@ -47,7 +47,22 @@ def probe(payload: bytes) -> Optional[dict]:
                 "duration_s": round(n / rate, 6) if rate else 0.0,
             }
     except (wave.Error, EOFError):
-        return None
+        # stdlib wave only reads PCM; fall back to the manual RIFF walk
+        # for G.711 u-law/A-law (format codes 7/6)
+        info = _parse_riff(payload)
+        if info is None or info.get("audio_format") not in (6, 7):
+            return None
+        ch, rate = info["channels"], info["sample_rate"]
+        n = len(info["data"]) // max(ch, 1)
+        return {
+            "format": "WAV",
+            "encoding": "ulaw" if info["audio_format"] == 7 else "alaw",
+            "channels": ch,
+            "sample_rate": rate,
+            "sample_width": 1,
+            "n_frames": n,
+            "duration_s": round(n / rate, 6) if rate else 0.0,
+        }
 
 
 def decode(payload: bytes) -> tuple:
@@ -56,6 +71,9 @@ def decode(payload: bytes) -> tuple:
     info = probe(payload)
     if info is None:
         raise ValueError("not a PCM WAV payload")
+    if info.get("encoding") in ("ulaw", "alaw"):
+        samples, rate = decode_g711(payload)
+        return samples, rate, 2  # decoded to int16
     width = info["sample_width"]
     if width not in _DTYPES:
         raise ValueError(f"unsupported sample width {width}")
@@ -144,3 +162,97 @@ def concat(payloads: list) -> bytes:
     if any(r != rate or w != width for _a, r, w in parts):
         raise ValueError("concat requires matching rate/width")
     return encode(np.concatenate([a for a, _r, _w in parts]), rate, width)
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (ITU-T G.711, public) — the telephony WAV variants
+# (format codes 7 / 6) the stdlib `wave` module refuses to read.
+# ---------------------------------------------------------------------------
+
+def _ulaw_table() -> np.ndarray:
+    """256-entry µ-law code -> int16 sample decode table (G.711 exact)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0xFF
+    sign = codes & 0x80
+    exponent = (codes >> 4) & 0x07
+    mantissa = codes & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign != 0, -sample, sample).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """256-entry A-law code -> int16 sample decode table (G.711 exact)."""
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = codes & 0x80
+    exponent = (codes >> 4) & 0x07
+    mantissa = codes & 0x0F
+    sample = np.where(exponent > 0,
+                      ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+                      (mantissa << 4) + 8)
+    return np.where(sign != 0, -sample, sample).astype(np.int16)
+
+
+_G711_TABLES = {7: _ulaw_table(), 6: _alaw_table()}
+
+
+def _parse_riff(payload: bytes) -> Optional[dict]:
+    """Minimal RIFF/WAVE chunk walk for formats `wave` cannot read:
+    returns fmt fields + raw data bytes."""
+    if payload is None or len(payload) < 12:
+        return None
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, out = 12, {}
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
+        body = p[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            (fmt, ch, rate, _bps, _align, bits) = struct.unpack(
+                "<HHIIHH", body[:16])
+            out.update(audio_format=fmt, channels=ch, sample_rate=rate,
+                       bits=bits)
+        elif cid == b"data":
+            out["data"] = body
+        pos += 8 + size + (size & 1)
+    return out if "audio_format" in out and "data" in out else None
+
+
+def decode_g711(payload: bytes) -> tuple:
+    """Decode a µ-law (fmt 7) or A-law (fmt 6) WAV to int16 samples:
+    (samples (n, channels), rate)."""
+    info = _parse_riff(payload)
+    if info is None or info["audio_format"] not in _G711_TABLES:
+        raise ValueError("not a G.711 (u-law/A-law) WAV payload")
+    table = _G711_TABLES[info["audio_format"]]
+    codes = np.frombuffer(info["data"], dtype=np.uint8)
+    ch = info["channels"]
+    samples = table[codes][: (len(codes) // ch) * ch].reshape(-1, ch)
+    return samples.copy(), info["sample_rate"]
+
+
+def encode_g711(arr: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
+    """Encode int16 samples as a µ-law/A-law WAV. Quantizes each sample
+    to the nearest representable G.711 level (the spec's segment
+    quantizer up to tie handling), so decode(encode(x)) is exact for any
+    x already on the G.711 grid."""
+    fmt = 7 if law == "ulaw" else 6
+    table = _G711_TABLES[fmt].astype(np.int32)
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    flat = arr.astype(np.int32).clip(-32768, 32767).flatten()
+    idx = np.searchsorted(sorted_vals, flat)
+    idx = idx.clip(1, 255)
+    left, right = sorted_vals[idx - 1], sorted_vals[idx.clip(0, 255)]
+    pick = np.where(np.abs(flat - left) <= np.abs(right - flat),
+                    idx - 1, idx)
+    codes = order[pick].astype(np.uint8)
+    ch = arr.shape[1]
+    data = codes.tobytes()
+    hdr = b"WAVE" + b"fmt " + struct.pack("<I", 18) + struct.pack(
+        "<HHIIHHH", fmt, ch, rate, rate * ch, ch, 8, 0)
+    hdr += b"fact" + struct.pack("<II", 4, len(flat) // ch)
+    hdr += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(hdr)) + hdr

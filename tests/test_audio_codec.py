@@ -88,3 +88,45 @@ class TestAudioFunctionsReal:
             pxa.clip(F.col("payload"), 0.0, 0.5).alias("c")).collect()
         arr, rate, _w = ac.decode(bytes(rows[0]["c"]))
         assert len(arr) == 4000
+
+
+class TestG711:
+    """G.711 u-law/A-law (ITU-T, public): the telephony WAV variants the
+    stdlib wave module refuses — decoded via exact 256-entry LUTs."""
+
+    def test_code_tables_roundtrip_exact(self):
+        import numpy as np
+        from pixeltable_spark.functions import audio_codec as ac
+        for law, fmt in (("ulaw", 7), ("alaw", 6)):
+            table = ac._G711_TABLES[fmt]
+            wav = ac.encode_g711(table.astype(np.int16)[:, None], 8000, law)
+            dec, rate = ac.decode_g711(wav)
+            assert rate == 8000 and np.array_equal(dec[:, 0], table), law
+
+    def test_sine_roundtrip_within_quant_error(self):
+        import numpy as np
+        from pixeltable_spark.functions import audio_codec as ac
+        t = np.arange(4000)
+        s = (8000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16)
+        for law in ("ulaw", "alaw"):
+            d, _ = ac.decode_g711(ac.encode_g711(s, 8000, law))
+            assert np.abs(d[:, 0].astype(int) - s.astype(int)).max() < 600
+
+    def test_probe_and_decode_route_g711(self):
+        import numpy as np
+        from pixeltable_spark.functions import audio_codec as ac
+        s = (np.arange(200) % 100 * 50).astype(np.int16)
+        wav = ac.encode_g711(s, 8000, "ulaw")
+        info = ac.probe(wav)
+        assert info["encoding"] == "ulaw" and info["n_frames"] == 200
+        assert info["sample_rate"] == 8000
+        samples, rate, width = ac.decode(wav)
+        assert width == 2 and rate == 8000 and samples.shape == (200, 1)
+
+    def test_stereo(self):
+        import numpy as np
+        from pixeltable_spark.functions import audio_codec as ac
+        s = np.stack([np.arange(100) * 100, -np.arange(100) * 100],
+                     axis=1).astype(np.int16)
+        d, rate = ac.decode_g711(ac.encode_g711(s, 16000, "alaw"))
+        assert d.shape == (100, 2) and rate == 16000
