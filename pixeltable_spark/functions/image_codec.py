@@ -170,6 +170,31 @@ def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
     return out.reshape(height, width, nch)
 
 
+# Adam7 pass layout: (x0, y0, dx, dy) per W3C PNG spec §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_deinterlace_adam7(raw: bytes, width: int, height: int,
+                           nch: int) -> np.ndarray:
+    """Decode an Adam7-interlaced scan: each of the 7 passes is its own
+    filtered sub-image (per-pass scanline filters), placed back on the
+    (dx, dy) grid."""
+    out = np.zeros((height, width, nch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * nch
+        sub_raw = raw[pos:pos + ph * (1 + stride)]
+        pos += ph * (1 + stride)
+        sub = _png_unfilter(sub_raw, pw, ph, nch)
+        out[y0::dy, x0::dx] = sub
+    return out
+
+
 def _decode_png(payload: bytes) -> "MiniImage":
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
@@ -192,14 +217,17 @@ def _decode_png(payload: bytes) -> "MiniImage":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bit depth {depth}, interlace {interlace})")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if nch is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    arr = _png_unfilter(raw, w, h, nch)
+    if interlace == 1:
+        arr = _png_deinterlace_adam7(raw, w, h, nch)
+    else:
+        arr = _png_unfilter(raw, w, h, nch)
     if color_type == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")

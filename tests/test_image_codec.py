@@ -262,3 +262,50 @@ class TestFunctionGapFill:
         assert u.resolve_torch_device() == "cpu"
         meta = u.get_media_metadata(_checker_png(3, 2))
         assert meta["format"] == "PNG" and meta["width"] == 3
+
+
+class TestAdam7:
+    """Adam7-interlaced PNG decode (W3C PNG spec §8.2): each pass is an
+    independently filtered sub-image placed back on the (dx, dy) grid."""
+
+    @staticmethod
+    def _make_interlaced_png(arr):
+        import struct
+        import zlib
+
+        from pixeltable_spark.functions import image_codec as ic
+        h, w, _nch = arr.shape
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", crc))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        body = b""
+        for x0, y0, dx, dy in ic._ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += b"".join(b"\x00" + sub[y].tobytes()
+                             for y in range(sub.shape[0]))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b""))
+
+    def test_roundtrip_exact_various_dims(self):
+        import numpy as np
+
+        from pixeltable_spark.functions import image_codec as ic
+        for h, w in [(13, 9), (1, 1), (8, 8), (17, 23), (2, 31)]:
+            rng = np.random.default_rng(h * 100 + w)
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            img = ic.decode(self._make_interlaced_png(a))
+            assert img.mode == "RGB" and np.array_equal(img.arr, a), (h, w)
+
+    def test_probe_reports_dims(self):
+        import numpy as np
+
+        from pixeltable_spark.functions import image_codec as ic
+        a = np.zeros((5, 7, 3), dtype=np.uint8)
+        info = ic.probe(self._make_interlaced_png(a))
+        assert info["width"] == 7 and info["height"] == 5
