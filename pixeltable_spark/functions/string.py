@@ -168,6 +168,34 @@ format_string = Function(
 )
 
 
+
+# --- str.is* predicates (reference functions/string.py isalpha..isupper) ---
+# Python Unicode semantics exactly: vectorized pandas .str accessors (which
+# delegate to the str methods) rather than JVM regex approximations —
+# \p{L}-style patterns diverge from str.isalpha on modifier letters etc.
+_fn("isalnum", _BOOL, None, lambda s: s.isalnum(),
+    pandas_fn=lambda s: s.str.isalnum())
+_fn("isalpha", _BOOL, None, lambda s: s.isalpha(),
+    pandas_fn=lambda s: s.str.isalpha())
+_fn("isascii", _BOOL, None, lambda s: s.isascii(),
+    pandas_fn=lambda s: s.map(str.isascii))
+_fn("isdecimal", _BOOL, None, lambda s: s.isdecimal(),
+    pandas_fn=lambda s: s.str.isdecimal())
+_fn("isdigit", _BOOL, None, lambda s: s.isdigit(),
+    pandas_fn=lambda s: s.str.isdigit())
+_fn("isidentifier", _BOOL, None, lambda s: s.isidentifier(),
+    pandas_fn=lambda s: s.map(str.isidentifier))
+_fn("islower", _BOOL, None, lambda s: s.islower(),
+    pandas_fn=lambda s: s.str.islower())
+_fn("isnumeric", _BOOL, None, lambda s: s.isnumeric(),
+    pandas_fn=lambda s: s.str.isnumeric())
+_fn("isspace", _BOOL, None, lambda s: s.isspace(),
+    pandas_fn=lambda s: s.str.isspace())
+_fn("istitle", _BOOL, None, lambda s: s.istitle(),
+    pandas_fn=lambda s: s.str.istitle())
+_fn("isupper", _BOOL, None, lambda s: s.isupper(),
+    pandas_fn=lambda s: s.str.isupper())
+
 # --- string_splitter iterator (reference functions/string.py:873) ----------
 from .udf import iterator as _iterator  # noqa: E402
 from ..type_system import ColumnType as _CT  # noqa: E402

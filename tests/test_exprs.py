@@ -204,3 +204,23 @@ class TestApplyAndLiterals:
         for v in [1, 1.5, "x", True, None]:
             col = Literal(v).to_column(ctx)
             assert col is not None
+
+
+class TestStrIsPredicates:
+    """The 11 str.is* predicates (reference functions/string.py): exact
+    Python Unicode semantics via vectorized pandas .str accessors."""
+
+    def test_matches_python_semantics(self, spark):
+        import pixeltable_spark as pxt
+        vals = ["Hello", "hello world", "abc123", "123", "  ", "Ψφλ",
+                "_ident9", "", "½", "Title Case", "UPPER", "mixedCase"]
+        t = pxt.table_from_rows(
+            spark, [{"i": i, "s": s} for i, s in enumerate(vals)], "strs_t")
+        preds = ["isalnum", "isalpha", "isascii", "isdecimal", "isdigit",
+                 "isidentifier", "islower", "isnumeric", "isspace",
+                 "istitle", "isupper"]
+        q = t.select(t.i, **{p: getattr(t.s, p)() for p in preds}).order_by(t.i)
+        rows = {r["i"]: r for r in q.collect()}
+        for i, s in enumerate(vals):
+            for p in preds:
+                assert rows[i][p] == getattr(s, p)(), (s, p)
