@@ -89,3 +89,22 @@ date_trunc = Function(
 )
 register_method(TypeKind.TIMESTAMP, "date_trunc",
                 lambda base, unit: date_trunc(base, unit=unit))
+
+
+def _mk_ts_spark(y, mo, d, h=None, mi=None, s=None, us=None):
+    from pyspark.sql import Column as _Col
+
+    def c(x, default=0):
+        if x is None:
+            return F.lit(default)
+        return x if isinstance(x, _Col) else F.lit(x)
+    secs = c(s).cast(T.DoubleType()) + c(us).cast(T.DoubleType()) / 1e6
+    return F.make_timestamp(c(y), c(mo), c(d), c(h), c(mi), secs)
+
+
+make_timestamp = Function(
+    "make_timestamp", _TS,
+    spark_fn=_mk_ts_spark,
+    py_fn=lambda y, mo, d, h=0, mi=0, s=0, us=0: _dt.datetime(
+        y, mo, d, h, mi, s, us),
+)

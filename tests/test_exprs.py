@@ -224,3 +224,19 @@ class TestStrIsPredicates:
         for i, s in enumerate(vals):
             for p in preds:
                 assert rows[i][p] == getattr(s, p)(), (s, p)
+
+
+class TestMakeTimestamp:
+    def test_jvm_and_defaults(self, spark):
+        import datetime
+
+        import pixeltable_spark as pxt
+        from pixeltable_spark.functions import timestamp as ts
+        t = pxt.table_from_rows(spark, [{"i": 1, "y": 2024, "mo": 7, "d": 15}],
+                                "mts_t")
+        q = t.select(t.i, a=ts.make_timestamp(t.y, t.mo, t.d),
+                     b=ts.make_timestamp(t.y, t.mo, t.d, 13, 45, 30, 250000))
+        r = q.collect()[0]
+        assert r["a"].replace(tzinfo=None) == datetime.datetime(2024, 7, 15)
+        assert r["b"].replace(tzinfo=None) == datetime.datetime(
+            2024, 7, 15, 13, 45, 30, 250000)
