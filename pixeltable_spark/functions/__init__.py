@@ -105,3 +105,10 @@ __all__ = [
     "query", "tools", "invoke_tools", "mcp_udfs", "Tool",
     "udf", "uda", "register_method", "lookup_method",
 ]
+
+
+def cast(expr: "Expr", target_type: ColumnType) -> "Expr":
+    """Top-level cast (reference functions/globals.py:12) — sugar for
+    Expr.astype; the reference exposes both spellings."""
+    from ..exprs import to_expr
+    return to_expr(expr).astype(target_type)
