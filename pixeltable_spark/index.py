@@ -31,23 +31,57 @@ from .operators.similarity import ann_topk_cosine, hyperplane_bucket, topk_cosin
 
 class EmbeddingIndex:
     def __init__(self, table: Table, column: str, embed_col: str,
-                 n_planes: int = 0):
+                 n_planes: int = 0, method: str = "auto",
+                 pq_m: int = 8, pq_k: int = 16, pq_rerank: int = 100):
         self.table = table
         self.column = column
         self.embed_col = embed_col
         self.n_planes = n_planes
+        self.method = method  # 'auto' | 'exact' | 'lsh' | 'pq'
+        self.pq_m, self.pq_k, self.pq_rerank = pq_m, pq_k, pq_rerank
+        self._pq_books = None
+
+    def _vectors(self) -> DataFrame:
+        return (self.table.df()
+                .select(F.col("_rowid").alias("vec_id"),
+                        F.col(self.embed_col).alias("embedding")))
+
+    def _pq_state(self):
+        """Lazy PQ build: codebooks trained once per index instance, codes
+        recomputed per search (at scale, persist the codes as a computed
+        column; here they derive from the live snapshot so mutations are
+        always reflected)."""
+        from .operators.similarity import pq_encode, pq_train
+        vecs = self._vectors()
+        if self._pq_books is None:
+            self._pq_books = pq_train(vecs, m=self.pq_m, k=self.pq_k)
+        return self._pq_books, pq_encode(vecs, self._pq_books)
 
     def search(self, query_vec: Sequence[float], k: int = 10,
                approximate: Optional[bool] = None) -> DataFrame:
         """Top-k rows by cosine similarity of the indexed column.
-        Returns the full user rows with a `_similarity` column."""
-        df = self.table.df().withColumnRenamed(self.embed_col, "__vec")
-        use_ann = self.n_planes > 0 if approximate is None else approximate
-        fn = ann_topk_cosine if use_ann else topk_cosine
-        kwargs = {"n_planes": self.n_planes} if use_ann else {}
-        hits = fn(df.select(F.col("_rowid").alias("vec_id"), F.col("__vec").alias("embedding")),
-                  query_vec, k=k, **kwargs)
-        hits = hits.withColumnRenamed("cos", "_similarity").withColumnRenamed("vec_id", "_rowid")
+        Returns the full user rows with a `_similarity` column. Method:
+        'exact' = TakeOrderedAndProject brute force; 'lsh' = hyperplane
+        bucket probe; 'pq' = product-quantization ADC shortlist + exact
+        rerank; 'auto' picks lsh when n_planes>0 else exact (the
+        reference's pgvector scan analog)."""
+        method = self.method
+        if method == "auto":
+            use_ann = self.n_planes > 0 if approximate is None else approximate
+            method = "lsh" if use_ann and self.n_planes > 0 else "exact"
+        vecs = self._vectors()
+        if method == "pq":
+            from .operators.similarity import pq_topk_rerank
+            books, codes = self._pq_state()
+            hits = pq_topk_rerank(vecs, codes, books, query_vec, k=k,
+                                  rerank=max(self.pq_rerank, k))
+        elif method == "lsh":
+            hits = ann_topk_cosine(vecs, query_vec, k=k,
+                                   n_planes=self.n_planes or 8)
+        else:
+            hits = topk_cosine(vecs, query_vec, k=k)
+        hits = (hits.withColumnRenamed("cos", "_similarity")
+                .withColumnRenamed("vec_id", "_rowid"))
         cols = self.table.column_names()
         return (
             self.table.df().join(F.broadcast(hits), on="_rowid")
@@ -60,7 +94,9 @@ def add_embedding_index(table: Table, column: str,
                         embed_fn: Optional[Callable[[str], list]] = None,
                         embedding_col: Optional[str] = None,
                         dim: int = 16, n_planes: int = 0,
-                        model: str = "fake-embed-1") -> EmbeddingIndex:
+                        model: str = "fake-embed-1",
+                        method: str = "auto", pq_m: int = 8,
+                        pq_k: int = 16, pq_rerank: int = 100) -> EmbeddingIndex:
     """Create an embedding index over a (text) column
     (reference catalog/table.py:461 add_embedding_index).
 
@@ -93,6 +129,7 @@ def add_embedding_index(table: Table, column: str,
                 or table.computed[column].col_type)
     expr = ColumnRef(column, src_type).apply(embed_fn, ArrayType(ColumnType.float_()))
     table.add_computed_column(embed_col, expr)
-    idx = EmbeddingIndex(table, column, embed_col, n_planes)
+    idx = EmbeddingIndex(table, column, embed_col, n_planes, method=method,
+                         pq_m=pq_m, pq_k=pq_k, pq_rerank=pq_rerank)
     table._log("add_embedding_index", column=column, embed_col=embed_col)
     return idx

@@ -70,3 +70,31 @@ class TestPq:
                                    rerank=50).collect()
             # the query vector itself is in the corpus: cos=1.0 must win
             assert top[0]["vec_id"] == qi and top[0]["cos"] == pytest.approx(1.0)
+
+
+class TestEmbeddingIndexPq:
+    def test_pq_method_through_catalog_index(self, spark, tmp_path):
+        import pixeltable_spark as pxt
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("docs", {"doc_id": pxt.Int(False),
+                                      "text": pxt.String()})
+        t.insert([{"doc_id": i, "text": f"document number {i} about topic {i % 5}"}
+                  for i in range(30)])
+        idx = pxt.add_embedding_index(t, "text", dim=16, method="pq",
+                                      pq_m=4, pq_k=8, pq_rerank=30)
+        # query with the exact embedding of doc 7 -> top hit is doc 7
+        from pixeltable_spark.functions.llm import DeterministicFakeClient
+        import asyncio
+        loop = asyncio.new_event_loop()
+        try:
+            q = loop.run_until_complete(DeterministicFakeClient().embed(
+                "document number 7 about topic 2", "fake-embed-1", dim=16))
+        finally:
+            loop.close()
+        hits = idx.search(q, k=3).collect()
+        assert hits[0]["doc_id"] == 7
+        assert hits[0]["_similarity"] == pytest.approx(1.0)
+        # exact search agrees on the top hit
+        idx.method = "exact"
+        exact = idx.search(q, k=3).collect()
+        assert exact[0]["doc_id"] == 7
