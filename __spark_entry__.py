@@ -1251,6 +1251,26 @@ def q70_pq_ann(spark, sf_dir):
     return S.pq_topk_rerank(df, codes, books, QUERY_VEC, k=10, rerank=100)
 
 
+def q71_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (operators/joins.py asof_join — the
+    union-and-carry formulation: ONE shuffle on the by-keys, running
+    last(ignorenulls) carry, no range explosion): every event picks up
+    the same user's most recent prior-or-equal purchase value. DuckDB's
+    native ASOF JOIN is the oracle, so the semantics (backward, ties
+    included, null-safe carried values) are checked EXACTLY."""
+    from pixeltable_spark.operators.joins import asof_join
+    ev = _df(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pv")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"),
+                    purchases, on="ts", by=["user_id"])
+    return (out.select("event_id",
+                       F.round("pv_r", 4).alias("pv"),
+                       F.col("ts_r").alias("pts"))
+            .orderBy("event_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1326,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_jpeg_codec": q68_jpeg_codec,
         "q69_lm_quality": q69_lm_quality,
         "q70_pq_ann": q70_pq_ann,
+        "q71_asof_join": q71_asof_join,
     }
 
 
@@ -2064,4 +2085,14 @@ SELECT tg.doc_id,
        count(*) AS n_grams_scored
 FROM tg LEFT JOIN model ON tg.gram = model.gram
 GROUP BY tg.doc_id ORDER BY tg.doc_id""",
+        "q71_asof_join": """
+SELECT a.event_id,
+       round(b.pv, 4) AS pv,
+       b.ts AS pts
+FROM events a
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pv
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts) b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id""",
     }

@@ -1,0 +1,113 @@
+"""Join operators Spark's DataFrame API lacks natively: as-of
+(point-in-time) join and range join.
+
+Spark-first design (100 TB): the as-of join is the union-and-carry
+formulation — tag both sides, union, shuffle ONCE on the `by` keys, sort
+within partitions by (time, side), and carry the latest right-side row
+forward with a running `last(ignorenulls)` window. That is one shuffle of
+left+right (exactly what a sort-merge join would pay) with no range
+explosion and no per-key skew beyond the data's own: the classic
+distributed point-in-time-correct join used for feature stores and
+market-data enrichment. DuckDB/kdb express the same thing as ASOF JOIN,
+which is what the oracle uses.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: Optional[Sequence[str]] = None,
+              right_cols: Optional[Sequence[str]] = None,
+              suffix: str = "_r",
+              tolerance=None) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row with the
+    greatest ``on`` <= left.``on`` within the same ``by`` group (backward
+    direction, ties included — DuckDB ``ASOF LEFT JOIN ... ON l.by = r.by
+    AND l.on >= r.on`` semantics). Unmatched left rows keep nulls.
+
+    ``right_cols`` limits the carried columns (default: all non-key
+    right columns, named ``<col><suffix>`` plus ``<on><suffix>`` for the
+    matched time). ``tolerance`` (seconds or a Column-compatible
+    interval) drops matches older than ``on - tolerance``.
+
+    The right side's carried values ride in ONE struct, so a right row
+    whose value column is legitimately NULL still matches (null-safe —
+    an ignorenulls carry of bare columns would skip it)."""
+    by = list(by or [])
+    rvals = list(right_cols
+                 or [c for c in right.columns if c not in set(by) | {on}])
+    lcols = left.columns
+
+    payload = F.struct(F.col(on).alias("__t"),
+                       *[F.col(c) for c in rvals])
+    r = right.select(
+        *by, F.col(on).alias("__evt"), F.lit(0).alias("__is_left"),
+        payload.alias("__pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in by])
+    l = left.select(
+        *by, F.col(on).alias("__evt"), F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        *[F.col(c) for c in lcols if c not in by])
+    u = l.unionByName(r.select(*l.columns))
+
+    # one shuffle on `by`; right rows sort before left rows at equal time
+    # so an exactly-equal right timestamp is visible to the left row
+    w = (W.partitionBy(*by) if by else W.partitionBy(F.lit(1))) \
+        .orderBy(F.col("__evt").asc(), F.col("__is_left").asc()) \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = F.last(F.when(F.col("__is_left") == 0, F.col("__pay")),
+                     ignorenulls=True).over(w)
+    out = (u.withColumn("__match", carried)
+           .filter(F.col("__is_left") == 1))
+    if tolerance is not None:
+        tol = tolerance if not isinstance(tolerance, (int, float)) else \
+            F.expr(f"INTERVAL {int(tolerance)} SECONDS")
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__match.__t") >= F.col("__evt") - tol,
+                   F.col("__match")))
+    sel = ([F.col(c) for c in by]
+           + [F.col("__evt").alias(on)]
+           + [F.col(c) for c in lcols if c not in set(by) | {on}]
+           + [F.col(f"__match.{c}").alias(c + suffix) for c in rvals]
+           + [F.col("__match.__t").alias(on + suffix)])
+    return out.select(*sel)
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               left_point: str, right_lo: str, right_hi: str,
+               by: Optional[Sequence[str]] = None,
+               bin_width: Optional[float] = None) -> DataFrame:
+    """Inner range join: left rows paired with right rows whose
+    [right_lo, right_hi] interval contains left_point (plus optional
+    equi-keys). Without `bin_width`, Spark would plan a broadcast/
+    nested-loop theta join; with it, both sides explode to shared range
+    bins so the pairing becomes an equi-join on (by..., bin) — the
+    standard binned range-join trick (Databricks' range-join hint does
+    the same), with exact predicate re-applied after."""
+    by = list(by or [])
+    if bin_width is None:
+        cond = [left[left_point] >= right[right_lo],
+                left[left_point] <= right[right_hi]]
+        cond += [left[b] == right[b] for b in by]
+        return left.join(right, cond)
+    lb = left.withColumn(
+        "__bin", F.floor(F.col(left_point) / F.lit(float(bin_width))))
+    rb = right.withColumn(
+        "__bins", F.sequence(
+            F.floor(F.col(right_lo) / F.lit(float(bin_width))),
+            F.floor(F.col(right_hi) / F.lit(float(bin_width)))))
+    rb = rb.withColumn("__bin", F.explode("__bins")).drop("__bins")
+    on = ["__bin"] + by
+    joined = lb.alias("l").join(rb.alias("r"), on)
+    return (joined
+            .filter((F.col(f"l.{left_point}") >= F.col(f"r.{right_lo}"))
+                    & (F.col(f"l.{left_point}") <= F.col(f"r.{right_hi}")))
+            .drop("__bin"))

@@ -1,0 +1,100 @@
+"""As-of and range joins (operators/joins.py): the point-in-time join
+Spark lacks natively, expressed as one shuffle + running carry; the
+binned range join that avoids the nested-loop theta plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from pixeltable_spark.operators.joins import asof_join, range_join
+
+
+def _quotes(spark):
+    return spark.createDataFrame([
+        ("A", dt.datetime(2024, 1, 1, 10, 0, 0), 100.0),
+        ("A", dt.datetime(2024, 1, 1, 10, 5, 0), 101.0),
+        ("A", dt.datetime(2024, 1, 1, 10, 10, 0), None),
+        ("B", dt.datetime(2024, 1, 1, 10, 2, 0), 50.0),
+    ], ["sym", "ts", "px"])
+
+
+def _trades(spark):
+    return spark.createDataFrame([
+        ("A", dt.datetime(2024, 1, 1, 10, 3, 0), 1),
+        ("A", dt.datetime(2024, 1, 1, 10, 5, 0), 2),
+        ("A", dt.datetime(2024, 1, 1, 10, 11, 0), 3),
+        ("A", dt.datetime(2024, 1, 1, 9, 0, 0), 4),
+        ("B", dt.datetime(2024, 1, 1, 10, 30, 0), 5),
+        ("C", dt.datetime(2024, 1, 1, 10, 0, 0), 6),
+    ], ["sym", "ts", "qty"])
+
+
+class TestAsofJoin:
+    def test_backward_ties_nulls_unmatched(self, spark):
+        out = {r["qty"]: (r["px_r"], r["ts_r"]) for r in
+               asof_join(_trades(spark), _quotes(spark),
+                         on="ts", by=["sym"]).collect()}
+        assert out[1] == (100.0, dt.datetime(2024, 1, 1, 10, 0))
+        # tie at 10:05 is included (backward, >=)
+        assert out[2] == (101.0, dt.datetime(2024, 1, 1, 10, 5))
+        # a right row with a NULL value still matches (struct carry)
+        assert out[3] == (None, dt.datetime(2024, 1, 1, 10, 10))
+        # before all quotes / no quotes for key -> null match
+        assert out[4] == (None, None) and out[6] == (None, None)
+        assert out[5] == (50.0, dt.datetime(2024, 1, 1, 10, 2))
+
+    def test_tolerance_drops_stale_matches(self, spark):
+        out = {r["qty"]: r["px_r"] for r in
+               asof_join(_trades(spark), _quotes(spark), on="ts",
+                         by=["sym"], tolerance=120).collect()}
+        assert out[1] is None      # 10:03 vs 10:00 is 180s > 120s
+        assert out[2] == 101.0     # exact tie: 0s
+
+    def test_matches_duckdb_asof(self, spark):
+        import duckdb
+        import pandas as pd
+        trades, quotes = _trades(spark), _quotes(spark)
+        got = sorted(
+            (r["qty"], r["px_r"]) for r in
+            asof_join(trades, quotes, on="ts", by=["sym"]).collect())
+        con = duckdb.connect()
+        con.register("t", trades.toPandas())
+        con.register("q", quotes.toPandas())
+        exp = sorted(map(tuple, con.execute(
+            "SELECT t.qty, q.px FROM t ASOF LEFT JOIN q "
+            "ON t.sym = q.sym AND t.ts >= q.ts").fetchall()))
+        norm = lambda v: None if v != v else v  # NaN -> None  # noqa: E731
+        assert got == [(a, norm(b)) for a, b in exp]
+
+    def test_single_shuffle_plan(self, spark):
+        plan = (asof_join(_trades(spark), _quotes(spark), on="ts",
+                          by=["sym"])
+                ._jdf.queryExecution().executedPlan().toString())
+        # union + window => exactly one Exchange on the by-keys
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestRangeJoin:
+    def test_binned_equals_plain(self, spark):
+        random.seed(1)
+        pts = spark.createDataFrame(
+            [(i, random.uniform(0, 100)) for i in range(200)], ["pid", "x"])
+        ivs = spark.createDataFrame(
+            [(j, j * 7 % 90, j * 7 % 90 + 5) for j in range(30)],
+            ["iid", "lo", "hi"])
+        plain = sorted((r["pid"], r["iid"]) for r in
+                       range_join(pts, ivs, "x", "lo", "hi").collect())
+        binned = sorted((r["pid"], r["iid"]) for r in
+                        range_join(pts, ivs, "x", "lo", "hi",
+                                   bin_width=8.0).collect())
+        assert plain == binned and plain
+
+    def test_binned_is_equijoin(self, spark):
+        pts = spark.createDataFrame([(1, 5.0)], ["pid", "x"])
+        ivs = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+        plan = (range_join(pts, ivs, "x", "lo", "hi", bin_width=4.0)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" not in plan
