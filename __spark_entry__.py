@@ -1271,6 +1271,24 @@ def q71_asof_join(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def q72_simhash_neighbors(spark, sf_dir):
+    """SimHash Hamming-ball near-dup degree (operators/dedup.py
+    simhash_pairs — pigeonhole banding, Manku et al. WWW'07: d+1 bands,
+    any pair within Hamming d agrees exactly on one band, exact distance
+    verified with bit_count(xor) JVM-side): per-doc count of neighbors
+    within Hamming<=2 of its 32-bit fingerprint. The oracle replays the
+    same simhash SQL with a brute-force self-join — feasible at the
+    check scale, which is exactly why the Spark side must band."""
+    from pixeltable_spark.operators.dedup import simhash_pairs
+    df = _df(spark, sf_dir, "documents")
+    pairs = simhash_pairs(df, bits=32, max_hamming=2)
+    both = (pairs.select(F.col("id_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
+    return (both.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_near"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1347,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_lm_quality": q69_lm_quality,
         "q70_pq_ann": q70_pq_ann,
         "q71_asof_join": q71_asof_join,
+        "q72_simhash_neighbors": q72_simhash_neighbors,
     }
 
 
@@ -2095,4 +2114,11 @@ ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pv
                 GROUP BY user_id, ts) b
   ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY a.event_id""",
+        "q72_simhash_neighbors": f"""
+WITH sims AS ({_simhash_sql(32).replace("ORDER BY doc_id", "")})
+SELECT a.doc_id, count(*) AS n_near
+FROM sims a JOIN sims b
+  ON a.doc_id <> b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= 2
+GROUP BY a.doc_id ORDER BY a.doc_id""",
     }

@@ -522,3 +522,47 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes=k, bands=bands,
                               shingle_n=shingle_n)
     return connected_components(pairs, "id_a", "id_b", max_iter)
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding (the standard SimHash dedup trick, e.g. Manku et
+    al. WWW'07): split the fingerprint into max_hamming+1 bands — any
+    pair within distance d agrees EXACTLY on at least one band, so
+    candidates come from equi-joins on (band_idx, band_value), never n².
+    Exact Hamming is then verified JVM-side with bit_count(xor).
+    Returns (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    widths = [bits // n_bands + (1 if b < bits % n_bands else 0)
+              for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    sh = simhash(df, text_col, id_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), offsets[b])
+            .bitwiseAND((1 << widths[b]) - 1).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, "simhash",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.key") == F.col("b.key"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

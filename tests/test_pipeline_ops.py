@@ -255,3 +255,30 @@ class TestPrefixFilterJaccard:
         pref = sorted(map(tuple, ngram_jaccard_pairs(
             df, n=2, threshold=0.1, max_df=4, prefix_filter=True).collect()))
         assert plain == pref
+
+
+class TestSimhashPairs:
+    def test_matches_brute_force(self, spark):
+        from pixeltable_spark.operators.dedup import simhash, simhash_pairs
+        rows = [(i, f"shared words alpha beta gamma delta u{i % 7}")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(map(tuple,
+                         simhash_pairs(df, bits=16, max_hamming=3).collect()))
+        sh = {r["doc_id"]: r["simhash"]
+              for r in simhash(df, bits=16).collect()}
+        ids = sorted(sh)
+        expect = sorted(
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sh[a] ^ sh[b]).count("1") <= 3)
+        assert got == expect and expect  # banding must lose NO pair
+
+    def test_zero_distance_identical_docs(self, spark):
+        from pixeltable_spark.operators.dedup import simhash_pairs
+        df = spark.createDataFrame(
+            [(1, "same text here"), (2, "same text here"),
+             (3, "totally different words entirely")], ["doc_id", "text"])
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in simhash_pairs(df, bits=32, max_hamming=0).collect()}
+        assert got == {(1, 2): 0}
