@@ -1276,12 +1276,12 @@ def q72_simhash_neighbors(spark, sf_dir):
     simhash_pairs — pigeonhole banding, Manku et al. WWW'07: d+1 bands,
     any pair within Hamming d agrees exactly on one band, exact distance
     verified with bit_count(xor) JVM-side): per-doc count of neighbors
-    within Hamming<=2 of its 32-bit fingerprint. The oracle replays the
+    within Hamming<=1 of its 32-bit fingerprint. The oracle replays the
     same simhash SQL with a brute-force self-join — feasible at the
     check scale, which is exactly why the Spark side must band."""
     from pixeltable_spark.operators.dedup import simhash_pairs
     df = _df(spark, sf_dir, "documents")
-    pairs = simhash_pairs(df, bits=32, max_hamming=2)
+    pairs = simhash_pairs(df, bits=32, max_hamming=1)
     both = (pairs.select(F.col("id_a").alias("doc_id"))
             .unionAll(pairs.select(F.col("id_b").alias("doc_id"))))
     return (both.groupBy("doc_id")
@@ -2119,6 +2119,6 @@ WITH sims AS ({_simhash_sql(32).replace("ORDER BY doc_id", "")})
 SELECT a.doc_id, count(*) AS n_near
 FROM sims a JOIN sims b
   ON a.doc_id <> b.doc_id
- AND bit_count(xor(a.simhash, b.simhash)) <= 2
+ AND bit_count(xor(a.simhash, b.simhash)) <= 1
 GROUP BY a.doc_id ORDER BY a.doc_id""",
     }
