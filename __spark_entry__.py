@@ -1289,6 +1289,18 @@ def q72_simhash_neighbors(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q73_doc_packing(spark, sf_dir):
+    """Sequence packing for training batches (operators/text.py
+    pack_documents — the GPT concat-then-chunk layout): docs hash to
+    independent packing streams, one window cumsum per stream assigns
+    (stream, bin, offset). Pure window math, so DuckDB replays it
+    EXACTLY."""
+    from pixeltable_spark.operators.text import pack_documents
+    df = _df(spark, sf_dir, "documents")
+    return (pack_documents(df, tokens_per_bin=256, n_streams=4)
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1366,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_pq_ann": q70_pq_ann,
         "q71_asof_join": q71_asof_join,
         "q72_simhash_neighbors": q72_simhash_neighbors,
+        "q73_doc_packing": q73_doc_packing,
     }
 
 
@@ -2121,4 +2134,21 @@ FROM sims a JOIN sims b
   ON a.doc_id <> b.doc_id
  AND bit_count(xor(a.simhash, b.simhash)) <= 1
 GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "q73_doc_packing": r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 4 AS stream
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens, stream,
+         sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+  FROM base)
+SELECT doc_id, n_tokens, stream,
+       CAST(floor(s / 256) AS BIGINT) AS bin,
+       s % 256 AS "offset"
+FROM cum ORDER BY doc_id""",
     }

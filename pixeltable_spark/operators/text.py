@@ -246,3 +246,38 @@ def ngram_lm_score(df: DataFrame, model: DataFrame, text_col: str = "text",
             .agg(F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp)))
                  .alias("lm_score"),
                  F.count(F.lit(1)).alias("n_grams_scored")))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (the GPT-2/3 concat-then-chunk batching layout, public)
+# ---------------------------------------------------------------------------
+
+def pack_documents(df: DataFrame, tokens_per_bin: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_streams: int = 64) -> DataFrame:
+    """Assign each document a (stream, bin, offset) slot for fixed-size
+    training sequences: documents are concatenated in deterministic order
+    and chunked every `tokens_per_bin` tokens (the GPT-style packing —
+    a doc may straddle a bin boundary; the tokenizer's EOS handles it).
+
+    Distribution: docs hash to `n_streams` independent packing streams
+    (md5 of the id — deterministic, skew-proof), and within a stream the
+    layout is one window cumsum ordered by id. ONE shuffle on the stream
+    key however large the corpus; each stream's bins are filled exactly,
+    so padding waste is bounded by the straddling policy, not by doc
+    order. Output: id, n_tokens, stream, bin, offset.
+    """
+    from pyspark.sql import Window as W
+
+    toks = token_count(F.col(text_col)).alias("n_tokens")
+    stream = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                     16, 10).cast("long") % n_streams).alias("stream")
+    base = df.select(F.col(id_col), toks, stream)
+    w = (W.partitionBy("stream").orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return (base.select(id_col, "n_tokens", "stream", start)
+            .select(id_col, "n_tokens", "stream",
+                    F.floor(F.col("__start") / tokens_per_bin)
+                    .cast("long").alias("bin"),
+                    (F.col("__start") % tokens_per_bin).alias("offset")))

@@ -282,3 +282,35 @@ class TestSimhashPairs:
         got = {(r["id_a"], r["id_b"]): r["hamming"]
                for r in simhash_pairs(df, bits=32, max_hamming=0).collect()}
         assert got == {(1, 2): 0}
+
+
+class TestDocPacking:
+    def test_layout_matches_reference_impl(self, spark):
+        import hashlib
+        from pixeltable_spark.operators.text import pack_documents
+        rows = [(i, " ".join(["w"] * (5 + i % 40))) for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["stream"], r["bin"], r["offset"], r["n_tokens"])
+               for r in pack_documents(df, tokens_per_bin=64,
+                                       n_streams=3).collect()}
+        streams: dict = {}
+        for i, t in rows:
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 3
+            streams.setdefault(s, []).append((i, len(t.split())))
+        for s, docs in streams.items():
+            cum = 0
+            for i, n in sorted(docs):
+                assert got[i] == (s, cum // 64, cum % 64, n), (i, got[i])
+                cum += n
+
+    def test_bins_fill_exactly(self, spark):
+        from pixeltable_spark.operators.text import pack_documents
+        # every doc 16 tokens, capacity 64 -> 4 docs per bin, offset
+        # pattern 0/16/32/48 within each stream
+        df = spark.createDataFrame(
+            [(i, " ".join(["t"] * 16)) for i in range(40)],
+            ["doc_id", "text"])
+        out = pack_documents(df, tokens_per_bin=64, n_streams=1).collect()
+        offs = sorted((r["bin"], r["offset"]) for r in out)
+        assert all(o in (0, 16, 32, 48) for _, o in offs)
+        assert len({b for b, _ in offs}) == 10  # 40 docs / 4 per bin
