@@ -5,13 +5,13 @@ similarity search (brute-force + LSH-bucketed ANN), text analysis
 (language-ID, heuristic + char-n-gram-LM quality scoring, Gopher
 repetition signals, token counting, fingerprinting), PII
 detection/scrubbing, benchmark contamination checks, duplicate-cluster
-resolution (connected components over LSH pairs), and multimodal
-binary-column plumbing.
+resolution (connected components over LSH pairs), as-of/range joins,
+sequence packing, and multimodal binary-column plumbing.
 
 All hashing is md5-based and engine-portable, so every operator is
 oracle-checkable against DuckDB with identical results.
 """
 
-from . import dedup, multimodal, pii, similarity, text
+from . import dedup, joins, multimodal, pii, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pii"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pii", "joins"]
