@@ -311,3 +311,55 @@ def pq_topk_rerank(df: DataFrame, codes_df: DataFrame, codebooks, query,
                         .alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def pq_encode_bucketed(df: DataFrame, codebooks,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       n_planes: int = 4) -> DataFrame:
+    """PQ codes + an LSH routing bucket per vector (id, bucket, codes).
+    Stored partitioned by `bucket`, a probe reads 1/2^planes of the
+    codes — the IVF-PQ layout (coarse quantizer = deterministic
+    hyperplanes here, so the oracle/tests can replay it)."""
+    return (df.select(F.col(id_col),
+                      hyperplane_bucket(F.col(vec_col), n_planes)
+                      .alias("bucket"),
+                      F.col(vec_col))
+            .transform(lambda d: pq_encode(d, codebooks, vec_col, id_col)
+                       .join(d.select(id_col, "bucket"), id_col)))
+
+
+def pq_topk_bucketed(codes_df: DataFrame, codebooks, query, k: int = 10,
+                     n_planes: int = 4, multiprobe_hamming: int = 1,
+                     id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ search: route to the query's LSH bucket plus all buckets
+    within `multiprobe_hamming` sign flips (multi-probe LSH — recall
+    insurance for near-boundary queries), then ADC top-k over only the
+    probed buckets' codes. With codes partitioned by bucket the filter
+    is partition-pruning, so the scan touches
+    ~(1 + planes choose h)/2^planes of the index."""
+    import hashlib
+
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    d = len(q)
+    # replay hyperplane_bucket's md5 plane weights driver-side: the JVM
+    # formula is ascii(first hex CHAR) % 2 with 1-based dim indices
+    qb = 0
+    for p in range(n_planes):
+        w = np.array([(ord(hashlib.md5(f"p{p}_{i}".encode())
+                           .hexdigest()[0]) % 2) * 2 - 1
+                      for i in range(1, d + 1)], dtype=np.float64)
+        if float(w @ q) > 0:
+            qb |= 1 << p
+    probes = {qb}
+    if multiprobe_hamming >= 1:
+        for p in range(n_planes):
+            probes.add(qb ^ (1 << p))
+    if multiprobe_hamming >= 2:
+        for p1 in range(n_planes):
+            for p2 in range(p1 + 1, n_planes):
+                probes.add(qb ^ (1 << p1) ^ (1 << p2))
+    sub = codes_df.filter(F.col("bucket").isin([int(b) for b in probes]))
+    return pq_topk(sub, codebooks, query, k=k, id_col=id_col)

@@ -98,3 +98,39 @@ class TestEmbeddingIndexPq:
         idx.method = "exact"
         exact = idx.search(q, k=3).collect()
         assert exact[0]["doc_id"] == 7
+
+
+class TestIvfPq:
+    def test_route_probe_and_rerank(self, emb, spark):
+        df, vecs = emb
+        books = S.pq_train(df, m=8, k=16, iters=5)
+        codes = S.pq_encode_bucketed(df, books, n_planes=4).cache()
+        qi = sorted(vecs)[7]
+        q = vecs[qi]
+        # the query vector's own bucket is always probed, so it is in the
+        # candidate subset...
+        top = S.pq_topk_bucketed(codes, books, q, k=200, n_planes=4)
+        assert qi in {r["vec_id"] for r in top.collect()}
+        # ...and ADC shortlist + exact rerank puts it at rank 1
+        short = S.pq_topk_bucketed(codes, books, q, k=100, n_planes=4)
+        cand = df.join(short.select("vec_id"), "vec_id", "left_semi")
+        from pyspark.sql import functions as F
+        best = (cand.select("vec_id",
+                            S.cosine_to_query(F.col("embedding"), q)
+                            .alias("cos"))
+                .orderBy(F.col("cos").desc()).first())
+        assert best["vec_id"] == qi
+
+    def test_probes_shrink_the_scan(self, emb, spark):
+        df, _ = emb
+        books = S.pq_train(df, m=8, k=16, iters=5)
+        codes = S.pq_encode_bucketed(df, books, n_planes=4).cache()
+        total = codes.count()
+        import numpy as np
+        q = np.ones(64)
+        import hashlib
+        probed = S.pq_topk_bucketed(codes, books, q, k=total, n_planes=4,
+                                    multiprobe_hamming=1)
+        n = probed.count()
+        # 5 of 16 buckets probed -> roughly 5/16 of rows (loose bound)
+        assert 0 < n < total * 0.8, (n, total)
