@@ -1301,6 +1301,72 @@ def q73_doc_packing(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q74_line_dedup(spark, sf_dir):
+    """Cross-document line-level dedup (operators/dedup.py dedup_lines —
+    the CCNet §3 paragraph-dedup design): lines occurring in more than
+    max_doc_freq documents are boilerplate and get scrubbed from every
+    document, preserving original line order. The synthetic corpus has no
+    newlines, so the query first materializes line structure by turning
+    the word ' table ' into a line break (literal replace — identical
+    non-overlapping semantics in both engines). Plan: explode -> two-level
+    exact doc-frequency agg -> join back on the 16-byte md5 line key ->
+    ordered rebuild; three keyed shuffles, no window over the corpus."""
+    from pixeltable_spark.operators.dedup import dedup_lines
+    df = (_df(spark, sf_dir, "documents")
+          .select("doc_id", F.replace(F.col("text"), F.lit(" table "),
+                                      F.lit("\n")).alias("text")))
+    return dedup_lines(df, max_doc_freq=2).orderBy("doc_id")
+
+
+def q75_url_curation(spark, sf_dir):
+    """URL canonicalization + eTLD+1 domains + per-domain cap
+    (operators/web.py — the RefinedWeb/CCNet web-curation front door).
+    URLs are synthesized deterministically from doc_id (the corpus has no
+    url column): mixed case, www prefix, default port, tracking params,
+    fragments — everything canonicalization must strip. The per-domain
+    cap (row_number window on the ~14 registrable domains) keeps the 20
+    lowest doc_ids per domain, the dedup-friendly deterministic choice."""
+    from pixeltable_spark.operators.web import (
+        canonicalize_url, cap_per_domain, registered_domain, url_host)
+    df = _df(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".co.UK"))
+             .otherwise(F.lit(".COM")),
+            F.lit(":80/docs/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("/?utm_source=feed&ref=rss&id="),
+                            F.col("doc_id").cast("string")))
+             .otherwise(F.concat(F.lit("?id="), F.col("doc_id").cast("string"),
+                                 F.lit("&z=2&a=1"))),
+            F.lit("#frag"),
+        ).alias("url"))
+    capped = cap_per_domain(df, max_docs=20, order_col="doc_id")
+    return (capped.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registered_domain(url_host(F.col("url"))).alias("domain"))
+        .orderBy("doc_id"))
+
+
+def q76_dsir_score(spark, sf_dir):
+    """DSIR importance weights (operators/text.py dsir_model/dsir_score —
+    Xie et al. NeurIPS'23): hashed word-unigram log-likelihood ratio of a
+    target domain (source='src0' docs) vs the raw corpus, length-
+    normalized per document. Model is bounded by n_buckets so it
+    broadcasts; scoring is explode -> broadcast join -> one groupBy(doc)
+    with map-side partials — the corpus is scanned once and never
+    shuffled wider than (doc, partial-avg)."""
+    from pixeltable_spark.operators.text import dsir_model, dsir_score
+    df = _df(spark, sf_dir, "documents")
+    target = df.where(F.col("source") == "src0")
+    model = dsir_model(df, target, n_buckets=512)
+    return (dsir_score(df, model, n_buckets=512)
+            .select("doc_id", "dsir_score", "n_tokens")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1379,6 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_asof_join": q71_asof_join,
         "q72_simhash_neighbors": q72_simhash_neighbors,
         "q73_doc_packing": q73_doc_packing,
+        "q74_line_dedup": q74_line_dedup,
+        "q75_url_curation": q75_url_curation,
+        "q76_dsir_score": q76_dsir_score,
     }
 
 
@@ -2151,4 +2220,106 @@ SELECT doc_id, n_tokens, stream,
        CAST(floor(s / 256) AS BIGINT) AS bin,
        s % 256 AS "offset"
 FROM cum ORDER BY doc_id""",
+        "q74_line_dedup": r"""
+WITH docs AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos FROM split),
+freq AS (
+  SELECT md5(trim(line)) AS line_key, count(DISTINCT doc_id) AS doc_freq
+  FROM lines WHERE trim(line) <> '' GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN freq f ON md5(trim(l.line)) = f.line_key
+  WHERE trim(l.line) = '' OR f.doc_freq IS NULL OR f.doc_freq <= 2),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""",
+        "q75_url_curation": r"""
+WITH u AS (
+  SELECT doc_id,
+    'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '.co.UK' ELSE '.COM' END
+    || ':80/docs/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0
+            THEN '/?utm_source=feed&ref=rss&id=' || CAST(doc_id AS VARCHAR)
+            ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&z=2&a=1' END
+    || '#frag' AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:(\d+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u),
+canon AS (
+  SELECT doc_id, host,
+    scheme || '://' || regexp_replace(host, '^www\.', '')
+    || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                     OR (scheme = 'https' AND port = '443'))
+            THEN ':' || port ELSE '' END
+    || regexp_replace(path, '/$', '')
+    || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT list_contains(['utm_source','utm_medium','utm_campaign','utm_term','utm_content','gclid','fbclid','msclkid','mc_eid','igshid','ref','ref_src'],
+                                         string_split(x, '=')[1]))), '&') AS q2
+    FROM parts)),
+dom AS (
+  SELECT doc_id, canonical_url,
+    CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$')
+              OR len(string_split(host, '.')) <= 2 THEN host
+         WHEN list_contains(['co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp','or.jp','com.au','net.au','org.au','com.br','com.cn','com.mx','co.in','co.kr','com.tr','com.ar','co.za'],
+             array_to_string(list_slice(string_split(host, '.'),
+               greatest(len(string_split(host, '.')) - 1, 1),
+               len(string_split(host, '.'))), '.'))
+         THEN array_to_string(list_slice(string_split(host, '.'),
+               greatest(len(string_split(host, '.')) - 2, 1),
+               len(string_split(host, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+               greatest(len(string_split(host, '.')) - 1, 1),
+               len(string_split(host, '.'))), '.') END AS domain
+  FROM canon),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM dom)
+SELECT doc_id, canonical_url, domain FROM capped WHERE rn <= 20
+ORDER BY doc_id""",
+        "q76_dsir_score": r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+feat AS (
+  SELECT doc_id, source,
+         CAST(CAST('0x' || substr(md5(tok), 1, 14) AS BIGINT) % 512 AS INT)
+           AS bucket
+  FROM toks),
+tgt AS (SELECT bucket, count(*) AS c_target FROM feat
+        WHERE source = 'src0' GROUP BY 1),
+rawc AS (SELECT bucket, count(*) AS c_raw FROM feat GROUP BY 1),
+j AS (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         coalesce(c_target, 0) AS c_target, coalesce(c_raw, 0) AS c_raw
+  FROM tgt t FULL OUTER JOIN rawc r ON t.bucket = r.bucket),
+tot AS (SELECT sum(c_target) AS t_target, sum(c_raw) AS t_raw FROM j),
+model AS (
+  SELECT bucket,
+         ln((c_target + 1.0) / (t_target + 1.0 * 512))
+         - ln((c_raw + 1.0) / (t_raw + 1.0 * 512)) AS log_ratio
+  FROM j, tot)
+SELECT doc_id, avg(coalesce(log_ratio, 0.0)) AS dsir_score,
+       count(*) AS n_tokens
+FROM feat LEFT JOIN model USING (bucket)
+GROUP BY doc_id ORDER BY doc_id""",
     }

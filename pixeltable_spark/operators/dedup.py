@@ -566,3 +566,68 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup (the CCNet §3 "paragraph dedup" design:
+# hash every line, drop lines that occur in many documents — removes
+# boilerplate headers/footers/cookie banners without touching unique prose)
+# ---------------------------------------------------------------------------
+
+def line_doc_freq(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Per-line document frequency across the corpus: (line_key, doc_freq)
+    where line_key = md5 of the whitespace-trimmed line. Two-level
+    aggregation — groupBy(line, doc) then groupBy(line) — keeps the
+    count-distinct exact with map-side partials at each level; shuffle
+    volume is distinct (line, doc) keys, never raw text (the 128-bit md5
+    travels instead of the line)."""
+    lines = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), sep)).alias("line"))
+        .where(F.trim("line") != "")
+        .select(id_col, F.md5(F.trim("line")).alias("line_key"))
+    )
+    per_doc = lines.groupBy("line_key", id_col).agg(F.count(F.lit(1)).alias("_c"))
+    return per_doc.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n",
+                max_doc_freq: int = 2) -> DataFrame:
+    """Rebuild each document with lines occurring in more than
+    ``max_doc_freq`` documents removed (CCNet boilerplate scrub).
+
+    Plan: posexplode lines -> join per-line doc_freq on the md5 line key
+    (shuffle keyed by a 16-byte hash, so the wide line text is carried
+    exactly once) -> filter -> rebuild with one groupBy(doc) whose
+    array_sort-by-pos keeps the surviving lines in original order.
+    Three shuffles total, all keyed and partial-aggregated; no window
+    over the whole corpus, no driver state. Empty lines are preserved
+    verbatim (they carry formatting, and counting them as "duplicates"
+    would blank every document).
+
+    Returns (id_col, text_col) with the scrubbed text.
+    """
+    freq = line_doc_freq(df, text_col, id_col, sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.trim("line")))
+    kept = (
+        lines.join(freq, on="line_key", how="left")
+        .where((F.trim("line") == "")
+               | F.col("doc_freq").isNull()
+               | (F.col("doc_freq") <= max_doc_freq))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_ls"))
+        .select(id_col,
+                F.array_join(F.transform("_ls", lambda s: s["line"]), sep)
+                .alias(text_col))
+    )
+    # documents whose every line was scrubbed still appear, as empty text
+    return (df.select(id_col).join(rebuilt, on=id_col, how="left")
+              .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))

@@ -281,3 +281,74 @@ def pack_documents(df: DataFrame, tokens_per_bin: int,
                     F.floor(F.col("__start") / tokens_per_bin)
                     .cast("long").alias("bin"),
                     (F.col("__start") % tokens_per_bin).alias("offset")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. NeurIPS'23 "Data Selection for Language
+# Models via Importance Resampling", public): score raw documents by the
+# log-likelihood ratio of a target-domain feature model vs the raw-corpus
+# feature model over hashed word-unigram features. High scores = "looks
+# like the target domain"; sampling proportional to the weights selects
+# pretraining data matching a small high-quality target set.
+# ---------------------------------------------------------------------------
+
+def hashed_word_features(text: Column, n_buckets: int = 4096) -> Column:
+    """Word-unigram features hashed into ``n_buckets`` via md5 (engine-
+    portable: DuckDB reproduces the bucket ids bit-for-bit). Returns
+    array<int> with repeats (occurrence counts matter)."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    return F.transform(
+        toks,
+        lambda t: (F.conv(F.substring(F.md5(t), 1, 14), 16, 10)
+                   .cast("long") % n_buckets).cast("int"),
+    )
+
+
+def dsir_model(raw_df: DataFrame, target_df: DataFrame,
+               text_col: str = "text", n_buckets: int = 4096,
+               smoothing: float = 1.0) -> DataFrame:
+    """Train the importance model: per-bucket log(p_target / p_raw) with
+    add-``smoothing`` Laplace estimates so unseen buckets stay finite.
+
+    Both passes are explode -> groupBy(bucket): shuffle volume is bounded
+    by ``n_buckets`` per map partition (map-side partial agg), so the
+    model costs one scan of each corpus regardless of size, and the
+    result (<= n_buckets rows) broadcasts for scoring."""
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.explode(hashed_word_features(F.col(text_col),
+                                                         n_buckets))
+                          .alias("bucket"))
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias(name)))
+
+    tgt, raw = _counts(target_df, "c_target"), _counts(raw_df, "c_raw")
+    joined = tgt.join(raw, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce("c_target", F.lit(0)).alias("c_target"),
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+    )
+    tot = joined.agg(F.sum("c_target").alias("t_target"),
+                     F.sum("c_raw").alias("t_raw"))
+    s, b = float(smoothing), float(n_buckets)
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    (F.log((F.col("c_target") + s)
+                           / (F.col("t_target") + s * b))
+                     - F.log((F.col("c_raw") + s)
+                             / (F.col("t_raw") + s * b))).alias("log_ratio")))
+
+
+def dsir_score(df: DataFrame, model: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n_buckets: int = 4096) -> DataFrame:
+    """Per-document importance weight: mean per-token log-ratio (the
+    length-normalized variant, so long documents are not favored merely
+    for having more tokens). Plan: explode features -> broadcast-join
+    the <=n_buckets model -> one groupBy(doc) with map-side partials.
+    Returns (id_col, dsir_score, n_tokens)."""
+    feats = df.select(
+        F.col(id_col),
+        F.explode(hashed_word_features(F.col(text_col), n_buckets))
+        .alias("bucket"))
+    return (feats.join(F.broadcast(model), on="bucket", how="left")
+            .groupBy(id_col)
+            .agg(F.avg(F.coalesce("log_ratio", F.lit(0.0))).alias("dsir_score"),
+                 F.count(F.lit(1)).alias("n_tokens")))
