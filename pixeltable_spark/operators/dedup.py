@@ -119,7 +119,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     generation never goes n²."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # materialize signatures once — the aliased self-join would re-run the
+    # shingle explode + K min() aggregates for both sides (no exchange
+    # reuse across aliases); K longs/doc caches at any scale
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_n).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -213,7 +217,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     repeated shingle occurrence to just the prefixes, which is the
     difference between quadratic blowup and linear candidates on
     boilerplate-heavy corpora."""
-    ex = explode_shingles(df, text_col, id_col, n)
+    # (doc, shingle) is consumed 3-4x below (doc frequency, sizes, both
+    # join sides / sets) and each consumer would otherwise re-run the
+    # O(tokens) shingle kernel over the full text column. Materialize it
+    # once: localCheckpoint spills to executor-local disk, so at 100 TB
+    # this trades one extra write of the shingle table for 3 re-scans of
+    # the raw text — the right side of the trade whenever shingles are
+    # narrower than documents (always, for prose).
+    ex = explode_shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_df is not None:
         keep = dfreq.filter(F.col("df_") <= max_df).select("shingle")
@@ -539,7 +550,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     widths = [bits // n_bands + (1 if b < bits % n_bands else 0)
               for b in range(n_bands)]
     offsets = [sum(widths[:b]) for b in range(n_bands)]
-    sh = simhash(df, text_col, id_col, bits)
+    # Materialize the signatures once: the self-join below would otherwise
+    # re-run the token explode + `bits` aggregates for BOTH sides (Spark's
+    # exchange reuse does not fire across the aliased subplans). The
+    # checkpointed table is 2 longs/doc — trivially cacheable at any scale,
+    # and the banding columns derived from it are pure projection.
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
