@@ -1367,6 +1367,75 @@ def q76_dsir_score(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q77_tile_stitch(spark, sf_dir):
+    """Image tile iterator + stitcher (functions/image.py tile_iterator /
+    stitch_tiles — reference functions/image.py:473/:576): per-doc PNGs
+    with a position-dependent pixel pattern are tiled 8x8 with (2,2)
+    overlap (edge tiles black-padded), then stitched back at their
+    tile_box origins. n_tiles follows the reference's exact grid formula
+    — pure doc_id arithmetic for DuckDB — and roundtrip_ok asserts the
+    stitched pixels equal the original pattern, proving tiling, padding,
+    clipping and overlap-overwrite are all lossless end-to-end."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions.image import stitch_tiles, tile_iterator
+    from pixeltable_spark.functions.image_codec import decode, encode_png
+
+    # codec-bound (~20 ms/doc of pure-python PNG work across 17 payloads):
+    # deterministic 1-in-8 subsample keeps the bench honest without
+    # dominating it; the oracle applies the identical predicate
+    # parallelism sized to the sampled corpus (hundreds of rows here):
+    # 8 codec tasks beat 32 near-empty ones; a full-corpus run would use
+    # defaultParallelism like the other codec queries
+    dims = (_df(spark, sf_dir, "documents").select("doc_id")
+            .where(F.col("doc_id") % 8 == 1)
+            .repartition(min(8, spark.sparkContext.defaultParallelism))
+            .withColumn("w", (F.lit(9) + F.col("doc_id") % 13).cast("int"))
+            .withColumn("h", (F.lit(8) + F.col("doc_id") % 7).cast("int")))
+
+    def _pattern(i, w, h):
+        import numpy as np
+        y, x = np.mgrid[0:h, 0:w]
+        arr = ((x + 3 * y + int(i)) % 251).astype("uint8")
+        return np.stack([arr, (arr + 1) % 251, (arr + 2) % 251], axis=2)
+
+    def _make_png(ids, ws, hs):
+        return pd.Series([encode_png(_pattern(i, w, h), "RGB")
+                          for i, w, h in zip(ids, ws, hs)])
+
+    def _check(ids, ws, hs, payloads):
+        import numpy as np
+        out = []
+        for i, w, h, p in zip(ids, ws, hs, payloads):
+            if p is None:
+                out.append(False)
+                continue
+            img = decode(bytes(p))
+            out.append(bool(img.size == (int(w), int(h))
+                            and np.array_equal(img.arr, _pattern(i, w, h))))
+        return pd.Series(out)
+
+    make_png = F.pandas_udf(_make_png, T.BinaryType())
+    check = F.pandas_udf(_check, T.BooleanType())
+
+    imgs = dims.withColumn("payload", make_png("doc_id", "w", "h"))
+    # one linear pipeline: synth -> tile (narrow) -> ONE shuffle by doc ->
+    # stitch-and-count in a single grouped pass -> verify; no branch ever
+    # recomputes the codec stages
+    tiles = tile_iterator(imgs.select("doc_id", "payload"),
+                          tile_size=(8, 8), overlap=(2, 2), id_col="doc_id")
+    stitched = stitch_tiles(tiles.join(F.broadcast(dims.select("doc_id", "w", "h")),
+                                       "doc_id"),
+                            width="w", height="h", id_col="doc_id",
+                            with_count=True)
+    return (stitched
+            .join(F.broadcast(dims), "doc_id")
+            .select("doc_id", "n_tiles",
+                    check("doc_id", "w", "h", "image").alias("roundtrip_ok"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1448,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_line_dedup": q74_line_dedup,
         "q75_url_curation": q75_url_curation,
         "q76_dsir_score": q76_dsir_score,
+        "q77_tile_stitch": q77_tile_stitch,
     }
 
 
@@ -2322,4 +2392,14 @@ SELECT doc_id, avg(coalesce(log_ratio, 0.0)) AS dsir_score,
        count(*) AS n_tokens
 FROM feat LEFT JOIN model USING (bucket)
 GROUP BY doc_id ORDER BY doc_id""",
+        "q77_tile_stitch": r"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(9 + doc_id % 13 AS INT) AS w,
+         CAST(8 + doc_id % 7 AS INT) AS h
+  FROM documents WHERE doc_id % 8 = 1)
+SELECT doc_id,
+       ((w - 2 - 1) // 6 + 1) * ((h - 2 - 1) // 6 + 1) AS n_tiles,
+       TRUE AS roundtrip_ok
+FROM dims ORDER BY doc_id""",
     }

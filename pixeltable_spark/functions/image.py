@@ -397,3 +397,163 @@ def to_video(col: Column, duration: float, fps: int = 24) -> Column:
                     p + f"to_video{duration}x{fps}".encode()).digest())
         return pd.Series(out)
     return fn(col)
+
+
+# ---------------------------------------------------------------------------
+# tile iterator + stitcher (reference functions/image.py:473 tile_iterator,
+# :576 stitch_tiles) — REAL for payloads the pure-python codec decodes
+# ---------------------------------------------------------------------------
+
+def _tile_grid(w: int, h: int, tile_size: tuple, overlap: tuple):
+    """Reference's exact grid formula (functions/image.py:527-529):
+    xlen such that widths t, 2t-o, 3t-2o, ... fit 1, 2, 3, ... tiles."""
+    tw, th = tile_size
+    ox, oy = overlap
+    xlen = (w - ox - 1) // (tw - ox) + 1
+    ylen = (h - oy - 1) // (th - oy) + 1
+    return xlen, ylen
+
+
+def tile_iterator(df: DataFrame, tile_size: tuple, overlap: tuple = (0, 0),
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Explode each image into fixed-size tiles in row-major order
+    (reference functions/image.py:473 tile_iterator): one row per tile
+    with `pos`, `tile` (PNG payload), `tile_coord` (i, j grid cell) and
+    `tile_box` (x1, y1, x2, y2 source pixels). Edge tiles are padded with
+    blackspace to exactly `tile_size`, matching PIL crop semantics.
+
+    A narrow mapInPandas transformation — tiles of one image never leave
+    the partition that scanned it, so at 100 TB the operator adds zero
+    shuffle; downstream per-tile UDFs (detection, overlay) parallelize
+    over the exploded rows. Validation mirrors the reference's errors."""
+    tw, th = int(tile_size[0]), int(tile_size[1])
+    ox, oy = int(overlap[0]), int(overlap[1])
+    if tw <= 0 or th <= 0:
+        raise ValueError(f"`tile_size` dimensions must be positive; got {tile_size}")
+    if ox < 0 or oy < 0:
+        raise ValueError(f"`overlap` dimensions must be non-negative; got {overlap}")
+    if ox >= tw or oy >= th:
+        raise ValueError(
+            f"`overlap` dimensions {overlap!r} are not strictly smaller "
+            f"than `tile_size` {tile_size!r}")
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tile", T.BinaryType()),
+        T.StructField("tile_coord", T.ArrayType(T.IntegerType())),
+        T.StructField("tile_box", T.ArrayType(T.IntegerType())),
+    ])
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .image_codec import encode_png
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    continue
+                try:
+                    img = _load_image(bytes(p))
+                    arr = (np.asarray(img) if HAS_PIL else img.arr)
+                    mode = img.mode
+                except Exception:  # noqa: BLE001
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w = arr.shape[:2]
+                xlen, ylen = _tile_grid(w, h, (tw, th), (ox, oy))
+                pos = 0
+                for j in range(ylen):
+                    for i in range(xlen):
+                        x1, y1 = i * (tw - ox), j * (th - oy)
+                        x2, y2 = x1 + tw, y1 + th
+                        tile = np.zeros((th, tw, arr.shape[2]), dtype=np.uint8)
+                        sub = arr[y1:min(y2, h), x1:min(x2, w)]
+                        tile[:sub.shape[0], :sub.shape[1]] = sub
+                        rows.append({
+                            id_col: r[id_col], "pos": pos,
+                            "tile": encode_png(
+                                tile if tile.shape[2] > 1 else tile[:, :, 0],
+                                mode),
+                            "tile_coord": [i, j],
+                            "tile_box": [x1, y1, x2, y2],
+                        })
+                        pos += 1
+            yield pd.DataFrame(
+                rows, columns=[id_col, "pos", "tile", "tile_coord", "tile_box"])
+
+    return df.mapInPandas(op, out_schema)
+
+
+def stitch_tiles(tiles_df: DataFrame, width, height,
+                 tile_col: str = "tile", box_col: str = "tile_box",
+                 id_col: str = "media_id",
+                 with_count: bool = False) -> DataFrame:
+    """Reconstruct one image per group by pasting tiles back at their
+    `tile_box` origin, later tiles overwriting earlier ones in overlap
+    regions; edge-tile padding is clipped by the canvas bounds — the
+    reference's stitch_tiles aggregate (functions/image.py:576), as a
+    grouped applyInPandas (one shuffle keyed by image id; each group holds
+    one image's tiles, so executor memory is one canvas + one tile).
+
+    `width`/`height` are ints (one size for every group, the reference
+    aggregate's shape) or column names carrying the per-image size.
+    `with_count=True` adds an `n_tiles` column — counting inside the one
+    grouped pass instead of forcing callers to aggregate the (recomputed)
+    tile table a second time."""
+    fields = [tiles_df.schema[id_col], T.StructField("image", T.BinaryType())]
+    if with_count:
+        fields.append(T.StructField("n_tiles", T.LongType()))
+    out_schema = T.StructType(fields)
+
+    def op(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .image_codec import decode as img_decode
+        from .image_codec import encode_png
+        cols = [id_col, "image"] + (["n_tiles"] if with_count else [])
+        for pdf in batches:
+            rows = []
+            for gkey, g in pdf.groupby(id_col, sort=False):
+                if isinstance(width, str):
+                    gw, gh = int(g[width].iloc[0]), int(g[height].iloc[0])
+                else:
+                    gw, gh = int(width), int(height)
+                if "pos" in g:
+                    g = g.sort_values("pos")
+                canvas = None
+                mode = "RGB"
+                for _, r in g.iterrows():
+                    try:
+                        img = img_decode(bytes(r[tile_col]))
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if canvas is None:
+                        canvas = np.zeros((gh, gw, img.arr.shape[2]),
+                                          dtype=np.uint8)
+                        mode = img.mode
+                    x1, y1 = int(r[box_col][0]), int(r[box_col][1])
+                    sub = img.arr[:max(0, min(gh - y1, img.height)),
+                                  :max(0, min(gw - x1, img.width))]
+                    canvas[y1:y1 + sub.shape[0], x1:x1 + sub.shape[1]] = sub
+                if canvas is None:
+                    continue
+                payload = encode_png(
+                    canvas if canvas.shape[2] > 1 else canvas[:, :, 0], mode)
+                row = {id_col: gkey, "image": payload}
+                if with_count:
+                    row["n_tiles"] = len(g)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    # ONE hash shuffle co-locates each image's tiles; the python-side
+    # pandas groupby then walks groups at C speed instead of paying
+    # Spark's per-group applyInPandas batch + call overhead (thousands of
+    # tiny groups is the common case)
+    return tiles_df.repartition(F.col(id_col)).mapInPandas(op, out_schema)
