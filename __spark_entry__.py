@@ -1436,6 +1436,71 @@ def q77_tile_stitch(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+BOW_QUERY_TEXT = "spark table scan merge value window"
+BOW_DIM = 16
+
+
+def q78_bow_embed_search(spark, sf_dir):
+    """REAL classical text embeddings + similarity search, end-to-end
+    engine-native (operators/similarity.py bow_embeddings — bag-of-words
+    signed random projection, the same model behind the huggingface
+    sentence_transformer fallback): embed every document JVM-side (one
+    tokenize explode + 16 integer sum() aggregates per doc), embed the
+    query string with the scalar twin, and return every doc with
+    cosine > 0.3. Integer bit-sums -> IEEE-exact normalize/dot, so the
+    DuckDB oracle reproduces the doubles bit-for-bit — no rounding."""
+    from pixeltable_spark.functions.array import dot_col
+    from pixeltable_spark.operators.similarity import (
+        bow_embedding_py, bow_embeddings)
+    df = _df(spark, sf_dir, "documents")
+    emb = bow_embeddings(df, dim=BOW_DIM)
+    qv = bow_embedding_py(BOW_QUERY_TEXT, BOW_DIM)
+    # both vectors are unit-norm, so dot IS cosine; dot_col's zip_with
+    # references the embedding array ONCE (a per-element element_at
+    # formulation re-inlines the 16-aggregate array construction into
+    # every term under projection collapse — a 256x expression blowup
+    # that stalls the optimizer, not the executors)
+    dot = dot_col(F.col("embedding"),
+                  F.array(*[F.lit(float(x)) for x in qv]))
+    return (emb.select("doc_id", dot.alias("cos"))
+            .where(F.col("cos") > 0.3)
+            .orderBy("doc_id"))
+
+
+def _q78_oracle() -> str:
+    import hashlib
+    import math
+    toks = [t for t in BOW_QUERY_TEXT.lower().strip().split() if t]
+    sums = [0] * BOW_DIM
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for d in range(BOW_DIM):
+            sums[d] += (ord(h[d]) % 2) * 2 - 1
+    n = math.sqrt(sum(s * s for s in sums)) or 1.0
+    qv = [s / n for s in sums]
+    s_cols = ", ".join(
+        f"sum(ascii(substr(md5(tok), {d + 1}, 1)) % 2 * 2 - 1) AS s_{d}"
+        for d in range(BOW_DIM))
+    norm_expr = " + ".join(f"s_{d} * s_{d}" for d in range(BOW_DIM))
+    # leading 0.0 matches dot_col's aggregate fold seed
+    dot_expr = "0.0 + " + " + ".join(f"(s_{d} / nrm) * ({qv[d]!r})"
+                                     for d in range(BOW_DIM))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+sums AS (SELECT doc_id, {s_cols} FROM toks GROUP BY doc_id),
+emb AS (
+  SELECT doc_id,
+         CASE WHEN sqrt({norm_expr}) = 0 THEN 1.0
+              ELSE sqrt({norm_expr}) END AS nrm, *
+  FROM sums)
+SELECT doc_id, {dot_expr} AS cos
+FROM emb WHERE ({dot_expr}) > 0.3 ORDER BY doc_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1518,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_url_curation": q75_url_curation,
         "q76_dsir_score": q76_dsir_score,
         "q77_tile_stitch": q77_tile_stitch,
+        "q78_bow_embed_search": q78_bow_embed_search,
     }
 
 
@@ -2402,4 +2468,5 @@ SELECT doc_id,
        ((w - 2 - 1) // 6 + 1) * ((h - 2 - 1) // 6 + 1) AS n_tiles,
        TRUE AS roundtrip_ok
 FROM dims ORDER BY doc_id""",
+        "q78_bow_embed_search": _q78_oracle(),
     }

@@ -6,9 +6,10 @@ vit_for_image_classification:899).
 These run models LOCALLY on executors (no network) — the reference's
 pattern for CLIP/DETR/sentence-transformers. Model libraries are gated
 behind import-try; without them, the text embedders fall back to the
-deterministic md5 embedding (same formula as the fake provider clients,
-so indexes built offline are stable and oracle-checkable), and the
-image models raise with a clear message.
+REAL classical bag-of-words random-projection embedding
+(operators/similarity.py bow_embeddings — token-level, so similar texts
+get similar vectors and similarity search stays meaningful), salted by
+model_id; the image models raise with a clear message.
 
 Per-executor model caching: the loaded model lives in a module-level dict
 keyed by model_id — one load per worker process, reused across batches
@@ -39,12 +40,21 @@ def _load_sentence_transformer(model_id: str) -> Any:
 
 
 def _md5_embed(text: str, key: str, dim: int = 16) -> list[float]:
-    """Deterministic unit-norm fallback embedding (same construction as
-    llm.DeterministicFakeClient.embed, keyed by model_id)."""
-    h = hashlib.md5(f"{key}|{text}".encode()).digest()
-    raw = [(h[i % 16] - 127.5) / 127.5 for i in range(dim)]
-    n = math.sqrt(sum(x * x for x in raw)) or 1.0
-    return [x / n for x in raw]
+    """Deterministic unit-norm fallback embedding: the REAL classical
+    bag-of-words signed-random-projection model
+    (operators/similarity.py bow_embedding_py — texts sharing tokens get
+    genuinely similar vectors, so similarity search over the fallback is
+    meaningful), salted by model_id so different models give different
+    spaces (reference behavior: distinct models embed differently)."""
+    from ..operators.similarity import bow_embedding_py
+    base = bow_embedding_py(text, dim)
+    if all(v == 0.0 for v in base):
+        return base
+    # model-id salt: deterministic sign flip per dimension
+    hs = hashlib.md5(key.encode()).hexdigest()
+    out = [v * ((ord(hs[i % 32]) % 2) * 2 - 1) for i, v in enumerate(base)]
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
 
 
 @udf(return_type=ArrayType(ColumnType.float_()))

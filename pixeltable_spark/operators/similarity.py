@@ -363,3 +363,62 @@ def pq_topk_bucketed(codes_df: DataFrame, codebooks, query, k: int = 10,
                 probes.add(qb ^ (1 << p1) ^ (1 << p2))
     sub = codes_df.filter(F.col("bucket").isin([int(b) for b in probes]))
     return pq_topk(sub, codebooks, query, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words random-projection embedding (classical, REAL): sparse
+# feature hashing + signed random projection (Achlioptas 2003 / the
+# SimHash projection without the sign threshold). Tokens shared between
+# texts move their embeddings together, so cosine similarity is a real
+# lexical similarity — unlike an md5-of-the-whole-text stub, for which
+# cos(similar texts) is as random as cos(unrelated ones).
+# ---------------------------------------------------------------------------
+
+def bow_embedding_py(text: str, dim: int = 16) -> list:
+    """Scalar twin of :func:`bow_embeddings` (for UDF fallbacks and
+    drivers) — MUST stay formula-identical to the column version."""
+    import hashlib
+    import math
+    assert dim <= 32
+    toks = [t for t in text.lower().strip().split() if t]
+    sums = [0] * dim
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for d in range(dim):
+            sums[d] += (ord(h[d]) % 2) * 2 - 1
+    n = math.sqrt(sum(s * s for s in sums)) or 1.0
+    return [s / n for s in sums]
+
+
+def bow_embeddings(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", dim: int = 16) -> DataFrame:
+    """Per-document unit-norm embedding: bit d's sign of each token's md5
+    (±1), summed over tokens, L2-normalized — signed random projection of
+    the bag-of-words vector, which preserves BoW cosine in expectation
+    (Johnson-Lindenstrauss). All JVM-side: one whitespace tokenize explode
+    + one groupBy with `dim` integer sum() aggregates (map-side partials;
+    shuffle is `dim` ints per doc). The integer sums make the normalized
+    floats bit-identical across engines, so a DuckDB oracle reproduces
+    the embeddings exactly. Returns (id_col, embedding array<double>).
+
+    This is the real classical model behind the huggingface
+    sentence_transformer fallback (functions/huggingface.py) — same
+    formula, so offline indexes and live queries agree."""
+    assert dim <= 32, "md5 yields 32 hex-char sign bits"
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                           lambda t: t != "")).alias("tok"))
+    # md5(tok) appears in all `dim` aggregates; codegen's subexpression
+    # elimination evaluates it once per token (verified: a pre-projected
+    # sig column times identically)
+    sig = F.md5(F.col("tok"))
+    aggs = [F.sum(F.ascii(F.substring(sig, d + 1, 1)) % 2 * 2 - 1)
+            .alias(f"s_{d}") for d in range(dim)]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    norm = F.sqrt(sum(F.col(f"s_{d}") * F.col(f"s_{d}") for d in range(dim)))
+    norm = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    return sums.select(
+        F.col(id_col),
+        F.array(*[(F.col(f"s_{d}") / norm).cast("double")
+                  for d in range(dim)]).alias("embedding"))

@@ -193,3 +193,34 @@ class TestDsir:
         rows = model.collect()
         assert len(rows) <= 32
         assert all(math.isfinite(r["log_ratio"]) for r in rows)
+
+
+class TestBowEmbedding:
+    def test_column_matches_scalar_twin(self, spark):
+        from pixeltable_spark.operators.similarity import (
+            bow_embedding_py, bow_embeddings)
+        rows = [(1, "alpha beta gamma"), (2, "Delta  epsilon"), (3, "")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["embedding"]
+               for r in bow_embeddings(df, dim=16).collect()}
+        for i, txt in rows[:2]:
+            assert got[i] == bow_embedding_py(txt, 16)
+        assert 3 not in got  # no tokens -> no row (like the oracle)
+
+    def test_similar_texts_similar_vectors(self, spark):
+        from pixeltable_spark.operators.similarity import bow_embedding_py
+        a = bow_embedding_py("the quick brown fox jumps over the lazy dog")
+        b = bow_embedding_py("the quick brown fox leaps over the lazy cat")
+        c = bow_embedding_py("completely unrelated words entirely elsewhere")
+        cos = lambda x, y: sum(p * q for p, q in zip(x, y))
+        assert cos(a, b) > cos(a, c) + 0.3
+
+    def test_hf_fallback_uses_real_model(self, spark):
+        # the sentence_transformer fallback must inherit token-level
+        # similarity (the old whole-text md5 stub had none)
+        from pixeltable_spark.functions.huggingface import _md5_embed
+        a = _md5_embed("shared tokens here mostly", "m")
+        b = _md5_embed("shared tokens here too", "m")
+        c = _md5_embed("nothing in common at all", "m")
+        cos = lambda x, y: sum(p * q for p, q in zip(x, y))
+        assert cos(a, b) > cos(a, c) + 0.3
