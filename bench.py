@@ -38,6 +38,8 @@ def main() -> None:
     (spark.range(1000).repartition(64)
      .select(warm(F.col("id"))).write.format("noop").mode("overwrite").save())
 
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -52,6 +54,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+        # several operators localCheckpoint small intermediates; drop the
+        # driver references so the ContextCleaner can free the blocks
+        # instead of letting 70+ queries' worth pile up in the block
+        # manager (later queries were paying the GC pressure)
+        df = None
+        gc.collect()
     out = {
         "metric": "total wall seconds, all declared queries",
         "value": round(total, 3),

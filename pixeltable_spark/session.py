@@ -21,6 +21,13 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # dozens of distinct queries per session generate enough
+        # whole-stage-codegen classes to fill the default 240m JIT code
+        # cache, after which the compiler shuts off and late queries run
+        # interpreted (observed: a pure-JVM query 7x slower at the end of
+        # a 78-query bench than in a fresh session)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet TIMESTAMP(NANOS) (pandas-written) has no Spark type; read as
         # long and let the source layer cast to timestamp (registry.py)

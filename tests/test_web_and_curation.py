@@ -224,3 +224,51 @@ class TestBowEmbedding:
         c = _md5_embed("nothing in common at all", "m")
         cos = lambda x, y: sum(p * q for p, q in zip(x, y))
         assert cos(a, b) > cos(a, c) + 0.3
+
+
+class TestQualityClassifier:
+    def _corpora(self, spark):
+        pos = spark.createDataFrame(
+            [(f"insightful analysis careful prose section {i}",)
+             for i in range(40)], ["text"])
+        neg = spark.createDataFrame(
+            [(f"click here buy now cheap deal spam {i}",)
+             for i in range(40)], ["text"])
+        return pos, neg
+
+    def test_train_is_deterministic(self, spark):
+        from pixeltable_spark.operators.quality_clf import (
+            train_quality_classifier)
+        pos, neg = self._corpora(spark)
+        w1 = train_quality_classifier(pos, neg, n_buckets=64, iters=20)
+        w2 = train_quality_classifier(pos, neg, n_buckets=64, iters=20)
+        assert w1 == w2 and len(w1) == 65
+
+    def test_separates_classes(self, spark):
+        from pixeltable_spark.operators.quality_clf import (
+            classify_quality, train_quality_classifier)
+        pos, neg = self._corpora(spark)
+        w = train_quality_classifier(pos, neg, n_buckets=64, iters=100, lr=2.0)
+        test = spark.createDataFrame(
+            [(1, "careful insightful section of analysis"),
+             (2, "buy cheap spam deal now")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in classify_quality(test, w).collect()}
+        assert got[1]["quality_p"] > 0.7 and got[1]["keep"]
+        assert got[2]["quality_p"] < 0.3 and not got[2]["keep"]
+
+    def test_scoring_plan_is_jvm_only(self, spark):
+        from pixeltable_spark.operators.quality_clf import classify_quality
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = classify_quality(df, [0.0] * 65)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_empty_text_scores_bias_only(self, spark):
+        import math
+
+        from pixeltable_spark.operators.quality_clf import classify_quality
+        w = [1.0] * 64 + [0.25]
+        df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+        got = classify_quality(df, w).collect()
+        exp = 1.0 / (1.0 + math.exp(-0.25))
+        assert all(abs(r["quality_p"] - exp) < 1e-12 for r in got)
