@@ -1501,6 +1501,69 @@ SELECT doc_id, {dot_expr} AS cos
 FROM emb WHERE ({dot_expr}) > 0.3 ORDER BY doc_id"""
 
 
+QC_POS = [f"table scan merge sort window hash key batch {i}" for i in range(24)]
+QC_NEG = [f"slow spam click row value line part a the {i}" for i in range(24)]
+QC_BUCKETS = 128
+
+
+def q79_quality_classifier(spark, sf_dir):
+    """Trainable fastText-style quality gate (operators/quality_clf.py —
+    Joulin et al. 2016 / the GPT-3 §A quality-filter design): logistic
+    regression over md5-hashed word unigrams, trained on a fixed synthetic
+    good/bad corpus (sf-independent, so the oracle replays the exact
+    weights with the Spark-free training core), then scored over every
+    document as a pure-JVM projection — array-literal weights folded over
+    the token buckets, no join, no Python, filter-pushdown-friendly.
+    Returns the raw logit (basic IEEE ops only -> bit-exact vs DuckDB;
+    sigmoid is monotone so keep == logit >= 0)."""
+    from pixeltable_spark.operators.quality_clf import (
+        quality_logit, train_from_texts)
+    w = _qc_weights()
+    df = _df(spark, sf_dir, "documents")
+    z = quality_logit(F.col("text"), w)
+    return (df.select("doc_id", z.alias("logit"), (z >= 0).alias("keep"))
+            .orderBy("doc_id"))
+
+
+def _qc_weights() -> list:
+    """Trained weights quantized to the 2^-20 grid: every per-token weight
+    (and thus every partial sum of <=2^13 of them) is exactly
+    representable, so the fold total is association-independent —
+    DuckDB's list_reduce is a tree reduction, not Spark's left fold, and
+    un-quantized weights differ by 1 ulp on ~0.4% of documents."""
+    from pixeltable_spark.operators.quality_clf import train_from_texts
+    w = train_from_texts(QC_POS, QC_NEG, n_buckets=QC_BUCKETS)
+    q = float(1 << 20)
+    return [round(v * q) / q for v in w]
+
+
+def _q79_oracle() -> str:
+    w = _qc_weights()
+    w_list = "[" + ", ".join(f"{v!r}::DOUBLE" for v in w[:QC_BUCKETS]) + "]"
+    bias = f"{w[QC_BUCKETS]!r}::DOUBLE"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           ({w_list})[CAST(CAST('0x' || substr(md5(t), 1, 14) AS BIGINT)
+                           % {QC_BUCKETS} AS INT) + 1]) AS ws,
+         len(ts) AS cnt
+  FROM toks)
+SELECT doc_id,
+       (CASE WHEN cnt > 0
+             THEN list_reduce(ws, (x, y) -> x + y) / cnt
+             ELSE 0.0 END) + ({bias}) AS logit,
+       ((CASE WHEN cnt > 0
+              THEN list_reduce(ws, (x, y) -> x + y) / cnt
+              ELSE 0.0 END) + ({bias})) >= 0 AS keep
+FROM scored ORDER BY doc_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1584,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_dsir_score": q76_dsir_score,
         "q77_tile_stitch": q77_tile_stitch,
         "q78_bow_embed_search": q78_bow_embed_search,
+        "q79_quality_classifier": q79_quality_classifier,
     }
 
 
@@ -2469,4 +2533,5 @@ SELECT doc_id,
        TRUE AS roundtrip_ok
 FROM dims ORDER BY doc_id""",
         "q78_bow_embed_search": _q78_oracle(),
+        "q79_quality_classifier": _q79_oracle(),
     }

@@ -58,10 +58,19 @@ def train_quality_classifier(pos_df: DataFrame, neg_df: DataFrame,
     The model is bounded by n_buckets, not the corpus — sampling is the
     standard fastText/CCNet practice and keeps training O(sample), while
     the distributed scoring pass handles the 100 TB side."""
+    return train_from_texts(_sample_texts(pos_df, text_col, sample_n),
+                            _sample_texts(neg_df, text_col, sample_n),
+                            n_buckets=n_buckets, iters=iters, lr=lr)
+
+
+def train_from_texts(pos_texts: list[str], neg_texts: list[str],
+                     n_buckets: int = 256, iters: int = 100,
+                     lr: float = 2.0) -> list[float]:
+    """Spark-free training core (also what an oracle/driver replays to
+    reproduce the exact weights)."""
     import numpy as np
 
-    texts = [(t, 1.0) for t in _sample_texts(pos_df, text_col, sample_n)] + \
-            [(t, 0.0) for t in _sample_texts(neg_df, text_col, sample_n)]
+    texts = [(t, 1.0) for t in pos_texts] + [(t, 0.0) for t in neg_texts]
     n = len(texts)
     X = np.zeros((n, n_buckets), dtype=np.float64)
     y = np.empty(n, dtype=np.float64)
