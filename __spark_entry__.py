@@ -1564,6 +1564,46 @@ SELECT doc_id,
 FROM scored ORDER BY doc_id"""
 
 
+def q80_mean_ap(spark, sf_dir):
+    """Distributed mean average precision (functions/vision.py mean_ap —
+    reference vision.py:235, VOC "area" AP with the monotone precision
+    envelope) over synthetic detections derived from doc_id: each gt box
+    is either matched by an EXACT prediction (IoU 1) or paired with a
+    disjoint one (IoU 0), so the greedy matcher's verdicts are pure
+    doc_id arithmetic and DuckDB replays the per-class PR windows
+    bit-for-bit (integer cumsums; 2^-20-quantized envelope makes the AP
+    sum association-independent). The Spark side still runs the REAL
+    matching kernel — the oracle only knows what it must conclude."""
+    from pixeltable_spark.functions.vision import mean_ap
+    d = F.col("doc_id")
+
+    def seq():
+        return F.sequence(F.lit(0), d % 3)
+
+    k = None  # lambdas below bind their own k
+    gt_boxes = F.transform(seq(), lambda k: F.array(
+        (k * 100).cast("double"), F.lit(0.0),
+        (k * 100 + 10).cast("double"), F.lit(10.0)))
+    gt_labels = F.transform(seq(), lambda k: (d + k) % 3)
+    exists = lambda k: (d + k) % 4 != 0  # noqa: E731
+    is_exact = lambda k: (d + k) % 5 != 0  # noqa: E731
+    ks = F.filter(seq(), exists)
+    pred_boxes = F.transform(ks, lambda k: F.when(is_exact(k), F.array(
+        (k * 100).cast("double"), F.lit(0.0),
+        (k * 100 + 10).cast("double"), F.lit(10.0))).otherwise(F.array(
+        (k * 100 + 40).cast("double"), F.lit(40.0),
+        (k * 100 + 50).cast("double"), F.lit(50.0))))
+    pred_labels = F.transform(ks, lambda k: (d + k) % 3)
+    pred_scores = F.transform(
+        ks, lambda k: F.lit(0.5) + ((d * 7 + k) % 40).cast("double") / 100)
+    det = (_df(spark, sf_dir, "documents").select(
+        d.alias("image_id"),
+        pred_boxes.alias("pred_boxes"), pred_labels.alias("pred_labels"),
+        pred_scores.alias("pred_scores"),
+        gt_boxes.alias("gt_boxes"), gt_labels.alias("gt_labels")))
+    return mean_ap(det).orderBy("category")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1648,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_tile_stitch": q77_tile_stitch,
         "q78_bow_embed_search": q78_bow_embed_search,
         "q79_quality_classifier": q79_quality_classifier,
+        "q80_mean_ap": q80_mean_ap,
     }
 
 
@@ -2534,4 +2575,44 @@ SELECT doc_id,
 FROM dims ORDER BY doc_id""",
         "q78_bow_embed_search": _q78_oracle(),
         "q79_quality_classifier": _q79_oracle(),
+        "q80_mean_ap": r"""
+WITH ks AS (
+  SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS k FROM documents),
+gts AS (
+  SELECT (doc_id + k) % 3 AS category, count(*) AS num_gts
+  FROM ks GROUP BY 1),
+preds AS (
+  SELECT doc_id AS image_id, (doc_id + k) % 3 AS category,
+         0.5 + CAST((doc_id * 7 + k) % 40 AS DOUBLE) / 100 AS score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS INT)
+           AS pred_idx,
+         CASE WHEN (doc_id + k) % 5 <> 0 THEN 1 ELSE 0 END AS is_tp
+  FROM ks WHERE (doc_id + k) % 4 <> 0),
+ranked AS (
+  SELECT *,
+         sum(is_tp) OVER w AS tp_cum,
+         row_number() OVER w AS rnk
+  FROM preds
+  WINDOW w AS (PARTITION BY category
+               ORDER BY score DESC, image_id, pred_idx
+               ROWS UNBOUNDED PRECEDING)),
+enved AS (
+  SELECT *,
+         CAST(tp_cum AS DOUBLE)
+           / greatest(CAST(rnk AS DOUBLE), 1.1920928955078125e-07) AS prec
+  FROM ranked),
+env2 AS (
+  SELECT *,
+         floor(max(prec) OVER (PARTITION BY category
+                               ORDER BY score ASC, image_id DESC, pred_idx DESC
+                               ROWS UNBOUNDED PRECEDING) * 1048576 + 0.5)
+           / 1048576 AS env_q
+  FROM enved),
+ap_num AS (
+  SELECT category, sum(is_tp * env_q) AS ap_num FROM env2 GROUP BY category)
+SELECT g.category,
+       coalesce(a.ap_num, 0.0)
+         / greatest(CAST(g.num_gts AS DOUBLE), 1.1920928955078125e-07) AS ap
+FROM gts g LEFT JOIN ap_num a USING (category)
+ORDER BY g.category""",
     }

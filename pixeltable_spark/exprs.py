@@ -697,32 +697,60 @@ class JsonMapperExpr(Expr):
     number/object semantics (reference forces json-operand arithmetic to
     Python too)."""
 
-    def __init__(self, target: Expr, mapper: Expr):
-        out_t = (ColumnType.json() if mapper.col_type.is_json
+    def __init__(self, target: Expr, mapper: Expr, op: str = "map",
+                 asc: bool = True):
+        assert op in ("map", "filter", "sort")
+        # filter/sort preserve the (JSON) elements; map yields the mapper's
+        # type per element
+        out_t = (ColumnType.json() if (op != "map" or mapper.col_type.is_json)
                  else ArrayType(mapper.col_type, None, True))
         super().__init__(out_t, [target, mapper])
+        self.op = op
+        self.asc = asc
+
+    def _bound_ctx(self, ctx: CompileCtx):
+        def bound(x: Column) -> CompileCtx:
+            sub = CompileCtx(ctx._resolve)
+            sub.r_col = x  # type: ignore[attr-defined]
+            return sub
+        return bound
 
     def to_column(self, ctx: CompileCtx) -> Optional[Column]:
-        if self.col_type.is_json:
+        mapper = self.components[1]
+        if self.op == "map" and self.col_type.is_json:
             return None  # untyped mapper: Python semantics
         tgt = self.components[0].to_column(ctx)
         if tgt is None:
             return None
-        mapper = self.components[1]
-
-        def bound_ctx(x: Column) -> CompileCtx:
-            sub = CompileCtx(ctx._resolve)
-            sub.r_col = x  # type: ignore[attr-defined]
-            return sub
-
-        # probe-compile before committing to transform(): the lambda passed
-        # to F.transform must return a Column
+        bound_ctx = self._bound_ctx(ctx)
+        # probe-compile before committing: the lambda passed to the
+        # higher-order function must return a Column
         if mapper.to_column(bound_ctx(F.lit(""))) is None:
             return None
-        return F.transform(
-            F.from_json(tgt.cast(T.StringType()), "array<string>"),
-            lambda x: mapper.to_column(bound_ctx(x)),
-        )
+        raw = F.from_json(tgt.cast(T.StringType()), "array<string>")
+        if self.op == "map":
+            return F.transform(raw, lambda x: mapper.to_column(bound_ctx(x)))
+        if self.op == "filter":
+            kept = F.filter(raw, lambda x: mapper.to_column(bound_ctx(x)))
+            # elements keep their RAW json text, so re-wrapping is exact
+            return F.when(
+                tgt.isNotNull(),
+                F.concat(F.lit("["), F.array_join(kept, ","), F.lit("]")))
+        # sort by key(R); comparator on the compiled key columns
+        if mapper.col_type.is_json:
+            return None  # identity/json key: Python value semantics
+        sign = 1 if self.asc else -1
+
+        def cmp(a: Column, b: Column) -> Column:
+            ka = mapper.to_column(bound_ctx(a))
+            kb = mapper.to_column(bound_ctx(b))
+            return (F.when(ka < kb, F.lit(-sign))
+                    .when(ka > kb, F.lit(sign)).otherwise(F.lit(0)))
+
+        s = F.array_sort(raw, cmp)
+        return F.when(
+            tgt.isNotNull(),
+            F.concat(F.lit("["), F.array_join(s, ","), F.lit("]")))
 
     def eval_py(self, row: dict) -> Any:
         v = self.components[0].eval_py(row)
@@ -731,7 +759,14 @@ class JsonMapperExpr(Expr):
         if v is None:
             return None
         mapper = self.components[1]
-        return [mapper.eval_py({**row, "__R__": el}) for el in v]
+        if self.op == "map":
+            return [mapper.eval_py({**row, "__R__": el}) for el in v]
+        if self.op == "filter":
+            return [el for el in v
+                    if bool(mapper.eval_py({**row, "__R__": el}))]
+        key = (None if isinstance(mapper, RelativePath)
+               else (lambda el: mapper.eval_py({**row, "__R__": el})))
+        return sorted(v, key=key, reverse=not self.asc)
 
 
 class AliasedExpr(Expr):

@@ -73,6 +73,39 @@ lead = Function("lead", ColumnType.float_(),
                 spark_fn=lambda c, offset=1: F.lead(c, offset), ranking=True)
 
 
+# ---------------------------------------------------------------------------
+# JSON-array higher-order sugar (reference functions/globals.py:267 map,
+# :314 filter, :362 sort): build a JsonMapperExpr with R bound per element
+# ---------------------------------------------------------------------------
+
+def map(expr, fn):  # noqa: A001
+    """Apply `fn` to each element of a JSON array (reference
+    functions/globals.py:267): `map(t.data, lambda x: x * 2)`. Typed
+    mappers compile to a JVM `transform()`; untyped ones run the Python
+    element semantics."""
+    from ..exprs import JsonMapperExpr, R, to_expr
+    return JsonMapperExpr(to_expr(expr), to_expr(fn(R)), op="map")
+
+
+def filter(expr, predicate):  # noqa: A001
+    """Keep the elements of a JSON array where `predicate` holds
+    (reference functions/globals.py:314). JVM `filter()` over the raw
+    element text when the predicate compiles — elements keep their exact
+    original JSON rendering."""
+    from ..exprs import JsonMapperExpr, R, to_expr
+    return JsonMapperExpr(to_expr(expr), to_expr(predicate(R)), op="filter")
+
+
+def sort(expr, key=None, *, asc: bool = True):
+    """Sort a JSON array, optionally by `key(x)` (reference
+    functions/globals.py:362). A typed key compiles to a JVM
+    `array_sort` comparator; identity/JSON keys use Python value
+    ordering."""
+    from ..exprs import JsonMapperExpr, R, to_expr
+    k = to_expr(key(R)) if key is not None else R
+    return JsonMapperExpr(to_expr(expr), k, op="sort", asc=asc)
+
+
 def count_star() -> FunctionCall:
     return Function("count", ColumnType.int_(), spark_fn=lambda: F.count(F.lit(1)), is_agg=True)()
 

@@ -320,3 +320,125 @@ def bboxes_crop_canvas(bboxes: Column, format: str = "xyxy",  # noqa: A002
         return _from_xyxy(nx1, ny1, nx2, ny2, format)
 
     return F.transform(bboxes, crop_one)
+
+
+# ---------------------------------------------------------------------------
+# mean average precision (reference functions/vision.py:235 mean_ap) —
+# distributed PR-curve formulation instead of the reference's
+# collect-everything aggregator
+# ---------------------------------------------------------------------------
+
+def detection_pr_events(df: DataFrame,
+                        pred_boxes: str = "pred_boxes",
+                        pred_labels: str = "pred_labels",
+                        pred_scores: str = "pred_scores",
+                        gt_boxes: str = "gt_boxes",
+                        gt_labels: str = "gt_labels",
+                        iou_threshold: float = 0.5,
+                        id_col: str = "image_id") -> DataFrame:
+    """Per-PREDICTION match events — the reference's DetectionEval tp/fp
+    arrays (vision.py:176 eval_detections), exploded to one row per
+    prediction: (image, category, score, pred_idx, is_tp). Matching is
+    the same greedy score-ordered IoU>=thr, same-label, each gt claimed
+    once. A narrow mapInPandas — events of one image never leave its
+    partition; the mAP windows downstream do the only shuffle (by class)."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("category", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("pred_idx", T.IntegerType()),
+        T.StructField("is_tp", T.IntegerType()),
+    ])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            def _lst(v):
+                return [] if v is None else list(v)
+
+            for _, r in pdf.iterrows():
+                pb = [list(b) for b in _lst(r[pred_boxes])]
+                pl = _lst(r[pred_labels])
+                ps = _lst(r[pred_scores]) or [1.0] * len(pb)
+                gb = [list(b) for b in _lst(r[gt_boxes])]
+                gl = _lst(r[gt_labels])
+                order = sorted(range(len(pb)), key=lambda i: -ps[i])
+                matched: set[int] = set()
+                for i in order:
+                    best_j, best_iou = -1, iou_threshold
+                    for j in range(len(gb)):
+                        if j in matched or gl[j] != pl[i]:
+                            continue
+                        iou = _iou_py(pb[i], gb[j])
+                        if iou >= best_iou:
+                            best_j, best_iou = j, iou
+                    if best_j >= 0:
+                        matched.add(best_j)
+                    rows.append({id_col: r[id_col], "category": int(pl[i]),
+                                 "score": float(ps[i]), "pred_idx": int(i),
+                                 "is_tp": 1 if best_j >= 0 else 0})
+            yield pd.DataFrame(
+                rows, columns=[id_col, "category", "score", "pred_idx", "is_tp"])
+
+    return df.mapInPandas(op, out_schema)
+
+
+def gt_class_counts(df: DataFrame, gt_labels: str = "gt_labels") -> DataFrame:
+    """(category, num_gts) across the corpus — one explode + groupBy."""
+    return (df.select(F.explode(F.col(gt_labels)).alias("category"))
+            .groupBy("category").agg(F.count(F.lit(1)).alias("num_gts")))
+
+
+def mean_ap(df: DataFrame,
+            pred_boxes: str = "pred_boxes", pred_labels: str = "pred_labels",
+            pred_scores: str = "pred_scores", gt_boxes: str = "gt_boxes",
+            gt_labels: str = "gt_labels", iou_threshold: float = 0.5,
+            id_col: str = "image_id") -> DataFrame:
+    """Per-class average precision (reference vision.py:235 mean_ap,
+    VOC-style "area" AP with the monotone precision envelope), computed
+    with per-class windows instead of collecting every score to one
+    process:
+
+    * events = per-prediction (class, score, is_tp) rows (narrow)
+    * one window per class ordered (score DESC, image, pred_idx) — a
+      TOTAL order, so results are deterministic where the reference's
+      arrival-order argsort tie-breaks are not — gives integer tp/fp
+      cumsums, hence exact precision/recall at every rank
+    * the envelope max(precision[i:]) is the same window reversed
+    * AP = sum(is_tp * envelope)/num_gts; the envelope is quantized to
+      the 2^-20 grid first so each term is exactly representable and the
+      per-class sum is association-independent (bit-stable across
+      partitionings and engines; error bound 2^-20 per point)
+
+    Two shuffles total (events by class, gt counts), both keyed; no
+    driver-side state. Returns (category, ap); overall mAP = avg(ap).
+    Classes with ground truth but no predictions get ap = 0.0."""
+    from pyspark.sql import Window as W
+
+    ev = detection_pr_events(df, pred_boxes, pred_labels, pred_scores,
+                             gt_boxes, gt_labels, iou_threshold, id_col)
+    gts = gt_class_counts(df, gt_labels)
+    fwd = (W.partitionBy("category")
+           .orderBy(F.col("score").desc(), F.col(id_col), F.col("pred_idx"))
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    rev = (W.partitionBy("category")
+           .orderBy(F.col("score").asc(), F.col(id_col).desc(),
+                    F.col("pred_idx").desc())
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    eps = 1.1920928955078125e-07  # np.finfo(np.float32).eps, as the reference
+    ranked = (ev
+              .withColumn("tp_cum", F.sum("is_tp").over(fwd))
+              .withColumn("rank", F.count(F.lit(1)).over(fwd))
+              .withColumn("prec", F.col("tp_cum")
+                          / F.greatest(F.col("rank").cast("double"), F.lit(eps))))
+    q = float(1 << 20)
+    enved = (ranked
+             .withColumn("env", F.max("prec").over(rev))
+             .withColumn("env_q", F.floor(F.col("env") * q + 0.5) / q))
+    ap_num = (enved.groupBy("category")
+              .agg(F.sum(F.col("is_tp") * F.col("env_q")).alias("ap_num")))
+    return (gts.join(ap_num, on="category", how="left")
+            .select("category",
+                    (F.coalesce("ap_num", F.lit(0.0))
+                     / F.greatest(F.col("num_gts").cast("double"), F.lit(eps)))
+                    .alias("ap")))

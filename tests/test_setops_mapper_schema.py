@@ -106,3 +106,51 @@ class TestSchemaEvolution:
         t.insert([{"k": 50, "value": 7.0}])
         got = {r[0]: r[1] for r in t.ref().df().select("k", "v2").collect()}
         assert got[50] == 14.0
+
+
+class TestMapFilterSortSugar:
+    """reference functions/globals.py:267 map / :314 filter / :362 sort"""
+
+    def _t(self, spark):
+        import json
+
+        import pixeltable_spark as pxt
+        return pxt.table_from_rows(spark, [
+            {"id": 1, "data": json.dumps([3, 1, 2])},
+            {"id": 2, "data": json.dumps([10, -5])},
+            {"id": 3, "data": None},
+        ], {"id": "int", "data": "json"})
+
+    def test_map(self, spark):
+        import json
+
+        from pixeltable_spark import functions as pxtf
+        t = self._t(spark)
+        r = {row["id"]: row["m"] for row in
+             t.select(t.id, m=pxtf.map(t.data, lambda x: x * 2))
+              .order_by(t.id).collect()}
+        assert json.loads(r[1]) == [6, 2, 4]
+        assert r[3] is None
+
+    def test_filter_jvm_raw_text(self, spark):
+        from pixeltable_spark import functions as pxtf
+        t = self._t(spark)
+        r = {row["id"]: row["f"] for row in
+             t.select(t.id, f=pxtf.filter(t.data, lambda x: x > 1))
+              .order_by(t.id).collect()}
+        assert r[1] == "[3,2]" and r[2] == "[10]"
+        assert r[3] is None
+
+    def test_sort_identity_and_key(self, spark):
+        import json
+
+        from pixeltable_spark import functions as pxtf
+        t = self._t(spark)
+        rows = t.select(
+            t.id, s=pxtf.sort(t.data),
+            d=pxtf.sort(t.data, key=lambda x: x * 1, asc=False),
+        ).order_by(t.id).collect()
+        got = {r["id"]: (r["s"], r["d"]) for r in rows}
+        assert json.loads(got[1][0]) == [1, 2, 3]
+        assert json.loads(got[1][1]) == [3, 2, 1]
+        assert json.loads(got[2][0]) == [-5, 10]
