@@ -1604,6 +1604,19 @@ def q80_mean_ap(spark, sf_dir):
     return mean_ap(det).orderBy("category")
 
 
+def q81_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-substring spans (operators/dedup.py
+    repeated_ngram_spans — Lee et al. 2022, at word-10-gram granularity):
+    maximal token spans covered by n-grams occurring >= 2 times corpus-
+    wide. posexplode -> md5-keyed occurrence counts -> semi-join ->
+    per-doc lag/cumsum span merge (the sessionize window shape). The
+    oracle replays the identical pipeline in SQL."""
+    from pixeltable_spark.operators.dedup import repeated_ngram_spans
+    df = _df(spark, sf_dir, "documents")
+    return (repeated_ngram_spans(df, n=10, min_count=2)
+            .orderBy("doc_id", "span_start"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1689,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_bow_embed_search": q78_bow_embed_search,
         "q79_quality_classifier": q79_quality_classifier,
         "q80_mean_ap": q80_mean_ap,
+        "q81_repeated_spans": q81_repeated_spans,
     }
 
 
@@ -2615,4 +2629,29 @@ SELECT g.category,
          / greatest(CAST(g.num_gts AS DOUBLE), 1.1920928955078125e-07) AS ap
 FROM gts g LEFT JOIN ap_num a USING (category)
 ORDER BY g.category""",
+        "q81_repeated_spans": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, len(ts) - 10 + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, len(ts) - 10 + 2),
+                i -> array_to_string(list_slice(ts, i, i + 9), ' '))) AS gram
+  FROM toks WHERE len(ts) >= 10),
+keyed AS (SELECT doc_id, pos, md5(gram) AS k FROM grams),
+hot AS (SELECT k FROM keyed GROUP BY k HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM keyed WHERE k IN (SELECT k FROM hot)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+              THEN 1 ELSE 0 END AS new
+  FROM hits),
+cum AS (
+  SELECT doc_id, pos,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span
+  FROM marked)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+FROM cum GROUP BY doc_id, span ORDER BY doc_id, span_start""",
     }

@@ -647,3 +647,50 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     # documents whose every line was scrubbed still appear, as empty text
     return (df.select(id_col).join(rebuilt, on=id_col, how="left")
               .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring spans (the ExactSubstr dedup design of Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better",
+# approximated at n-gram granularity: a span is flagged when one of its
+# word n-grams occurs >= min_count times corpus-wide — the practical
+# distributed stand-in for their suffix-array match, exact at the n-gram
+# level)
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 10,
+                         min_count: int = 2) -> DataFrame:
+    """Merged token spans covered by corpus-repeated word n-grams:
+    (id, span_start, span_end) in token offsets, span = union of
+    [pos, pos+n) windows of every n-gram whose TOTAL occurrence count
+    (within-doc repeats included, as ExactSubstr counts) reaches
+    ``min_count``.
+
+    Plan: posexplode n-grams -> count by 16-byte md5 key (map-side
+    partials; the n-gram text never shuffles) -> semi-join hits back ->
+    per-doc lag/cumsum window merges overlapping windows into maximal
+    spans (the q22 sessionize shape). Three keyed shuffles; no driver
+    state; hot boilerplate n-grams are exactly the rows the count
+    prefilter keeps, so AQE's skew splitting applies to the join."""
+    from pyspark.sql import Window as W
+
+    from .text import shingle_array
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(shingle_array(F.col(text_col), n)).alias("pos", "gram"))
+    keyed = grams.select(id_col, "pos", F.md5("gram").alias("k"))
+    hot = (keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count).select("k"))
+    hits = keyed.join(hot, "k").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    spans = (hits
+             .withColumn("new", F.when(
+                 F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0))
+             .withColumn("span", F.sum("new").over(
+                 w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+             .groupBy(id_col, "span")
+             .agg(F.min("pos").alias("span_start"),
+                  (F.max("pos") + n).alias("span_end"))
+             .select(id_col, "span_start", "span_end"))
+    return spans

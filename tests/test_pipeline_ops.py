@@ -314,3 +314,40 @@ class TestDocPacking:
         offs = sorted((r["bin"], r["offset"]) for r in out)
         assert all(o in (0, 16, 32, 48) for _, o in offs)
         assert len({b for b, _ in offs}) == 10  # 40 docs / 4 per bin
+
+
+class TestRepeatedSpans:
+    def test_exact_substr_spans(self, spark):
+        from pixeltable_spark.operators.dedup import repeated_ngram_spans
+        shared = "one two three four five"
+        df = spark.createDataFrame([
+            (1, f"{shared} alpha beta gamma"),
+            (2, f"prefix words here {shared} tail"),
+            (3, "no duplication in this document at all"),
+        ], ["doc_id", "text"])
+        spans = {(r["doc_id"]): (r["span_start"], r["span_end"])
+                 for r in repeated_ngram_spans(df, n=5, min_count=2).collect()}
+        # doc1: shared at tokens 0-4 -> span [0, 5); doc2: at tokens 3-7
+        assert spans[1] == (0, 5)
+        assert spans[2] == (3, 8)
+        assert 3 not in spans
+
+    def test_within_doc_repeats_count(self, spark):
+        from pixeltable_spark.operators.dedup import repeated_ngram_spans
+        # the SAME 3-gram twice inside one doc must count (ExactSubstr
+        # counts occurrences, not documents)
+        df = spark.createDataFrame(
+            [(1, "a b c x y z a b c")], ["doc_id", "text"])
+        spans = [(r["span_start"], r["span_end"]) for r in
+                 repeated_ngram_spans(df, n=3, min_count=2).collect()]
+        assert spans == [(0, 3), (6, 9)]
+
+    def test_overlapping_windows_merge(self, spark):
+        from pixeltable_spark.operators.dedup import repeated_ngram_spans
+        long_shared = "w1 w2 w3 w4 w5 w6"
+        df = spark.createDataFrame([
+            (1, long_shared), (2, long_shared)], ["doc_id", "text"])
+        spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in
+                 repeated_ngram_spans(df, n=4, min_count=2).collect()}
+        # 3 overlapping hot 4-grams merge into one [0, 6) span
+        assert spans == {1: (0, 6), 2: (0, 6)}
