@@ -95,6 +95,107 @@ class Catalog:
     def _tbl_dir(self, name: str) -> str:
         return os.path.join(self.root, *name.split("."))
 
+    def _is_table_dir(self, d: str) -> bool:
+        return os.path.exists(os.path.join(d, "meta.json"))
+
+    def list_dirs(self, path: str = "", recursive: bool = True) -> list[str]:
+        """Directory paths under `path` (reference globals.py list_dirs).
+        A directory is any namespace node that is not itself a table."""
+        base = self._tbl_dir(path) if path else self.root
+        out = []
+        for dirpath, dirnames, _files in os.walk(base):
+            # don't descend into table storage
+            if self._is_table_dir(dirpath):
+                dirnames[:] = []
+                continue
+            if dirpath != base:
+                rel = os.path.relpath(dirpath, self.root)
+                out.append(rel.replace(os.sep, "."))
+            if not recursive and dirpath != base:
+                dirnames[:] = []
+        return sorted(out)
+
+    def get_dir_contents(self, path: str = "",
+                         recursive: bool = False) -> dict:
+        """{'dirs': [...], 'tables': [...]} under `path`
+        (reference globals.py get_dir_contents)."""
+        base = self._tbl_dir(path) if path else self.root
+        dirs, tables = [], []
+        if not os.path.isdir(base):
+            raise ValueError(f"no such directory: {path!r}")
+        for entry in sorted(os.listdir(base)):
+            full = os.path.join(base, entry)
+            if not os.path.isdir(full):
+                continue
+            rel = (f"{path}.{entry}" if path else entry)
+            if self._is_table_dir(full):
+                tables.append(rel)
+            else:
+                dirs.append(rel)
+                if recursive:
+                    sub = self.get_dir_contents(rel, recursive=True)
+                    dirs.extend(sub["dirs"])
+                    tables.extend(sub["tables"])
+        return {"dirs": dirs, "tables": tables}
+
+    def get_dir_tree(self, path: str = "") -> dict:
+        """Nested {'dirs': {name: subtree}, 'tables': [names]}
+        (reference globals.py get_dir_tree)."""
+        c = self.get_dir_contents(path)
+        return {
+            "dirs": {d.rsplit(".", 1)[-1]: self.get_dir_tree(d)
+                     for d in c["dirs"]},
+            "tables": [t.rsplit(".", 1)[-1] for t in c["tables"]],
+        }
+
+    def ls(self, path: str = "") -> list[dict]:
+        """Flat listing with kinds (reference globals.py ls): one dict
+        per entry with name/kind ('dir' | 'table' | 'view' |
+        'snapshot')."""
+        c = self.get_dir_contents(path)
+        out = [{"name": d, "kind": "dir"} for d in c["dirs"]]
+        for t in c["tables"]:
+            with open(os.path.join(self._tbl_dir(t), "meta.json")) as f:
+                kind = json.load(f).get("kind", "table")
+            out.append({"name": t, "kind": kind})
+        return out
+
+    def drop_dir(self, path: str, force: bool = False) -> None:
+        """Remove a namespace directory (reference globals.py drop_dir):
+        refuses a non-empty directory unless force=True, which drops
+        contained tables/dirs recursively."""
+        d = self._tbl_dir(path)
+        if not os.path.isdir(d) or self._is_table_dir(d):
+            raise ValueError(f"no such directory: {path!r}")
+        contents = self.get_dir_contents(path, recursive=True)
+        if (contents["dirs"] or contents["tables"]) and not force:
+            raise ValueError(
+                f"directory {path!r} is not empty; pass force=True to drop "
+                f"{len(contents['tables'])} table(s)")
+        for t in contents["tables"]:
+            self._tables.pop(t, None)
+        shutil.rmtree(d)
+
+    def move(self, src: str, dst: str) -> None:
+        """Rename/move a table or directory within the namespace
+        (reference globals.py move). Cached handles are re-keyed; a
+        moved table keeps its storage (one directory rename)."""
+        sd, dd = self._tbl_dir(src), self._tbl_dir(dst)
+        if not os.path.isdir(sd):
+            raise ValueError(f"no such table or directory: {src!r}")
+        if os.path.exists(dd):
+            raise ValueError(f"destination exists: {dst!r}")
+        os.makedirs(os.path.dirname(dd), exist_ok=True)
+        os.rename(sd, dd)
+        moved = [(n, t) for n, t in self._tables.items()
+                 if n == src or n.startswith(src + ".")]
+        for n, t in moved:
+            del self._tables[n]
+            new_name = dst + n[len(src):]
+            t.name = new_name
+            t.path = self._tbl_dir(new_name)
+            self._tables[new_name] = t
+
     # -- tables ------------------------------------------------------------
     def create_table(self, name: str, schema: dict[str, ColumnType],
                      primary_key: Optional[Sequence[str]] = None,

@@ -299,3 +299,57 @@ class TestAlterColumn:
         t = _mk(cat)
         with pytest.raises(ValueError, match="non-alterable"):
             t.alter_column("nope", pxt.Int())
+
+
+class TestNamespaceOps:
+    """reference globals.py: ls / list_dirs / get_dir_contents /
+    get_dir_tree / drop_dir / move"""
+
+    def _layout(self, cat):
+        cat.create_dir("proj")
+        cat.create_dir("proj.raw")
+        _mk(cat, "proj.raw.docs")
+        _mk(cat, "proj.clean")
+        _mk(cat, "top")
+        return cat
+
+    def test_list_dirs_and_contents(self, cat):
+        self._layout(cat)
+        assert cat.list_dirs() == ["proj", "proj.raw"]
+        c = cat.get_dir_contents("proj")
+        assert c == {"dirs": ["proj.raw"], "tables": ["proj.clean"]}
+        rec = cat.get_dir_contents("", recursive=True)
+        assert "proj.raw.docs" in rec["tables"] and "top" in rec["tables"]
+
+    def test_ls_kinds_and_tree(self, cat):
+        self._layout(cat)
+        kinds = {e["name"]: e["kind"] for e in cat.ls()}
+        assert kinds["proj"] == "dir" and kinds["top"] == "table"
+        tree = cat.get_dir_tree()
+        assert tree["dirs"]["proj"]["dirs"]["raw"]["tables"] == ["docs"]
+
+    def test_drop_dir_refuses_nonempty(self, cat):
+        import pytest
+        self._layout(cat)
+        with pytest.raises(ValueError, match="not empty"):
+            cat.drop_dir("proj")
+        cat.drop_dir("proj", force=True)
+        assert "proj.clean" not in cat.list_tables()
+        assert cat.list_dirs() == []
+
+    def test_move_table_keeps_data(self, cat):
+        self._layout(cat)
+        t = cat.get_table("top")
+        v0 = t.df().count()
+        cat.move("top", "proj.renamed")
+        t2 = cat.get_table("proj.renamed")
+        assert t2.df().count() == v0 == 10
+        assert "top" not in cat.list_tables()
+        # the cached handle was re-keyed, not copied
+        assert t2 is t
+
+    def test_move_directory(self, cat):
+        self._layout(cat)
+        cat.move("proj.raw", "proj.archived")
+        assert "proj.archived.docs" in cat.list_tables()
+        assert cat.get_table("proj.archived.docs").df().count() == 10
