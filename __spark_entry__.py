@@ -1617,6 +1617,19 @@ def q81_repeated_spans(spark, sf_dir):
             .orderBy("doc_id", "span_start"))
 
 
+def q82_gopher_filter(spark, sf_dir):
+    """The full Gopher quality-rule battery as ONE operator
+    (operators/text.py gopher_filter — Rae et al. 2021 §A1.1): word
+    count band, mean word length band, symbol ratio, alphabetic-word
+    fraction, stopword presence, duplicate-line and top-n-gram
+    repetition, plus the combined keep. One scan + two keyed
+    aggregations; every ratio is an integer/integer division so DuckDB
+    reproduces the doubles bit-for-bit."""
+    from pixeltable_spark.operators.text import gopher_filter
+    df = _df(spark, sf_dir, "documents")
+    return gopher_filter(df).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1703,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_quality_classifier": q79_quality_classifier,
         "q80_mean_ap": q80_mean_ap,
         "q81_repeated_spans": q81_repeated_spans,
+        "q82_gopher_filter": q82_gopher_filter,
     }
 
 
@@ -2654,4 +2668,62 @@ cum AS (
   FROM marked)
 SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
 FROM cum GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+        "q82_gopher_filter": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ts) AS n_words,
+         CAST(list_reduce(list_transform(ts, t -> length(t)),
+                          (x, y) -> x + y) AS DOUBLE)
+           / greatest(len(ts), 1) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+           / greatest(len(ts), 1) AS symbol_ratio,
+         CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+              AS DOUBLE) / greatest(len(ts), 1) AS alpha_word_frac,
+         len(list_intersect(list_distinct(ts),
+             ['the','be','to','of','and','that','have','with']))
+           AS n_stopword_kinds
+  FROM base),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2 + 2),
+           i -> array_to_string(list_slice(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  i, i + 1), ' '))) AS g
+  FROM documents),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_ngram_frac
+        FROM per_gram GROUP BY doc_id),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM lines
+  WHERE trim(line) <> '' GROUP BY doc_id, line),
+dl AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE) / sum(c)
+         AS dup_line_frac
+       FROM per_line GROUP BY doc_id)
+SELECT m.doc_id, m.n_words, m.mean_word_len, m.symbol_ratio,
+       m.alpha_word_frac, m.n_stopword_kinds,
+       coalesce(r.top_ngram_frac, 0.0) AS top_ngram_frac,
+       coalesce(d.dup_line_frac, 0.0) AS dup_line_frac,
+       (m.n_words >= 50 AND m.n_words <= 100000) AS ok_n_words,
+       (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0) AS ok_word_len,
+       (m.symbol_ratio <= 0.1) AS ok_symbols,
+       (m.alpha_word_frac >= 0.8) AS ok_alpha,
+       (m.n_stopword_kinds >= 2) AS ok_stopwords,
+       (coalesce(d.dup_line_frac, 0.0) <= 0.3) AS ok_dup_lines,
+       (coalesce(r.top_ngram_frac, 0.0) <= 0.2) AS ok_top_ngram,
+       ((m.n_words >= 50 AND m.n_words <= 100000)
+        AND (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0)
+        AND m.symbol_ratio <= 0.1 AND m.alpha_word_frac >= 0.8
+        AND m.n_stopword_kinds >= 2
+        AND coalesce(d.dup_line_frac, 0.0) <= 0.3
+        AND coalesce(r.top_ngram_frac, 0.0) <= 0.2) AS keep
+FROM m LEFT JOIN rep r USING (doc_id) LEFT JOIN dl d USING (doc_id)
+ORDER BY m.doc_id""",
     }

@@ -352,3 +352,79 @@ def dsir_score(df: DataFrame, model: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.avg(F.coalesce("log_ratio", F.lit(0.0))).alias("dsir_score"),
                  F.count(F.lit(1)).alias("n_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# composite Gopher quality filter (Rae et al. 2021 §A1.1, the full rule
+# set as one operator — the shape users actually run)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  min_alpha_word_frac: float = 0.8,
+                  min_stopwords: int = 2,
+                  max_dup_line_frac: float = 0.3,
+                  max_top_ngram_frac: float = 0.2,
+                  ngram_n: int = 2) -> DataFrame:
+    """Per-document Gopher rule verdicts + the combined keep flag:
+    (id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    n_stopword_kinds, dup_line_frac, top_ngram_frac,
+    ok_* per rule, keep).
+
+    Everything except the two repetition signals is a map-only JVM
+    projection over one scan; the repetition signals come from
+    repetition_stats/duplicate_line_stats (each one explode + two
+    aggregations) joined back on the id — so the full filter is the scan
+    plus two keyed aggregations however large the corpus, and `keep`
+    pushes down as a filter on the joined result."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_wl = (F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t)).cast("double")
+               / F.greatest(n_words, F.lit(1)))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"), alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopword_kinds"))
+    rep = repetition_stats(df, text_col, id_col, n=ngram_n) \
+        .select(id_col, "top_ngram_frac")
+    lines = duplicate_line_stats(df, text_col, id_col) \
+        .select(id_col, "dup_line_frac")
+    j = (base.join(rep, id_col, "left").join(lines, id_col, "left")
+         .withColumn("top_ngram_frac",
+                     F.coalesce("top_ngram_frac", F.lit(0.0)))
+         .withColumn("dup_line_frac", F.coalesce("dup_line_frac", F.lit(0.0))))
+    rules = {
+        "ok_n_words": (F.col("n_words") >= min_words)
+                      & (F.col("n_words") <= max_words),
+        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+                       & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stopwords": F.col("n_stopword_kinds") >= min_stopwords,
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_top_ngram": F.col("top_ngram_frac") <= max_top_ngram_frac,
+    }
+    out = j
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

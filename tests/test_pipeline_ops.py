@@ -351,3 +351,34 @@ class TestRepeatedSpans:
                  repeated_ngram_spans(df, n=4, min_count=2).collect()}
         # 3 overlapping hot 4-grams merge into one [0, 6) span
         assert spans == {1: (0, 6), 2: (0, 6)}
+
+
+class TestGopherFilter:
+    def test_rule_verdicts(self, spark):
+        from pixeltable_spark.operators.text import gopher_filter
+        good = ("the quick brown fox jumps over a lazy dog and then "
+                "runs off to be with the other animals that have food "
+                "while keeping pace with every word length rule we set "
+                "for this check of fifty or more words in total which "
+                "should now be satisfied by this very sentence here ok")
+        df = spark.createDataFrame([
+            (1, good),
+            (2, "short text"),                       # fails n_words
+            (3, " ".join(["spam"] * 80)),            # fails top_ngram + stopwords
+            (4, " ".join(["#"] * 60)),               # fails symbols/alpha
+        ], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in gopher_filter(df, min_words=40).collect()}
+        assert out[1]["keep"]
+        assert not out[2]["ok_n_words"] and not out[2]["keep"]
+        assert not out[3]["ok_top_ngram"] and not out[3]["ok_stopwords"]
+        assert not out[4]["ok_alpha"] and not out[4]["ok_symbols"]
+
+    def test_thresholds_configurable(self, spark):
+        from pixeltable_spark.operators.text import gopher_filter
+        df = spark.createDataFrame([(1, "five words in this text")],
+                                   ["doc_id", "text"])
+        strict = gopher_filter(df, min_words=50).collect()[0]
+        loose = gopher_filter(df, min_words=2, min_stopwords=0,
+                              min_mean_word_len=1.0,
+                              max_top_ngram_frac=0.5).collect()[0]
+        assert not strict["keep"] and loose["keep"]
