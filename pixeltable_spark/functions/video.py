@@ -337,3 +337,291 @@ def make_video(df: DataFrame, group_col: str, frame_col: str = "frame",
 
 
 concat_videos_agg = make_video
+
+
+# ---------------------------------------------------------------------------
+# filters (reference functions/video/filters.py: grayscale, mirror,
+# rotate, brightness, pan/zoom/scroll) — real numpy frame kernels for
+# decodable AVIs through the same narrow waist
+# ---------------------------------------------------------------------------
+
+def _frames_edit(name: str, edit):
+    """Decode -> per-frames numpy edit -> re-encode."""
+    def real(p: bytes) -> bytes:
+        import numpy as np  # noqa: F401
+        frames, fps = _vc.decode(p)
+        return _vc.encode(edit(frames), fps)
+    return _video_transform_udf(name, real)
+
+
+def grayscale(col: Column) -> Column:
+    """Luma-weighted grayscale, replicated to RGB (reference
+    filters.py grayscale / ffmpeg hue=s=0)."""
+    import numpy as np
+
+    def ed(fr):
+        g = (fr[..., 0] * 0.299 + fr[..., 1] * 0.587
+             + fr[..., 2] * 0.114).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=3 if g.ndim == 3 else 2)
+    return _frames_edit("grayscale", ed)(col)
+
+
+def mirror_x(col: Column) -> Column:
+    """Horizontal flip (reference filters.py mirror_x)."""
+    return _frames_edit("mirror_x", lambda fr: fr[:, :, ::-1])(col)
+
+
+def mirror_y(col: Column) -> Column:
+    """Vertical flip (reference filters.py mirror_y)."""
+    return _frames_edit("mirror_y", lambda fr: fr[:, ::-1])(col)
+
+
+def rotate(col: Column, turns: int = 1) -> Column:
+    """Rotate by 90-degree steps (reference filters.py rotate; arbitrary
+    angles need interpolation outside the pure-numpy subset)."""
+    import numpy as np
+    return _frames_edit(f"rotate{turns}",
+                        lambda fr: np.rot90(fr, k=-turns, axes=(1, 2)))(col)
+
+
+def adjust_brightness(col: Column, factor: float = 1.0) -> Column:
+    """Multiplicative brightness with clipping (reference filters.py
+    adjust_brightness)."""
+    import numpy as np
+
+    def ed(fr):
+        return np.clip(fr.astype(np.float64) * factor, 0, 255).astype(np.uint8)
+    return _frames_edit(f"brightness{factor}", ed)(col)
+
+
+def zoom(col: Column, factor: float = 1.5) -> Column:
+    """Center zoom: crop the central 1/factor window, nearest-resize back
+    (reference filters.py zoom)."""
+    import numpy as np
+
+    def ed(fr):
+        n, h, w, c = fr.shape
+        ch, cw = max(1, int(h / factor)), max(1, int(w / factor))
+        y0, x0 = (h - ch) // 2, (w - cw) // 2
+        win = fr[:, y0:y0 + ch, x0:x0 + cw]
+        yi = (np.arange(h) * ch // h)
+        xi = (np.arange(w) * cw // w)
+        return win[:, yi][:, :, xi]
+    return _frames_edit(f"zoom{factor}", ed)(col)
+
+
+def pan(col: Column, dx_per_frame: int = 2) -> Column:
+    """Horizontal pan: frame i shifted by i*dx with wraparound (reference
+    filters.py pan)."""
+    import numpy as np
+
+    def ed(fr):
+        return np.stack([np.roll(f, -(i * dx_per_frame), axis=1)
+                         for i, f in enumerate(fr)])
+    return _frames_edit(f"pan{dx_per_frame}", ed)(col)
+
+
+def scroll(col: Column, dy_per_frame: int = 2) -> Column:
+    """Vertical scroll with wraparound (reference filters.py scroll)."""
+    import numpy as np
+
+    def ed(fr):
+        return np.stack([np.roll(f, -(i * dy_per_frame), axis=0)
+                         for i, f in enumerate(fr)])
+    return _frames_edit(f"scroll{dy_per_frame}", ed)(col)
+
+
+def concat_videos(a: Column, b: Column) -> Column:
+    """Frame-wise concatenation of two decodable videos (reference
+    editing.py concat_videos); sizes must match."""
+    import numpy as np
+
+    def real(pa: bytes, pb: bytes) -> bytes:
+        fa, fps = _vc.decode(pa)
+        fb, _ = _vc.decode(pb)
+        return _vc.encode(np.concatenate([fa, fb], axis=0), fps)
+    return _video_binary_udf("concat", real)(a, b)
+
+
+def video_splitter(df: DataFrame, duration: float = 1.0,
+                   overlap: float = 0.0,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Explode videos into fixed-duration (optionally overlapping)
+    segments (reference video/iterators.py:361 video_splitter): one row
+    per segment with pos / start_time / end_time / segment payload.
+    Narrow mapInPandas like the other iterators — segments of one video
+    never leave its scan partition."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("start_time", T.DoubleType()),
+        T.StructField("end_time", T.DoubleType()),
+        T.StructField("segment", T.BinaryType()),
+    ])
+    if duration <= 0:
+        raise ValueError("duration must be positive")
+    if overlap < 0 or overlap >= duration:
+        raise ValueError("overlap must be in [0, duration)")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    continue
+                try:
+                    frames, fps = _vc.decode(bytes(p))
+                except Exception:  # noqa: BLE001
+                    continue
+                step = max(1, int(round((duration - overlap) * fps)))
+                win = max(1, int(round(duration * fps)))
+                pos = 0
+                for s0 in range(0, len(frames), step):
+                    part = frames[s0:s0 + win]
+                    if len(part) == 0:
+                        break
+                    rows.append({
+                        id_col: r[id_col], "pos": pos,
+                        "start_time": s0 / fps,
+                        "end_time": (s0 + len(part)) / fps,
+                        "segment": _vc.encode(part, fps)})
+                    pos += 1
+                    if s0 + win >= len(frames):
+                        break
+            yield pd.DataFrame(rows, columns=[
+                id_col, "pos", "start_time", "end_time", "segment"])
+
+    return df.mapInPandas(op, out_schema)
+
+
+def _scene_detect_metric(col: Column, threshold: float, metric: str) -> Column:
+    """Shared scene-cut driver over decodable AVIs; per-variant frame
+    difference metric (reference video/scene_detect.py's five detectors)."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def fn(s):
+        def cuts(p):
+            if p is None:
+                return None
+            try:
+                frames, _fps = _vc.decode(bytes(p))
+            except Exception:  # noqa: BLE001
+                n_frames = max(1, len(p) // 256)
+                h = hashlib.md5(bytes(p) + metric.encode()).digest()
+                return sorted({h[i] % n_frames for i in range(4)})
+            out = []
+            prev = None
+            diffs = []
+            for i, f in enumerate(frames):
+                if metric == "content":
+                    cur = f.astype(np.float64)
+                    if prev is not None:
+                        diffs.append((i, float(np.abs(cur - prev).mean())))
+                    prev = cur
+                elif metric == "histogram":
+                    cur = np.histogram(f, bins=32, range=(0, 256))[0] / f.size
+                    if prev is not None:
+                        diffs.append((i, float(np.abs(cur - prev).sum() * 100)))
+                    prev = cur
+                elif metric == "hash":
+                    g = f.mean(axis=2)
+                    cur = (g > g.mean()).astype(np.int8)
+                    if prev is not None:
+                        diffs.append((i, float((cur != prev).mean() * 100)))
+                    prev = cur
+            if metric == "adaptive":
+                # content metric against a rolling-average baseline
+                prev = None
+                vals = []
+                for f in frames:
+                    cur = f.astype(np.float64)
+                    if prev is not None:
+                        vals.append(float(np.abs(cur - prev).mean()))
+                    prev = cur
+                for i, v in enumerate(vals, start=1):
+                    w = vals[max(0, i - 4):i - 1]
+                    base = sum(w) / len(w) if w else 0.0
+                    if v > base * threshold and v > 1.0:
+                        out.append(i)
+                return out
+            for i, v in diffs:
+                if v > threshold:
+                    out.append(i)
+            return out
+        return s.map(cuts)
+    return fn(col)
+
+
+def scene_detect_content(col: Column, threshold: float = 27.0) -> Column:
+    """Mean-absolute frame difference (reference scene_detect.py
+    scene_detect_content)."""
+    return _scene_detect_metric(col, threshold, "content")
+
+
+def scene_detect_threshold(col: Column, threshold: float = 27.0) -> Column:
+    """Alias of the content metric at a fixed threshold (reference
+    scene_detect_threshold's fade-to-black use reduces to it on RGB)."""
+    return _scene_detect_metric(col, threshold, "content")
+
+
+def scene_detect_histogram(col: Column, threshold: float = 5.0) -> Column:
+    """32-bin intensity-histogram L1 distance (reference
+    scene_detect_histogram)."""
+    return _scene_detect_metric(col, threshold, "histogram")
+
+
+def scene_detect_hash(col: Column, threshold: float = 20.0) -> Column:
+    """Mean-threshold aHash bit-difference percentage (reference
+    scene_detect_hash)."""
+    return _scene_detect_metric(col, threshold, "hash")
+
+
+def scene_detect_adaptive(col: Column, ratio: float = 3.0) -> Column:
+    """Content metric vs a rolling-average baseline (reference
+    scene_detect_adaptive)."""
+    return _scene_detect_metric(col, ratio, "adaptive")
+
+
+def ffmpeg_filter(col: Column, filter_expr: str) -> Column:
+    """Arbitrary ffmpeg filter graphs genuinely need ffmpeg (reference
+    editing.py ffmpeg_filter)."""
+    raise NotImplementedError(
+        "ffmpeg_filter requires the ffmpeg binary, absent in this "
+        f"environment (requested filter: {filter_expr!r})")
+
+
+def concat_videos_agg(df: DataFrame, group_col: str,
+                      video_col: str = "payload",
+                      order_col: str = "pos") -> DataFrame:
+    """Concatenate each group's videos in `order_col` order into one
+    payload (reference editing.py concat_videos_agg). ONE hash shuffle +
+    a pandas group-walk (the stitch_tiles pattern — per-group
+    applyInPandas fan-out costs ~5x with many small groups)."""
+    import numpy as np
+    out_schema = T.StructType([
+        df.schema[group_col],
+        T.StructField("video", T.BinaryType()),
+    ])
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for gkey, g in pdf.groupby(group_col, sort=False):
+                parts, fps = [], 30.0
+                for _, r in g.sort_values(order_col).iterrows():
+                    try:
+                        fr, fps = _vc.decode(bytes(r[video_col]))
+                        parts.append(fr)
+                    except Exception:  # noqa: BLE001
+                        continue
+                if not parts:
+                    continue
+                rows.append({group_col: gkey,
+                             "video": _vc.encode(
+                                 np.concatenate(parts, axis=0), fps)})
+            yield pd.DataFrame(rows, columns=[group_col, "video"])
+
+    return df.repartition(F.col(group_col)).mapInPandas(op, out_schema)

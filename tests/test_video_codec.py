@@ -219,3 +219,123 @@ class TestMjpeg:
         p = p.replace(b"MJPG", b"H264")  # strh handler + strf compression
         with pytest.raises(ValueError, match="real codec"):
             vc.decode(p)
+
+
+class TestFiltersRound3:
+    """grayscale/mirror/rotate/brightness/pan/zoom/scroll + splitter +
+    concat (reference functions/video/filters.py, iterators.py:361)."""
+
+    def _avi(self, n=6, h=8, w=10, fps=5.0):
+        import numpy as np
+
+        from pixeltable_spark.functions import video_codec as vc
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 256, size=(n, h, w, 3), dtype="uint8")
+        return frames, vc.encode(frames, fps)
+
+    def _one(self, spark, payload, col_fn):
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1, bytearray(payload))], ["media_id", "payload"])
+        return bytes(df.select(col_fn(F.col("payload")).alias("v"))
+                     .collect()[0]["v"])
+
+    def test_mirror_and_rotate(self, spark):
+        import numpy as np
+
+        from pixeltable_spark.functions import video as V
+        from pixeltable_spark.functions import video_codec as vc
+        frames, p = self._avi()
+        mx, _ = vc.decode(self._one(spark, p, V.mirror_x))
+        assert (mx == frames[:, :, ::-1]).all()
+        my, _ = vc.decode(self._one(spark, p, V.mirror_y))
+        assert (my == frames[:, ::-1]).all()
+        rot, _ = vc.decode(self._one(spark, p, lambda c: V.rotate(c, 1)))
+        assert rot.shape == (6, 10, 8, 3)
+        assert (rot == np.rot90(frames, k=-1, axes=(1, 2))).all()
+
+    def test_grayscale_and_brightness(self, spark):
+        import numpy as np
+
+        from pixeltable_spark.functions import video as V
+        from pixeltable_spark.functions import video_codec as vc
+        frames, p = self._avi()
+        g, _ = vc.decode(self._one(spark, p, V.grayscale))
+        assert (g[..., 0] == g[..., 1]).all() and (g[..., 1] == g[..., 2]).all()
+        b, _ = vc.decode(self._one(spark, p, lambda c: V.adjust_brightness(c, 0.5)))
+        assert (b == np.clip(frames.astype(np.float64) * 0.5, 0, 255)
+                .astype(np.uint8)).all()
+
+    def test_pan_scroll_zoom_shapes(self, spark):
+        from pixeltable_spark.functions import video as V
+        from pixeltable_spark.functions import video_codec as vc
+        frames, p = self._avi()
+        for fn in (lambda c: V.pan(c, 1), lambda c: V.scroll(c, 1),
+                   lambda c: V.zoom(c, 2.0)):
+            out, _ = vc.decode(self._one(spark, p, fn))
+            assert out.shape == frames.shape
+
+    def test_video_splitter(self, spark):
+        from pixeltable_spark.functions import video as V
+        from pixeltable_spark.functions import video_codec as vc
+        frames, p = self._avi(n=10, fps=5.0)  # 2s video
+        df = spark.createDataFrame([(1, bytearray(p))], ["media_id", "payload"])
+        segs = V.video_splitter(df, duration=1.0).collect()
+        assert [s["pos"] for s in segs] == [0, 1]
+        f0, _ = vc.decode(bytes(segs[0]["segment"]))
+        assert len(f0) == 5 and segs[0]["start_time"] == 0.0
+        assert segs[1]["end_time"] == 2.0
+        # overlapping windows
+        ov = V.video_splitter(df, duration=1.0, overlap=0.5).collect()
+        assert len(ov) > 2
+
+    def test_concat_and_agg(self, spark):
+        import numpy as np
+
+        from pixeltable_spark.functions import video as V
+        from pixeltable_spark.functions import video_codec as vc
+        from pyspark.sql import functions as F
+        fa, pa = self._avi(n=3)
+        fb, pb = self._avi(n=2)
+        df = spark.createDataFrame([(1, bytearray(pa), bytearray(pb))],
+                                   ["media_id", "a", "b"])
+        out = bytes(df.select(V.concat_videos(F.col("a"), F.col("b"))
+                              .alias("v")).collect()[0]["v"])
+        fr, _ = vc.decode(out)
+        assert (fr == np.concatenate([fa, fb], axis=0)).all()
+        parts = spark.createDataFrame(
+            [(1, 0, bytearray(pa)), (1, 1, bytearray(pb))],
+            ["gid", "pos", "payload"])
+        agg = V.concat_videos_agg(parts, "gid").collect()
+        fr2, _ = vc.decode(bytes(agg[0]["video"]))
+        assert len(fr2) == 5
+
+    def test_scene_detect_variants(self, spark):
+        import numpy as np
+
+        from pixeltable_spark.functions import video as V
+        from pyspark.sql import functions as F
+        from pixeltable_spark.functions import video_codec as vc
+        # intensity change: content/threshold/histogram/adaptive see it
+        dark = np.zeros((4, 8, 10, 3), dtype="uint8")
+        light = np.full((4, 8, 10, 3), 220, dtype="uint8")
+        p1 = vc.encode(np.concatenate([dark, light]), 5.0)
+        # structure change at constant intensity distribution: the
+        # mean-relative aHash sees it where the histogram cannot
+        a = np.zeros((4, 8, 10, 3), dtype="uint8"); a[:, :, :5] = 220
+        b = np.zeros((4, 8, 10, 3), dtype="uint8"); b[:, :4, :] = 220
+        p2 = vc.encode(np.concatenate([a, b]), 5.0)
+        df = spark.createDataFrame(
+            [(1, bytearray(p1)), (2, bytearray(p2))], ["media_id", "payload"])
+        got = {}
+        for fn in (V.scene_detect_content, V.scene_detect_histogram,
+                   V.scene_detect_hash, V.scene_detect_threshold,
+                   V.scene_detect_adaptive):
+            got[fn.__name__] = {
+                r["media_id"]: r["c"] for r in
+                df.select("media_id", fn(F.col("payload")).alias("c"))
+                  .collect()}
+        for name in ("scene_detect_content", "scene_detect_threshold",
+                     "scene_detect_histogram", "scene_detect_adaptive"):
+            assert 4 in got[name][1], name
+        assert got["scene_detect_hash"][2] == [4]
+        assert got["scene_detect_histogram"][2] == []  # designed blind spot
