@@ -1630,6 +1630,26 @@ def q82_gopher_filter(spark, sf_dir):
     return gopher_filter(df).orderBy("doc_id")
 
 
+def q83_range_join(spark, sf_dir):
+    """Binned range join (operators/joins.py range_join — the shared-bin
+    equi-join rewrite of a point-in-interval theta join, same trick as
+    Databricks' RANGE_JOIN hint): events whose value falls inside each
+    nation's synthetic [2k, 2k+3] band. With bin_width set, both sides
+    meet on (bin) so the pairing is a hash join, not a nested-loop; the
+    exact predicate re-applies after. Each match lives in exactly one
+    left bin, so no dedup is needed. Oracle = the plain theta join."""
+    from pixeltable_spark.operators.joins import range_join
+    ev = _df(spark, sf_dir, "events").select("event_id", "value")
+    bands = (_df(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey"),
+                     (F.col("n_nationkey") * 2.0).alias("lo"),
+                     (F.col("n_nationkey") * 2.0 + 3.0).alias("hi")))
+    out = range_join(ev, bands, left_point="value",
+                     right_lo="lo", right_hi="hi", bin_width=2.0)
+    return (out.select("event_id", "n_nationkey", "value")
+            .orderBy("event_id", "n_nationkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1717,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_mean_ap": q80_mean_ap,
         "q81_repeated_spans": q81_repeated_spans,
         "q82_gopher_filter": q82_gopher_filter,
+        "q83_range_join": q83_range_join,
     }
 
 
@@ -2726,4 +2747,9 @@ SELECT m.doc_id, m.n_words, m.mean_word_len, m.symbol_ratio,
         AND coalesce(r.top_ngram_frac, 0.0) <= 0.2) AS keep
 FROM m LEFT JOIN rep r USING (doc_id) LEFT JOIN dl d USING (doc_id)
 ORDER BY m.doc_id""",
+        "q83_range_join": r"""
+SELECT e.event_id, n.n_nationkey, e.value
+FROM events e JOIN nation n
+  ON e.value >= n.n_nationkey * 2.0 AND e.value <= n.n_nationkey * 2.0 + 3.0
+ORDER BY e.event_id, n.n_nationkey""",
     }
