@@ -275,3 +275,107 @@ def export_coco(df: DataFrame, out_path: str,
     with open(out_path, "w") as f:
         _json.dump(doc, f)
     return out_path
+
+
+def export_webdataset(df: DataFrame, out_dir: str, key_col: str,
+                      shard_rows: int = 10_000) -> list[str]:
+    """Materialize as WebDataset tar shards (the public webdataset format
+    used for large-scale multimodal training: one tar member per sample
+    field, named <key>.<field>; binary columns raw, strings utf-8,
+    everything else JSON as <key>.json). Executor-side sharding like
+    export_pytorch — each partition streams its rows into
+    shard-{part:05d}-{seq:04d}.tar, so the driver never holds data and
+    shard count scales with partitions. Returns the shard paths.
+
+    Deterministic for a fixed partitioning: member order follows row
+    order, tar mtimes are zeroed."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator[str]:
+        import io as _io
+        import json as _json
+        import tarfile
+
+        written: list[str] = []
+        tar = None
+        n_shard = n_in_shard = 0
+
+        def open_shard():
+            p = os.path.join(out_dir, f"shard-{idx:05d}-{n_shard:04d}.tar")
+            return tarfile.open(p, "w"), p
+
+        def add(tar, name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            tar.addfile(info, _io.BytesIO(payload))
+
+        for row in rows:
+            if tar is None:
+                tar, path = open_shard()
+                written.append(path)
+            d = row.asDict(recursive=True)
+            key = str(d.pop(key_col))
+            extra = {}
+            for field, v in d.items():
+                if v is None:
+                    continue
+                if isinstance(v, (bytes, bytearray)):
+                    add(tar, f"{key}.{field}", bytes(v))
+                elif isinstance(v, str):
+                    add(tar, f"{key}.{field}.txt", v.encode("utf-8"))
+                else:
+                    extra[field] = v
+            if extra:
+                add(tar, f"{key}.json",
+                    _json.dumps(extra, sort_keys=True, default=str).encode())
+            n_in_shard += 1
+            if n_in_shard >= shard_rows:
+                tar.close()
+                tar, n_in_shard, n_shard = None, 0, n_shard + 1
+        if tar is not None:
+            tar.close()
+        return iter(written)
+
+    return sorted(df.rdd.mapPartitionsWithIndex(write_partition).collect())
+
+
+def import_webdataset(spark: SparkSession, path: str):
+    """Read WebDataset tar shards back into a DataFrame: one row per
+    sample key with `key`, binary fields as binary, `.txt` fields as
+    strings, and the `.json` member exploded into a `meta` JSON string.
+    Shards are listed on the driver but READ on executors (one task per
+    shard) — the inverse of export_webdataset."""
+    import glob as _glob
+    shards = sorted(_glob.glob(os.path.join(path, "*.tar")))
+    if not shards:
+        raise ValueError(f"no .tar shards under {path!r}")
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("fields", T.MapType(T.StringType(), T.BinaryType())),
+        T.StructField("meta", T.StringType()),
+    ])
+
+    def read_shard(paths: Iterator) -> Iterator:
+        import tarfile
+        for p in paths:
+            samples: dict[str, dict] = {}
+            metas: dict[str, str] = {}
+            with tarfile.open(p, "r") as tar:
+                for m in tar:
+                    if not m.isfile():
+                        continue
+                    key, _, field = m.name.partition(".")
+                    payload = tar.extractfile(m).read()
+                    if field == "json":
+                        metas[key] = payload.decode("utf-8")
+                    else:
+                        samples.setdefault(key, {})[field] = payload
+            for key in sorted(set(samples) | set(metas)):
+                yield (key, samples.get(key, {}), metas.get(key))
+
+    rdd = spark.sparkContext.parallelize(shards, len(shards)) \
+        .mapPartitions(read_shard)
+    return spark.createDataFrame(rdd, schema)

@@ -242,3 +242,40 @@ class TestJdbcRoundtrip:
             spark, url, '(SELECT "k", "v" FROM t_push WHERE "k" < 5) q',
             driver=driver)
         assert sub.count() == 5
+
+
+class TestWebDataset:
+    def test_roundtrip(self, spark, tmp_path):
+        import json
+
+        from pixeltable_spark.sources.io import (
+            export_webdataset,
+            import_webdataset,
+        )
+        rows = [(f"s{i:03d}", bytearray(bytes([i]) * 4), f"caption {i}", i * 1.5)
+                for i in range(25)]
+        df = spark.createDataFrame(
+            rows, "key string, img binary, caption string, score double") \
+            .repartition(3)
+        shards = export_webdataset(df, str(tmp_path / "wds"), key_col="key",
+                                   shard_rows=10)
+        assert len(shards) >= 3 and all(s.endswith(".tar") for s in shards)
+        back = import_webdataset(spark, str(tmp_path / "wds"))
+        got = {r["key"]: r for r in back.collect()}
+        assert len(got) == 25
+        r7 = got["s007"]
+        assert bytes(r7["fields"]["img"]) == bytes([7]) * 4
+        assert bytes(r7["fields"]["caption.txt"]).decode() == "caption 7"
+        assert json.loads(r7["meta"])["score"] == 10.5
+
+    def test_none_fields_skipped(self, spark, tmp_path):
+        from pixeltable_spark.sources.io import (
+            export_webdataset,
+            import_webdataset,
+        )
+        df = spark.createDataFrame([("k1", None, "t")],
+                                   "key string, img binary, caption string")
+        export_webdataset(df, str(tmp_path / "w2"), key_col="key")
+        back = import_webdataset(spark, str(tmp_path / "w2")).collect()[0]
+        assert "img" not in back["fields"]
+        assert "caption.txt" in back["fields"]
