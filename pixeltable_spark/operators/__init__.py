@@ -12,6 +12,6 @@ All hashing is md5-based and engine-portable, so every operator is
 oracle-checkable against DuckDB with identical results.
 """
 
-from . import dedup, joins, multimodal, pii, quality_clf, similarity, text, web
+from . import bpe, dedup, joins, multimodal, pii, quality_clf, similarity, text, web
 
 __all__ = ["dedup", "similarity", "text", "multimodal", "pii", "joins"]

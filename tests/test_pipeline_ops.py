@@ -382,3 +382,41 @@ class TestGopherFilter:
                               min_mean_word_len=1.0,
                               max_top_ngram_frac=0.5).collect()[0]
         assert not strict["keep"] and loose["keep"]
+
+
+class TestBpe:
+    def test_train_learns_frequent_pairs(self, spark):
+        from pixeltable_spark.operators.bpe import bpe_train
+        df = spark.createDataFrame(
+            [(1, "low low low lower lowest")], ["doc_id", "text"])
+        merges = bpe_train(df, num_merges=4)
+        assert ("l", "o") in merges and ("lo", "w") in merges
+
+    def test_train_deterministic(self, spark):
+        from pixeltable_spark.operators.bpe import bpe_train
+        df = spark.createDataFrame(
+            [(i, "alpha beta beta gamma gamma gamma") for i in range(4)],
+            ["doc_id", "text"])
+        assert bpe_train(df, num_merges=10) == bpe_train(df, num_merges=10)
+
+    def test_encode_matches_hand_merge(self, spark):
+        from pixeltable_spark.operators.bpe import encode_word
+        ranks = {("l", "o"): 0, ("lo", "w"): 1, ("w", "</w>"): 2}
+        assert encode_word("low", ranks) == ["low", "</w>"]
+        assert encode_word("slow", ranks) == ["s", "low", "</w>"]
+        assert encode_word("xyz", {}) == ["x", "y", "z", "</w>"]
+
+    def test_distributed_encode_and_count(self, spark):
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.operators.bpe import (
+            bpe_encode, bpe_token_count, bpe_train, encode_word)
+        df = spark.createDataFrame(
+            [(1, "low low lower"), (2, "lowest low")], ["doc_id", "text"])
+        merges = bpe_train(df, num_merges=6)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        got = {r["doc_id"]: (r["toks"], r["n"]) for r in df.select(
+            "doc_id", bpe_encode(F.col("text"), merges).alias("toks"),
+            bpe_token_count(F.col("text"), merges).alias("n")).collect()}
+        exp1 = encode_word("low", ranks) * 2 + encode_word("lower", ranks)
+        assert got[1][0] == exp1 and got[1][1] == len(exp1)
