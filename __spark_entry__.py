@@ -1650,6 +1650,35 @@ def q83_range_join(spark, sf_dir):
             .orderBy("event_id", "n_nationkey"))
 
 
+MIX_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.2}
+
+
+def q84_mixture_sample(spark, sf_dir):
+    """Deterministic training-mix sampling (operators/text.py
+    mixture_sample — the DoReMi/Pile static data-mixing step): each
+    domain keeps rows at its configured rate via the engine's md5-keyed
+    coin (SampleClause construction), so the mix is map-only,
+    filter-pushdown-friendly, and bit-reproducible on any cluster. The
+    oracle applies the identical md5-prefix thresholds."""
+    from pixeltable_spark.operators.text import mixture_sample
+    df = _df(spark, sf_dir, "documents")
+    return (mixture_sample(df, MIX_RATES, default_rate=0.1)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+def _q84_oracle() -> str:
+    from pixeltable_spark.plans.query import SampleClause
+    cases = " ".join(
+        f"WHEN '{dom}' THEN '{SampleClause.fraction_to_md5_hex(rate)}'"
+        for dom, rate in sorted(MIX_RATES.items()))
+    dflt = SampleClause.fraction_to_md5_hex(0.1)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5('0___' || CAST(doc_id AS VARCHAR)), 1, 16)
+      <= CASE source {cases} ELSE '{dflt}' END
+ORDER BY doc_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1738,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_repeated_spans": q81_repeated_spans,
         "q82_gopher_filter": q82_gopher_filter,
         "q83_range_join": q83_range_join,
+        "q84_mixture_sample": q84_mixture_sample,
     }
 
 
@@ -2752,4 +2782,5 @@ SELECT e.event_id, n.n_nationkey, e.value
 FROM events e JOIN nation n
   ON e.value >= n.n_nationkey * 2.0 AND e.value <= n.n_nationkey * 2.0 + 3.0
 ORDER BY e.event_id, n.n_nationkey""",
+        "q84_mixture_sample": _q84_oracle(),
     }

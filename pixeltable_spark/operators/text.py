@@ -428,3 +428,31 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (the DoReMi/Pile-style static data-mixing step: given
+# per-domain sampling rates, draw a deterministic training mix)
+# ---------------------------------------------------------------------------
+
+def mixture_sample(df: DataFrame, rates: dict, domain_col: str = "source",
+                   id_col: str = "doc_id", seed: int = 0,
+                   default_rate: float = 0.0) -> DataFrame:
+    """Keep each row independently with its domain's rate, using the
+    engine's md5-keyed deterministic coin (same construction as
+    SampleClause: the 16-hex prefix of md5(seed ___ id) is uniform on
+    [0, 16^16)): row kept iff prefix <= rate-threshold. Map-only — the
+    filter composes with the scan and pushes down; re-running with the
+    same seed reproduces the mix exactly on any cluster, which is what
+    makes training mixes auditable. Domains absent from `rates` fall to
+    ``default_rate``."""
+    from ..plans.query import SampleClause
+    key = F.substring(
+        F.md5(F.concat_ws("___", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 16)
+    expr = F.lit(SampleClause.fraction_to_md5_hex(default_rate))
+    for dom, rate in sorted(rates.items()):
+        expr = F.when(F.col(domain_col) == dom,
+                      F.lit(SampleClause.fraction_to_md5_hex(float(rate)))
+                      ).otherwise(expr)
+    return df.filter(key <= expr)

@@ -420,3 +420,27 @@ class TestBpe:
             bpe_token_count(F.col("text"), merges).alias("n")).collect()}
         exp1 = encode_word("low", ranks) * 2 + encode_word("lower", ranks)
         assert got[1][0] == exp1 and got[1][1] == len(exp1)
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, spark):
+        from pixeltable_spark.operators.text import mixture_sample
+        rows = [(i, f"d{i % 2}") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        m = mixture_sample(df, {"d0": 1.0, "d1": 0.0}, id_col="doc_id")
+        got = {r["source"] for r in m.collect()}
+        assert got == {"d0"} and m.count() == 1000
+        frac = mixture_sample(df, {"d0": 0.5}, default_rate=0.5)
+        n = frac.count()
+        assert 850 < n < 1150  # ~50% of 2000
+        assert n == mixture_sample(df, {"d0": 0.5}, default_rate=0.5).count()
+
+    def test_seed_changes_mix(self, spark):
+        from pixeltable_spark.operators.text import mixture_sample
+        df = spark.createDataFrame([(i, "d") for i in range(500)],
+                                   ["doc_id", "source"])
+        a = {r["doc_id"] for r in
+             mixture_sample(df, {"d": 0.5}, seed=1).collect()}
+        b = {r["doc_id"] for r in
+             mixture_sample(df, {"d": 0.5}, seed=2).collect()}
+        assert a != b
