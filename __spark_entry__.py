@@ -1679,6 +1679,39 @@ WHERE substr(md5('0___' || CAST(doc_id AS VARCHAR)), 1, 16)
 ORDER BY doc_id"""
 
 
+def q85_image_hash_dedup(spark, sf_dir):
+    """Image near-dup via perceptual hashing (functions/image.py ahash +
+    operators/dedup.py hamming_pairs — pigeonhole banding, never n²):
+    per-doc PNG textures keyed by doc_id % 37, so identical-key images
+    hash identically while cross-key textures sit >= 19 bits apart
+    (verified margin; max_hamming=3 can only pair same-key docs). The
+    Spark side runs real decode -> luma thumbnail -> aHash -> banded
+    join; the oracle knows the pairing must equal the key equivalence."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions.image import ahash
+    from pixeltable_spark.functions.image_codec import encode_png
+    from pixeltable_spark.operators.dedup import hamming_pairs
+
+    def _make(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            rng = np.random.RandomState(1000 + int(i) % 37)
+            out.append(encode_png(
+                rng.randint(0, 256, size=(24, 32, 3), dtype="uint8"), "RGB"))
+        return pd.Series(out)
+
+    make = F.pandas_udf(_make, T.BinaryType())
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(min(8, spark.sparkContext.defaultParallelism))
+          .withColumn("payload", make("doc_id")))
+    hashes = df.select("doc_id", ahash(F.col("payload")).alias("h"))
+    return (hamming_pairs(hashes, "h", bits=64, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1768,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_gopher_filter": q82_gopher_filter,
         "q83_range_join": q83_range_join,
         "q84_mixture_sample": q84_mixture_sample,
+        "q85_image_hash_dedup": q85_image_hash_dedup,
     }
 
 
@@ -2783,4 +2817,9 @@ FROM events e JOIN nation n
   ON e.value >= n.n_nationkey * 2.0 AND e.value <= n.n_nationkey * 2.0 + 3.0
 ORDER BY e.event_id, n.n_nationkey""",
         "q84_mixture_sample": _q84_oracle(),
+        "q85_image_hash_dedup": r"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 37 = b.doc_id % 37
+ORDER BY id_a, id_b""",
     }

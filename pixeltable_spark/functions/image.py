@@ -557,3 +557,85 @@ def stitch_tiles(tiles_df: DataFrame, width, height,
     # Spark's per-group applyInPandas batch + call overhead (thousands of
     # tiny groups is the common case)
     return tiles_df.repartition(F.col(id_col)).mapInPandas(op, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashes (public aHash/dHash/pHash designs, e.g. the
+# imagehash library) — the image-side analog of the text dedup family;
+# near-dup pairs come from dedup.hamming_pairs banding on the 64-bit
+# hash
+# ---------------------------------------------------------------------------
+
+def _gray_resized(payload: bytes, w: int, h: int):
+    """Decode -> luma grayscale -> deterministic nearest-neighbor
+    resize."""
+    import numpy as np
+    img = _load_image(payload)
+    arr = (np.asarray(img) if HAS_PIL else img.arr).astype(np.float64)
+    if arr.ndim == 2:
+        g = arr
+    elif arr.shape[2] == 1:
+        g = arr[:, :, 0]
+    else:
+        g = (arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587
+             + arr[:, :, 2] * 0.114)
+    H, W = g.shape
+    yi = (np.arange(h) * H // h)
+    xi = (np.arange(w) * W // w)
+    return g[yi][:, xi]
+
+
+def _hash_udf(name: str, kernel):
+    @F.pandas_udf(T.LongType())
+    def fn(s):
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                bits = kernel(bytes(p))
+            except Exception:  # noqa: BLE001
+                return int.from_bytes(
+                    hashlib.md5(bytes(p) + name.encode()).digest()[:8],
+                    "big", signed=True)
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            # to signed 64-bit for LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn
+
+
+def ahash(col: Column, hash_size: int = 8) -> Column:
+    """Average hash: bit = pixel > mean of the hash_size^2 thumbnail."""
+    def kern(p):
+        g = _gray_resized(p, hash_size, hash_size)
+        return (g > g.mean()).flatten()
+    return _hash_udf(f"ahash{hash_size}", kern)(col)
+
+
+def dhash(col: Column, hash_size: int = 8) -> Column:
+    """Difference hash: bit = pixel brighter than its right neighbor on a
+    (hash_size+1) x hash_size thumbnail — robust to global brightness."""
+    def kern(p):
+        g = _gray_resized(p, hash_size + 1, hash_size)
+        return (g[:, 1:] > g[:, :-1]).flatten()
+    return _hash_udf(f"dhash{hash_size}", kern)(col)
+
+
+def phash(col: Column, hash_size: int = 8, highfreq_factor: int = 4) -> Column:
+    """Perceptual hash: 2D DCT of a 32x32 thumbnail, bit = low-frequency
+    coefficient > median (DC excluded) — robust to resize/compression."""
+    def kern(p):
+        import numpy as np
+        n = hash_size * highfreq_factor
+        g = _gray_resized(p, n, n)
+        k = np.arange(n)
+        dct_m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        low = (dct_m @ g @ dct_m.T)[:hash_size, :hash_size]
+        flat = low.flatten()[1:]  # drop DC
+        med = np.median(flat)
+        return np.concatenate([[False], flat > med])
+    return _hash_udf(f"phash{hash_size}x{highfreq_factor}", kern)(col)

@@ -694,3 +694,43 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
                   (F.max("pos") + n).alias("span_end"))
              .select(id_col, "span_start", "span_end"))
     return spans
+
+
+def hamming_pairs(df: DataFrame, hash_col: str, id_col: str = "doc_id",
+                  bits: int = 64, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over ANY precomputed integer hash column (simhash,
+    image aHash/dHash/pHash, audio fingerprints): Hamming(a, b) <=
+    max_hamming via the same pigeonhole banding as simhash_pairs — a
+    pair within distance d agrees exactly on one of d+1 bands, so
+    candidates are equi-joins, never n². Returns (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    widths = [bits // n_bands + (1 if b < bits % n_bands else 0)
+              for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    sh = (df.select(F.col(id_col), F.col(hash_col).alias("__h"))
+          .localCheckpoint(eager=False))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("__h"), offsets[b])
+            .bitwiseAND((1 << widths[b]) - 1 if widths[b] < 64 else -1)
+            .alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = (sh.select(F.col(id_col), F.col("__h"),
+                        F.explode(F.array(*band_cols)).alias("bk"))
+              .select(id_col, "__h", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.key") == F.col("b.key"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.__h").bitwiseXOR(
+                    F.col("b.__h"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

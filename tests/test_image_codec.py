@@ -309,3 +309,66 @@ class TestAdam7:
         a = np.zeros((5, 7, 3), dtype=np.uint8)
         info = ic.probe(self._make_interlaced_png(a))
         assert info["width"] == 7 and info["height"] == 5
+
+
+class TestPerceptualHashes:
+    """aHash/dHash/pHash + hamming_pairs image near-dup."""
+
+    def _png(self, arr):
+        from pixeltable_spark.functions.image_codec import encode_png
+        return bytearray(encode_png(arr, "RGB"))
+
+    def _imgs(self):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        base = rng.randint(0, 256, size=(40, 40, 3), dtype="uint8")
+        near = base.copy()
+        near[:3, :3] = 255  # tiny corner change
+        other = rng.randint(0, 256, size=(40, 40, 3), dtype="uint8")
+        return base, near, other
+
+    def test_hashes_stable_and_discriminative(self, spark):
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions.image import ahash, dhash, phash
+        base, near, other = self._imgs()
+        df = spark.createDataFrame(
+            [(1, self._png(base)), (2, self._png(near)),
+             (3, self._png(other)), (4, self._png(base))],
+            ["doc_id", "payload"])
+        for fn in (ahash, dhash, phash):
+            h = {r["doc_id"]: r["h"] for r in
+                 df.select("doc_id", fn(F.col("payload")).alias("h")).collect()}
+            assert h[1] == h[4], fn.__name__  # identical -> identical
+            ham_near = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+            ham_other = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+            assert ham_near <= 6 < ham_other, (fn.__name__, ham_near, ham_other)
+
+    def test_brightness_invariance_dhash(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions.image import dhash
+        base, _, _ = self._imgs()
+        brighter = np.clip(base.astype(np.int32) + 40, 0, 255).astype("uint8")
+        df = spark.createDataFrame(
+            [(1, self._png(base)), (2, self._png(brighter))],
+            ["doc_id", "payload"])
+        h = {r["doc_id"]: r["h"] for r in
+             df.select("doc_id", dhash(F.col("payload")).alias("h")).collect()}
+        ham = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 4  # uniform brightness shift barely moves dhash
+
+    def test_hamming_pairs_banding(self, spark):
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions.image import ahash
+        from pixeltable_spark.operators.dedup import hamming_pairs
+        base, near, other = self._imgs()
+        df = spark.createDataFrame(
+            [(1, self._png(base)), (2, self._png(near)),
+             (3, self._png(other))], ["doc_id", "payload"])
+        hashes = df.select("doc_id", ahash(F.col("payload")).alias("h"))
+        pairs = hamming_pairs(hashes, "h", bits=64, max_hamming=6).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got and (1, 3) not in got
