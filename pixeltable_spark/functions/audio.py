@@ -129,3 +129,131 @@ def clip(col: Column, start_s: float, end_s: float = None) -> Column:
 
 def to_mono(col: Column) -> Column:
     return _audio_transform_udf("to_mono", _ac.to_mono)(col)
+
+
+# ---------------------------------------------------------------------------
+# audio analysis + fingerprint (beyond-reference; the audio member of the
+# cross-modal dedup family — text simhash / image ahash / audio
+# fingerprint all feed dedup.hamming_pairs)
+# ---------------------------------------------------------------------------
+
+def _mono_f64(payload: bytes):
+    import numpy as np
+
+    from . import audio_codec as ac
+    samples, rate, _w = ac.decode(payload)
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr.mean(axis=1)
+    return arr, rate
+
+
+def rms_energy(col: Column) -> Column:
+    """Root-mean-square sample energy (float; None outside the WAV
+    subset)."""
+    @F.pandas_udf(T.DoubleType())
+    def fn(s):
+        import math
+
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                arr, _ = _mono_f64(bytes(p))
+                return float(math.sqrt((arr * arr).mean())) if len(arr) else 0.0
+            except Exception:  # noqa: BLE001
+                return None
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn(col)
+
+
+def zero_crossing_rate(col: Column) -> Column:
+    """Fraction of adjacent sample pairs changing sign — the classic
+    voiced/unvoiced + noisiness signal."""
+    @F.pandas_udf(T.DoubleType())
+    def fn(s):
+        import numpy as np
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                arr, _ = _mono_f64(bytes(p))
+                if len(arr) < 2:
+                    return 0.0
+                return float((np.signbit(arr[1:]) != np.signbit(arr[:-1]))
+                             .mean())
+            except Exception:  # noqa: BLE001
+                return None
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn(col)
+
+
+def silence_ratio(col: Column, threshold_frac: float = 0.02,
+                  frame_ms: float = 20.0) -> Column:
+    """Fraction of frames whose RMS is below threshold_frac * peak —
+    trims/flagging for ASR pipelines."""
+    @F.pandas_udf(T.DoubleType())
+    def fn(s):
+        import numpy as np
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                arr, rate = _mono_f64(bytes(p))
+            except Exception:  # noqa: BLE001
+                return None
+            if len(arr) == 0:
+                return 1.0
+            flen = max(1, int(rate * frame_ms / 1000))
+            n = len(arr) // flen
+            if n == 0:
+                return 0.0
+            fr = arr[:n * flen].reshape(n, flen)
+            rms = np.sqrt((fr * fr).mean(axis=1))
+            peak = float(np.abs(arr).max()) or 1.0
+            return float((rms < threshold_frac * peak).mean())
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn(col)
+
+
+def audio_fingerprint(col: Column, bits: int = 64) -> Column:
+    """64-bit energy-delta fingerprint (the chromaprint/shazam-family
+    design reduced to its public core): split the signal into bits+1
+    equal frames, bit i = energy(frame i+1) > energy(frame i). Identical
+    audio -> identical bits; independent content lands ~bits/2 apart.
+    Feed to dedup.hamming_pairs for banded near-dup joins. Payloads
+    outside the WAV subset get a deterministic md5 fingerprint."""
+    @F.pandas_udf(T.LongType())
+    def fn(s):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                arr, _ = _mono_f64(bytes(p))
+                n = bits + 1
+                if len(arr) < n:
+                    arr = np.pad(arr, (0, n - len(arr)))
+                flen = len(arr) // n
+                fr = arr[:n * flen].reshape(n, flen)
+                e = (fr * fr).mean(axis=1)
+                v = 0
+                for b in (e[1:] > e[:-1]):
+                    v = (v << 1) | int(b)
+                return v - (1 << 64) if v >= (1 << 63) else v
+            except Exception:  # noqa: BLE001
+                return int.from_bytes(
+                    hashlib.md5(bytes(p) + b"afp").digest()[:8], "big",
+                    signed=True)
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn(col)

@@ -130,3 +130,61 @@ class TestG711:
                      axis=1).astype(np.int16)
         d, rate = ac.decode_g711(ac.encode_g711(s, 16000, "alaw"))
         assert d.shape == (100, 2) and rate == 16000
+
+
+class TestAudioAnalysis:
+    """rms / zero-crossing / silence + energy-delta fingerprint feeding
+    dedup.hamming_pairs (cross-modal dedup family)."""
+
+    def _wav(self, seed=0, n=8000, rate=8000, amp=8000):
+        import numpy as np
+
+        from pixeltable_spark.functions import audio_codec as ac
+        rng = np.random.RandomState(seed)
+        sig = (rng.randn(n) * amp).clip(-30000, 30000).astype(np.int16)
+        return sig, ac.encode(sig.reshape(-1, 1), rate)
+
+    def test_rms_and_zcr(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions.audio import (
+            rms_energy, zero_crossing_rate)
+        sig, p = self._wav()
+        df = spark.createDataFrame([(1, bytearray(p))], ["media_id", "payload"])
+        row = df.select(rms_energy(F.col("payload")).alias("r"),
+                        zero_crossing_rate(F.col("payload")).alias("z")) \
+                .collect()[0]
+        assert abs(row["r"] - float(np.sqrt((sig.astype(np.float64) ** 2)
+                                            .mean()))) < 1e-9
+        assert 0.3 < row["z"] < 0.7  # white noise crosses ~half the time
+
+    def test_silence_ratio(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions import audio_codec as ac
+        from pixeltable_spark.functions.audio import silence_ratio
+        loud = (np.sin(np.linspace(0, 600, 4000)) * 20000).astype(np.int16)
+        quiet = np.zeros(4000, dtype=np.int16)
+        p = ac.encode(np.concatenate([loud, quiet]).reshape(-1, 1), 8000)
+        df = spark.createDataFrame([(1, bytearray(p))], ["media_id", "payload"])
+        r = df.select(silence_ratio(F.col("payload")).alias("s")).collect()[0]["s"]
+        assert 0.4 < r < 0.6
+
+    def test_fingerprint_dedup(self, spark):
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark.functions.audio import audio_fingerprint
+        from pixeltable_spark.operators.dedup import hamming_pairs
+        _, pa = self._wav(seed=1)
+        _, pb = self._wav(seed=2)
+        df = spark.createDataFrame(
+            [(1, bytearray(pa)), (2, bytearray(pa)), (3, bytearray(pb))],
+            ["doc_id", "payload"])
+        fps = df.select("doc_id", audio_fingerprint(F.col("payload")).alias("h"))
+        vals = {r["doc_id"]: r["h"] for r in fps.collect()}
+        assert vals[1] == vals[2] != vals[3]
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in hamming_pairs(fps, "h", max_hamming=4).collect()}
+        assert pairs == {(1, 2)}
