@@ -1712,6 +1712,41 @@ def q85_image_hash_dedup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q86_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio near-dup via energy-delta fingerprints (functions/audio.py
+    audio_fingerprint + the same banded hamming_pairs as text simhash
+    and image ahash — the cross-modal dedup family on one candidate
+    engine): per-doc WAVs keyed by doc_id % 29, identical-key audio
+    fingerprints identically while cross-key noise sits >= 20 bits apart
+    (verified margin; max_hamming=4 pairs only same-key docs). Real
+    decode -> frame energies -> sign bits -> banded join on Spark; the
+    oracle knows the pairing equals the key equivalence."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import audio_codec as ac
+    from pixeltable_spark.functions.audio import audio_fingerprint
+    from pixeltable_spark.operators.dedup import hamming_pairs
+
+    def _make(ids):
+        import numpy as np
+        out = []
+        for i in ids:
+            rng = np.random.RandomState(2000 + int(i) % 29)
+            sig = (rng.randn(8000) * 8000).clip(-30000, 30000) \
+                .astype(np.int16)
+            out.append(ac.encode(sig.reshape(-1, 1), 8000))
+        return pd.Series(out)
+
+    make = F.pandas_udf(_make, T.BinaryType())
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(min(8, spark.sparkContext.defaultParallelism))
+          .withColumn("payload", make("doc_id")))
+    fps = df.select("doc_id", audio_fingerprint(F.col("payload")).alias("h"))
+    return (hamming_pairs(fps, "h", bits=64, max_hamming=4)
+            .orderBy("id_a", "id_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1802,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_range_join": q83_range_join,
         "q84_mixture_sample": q84_mixture_sample,
         "q85_image_hash_dedup": q85_image_hash_dedup,
+        "q86_audio_fingerprint_dedup": q86_audio_fingerprint_dedup,
     }
 
 
@@ -2821,5 +2857,10 @@ ORDER BY e.event_id, n.n_nationkey""",
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
 FROM documents a JOIN documents b
   ON a.doc_id < b.doc_id AND a.doc_id % 37 = b.doc_id % 37
+ORDER BY id_a, id_b""",
+        "q86_audio_fingerprint_dedup": r"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 29 = b.doc_id % 29
 ORDER BY id_a, id_b""",
     }
