@@ -24,6 +24,8 @@ results bit-for-bit.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,7 +118,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band of
     their MinHash signature. Equi-join on (band_idx, band_key) — candidate
-    generation never goes n²."""
+    generation never goes n².
+
+    Pair dedup across bands is "first agreeing band wins": each banded row
+    carries the doc's full signature, and a pair is emitted only in the
+    lowest band whose keys agree (a pure post-join projection filter).
+    On clustered corpora the qualifying-pair multiset is far larger than
+    the banded input, so a ``distinct()`` over it would be the dominant
+    shuffle — this formulation removes that shuffle entirely at the cost
+    of K small sig strings per banded row."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # materialize signatures once — the aliased self-join would re-run the
@@ -132,17 +142,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         )
         for b in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        F.col(id_col), sig_arr.alias("sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(F.col(id_col), "sig",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
+    # band i agrees iff every sig row in the band matches; md5 keys agree
+    # exactly when the underlying sig tuples do ("|"-joined fixed-width hex
+    # can't collide), so `first agreeing band == join band` dedups exactly
+    band_agree = [
+        reduce(lambda x, y: x & y,
+               [F.element_at(F.col("a.sig"), i * rows_per_band + r + 1)
+                == F.element_at(F.col("b.sig"), i * rows_per_band + r + 1)
+                for r in range(rows_per_band)])
+        for i in range(bands)
+    ]
+    first_agree = F.array_position(F.array(*band_agree), F.lit(True)) - 1
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.key") == F.col("b.key"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .filter(F.col("a.band") == first_agree)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 
@@ -545,43 +569,14 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     pair within distance d agrees EXACTLY on at least one band, so
     candidates come from equi-joins on (band_idx, band_value), never n².
     Exact Hamming is then verified JVM-side with bit_count(xor).
-    Returns (id_a, id_b, hamming)."""
-    n_bands = max_hamming + 1
-    widths = [bits // n_bands + (1 if b < bits % n_bands else 0)
-              for b in range(n_bands)]
-    offsets = [sum(widths[:b]) for b in range(n_bands)]
-    # Materialize the signatures once: the self-join below would otherwise
-    # re-run the token explode + `bits` aggregates for BOTH sides (Spark's
-    # exchange reuse does not fire across the aliased subplans). The
-    # checkpointed table is 2 longs/doc — trivially cacheable at any scale,
-    # and the banding columns derived from it are pure projection.
-    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), offsets[b])
-            .bitwiseAND((1 << widths[b]) - 1).alias("key"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sh.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(id_col, "simhash",
-             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.key") == F.col("b.key"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(
-                    F.col("b.simhash"))).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs
+    Returns (id_a, id_b, hamming).
+
+    The banding + first-band-wins pair dedup is shared with
+    ``hamming_pairs`` (simhash is just one producer of an integer hash
+    column)."""
+    sh = simhash(df, text_col, id_col, bits)
+    return hamming_pairs(sh, "simhash", id_col, bits=bits,
+                         max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -702,20 +697,25 @@ def hamming_pairs(df: DataFrame, hash_col: str, id_col: str = "doc_id",
     image aHash/dHash/pHash, audio fingerprints): Hamming(a, b) <=
     max_hamming via the same pigeonhole banding as simhash_pairs — a
     pair within distance d agrees exactly on one of d+1 bands, so
-    candidates are equi-joins, never n². Returns (id_a, id_b, hamming)."""
+    candidates are equi-joins, never n². Returns (id_a, id_b, hamming).
+
+    Cross-band pair dedup is "first agreeing band wins": both hashes ride
+    along in the pair row, so "no earlier band agrees" is a pure
+    projection filter — no ``distinct()`` shuffle over the pair multiset,
+    which on clustered corpora dwarfs the banded input."""
     n_bands = max_hamming + 1
     widths = [bits // n_bands + (1 if b < bits % n_bands else 0)
               for b in range(n_bands)]
     offsets = [sum(widths[:b]) for b in range(n_bands)]
     sh = (df.select(F.col(id_col), F.col(hash_col).alias("__h"))
           .localCheckpoint(eager=False))
+
+    def band_key(col: Column, b: int) -> Column:
+        return (F.shiftrightunsigned(col, offsets[b])
+                .bitwiseAND((1 << widths[b]) - 1 if widths[b] < 64 else -1))
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("__h"), offsets[b])
-            .bitwiseAND((1 << widths[b]) - 1 if widths[b] < 64 else -1)
-            .alias("key"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(F.col("__h"), b).alias("key"))
         for b in range(n_bands)
     ]
     banded = (sh.select(F.col(id_col), F.col("__h"),
@@ -723,14 +723,17 @@ def hamming_pairs(df: DataFrame, hash_col: str, id_col: str = "doc_id",
               .select(id_col, "__h", F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key")))
     a, b = banded.alias("a"), banded.alias("b")
+    band_agree = [band_key(F.col("a.__h"), i) == band_key(F.col("b.__h"), i)
+                  for i in range(n_bands)]
+    first_agree = F.array_position(F.array(*band_agree), F.lit(True)) - 1
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.key") == F.col("b.key"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .filter(F.col("a.band") == first_agree)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.bit_count(F.col("a.__h").bitwiseXOR(
                     F.col("b.__h"))).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
