@@ -667,14 +667,20 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
     per-doc lag/cumsum window merges overlapping windows into maximal
     spans (the q22 sessionize shape). Three keyed shuffles; no driver
     state; hot boilerplate n-grams are exactly the rows the count
-    prefilter keeps, so AQE's skew splitting applies to the join."""
+    prefilter keeps, so AQE's skew splitting applies to the join.
+
+    ``keyed`` is materialized once: the count branch and the join-back
+    branch shuffle different payloads, so exchange reuse never fires and
+    the n-gram construction (9 chained zip_with + md5 per token — the
+    single most expensive projection here) would otherwise run twice."""
     from pyspark.sql import Window as W
 
     from .text import shingle_array
     grams = df.select(
         F.col(id_col),
         F.posexplode(shingle_array(F.col(text_col), n)).alias("pos", "gram"))
-    keyed = grams.select(id_col, "pos", F.md5("gram").alias("k"))
+    keyed = (grams.select(id_col, "pos", F.md5("gram").alias("k"))
+             .localCheckpoint(eager=False))
     hot = (keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= min_count).select("k"))
     hits = keyed.join(hot, "k").select(id_col, "pos")

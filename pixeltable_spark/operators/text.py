@@ -129,10 +129,27 @@ def shingle_array(text: Column, n: int) -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     if n == 1:
         return toks
-    sh = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, 1 << 30)
-        sh = F.zip_with(sh, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # binary doubling: gram_2k = zip_with(gram_k, shift(gram_k, k)) — builds
+    # n-grams in O(log n) zip_with passes instead of n-1 (for n=10: 4 lambda
+    # projections, not 9; the passes dominate span/shingle operators' scans)
+    pows = {1: toks}
+    k = 1
+    while k * 2 <= n:
+        pows[k * 2] = F.zip_with(
+            pows[k], F.slice(pows[k], k + 1, 1 << 30),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+        k *= 2
+    # greedy binary decomposition of n, largest chunk first
+    rem = n
+    sh = None
+    off = 0
+    for p in sorted(pows, reverse=True):
+        while p <= rem:
+            part = pows[p] if off == 0 else F.slice(pows[p], off + 1, 1 << 30)
+            sh = part if sh is None else F.zip_with(
+                sh, part, lambda a, b: F.concat(a, F.lit(" "), b))
+            off += p
+            rem -= p
     # zip_with pads the shorter side with null -> drop the null tail
     return F.slice(sh, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
 
