@@ -508,7 +508,9 @@ def q39_knn_join(spark, sf_dir):
 
 
 def q40_lang_id(spark, sf_dir):
-    df = _df(spark, sf_dir, "documents")
+    # spread the single-file scan: the 4-language regexp battery is the
+    # per-row cost and would otherwise run on one core (see textops.spread)
+    df = textops.spread(_df(spark, sf_dir, "documents"))
     return (
         df.select(F.col("doc_id"), textops.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
@@ -517,7 +519,7 @@ def q40_lang_id(spark, sf_dir):
 
 
 def q41_text_quality(spark, sf_dir):
-    df = _df(spark, sf_dir, "documents")
+    df = textops.spread(_df(spark, sf_dir, "documents"))
     c = F.col("text")
     return (
         df.select(
@@ -1111,7 +1113,7 @@ def q64_pii_scrub(spark, sf_dir):
     so counts, the scrubbed text length, and the flag are all
     oracle-checkable."""
     from pixeltable_spark.operators.pii import has_pii, pii_counts, scrub_pii
-    df = _df(spark, sf_dir, "documents")
+    df = textops.spread(_df(spark, sf_dir, "documents"))
     ids = F.col("doc_id").cast("string")
     ptext = F.concat(
         F.col("text"),
@@ -1752,6 +1754,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+
+def q87_profile(spark, sf_dir):
+    """One-pass dataset profile (operators/profile.py profile_table —
+    the describe()-at-scale analog, reference catalog/table.py
+    Table.describe): n / nulls / exact distinct / min / max / mean /
+    exact interpolated quartiles for the lineitem measures, long format.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation formula, so the oracle matches to the 6dp rounding.
+    The approx variant (HLL++ + KLL sketches, exact=False) is the 100 TB
+    path, pinned by tests instead of the oracle."""
+    from pixeltable_spark.operators.profile import profile_table
+    df = _df(spark, sf_dir, "lineitem")
+    out = profile_table(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        percentiles=(0.25, 0.5, 0.75), exact=True)
+    return (out.select("col_name", "stat",
+                       F.round("value", 6).alias("value"))
+            .orderBy("col_name", "stat"))
+
+
+def q88_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/semdedup.py — Abbas et al.
+    2023): deterministic sample-based k-means -> broadcast argmin
+    assignment -> per-cluster greedy leader pruning at cosine 0.9.
+    Deliberately has NO oracle_sql entry (k-means is not
+    SQL-expressible — same standing as q70_pq_ann); output is fully
+    deterministic and its invariants are pinned by
+    tests/test_semdedup.py."""
+    from pixeltable_spark.operators.semdedup import semdedup
+    df = _df(spark, sf_dir, "embeddings")
+    out = semdedup(df, k=16, threshold=0.9, iters=5)
+    return out.orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1838,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_mixture_sample": q84_mixture_sample,
         "q85_image_hash_dedup": q85_image_hash_dedup,
         "q86_audio_fingerprint_dedup": q86_audio_fingerprint_dedup,
+        "q87_profile": q87_profile,
+        "q88_semdedup": q88_semdedup,
     }
 
 
@@ -1989,7 +2027,29 @@ _STOPPAT = r"\b(" + "|".join(textops.LANG_STOPWORDS["en"]) + r")\b"
 def oracle_sql() -> dict[str, str]:
     md5_key_li = ("md5('{seed}___' || CAST(l_orderkey AS VARCHAR) || '___' || "
                   "CAST(l_linenumber AS VARCHAR))")
+    # q87: long-format per-column profile — generated, one UNION ALL arm
+    # per (column, stat); quantile_cont shares Spark percentile's linear
+    # interpolation formula
+    _prof_arms = []
+    for _c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        for _st, _ex in [
+            ("n", f"count({_c})"),
+            ("n_null", f"count(*) - count({_c})"),
+            ("n_distinct", f"count(DISTINCT {_c})"),
+            ("min", f"min({_c})"),
+            ("max", f"max({_c})"),
+            ("mean", f"avg({_c})"),
+            ("p25", f"quantile_cont({_c}, 0.25)"),
+            ("p50", f"quantile_cont({_c}, 0.50)"),
+            ("p75", f"quantile_cont({_c}, 0.75)"),
+        ]:
+            _prof_arms.append(
+                f"SELECT '{_c}' AS col_name, '{_st}' AS stat, "
+                f"round(CAST({_ex} AS DOUBLE), 6) AS value FROM lineitem")
+    _profile_sql = ("SELECT * FROM (\n" + "\nUNION ALL\n".join(_prof_arms)
+                    + "\n) ORDER BY col_name, stat")
     return {
+        "q87_profile": _profile_sql,
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

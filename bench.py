@@ -60,10 +60,22 @@ def main() -> None:
         # manager (later queries were paying the GC pressure)
         df = None
         gc.collect()
-        # ...and force a JVM GC periodically: the ContextCleaner only
-        # frees broadcasts/checkpoints on JVM weak-ref processing, and 80
-        # queries of backlog otherwise lands on whichever late query
-        # shuffles the most (observed: +4x on the 79th query)
+        # deterministically drop the query's localCheckpoint blocks: every
+        # query is self-contained, so any still-persistent RDD is garbage —
+        # unpersist now instead of waiting for the ContextCleaner's
+        # weak-ref processing (whose backlog otherwise lands on whichever
+        # late query shuffles the most; observed +4-6x on late queries)
+        try:
+            # blocking=True: finish the removal NOW, outside any query's
+            # timed window — async removal races the next query's stages
+            it = (spark.sparkContext._jsc.getPersistentRDDs()
+                  .values().iterator())
+            while it.hasNext():
+                it.next().unpersist(True)
+        except Exception:  # noqa: BLE001
+            pass
+        # ...and force a JVM GC periodically for everything else
+        # (broadcasts, shuffle state)
         if len(timings) % 10 == 0:
             try:
                 spark.sparkContext._jvm.System.gc()

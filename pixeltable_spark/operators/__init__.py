@@ -12,6 +12,8 @@ All hashing is md5-based and engine-portable, so every operator is
 oracle-checkable against DuckDB with identical results.
 """
 
-from . import bpe, dedup, joins, multimodal, pii, quality_clf, similarity, text, web
+from . import (bpe, dedup, joins, multimodal, pii, profile, quality_clf,
+               semdedup, similarity, text, web)
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pii", "joins"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "pii", "joins",
+           "profile", "semdedup"]

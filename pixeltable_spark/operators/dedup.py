@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import fingerprint
+from .text import fingerprint, spread
 
 
 # ---------------------------------------------------------------------------
@@ -42,7 +42,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
     """Group identical (normalized) texts: fingerprint, group size,
     representative = min id. One shuffle on the fingerprint."""
     return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
+        spread(df).withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("rep_id"))
     )
@@ -75,6 +75,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def explode_shingles(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    df = spread(df)   # few-split scans would explode on one core
     return df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
@@ -594,7 +595,7 @@ def line_doc_freq(df: DataFrame, text_col: str = "text",
     volume is distinct (line, doc) keys, never raw text (the 128-bit md5
     travels instead of the line)."""
     lines = (
-        df.select(F.col(id_col),
+        spread(df).select(F.col(id_col),
                   F.explode(F.split(F.col(text_col), sep)).alias("line"))
         .where(F.trim("line") != "")
         .select(id_col, F.md5(F.trim("line")).alias("line_key"))
@@ -676,7 +677,7 @@ def repeated_ngram_spans(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window as W
 
     from .text import shingle_array
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col),
         F.posexplode(shingle_array(F.col(text_col), n)).alias("pos", "gram"))
     keyed = (grams.select(id_col, "pos", F.md5("gram").alias("k"))

@@ -124,6 +124,7 @@ def classify_quality(df: DataFrame, weights: list[float],
     """Score every document and flag keeps: (id, quality_p, keep).
     Map-only — composes with any scan as a plain projection; the
     threshold filter pushes down."""
+    from .text import spread
     p = quality_probability(F.col(text_col), weights)
-    return df.select(F.col(id_col), p.alias("quality_p"),
+    return spread(df).select(F.col(id_col), p.alias("quality_p"),
                      (p >= threshold).alias("keep"))

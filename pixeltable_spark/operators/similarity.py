@@ -405,13 +405,17 @@ def bow_embeddings(df: DataFrame, text_col: str = "text",
     sentence_transformer fallback (functions/huggingface.py) — same
     formula, so offline indexes and live queries agree."""
     assert dim <= 32, "md5 yields 32 hex-char sign bits"
-    toks = df.select(
+    from .text import spread
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                            lambda t: t != "")).alias("tok"))
-    # md5(tok) appears in all `dim` aggregates; codegen's subexpression
-    # elimination evaluates it once per token (verified: a pre-projected
-    # sig column times identically)
+    # md5(tok) appears in all `dim` partial_sum expressions (the physical
+    # plan shows it inlined — CollapseProject folds any pre-projection back
+    # into the aggregate, so a bits-first Project doesn't survive planning);
+    # runtime subexpression elimination inside the codegen'd HashAggregate
+    # evaluates the hash once per token, and the stage is spread() across
+    # the cluster, so the duplication is textual, not computational
     sig = F.md5(F.col("tok"))
     aggs = [F.sum(F.ascii(F.substring(sig, d + 1, 1)) % 2 * 2 - 1)
             .alias(f"s_{d}") for d in range(dim)]

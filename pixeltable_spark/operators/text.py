@@ -14,6 +14,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Ensure a compute-heavy per-row stage (token/shingle explode, hash
+    batteries, codec work) gets cluster-wide parallelism even when the
+    scan produced few splits (a handful of small files — common for
+    testdata and fresh ingests). Repartitions to defaultParallelism ONLY
+    when the input has fewer than parallelism/min_factor partitions: at
+    real corpus scale a scan already has thousands of splits, so this is
+    a no-op there, while on a 1-file input the one cheap shuffle of raw
+    rows unlocks a 32x-parallel explode stage that would otherwise run
+    on a single core."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
 # language -> characteristic stopwords (tiny deterministic n-gram-style
 # heuristic; the point is the operator shape, not linguistic accuracy)
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -106,7 +123,7 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full metric set as columns."""
     c = F.col(text_col)
     return (
-        df.withColumn("n_tokens", token_count(c))
+        spread(df).withColumn("n_tokens", token_count(c))
         .withColumn("n_chars_m", char_count(c))
         .withColumn("punct_ratio", punct_ratio(c))
         .withColumn("stopword_ratio", stopword_ratio(c))
@@ -170,7 +187,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     fraction composes as a plain post-aggregation predicate.
     """
     grams = shingle_array(F.col(text_col), n)
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("ngram"))
+    exploded = spread(df).select(F.col(id_col), F.explode(grams).alias("ngram"))
     per_gram = exploded.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
     return (
         per_gram.groupBy(id_col)
@@ -194,7 +211,7 @@ def duplicate_line_stats(df: DataFrame, text_col: str = "text",
     Same two-aggregation shape as :func:`repetition_stats`.
     """
     lines = (
-        df.select(F.col(id_col),
+        spread(df).select(F.col(id_col),
                   F.explode(F.split(F.col(text_col), sep)).alias("line"))
         .where(F.trim("line") != "")
     )
@@ -237,7 +254,7 @@ def ngram_lm_train(train_df: DataFrame, text_col: str = "text",
     logp = ln(count / total). The model's size is bounded by the charset
     (not the corpus), so it broadcasts — training is one explode + one
     groupBy however large the reference corpus is."""
-    grams = train_df.select(
+    grams = spread(train_df).select(
         F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
@@ -256,7 +273,7 @@ def ngram_lm_score(df: DataFrame, model: DataFrame, text_col: str = "text",
     Plan: explode grams -> broadcast-join the (small) model -> one
     groupBy(doc). The corpus-side shuffle is per-doc partial averages
     only (map-side agg); the model never shuffles."""
-    grams = df.select(F.col(id_col),
+    grams = spread(df).select(F.col(id_col),
                       F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
     joined = grams.join(F.broadcast(model), on="gram", how="left")
     return (joined.groupBy(id_col)
@@ -289,7 +306,7 @@ def pack_documents(df: DataFrame, tokens_per_bin: int,
     toks = token_count(F.col(text_col)).alias("n_tokens")
     stream = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
                      16, 10).cast("long") % n_streams).alias("stream")
-    base = df.select(F.col(id_col), toks, stream)
+    base = spread(df).select(F.col(id_col), toks, stream)
     w = (W.partitionBy("stream").orderBy(id_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
@@ -361,7 +378,7 @@ def dsir_score(df: DataFrame, model: DataFrame, text_col: str = "text",
     for having more tokens). Plan: explode features -> broadcast-join
     the <=n_buckets model -> one groupBy(doc) with map-side partials.
     Returns (id_col, dsir_score, n_tokens)."""
-    feats = df.select(
+    feats = spread(df).select(
         F.col(id_col),
         F.explode(hashed_word_features(F.col(text_col), n_buckets))
         .alias("bucket"))
@@ -415,7 +432,7 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         F.array_distinct(toks),
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
 
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col),
         n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"), alpha_frac.alias("alpha_word_frac"),
