@@ -1788,6 +1788,40 @@ def q88_semdedup(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+
+def q89_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation — the composed pipeline a pretraining
+    user actually ships, every stage an already-oracle-checked operator:
+    Gopher quality rules (min_words=10 for this corpus' short docs) AND
+    no PII (email/ssn/ipv4 alternation, map-only rlike) AND exact-dedup
+    representative (md5 fingerprint, min doc_id wins) AND lang_id == 'en'
+    -> (doc_id, n_words, quality). One scan feeds four map-side column
+    families; the only shuffles are the two Gopher repetition aggs and
+    the fingerprint groupBy — the composition adds NO shuffle beyond its
+    parts. The oracle replays the full CTE chain."""
+    from pixeltable_spark.operators import text as TXo
+    from pixeltable_spark.operators.pii import has_pii
+    df = TXo.spread(_df(spark, sf_dir, "documents"))
+    # min_stopwords=0: this corpus' whitespace tokens keep punctuation
+    # glued ("the," != "the"), so the stopword-kinds intersect is empty
+    # for every doc and the rule would blank the whole pipeline
+    g = (TXo.gopher_filter(df, min_words=10, min_stopwords=0)
+         .select("doc_id", "n_words", F.col("keep").alias("g_keep")))
+    base = df.select(
+        "doc_id",
+        TXo.lang_id(F.col("text")).alias("lang_pred"),
+        TXo.quality_score(F.col("text")).alias("quality"),
+        has_pii(F.col("text"), ["email", "ssn", "ipv4"]).alias("pii"),
+        TXo.fingerprint(F.col("text")).alias("fp"))
+    reps = base.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    return (base.join(g, "doc_id").join(reps, "fp")
+            .where(F.col("g_keep") & ~F.col("pii")
+                   & (F.col("doc_id") == F.col("rep_id"))
+                   & (F.col("lang_pred") == "en"))
+            .select("doc_id", "n_words", "quality")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1876,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_audio_fingerprint_dedup": q86_audio_fingerprint_dedup,
         "q87_profile": q87_profile,
         "q88_semdedup": q88_semdedup,
+        "q89_curation_pipeline": q89_curation_pipeline,
     }
 
 
@@ -2050,6 +2085,83 @@ def oracle_sql() -> dict[str, str]:
                     + "\n) ORDER BY col_name, stat")
     return {
         "q87_profile": _profile_sql,
+        "q89_curation_pipeline": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ts) AS n_words,
+         CAST(list_reduce(list_transform(ts, t -> length(t)),
+                          (x, y) -> x + y) AS DOUBLE)
+           / greatest(len(ts), 1) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+           / greatest(len(ts), 1) AS symbol_ratio,
+         CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+              AS DOUBLE) / greatest(len(ts), 1) AS alpha_word_frac,
+         len(list_intersect(list_distinct(ts),
+             ['the','be','to','of','and','that','have','with']))
+           AS n_stopword_kinds
+  FROM base),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 2 + 2),
+           i -> array_to_string(list_slice(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  i, i + 1), ' '))) AS g
+  FROM documents),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_ngram_frac
+        FROM per_gram GROUP BY doc_id),
+lns AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+per_line AS (
+  SELECT doc_id, line, count(*) AS c FROM lns
+  WHERE trim(line) <> '' GROUP BY doc_id, line),
+dl AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE) / sum(c)
+         AS dup_line_frac
+       FROM per_line GROUP BY doc_id),
+gopher AS (
+  SELECT m.doc_id, m.n_words,
+         ((m.n_words >= 10 AND m.n_words <= 100000)
+          AND (m.mean_word_len >= 3.0 AND m.mean_word_len <= 10.0)
+          AND m.symbol_ratio <= 0.1 AND m.alpha_word_frac >= 0.8
+          AND coalesce(d.dup_line_frac, 0.0) <= 0.3
+          AND coalesce(r.top_ngram_frac, 0.0) <= 0.2) AS g_keep
+  FROM m LEFT JOIN rep r USING (doc_id) LEFT JOIN dl d USING (doc_id)),
+scores AS (SELECT doc_id, {_lang_scores_sql()} FROM documents),
+pred AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM scores),
+fp AS (SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+       FROM documents),
+reps AS (SELECT f, min(doc_id) AS rep_id FROM fp GROUP BY f),
+pii AS (SELECT doc_id, regexp_matches(text,
+          '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}})'
+          || '|(?:\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b)'
+          || '|(?:\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b)') AS p
+       FROM documents),
+q AS (
+  SELECT doc_id,
+         round((CASE WHEN {_TOKCOUNT} BETWEEN 20 AND 1000
+                     THEN 0.5 ELSE 0.1 END)
+               + least(CAST(len(regexp_extract_all(lower(text),
+                       '{_STOPPAT}')) AS DOUBLE) / ({_TOKCOUNT}) * 2.0, 0.3)
+               - least(CAST(length(text) - length(regexp_replace(text,
+                       '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) * 2.0, 0.2), 6) AS quality
+  FROM documents)
+SELECT g.doc_id, g.n_words, q.quality
+FROM gopher g
+JOIN pred USING (doc_id) JOIN pii USING (doc_id)
+JOIN fp USING (doc_id) JOIN reps ON fp.f = reps.f
+JOIN q USING (doc_id)
+WHERE g.g_keep AND NOT pii.p AND pred.lang_pred = 'en'
+  AND g.doc_id = reps.rep_id
+ORDER BY g.doc_id""",
+
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
