@@ -27,7 +27,8 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # interpreted (observed: a pure-JVM query 7x slower at the end of
         # a 78-query bench than in a fresh session)
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=1g")
+                "-XX:ReservedCodeCacheSize=1g "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
         .config("spark.sql.session.timeZone", "UTC")
         # parquet TIMESTAMP(NANOS) (pandas-written) has no Spark type; read as
         # long and let the source layer cast to timestamp (registry.py)
