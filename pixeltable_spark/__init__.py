@@ -29,6 +29,41 @@ from .sources.registry import (
 from .type_system import ArrayType, ColumnType, TypeKind
 from .functions.udf import udf, uda, Aggregator, iterator, IteratorFn
 from .catalog import Catalog, Table, View, Snapshot
+from .exceptions import (
+    AlreadyExistsError,
+    AuthorizationError,
+    ConcurrencyError,
+    EngineWarning,
+    Error,
+    ErrorCode,
+    ExternalServiceError,
+    NotFoundError,
+    RequestError,
+    ServiceUnavailableError,
+)
+from .functions.query_template import (Tool, invoke_tools, mcp_udfs, query,
+                                       tools)
+from .globals_api import (
+    create_dir,
+    create_snapshot,
+    create_table,
+    create_view,
+    drop_dir,
+    drop_table,
+    expr_udf,
+    get_dir_contents,
+    get_dir_tree,
+    get_table,
+    home,
+    init,
+    list_dirs,
+    list_functions,
+    list_tables,
+    ls,
+    move,
+    retrieval_udf,
+    tool,
+)
 from .index import EmbeddingIndex, add_embedding_index
 from .sources import io
 
@@ -57,6 +92,14 @@ __all__ = [
     "iterator", "IteratorFn",
     "Catalog", "Table", "View", "Snapshot",
     "EmbeddingIndex", "add_embedding_index", "io",
+    "Error", "ErrorCode", "NotFoundError", "AlreadyExistsError",
+    "RequestError", "ConcurrencyError", "ExternalServiceError",
+    "AuthorizationError", "ServiceUnavailableError", "EngineWarning",
+    "init", "home", "create_table", "get_table", "drop_table",
+    "list_tables", "create_view", "create_snapshot", "create_dir",
+    "drop_dir", "list_dirs", "get_dir_contents", "get_dir_tree", "ls",
+    "move", "list_functions", "tool", "tools", "invoke_tools", "query",
+    "mcp_udfs", "retrieval_udf", "expr_udf", "Tool",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
     "Binary", "Image", "Video", "Audio", "Document",
 ]

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .exceptions import AlreadyExistsError, NotFoundError
 from .exprs import Expr
 from .plans.query import TableRef
 from .type_system import ColumnType, schema_to_struct
@@ -122,7 +123,7 @@ class Catalog:
         base = self._tbl_dir(path) if path else self.root
         dirs, tables = [], []
         if not os.path.isdir(base):
-            raise ValueError(f"no such directory: {path!r}")
+            raise NotFoundError(f"no such directory: {path!r}")
         for entry in sorted(os.listdir(base)):
             full = os.path.join(base, entry)
             if not os.path.isdir(full):
@@ -166,7 +167,7 @@ class Catalog:
         contained tables/dirs recursively."""
         d = self._tbl_dir(path)
         if not os.path.isdir(d) or self._is_table_dir(d):
-            raise ValueError(f"no such directory: {path!r}")
+            raise NotFoundError(f"no such directory: {path!r}")
         contents = self.get_dir_contents(path, recursive=True)
         if (contents["dirs"] or contents["tables"]) and not force:
             raise ValueError(
@@ -182,7 +183,7 @@ class Catalog:
         moved table keeps its storage (one directory rename)."""
         sd, dd = self._tbl_dir(src), self._tbl_dir(dst)
         if not os.path.isdir(sd):
-            raise ValueError(f"no such table or directory: {src!r}")
+            raise NotFoundError(f"no such table or directory: {src!r}")
         if os.path.exists(dd):
             raise ValueError(f"destination exists: {dst!r}")
         os.makedirs(os.path.dirname(dd), exist_ok=True)
@@ -205,6 +206,11 @@ class Catalog:
         default 16): more buckets = finer-grained update/delete rewrites
         and more files; size it to expected-table-size / target-file-size
         on a real deployment."""
+        # accept bare type factories (pxt.String) as well as instances
+        # (pxt.String(False)) — the reference's schema literals allow both
+        schema = {k: (v() if callable(v) and not isinstance(v, ColumnType)
+                      else v)
+                  for k, v in schema.items()}
         d = self._tbl_dir(name)
         if os.path.exists(d):
             if if_exists == "replace":
@@ -212,7 +218,7 @@ class Catalog:
             elif if_exists == "ignore":
                 return self.get_table(name)
             else:
-                raise ValueError(f"table {name!r} already exists")
+                raise AlreadyExistsError(f"table {name!r} already exists")
         t = Table._create(self, name, d, schema, list(primary_key or []))
         if n_buckets is not None:
             t.n_buckets = int(n_buckets)
@@ -223,8 +229,11 @@ class Catalog:
     def get_table(self, name: str) -> "Table":
         if name not in self._tables:
             d = self._tbl_dir(name)
-            with open(os.path.join(d, "meta.json")) as f:
-                kind = json.load(f).get("kind", "table")
+            try:
+                with open(os.path.join(d, "meta.json")) as f:
+                    kind = json.load(f).get("kind", "table")
+            except FileNotFoundError as e:
+                raise NotFoundError(f"no such table: {name!r}") from e
             if kind == "view":
                 self._tables[name] = View._load_view(self, name, d)
             else:
@@ -826,6 +835,59 @@ class Table:
 
     def column_names(self) -> list[str]:
         return list(self.schema) + list(self.computed)
+
+    # -- reference-style query/column sugar --------------------------------
+    # the reference queries directly off the catalog handle
+    # (t.select(t.col).where(...)); delegate to the versioned ref()
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        schema = self.__dict__.get("schema") or {}
+        computed = self.__dict__.get("computed") or {}
+        if name in schema or name in computed:
+            return getattr(self.ref(), name)
+        raise AttributeError(
+            f"table {self.__dict__.get('name')!r} has no column {name!r}")
+
+    def __getitem__(self, name: str):
+        # column-FIRST (unlike attribute access, which an instance
+        # attribute like `name`/`version` can shadow): t['name'] is the
+        # escape hatch that always means the column, as in the reference
+        if name in (self.__dict__.get("schema") or {}) \
+                or name in (self.__dict__.get("computed") or {}):
+            return getattr(self.ref(), name)
+        return getattr(self, name)
+
+    def select(self, *items, **named):
+        return self.ref().select(*items, **named)
+
+    def where(self, pred):
+        return self.ref().where(pred)
+
+    def group_by(self, *exprs):
+        return self.ref().group_by(*exprs)
+
+    def order_by(self, *exprs, asc=True):
+        return self.ref().order_by(*exprs, asc=asc)
+
+    def limit(self, n, offset=0):
+        return self.ref().limit(n, offset)
+
+    def sample(self, **kw):
+        return self.ref().sample(**kw)
+
+    def distinct(self):
+        return self.ref().distinct()
+
+    def join(self, other, on=None, how="inner"):
+        other = other.ref() if hasattr(other, "ref") else other
+        return self.ref().join(other, on, how)
+
+    def head(self, n=10):
+        return self.ref().head(n)
+
+    def tail(self, n=10):
+        return self.ref().tail(n)
 
     def count(self) -> int:
         return self.df().count()
