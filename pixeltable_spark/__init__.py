@@ -29,6 +29,8 @@ from .sources.registry import (
 from .type_system import ArrayType, ColumnType, TypeKind
 from .functions.udf import udf, uda, Aggregator, iterator, IteratorFn
 from .catalog import Catalog, Table, View, Snapshot
+from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
+                             UpdateStatus, VersionMetadata)
 from .exceptions import (
     AlreadyExistsError,
     AuthorizationError,
@@ -91,6 +93,8 @@ __all__ = [
     "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",
     "iterator", "IteratorFn",
     "Catalog", "Table", "View", "Snapshot",
+    "ColumnMetadata", "IndexMetadata", "TableMetadata", "UpdateStatus",
+    "VersionMetadata",
     "EmbeddingIndex", "add_embedding_index", "io",
     "Error", "ErrorCode", "NotFoundError", "AlreadyExistsError",
     "RequestError", "ConcurrencyError", "ExternalServiceError",

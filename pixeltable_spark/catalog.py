@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .exceptions import AlreadyExistsError, NotFoundError
+from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
+                             UpdateStatus, VersionMetadata, version_metadata)
 from .exprs import Expr
 from .plans.query import TableRef
 from .type_system import ColumnType, schema_to_struct
@@ -1088,7 +1090,7 @@ class Table:
         self._log("insert", rows=n)
         self._save_meta()
         self._propagate_insert()
-        return n
+        return UpdateStatus(n, op="insert")
 
     def _assign_rowids(self, src: DataFrame, start: int) -> tuple[DataFrame, int]:
         """Monotonic _rowid continuing from `start`, assigned scalably:
@@ -1155,7 +1157,7 @@ class Table:
         self._log("update", rows=n)
         self._save_meta()
         self._propagate_changes()
-        return n
+        return UpdateStatus(n, op="update")
 
     def batch_update(self, rows: list[dict], cascade: bool = True) -> int:
         """Batched per-row updates matched by primary key — ONE plan for the
@@ -1228,7 +1230,7 @@ class Table:
         self._log("batch_update", rows=n)
         self._save_meta()
         self._propagate_changes()
-        return n
+        return UpdateStatus(n, op="batch_update")
 
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
@@ -1249,7 +1251,7 @@ class Table:
         self._log("delete", rows=n)
         self._save_meta()
         self._propagate_changes()
-        return n
+        return UpdateStatus(n, op="delete")
 
     def recompute_columns(self, cols: Sequence[str],
                           where: Optional[Expr] = None) -> int:
@@ -1274,7 +1276,7 @@ class Table:
         self._log("recompute", rows=n, columns=list(cols))
         self._save_meta()
         self._propagate_changes()
-        return n
+        return UpdateStatus(n, op="recompute")
 
     def revert(self) -> None:
         """Undo the latest version (reference catalog/table.py:1079):
@@ -1297,8 +1299,71 @@ class Table:
         self._save_meta()
         self._propagate_refresh()
 
-    def get_versions(self) -> list[dict]:
-        return list(self.history)
+    def get_versions(self) -> list[VersionMetadata]:
+        """Programmatic version metadata, most recent LAST (reference
+        Table.get_versions)."""
+        return [version_metadata(h) for h in self.history]
+
+    def history_report(self, n: Optional[int] = None):
+        """Human-readable version report as a pandas DataFrame, most
+        recent first (reference catalog/table.py:1111 history())."""
+        import pandas as pd
+        rows = list(reversed(self.get_versions()))
+        if n is not None:
+            rows = rows[:n]
+        return pd.DataFrame(rows)
+
+    def list_views(self, *, recursive: bool = True) -> list[str]:
+        """Paths of views/snapshots over this table (reference
+        catalog/table.py list_views)."""
+        out = []
+        for v in self._views:
+            out.append(v.name)
+            if recursive:
+                out.extend(v.list_views(recursive=True))
+        return out
+
+    def get_metadata(self) -> TableMetadata:
+        """Reference-shaped table metadata (reference
+        catalog/table_metadata.py:65 TableMetadata)."""
+        cols: dict[str, ColumnMetadata] = {}
+        for cname, ct in self.schema.items():
+            cols[cname] = ColumnMetadata(
+                name=cname, type_=ct.kind.name.lower(), version_added=0,
+                is_stored=True, is_primary_key=cname in self.primary_key,
+                is_computed=False, computed_with=None, comment=None)
+        for cname, cc in self.computed.items():
+            cols[cname] = ColumnMetadata(
+                name=cname, type_=cc.col_type.kind.name.lower(),
+                version_added=0, is_stored=True, is_primary_key=False,
+                is_computed=True, computed_with=repr(cc.expr), comment=None)
+        indices: dict[str, IndexMetadata] = {}
+        for iname, ix in getattr(self, "_indexes", {}).items():
+            indices[iname] = IndexMetadata(
+                name=iname, columns=[ix.column], index_type="embedding",
+                parameters={"metric": "cosine", "method": ix.method})
+        kind = ("view" if isinstance(self, View)
+                else "snapshot" if isinstance(self, Snapshot) else "table")
+        return TableMetadata(
+            name=self.name, path=self.name, kind=kind, columns=cols,
+            indices=indices, is_versioned=True,
+            is_view=kind == "view", is_snapshot=kind == "snapshot",
+            version=self.version, schema_version=self.version,
+            comment=None, primary_key=list(self.primary_key) or None,
+            base=getattr(getattr(self, "base", None), "name", None))
+
+    def describe(self) -> str:
+        """Readable schema + version summary (reference Table.describe
+        renders a styled table; plain text here)."""
+        md = self.get_metadata()
+        lines = [f"{md['kind']} {md['name']!r} (version {md['version']})"]
+        for c in md["columns"].values():
+            tag = " computed" if c["is_computed"] else ""
+            pk = " pk" if c["is_primary_key"] else ""
+            lines.append(f"  {c['name']}: {c['type_']}{pk}{tag}")
+        for i in md["indices"].values():
+            lines.append(f"  index {i['name']} on {i['columns']}")
+        return "\n".join(lines)
 
     # -- compute without persistence (reference catalog/table.py:806) ------
     def compute(self, rows: list[dict]) -> list[dict]:

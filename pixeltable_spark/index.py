@@ -131,5 +131,8 @@ def add_embedding_index(table: Table, column: str,
     table.add_computed_column(embed_col, expr)
     idx = EmbeddingIndex(table, column, embed_col, n_planes, method=method,
                          pq_m=pq_m, pq_k=pq_k, pq_rerank=pq_rerank)
+    if "_indexes" not in table.__dict__:
+        table._indexes = {}
+    table._indexes[embed_col] = idx
     table._log("add_embedding_index", column=column, embed_col=embed_col)
     return idx
