@@ -1822,6 +1822,22 @@ def q89_curation_pipeline(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+
+def q90_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus dedup flags (operators/dedup.py dedup_flags_against —
+    the dedup-new-crawl-vs-training-set shape): every 10th doc plays the
+    existing training set; each document of the full corpus gets
+    dup_exact (fingerprint membership) and dup_near (MinHash band-key
+    collision, K=4/2 bands) flags. Both sides reduce to hash key sets
+    before any join — raw text never shuffles. The oracle replays
+    fingerprints and band keys in SQL."""
+    from pixeltable_spark.operators.dedup import dedup_flags_against
+    df = _df(spark, sf_dir, "documents")
+    ref = df.where(F.col("doc_id") % 10 == 0)
+    out = dedup_flags_against(df, ref, num_hashes=4, bands=2)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1911,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_profile": q87_profile,
         "q88_semdedup": q88_semdedup,
         "q89_curation_pipeline": q89_curation_pipeline,
+        "q90_cross_corpus_dedup": q90_cross_corpus_dedup,
     }
 
 
@@ -2085,6 +2102,39 @@ def oracle_sql() -> dict[str, str]:
                     + "\n) ORDER BY col_name, stat")
     return {
         "q87_profile": _profile_sql,
+        "q90_cross_corpus_dedup": r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           list_transform(words, (w, i) -> CASE WHEN i + 2 <= len(words)
+             THEN words[i] || ' ' || words[i+1] || ' ' || words[i+2] END),
+           x -> x IS NOT NULL))) AS shingle
+  FROM toks),
+raw_sigs AS (SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig_0,
+    min(substr(md5(shingle), 9, 8)) AS sig_1,
+    min(substr(md5(shingle), 17, 8)) AS sig_2,
+    min(substr(md5(shingle), 25, 8)) AS sig_3
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id, md5(sig_0 || '|' || sig_1) AS key FROM raw_sigs
+  UNION ALL
+  SELECT doc_id, md5(sig_2 || '|' || sig_3) AS key FROM raw_sigs),
+fp AS (SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+       FROM documents),
+ref_fp AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 = 0),
+ref_keys AS (SELECT DISTINCT key FROM keys WHERE doc_id % 10 = 0)
+SELECT d.doc_id,
+       (fp.f IN (SELECT f FROM ref_fp)) AS dup_exact,
+       coalesce((SELECT TRUE FROM keys k
+                 WHERE k.doc_id = d.doc_id
+                   AND k.key IN (SELECT key FROM ref_keys) LIMIT 1),
+                FALSE) AS dup_near
+FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+ORDER BY d.doc_id""",
+
         "q89_curation_pipeline": f"""
 WITH base AS (
   SELECT doc_id, text,

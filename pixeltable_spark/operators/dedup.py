@@ -744,3 +744,68 @@ def hamming_pairs(df: DataFrame, hash_col: str, id_col: str = "doc_id",
                     F.col("b.__h"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup: a fresh crawl against the existing training set
+# ---------------------------------------------------------------------------
+
+def dedup_flags_against(df: DataFrame, ref_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3,
+                        broadcast_ref: bool = False) -> DataFrame:
+    """Per-document duplicate flags of ``df`` against a REFERENCE corpus
+    (the dedup-new-crawl-vs-training-set shape): ``dup_exact`` — the
+    normalized-text fingerprint occurs in the reference; ``dup_near`` —
+    any MinHash LSH band key collides with a reference document's.
+
+    Plan: both sides reduce to their key sets (fingerprints; band keys —
+    K strings/doc regardless of text size), then two left semi-join-
+    shaped membership joins keyed on 16-byte hashes. The big side never
+    shuffles raw text. Set ``broadcast_ref=True`` when the reference key
+    set is small (a benchmark, a blocklist); leave False for
+    training-set-sized references (AQE picks the join strategy).
+    Returns (id_col, dup_exact, dup_near)."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    ref_fp = (ref_df.select(fingerprint(F.col(text_col)).alias("fp"))
+              .distinct())
+
+    def band_keys(frame: DataFrame) -> DataFrame:
+        assert num_hashes % bands == 0
+        rpb = num_hashes // bands
+        sigs = minhash_signatures(frame, text_col, id_col, num_hashes,
+                                  shingle_n)
+        cols = [
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rpb + r}")
+                                     for r in range(rpb)])).alias("key")
+            for b in range(bands)
+        ]
+        return sigs.select(F.col(id_col), F.explode(F.array(*cols)).alias("key"))
+
+    ref_keys = band_keys(ref_df).select("key").distinct()
+    if broadcast_ref:
+        ref_fp, ref_keys = F.broadcast(ref_fp), F.broadcast(ref_keys)
+    exact_hit = (fp.join(ref_fp.withColumn("__x", F.lit(True)), "fp", "left")
+                 .groupBy(id_col)
+                 .agg(F.max(F.coalesce("__x", F.lit(False))).alias("dup_exact")))
+    near_hit = (band_keys(df)
+                .join(ref_keys.withColumn("__n", F.lit(True)), "key", "left")
+                .groupBy(id_col)
+                .agg(F.max(F.coalesce("__n", F.lit(False))).alias("dup_near")))
+    return (df.select(id_col)
+            .join(exact_hit, id_col, "left")
+            .join(near_hit, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+                    F.coalesce("dup_near", F.lit(False)).alias("dup_near")))
+
+
+def dedup_against(df: DataFrame, ref_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  near: bool = True, **kw) -> DataFrame:
+    """Rows of ``df`` that survive cross-corpus dedup: exact-duplicate
+    rows always drop; ``near=True`` also drops LSH band collisions."""
+    flags = dedup_flags_against(df, ref_df, text_col, id_col, **kw)
+    drop = (F.col("dup_exact") | F.col("dup_near")) if near         else F.col("dup_exact")
+    keep = flags.where(~drop).select(id_col)
+    return df.join(keep, id_col, "left_semi")
