@@ -1801,7 +1801,11 @@ def q89_curation_pipeline(spark, sf_dir):
     parts. The oracle replays the full CTE chain."""
     from pixeltable_spark.operators import text as TXo
     from pixeltable_spark.operators.pii import has_pii
-    df = TXo.spread(_df(spark, sf_dir, "documents"))
+    # materialize the (id, text) projection ONCE: the four column families
+    # below are separate DataFrame branches, and Spark shares no scan
+    # across branches — without this the plan reads the corpus 10x
+    df = (TXo.spread(_df(spark, sf_dir, "documents"))
+          .select("doc_id", "text").localCheckpoint(eager=False))
     # min_stopwords=0: this corpus' whitespace tokens keep punctuation
     # glued ("the," != "the"), so the stopword-kinds intersect is empty
     # for every doc and the rule would blank the whole pipeline
@@ -1832,7 +1836,11 @@ def q90_cross_corpus_dedup(spark, sf_dir):
     before any join — raw text never shuffles. The oracle replays
     fingerprints and band keys in SQL."""
     from pixeltable_spark.operators.dedup import dedup_flags_against
-    df = _df(spark, sf_dir, "documents")
+    from pixeltable_spark.operators.text import spread
+    # one materialized pass over the corpus feeds both the fingerprint
+    # branch and the band-key branch of BOTH sides (ref is a subset scan)
+    df = (spread(_df(spark, sf_dir, "documents"))
+          .select("doc_id", "text").localCheckpoint(eager=False))
     ref = df.where(F.col("doc_id") % 10 == 0)
     out = dedup_flags_against(df, ref, num_hashes=4, bands=2)
     return out.orderBy("doc_id")
