@@ -1,0 +1,175 @@
+"""Differential fuzzing: random expression trees evaluated through the
+engine's Expr -> Column compiler vs DuckDB running the mirrored SQL on
+identical data. Catches operator-semantics drift (sign rules, null
+handling, precedence, casts) that hand-written cases miss — the
+property-based arm of the oracle strategy (SURVEY §5).
+
+Every generated node yields BOTH sides at once — an engine Expr builder
+and the SQL string with identical tree shape — so the comparison
+isolates evaluation semantics, not plan rewrites.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pixeltable_spark as pxt
+from pixeltable_spark.functions import math as pxtm
+
+ROWS = [
+    {"k": i,
+     "a": float((i * 7) % 13) - 6.0,
+     "b": float((i * 11) % 17) / 4.0,
+     "c": (i * 3) % 9,
+     "s": f"Doc {i} alpha" if i % 3 else f"doc {i} BETA",
+     }
+    for i in range(60)
+]
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    df = spark.createDataFrame(
+        ROWS, "k long, a double, b double, c long, s string")
+    return pxt.TableRef.from_df(df, "fuzz", rowid_cols=["k"])
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz (k BIGINT, a DOUBLE, b DOUBLE, c BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO fuzz VALUES (?, ?, ?, ?, ?)",
+                    [(r["k"], r["a"], r["b"], r["c"], r["s"]) for r in ROWS])
+    return con
+
+
+# -- paired generators: (engine expr builder, sql string) -------------------
+
+def num_leaf():
+    return st.one_of(
+        st.sampled_from([("a", "a"), ("b", "b"), ("c", "c")]).map(
+            lambda p: (lambda t: getattr(t, p[0]), p[1])),
+        st.integers(-9, 9).map(lambda v: (lambda t: pxt.Literal(v), str(v))),
+        st.floats(-8, 8, allow_nan=False).map(
+            lambda v: (lambda t: pxt.Literal(round(v, 3)),
+                       repr(round(v, 3)))),
+    )
+
+
+def num_expr(depth: int = 0):
+    if depth >= 3:
+        return num_leaf()
+    sub = st.deferred(lambda: num_expr(depth + 1))
+
+    def binop(op):
+        def mk(pair):
+            (fl, sl), (fr, sr) = pair
+            build = {"+": lambda t: fl(t) + fr(t),
+                     "-": lambda t: fl(t) - fr(t),
+                     "*": lambda t: fl(t) * fr(t)}[op]
+            return (build, f"({sl} {op} {sr})")
+        return st.tuples(sub, sub).map(mk)
+
+    def unfn(name):
+        def mk(pair):
+            f, sql = pair
+            build = {"abs": lambda t: pxtm.abs(f(t)),
+                     "floor": lambda t: pxtm.floor(f(t)),
+                     "ceil": lambda t: pxtm.ceil(f(t))}[name]
+            # DuckDB floor/ceil return DOUBLE for DOUBLE; match Spark's
+            return (build, f"{name}({sql})")
+        return sub.map(mk)
+
+    return st.one_of(num_leaf(), binop("+"), binop("-"), binop("*"),
+                     unfn("abs"), unfn("floor"), unfn("ceil"))
+
+
+def bool_expr():
+    cmp_ops = [("<", "<"), ("<=", "<="), (">", ">"), (">=", ">="),
+               ("==", "="), ("!=", "<>")]
+
+    def mk_cmp(t3):
+        (fl, sl), (fr, sr), (py_op, sql_op) = t3
+        build = {"<": lambda t: fl(t) < fr(t),
+                 "<=": lambda t: fl(t) <= fr(t),
+                 ">": lambda t: fl(t) > fr(t),
+                 ">=": lambda t: fl(t) >= fr(t),
+                 "==": lambda t: fl(t) == fr(t),
+                 "!=": lambda t: fl(t) != fr(t)}[py_op]
+        return (build, f"({sl} {sql_op} {sr})")
+
+    cmp = st.tuples(num_expr(1), num_expr(1),
+                    st.sampled_from(cmp_ops)).map(mk_cmp)
+
+    def mk_logic(t3):
+        (fl, sl), (fr, sr), op = t3
+        if op == "and":
+            return (lambda t: fl(t) & fr(t), f"({sl} AND {sr})")
+        if op == "or":
+            return (lambda t: fl(t) | fr(t), f"({sl} OR {sr})")
+        return (lambda t: ~fl(t), f"(NOT {sl})")
+
+    logic = st.tuples(cmp, cmp, st.sampled_from(["and", "or", "not"])).map(mk_logic)
+    return st.one_of(cmp, logic)
+
+
+def str_expr():
+    def mk(t2):
+        base, fn = t2
+        builders = {
+            "upper": (lambda t: getattr(t, base).upper(), f"upper({base})"),
+            "lower": (lambda t: getattr(t, base).lower(), f"lower({base})"),
+            "len": (lambda t: getattr(t, base).len(), f"length({base})"),
+            "reverse": (lambda t: getattr(t, base).reverse(),
+                        f"reverse({base})"),
+            "strip": (lambda t: getattr(t, base).strip(), f"trim({base})"),
+        }
+        return builders[fn]
+    return st.tuples(st.just("s"),
+                     st.sampled_from(["upper", "lower", "len", "reverse",
+                                      "strip"])).map(mk)
+
+
+def _run(tbl, duck, build, sql, is_float):
+    got = [r["v"] for r in
+           tbl.select(tbl.k, v=build(tbl)).order_by(tbl.k).collect()]
+    exp = [r[0] for r in duck.execute(
+        f"SELECT {sql} AS v FROM fuzz ORDER BY k").fetchall()]
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        if g is None or e is None:
+            assert g is None and e is None, (g, e, sql)
+        elif is_float and isinstance(g, float):
+            assert math.isclose(g, float(e), rel_tol=1e-9, abs_tol=1e-9), \
+                (g, e, sql)
+        else:
+            assert g == e, (g, e, sql)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=num_expr())
+def test_numeric_exprs_match_duckdb(tbl, duck, pair):
+    build, sql = pair
+    _run(tbl, duck, build, sql, is_float=True)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=bool_expr())
+def test_predicates_match_duckdb(tbl, duck, pair):
+    build, sql = pair
+    _run(tbl, duck, build, sql, is_float=False)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=str_expr())
+def test_string_exprs_match_duckdb(tbl, duck, pair):
+    build, sql = pair
+    _run(tbl, duck, build, sql, is_float=False)
