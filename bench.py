@@ -67,13 +67,17 @@ def main() -> None:
         # late query shuffles the most; observed +4-6x on late queries)
         try:
             # blocking=True: finish the removal NOW, outside any query's
-            # timed window — async removal races the next query's stages
-            it = (spark.sparkContext._jsc.getPersistentRDDs()
-                  .values().iterator())
-            while it.hasNext():
-                it.next().unpersist(True)
-        except Exception:  # noqa: BLE001
-            pass
+            # timed window — async removal races the next query's stages.
+            # NB getPersistentRDDs() proxies as a dict-like JavaMap:
+            # iterate .values() directly (it has NO .iterator() — an
+            # earlier version called that and silently no-opped, leaving
+            # the backlog to land 25-37 s stalls on late queries)
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# unpersist failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
         # ...and force a JVM GC periodically for everything else
         # (broadcasts, shuffle state)
         if len(timings) % 10 == 0:
