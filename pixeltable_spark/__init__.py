@@ -67,6 +67,7 @@ from .globals_api import (
     tool,
 )
 from .index import EmbeddingIndex, add_embedding_index
+from .serving import TableServer, serve
 from .sources import io
 
 String = ColumnType.string
@@ -96,6 +97,7 @@ __all__ = [
     "ColumnMetadata", "IndexMetadata", "TableMetadata", "UpdateStatus",
     "VersionMetadata",
     "EmbeddingIndex", "add_embedding_index", "io",
+    "TableServer", "serve",
     "Error", "ErrorCode", "NotFoundError", "AlreadyExistsError",
     "RequestError", "ConcurrencyError", "ExternalServiceError",
     "AuthorizationError", "ServiceUnavailableError", "EngineWarning",
