@@ -33,10 +33,13 @@ _catalog: Optional[Catalog] = None
 
 
 def home() -> str:
-    """Root directory of the default catalog's store."""
-    return os.environ.get(
-        "PIXELTABLE_SPARK_HOME",
-        os.path.join(os.path.expanduser("~"), ".pixeltable_spark", "store"))
+    """Root directory of the default catalog's store (config section
+    ``core``, key ``home``; env PIXELTABLE_SPARK_HOME wins)."""
+    from .config import get_config
+    return str(get_config().get(
+        "core", "home",
+        os.path.join(os.path.expanduser("~"), ".pixeltable_spark", "store"),
+        env="PIXELTABLE_SPARK_HOME"))
 
 
 def init(spark=None, home_dir: Optional[str] = None) -> Catalog:

@@ -12,15 +12,20 @@ from pyspark.sql import SparkSession
 
 
 def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    shuffle = str(shuffle_partitions or cpus)
+    from .config import get_config
+    cfg = get_config()
+    cpus = str(cfg.get("spark", "cpus", "32", env="SPARK_GRAFT_CPUS"))
+    shuffle = str(shuffle_partitions
+                  or cfg.get("spark", "shuffle_partitions", cpus))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                cfg.get("spark", "driver_memory", "48g",
+                        env="SPARK_DRIVER_MEM"))
         # dozens of distinct queries per session generate enough
         # whole-stage-codegen classes to fill the default 240m JIT code
         # cache, after which the compiler shuts off and late queries run
@@ -28,7 +33,8 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # a 78-query bench than in a fresh session)
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=1g "
-                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""))
+                + str(cfg.get("spark", "java_opts", "",
+                              env="SPARK_GRAFT_JAVA_OPTS")))
         .config("spark.sql.session.timeZone", "UTC")
         # parquet TIMESTAMP(NANOS) (pandas-written) has no Spark type; read as
         # long and let the source layer cast to timestamp (registry.py)
