@@ -101,3 +101,47 @@ class TestAsyncRateClusterMath:
             requests_per_minute = 1e12
 
         assert E._async_rate(FakeFn()) == 1e12
+
+
+class TestAqeSkewJoin:
+    """The engine's session enables AQE; this pins that a skewed
+    shuffle join actually gets runtime skew-splitting (the 100 TB
+    hot-key story: one pathological key must not serialize a join)."""
+
+    def test_skewed_join_splits_hot_partition(self, spark):
+        import contextlib
+        import io
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            # 90% of rows share key 0 -> one hot shuffle partition
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 10 < 9, 0)
+                .otherwise(F.col("id") % 1000).alias("k"),
+                F.concat(F.lit("padpadpadpadpadpadpad"),
+                         F.col("id").cast("string")).alias("pay"))
+            right = spark.range(0, 1000).select(
+                F.col("id").alias("k"), F.lit("r").alias("rv"))
+            j = left.join(right, "k")
+            assert len(j.collect()) == 200_000
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain()
+            plan = buf.getvalue()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
