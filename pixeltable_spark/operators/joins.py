@@ -111,3 +111,58 @@ def range_join(left: DataFrame, right: DataFrame,
             .filter((F.col(f"l.{left_point}") >= F.col(f"r.{right_lo}"))
                     & (F.col(f"l.{left_point}") <= F.col(f"r.{right_hi}")))
             .drop("__bin"))
+
+
+# ---------------------------------------------------------------------------
+# explicit skew salting (for engines/paths where AQE's runtime skew split
+# doesn't apply: streaming joins, fixed partitioning, windowed aggs)
+# ---------------------------------------------------------------------------
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Hot-key-safe equi-join with EXPLICIT salting: the left side gets a
+    random-but-deterministic salt (md5 of all its columns, mod n_salts),
+    the right side replicates n_salts times, and the join runs on
+    (key, salt) — a key holding half the table spreads over n_salts
+    tasks instead of one. Result-identical to ``left.join(right, on)``.
+
+    AQE's runtime skew split covers the batch shuffle-join case already;
+    reach for this where AQE cannot re-plan: stream-static joins, joins
+    that must preserve a fixed partitioning, or engines with AQE off.
+    Cost: the right side is duplicated n_salts-fold — use for
+    small-to-medium right sides (dimension tables with hot keys)."""
+    salt = (F.pmod(F.hash(*[F.col(c) for c in left.columns]),
+                   F.lit(n_salts))).alias("__salt")
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.crossJoin(
+        F.broadcast(right.sparkSession.range(n_salts)
+                    .select(F.col("id").cast("int").alias("__salt"))))
+    out = l_s.join(r_s, on=[l_s[on] == r_s[on],
+                            l_s["__salt"] == r_s["__salt"]], how=how)
+    keep = [l_s[c] for c in left.columns] + \
+           [r_s[c] for c in right.columns if c != on]
+    return out.select(*keep)
+
+
+def salted_agg(df: DataFrame, key: str, aggs: dict,
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation for ALGEBRAIC aggregates: partial
+    aggregate by (key, salt), then final merge by key. ``aggs`` maps
+    output name -> (fn, column) with fn in sum/count/min/max.
+    Result-identical to ``df.groupBy(key).agg(...)``; useful when
+    map-side partial aggregation is defeated (high-cardinality
+    pre-projection, re-keyed streams) and one key dominates."""
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    part_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (fn, _col) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"{name}: non-algebraic agg {fn!r} cannot salt")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                         F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        *[part_fn[fn](F.col(c)).alias(name)
+          for name, (fn, c) in aggs.items()])
+    return partial.groupBy(key).agg(
+        *[merge_fn[fn](F.col(name)).alias(name)
+          for name, (fn, _c) in aggs.items()])

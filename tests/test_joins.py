@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from pixeltable_spark.operators.joins import asof_join, range_join
@@ -98,3 +99,52 @@ class TestRangeJoin:
         plan = (range_join(pts, ivs, "x", "lo", "hi", bin_width=4.0)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "NestedLoop" not in plan
+
+
+class TestSalting:
+    """Explicit skew salting (operators/joins.py salted_join/salted_agg):
+    result-identical to the plain formulations, hot key spread over
+    n_salts tasks."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        left = spark.range(0, 20000).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("r"))
+        return left, right
+
+    def test_salted_join_result_identical(self, skewed):
+        from pixeltable_spark.operators.joins import salted_join
+        left, right = skewed
+        plain = sorted(map(tuple, left.join(right, "k")
+                           .select("k", "v", "r").collect()))
+        salted = sorted(map(tuple, salted_join(left, right, "k")
+                            .select("k", "v", "r").collect()))
+        assert plain == salted
+
+    def test_salted_join_spreads_hot_key(self, skewed):
+        from pixeltable_spark.operators.joins import salted_join
+        left, right = skewed
+        j = salted_join(left, right, "k", n_salts=8)
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert "__salt" in plan  # join key includes the salt
+
+    def test_salted_agg_result_identical(self, skewed):
+        from pixeltable_spark.operators.joins import salted_agg
+        left, _ = skewed
+        plain = sorted(map(tuple, left.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi")).collect()))
+        salted = sorted(map(tuple, salted_agg(
+            left, "k", {"s": ("sum", "v"), "n": ("count", "v"),
+                        "lo": ("min", "v"), "hi": ("max", "v")}).collect()))
+        assert plain == salted
+
+    def test_salted_agg_rejects_non_algebraic(self, skewed):
+        from pixeltable_spark.operators.joins import salted_agg
+        left, _ = skewed
+        with pytest.raises(ValueError, match="non-algebraic"):
+            salted_agg(left, "k", {"a": ("avg", "v")})
