@@ -40,6 +40,10 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # long and let the source layer cast to timestamp (registry.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # reap idle Python workers: long sessions otherwise accumulate
+        # 32 resident pandas/numpy processes' memory across heterogeneous
+        # queries, and the JVM-only stretches pay the pressure
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

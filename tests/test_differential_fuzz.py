@@ -173,3 +173,92 @@ def test_predicates_match_duckdb(tbl, duck, pair):
 def test_string_exprs_match_duckdb(tbl, duck, pair):
     build, sql = pair
     _run(tbl, duck, build, sql, is_float=False)
+
+
+# -- python-semantics division / modulo (the classic drift area) ------------
+
+def divmod_expr():
+    """Engine % and // follow PYTHON sign semantics; mirror them in SQL
+    explicitly (DuckDB's native % is C-style / fmod)."""
+    def mk(t3):
+        (fl, sl), d, op = t3
+        if op == "%":
+            # python a % d (d>0 literal): ((a % d) + d) % d
+            return (lambda t: fl(t) % d,
+                    f"(((({sl}) % {d}) + {d}) % {d})")
+        if op == "//":
+            return (lambda t: fl(t) // d,
+                    f"CAST(floor(({sl}) / {d}.0) AS DOUBLE)")
+        return (lambda t: fl(t) / d, f"(({sl}) / {d}.0)")
+
+    return st.tuples(num_expr(1), st.integers(1, 7),
+                     st.sampled_from(["%", "//", "/"])).map(mk)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=divmod_expr())
+def test_python_division_semantics_match_mirrored_sql(tbl, duck, pair):
+    build, sql = pair
+    _run(tbl, duck, build, sql, is_float=True)
+
+
+# -- timestamp field extraction --------------------------------------------
+
+TS_ROWS = [
+    {"k": i,
+     "ts": __import__("datetime").datetime(
+         2020 + i % 6, 1 + (i * 5) % 12, 1 + (i * 11) % 28,
+         (i * 7) % 24, (i * 13) % 60, (i * 17) % 60)}
+    for i in range(50)
+]
+
+
+@pytest.fixture(scope="module")
+def ts_tbl(spark):
+    df = spark.createDataFrame(TS_ROWS, "k long, ts timestamp")
+    return pxt.TableRef.from_df(df, "fuzzts", rowid_cols=["k"])
+
+
+@pytest.fixture(scope="module")
+def ts_duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzzts (k BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO fuzzts VALUES (?, ?)",
+                    [(r["k"], r["ts"]) for r in TS_ROWS])
+    return con
+
+
+def ts_expr():
+    from pixeltable_spark.functions import timestamp as pxts
+    fields = {
+        "year": (pxts.year, "year(ts)"),
+        "month": (pxts.month, "month(ts)"),
+        "day": (pxts.day, "day(ts)"),
+        "hour": (pxts.hour, "hour(ts)"),
+        "minute": (pxts.minute, "minute(ts)"),
+        "second": (pxts.second, "CAST(second(ts) AS BIGINT)"),
+        "isoweekday": (pxts.isoweekday, "isodow(ts)"),
+        "posix": (pxts.posix_timestamp, "epoch(ts)"),
+    }
+
+    def mk(name):
+        fn, sql = fields[name]
+        return (lambda t: fn(t.ts), sql)
+    return st.sampled_from(sorted(fields)).map(mk)
+
+
+@settings(max_examples=16, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=ts_expr())
+def test_timestamp_fields_match_duckdb(ts_tbl, ts_duck, pair):
+    build, sql = pair
+    got = [r["v"] for r in
+           ts_tbl.select(ts_tbl.k, v=build(ts_tbl)).order_by(ts_tbl.k).collect()]
+    exp = [r[0] for r in ts_duck.execute(
+        f"SELECT {sql} AS v FROM fuzzts ORDER BY k").fetchall()]
+    for g, e in zip(got, exp):
+        if isinstance(g, float) or isinstance(e, float):
+            assert math.isclose(float(g), float(e)), (g, e, sql)
+        else:
+            assert g == e, (g, e, sql)
