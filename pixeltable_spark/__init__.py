@@ -46,6 +46,8 @@ from .exceptions import (
 from .functions.query_template import (Tool, invoke_tools, mcp_udfs, query,
                                        tools)
 from .globals_api import (
+    Required,
+    array,
     create_dir,
     create_snapshot,
     create_table,
@@ -105,7 +107,7 @@ __all__ = [
     "list_tables", "create_view", "create_snapshot", "create_dir",
     "drop_dir", "list_dirs", "get_dir_contents", "get_dir_tree", "ls",
     "move", "list_functions", "tool", "tools", "invoke_tools", "query",
-    "mcp_udfs", "retrieval_udf", "expr_udf", "Tool",
+    "mcp_udfs", "retrieval_udf", "expr_udf", "Tool", "array", "Required",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
     "Binary", "Image", "Video", "Audio", "Document",
 ]

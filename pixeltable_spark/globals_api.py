@@ -204,3 +204,24 @@ def expr_udf(py_fn: Optional[Callable] = None, *,
     if py_fn is not None:
         return make(py_fn)
     return make
+
+def array(elements) -> "InlineArray":
+    """Array-literal expression from an iterable (reference
+    globals.py:1138 — sugar over the InlineArray constructor)."""
+    from .exprs import InlineArray
+    return InlineArray(list(elements))
+
+
+class Required:
+    """Schema marker for a non-nullable column (reference
+    type_system.py:1872): ``{"name": pxt.Required(pxt.String)}`` ==
+    ``{"name": pxt.String(False)}``."""
+
+    def __init__(self, t):
+        self.t = t
+
+    def __call__(self):
+        ct = self.t() if callable(self.t) and not hasattr(self.t, "kind")             else self.t
+        ct.nullable = False
+        return ct
+

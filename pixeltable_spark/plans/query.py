@@ -270,6 +270,17 @@ class Query:
     def collect(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.df().collect()]
 
+    def show(self, n: int = 20) -> list[dict]:
+        """First n rows as dicts, printed compactly (reference
+        _query.py:800 Query.show)."""
+        rows = self.limit(n).collect()
+        if rows:
+            cols = list(rows[0])
+            print(" | ".join(cols))
+            for r in rows:
+                print(" | ".join(str(r[c]) for c in cols))
+        return rows
+
     def to_pandas(self):
         return self.df().toPandas()
 

@@ -90,3 +90,14 @@ class TestModuleApi:
         fns = pxt.list_functions()
         assert any("upper" in f for f in fns)
         assert len(fns) > 100
+
+    def test_array_required_show(self, g, capsys):
+        t = pxt.create_table("req", {"a": pxt.Required(pxt.String),
+                                     "b": pxt.Float})
+        assert t.schema["a"].nullable is False
+        assert t.schema["b"].nullable is True
+        t.insert([{"a": "x", "b": 1.5}])
+        rows = t.select(t["a"], v=pxt.array([1.0, 2.0])).show(5)
+        assert rows == [{"a": "x", "v": [1.0, 2.0]}]
+        out = capsys.readouterr().out
+        assert "a | v" in out
