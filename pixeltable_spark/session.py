@@ -44,6 +44,11 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # 32 resident pandas/numpy processes' memory across heterogeneous
         # queries, and the JVM-only stretches pay the pressure
         .config("spark.python.worker.idleTimeoutSeconds", "120")
+        # make the ContextCleaner's shuffle removal BLOCKING: the default
+        # async deletion of 60+ queries' shuffle files (triggered by the
+        # periodic System.gc in long sessions) otherwise lands as an
+        # 8-30 s IO burst inside whichever query runs next
+        .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
