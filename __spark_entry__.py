@@ -1846,6 +1846,28 @@ def q90_cross_corpus_dedup(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+
+def q91_bpe_tokenize(spark, sf_dir):
+    """End-to-end tokenization pipeline (operators/bpe.py — Sennrich'16
+    BPE): distributed word-frequency aggregation trains 64 merge rules
+    driver-side (corpus never collected), then every document encodes
+    with the rank-greedy pandas UDF and reports its exact BPE token
+    count next to the regex estimator. Deliberately has NO oracle_sql
+    entry (the merge loop is iterative, not SQL-expressible — same
+    standing as q70/q88); training and encoding are deterministic
+    (lexicographic tie-breaks), and encode/round-trip properties are
+    pinned by tests TestBpe."""
+    from pixeltable_spark.operators.bpe import bpe_token_count, bpe_train
+    from pixeltable_spark.operators.text import spread, word_token_count
+    df = spread(_df(spark, sf_dir, "documents"))
+    merges = bpe_train(df, num_merges=64, max_words=5000)
+    return (df.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), merges).alias("n_bpe_tokens"),
+        word_token_count(F.col("text")).alias("n_regex_tokens"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1936,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_semdedup": q88_semdedup,
         "q89_curation_pipeline": q89_curation_pipeline,
         "q90_cross_corpus_dedup": q90_cross_corpus_dedup,
+        "q91_bpe_tokenize": q91_bpe_tokenize,
     }
 
 
