@@ -221,7 +221,11 @@ class Required:
         self.t = t
 
     def __call__(self):
-        ct = self.t() if callable(self.t) and not hasattr(self.t, "kind")             else self.t
+        import copy
+        if callable(self.t) and not hasattr(self.t, "kind"):
+            ct = self.t()
+        else:
+            ct = copy.copy(self.t)  # never mutate a caller-owned instance
         ct.nullable = False
         return ct
 
