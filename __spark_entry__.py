@@ -730,7 +730,9 @@ def q50_llm_chat(spark, sf_dir):
     deterministic fake client is md5-derived, so even model output is
     oracle-checkable."""
     from pixeltable_spark.functions import llm
-    df = _df(spark, sf_dir, "documents")
+    # prune before the operator: mapInPandas Arrow-ships every input column
+    # both ways, and Catalyst cannot prune through it
+    df = _df(spark, sf_dir, "documents").select("doc_id", "text")
     out = llm.chat_completions(df, "text", model="fake-chat-1",
                                requests_per_minute=1e9, concurrency=64)
     return out.select("doc_id", "response").orderBy("doc_id")

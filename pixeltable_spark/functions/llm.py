@@ -187,10 +187,17 @@ def run_async_batch(tasks: Sequence[Callable], pool: str, rate: float,
         loop.close()
 
 
-def _executor_rate(requests_per_minute: float, spark_conf: dict) -> float:
+def _executor_rate(requests_per_minute: float, spark) -> float:
     """Split the global budget across executors
-    (reference schedulers.py rate pools — but distributed)."""
-    n_exec = int(spark_conf.get("spark.executor.instances", "1") or 1)
+    (reference schedulers.py rate pools — but distributed).
+    Single-key conf lookup — getConf().getAll() shipped every conf entry
+    over py4j on each operator call."""
+    if requests_per_minute >= 1e9:  # effectively unthrottled (offline fake)
+        return requests_per_minute
+    try:
+        n_exec = int(spark.conf.get("spark.executor.instances", "1") or 1)
+    except Exception:  # noqa: BLE001
+        n_exec = 1
     return max(1.0, requests_per_minute / max(1, n_exec))
 
 
@@ -203,8 +210,11 @@ def chat_completions(df: DataFrame, prompt_col: str, model: str = "fake-chat-1",
     """Per-row chat completion (reference functions/openai.py:542
     chat_completions). Adds `output_col` (string) and
     `_cellmd_<output_col>` error struct when on_error='ignore'."""
-    conf = dict(df.sparkSession.sparkContext.getConf().getAll())
-    rate = _executor_rate(requests_per_minute, conf)
+    rate = _executor_rate(requests_per_minute, df.sparkSession)
+    # provider calls are the canonical compute/IO-heavy per-row stage: a
+    # single-file scan would serialize the whole batch on one core
+    from ..operators.text import spread
+    df = spread(df)
     fields = list(df.schema.fields) + [T.StructField(output_col, T.StringType())]
     if on_error == "ignore":
         fields.append(T.StructField(f"_cellmd_{output_col}", T.StructType([
@@ -258,8 +268,9 @@ def embeddings(df: DataFrame, text_col: str, model: str = "fake-embed-1",
     batch_size > 1 groups rows into one provider request (the reference's
     Batch[] UDF form, func/udf.py batch_size): a 100x fewer-requests lever
     when the provider has a batched endpoint — one rate token per batch."""
-    conf = dict(df.sparkSession.sparkContext.getConf().getAll())
-    rate = _executor_rate(requests_per_minute, conf)
+    rate = _executor_rate(requests_per_minute, df.sparkSession)
+    from ..operators.text import spread
+    df = spread(df)
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(output_col, T.ArrayType(T.DoubleType()))]

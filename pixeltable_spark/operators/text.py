@@ -27,6 +27,20 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     on a single core."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Converting to RDD to count partitions forces physical planning and,
+    # under AQE, can eagerly run shuffle stages of a complex upstream plan
+    # just to learn the count. But any plan containing a wide node already
+    # has >= spark.sql.shuffle.partitions partitions — spread would be a
+    # no-op there. Only scan+narrow plans (where getNumPartitions is a
+    # safe, job-free metadata call) can be underparallelized.
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001
+        plan = ""
+    wide_markers = ("Join", "Aggregate", "Window", "Distinct", "Repartition",
+                    "Sort", "FlatMapGroups", "CoGroup")
+    if any(m in plan for m in wide_markers):
+        return df
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
     return df
