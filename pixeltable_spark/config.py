@@ -39,6 +39,16 @@ class Config:
     @classmethod
     def load(cls) -> "Config":
         path = os.environ.get("PIXELTABLE_SPARK_CONFIG")
+        if path and not os.path.exists(path):
+            # a typo'd explicit path silently falling through to
+            # ~/.pixeltable_spark or pyproject.toml loads the WRONG settings
+            import warnings
+
+            from .exceptions import EngineWarning
+            warnings.warn(
+                f"$PIXELTABLE_SPARK_CONFIG points at nonexistent file "
+                f"{path!r}; falling back to default config locations",
+                EngineWarning, stacklevel=2)
         candidates = [path] if path else []
         candidates.append(os.path.join(os.path.expanduser("~"),
                                        ".pixeltable_spark", "config.toml"))

@@ -58,8 +58,10 @@ class ErrorCode(enum.Enum):
     PROVIDER_ERROR = 5000, 502, True
     RATE_LIMITED = 5001, 429, True
     PROVIDER_AUTH_ERROR = 5002, 401, False
-    CONCURRENT_MODIFICATION = 6000, 409, True
-    SERVICE_UNAVAILABLE = 7000, 503, True
+    DATABASE_UNAVAILABLE = 6000, 503, True
+    STORE_UNAVAILABLE = 6001, 503, True
+    SERIALIZATION_FAILURE = 7000, 409, True
+    CONCURRENT_MODIFICATION = 7001, 409, True
 
 
 class Error(Exception):
@@ -103,7 +105,7 @@ class AuthorizationError(Error, PermissionError):
 
 
 class ServiceUnavailableError(Error, RuntimeError):
-    default_code = ErrorCode.SERVICE_UNAVAILABLE
+    default_code = ErrorCode.DATABASE_UNAVAILABLE
 
 
 class EngineWarning(UserWarning):

@@ -40,6 +40,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     whose value column is legitimately NULL still matches (null-safe —
     an ignorenulls carry of bare columns would skip it)."""
     by = list(by or [])
+    if not by:
+        # the running-carry window has no partition key: every row lands in
+        # ONE task — fine for bounded inputs, an OOM/straggler at scale
+        import warnings
+        warnings.warn(
+            "asof_join with no `by` keys degenerates to a single-partition "
+            "global window; pass partition keys (instrument/entity id) for "
+            "distributed execution", stacklevel=2)
     rvals = list(right_cols
                  or [c for c in right.columns if c not in set(by) | {on}])
     lcols = left.columns
@@ -124,13 +132,21 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     random-but-deterministic salt (md5 of all its columns, mod n_salts),
     the right side replicates n_salts times, and the join runs on
     (key, salt) — a key holding half the table spreads over n_salts
-    tasks instead of one. Result-identical to ``left.join(right, on)``.
+    tasks instead of one. Result-identical to ``left.join(right, on)``
+    for how in {'inner', 'left'} — the only supported modes: the right
+    side is replicated n_salts times, so 'right'/'full' would emit each
+    unmatched right row n_salts times and semi/anti change shape.
 
     AQE's runtime skew split covers the batch shuffle-join case already;
     reach for this where AQE cannot re-plan: stream-static joins, joins
     that must preserve a fixed partitioning, or engines with AQE off.
     Cost: the right side is duplicated n_salts-fold — use for
     small-to-medium right sides (dimension tables with hot keys)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows "
+            f"{n_salts}x under right/full joins and break semi/anti shapes")
     salt = (F.pmod(F.hash(*[F.col(c) for c in left.columns]),
                    F.lit(n_salts))).alias("__salt")
     l_s = left.withColumn("__salt", salt)

@@ -46,14 +46,22 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
     if cols is None:
         cols = [f.name for f in df.schema.fields
                 if f.dataType.simpleString().startswith(NUMERIC_PREFIXES)]
+    if not cols:
+        # df.agg() with zero expressions raises an opaque py4j error;
+        # an empty profile is a legitimate result for an all-string table
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "col_name string, stat string, value double")
     aggs = []
     dist_aggs = []
-    stats: list[tuple[str, str]] = []
+    # (col, stat, alias): positional alias, immune to '__' in column names
+    stats: list[tuple[str, str, str]] = []
 
     def add(col: str, stat: str, expr, bucket=None) -> None:
+        alias = f"__prof_{len(stats)}"
         (aggs if bucket is None else bucket).append(
-            expr.cast("double").alias(f"{col}__{stat}"))
-        stats.append((col, stat))
+            expr.cast("double").alias(alias))
+        stats.append((col, stat, alias))
 
     for c in cols:
         x = F.col(c)
@@ -91,8 +99,8 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
         wide = wide.crossJoin(df.agg(*dist_aggs))
     pairs = F.array(*[
         F.struct(F.lit(c).alias("col_name"), F.lit(s).alias("stat"),
-                 F.col(f"{c}__{s}").alias("value"))
-        for c, s in stats
+                 F.col(a).alias("value"))
+        for c, s, a in stats
     ])
     return (wide.select(F.explode(pairs).alias("ps"))
             .select("ps.col_name", "ps.stat", "ps.value"))

@@ -53,6 +53,25 @@ class TestModuleApi:
         assert pxt.ErrorCode.TABLE_NOT_FOUND.http_status == 404
         assert pxt.ErrorCode.RATE_LIMITED.is_retryable
 
+    def test_error_code_values_match_reference(self, g):
+        """Pin the published numeric groups (reference exceptions.py:37-90):
+        clients matching codes across the two systems must agree."""
+        EC = pxt.ErrorCode
+        assert EC.COLUMN_NOT_FOUND.value == 1000
+        assert EC.COLUMN_ALREADY_EXISTS.value == 2000
+        assert EC.INVALID_COLUMN_NAME.value == 3000
+        assert EC.INSUFFICIENT_PRIVILEGES.value == 4000
+        assert EC.PROVIDER_ERROR.value == 5000
+        # 6xxx = ServiceUnavailable family, 7xxx = Concurrency family
+        assert EC.DATABASE_UNAVAILABLE.value == 6000
+        assert EC.STORE_UNAVAILABLE.value == 6001
+        assert EC.SERIALIZATION_FAILURE.value == 7000
+        assert EC.CONCURRENT_MODIFICATION.value == 7001
+        from pixeltable_spark.exceptions import (ConcurrencyError,
+                                                 ServiceUnavailableError)
+        assert ConcurrencyError("x").code.value // 1000 == 7
+        assert ServiceUnavailableError("x").code.value // 1000 == 6
+
     def test_retrieval_udf(self, g):
         t = pxt.create_table("kb", {"topic": pxt.String, "fact": pxt.String})
         t.insert([{"topic": "sky", "fact": "blue"},

@@ -47,6 +47,17 @@ class TestAsofJoin:
         assert out[4] == (None, None) and out[6] == (None, None)
         assert out[5] == (50.0, dt.datetime(2024, 1, 1, 10, 2))
 
+    def test_no_by_keys_warns_single_partition(self, spark):
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = asof_join(_trades(spark).drop("sym"),
+                            _quotes(spark).drop("sym"), on="ts")
+            assert any("single-partition" in str(x.message) for x in w)
+        # still correct: latest quote at-or-before each trade, any symbol
+        got = {r["qty"]: r["px_r"] for r in out.collect()}
+        assert got[4] is None  # 9:00 predates every quote
+
     def test_tolerance_drops_stale_matches(self, spark):
         out = {r["qty"]: r["px_r"] for r in
                asof_join(_trades(spark), _quotes(spark), on="ts",
@@ -148,3 +159,17 @@ class TestSalting:
         left, _ = skewed
         with pytest.raises(ValueError, match="non-algebraic"):
             salted_agg(left, "k", {"a": ("avg", "v")})
+
+    def test_salted_join_left_identical_and_bad_how_rejected(self, skewed):
+        from pixeltable_spark.operators.joins import salted_join
+        left, right = skewed
+        # left join keeps unmatched left rows exactly once
+        lplain = sorted(map(tuple, left.join(right, "k", "left")
+                            .select("k", "v", "r").collect()))
+        lsalted = sorted(map(tuple, salted_join(left, right, "k", how="left")
+                             .select("k", "v", "r").collect()))
+        assert lplain == lsalted
+        # replicated right side breaks right/full/semi/anti — rejected
+        for bad in ("right", "full", "left_semi", "left_anti"):
+            with pytest.raises(ValueError, match="inner.*left"):
+                salted_join(left, right, "k", how=bad)

@@ -93,6 +93,20 @@ class TestProfile:
         assert math.isclose(out[("x", "p50")], float(np.percentile(xs, 50)))
         assert math.isclose(out[("x", "p25")], float(np.percentile(xs, 25)))
 
+    def test_no_numeric_cols_returns_empty(self, spark):
+        df = spark.createDataFrame([("a",), ("b",)], "s string")
+        out = profile_table(df)  # no numeric columns -> empty, not py4j err
+        assert out.columns == ["col_name", "stat", "value"]
+        assert out.count() == 0
+        assert profile_table(df, cols=[]).count() == 0
+
+    def test_dunder_column_name_survives(self, spark):
+        df = spark.range(10).select((F.col("id") * 2.0).alias("a__b"))
+        out = {(r.col_name, r.stat): r.value
+               for r in profile_table(df, ["a__b"]).collect()}
+        assert out[("a__b", "n")] == 10
+        assert out[("a__b", "max")] == 18.0
+
     def test_approx_mode_single_pass_no_expand(self, spark):
         df = spark.range(1000).select(
             (F.col("id") % 37).cast("double").alias("x"),
