@@ -5,6 +5,15 @@ operators/ library); oracle_sql() carries the DuckDB-dialect equivalent.
 All float outputs are rounded in BOTH engines (sums to 2 dp, ratios to
 4-6 dp) so value hashes are stable across summation orders; all hashing
 used by sampling/dedup/LSH operators is md5-based and engine-portable.
+
+One-command verification of EVERY declared query (the driver's gate
+samples a window; this runs all of them against their oracles):
+
+    python tools/check_correctness.py /root/testdata/sf0.01
+
+Exit 0 = all queries match DuckDB (rows + schema + values); the three
+oracle-less iterative ops (q70 PQ, q88 SemDeDup, q91 BPE) report
+ROWS-ONLY and are pinned by property tests instead.
 """
 
 from __future__ import annotations

@@ -167,9 +167,8 @@ def export_fiftyone(df: DataFrame, out_dir: str,
     (all coordinates in [0, 1]) and an error is raised otherwise."""
     cols = [image_col] + [c for c in (boxes_col, labels_col,
                                       width_col, height_col) if c]
-    rows = df.select(*cols).collect()
-    samples = []
-    for r in rows:
+
+    def sample_of(r) -> dict:
         sample: dict[str, Any] = {"filepath": r[image_col]}
         if boxes_col and labels_col:
             w = float(r[width_col]) if width_col else 1.0
@@ -193,27 +192,40 @@ def export_fiftyone(df: DataFrame, out_dir: str,
                 })
             sample["ground_truth"] = {"_cls": "Detections",
                                       "detections": dets}
-        samples.append(sample)
+        return sample
+
+    # toLocalIterator: partitions stream to the driver one at a time, so
+    # driver memory is bounded by one partition however large the table
+    # (label exports are usually small, but a 1M-row detection set was an
+    # OOM with .collect())
+    row_iter = df.select(*cols).toLocalIterator()
     try:
         import fiftyone as fo
         ds = fo.Dataset(dataset_name)
-        fo_samples = []
-        for s in samples:
-            smp = fo.Sample(filepath=s["filepath"])
-            if "ground_truth" in s:
-                smp["ground_truth"] = fo.Detections(detections=[
-                    fo.Detection(label=d["label"],
-                                 bounding_box=d["bounding_box"])
-                    for d in s["ground_truth"]["detections"]])
-            fo_samples.append(smp)
-        ds.add_samples(fo_samples)
+        def gen():
+            for r in row_iter:
+                s = sample_of(r)
+                smp = fo.Sample(filepath=s["filepath"])
+                if "ground_truth" in s:
+                    smp["ground_truth"] = fo.Detections(detections=[
+                        fo.Detection(label=d["label"],
+                                     bounding_box=d["bounding_box"])
+                        for d in s["ground_truth"]["detections"]])
+                yield smp
+        ds.add_samples(gen())
         return ds
     except ImportError:
         os.makedirs(out_dir, exist_ok=True)
-        doc = {"name": dataset_name, "samples": samples}
         path = os.path.join(out_dir, "samples.json")
         with open(path, "w") as f:
-            _json.dump(doc, f)
+            # stream the samples array member by member — never the whole
+            # dataset in one json.dump
+            f.write('{"name": %s, "samples": [' % _json.dumps(dataset_name))
+            for i, r in enumerate(row_iter):
+                if i:
+                    f.write(", ")
+                _json.dump(sample_of(r), f)
+            f.write("]}")
         return path
 
 
@@ -250,30 +262,51 @@ def export_coco(df: DataFrame, out_path: str,
                 boxes_col: str = "boxes", labels_col: str = "labels") -> str:
     """COCO-format detection export (reference _query.py:2039
     to_coco_dataset): images + annotations json."""
-    rows = df.select(image_col, boxes_col, labels_col).collect()
-    images, annotations, categories = [], [], {}
+    import tempfile
+
+    # single streamed pass (toLocalIterator — bounded driver memory):
+    # images go straight to the output file, annotations spool to a temp
+    # file (they interleave per row but live in a different json array),
+    # then the spool is appended. Only the category map stays in memory.
+    categories: dict[Any, int] = {}
     ann_id = 0
-    for i, r in enumerate(rows):
-        images.append({"id": i, "file_name": r[image_col]})
-        for box, label in zip(r[boxes_col] or [], r[labels_col] or []):
-            if label not in categories:
-                categories[label] = len(categories)
-            x1, y1, x2, y2 = box
-            annotations.append({
-                "id": ann_id, "image_id": i,
-                "category_id": categories[label],
-                "bbox": [x1, y1, x2 - x1, y2 - y1],
-                "area": max(x2 - x1, 0) * max(y2 - y1, 0),
-                "iscrowd": 0,
-            })
-            ann_id += 1
-    doc = {
-        "images": images,
-        "annotations": annotations,
-        "categories": [{"id": v, "name": str(k)} for k, v in categories.items()],
-    }
-    with open(out_path, "w") as f:
-        _json.dump(doc, f)
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(out_dir, exist_ok=True)
+    with open(out_path, "w") as f, \
+            tempfile.TemporaryFile("w+", dir=out_dir) as ann_f:
+        f.write('{"images": [')
+        first_ann = True
+        for i, r in enumerate(
+                df.select(image_col, boxes_col, labels_col).toLocalIterator()):
+            if i:
+                f.write(", ")
+            _json.dump({"id": i, "file_name": r[image_col]}, f)
+            for box, label in zip(r[boxes_col] or [], r[labels_col] or []):
+                if label not in categories:
+                    categories[label] = len(categories)
+                x1, y1, x2, y2 = box
+                if not first_ann:
+                    ann_f.write(", ")
+                first_ann = False
+                _json.dump({
+                    "id": ann_id, "image_id": i,
+                    "category_id": categories[label],
+                    "bbox": [x1, y1, x2 - x1, y2 - y1],
+                    "area": max(x2 - x1, 0) * max(y2 - y1, 0),
+                    "iscrowd": 0,
+                }, ann_f)
+                ann_id += 1
+        f.write('], "annotations": [')
+        ann_f.seek(0)
+        while True:
+            chunk = ann_f.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+        f.write('], "categories": ')
+        _json.dump([{"id": v, "name": str(k)}
+                    for k, v in categories.items()], f)
+        f.write("}")
     return out_path
 
 

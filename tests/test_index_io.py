@@ -102,6 +102,25 @@ class TestIO:
         assert {c["name"] for c in doc["categories"]} == {"cat", "dog"}
         assert doc["annotations"][0]["bbox"] == [0.0, 0.0, 10.0, 10.0]
 
+    def test_coco_streams_many_partitions(self, spark, tmp_path):
+        """Streamed writer (toLocalIterator, no collect): a multi-partition
+        50k-row export stays valid JSON with every image + annotation."""
+        from pyspark.sql import functions as F
+        df = (spark.range(50_000).repartition(16)
+              .select(F.concat(F.lit("img"), F.col("id")).alias("image_path"),
+                      F.array(F.array(F.lit(0.0), F.lit(0.0),
+                                      F.lit(1.0), F.lit(1.0))).alias("boxes"),
+                      F.array(F.concat(F.lit("c"), F.col("id") % 7))
+                      .alias("labels")))
+        p = pio.export_coco(df, str(tmp_path / "big_coco.json"))
+        with open(p) as f:
+            doc = json.load(f)
+        assert len(doc["images"]) == 50_000
+        assert len(doc["annotations"]) == 50_000
+        assert len(doc["categories"]) == 7
+        # ids are consecutive and image_ids reference real images
+        assert doc["annotations"][-1]["id"] == 49_999
+
     def test_pandas_roundtrip(self, spark, documents_df):
         pdf = documents_df.limit(10).toPandas()
         back = pio.import_pandas(spark, pdf)
