@@ -1882,6 +1882,25 @@ def q91_bpe_tokenize(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q92_lsa_semantic_dedup(spark, sf_dir):
+    """Locally-trained LSA semantic embeddings (operators/lsa.py —
+    Deerwester'90 LSA with Levy-Goldberg'14 PPMI weighting): distributed
+    co-occurrence counting (array-shift zips, no self-join), bounded
+    driver SVD, broadcast model, one mapInPandas embed pass, then
+    exact top-k semantic search (TakeOrderedAndProject). NO oracle_sql
+    (SVD is iterative linear algebra, not SQL — same standing as
+    q70/q88/q91); semantics pinned by tests/test_lsa.py (synonym
+    recall@3 beats the BoW baseline, determinism, unit-norm)."""
+    from pixeltable_spark.operators.lsa import lsa_embeddings, lsa_train
+    df = _df(spark, sf_dir, "documents").select("doc_id", "text")
+    model = lsa_train(df, "text", dim=16, vocab_size=300, window=2)
+    emb = lsa_embeddings(df, model)
+    qvec = model.encode("data processing and analysis of large document "
+                        "collections")
+    return similarity.topk_cosine(emb, qvec, k=20,
+                                  vec_col="embedding", id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1973,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_curation_pipeline": q89_curation_pipeline,
         "q90_cross_corpus_dedup": q90_cross_corpus_dedup,
         "q91_bpe_tokenize": q91_bpe_tokenize,
+        "q92_lsa_semantic_dedup": q92_lsa_semantic_dedup,
     }
 
 

@@ -57,16 +57,39 @@ def _md5_embed(text: str, key: str, dim: int = 16) -> list[float]:
     return [x / n for x in out]
 
 
+#: locally trained models (operators/lsa.py LsaModel) registered by id.
+#: NB: this dict lives in the DRIVER process; inside Spark-executed UDFs
+#: pass the model via the ``local_model`` kwarg instead (kwargs travel
+#: by value with the expression; a module global does not).
+_LOCAL_MODELS: dict[str, Any] = {}
+
+
+def register_local_model(model_id: str, model: Any) -> None:
+    """Register a locally trained embedding model (e.g. an LSA model from
+    ``operators.lsa.lsa_train``) so ``sentence_transformer(model_id=...)``
+    resolves to it in driver-side evaluation."""
+    _LOCAL_MODELS[model_id] = model
+
+
 @udf(return_type=ArrayType(ColumnType.float_()))
 def sentence_transformer(sentence: str, *, model_id: str = "all-mpnet-base-v2",
-                         normalize_embeddings: bool = False) -> list:
+                         normalize_embeddings: bool = False,
+                         local_model: Any = None) -> list:
     """Sentence embedding via a local sentence-transformers model
-    (reference functions/huggingface.py:32)."""
+    (reference functions/huggingface.py:32). Offline resolution order:
+    real sentence-transformers weights -> ``local_model`` (a trained
+    ``operators.lsa.LsaModel`` — genuinely semantic: synonyms sharing
+    contexts get nearby vectors) -> registered local model -> the
+    classical BoW random-projection fallback."""
     m = _load_sentence_transformer(model_id)
-    if m is None:
-        return _md5_embed(sentence, model_id)
-    vec = m.encode([sentence], normalize_embeddings=normalize_embeddings)[0]
-    return [float(x) for x in vec]
+    if m is not None:
+        vec = m.encode([sentence],
+                       normalize_embeddings=normalize_embeddings)[0]
+        return [float(x) for x in vec]
+    lm = local_model if local_model is not None else _LOCAL_MODELS.get(model_id)
+    if lm is not None:
+        return [float(x) for x in lm.encode(sentence)]
+    return _md5_embed(sentence, model_id)
 
 
 @udf(return_type=ColumnType.float_())

@@ -1,0 +1,198 @@
+"""LSA word/sentence embeddings: a REAL locally-trainable semantic model
+(no downloads, no model libraries) for the offline sentence_transformer
+path.
+
+Classical pipeline (Deerwester et al. 1990 "Indexing by Latent Semantic
+Analysis"; Levy & Goldberg 2014 for the PPMI weighting — both public):
+
+1. distributed co-occurrence counting over the corpus (Spark, JVM-only):
+   tokens within a +-window of each other, formulated as array-shift
+   zips over each document's token array — NO self-join, no shuffle
+   beyond one groupBy on (word_a, word_b) id pairs;
+2. PPMI re-weighting of the vocab x vocab count matrix (driver, numpy —
+   the matrix is bounded by vocab_size, NOT corpus size);
+3. truncated SVD -> word vectors = U_k * sqrt(S_k);
+4. sentence embedding = idf-weighted mean of word vectors, L2-normalized.
+
+Words that appear in similar contexts (synonyms) get nearby vectors even
+though they never share a token — the semantic signal the bag-of-words
+random projection (operators/similarity.py bow_embeddings) cannot have.
+Training cost scales with corpus size only through step 1, which is one
+narrow pass + one groupBy; steps 2-3 are O(vocab^2) driver work on a
+kilobyte-to-megabyte matrix (the standard bounded-driver-model pattern,
+like pq_train's sampled k-means).
+
+Reference parity: the reference runs real sentence-transformers weights
+(reference functions/huggingface.py:32); this is the honest offline
+stand-in that still produces genuinely semantic vectors.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKENIZE = r"[^a-z0-9]+"
+
+
+def _tokens_col(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), _TOKENIZE),
+        lambda t: t != "")
+
+
+class LsaModel:
+    """Trained LSA embedding model: {word -> vector} + idf weights.
+    Picklable and small (vocab_size x dim floats) — broadcast it, ship it
+    in a closure, or persist with pickle."""
+
+    def __init__(self, vectors: dict, idf: dict, dim: int):
+        self.vectors = vectors
+        self.idf = idf
+        self.dim = dim
+
+    def encode(self, text: str) -> list:
+        """Sentence embedding: idf-weighted mean of word vectors,
+        L2-normalized; OOV tokens are skipped; all-OOV -> zero vector."""
+        import re
+        toks = [t for t in re.split(_TOKENIZE, (text or "").lower()) if t]
+        acc = [0.0] * self.dim
+        for t in toks:
+            v = self.vectors.get(t)
+            if v is None:
+                continue
+            w = self.idf.get(t, 1.0)
+            for i in range(self.dim):
+                acc[i] += w * v[i]
+        n = math.sqrt(sum(x * x for x in acc))
+        if n == 0:
+            return acc
+        return [x / n for x in acc]
+
+    def similarity(self, a: str, b: str) -> float:
+        va, vb = self.encode(a), self.encode(b)
+        return float(sum(x * y for x, y in zip(va, vb)))
+
+
+def lsa_train(df: DataFrame, text_col: str = "text", dim: int = 32,
+              vocab_size: int = 1000, window: int = 4,
+              max_cooc_entries: int = 4_000_000) -> LsaModel:
+    """Train an LsaModel on a corpus. Distributed counting, bounded
+    driver assembly (vocab_size top-document-frequency words; the
+    co-occurrence matrix has at most vocab_size^2 nonzero entries and the
+    collect is guarded by max_cooc_entries)."""
+    import numpy as np
+
+    from .text import spread
+
+    n_docs = df.count()
+    # tokenize ONCE: the token arrays feed the vocab pass + one pair pass
+    # per window offset; without the checkpoint each re-runs scan+split
+    # (Spark shares no scan across DataFrame branches)
+    toks = (spread(df).select(_tokens_col(text_col).alias("toks"))
+            .localCheckpoint(eager=False))
+
+    # vocabulary: top-df words (one explode + distinct-per-doc agg)
+    docfreq = (toks.select(F.explode(F.array_distinct("toks")).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("df_")))
+    vocab_rows = (docfreq.orderBy(F.col("df_").desc(), F.col("w"))
+                  .limit(vocab_size).collect())
+    vocab = {r["w"]: i for i, r in enumerate(vocab_rows)}
+    idf = {r["w"]: math.log((1 + n_docs) / (1 + r["df_"])) + 1.0
+           for r in vocab_rows}
+    if not vocab:
+        return LsaModel({}, {}, dim)
+
+    # co-occurrence pairs via array shifts: for each offset o in
+    # 1..window, zip toks[0:n-o] with toks[o:n] — pure JVM, linear in
+    # corpus tokens, no join
+    pair_frames = []
+    for o in range(1, window + 1):
+        ln = F.greatest(F.size("toks") - o, F.lit(0))
+        pairs = (toks
+                 .select(F.slice("toks", 1, ln).alias("s0"),
+                         F.slice("toks", o + 1, ln).alias("s1"))
+                 .select(F.explode(F.arrays_zip("s0", "s1")).alias("p"))
+                 .select(F.col("p.s0").alias("a"), F.col("p.s1").alias("b")))
+        pair_frames.append(pairs)
+    allp = pair_frames[0]
+    for p in pair_frames[1:]:
+        allp = allp.unionByName(p)
+
+    # map words to vocab ids with a broadcast join (drops OOV), count
+    spark = df.sparkSession
+    va = spark.createDataFrame(
+        [(w, i) for w, i in vocab.items()], ["wa", "ia"])
+    vb = spark.createDataFrame(
+        [(w, i) for w, i in vocab.items()], ["wb", "ib"])
+    counts = (allp
+              .join(F.broadcast(va), allp["a"] == va["wa"])
+              .join(F.broadcast(vb), allp["b"] == vb["wb"])
+              .groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("n")))
+    # single pass: collect up to cap+1 rows instead of count()+collect()
+    # (the guard count would re-run the whole co-occurrence aggregation)
+    cooc_rows = counts.limit(max_cooc_entries + 1).collect()
+    if len(cooc_rows) > max_cooc_entries:
+        raise ValueError(
+            f"co-occurrence matrix exceeds max_cooc_entries="
+            f"{max_cooc_entries}; lower vocab_size or raise the cap")
+    V = len(vocab)
+    M = np.zeros((V, V))
+    for r in cooc_rows:
+        # symmetrize: (a,b) was only counted left-to-right
+        M[r["ia"], r["ib"]] += r["n"]
+        M[r["ib"], r["ia"]] += r["n"]
+
+    # PPMI (positive pointwise mutual information)
+    total = M.sum()
+    if total == 0:
+        return LsaModel({}, idf, dim)
+    row = M.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(M * total / (row @ row.T))
+    ppmi = np.where(np.isfinite(pmi), np.maximum(pmi, 0.0), 0.0)
+
+    # truncated SVD -> word vectors
+    U, S, _ = np.linalg.svd(ppmi, full_matrices=False)
+    k = min(dim, V)
+    W = U[:, :k] * np.sqrt(S[:k])[None, :]
+    if k < dim:
+        W = np.pad(W, ((0, 0), (0, dim - k)))
+    # unit-norm word vectors (cosine-ready)
+    norms = np.linalg.norm(W, axis=1, keepdims=True)
+    W = np.divide(W, norms, out=np.zeros_like(W), where=norms > 0)
+    inv = {i: w for w, i in vocab.items()}
+    vectors = {inv[i]: [float(x) for x in W[i]] for i in range(V)}
+    return LsaModel(vectors, idf, dim)
+
+
+def lsa_embeddings(df: DataFrame, model: LsaModel, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   output_col: str = "embedding") -> DataFrame:
+    """Embed every row with a trained model: broadcast the (small) model,
+    one vectorized mapInPandas pass — no shuffle, linear scan."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .text import spread
+
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField(output_col, T.ArrayType(T.DoubleType())),
+    ])
+
+    def op(batches):
+        m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                output_col: [m.encode(t) for t in pdf[text_col]],
+            })
+
+    return spread(df).select(id_col, text_col).mapInPandas(op, schema)
