@@ -7,7 +7,8 @@ PPM: Netpbm P6; baseline JPEG via jpeg_codec.py; GIF via gif_codec.py):
 * ``probe(payload)`` — format/width/height/mode from file headers (PNG,
   JPEG via SOF scan, GIF, BMP, PPM).
 * ``decode(payload)`` — full pixel decode to a numpy array for PNG
-  (8-bit, color types 0/2/3/6, non-interlaced, all five scanline
+  (bit depths 1/2/4/8/16, color types 0/2/3/4/6, Adam7 or
+  non-interlaced, all five scanline
   filters), BMP (24/32-bit uncompressed), PPM (P6), baseline 4:4:4 JPEG
   (jpeg_codec.py), GIF87a/89a incl. interlace + transparency
   (gif_codec.py; progressive/subsampled JPEG still raises).
@@ -130,8 +131,12 @@ def _parse_ppm_header(payload: bytes) -> tuple:
 # PNG decode
 # ---------------------------------------------------------------------------
 
-def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
-    stride = width * nch
+def _png_unfilter_bytes(raw: bytes, stride: int, bpp: int,
+                        height: int) -> np.ndarray:
+    """Reverse PNG scanline filters at the BYTE level (the spec defines
+    filtering over bytes with a bytes-per-pixel distance `bpp`, which is
+    what makes one routine serve 1/2/4/8/16-bit depths). Returns the
+    (height, stride) unfiltered byte matrix."""
     out = np.empty((height, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.uint8)
@@ -144,21 +149,21 @@ def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
             cur = line
         elif ftype == 1:  # Sub
             cur = line
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
             cur = line
             for x in range(stride):
-                left = int(cur[x - nch]) if x >= nch else 0
+                left = int(cur[x - bpp]) if x >= bpp else 0
                 cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 pp = a + b - c
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -167,7 +172,42 @@ def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(height, width, nch)
+    return out
+
+
+def _png_line_geometry(width: int, depth: int, nch: int) -> tuple:
+    """(stride_bytes, bytes_per_pixel) for one scanline."""
+    stride = (width * depth * nch + 7) // 8
+    bpp = max(1, (depth * nch) // 8)
+    return stride, bpp
+
+
+def _png_bytes_to_pixels(rows: np.ndarray, width: int, depth: int,
+                         nch: int, scale_gray: bool) -> np.ndarray:
+    """Unfiltered byte rows -> (h, width, nch) uint8 pixels.
+    depth 16 keeps the high byte (the standard to-8-bit conversion);
+    sub-byte depths unpack MSB-first; grayscale sub-byte values scale to
+    0..255 (1-bit -> 0/255) while palette indices stay raw."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :width * nch].reshape(h, width, nch)
+    if depth == 16:
+        return rows[:, :width * nch * 2].reshape(h, width, nch, 2)[..., 0]
+    # depths 1/2/4 are single-channel (gray or palette index) per spec
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, :width * depth].reshape(h, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (per * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    if scale_gray:
+        v = (v.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return v[:, :, None]
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int,
+                  depth: int = 8, scale_gray: bool = False) -> np.ndarray:
+    stride, bpp = _png_line_geometry(width, depth, nch)
+    rows = _png_unfilter_bytes(raw, stride, bpp, height)
+    return _png_bytes_to_pixels(rows, width, depth, nch, scale_gray)
 
 
 # Adam7 pass layout: (x0, y0, dx, dy) per W3C PNG spec §8.2
@@ -175,11 +215,12 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_deinterlace_adam7(raw: bytes, width: int, height: int,
-                           nch: int) -> np.ndarray:
+def _png_deinterlace_adam7(raw: bytes, width: int, height: int, nch: int,
+                           depth: int = 8,
+                           scale_gray: bool = False) -> np.ndarray:
     """Decode an Adam7-interlaced scan: each of the 7 passes is its own
-    filtered sub-image (per-pass scanline filters), placed back on the
-    (dx, dy) grid."""
+    filtered sub-image (per-pass scanline filters and byte strides),
+    placed back on the (dx, dy) grid."""
     out = np.zeros((height, width, nch), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -187,10 +228,10 @@ def _png_deinterlace_adam7(raw: bytes, width: int, height: int,
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = pw * nch
+        stride, _bpp = _png_line_geometry(pw, depth, nch)
         sub_raw = raw[pos:pos + ph * (1 + stride)]
         pos += ph * (1 + stride)
-        sub = _png_unfilter(sub_raw, pw, ph, nch)
+        sub = _png_unfilter(sub_raw, pw, ph, nch, depth, scale_gray)
         out[y0::dy, x0::dx] = sub
     return out
 
@@ -217,17 +258,23 @@ def _decode_png(payload: bytes) -> "MiniImage":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1):
-        raise ValueError(
-            f"unsupported PNG (bit depth {depth}, interlace {interlace})")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG interlace {interlace}")
+    # legal (depth, color_type) combos per PNG spec table 11.1
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if nch is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if depth not in legal[color_type]:
+        raise ValueError(
+            f"illegal PNG bit depth {depth} for color type {color_type}")
     raw = zlib.decompress(bytes(idat))
+    scale_gray = color_type == 0  # sub-byte gray scales; indices stay raw
     if interlace == 1:
-        arr = _png_deinterlace_adam7(raw, w, h, nch)
+        arr = _png_deinterlace_adam7(raw, w, h, nch, depth, scale_gray)
     else:
-        arr = _png_unfilter(raw, w, h, nch)
+        arr = _png_unfilter(raw, w, h, nch, depth, scale_gray)
     if color_type == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")

@@ -311,6 +311,112 @@ class TestAdam7:
         assert info["width"] == 7 and info["height"] == 5
 
 
+class TestPngBitDepths:
+    """Bit depths beyond 8 (PNG spec table 11.1): 1/2/4-bit gray and
+    palette, 16-bit gray and RGB — the most common real-world PNGs the
+    previous 8-bit-only subset rejected."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        import struct
+        import zlib
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc))
+
+    @classmethod
+    def _png(cls, w, h, depth, ctype, scanlines, plte=None, filt=0):
+        import struct
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        body = b"".join(bytes([filt]) + ln for ln in scanlines)
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += cls._chunk(b"PLTE", plte)
+        return out + cls._chunk(b"IDAT", zlib.compress(body)) + \
+            cls._chunk(b"IEND", b"")
+
+    def test_1bit_gray(self):
+        import numpy as np
+        # 10x2: bits 1010101010 / 0101010101, MSB-first packed
+        p = self._png(10, 2, 1, 0, [b"\xaa\x80", b"\x55\x40"])
+        img = ic.decode(p)
+        a = np.asarray(img.arr)[:, :, 0]
+        assert a.shape == (2, 10)
+        assert list(a[0]) == [255, 0] * 5      # scaled to 0/255
+        assert list(a[1]) == [0, 255] * 5
+
+    def test_2bit_and_4bit_gray_scaling(self):
+        import numpy as np
+        # 2-bit values 0,1,2,3 -> 0,85,170,255
+        p2 = self._png(4, 1, 2, 0, [bytes([0b00011011])])
+        a2 = np.asarray(ic.decode(p2).arr)[0, :, 0]
+        assert list(a2) == [0, 85, 170, 255]
+        # 4-bit values 0..3 in nibbles -> x*17
+        p4 = self._png(4, 1, 4, 0, [bytes([0x01, 0x23])])
+        a4 = np.asarray(ic.decode(p4).arr)[0, :, 0]
+        assert list(a4) == [0, 17, 34, 51]
+
+    def test_4bit_palette(self):
+        import numpy as np
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+        # indices 0,1,2,3 per row of 4 pixels (two nibbles/byte)
+        p = self._png(4, 2, 4, 3, [bytes([0x01, 0x23])] * 2, plte=plte)
+        img = ic.decode(p)
+        a = np.asarray(img.arr)
+        assert img.mode == "RGB" and a.shape == (2, 4, 3)
+        assert list(a[0, 0]) == [255, 0, 0] and list(a[1, 3]) == [9, 9, 9]
+
+    def test_16bit_gray_and_rgb_high_byte(self):
+        import numpy as np
+        import struct
+        # 16-bit gray 3x1: values 0x0000, 0x7fff, 0xffff -> 0,127,255
+        ln = struct.pack(">HHH", 0, 0x7FFF, 0xFFFF)
+        a = np.asarray(ic.decode(self._png(3, 1, 16, 0, [ln])).arr)
+        assert list(a[0, :, 0]) == [0, 127, 255]
+        # 16-bit RGB 2x1 with filter 2 (Up): second row adds byte-wise
+        r1 = struct.pack(">HHHHHH", 0x1100, 0x2200, 0x3300,
+                         0x4400, 0x5500, 0x6600)
+        p = self._png(2, 2, 16, 2, [r1, b"\x00" * 12], filt=0)
+        # rebuild manually: row2 filter=2 over zeros == row1 values
+        import zlib as _z
+        body = b"\x00" + r1 + b"\x02" + b"\x00" * 12
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", _z.compress(body))
+               + self._chunk(b"IEND", b""))
+        arr = np.asarray(ic.decode(png).arr)
+        assert arr.shape == (2, 2, 3)
+        assert list(arr[0, 0]) == [0x11, 0x22, 0x33]
+        assert (arr[1] == arr[0]).all()  # Up filter over zero row
+
+    def test_illegal_combo_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="illegal PNG bit depth"):
+            ic.decode(self._png(2, 1, 16, 3, [b"\x00\x00\x00\x00"],
+                                plte=bytes(6)))
+
+    def test_1bit_adam7_interlaced(self):
+        import numpy as np
+        import struct
+        import zlib
+        # 9x9 checkerboard, 1-bit gray, Adam7: build per-pass scanlines
+        full = ((np.indices((9, 9)).sum(axis=0)) % 2).astype(np.uint8)
+        body = b""
+        for x0, y0, dx, dy in ic._ADAM7:
+            sub = full[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                body += b"\x00" + np.packbits(row).tobytes()
+        ihdr = struct.pack(">IIBBBBB", 9, 9, 1, 0, 0, 0, 1)
+        png = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(body))
+               + self._chunk(b"IEND", b""))
+        a = np.asarray(ic.decode(png).arr)[:, :, 0]
+        assert (a == full * 255).all()
+
+
 class TestPerceptualHashes:
     """aHash/dHash/pHash + hamming_pairs image near-dup."""
 
