@@ -262,3 +262,119 @@ def test_timestamp_fields_match_duckdb(ts_tbl, ts_duck, pair):
             assert math.isclose(float(g), float(e)), (g, e, sql)
         else:
             assert g == e, (g, e, sql)
+
+
+# -- joined-aggregate fuzzing ------------------------------------------------
+# random (join type, filter, group key, aggregate battery) trees built as
+# paired engine-query + mirrored-SQL, run on fuzz (fact) x fuzzdim (dim).
+# The dim covers only keys 0..5, so left joins produce genuine null dim
+# rows and null group keys — the semantics hand-written cases get wrong.
+
+DIM_ROWS = [{"d": i, "name": f"grp{i % 3}", "w": float(i) * 1.5 - 2.0}
+            for i in range(6)]
+
+
+@pytest.fixture(scope="module")
+def dim_tbl(spark):
+    df = spark.createDataFrame(DIM_ROWS, "d long, name string, w double")
+    return pxt.TableRef.from_df(df, "fuzzdim", rowid_cols=["d"])
+
+
+@pytest.fixture(scope="module")
+def duck_joined(duck):
+    duck.execute("CREATE TABLE IF NOT EXISTS fuzzdim "
+                 "(d BIGINT, name VARCHAR, w DOUBLE)")
+    if duck.execute("SELECT count(*) FROM fuzzdim").fetchone()[0] == 0:
+        duck.executemany("INSERT INTO fuzzdim VALUES (?, ?, ?)",
+                         [(r["d"], r["name"], r["w"]) for r in DIM_ROWS])
+    return duck
+
+
+AGGS = {
+    "sum": (lambda e: __import__("pixeltable_spark").functions.sum(e), "sum"),
+    "min": (lambda e: __import__("pixeltable_spark").functions.min(e), "min"),
+    "max": (lambda e: __import__("pixeltable_spark").functions.max(e), "max"),
+    "mean": (lambda e: __import__("pixeltable_spark").functions.mean(e),
+             "avg"),
+    "count": (lambda e: __import__("pixeltable_spark").functions.count(e),
+              "count"),
+}
+
+
+def joined_agg_query():
+    """(runner, sql) pairs: runner(fact_tbl, dim_tbl) -> engine rows."""
+    def mk(parts):
+        how, (pf, psql), key_choice, agg_names, (af, asql) = parts
+        sql_join = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+        keys = {"fact": ("c", "f.c"), "dim": ("name", "d.name"),
+                "both": (None, "f.c, d.name")}[key_choice]
+
+        def run(f, d):
+            q = f.join(d, on=f.c == d.d, how=how).where(pf(f))
+            if key_choice == "fact":
+                gb, sel = [f.c], {"g0": f.c}
+            elif key_choice == "dim":
+                gb, sel = [d.name], {"g0": d.name}
+            else:
+                gb, sel = [f.c, d.name], {"g0": f.c, "g1": d.name}
+            items = dict(sel)
+            for i, nm in enumerate(agg_names):
+                mkfn, _ = AGGS[nm]
+                # aggregate over a numeric expr of the FACT side
+                items[f"v{i}"] = mkfn(af(f))
+            return q.group_by(*gb).select(**items).collect()
+
+        import re as _re
+
+        def _qual(x):
+            # qualify bare column refs a/b/c as f.<col>; word boundaries
+            # keep function names (abs, ceil) intact
+            return _re.sub(r"\b([abc])\b", r"f.\1", x)
+
+        agg_sql = ", ".join(
+            f"{AGGS[nm][1]}({_qual(asql)}) AS v{i}"
+            for i, nm in enumerate(agg_names))
+        gsel = keys[1]
+        galias = ", ".join(f"{c} AS g{i}"
+                           for i, c in enumerate(gsel.split(", ")))
+        sql = (f"SELECT {galias}, {agg_sql} FROM fuzz f {sql_join} fuzzdim d "
+               f"ON f.c = d.d WHERE {_qual(psql)} "
+               f"GROUP BY {gsel}")
+        return (run, sql, len(gsel.split(", ")), list(agg_names))
+
+    return st.tuples(
+        st.sampled_from(["inner", "left"]),
+        bool_expr(),
+        st.sampled_from(["fact", "dim", "both"]),
+        st.lists(st.sampled_from(sorted(AGGS)), min_size=1, max_size=3,
+                 unique=True),
+        num_expr(1),
+    ).map(mk)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=joined_agg_query())
+def test_joined_aggregates_match_duckdb(tbl, dim_tbl, duck_joined, q):
+    run, sql, n_keys, agg_names = q
+    got_rows = run(tbl, dim_tbl)
+    exp_rows = duck_joined.execute(sql).fetchall()
+    assert len(got_rows) == len(exp_rows), sql
+
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+
+    got = sorted([tuple(norm(r[f"g{i}"]) for i in range(n_keys))
+                  + tuple(norm(r[f"v{i}"]) for i in range(len(agg_names)))
+                  for r in got_rows], key=lambda t: tuple(str(x) for x in t))
+    exp = sorted([tuple(norm(v) for v in row) for row in exp_rows],
+                 key=lambda t: tuple(str(x) for x in t))
+    for g, e in zip(got, exp):
+        for gv, ev in zip(g, e):
+            if isinstance(gv, float) and ev is not None:
+                assert math.isclose(gv, float(ev),
+                                    rel_tol=1e-6, abs_tol=1e-6), (g, e, sql)
+            else:
+                assert gv == ev, (g, e, sql)
