@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import telemetry
 from .exceptions import AlreadyExistsError, NotFoundError
 from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
                              UpdateStatus, VersionMetadata, version_metadata)
@@ -1052,6 +1053,7 @@ class Table:
         self._save_meta()
 
     # -- mutations ---------------------------------------------------------
+    @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def insert(self, rows: "list[dict] | DataFrame | TableRef") -> int:
         """Append rows: validate, assign _rowid/_v_min, evaluate computed
         columns over ONLY the new slice, persist, then propagate to views
@@ -1121,6 +1123,7 @@ class Table:
         )
         return out, n
 
+    @telemetry.traced("table.update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def update(self, value_spec: dict[str, Any], where: Optional[Expr] = None,
                cascade: bool = True) -> int:
         """Expire matching row-versions, re-insert updated versions at the
@@ -1159,6 +1162,7 @@ class Table:
         self._propagate_changes()
         return UpdateStatus(n, op="update")
 
+    @telemetry.traced("table.batch_update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def batch_update(self, rows: list[dict], cascade: bool = True) -> int:
         """Batched per-row updates matched by primary key — ONE plan for the
         whole batch: a keys DataFrame joined against the store, one version
@@ -1232,6 +1236,7 @@ class Table:
         self._propagate_changes()
         return UpdateStatus(n, op="batch_update")
 
+    @telemetry.traced("table.delete", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
         new_version = self.version + 1
@@ -1253,6 +1258,7 @@ class Table:
         self._propagate_changes()
         return UpdateStatus(n, op="delete")
 
+    @telemetry.traced("table.recompute_columns", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def recompute_columns(self, cols: Sequence[str],
                           where: Optional[Expr] = None) -> int:
         """Force recomputation of computed columns on a row subset
@@ -1278,6 +1284,7 @@ class Table:
         self._propagate_changes()
         return UpdateStatus(n, op="recompute")
 
+    @telemetry.traced("table.revert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     def revert(self) -> None:
         """Undo the latest version (reference catalog/table.py:1079):
         rows born at V disappear, rows expired at V come back."""

@@ -265,7 +265,13 @@ class Query:
 
     # -- execution ---------------------------------------------------------
     def df(self) -> DataFrame:
-        return Planner(self).to_df()
+        from .. import telemetry
+        if not telemetry.active():
+            return Planner(self).to_df()
+        with telemetry.span("query.compile",
+                            attrs=lambda: {"table": getattr(self.tbl, "name",
+                                                            "?")}):
+            return Planner(self).to_df()
 
     def collect(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.df().collect()]
