@@ -66,6 +66,22 @@ def _pdf_pages_col(col):
 
     return F.pandas_udf(fn, T.StringType())(col)
 
+
+def _office_markdown_col(col, fmt: str):
+    """Binary OOXML payload → markdown (pure-stdlib office_codec.py; the
+    reference funnels DOCX/PPTX/XLSX through MarkItDown the same way —
+    reference utils/documents.py:108)."""
+    import pandas as pd
+
+    def fn(s):
+        from . import office_codec as oc
+        conv = {"docx": oc.docx_to_markdown, "pptx": oc.pptx_to_markdown,
+                "xlsx": oc.xlsx_to_markdown}[fmt]
+        return pd.Series([None if p is None else conv(bytes(p)) for p in s])
+
+    return F.pandas_udf(fn, T.StringType())(col)
+
+
 _VALID_SEPARATORS = {"heading", "paragraph", "sentence", "token_limit",
                      "char_limit", "page"}
 
@@ -156,13 +172,18 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     if overlap and overlap >= limit:
         raise ValueError("overlap must be smaller than limit")
 
-    if input_format not in ("text", "markdown", "html", "pdf"):
+    if input_format not in ("text", "markdown", "html", "pdf",
+                            "docx", "pptx", "xlsx"):
         raise ValueError(
-            f"input_format must be text|markdown|html|pdf, got {input_format!r}")
+            f"input_format must be text|markdown|html|pdf|docx|pptx|xlsx, "
+            f"got {input_format!r}")
 
     col = F.col(text_col)
     if input_format == "html":
         col = html_to_markdown(col)
+    elif input_format in ("docx", "pptx", "xlsx"):
+        # binary OOXML → markdown, then the markdown pipeline applies
+        col = _office_markdown_col(col, input_format)
     elif input_format == "pdf":
         # binary payload → page texts (pure-stdlib extractor,
         # functions/pdf_codec.py) joined by the page sentinel

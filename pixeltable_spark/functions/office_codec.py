@@ -1,0 +1,203 @@
+"""Pure-stdlib Office Open XML -> markdown converters: DOCX, PPTX, XLSX.
+
+The reference funnels office documents through MarkItDown into markdown
+and parses that (reference utils/documents.py:108 get_office_handle);
+neither markitdown nor python-docx install in this container, so these
+read the OOXML packages directly — they are just zip archives of XML
+(ECMA-376 / ISO 29500, public spec):
+
+* DOCX: ``word/document.xml`` — w:p paragraphs with w:pStyle Heading<n>
+  -> ATX headings, w:numPr -> list items, w:tbl -> markdown pipe tables,
+  text = the concatenated w:t runs (tabs/breaks normalized).
+* PPTX: ``ppt/slides/slide<n>.xml`` — one ``##`` heading per slide
+  (title placeholder text when present), body a:t runs as paragraphs.
+* XLSX: ``xl/worksheets/sheet<n>.xml`` + sharedStrings — one ``##``
+  heading per sheet, rows as a markdown pipe table (first row = header).
+
+Output feeds the same markdown splitter path as HTML
+(functions/document.py document_splitter_v2 input_format='md'), so
+heading metadata, separators and token chunking all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+def _para_text(p) -> str:
+    """Concatenated run text of a w:p, with tabs/breaks as spaces."""
+    parts = []
+    for node in p.iter():
+        if node.tag == f"{_W}t":
+            parts.append(node.text or "")
+        elif node.tag in (f"{_W}tab", f"{_W}br", f"{_W}cr"):
+            parts.append(" ")
+    return "".join(parts).strip()
+
+
+def _para_style(p):
+    ppr = p.find(f"{_W}pPr")
+    if ppr is None:
+        return None, False
+    style = ppr.find(f"{_W}pStyle")
+    sval = style.get(f"{_W}val") if style is not None else None
+    is_list = ppr.find(f"{_W}numPr") is not None
+    return sval, is_list
+
+
+_HEADING_RE = re.compile(r"^[Hh]eading\s*(\d)$")
+
+
+def docx_to_markdown(payload: bytes) -> str:
+    """DOCX bytes -> markdown text. Raises ValueError on non-DOCX zips."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not a DOCX (not a zip archive): {e}") from e
+    try:
+        doc_xml = zf.read("word/document.xml")
+    except KeyError as e:
+        raise ValueError("not a DOCX (missing word/document.xml)") from e
+    root = ET.fromstring(doc_xml)
+    body = root.find(f"{_W}body")
+    if body is None:
+        return ""
+    out: list[str] = []
+    for el in body:
+        if el.tag == f"{_W}p":
+            text = _para_text(el)
+            if not text:
+                continue
+            sval, is_list = _para_style(el)
+            m = _HEADING_RE.match(sval or "")
+            if m:
+                out.append("#" * int(m.group(1)) + " " + text)
+            elif (sval or "").lower() == "title":
+                out.append("# " + text)
+            elif is_list:
+                out.append("- " + text)
+            else:
+                out.append(text)
+        elif el.tag == f"{_W}tbl":
+            rows = []
+            for tr in el.findall(f"{_W}tr"):
+                cells = []
+                for tc in tr.findall(f"{_W}tc"):
+                    cells.append(" ".join(
+                        _para_text(p) for p in tc.findall(f"{_W}p")).strip())
+                rows.append(cells)
+            if rows:
+                width = max(len(r) for r in rows)
+                rows = [r + [""] * (width - len(r)) for r in rows]
+                out.append("| " + " | ".join(rows[0]) + " |")
+                out.append("|" + "---|" * width)
+                for r in rows[1:]:
+                    out.append("| " + " | ".join(r) + " |")
+    return "\n\n".join(out)
+
+
+def pptx_to_markdown(payload: bytes) -> str:
+    """PPTX bytes -> markdown: '## <title>' per slide + body paragraphs."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not a PPTX (not a zip archive): {e}") from e
+    slide_names = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()))
+    if not slide_names:
+        raise ValueError("not a PPTX (no ppt/slides/*.xml)")
+    out: list[str] = []
+    for name in slide_names:
+        root = ET.fromstring(zf.read(name))
+        shapes = []
+        for sp in root.iter(f"{_P}sp"):
+            paras = []
+            for ap in sp.iter(f"{_A}p"):
+                txt = "".join(t.text or "" for t in ap.iter(f"{_A}t")).strip()
+                if txt:
+                    paras.append(txt)
+            ph = sp.find(f".//{_P}nvSpPr/{_P}nvPr/{_P}ph")
+            is_title = ph is not None and ph.get("type") in ("title",
+                                                             "ctrTitle")
+            if paras:
+                shapes.append((is_title, paras))
+        title = next((ps[0] for is_t, ps in shapes if is_t), None)
+        out.append(f"## {title}" if title
+                   else f"## Slide {len(out) + 1}")
+        for is_t, paras in shapes:
+            if is_t:
+                paras = paras[1:]
+            out.extend(paras)
+    return "\n\n".join(out)
+
+
+def _cell_col(ref: str) -> int:
+    """'BC12' -> 0-based column index 54."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def xlsx_to_markdown(payload: bytes, max_rows: int = 1000) -> str:
+    """XLSX bytes -> markdown: '## <sheet>' + a pipe table per sheet."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not an XLSX (not a zip archive): {e}") from e
+    if "xl/workbook.xml" not in zf.namelist():
+        raise ValueError("not an XLSX (missing xl/workbook.xml)")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sroot.findall(f"{_S}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    names = [sh.get("name", f"Sheet{i+1}") for i, sh in
+             enumerate(wb.iter(f"{_S}sheet"))]
+    sheet_files = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()))
+    out: list[str] = []
+    for i, fname in enumerate(sheet_files):
+        root = ET.fromstring(zf.read(fname))
+        rows: list[list[str]] = []
+        for row in root.iter(f"{_S}row"):
+            if len(rows) >= max_rows:
+                break
+            cells: dict[int, str] = {}
+            for c in row.findall(f"{_S}c"):
+                v = c.find(f"{_S}v")
+                if v is None or v.text is None:
+                    txt = ""
+                elif c.get("t") == "s":
+                    idx = int(v.text)
+                    txt = shared[idx] if idx < len(shared) else ""
+                else:
+                    txt = v.text
+                cells[_cell_col(c.get("r", "A1"))] = txt
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(j, "") for j in range(width)])
+        out.append(f"## {names[i] if i < len(names) else f'Sheet{i+1}'}")
+        if rows:
+            width = max(len(r) for r in rows)
+            rows = [r + [""] * (width - len(r)) for r in rows]
+            out.append("| " + " | ".join(rows[0]) + " |")
+            out.append("|" + "---|" * width)
+            for r in rows[1:]:
+                out.append("| " + " | ".join(r) + " |")
+    return "\n\n".join(out)

@@ -1,0 +1,140 @@
+"""OOXML -> markdown converters (functions/office_codec.py) and their
+wiring through document_splitter_v2 input_format='docx'|'pptx'|'xlsx'.
+Test packages are hand-built ECMA-376 zips — written by this test, not
+by our own writer, so the parse is against the public format."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from pixeltable_spark.functions import office_codec as oc
+
+W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+P_NS = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+S_NS = 'xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def _zip(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def make_docx() -> bytes:
+    doc = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+    <w:r><w:t>Quarterly Report</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Revenue grew </w:t></w:r><w:r><w:t>12 percent.</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr>
+    <w:r><w:t>Details</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+    <w:r><w:t>first item</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+    <w:r><w:t>second item</w:t></w:r></w:p>
+  <w:tbl>
+    <w:tr><w:tc><w:p><w:r><w:t>region</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>sales</w:t></w:r></w:p></w:tc></w:tr>
+    <w:tr><w:tc><w:p><w:r><w:t>emea</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>42</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+</w:body></w:document>"""
+    return _zip({"word/document.xml": doc,
+                 "[Content_Types].xml": "<Types/>"})
+
+
+def make_pptx() -> bytes:
+    def slide(title, body):
+        return f"""<?xml version="1.0"?>
+<p:sld {P_NS} {A_NS}><p:cSld><p:spTree>
+  <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+    <p:txBody><a:p><a:r><a:t>{title}</a:t></a:r></a:p></p:txBody></p:sp>
+  <p:sp><p:nvSpPr><p:nvPr/></p:nvSpPr>
+    <p:txBody><a:p><a:r><a:t>{body}</a:t></a:r></a:p></p:txBody></p:sp>
+</p:spTree></p:cSld></p:sld>"""
+    return _zip({
+        "ppt/slides/slide1.xml": slide("Intro", "welcome text"),
+        "ppt/slides/slide2.xml": slide("Results", "numbers went up"),
+        "[Content_Types].xml": "<Types/>",
+    })
+
+
+def make_xlsx() -> bytes:
+    wb = f'<?xml version="1.0"?><x:workbook {S_NS}><x:sheets>' \
+         '<x:sheet name="Budget" sheetId="1"/></x:sheets></x:workbook>'
+    ss = f'<?xml version="1.0"?><x:sst {S_NS}>' \
+         '<x:si><x:t>item</x:t></x:si><x:si><x:t>cost</x:t></x:si>' \
+         '<x:si><x:t>rent</x:t></x:si></x:sst>'
+    sheet = f"""<?xml version="1.0"?>
+<x:worksheet {S_NS}><x:sheetData>
+ <x:row r="1"><x:c r="A1" t="s"><x:v>0</x:v></x:c>
+              <x:c r="B1" t="s"><x:v>1</x:v></x:c></x:row>
+ <x:row r="2"><x:c r="A2" t="s"><x:v>2</x:v></x:c>
+              <x:c r="B2"><x:v>1200</x:v></x:c></x:row>
+</x:sheetData></x:worksheet>"""
+    return _zip({"xl/workbook.xml": wb, "xl/sharedStrings.xml": ss,
+                 "xl/worksheets/sheet1.xml": sheet,
+                 "[Content_Types].xml": "<Types/>"})
+
+
+class TestConverters:
+    def test_docx_structure(self):
+        md = oc.docx_to_markdown(make_docx())
+        assert "# Quarterly Report" in md
+        assert "Revenue grew 12 percent." in md  # runs concatenated
+        assert "## Details" in md
+        assert "- first item" in md and "- second item" in md
+        assert "| region | sales |" in md and "| emea | 42 |" in md
+
+    def test_pptx_slides(self):
+        md = oc.pptx_to_markdown(make_pptx())
+        assert "## Intro" in md and "## Results" in md
+        assert "welcome text" in md and "numbers went up" in md
+        assert md.index("## Intro") < md.index("## Results")
+
+    def test_xlsx_table(self):
+        md = oc.xlsx_to_markdown(make_xlsx())
+        assert "## Budget" in md
+        assert "| item | cost |" in md
+        assert "| rent | 1200 |" in md
+
+    def test_rejects_non_office(self):
+        with pytest.raises(ValueError, match="zip"):
+            oc.docx_to_markdown(b"plain text, not a zip")
+        with pytest.raises(ValueError, match="document.xml"):
+            oc.docx_to_markdown(_zip({"other.txt": "x"}))
+        with pytest.raises(ValueError, match="slides"):
+            oc.pptx_to_markdown(_zip({"other.txt": "x"}))
+        with pytest.raises(ValueError, match="workbook"):
+            oc.xlsx_to_markdown(_zip({"other.txt": "x"}))
+
+
+class TestSplitterWiring:
+    def test_docx_heading_chunks_with_metadata(self, spark):
+        from pixeltable_spark.functions.document import document_splitter_v2
+        df = spark.createDataFrame([(1, bytearray(make_docx()))],
+                                   "doc_id long, text binary")
+        out = document_splitter_v2(
+            df, separators="heading", metadata="title,heading",
+            input_format="docx").collect()
+        texts = [r["text"] for r in out]
+        assert any("Quarterly Report" in t for t in texts)
+        assert any("Details" in t for t in texts)
+        assert all(r["title"] == "Quarterly Report" for r in out)
+        import json
+        h = json.loads(out[-1]["heading"])
+        assert h.get("h2") == "Details"
+
+    def test_pptx_slides_as_sections(self, spark):
+        from pixeltable_spark.functions.document import document_splitter_v2
+        df = spark.createDataFrame([(1, bytearray(make_pptx()))],
+                                   "doc_id long, text binary")
+        out = document_splitter_v2(df, separators="heading",
+                                   input_format="pptx").collect()
+        assert len(out) == 2  # one section per slide heading
