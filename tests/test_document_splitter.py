@@ -158,8 +158,9 @@ class TestHtmlInput:
         assert "Then restart." in texts
 
     def test_bad_format_raises(self, html_docs):
+        # docx/pptx/xlsx are supported as of round 5 — use a fake format
         with pytest.raises(ValueError, match="input_format"):
-            document_splitter_v2(html_docs, input_format="docx")
+            document_splitter_v2(html_docs, input_format="epub")
 
 
 def _make_pdf(pages: list) -> bytes:
