@@ -9,9 +9,10 @@ PPM: Netpbm P6; baseline JPEG via jpeg_codec.py; GIF via gif_codec.py):
 * ``decode(payload)`` — full pixel decode to a numpy array for PNG
   (bit depths 1/2/4/8/16, color types 0/2/3/4/6, Adam7 or
   non-interlaced, all five scanline
-  filters), BMP (24/32-bit uncompressed), PPM (P6), baseline 4:4:4 JPEG
-  (jpeg_codec.py), GIF87a/89a incl. interlace + transparency
-  (gif_codec.py; progressive/subsampled JPEG still raises).
+  filters), BMP (24/32-bit uncompressed), PPM (P6), JPEG — baseline AND
+  progressive (SOF2 successive approximation), any chroma subsampling
+  (jpeg_codec.py) — GIF87a/89a incl. interlace + transparency
+  (gif_codec.py).
 * ``MiniImage`` — width/height/mode + resize (nearest-neighbor), crop,
   convert, right-angle rotate/transpose, getchannel, point, histogram,
   extrema, entropy, bbox, colors — the numpy forms of the PIL calls the

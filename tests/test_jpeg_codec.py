@@ -100,23 +100,90 @@ class TestSpecStructure:
         assert (img2.width, img2.height) == (18, 12)
 
 
-class TestRejections:
-    def test_progressive_rejected(self):
-        a = _gradient(16, 16)
-        p = bytearray(encode_jpeg(a, "RGB", 85))
-        i = bytes(p).find(b"\xFF\xC0")
-        p[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF0"):
-            decode_jpeg(bytes(p))
+class TestProgressive:
+    """Progressive (SOF2) decode with successive approximation — round 5.
+    Core property: a progressive stream carries the SAME quantized
+    coefficients as the baseline stream of the same image, so decode
+    must be pixel-identical to baseline decode."""
 
-    def test_subsampled_rejected(self):
+    def test_progressive_equals_baseline_rgb(self):
+        for h, w in [(16, 16), (13, 9), (24, 33), (8, 8)]:
+            a = _gradient(h, w)
+            base, _ = decode_jpeg(encode_jpeg(a, "RGB", 85))
+            prog, mode = decode_jpeg(
+                encode_jpeg(a, "RGB", 85, progressive=True))
+            assert mode == "RGB"
+            assert (base == prog).all(), (h, w)
+
+    def test_progressive_equals_baseline_gray(self):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+        base, _ = decode_jpeg(encode_jpeg(a, "L", 70))
+        prog, mode = decode_jpeg(encode_jpeg(a, "L", 70, progressive=True))
+        assert mode == "L" and (base == prog).all()
+
+    def test_progressive_sparse_blocks_eobrun(self):
+        # mostly-flat image -> long EOB runs across blocks
+        a = np.full((40, 40, 3), 128, dtype=np.uint8)
+        a[0, 0] = [255, 0, 0]
+        a[33, 21] = [0, 255, 0]
+        base, _ = decode_jpeg(encode_jpeg(a, "RGB", 85))
+        prog, _ = decode_jpeg(encode_jpeg(a, "RGB", 85, progressive=True))
+        assert (base == prog).all()
+
+    def test_random_images_progressive(self):
+        rng = np.random.default_rng(11)
+        for _ in range(3):
+            h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base, _ = decode_jpeg(encode_jpeg(a, "RGB", 60))
+            prog, _ = decode_jpeg(encode_jpeg(a, "RGB", 60,
+                                              progressive=True))
+            assert (base == prog).all(), (h, w)
+
+
+class TestSubsampling:
+    """4:2:0 / 4:2:2 MCU decode — round 5."""
+
+    def test_420_smooth_image_close(self):
+        a = _gradient(32, 32)
+        out, mode = decode_jpeg(encode_jpeg(a, "RGB", 95,
+                                            subsampling="4:2:0"))
+        assert mode == "RGB" and out.shape == a.shape
+        assert np.abs(out.astype(int) - a.astype(int)).mean() < 8
+
+    def test_422_and_odd_dims(self):
+        a = _gradient(19, 27)
+        out, _ = decode_jpeg(encode_jpeg(a, "RGB", 95, subsampling="4:2:2"))
+        assert out.shape == a.shape
+        assert np.abs(out.astype(int) - a.astype(int)).mean() < 8
+
+    def test_420_luma_matches_444_luma(self):
+        # luma is NOT subsampled in 4:2:0: gray projection stays close to
+        # the 4:4:4 encode of the same image
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        full, _ = decode_jpeg(encode_jpeg(a, "RGB", 90))
+        sub, _ = decode_jpeg(encode_jpeg(a, "RGB", 90, subsampling="4:2:0"))
+        gray = lambda x: (0.299 * x[:, :, 0] + 0.587 * x[:, :, 1]  # noqa: E731
+                          + 0.114 * x[:, :, 2])
+        assert np.abs(gray(full) - gray(sub)).mean() < 3
+
+    def test_progressive_420_equals_baseline_420(self):
+        a = _gradient(20, 28)
+        base, _ = decode_jpeg(encode_jpeg(a, "RGB", 85, subsampling="4:2:0"))
+        prog, _ = decode_jpeg(encode_jpeg(a, "RGB", 85, subsampling="4:2:0",
+                                          progressive=True))
+        assert (base == prog).all()
+
+
+class TestRejections:
+    def test_arithmetic_rejected(self):
         a = _gradient(16, 16)
         p = bytearray(encode_jpeg(a, "RGB", 85))
         i = bytes(p).find(b"\xFF\xC0")
-        # component 0 sampling byte: SOF payload = len(2) prec(1) h(2) w(2)
-        # ncomp(1) then per-comp [id, samp, qid]
-        p[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
-        with pytest.raises(ValueError, match="4:4:4"):
+        p[i + 1] = 0xC9  # arithmetic sequential
+        with pytest.raises(ValueError, match="arithmetic"):
             decode_jpeg(bytes(p))
 
     def test_truncated_rejected(self):
