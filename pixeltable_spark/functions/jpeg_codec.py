@@ -383,12 +383,21 @@ def encode_jpeg(arr: np.ndarray, mode: str = "RGB", quality: int = 85,
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    elif mode == "CMYK" and nch == 4:
+        # Adobe convention: store INVERTED CMYK (255 = no ink), no
+        # component transform; an APP14 marker with transform=0 is written
+        planes = [arr[:, :, i].astype(np.float64) for i in range(4)]
     else:
-        raise ValueError(f"encode_jpeg supports L/RGB, got mode={mode} nch={nch}")
+        raise ValueError(
+            f"encode_jpeg supports L/RGB/CMYK, got mode={mode} nch={nch}")
 
     ncomp = len(planes)
     if ncomp == 1:
         samps = [(1, 1)]
+    elif ncomp == 4:
+        if subsampling != "4:4:4":
+            raise ValueError("CMYK encode supports 4:4:4 only")
+        samps = [(1, 1)] * 4
     else:
         if subsampling not in _SAMPLING:
             raise ValueError(f"subsampling must be one of {sorted(_SAMPLING)}")
@@ -426,6 +435,9 @@ def encode_jpeg(arr: np.ndarray, mode: str = "RGB", quality: int = 85,
     out += b"\xFF\xD8"
     out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
             + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    if ncomp == 4:
+        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])  # transform=0
+        out += b"\xFF\xEE" + struct.pack(">H", 2 + len(app14)) + app14
     out += _dqt_segment(0, ql)
     if ncomp > 1:
         out += _dqt_segment(1, qc)
@@ -709,6 +721,7 @@ def decode_jpeg(payload: bytes) -> tuple:
     coefs: list = []
     mcux = mcuy = 0
     got_scan = False
+    adobe_transform = None  # APP14: 0=CMYK/RGB as-is, 1=YCbCr, 2=YCCK
 
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -775,6 +788,8 @@ def decode_jpeg(payload: bytes) -> tuple:
                 "arithmetic/lossless/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) > 11 else 0
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("SOS before SOF")
@@ -791,7 +806,7 @@ def decode_jpeg(payload: bytes) -> tuple:
 
     if not got_scan:
         raise ValueError("no SOS marker found")
-    return _reconstruct(comps, coefs, quant, img_h, img_w)
+    return _reconstruct(comps, coefs, quant, img_h, img_w, adobe_transform)
 
 
 def _decode_scan(data, scomps, ss, se, ah, al, comps, coefs, huff,
@@ -962,7 +977,7 @@ def _dec_ac_refine(br, zz, act, ss, se, al, eobrun):
     return eobrun
 
 
-def _reconstruct(comps, coefs, quant, h, w):
+def _reconstruct(comps, coefs, quant, h, w, adobe_transform=None):
     hmax = max(c.sx for c in comps)
     vmax = max(c.sy for c in comps)
     planes = []
@@ -984,8 +999,23 @@ def _reconstruct(comps, coefs, quant, h, w):
     if len(planes) == 1:
         return (np.clip(np.round(planes[0]), 0, 255)
                 .astype(np.uint8)[:, :, None], "L")
+    if len(planes) == 4:
+        # Adobe CMYK (stored INVERTED: 255 = no ink) or YCCK (transform 2)
+        if adobe_transform == 2:  # YCCK: YCbCr -> inverted CMY, K as-is
+            y, cb, cr, k = planes
+            c = y + 1.402 * (cr - 128.0)
+            m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye = y + 1.772 * (cb - 128.0)
+        else:  # plain (inverted) CMYK
+            c, m, ye, k = planes
+        # inverted-CMYK -> RGB: R = C*K/255 on the stored values
+        r = c * k / 255.0
+        g = m * k / 255.0
+        b = ye * k / 255.0
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8), "RGB"
     if len(planes) != 3:
-        raise ValueError(f"{len(planes)}-component JPEG (CMYK?) unsupported")
+        raise ValueError(f"{len(planes)}-component JPEG unsupported")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

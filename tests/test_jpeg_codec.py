@@ -177,6 +177,37 @@ class TestSubsampling:
         assert (base == prog).all()
 
 
+class TestCmyk:
+    def test_cmyk_roundtrip_to_rgb(self):
+        # flat inverted-CMYK blocks: decode converts via R=C*K/255 on the
+        # Adobe-stored (inverted) values
+        a = np.zeros((16, 16, 4), dtype=np.uint8)
+        a[:, :8] = [255, 0, 0, 255]    # C=255,K=255 -> R=255, G=B=0
+        a[:, 8:] = [200, 200, 200, 255]
+        out, mode = decode_jpeg(encode_jpeg(a, "CMYK", 95))
+        assert mode == "RGB" and out.shape == (16, 16, 3)
+        assert abs(int(out[4, 4, 0]) - 255) <= 12
+        assert int(out[4, 4, 1]) <= 12 and int(out[4, 4, 2]) <= 12
+        assert all(abs(int(v) - 200) <= 12 for v in out[4, 12])
+
+    def test_cmyk_has_adobe_app14(self):
+        p = encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8), "CMYK", 85)
+        assert b"Adobe" in p
+
+    def test_ycck_transform_path(self):
+        # flip the APP14 transform byte to 2 on a stream whose 4 planes we
+        # control: YCCK(Y=128,Cb=128,Cr=128,K=255) -> C=M=Y=128 inverted
+        # -> RGB ~ 128
+        a = np.full((8, 8, 4), 128, dtype=np.uint8)
+        a[:, :, 3] = 255
+        p = bytearray(encode_jpeg(a, "CMYK", 95))
+        i = bytes(p).find(b"Adobe")
+        p[i + 11] = 2
+        out, mode = decode_jpeg(bytes(p))
+        assert mode == "RGB"
+        assert np.abs(out.astype(int) - 128).max() <= 12
+
+
 class TestRejections:
     def test_arithmetic_rejected(self):
         a = _gradient(16, 16)
