@@ -29,9 +29,15 @@ _DTYPES = {1: np.int8, 2: np.int16, 4: np.int32}
 
 
 def probe(payload: bytes) -> Optional[dict]:
-    """WAV header metadata, or None if not a RIFF/WAVE payload."""
+    """WAV/FLAC header metadata, or None if not recognized."""
     if payload is None or len(payload) < 12:
         return None
+    if bytes(payload[:4]) == b"fLaC":
+        from .flac_codec import probe_flac
+        info = probe_flac(payload)
+        if info is not None:
+            info["sample_width"] = (info["bits_per_sample"] + 7) // 8
+        return info
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         return None
     try:
@@ -67,10 +73,14 @@ def probe(payload: bytes) -> Optional[dict]:
 
 def decode(payload: bytes) -> tuple:
     """(samples (n_frames, channels) int array, rate, width) — raises
-    ValueError outside the PCM subset."""
+    ValueError outside the supported subset (PCM/G.711 WAV, FLAC)."""
     info = probe(payload)
     if info is None:
-        raise ValueError("not a PCM WAV payload")
+        raise ValueError("not a recognized audio payload")
+    if info.get("format") == "FLAC":
+        from .flac_codec import decode_flac
+        samples, rate, bits = decode_flac(payload)
+        return samples, rate, (bits + 7) // 8
     if info.get("encoding") in ("ulaw", "alaw"):
         samples, rate = decode_g711(payload)
         return samples, rate, 2  # decoded to int16
