@@ -78,6 +78,9 @@ def probe(payload: bytes) -> Optional[dict]:
             return {"format": "PPM", "width": w, "height": h, "mode": "RGB"}
         except ValueError:
             return None
+    if p.startswith(b"RIFF") and p[8:12] == b"WEBP":
+        from .webp_codec import probe_webp
+        return probe_webp(payload)
     return None
 
 
@@ -319,8 +322,8 @@ def _decode_ppm(payload: bytes) -> "MiniImage":
 
 def decode(payload: bytes) -> "MiniImage":
     """Full pixel decode, or ValueError when the format/variant is outside
-    the pure-python subset (PNG 8-bit, BMP 24/32 uncompressed, PPM P6,
-    baseline 4:4:4 JPEG)."""
+    the pure-python subset (PNG any depth, BMP 24/32 uncompressed, PPM P6,
+    JPEG baseline/progressive/subsampled/CMYK, GIF, lossless WebP)."""
     info = probe(payload)
     if info is None:
         raise ValueError("not a recognizable image payload")
@@ -334,6 +337,10 @@ def decode(payload: bytes) -> "MiniImage":
         from .jpeg_codec import decode_jpeg
         arr, mode = decode_jpeg(bytes(payload))
         return MiniImage(arr, mode, "JPEG")
+    if info["format"] == "WEBP":
+        from .webp_codec import decode_webp
+        arr, mode = decode_webp(bytes(payload))
+        return MiniImage(arr, mode, "WEBP")
     if info["format"] == "GIF":
         from .gif_codec import decode_gif
         arr, mode = decode_gif(bytes(payload))
