@@ -378,3 +378,78 @@ def test_joined_aggregates_match_duckdb(tbl, dim_tbl, duck_joined, q):
                                     rel_tol=1e-6, abs_tol=1e-6), (g, e, sql)
             else:
                 assert gv == ev, (g, e, sql)
+
+
+# -- window-function fuzzing -------------------------------------------------
+# random running aggregates (the engine's UDA window form: ROWS UNBOUNDED
+# PRECEDING..CURRENT ROW) and ranking/navigation functions vs DuckDB with
+# an explicit ROWS frame and a tie-free composite order key.
+
+WIN_AGGS = {
+    "sum": "sum", "min": "min", "max": "max", "count": "count",
+    "mean": "avg",
+}
+
+
+def window_query():
+    def mk(parts):
+        agg_name, (af, asql), part_by = parts
+        import re as _re
+
+        def run(f):
+            import pixeltable_spark as _pxt
+            fn = getattr(_pxt.functions, agg_name)
+            kwargs = {"order_by": [f.k]}
+            if part_by:
+                kwargs["group_by"] = f.c
+            sel = {"k": f.k, "v": fn(af(f), **kwargs)}
+            return f.select(**sel).order_by(f.k).collect()
+
+        part_sql = "PARTITION BY c " if part_by else ""
+        expr = _re.sub(r"\b([abc])\b", r"\1", asql)
+        sql = (f"SELECT k, {WIN_AGGS[agg_name]}({expr}) OVER "
+               f"({part_sql}ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING "
+               f"AND CURRENT ROW) AS v FROM fuzz ORDER BY k")
+        return (run, sql)
+
+    return st.tuples(
+        st.sampled_from(sorted(WIN_AGGS)),
+        num_expr(1),
+        st.booleans(),
+    ).map(mk)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=window_query())
+def test_running_windows_match_duckdb(tbl, duck, q):
+    run, sql = q
+    got = {r["k"]: r["v"] for r in run(tbl)}
+    exp = dict(duck.execute(sql).fetchall())
+    assert got.keys() == exp.keys()
+    for k in got:
+        g, e = got[k], exp[k]
+        if g is None or e is None:
+            assert g is None and e is None, (k, g, e, sql)
+        elif isinstance(g, float):
+            assert math.isclose(g, float(e), rel_tol=1e-9, abs_tol=1e-9), \
+                (k, g, e, sql)
+        else:
+            assert g == e, (k, g, e, sql)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fn_name=st.sampled_from(["rank", "dense_rank", "row_number"]))
+def test_ranking_windows_match_duckdb(tbl, duck, fn_name):
+    import pixeltable_spark as _pxt
+    fn = getattr(_pxt.functions, fn_name)
+    got = {r["k"]: r["v"] for r in tbl.select(
+        k=tbl.k, v=fn(group_by=tbl.c, order_by=[tbl.a, tbl.k])
+    ).order_by(tbl.k).collect()}
+    sqlfn = {"rank": "rank()", "dense_rank": "dense_rank()",
+             "row_number": "row_number()"}[fn_name]
+    exp = dict(duck.execute(
+        f"SELECT k, {sqlfn} OVER (PARTITION BY c ORDER BY a, k) "
+        "FROM fuzz ORDER BY k").fetchall())
+    assert got == exp
