@@ -63,10 +63,21 @@ class TableServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _reply_html(self, html: str) -> None:
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def _dispatch(self, method: str) -> None:
                 try:
                     url = urlparse(self.path)
                     parts = [p for p in url.path.split("/") if p]
+                    if method == "GET" and parts in ([], ["dashboard"]):
+                        self._reply_html(_DASHBOARD_HTML)
+                        return
                     qs = {k: v[0] for k, v in parse_qs(url.query).items()}
                     body = {}
                     if method == "POST":
@@ -96,6 +107,11 @@ class TableServer:
                body: dict) -> tuple[int, dict]:
         if parts == ["health"]:
             return 200, {"status": "ok"}
+        if len(parts) == 3 and parts[0] == "tables" and \
+                parts[2] == "history" and method == "GET":
+            t = self.catalog.get_table(parts[1])
+            return 200, {"versions": [dict(v) if not isinstance(v, dict)
+                                      else v for v in t.get_versions()]}
         if parts == ["tables"] and method == "GET":
             return 200, {"tables": self.catalog.list_tables()}
         if len(parts) >= 2 and parts[0] == "tables":
@@ -152,3 +168,58 @@ def serve(catalog: Optional[Catalog] = None, host: str = "127.0.0.1",
         from .globals_api import _cat
         catalog = _cat()
     return TableServer(catalog, host, port).start()
+
+# Minimal single-file dashboard over the JSON API — the analog of the
+# reference's dashboard/ web UI (table browser + row preview + history),
+# stdlib-served, vanilla JS, no build step.
+_DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>pixeltable-spark</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:0;display:flex;height:100vh}
+ #side{width:220px;border-right:1px solid #ddd;padding:12px;overflow:auto}
+ #main{flex:1;padding:16px;overflow:auto}
+ h1{font-size:16px;margin:0 0 12px}
+ .tbl{cursor:pointer;padding:6px 8px;border-radius:6px}
+ .tbl:hover{background:#f0f0f5}.tbl.sel{background:#e4e4f0;font-weight:600}
+ table{border-collapse:collapse;margin-top:8px;font-size:13px}
+ td,th{border:1px solid #ddd;padding:4px 8px;text-align:left}
+ th{background:#fafafa}
+ .meta{color:#666;font-size:13px;margin:4px 0}
+ button{margin:8px 8px 8px 0}
+</style></head><body>
+<div id=side><h1>pixeltable-spark</h1><div id=tables>loading...</div></div>
+<div id=main><div class=meta>select a table</div></div>
+<script>
+const J = (u,o)=>fetch(u,o).then(r=>r.json());
+let cur=null;
+function esc(x){const d=document.createElement('div');
+  d.textContent=x==null?'':String(x);return d.innerHTML}
+function renderRows(rows){if(!rows.length)return'<p>(no rows)</p>';
+  const cols=Object.keys(rows[0]);
+  return '<table><tr>'+cols.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>'+
+    rows.map(r=>'<tr>'+cols.map(c=>'<td>'+esc(r[c])+'</td>').join('')+
+    '</tr>').join('')+'</table>'}
+async function openTable(name){cur=name;
+  document.querySelectorAll('.tbl').forEach(e=>
+    e.classList.toggle('sel',e.textContent===name));
+  const md=await J('/tables/'+name);
+  const cols=Object.entries(md.columns||{}).map(([k,v])=>
+    k+': '+(v.type_||v)).join(', ');
+  document.getElementById('main').innerHTML=
+    '<h1>'+esc(name)+'</h1>'+
+    '<div class=meta>version '+esc(md.version)+' &middot; '+esc(md.kind)+
+    '</div><div class=meta>'+esc(cols)+'</div>'+
+    '<button onclick=loadRows()>rows</button>'+
+    '<button onclick=loadHistory()>history</button>'+
+    '<div id=content></div>';
+  loadRows()}
+async function loadRows(){const d=await J('/tables/'+cur+'/rows?limit=50');
+  document.getElementById('content').innerHTML=renderRows(d.rows||[])}
+async function loadHistory(){const d=await J('/tables/'+cur+'/history');
+  document.getElementById('content').innerHTML=renderRows(d.versions||[])}
+J('/tables').then(d=>{
+  document.getElementById('tables').innerHTML=(d.tables||[]).map(t=>
+    '<div class=tbl onclick=openTable(this.textContent)>'+esc(t)+
+    '</div>').join('')||'(no tables)'})
+</script></body></html>"""
+

@@ -66,6 +66,30 @@ class TestServing:
                             {"where": {"name": "dune"}})
         assert status == 200 and data["rows"][0]["revenue"] == 400.0
 
+    def test_dashboard_html(self, server):
+        import http.client
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=30)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        conn.close()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/html")
+        assert "<html>" in body and "/tables" in body  # live JS API wiring
+        # /dashboard alias serves the same page
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=30)
+        conn.request("GET", "/dashboard")
+        assert conn.getresponse().status == 200
+        conn.close()
+
+    def test_history_route(self, server):
+        status, data = _req(server, "GET", "/tables/films/history")
+        assert status == 200
+        assert len(data["versions"]) >= 1
+        assert any("version" in v for v in data["versions"])
+
     def test_errors(self, server):
         status, err = _req(server, "GET", "/tables/missing")
         assert status == 404 and "error" in err
