@@ -32,6 +32,9 @@ def probe(payload: bytes) -> Optional[dict]:
     """WAV/FLAC header metadata, or None if not recognized."""
     if payload is None or len(payload) < 12:
         return None
+    if bytes(payload[:3]) == b"ID3" or (
+            payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0):
+        return probe_mp3(payload)
     if bytes(payload[:4]) == b"fLaC":
         from .flac_codec import probe_flac
         info = probe_flac(payload)
@@ -77,6 +80,10 @@ def decode(payload: bytes) -> tuple:
     info = probe(payload)
     if info is None:
         raise ValueError("not a recognized audio payload")
+    if info.get("format") == "MP3":
+        raise ValueError(
+            "MP3 decode requires a DSP codec (ffmpeg/PyAV); header "
+            "metadata is available via probe()")
     if info.get("format") == "FLAC":
         from .flac_codec import decode_flac
         samples, rate, bits = decode_flac(payload)
@@ -266,3 +273,82 @@ def encode_g711(arr: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
     hdr += b"fact" + struct.pack("<II", 4, len(flat) // ch)
     hdr += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(hdr)) + hdr
+
+
+# ---------------------------------------------------------------------------
+# MP3: header/metadata probing (public ISO 11172-3 frame header layout +
+# the Xing/Info VBR tag). Full decode genuinely needs a DSP codec and
+# stays gated; duration/rate/channel metadata is real.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = {  # kbps by (version_group, layer): index 1..14
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+
+
+def probe_mp3(payload: bytes) -> Optional[dict]:
+    """MPEG audio metadata from the first frame header (+ Xing/Info VBR
+    tag when present): sample rate, channels, bitrate, duration."""
+    if payload is None or len(payload) < 4:
+        return None
+    p = bytes(payload)
+    pos = 0
+    if p[:3] == b"ID3" and len(p) > 10:  # skip ID3v2 (syncsafe length)
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
+               ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    # find frame sync
+    end = min(len(p) - 4, pos + 65536)
+    while pos < end:
+        if p[pos] == 0xFF and (p[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        return None
+    h = p[pos:pos + 4]
+    ver_bits = (h[1] >> 3) & 3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+    layer = {1: 3, 2: 2, 3: 1}.get((h[1] >> 1) & 3)
+    if version is None or layer is None:
+        return None
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+    rate = _MP3_RATES[version][sr_idx]
+    mode = (h[3] >> 6) & 3
+    channels = 1 if mode == 3 else 2
+    spf = 384 if layer == 1 else (
+        1152 if layer == 2 or version == "1" else 576)
+    # Xing/Info VBR tag: exact frame count when present
+    if version == "1":
+        side = 17 if channels == 1 else 32
+    else:
+        side = 9 if channels == 1 else 17
+    tag_off = pos + 4 + side
+    n_frames = None
+    if p[tag_off:tag_off + 4] in (b"Xing", b"Info") and \
+            len(p) >= tag_off + 12:
+        flags = int.from_bytes(p[tag_off + 4:tag_off + 8], "big")
+        if flags & 1:
+            n_frames = int.from_bytes(p[tag_off + 8:tag_off + 12], "big")
+    if n_frames is not None:
+        duration = n_frames * spf / rate
+    else:  # CBR estimate from payload size
+        duration = (len(p) - pos) * 8 / (bitrate * 1000)
+    return {"format": "MP3", "version": version, "layer": layer,
+            "channels": channels, "sample_rate": rate,
+            "bitrate_kbps": bitrate,
+            "vbr": n_frames is not None,
+            "n_frames": (n_frames if n_frames is not None
+                         else int(duration * rate / spf)),
+            "duration_s": round(duration, 3)}

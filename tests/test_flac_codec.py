@@ -195,3 +195,48 @@ class TestAudioCodecIntegration:
         louder = ac.multiply_volume(p, 0.5)
         s2, _, _ = ac.decode(louder)  # transforms emit WAV
         assert abs(int(s2[100, 0]) - int(a[100, 0] * 0.5)) <= 1
+
+
+class TestMp3Probe:
+    """MP3 frame-header metadata (ISO 11172-3 layout) — hand-built
+    headers; decode stays gated with a precise message."""
+
+    @staticmethod
+    def _frame_header(bitrate_idx=9, sr_idx=0, mono=False):
+        # MPEG1 Layer III: ver bits 11, layer bits 01
+        b1 = 0xFF
+        b2 = 0xE0 | (3 << 3) | (1 << 1)
+        b3 = (bitrate_idx << 4) | (sr_idx << 2)
+        b4 = (3 << 6) if mono else 0x00
+        return bytes([b1, b2, b3, b4])
+
+    def test_cbr_stereo(self):
+        from pixeltable_spark.functions.audio_codec import probe_mp3
+        hdr = self._frame_header(bitrate_idx=9, sr_idx=0)  # 128k, 44100
+        payload = hdr + b"\x00" * 16000  # ~1 s at 128 kbps
+        info = probe_mp3(payload)
+        assert info["sample_rate"] == 44100
+        assert info["bitrate_kbps"] == 128 and info["channels"] == 2
+        assert not info["vbr"]
+        assert 0.9 < info["duration_s"] < 1.1
+
+    def test_xing_vbr_exact_frames(self):
+        from pixeltable_spark.functions.audio_codec import probe_mp3
+        hdr = self._frame_header(mono=False)
+        side = b"\x00" * 32  # MPEG1 stereo side info
+        xing = b"Xing" + (1).to_bytes(4, "big") + (38).to_bytes(4, "big")
+        payload = hdr + side + xing + b"\x00" * 400
+        info = probe_mp3(payload)
+        assert info["vbr"] and info["n_frames"] == 38
+        # 38 frames * 1152 / 44100
+        assert abs(info["duration_s"] - 38 * 1152 / 44100) < 1e-3
+
+    def test_id3v2_skip_and_dispatch(self):
+        from pixeltable_spark.functions import audio_codec as ac
+        tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+        payload = tag + self._frame_header(mono=True) + b"\x00" * 4000
+        info = ac.probe(payload)
+        assert info["format"] == "MP3" and info["channels"] == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="MP3 decode requires"):
+            ac.decode(payload)
