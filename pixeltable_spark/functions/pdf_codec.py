@@ -10,9 +10,14 @@ page text out of straightforward PDFs:
   blocks, with Td/TD/T* treated as line breaks; () literal strings with
   escape sequences and <hex> strings.
 
+Object streams (/ObjStm, PDF 1.5+ — where modern writers put the page
+tree and page dictionaries) are expanded: the Flate-decoded stream's
+``/First``-offset header maps object numbers to offsets, and the
+contained dictionary objects merge into the object table.
+
 Out of scope (raises ValueError so callers fall back loudly): encrypted
-PDFs, object streams (/ObjStm), CID/Type0 composite fonts (text shows as
-the raw bytes), LZW/other filters.
+PDFs, CID/Type0 composite fonts (text shows as the raw bytes),
+LZW/other filters.
 """
 
 from __future__ import annotations
@@ -27,6 +32,36 @@ def _parse_objects(data: bytes) -> dict:
     for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", data, re.S):
         objs[int(m.group(1))] = m.group(2)
     return objs
+
+
+def _expand_object_streams(objs: dict) -> None:
+    """Merge objects stored inside /ObjStm streams (PDF 1.5+) into the
+    object table. ObjStm layout (ISO 32000 §7.5.7): N pairs of
+    "objnum offset" in the first /First bytes, then the concatenated
+    dictionary objects."""
+    for _n, body in list(objs.items()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        try:
+            stream = _stream_bytes(body)
+        except ValueError:
+            continue
+        if stream is None:
+            continue
+        m_count = re.search(rb"/N\s+(\d+)", body)
+        m_first = re.search(rb"/First\s+(\d+)", body)
+        if not (m_count and m_first):
+            continue
+        count, first = int(m_count.group(1)), int(m_first.group(1))
+        header = stream[:first].split()
+        if len(header) < 2 * count:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(count)]
+        for i, (objnum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < count else len(stream)
+            # direct "N G obj" definitions win over ObjStm copies
+            objs.setdefault(objnum, stream[first + off:end])
 
 
 def _ref(body: bytes, key: bytes) -> Optional[int]:
@@ -134,6 +169,7 @@ def extract_pages(payload: bytes) -> list:
     objs = _parse_objects(data)
     if not objs:
         raise ValueError("no PDF objects found")
+    _expand_object_streams(objs)
     # page order via the page tree when present, else document order
     page_ids: list[int] = []
     roots = [n for n, b in objs.items()

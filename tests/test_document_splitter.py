@@ -195,6 +195,80 @@ def _make_pdf(pages: list) -> bytes:
     return bytes(out)
 
 
+def _make_objstm_pdf(pages: list) -> bytes:
+    """PDF 1.5-style layout: the catalog/pages/page DICTIONARIES live in
+    a compressed /ObjStm; only content streams are direct objects —
+    what every modern PDF writer produces."""
+    import zlib
+
+    content_objs = []
+    dict_objs = []  # (objnum, body str) going into the ObjStm
+    page_refs = []
+    next_id = 10
+    for i, lines in enumerate(pages):
+        content_id = next_id
+        page_id = next_id + 1
+        next_id += 2
+        ops = "BT /F1 12 Tf 72 720 Td " + " T* ".join(
+            f"({ln}) Tj" for ln in lines) + " ET"
+        stream = zlib.compress(ops.encode("latin-1"))
+        content_objs.append((content_id,
+                             b"<< /Filter /FlateDecode /Length "
+                             + str(len(stream)).encode() + b" >>\nstream\n"
+                             + stream + b"\nendstream\n"))
+        dict_objs.append((page_id,
+                          f"<< /Type /Page /Parent 2 0 R "
+                          f"/Contents {content_id} 0 R >>"))
+        page_refs.append(page_id)
+    kids = " ".join(f"{r} 0 R" for r in page_refs)
+    dict_objs.insert(0, (2, f"<< /Type /Pages /Kids [{kids}] "
+                            f"/Count {len(pages)} >>"))
+    dict_objs.insert(0, (1, "<< /Type /Catalog /Pages 2 0 R >>"))
+    # build the object stream payload
+    bodies = [b.encode() for _n, b in dict_objs]
+    body_blob = bytearray()
+    offsets = []
+    for b in bodies:
+        offsets.append(len(body_blob))
+        body_blob += b + b" "
+    header = " ".join(f"{n} {o}" for (n, _), o in
+                      zip(dict_objs, offsets)).encode() + b" "
+    stm = zlib.compress(bytes(header + body_blob))
+    out = bytearray(b"%PDF-1.5\n")
+    out += (b"9 0 obj\n<< /Type /ObjStm /N "
+            + str(len(dict_objs)).encode()
+            + b" /First " + str(len(header)).encode()
+            + b" /Filter /FlateDecode /Length "
+            + str(len(stm)).encode() + b" >>\nstream\n" + stm
+            + b"\nendstream\nendobj\n")
+    for num, body in content_objs:
+        out += f"{num} 0 obj\n".encode() + body + b"endobj\n"
+    out += b"trailer << /Root 1 0 R >>\n%%EOF"
+    return bytes(out)
+
+
+class TestObjStmPdf:
+    def test_objstm_pages_extract(self):
+        from pixeltable_spark.functions.pdf_codec import extract_pages, probe
+        pdf = _make_objstm_pdf([["Modern page one."], ["Second page."]])
+        pages = extract_pages(pdf)
+        assert len(pages) == 2
+        assert "Modern page one." in pages[0]
+        assert "Second page." in pages[1]
+        assert probe(pdf)["n_pages"] == 2
+
+    def test_direct_objects_win_over_objstm_copies(self):
+        from pixeltable_spark.functions.pdf_codec import extract_pages
+        pdf = _make_objstm_pdf([["Inside objstm."]])
+        # append a direct redefinition of page object 11 with no contents
+        pdf2 = pdf.replace(
+            b"trailer",
+            b"11 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\ntrailer")
+        # direct scan found object 11 first -> its (empty) page wins
+        pages = extract_pages(pdf2)
+        assert pages == [""]
+
+
 class TestPdfInput:
     def test_extract_pages(self):
         from pixeltable_spark.functions.pdf_codec import extract_pages, probe
