@@ -15,9 +15,14 @@ tree and page dictionaries) are expanded: the Flate-decoded stream's
 ``/First``-offset header maps object numbers to offsets, and the
 contained dictionary objects merge into the object table.
 
+CID/Type0 composite fonts decode through their /ToUnicode CMap
+(bfchar/bfrange mappings, ISO 32000 §9.10.3): the extractor tracks the
+current font per Tf operator, resolves the page's /Resources /Font
+dictionary, and maps 2-byte code strings to Unicode. Fonts without a
+ToUnicode map fall back to latin-1 of the raw bytes.
+
 Out of scope (raises ValueError so callers fall back loudly): encrypted
-PDFs, CID/Type0 composite fonts (text shows as the raw bytes),
-LZW/other filters.
+PDFs, LZW/other filters.
 """
 
 from __future__ import annotations
@@ -121,26 +126,78 @@ def _literal_string(tok: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _content_text(stream: bytes) -> str:
+def _parse_tounicode(cmap: bytes) -> dict:
+    """code(int) -> str from a ToUnicode CMap stream (bfchar/bfrange)."""
+    out: dict[int, str] = {}
+
+    def u16s(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode())
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                                   m.group(1)):
+            out[int(src, 16)] = u16s(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(dst, 16)
+            width = len(dst)
+            for c in range(lo_i, hi_i + 1):
+                out[c] = u16s(b"%0*X" % (width, base + (c - lo_i)))
+        for lo, arr in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]",
+                body, re.S):
+            lo_i = int(lo, 16)
+            for j, dst in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                out[lo_i + j] = u16s(dst)
+    return out
+
+
+def _hex_to_text(hx: bytes, cmap: "Optional[dict]") -> str:
+    if len(hx) % 2:
+        hx += b"0"
+    raw = bytes.fromhex(hx.decode())
+    if cmap:
+        # composite fonts use 2-byte codes
+        return "".join(cmap.get(int.from_bytes(raw[i:i + 2], "big"),
+                                "") or ""
+                       for i in range(0, len(raw) - 1, 2))
+    return raw.decode("latin-1")
+
+
+def _content_text(stream: bytes, font_cmaps: "Optional[dict]" = None) -> str:
     """Text shown by a content stream: Tj/'/"/TJ inside BT…ET, line breaks
-    on Td/TD/T*/'."""
+    on Td/TD/T*/'. ``font_cmaps`` maps font resource names (e.g. 'F1')
+    to ToUnicode dicts; the Tf operator switches the active map."""
+    font_cmaps = font_cmaps or {}
     parts: list[str] = []
     for bt in re.finditer(rb"BT(.*?)ET", stream, re.S):
         body = bt.group(1)
-        pos = 0
-        # token scan: strings, hex strings, operators
+        # token scan: names, strings, hex strings, operators
         token_re = re.compile(
-            rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|\[|\]|[A-Za-z'\"*]+|\S")
+            rb"/[^\s/<>()\[\]]+|\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>"
+            rb"|\[|\]|[A-Za-z'\"*]+|\S")
         pending: list[str] = []
+        cur_cmap: Optional[dict] = None
+        last_name: Optional[str] = None
         for m in token_re.finditer(body):
             tok = m.group(0)
-            if tok.startswith(b"("):
+            if tok.startswith(b"/"):
+                last_name = tok[1:].decode("latin-1")
+            elif tok.startswith(b"("):
                 pending.append(_literal_string(tok[1:-1]))
             elif tok.startswith(b"<") and tok.endswith(b">"):
                 hx = re.sub(rb"\s", b"", tok[1:-1])
-                if len(hx) % 2:
-                    hx += b"0"
-                pending.append(bytes.fromhex(hx.decode()).decode("latin-1"))
+                pending.append(_hex_to_text(hx, cur_cmap))
+            elif tok == b"Tf":
+                if last_name is not None:
+                    cur_cmap = font_cmaps.get(last_name)
             elif tok in (b"Tj", b"TJ"):
                 parts.extend(pending)
                 pending = []
@@ -152,10 +209,80 @@ def _content_text(stream: bytes) -> str:
                 pending = []
                 if parts and not parts[-1].endswith("\n"):
                     parts.append("\n")
-            else:
-                pending = pending  # numbers/names: ignore
-        _ = pos
     return "".join(parts)
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes:
+    """The << ... >> dictionary starting at `start`, nesting-aware."""
+    depth, i = 0, start
+    n = len(data)
+    while i < n - 1:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+def _value_dict(objs: dict, body: bytes, key: bytes) -> Optional[bytes]:
+    """Resolve `key` in a dict body to a dictionary: inline << >> or an
+    indirect reference."""
+    m = re.search(key + rb"\s*", body)
+    if not m:
+        return None
+    at = m.end()
+    if body[at:at + 2] == b"<<":
+        return _balanced_dict(body, at)
+    mr = re.match(rb"(\d+)\s+\d+\s+R", body[at:at + 32])
+    if mr:
+        return objs.get(int(mr.group(1)))
+    return None
+
+
+def _page_font_cmaps(objs: dict, page_body: bytes) -> dict:
+    """font resource name -> ToUnicode map for a page, following
+    /Resources inheritance up the /Parent chain."""
+    body: Optional[bytes] = page_body
+    res = None
+    for _ in range(8):
+        if body is None:
+            break
+        res = _value_dict(objs, body, rb"/Resources")
+        if res is not None:
+            break
+        par = _ref(body, rb"/Parent")
+        body = objs.get(par) if par is not None else None
+    if res is None:
+        return {}
+    fonts = _value_dict(objs, res, rb"/Font")
+    if fonts is None:
+        return {}
+    out: dict = {}
+    for name, fid in re.findall(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+\d+\s+R",
+                                fonts):
+        fbody = objs.get(int(fid))
+        if fbody is None:
+            continue
+        tou = _ref(fbody, rb"/ToUnicode")
+        if tou is None:
+            continue
+        tbody = objs.get(tou)
+        if tbody is None:
+            continue
+        try:
+            stream = _stream_bytes(tbody)
+        except ValueError:
+            continue
+        if stream:
+            out[name.decode("latin-1")] = _parse_tounicode(stream)
+    return out
 
 
 def extract_pages(payload: bytes) -> list:
@@ -194,6 +321,7 @@ def extract_pages(payload: bytes) -> list:
     pages: list[str] = []
     for pid in page_ids:
         body = objs.get(pid, b"")
+        cmaps = _page_font_cmaps(objs, body)
         text_parts: list[str] = []
         for cid in _refs_array(body, rb"/Contents"):
             cbody = objs.get(cid)
@@ -201,7 +329,7 @@ def extract_pages(payload: bytes) -> list:
                 continue
             stream = _stream_bytes(cbody)
             if stream is not None:
-                text_parts.append(_content_text(stream))
+                text_parts.append(_content_text(stream, cmaps))
         pages.append("".join(text_parts))
     return pages
 

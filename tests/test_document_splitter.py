@@ -247,6 +247,70 @@ def _make_objstm_pdf(pages: list) -> bytes:
     return bytes(out)
 
 
+def _make_type0_pdf(text: str) -> bytes:
+    """Type0/Identity-H PDF: text drawn as 2-byte CID hex strings, decoded
+    only through the font's /ToUnicode CMap — the modern-writer layout."""
+    import zlib
+    # CID = codepoint + 3 (arbitrary non-identity mapping proves the CMap
+    # is actually applied, not a latin-1 fallback)
+    cids = [ord(c) + 3 for c in text]
+    hexstr = "".join(f"{c:04X}" for c in cids)
+    ops = f"BT /F9 12 Tf 72 720 Td <{hexstr}> Tj ET"
+    stream = zlib.compress(ops.encode())
+    lo = min(cids)
+    hi = max(cids)
+    cmap = ("/CIDInit /ProcSet findresource begin\n"
+            "begincmap\n"
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            f"1 beginbfrange <{lo:04X}> <{hi:04X}> <{lo - 3:04X}> "
+            "endbfrange\nendcmap\nend").encode()
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F9 5 0 R >> >> >>\n"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"),
+        (4, b"<< /Filter /FlateDecode /Length "
+            + str(len(stream)).encode() + b" >>\nstream\n" + stream
+            + b"\nendstream\n"),
+        (5, b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 6 0 R >>\n"),
+        (6, b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+            + cmap + b"\nendstream\n"),
+    ]
+    out = bytearray(b"%PDF-1.6\n")
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"endobj\n"
+    out += b"trailer << /Root 1 0 R >>\n%%EOF"
+    return bytes(out)
+
+
+class TestType0Pdf:
+    def test_tounicode_cmap_applied(self):
+        from pixeltable_spark.functions.pdf_codec import extract_pages
+        pdf = _make_type0_pdf("Hello CID world")
+        pages = extract_pages(pdf)
+        assert pages == ["Hello CID world"]
+
+    def test_bfchar_form(self):
+        from pixeltable_spark.functions.pdf_codec import _parse_tounicode
+        cmap = (b"2 beginbfchar <0041> <0058> <0042> <0059> endbfchar")
+        m = _parse_tounicode(cmap)
+        assert m[0x41] == "X" and m[0x42] == "Y"
+
+    def test_bfrange_array_form(self):
+        from pixeltable_spark.functions.pdf_codec import _parse_tounicode
+        cmap = b"1 beginbfrange <0001> <0003> [<0041> <0042> <0043>] endbfrange"
+        m = _parse_tounicode(cmap)
+        assert (m[1], m[2], m[3]) == ("A", "B", "C")
+
+    def test_surrogate_pair_utf16(self):
+        from pixeltable_spark.functions.pdf_codec import _parse_tounicode
+        # U+1F600 as UTF-16BE surrogate pair
+        cmap = b"1 beginbfchar <0010> <D83DDE00> endbfchar"
+        m = _parse_tounicode(cmap)
+        assert m[0x10] == "\U0001F600"
+
+
 class TestObjStmPdf:
     def test_objstm_pages_extract(self):
         from pixeltable_spark.functions.pdf_codec import extract_pages, probe
