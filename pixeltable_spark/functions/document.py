@@ -179,7 +179,15 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
             f"got {input_format!r}")
 
     col = F.col(text_col)
-    if input_format == "html":
+    if input_format == "markdown":
+        # setext headings (underlined with === / ---) normalize to ATX so
+        # the heading separator/metadata machinery sees them (reference
+        # parses markdown with mistune, which supports both forms)
+        col = F.regexp_replace(col, r"(?m)^([^\s#>\-=][^\n]*)\n=+[ \t]*$",
+                               "# $1")
+        col = F.regexp_replace(col, r"(?m)^([^\s#>\-=|][^\n]*)\n-+[ \t]*$",
+                               "## $1")
+    elif input_format == "html":
         col = html_to_markdown(col)
     elif input_format in ("docx", "pptx", "xlsx"):
         # binary OOXML → markdown, then the markdown pipeline applies

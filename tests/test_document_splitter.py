@@ -163,6 +163,29 @@ class TestHtmlInput:
             document_splitter_v2(html_docs, input_format="epub")
 
 
+class TestMarkdownSetext:
+    def test_setext_headings_normalize(self, spark):
+        md = ("Guide\n=====\n\nIntro text here.\n\n"
+              "Install\n-------\n\nRun the installer.\n")
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        rows = document_splitter_v2(
+            df, separators="heading", metadata="title,heading",
+            input_format="markdown").collect()
+        rows.sort(key=lambda r: r["pos"])
+        assert all(r["title"] == "Guide" for r in rows)
+        h = [json.loads(r["heading"]) for r in rows]
+        assert h[0]["h1"] == "Guide"
+        assert h[1] == {"h1": "Guide", "h2": "Install"}
+
+    def test_hr_and_table_rules_not_headings(self, spark):
+        md = "para one\n\n---\n\n| a | b |\n|---|---|\n| 1 | 2 |\n"
+        df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+        rows = document_splitter_v2(df, separators="heading",
+                                    input_format="markdown").collect()
+        joined = " ".join(r["text"] for r in rows)
+        assert "##" not in joined  # no fake setext promotion
+
+
 def _make_pdf(pages: list) -> bytes:
     """Minimal two-object-per-page PDF with FlateDecode content streams
     (enough of ISO 32000 to exercise the extractor)."""
