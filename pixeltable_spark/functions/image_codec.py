@@ -408,6 +408,9 @@ class MiniImage:
         if fmt == "GIF":
             from .gif_codec import encode_gif
             return encode_gif(self.arr, self.mode)
+        if fmt == "WEBP":
+            from .webp_codec import encode_webp
+            return encode_webp(self.arr, self.mode)
         return encode_png(self.arr, self.mode)
 
     def copy(self) -> "MiniImage":

@@ -259,6 +259,18 @@ class TestHandBuiltStreams:
         assert [int(out[0, x, 1]) for x in range(4)] == [10, 20, 30, 40]
 
 
+class TestSaveBytesWebp:
+    def test_minimage_save_webp_roundtrip(self):
+        from pixeltable_spark.functions import image_codec as ic
+        import numpy as np
+        a = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        img = ic.MiniImage(a, "RGB")
+        p = img.save_bytes("WEBP")
+        back = ic.decode(p)
+        assert back.size == (5, 4)
+        assert (np.asarray(back.arr)[:, :, :3] == a).all()
+
+
 class TestImageCodecIntegration:
     def test_probe_and_decode_via_waist(self):
         from pixeltable_spark.functions import image_codec as ic
