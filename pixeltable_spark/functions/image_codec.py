@@ -81,6 +81,9 @@ def probe(payload: bytes) -> Optional[dict]:
     if p.startswith(b"RIFF") and p[8:12] == b"WEBP":
         from .webp_codec import probe_webp
         return probe_webp(payload)
+    if p.startswith((b"II*\x00", b"MM\x00*")):
+        from .tiff_codec import probe_tiff
+        return probe_tiff(payload)
     return None
 
 
@@ -323,7 +326,8 @@ def _decode_ppm(payload: bytes) -> "MiniImage":
 def decode(payload: bytes) -> "MiniImage":
     """Full pixel decode, or ValueError when the format/variant is outside
     the pure-python subset (PNG any depth, BMP 24/32 uncompressed, PPM P6,
-    JPEG baseline/progressive/subsampled/CMYK, GIF, lossless WebP)."""
+    JPEG baseline/progressive/subsampled/CMYK, GIF, lossless WebP, stripped
+    TIFF none/LZW/Deflate/PackBits)."""
     info = probe(payload)
     if info is None:
         raise ValueError("not a recognizable image payload")
@@ -345,6 +349,10 @@ def decode(payload: bytes) -> "MiniImage":
         from .gif_codec import decode_gif
         arr, mode = decode_gif(bytes(payload))
         return MiniImage(arr, mode, "GIF")
+    if info["format"] == "TIFF":
+        from .tiff_codec import decode_tiff
+        arr, mode = decode_tiff(bytes(payload))
+        return MiniImage(arr, mode, "TIFF")
     raise ValueError(
         f"{info['format']} pixel decode needs a real codec (header "
         "probing works; install PIL for full decode)")
@@ -411,6 +419,9 @@ class MiniImage:
         if fmt == "WEBP":
             from .webp_codec import encode_webp
             return encode_webp(self.arr, self.mode)
+        if fmt in ("TIFF", "TIF"):
+            from .tiff_codec import encode_tiff
+            return encode_tiff(self.arr, self.mode)
         return encode_png(self.arr, self.mode)
 
     def copy(self) -> "MiniImage":
