@@ -57,18 +57,26 @@ def probe(payload: bytes) -> Optional[dict]:
             }
     except (wave.Error, EOFError):
         # stdlib wave only reads PCM; fall back to the manual RIFF walk
-        # for G.711 u-law/A-law (format codes 7/6)
+        # for G.711 u-law/A-law (codes 7/6) and IMA ADPCM (0x11)
         info = _parse_riff(payload)
-        if info is None or info.get("audio_format") not in (6, 7):
+        if info is None or info.get("audio_format") not in (6, 7, 0x11):
             return None
         ch, rate = info["channels"], info["sample_rate"]
-        n = len(info["data"]) // max(ch, 1)
+        if info["audio_format"] == 0x11:
+            align = info.get("block_align") or 4 * ch
+            spb = (align - 4 * ch) * 2 // max(ch, 1) + 1
+            n = info.get("fact_frames",
+                         (len(info["data"]) // max(align, 1)) * spb)
+            enc = "ima_adpcm"
+        else:
+            n = len(info["data"]) // max(ch, 1)
+            enc = "ulaw" if info["audio_format"] == 7 else "alaw"
         return {
             "format": "WAV",
-            "encoding": "ulaw" if info["audio_format"] == 7 else "alaw",
+            "encoding": enc,
             "channels": ch,
             "sample_rate": rate,
-            "sample_width": 1,
+            "sample_width": 1 if info["audio_format"] != 0x11 else 2,
             "n_frames": n,
             "duration_s": round(n / rate, 6) if rate else 0.0,
         }
@@ -76,7 +84,8 @@ def probe(payload: bytes) -> Optional[dict]:
 
 def decode(payload: bytes) -> tuple:
     """(samples (n_frames, channels) int array, rate, width) — raises
-    ValueError outside the supported subset (PCM/G.711 WAV, FLAC)."""
+    ValueError outside the supported subset (PCM/G.711/IMA-ADPCM WAV,
+    FLAC)."""
     info = probe(payload)
     if info is None:
         raise ValueError("not a recognized audio payload")
@@ -91,6 +100,12 @@ def decode(payload: bytes) -> tuple:
     if info.get("encoding") in ("ulaw", "alaw"):
         samples, rate = decode_g711(payload)
         return samples, rate, 2  # decoded to int16
+    if info.get("encoding") == "ima_adpcm":
+        samples, rate = decode_ima_adpcm(payload)
+        n = info.get("n_frames")
+        if n:
+            samples = samples[:n]   # drop block padding
+        return samples, rate, 2
     width = info["sample_width"]
     if width not in _DTYPES:
         raise ValueError(f"unsupported sample width {width}")
@@ -225,10 +240,12 @@ def _parse_riff(payload: bytes) -> Optional[dict]:
         size = struct.unpack("<I", p[pos + 4:pos + 8])[0]
         body = p[pos + 8:pos + 8 + size]
         if cid == b"fmt " and size >= 16:
-            (fmt, ch, rate, _bps, _align, bits) = struct.unpack(
+            (fmt, ch, rate, _bps, align, bits) = struct.unpack(
                 "<HHIIHH", body[:16])
             out.update(audio_format=fmt, channels=ch, sample_rate=rate,
-                       bits=bits)
+                       bits=bits, block_align=align)
+        elif cid == b"fact" and size >= 4:
+            out["fact_frames"] = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             out["data"] = body
         pos += 8 + size + (size & 1)
@@ -271,6 +288,150 @@ def encode_g711(arr: np.ndarray, rate: int, law: str = "ulaw") -> bytes:
     hdr = b"WAVE" + b"fmt " + struct.pack("<I", 18) + struct.pack(
         "<HHIIHHH", fmt, ch, rate, rate * ch, ch, 8, 0)
     hdr += b"fact" + struct.pack("<II", 4, len(flat) // ch)
+    hdr += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(hdr)) + hdr
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x11, the DVI/IMA 4-bit coder from the public
+# IMA Digital Audio compatibility spec). Block layout per the MS multimedia
+# standards update: per-channel 4-byte header (int16 predictor, uint8 step
+# index, reserved), then 4-byte nibble groups interleaved per channel,
+# low nibble first.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                       -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(codes, predictor: int, index: int):
+    """Sequential IMA decode of a nibble sequence; returns int16 list."""
+    out = []
+    for code in codes:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        predictor = predictor - diff if code & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        out.append(predictor)
+        index = max(0, min(88, index + int(_IMA_INDEX[code])))
+    return out, predictor, index
+
+
+def decode_ima_adpcm(payload: bytes) -> tuple:
+    """Decode an IMA ADPCM WAV (fmt 0x11) to int16: (samples (n, ch), rate)."""
+    info = _parse_riff(payload)
+    if info is None or info["audio_format"] != 0x11:
+        raise ValueError("not an IMA ADPCM WAV payload")
+    ch = info["channels"]
+    align = info.get("block_align") or (4 * ch)
+    data = info["data"]
+    chans: list = [[] for _ in range(ch)]
+    for boff in range(0, len(data) - (4 * ch) + 1, align):
+        block = data[boff:boff + align]
+        preds, idxs = [], []
+        for c in range(ch):
+            pred, idx = struct.unpack("<hBx", block[4 * c:4 * c + 4])
+            chans[c].append(pred)
+            preds.append(pred)
+            idxs.append(max(0, min(88, idx)))
+        body = block[4 * ch:]
+        # nibbles come in 4-byte groups per channel, round-robin
+        per_ch = [bytearray() for _ in range(ch)]
+        for g in range(0, len(body) - 3, 4):
+            per_ch[(g // 4) % ch] += body[g:g + 4]
+        for c in range(ch):
+            raw = np.frombuffer(bytes(per_ch[c]), dtype=np.uint8)
+            nibbles = np.empty(raw.size * 2, dtype=np.uint8)
+            nibbles[0::2] = raw & 0x0F
+            nibbles[1::2] = raw >> 4
+            vals, _, _ = _ima_decode_nibbles(
+                nibbles.tolist(), preds[c], idxs[c])
+            chans[c].extend(vals)
+    n = min(len(c) for c in chans)
+    samples = np.stack([np.array(c[:n], dtype=np.int16) for c in chans],
+                       axis=1)
+    return samples, info["sample_rate"]
+
+
+def encode_ima_adpcm(arr: np.ndarray, rate: int,
+                     block_align: int = 1024) -> bytes:
+    """Encode int16 samples as an IMA ADPCM WAV (fmt 0x11)."""
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    arr = arr.astype(np.int32).clip(-32768, 32767)
+    n, ch = arr.shape
+    align = max(4 * ch + 4 * ch, block_align - block_align % (4 * ch))
+    spb = (align - 4 * ch) * 2 // ch + 1   # samples per block
+    blocks = bytearray()
+    index = [0] * ch
+    for s0 in range(0, n, spb):
+        chunk = arr[s0:s0 + spb]
+        hdr = bytearray()
+        nibs: list = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            hdr += struct.pack("<hBx", pred, index[c])
+            for s in chunk[1:, c].tolist():
+                step = int(_IMA_STEPS[index[c]])
+                diff = s - pred
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                # reconstruct exactly as the decoder will
+                delta = step >> 3
+                if code & 1:
+                    delta += step >> 2
+                if code & 2:
+                    delta += step >> 1
+                if code & 4:
+                    delta += step
+                pred = pred - delta if code & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                index[c] = max(0, min(88, index[c] + int(_IMA_INDEX[code])))
+                nibs[c].append(code)
+        # pad nibble streams to fill the block, round-robin 4-byte groups
+        body_nibs = (align - 4 * ch) * 2
+        per_ch_nibs = body_nibs // ch
+        body = bytearray()
+        packed = []
+        for c in range(ch):
+            cn = nibs[c] + [0] * (per_ch_nibs - len(nibs[c]))
+            by = bytearray()
+            for i in range(0, len(cn), 2):
+                by.append((cn[i] & 0x0F) | ((cn[i + 1] & 0x0F) << 4))
+            packed.append(by)
+        for g in range(0, per_ch_nibs // 2, 4):
+            for c in range(ch):
+                body += packed[c][g:g + 4]
+        blocks += hdr + body
+    data = bytes(blocks)
+    byte_rate = (rate * align + spb - 1) // spb
+    hdr = b"WAVE" + b"fmt " + struct.pack("<I", 20) + struct.pack(
+        "<HHIIHHHH", 0x11, ch, rate, byte_rate, align, 4, 2, spb)
+    hdr += b"fact" + struct.pack("<II", 4, n)
     hdr += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(hdr)) + hdr
 
