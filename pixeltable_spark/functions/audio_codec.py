@@ -35,6 +35,9 @@ def probe(payload: bytes) -> Optional[dict]:
     if bytes(payload[:3]) == b"ID3" or (
             payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0):
         return probe_mp3(payload)
+    if bytes(payload[4:8]) == b"ftyp":     # M4A/MP4 audio container
+        from .video_codec import probe_mp4
+        return probe_mp4(payload)
     if bytes(payload[:4]) == b"fLaC":
         from .flac_codec import probe_flac
         info = probe_flac(payload)

@@ -29,6 +29,8 @@ from .image_codec import MiniImage, encode_png
 def probe(payload: bytes) -> Optional[dict]:
     if payload is None or len(payload) < 12:
         return None
+    if bytes(payload[4:8]) == b"ftyp":
+        return probe_mp4(payload)
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"AVI ":
         return None
     meta: dict = {"format": "AVI"}
@@ -70,6 +72,122 @@ def probe(payload: bytes) -> Optional[dict]:
         return None
     if meta.get("fps"):
         meta["duration_s"] = round(meta["n_frames"] / meta["fps"], 6)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4/M4A/MOV) metadata probing — public ISO/IEC 14496-12 box
+# layout. Full frame decode genuinely needs an H.264/HEVC/AAC codec and
+# stays gated; duration/dims/codec/track metadata is real.
+# ---------------------------------------------------------------------------
+
+_BMFF_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _bmff_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    n = min(end, len(payload))
+    while pos + 8 <= n:
+        size = struct.unpack(">I", payload[pos:pos + 4])[0]
+        fourcc = bytes(payload[pos + 4:pos + 8])
+        body = pos + 8
+        if size == 1:                      # 64-bit largesize
+            if pos + 16 > n:
+                return
+            size = struct.unpack(">Q", payload[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:                    # box extends to end of file
+            size = n - pos
+        if size < 8 or pos + size > n:
+            return                         # truncated: degrade gracefully
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> Optional[dict]:
+    """MP4/M4A/MOV metadata: brand, duration, video dims/codec, audio
+    codec/rate/channels, track count. None when not ISO BMFF."""
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    meta: dict = {"format": "MP4", "n_tracks": 0,
+                  "brand": payload[8:12].decode("latin-1").strip()}
+    track: dict = {}
+
+    def close_track():
+        if not track:
+            return
+        meta["n_tracks"] += 1
+        kind = track.get("handler")
+        if kind == b"vide" and "video_codec" not in meta:
+            for k in ("width", "height"):
+                if k in track:
+                    meta[k] = track[k]
+            if "codec" in track:
+                meta["video_codec"] = track["codec"]
+            if track.get("timescale") and "duration" in track:
+                meta.setdefault("duration_s", round(
+                    track["duration"] / track["timescale"], 6))
+        elif kind == b"soun" and "audio_codec" not in meta:
+            if "codec" in track:
+                meta["audio_codec"] = track["codec"]
+            if track.get("timescale"):
+                meta["sample_rate"] = track["timescale"]
+            if "channels" in track:
+                meta["channels"] = track["channels"]
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, body, bend in _bmff_boxes(payload, start, end):
+            if fourcc == b"trak":
+                track.clear()
+                walk(body, bend)
+                close_track()
+                track.clear()
+            elif fourcc in _BMFF_CONTAINERS:
+                walk(body, bend)
+            elif fourcc == b"mvhd" and body + 4 <= len(payload):
+                ver = payload[body]
+                if ver == 1 and body + 32 <= len(payload):
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20:body + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12:body + 20])
+                if ts:
+                    meta["duration_s"] = round(dur / ts, 6)
+            elif fourcc == b"tkhd":
+                ver = payload[body]
+                # width/height are the last two 16.16 values of the box
+                if bend - 8 >= body and bend <= len(payload):
+                    w, h = struct.unpack(">II", payload[bend - 8:bend])
+                    if w and h:
+                        track["width"] = w >> 16
+                        track["height"] = h >> 16
+                _ = ver
+            elif fourcc == b"mdhd" and body + 4 <= len(payload):
+                ver = payload[body]
+                if ver == 1 and body + 32 <= len(payload):
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20:body + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12:body + 20])
+                track["timescale"] = ts
+                track["duration"] = dur
+            elif fourcc == b"hdlr" and body + 12 <= len(payload):
+                track["handler"] = payload[body + 8:body + 12]
+            elif fourcc == b"stsd" and body + 16 <= len(payload):
+                # first sample entry: u32 size + 4cc codec
+                track["codec"] = payload[body + 12:body + 16].decode(
+                    "latin-1").strip()
+                if track.get("handler") == b"soun" and body + 34 <= len(
+                        payload):
+                    # AudioSampleEntry: channelcount at entry offset 16+8
+                    track["channels"] = struct.unpack(
+                        ">H", payload[body + 32:body + 34])[0]
+
+    walk(0, len(payload))
     return meta
 
 
