@@ -1901,6 +1901,79 @@ def q92_lsa_semantic_dedup(spark, sf_dir):
                                   vec_col="embedding", id_col="doc_id")
 
 
+def q93_media_probe(spark, sf_dir):
+    """Round-5 codec family end-to-end: per doc, a TIFF (compression
+    cycling none/deflate/packbits/lzw by doc_id), an IMA ADPCM WAV, and a
+    hand-assembled MP4 box tree are synthesized with dims/durations that
+    are arithmetic in doc_id, then probed/decoded back through the codec
+    waists (functions/tiff_codec.py, audio_codec.py fmt 0x11,
+    video_codec.py probe_mp4) — DuckDB checks the whole pipeline without
+    ever seeing a media payload."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def _pipeline(ids):
+        import json
+        import struct
+
+        import numpy as np
+
+        from pixeltable_spark.functions import audio_codec as ac
+        from pixeltable_spark.functions import tiff_codec as tc
+        from pixeltable_spark.functions import video_codec as vc
+
+        def box(fourcc, payload):
+            return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+        comps = ("none", "deflate", "packbits", "lzw")
+        out = []
+        for i in ids:
+            i = int(i)
+            # TIFF: encode -> decode must be identical for every compression
+            w, h, fill = 5 + i % 11, 2 + i % 6, i % 256
+            arr = np.full((h, w, 3), fill, dtype=np.uint8)
+            tif = tc.encode_tiff(arr, "RGB", compression=comps[i % 4])
+            dec, _mode = tc.decode_tiff(tif)
+            # ADPCM: constant signal; first sample is the block predictor
+            n = 800 + i % 50
+            first = (i % 100) * 10
+            sig = np.full((n, 1), first, dtype=np.int16)
+            wav = ac.encode_ima_adpcm(sig, 8000)
+            winfo = ac.probe(wav)
+            wdec, _r, _w = ac.decode(wav)
+            # MP4: mvhd duration in quarter seconds
+            mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+                       + struct.pack(">II", 1000, i * 250) + b"\x00" * 80)
+            mp4 = box(b"ftyp", b"isom" + b"\x00" * 12) + box(b"moov", mvhd)
+            minfo = vc.probe(mp4)
+            out.append(json.dumps({
+                "tw": int(dec.shape[1]), "th": int(dec.shape[0]),
+                "tpx": int(dec[0, 0, 0]),
+                "wn": int(winfo["n_frames"]),
+                "wfirst": int(wdec[0, 0]),
+                "wdn": int(wdec.shape[0]),
+                "mdur": float(minfo["duration_s"]),
+            }, sort_keys=True))
+        return pd.Series(out)
+
+    pipe = F.pandas_udf(_pipeline, T.StringType())
+    out = df.withColumn("r", pipe(F.col("doc_id")))
+    r = F.col("r")
+    return (out.select(
+        "doc_id",
+        F.get_json_object(r, "$.tw").cast("int").alias("tiff_w"),
+        F.get_json_object(r, "$.th").cast("int").alias("tiff_h"),
+        F.get_json_object(r, "$.tpx").cast("int").alias("tiff_px"),
+        F.get_json_object(r, "$.wn").cast("int").alias("wav_n"),
+        F.get_json_object(r, "$.wfirst").cast("int").alias("wav_first"),
+        F.get_json_object(r, "$.wdn").cast("int").alias("wav_dec_n"),
+        F.get_json_object(r, "$.mdur").cast("double").alias("mp4_dur"),
+    ).orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1993,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_cross_corpus_dedup": q90_cross_corpus_dedup,
         "q91_bpe_tokenize": q91_bpe_tokenize,
         "q92_lsa_semantic_dedup": q92_lsa_semantic_dedup,
+        "q93_media_probe": q93_media_probe,
     }
 
 
@@ -2707,6 +2781,16 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 2 + doc_id % 5 AS n,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
+FROM documents ORDER BY doc_id""",
+        "q93_media_probe": """
+SELECT doc_id,
+       CAST(5 + doc_id % 11 AS INTEGER) AS tiff_w,
+       CAST(2 + doc_id % 6 AS INTEGER) AS tiff_h,
+       CAST(doc_id % 256 AS INTEGER) AS tiff_px,
+       CAST(800 + doc_id % 50 AS INTEGER) AS wav_n,
+       CAST((doc_id % 100) * 10 AS INTEGER) AS wav_first,
+       CAST(800 + doc_id % 50 AS INTEGER) AS wav_dec_n,
+       CAST(doc_id AS DOUBLE) * 0.25 AS mp4_dur
 FROM documents ORDER BY doc_id""",
         "q63_video_codec": """
 SELECT doc_id,
