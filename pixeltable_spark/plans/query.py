@@ -794,6 +794,36 @@ class Planner:
             alloc[k] += 1
         quota = F.create_map(*[x for k in alloc for x in (F.lit(k), F.lit(alloc[k]))])
         w = W.partitionBy(skey).orderBy(key)
+
+        # Scale path: a per-stratum window sort runs on ONE task per stratum
+        # (3 strata = 3 cores no matter the cluster), so sorting whole
+        # strata is the bottleneck at any real size. Prefilter map-side on
+        # the md5 prefix with a generous per-stratum fraction (8x quota
+        # + 64 expected survivors; P[undershoot] is e^-100-scale), then
+        # window only the survivors. The quota rows are exactly the
+        # stratum's smallest keys, so whenever enough survivors exist the
+        # filtered result is IDENTICAL to the unfiltered one; an eager
+        # count verifies per-stratum fill and falls back to the full
+        # window on the (theoretical) undershoot.
+        thresh = {
+            k: SampleClause.fraction_to_md5_hex(
+                min(1.0, (8.0 * alloc[k] + 64.0) / max(counts[k], 1)))
+            for k in alloc
+        }
+        tmap = F.create_map(
+            *[x for k in alloc for x in (F.lit(k), F.lit(thresh[k]))])
+        cand = (
+            df.withColumn("__sk", skey)
+            .filter(F.substring(key, 1, 16) <= tmap[F.col("__sk")])
+            .withColumn("__rn", F.row_number().over(
+                W.partitionBy("__sk").orderBy(key)))
+            .withColumn("__q", quota[F.col("__sk")])
+            .filter(F.col("__rn") <= F.col("__q"))
+        ).localCheckpoint(eager=True)
+        got = {r["__sk"]: r["c"] for r in
+               cand.groupBy("__sk").agg(F.count(F.lit(1)).alias("c")).collect()}
+        if all(got.get(k, 0) >= min(alloc[k], counts[k]) for k in alloc):
+            return cand.drop("__sk", "__rn", "__q")
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .withColumn("__q", quota[skey])
