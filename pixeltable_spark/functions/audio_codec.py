@@ -38,6 +38,8 @@ def probe(payload: bytes) -> Optional[dict]:
     if bytes(payload[4:8]) == b"ftyp":     # M4A/MP4 audio container
         from .video_codec import probe_mp4
         return probe_mp4(payload)
+    if bytes(payload[:4]) == b"OggS":
+        return probe_ogg(payload)
     if bytes(payload[:4]) == b"fLaC":
         from .flac_codec import probe_flac
         info = probe_flac(payload)
@@ -437,6 +439,49 @@ def encode_ima_adpcm(arr: np.ndarray, rate: int,
     hdr += b"fact" + struct.pack("<II", 4, n)
     hdr += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(hdr)) + hdr
+
+
+# ---------------------------------------------------------------------------
+# Ogg container probing (public RFC 3533 page layout + the Vorbis I and
+# RFC 7845 Opus identification headers). Duration comes from the last
+# page's granule position; sample decode needs a DSP codec and stays
+# gated.
+# ---------------------------------------------------------------------------
+
+def probe_ogg(payload: bytes) -> Optional[dict]:
+    p = bytes(payload)
+    if p[:4] != b"OggS" or len(p) < 28:
+        return None
+    meta: dict = {"format": "OGG"}
+    # identification header lives in the first page's segment data
+    nseg = p[26]
+    body = 27 + nseg
+    first = p[body:body + 64]
+    pre_skip = 0
+    if first.startswith(b"OpusHead") and len(first) >= 19:
+        meta["encoding"] = "opus"
+        meta["channels"] = first[9]
+        pre_skip = struct.unpack("<H", first[10:12])[0]
+        meta["input_sample_rate"] = struct.unpack("<I", first[12:16])[0]
+        meta["sample_rate"] = 48000         # Opus granules run at 48 kHz
+    elif first.startswith(b"\x01vorbis") and len(first) >= 16:
+        meta["encoding"] = "vorbis"
+        meta["channels"] = first[11]
+        meta["sample_rate"] = struct.unpack("<I", first[12:16])[0]
+    elif first.startswith(b"\x7fFLAC"):
+        meta["encoding"] = "flac"
+    else:
+        meta["encoding"] = "unknown"
+    # duration: granule position of the LAST page
+    last = p.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(p):
+        granule = struct.unpack("<q", p[last + 6:last + 14])[0]
+        rate = meta.get("sample_rate")
+        if granule > 0 and rate:
+            n = max(granule - pre_skip, 0)
+            meta["n_frames"] = n
+            meta["duration_s"] = round(n / rate, 6)
+    return meta
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,14 @@ def probe(payload: bytes) -> Optional[dict]:
     if p.startswith((b"II*\x00", b"MM\x00*")):
         from .tiff_codec import probe_tiff
         return probe_tiff(payload)
+    if p[4:8] == b"ftyp":                  # AVIF/HEIC image-in-BMFF
+        from .video_codec import probe_mp4
+        info = probe_mp4(payload)
+        if info and info.get("format") in ("AVIF", "HEIC"):
+            return {"format": info["format"], "mode": "RGB",
+                    "width": info.get("width", 0),
+                    "height": info.get("height", 0)}
+        return None
     return None
 
 

@@ -31,6 +31,8 @@ def probe(payload: bytes) -> Optional[dict]:
         return None
     if bytes(payload[4:8]) == b"ftyp":
         return probe_mp4(payload)
+    if bytes(payload[:4]) == b"\x1a\x45\xdf\xa3":
+        return probe_ebml(payload)
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"AVI ":
         return None
     meta: dict = {"format": "AVI"}
@@ -188,6 +190,151 @@ def probe_mp4(payload: bytes) -> Optional[dict]:
                         ">H", payload[body + 32:body + 34])[0]
 
     walk(0, len(payload))
+    if meta["brand"].lower() in ("avif", "avis", "heic", "heix", "mif1"):
+        meta["format"] = "AVIF" if meta["brand"].lower().startswith(
+            "avi") else "HEIC"
+        dims = _bmff_ispe_dims(payload)
+        if dims:
+            meta["width"], meta["height"] = dims
+    return meta
+
+
+def _bmff_ispe_dims(payload: bytes) -> Optional[tuple]:
+    """AVIF/HEIC pixel dims from meta > iprp > ipco > ispe (14496-12 §12;
+    meta is a FullBox — 4 version/flags bytes precede its children)."""
+    def find(start, end, path):
+        for fourcc, body, bend in _bmff_boxes(payload, start, end):
+            if fourcc != path[0]:
+                continue
+            if fourcc == b"meta":
+                body += 4                      # FullBox version/flags
+            if len(path) == 1:
+                return body, bend
+            r = find(body, bend, path[1:])
+            if r:
+                return r
+        return None
+
+    loc = find(0, len(payload), [b"meta", b"iprp", b"ipco", b"ispe"])
+    if loc is None:
+        return None
+    body, bend = loc
+    if bend - body < 12:
+        return None
+    w, h = struct.unpack(">II", payload[body + 4:body + 12])
+    return (w, h) if w and h else None
+
+
+# ---------------------------------------------------------------------------
+# EBML (Matroska/WebM) metadata probing — public Matroska specification.
+# Frame decode needs VP8/VP9/AV1/Opus codecs and stays gated.
+# ---------------------------------------------------------------------------
+
+_EBML_CONTAINERS = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+
+
+def _ebml_vint(payload: bytes, pos: int, keep_marker: bool):
+    """Read one EBML variable-length integer; returns (value, next_pos)."""
+    if pos >= len(payload):
+        return None, pos
+    first = payload[pos]
+    if first == 0:
+        return None, pos
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(payload):
+        return None, pos
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | payload[pos + i]
+    # all-ones data bits = "unknown size"
+    if not keep_marker and val == (1 << (7 * length)) - 1:
+        val = -1
+    return val, pos + length
+
+
+def probe_ebml(payload: bytes) -> Optional[dict]:
+    """Matroska/WebM metadata: doctype, duration, video dims/codec, audio
+    codec/rate/channels, track count."""
+    payload = bytes(payload)
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    meta: dict = {"format": "MKV", "n_tracks": 0}
+    state = {"tscale": 1_000_000, "dur_units": None, "track": {}}
+
+    def close_track():
+        tr = state["track"]
+        if not tr:
+            return
+        meta["n_tracks"] += 1
+        if tr.get("type") == 1 and "video_codec" not in meta:
+            meta.update({k: tr[k] for k in ("width", "height") if k in tr})
+            if "codec" in tr:
+                meta["video_codec"] = tr["codec"]
+        elif tr.get("type") == 2 and "audio_codec" not in meta:
+            if "codec" in tr:
+                meta["audio_codec"] = tr["codec"]
+            if "rate" in tr:
+                meta["sample_rate"] = tr["rate"]
+            if "channels" in tr:
+                meta["channels"] = tr["channels"]
+        state["track"] = {}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        end = min(end, len(payload))
+        while pos < end:
+            eid, p1 = _ebml_vint(payload, pos, keep_marker=True)
+            if eid is None:
+                return
+            size, p2 = _ebml_vint(payload, p1, keep_marker=False)
+            if size is None:
+                return
+            bend = end if size == -1 else min(p2 + size, end)
+            body = payload[p2:bend]
+            if eid == 0x1A45DFA3:              # EBML header
+                walk(p2, bend)
+            elif eid == 0x4282:                # DocType
+                meta["doctype"] = body.rstrip(b"\x00").decode(
+                    "latin-1", "replace")
+                if meta["doctype"] == "webm":
+                    meta["format"] = "WEBM"
+            elif eid in _EBML_CONTAINERS:
+                if eid == 0xAE:
+                    state["track"] = {}
+                walk(p2, bend)
+                if eid == 0xAE:
+                    close_track()
+            elif eid == 0x2AD7B1:              # TimestampScale (ns)
+                state["tscale"] = int.from_bytes(body, "big") or 1_000_000
+            elif eid == 0x4489:                # Duration (float, scale units)
+                if len(body) == 4:
+                    state["dur_units"] = struct.unpack(">f", body)[0]
+                elif len(body) == 8:
+                    state["dur_units"] = struct.unpack(">d", body)[0]
+            elif eid == 0x83:                  # TrackType
+                state["track"]["type"] = int.from_bytes(body, "big")
+            elif eid == 0x86:                  # CodecID
+                state["track"]["codec"] = body.rstrip(b"\x00").decode(
+                    "latin-1", "replace")
+            elif eid == 0xB0:
+                state["track"]["width"] = int.from_bytes(body, "big")
+            elif eid == 0xBA:
+                state["track"]["height"] = int.from_bytes(body, "big")
+            elif eid == 0xB5:                  # SamplingFrequency (float)
+                if len(body) == 4:
+                    state["track"]["rate"] = int(struct.unpack(">f", body)[0])
+                elif len(body) == 8:
+                    state["track"]["rate"] = int(struct.unpack(">d", body)[0])
+            elif eid == 0x9F:                  # Channels
+                state["track"]["channels"] = int.from_bytes(body, "big")
+            if size == -1:
+                return                         # unknown-size: walked children
+            pos = bend
+
+    walk(0, len(payload))
+    if state["dur_units"] is not None:
+        meta["duration_s"] = round(
+            state["dur_units"] * state["tscale"] / 1e9, 6)
     return meta
 
 
