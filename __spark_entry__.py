@@ -1534,8 +1534,12 @@ def q79_quality_classifier(spark, sf_dir):
     sigmoid is monotone so keep == logit >= 0)."""
     from pixeltable_spark.operators.quality_clf import (
         quality_logit, train_from_texts)
+    from pixeltable_spark.operators.text import spread
     w = _qc_weights()
-    df = _df(spark, sf_dir, "documents")
+    # quality_logit is a pure Column (interpreted HOF fold over the token
+    # buckets) — a single-file scan would run the whole battery on one
+    # core, so spread the scan first (no-op at real multi-split scale)
+    df = spread(_df(spark, sf_dir, "documents"))
     z = quality_logit(F.col("text"), w)
     return (df.select("doc_id", z.alias("logit"), (z >= 0).alias("keep"))
             .orderBy("doc_id"))
