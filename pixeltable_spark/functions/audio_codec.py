@@ -509,9 +509,11 @@ def probe_mp3(payload: bytes) -> Optional[dict]:
         return None
     p = bytes(payload)
     pos = 0
-    if p[:3] == b"ID3" and len(p) > 10:  # skip ID3v2 (syncsafe length)
+    tags = None
+    if p[:3] == b"ID3" and len(p) > 10:  # ID3v2: parse tags, then skip
         size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
                ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        tags = _id3v2_tags(p[:10 + size])
         pos = 10 + size
     # find frame sync
     end = min(len(p) - 4, pos + 65536)
@@ -554,10 +556,59 @@ def probe_mp3(payload: bytes) -> Optional[dict]:
         duration = n_frames * spf / rate
     else:  # CBR estimate from payload size
         duration = (len(p) - pos) * 8 / (bitrate * 1000)
-    return {"format": "MP3", "version": version, "layer": layer,
-            "channels": channels, "sample_rate": rate,
-            "bitrate_kbps": bitrate,
-            "vbr": n_frames is not None,
-            "n_frames": (n_frames if n_frames is not None
-                         else int(duration * rate / spf)),
-            "duration_s": round(duration, 3)}
+    out = {"format": "MP3", "version": version, "layer": layer,
+           "channels": channels, "sample_rate": rate,
+           "bitrate_kbps": bitrate,
+           "vbr": n_frames is not None,
+           "n_frames": (n_frames if n_frames is not None
+                        else int(duration * rate / spf)),
+           "duration_s": round(duration, 3)}
+    if tags:
+        out["tags"] = tags
+    return out
+
+
+_ID3_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album",
+                    "TDRC": "date", "TYER": "date", "TCON": "genre",
+                    "TRCK": "track"}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _id3v2_tags(tag: bytes) -> Optional[dict]:
+    """Text frames from an ID3v2.3/2.4 tag (public id3.org layout)."""
+    if len(tag) < 10 or tag[:3] != b"ID3":
+        return None
+    major = tag[3]
+    pos = 10
+    if tag[5] & 0x40:                      # extended header: skip it
+        if len(tag) < 14:
+            return None
+        ext = int.from_bytes(tag[10:14], "big")
+        if major == 4:                     # v2.4 ext size is syncsafe
+            ext = ((tag[10] & 0x7F) << 21) | ((tag[11] & 0x7F) << 14) | \
+                  ((tag[12] & 0x7F) << 7) | (tag[13] & 0x7F)
+        pos += ext
+    out: dict = {}
+    while pos + 10 <= len(tag):
+        fid = tag[pos:pos + 4]
+        if not fid.strip(b"\x00"):
+            break                          # padding
+        raw_size = tag[pos + 4:pos + 8]
+        if major == 4:                     # v2.4 frame sizes are syncsafe
+            size = ((raw_size[0] & 0x7F) << 21) | \
+                   ((raw_size[1] & 0x7F) << 14) | \
+                   ((raw_size[2] & 0x7F) << 7) | (raw_size[3] & 0x7F)
+        else:
+            size = int.from_bytes(raw_size, "big")
+        body = tag[pos + 10:pos + 10 + size]
+        key = _ID3_TEXT_FRAMES.get(fid.decode("latin-1", "replace"))
+        if key and body:
+            enc = _ID3_ENCODINGS.get(body[0], "latin-1")
+            try:
+                text = body[1:].decode(enc, "replace").strip("\x00").strip()
+            except LookupError:
+                text = ""
+            if text and key not in out:
+                out[key] = text
+        pos += 10 + size
+    return out or None

@@ -148,3 +148,54 @@ class TestAvifProbe:
         blob = box(b"ftyp", b"heic" + b"\x00" * 8) + meta
         info = ic.probe(blob)
         assert info["format"] == "HEIC" and info["height"] == 300
+
+
+# -- ID3v2 ------------------------------------------------------------------
+
+def _id3_frame(fid: bytes, text: str, enc: int = 3,
+               syncsafe: bool = False) -> bytes:
+    body = bytes([enc]) + text.encode(
+        {0: "latin-1", 1: "utf-16", 3: "utf-8"}[enc])
+    n = len(body)
+    if syncsafe:
+        size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+    else:
+        size = struct.pack(">I", n)
+    return fid + size + b"\x00\x00" + body
+
+
+def _id3_tag(frames: bytes, major: int = 3) -> bytes:
+    n = len(frames)
+    size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3" + bytes([major, 0, 0]) + size + frames
+
+
+def _mp3_frame() -> bytes:
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo
+    return b"\xff\xfb\x90\x00" + b"\x00" * 413
+
+
+class TestId3Tags:
+    def test_v23_text_frames(self):
+        frames = (_id3_frame(b"TIT2", "A Title")
+                  + _id3_frame(b"TPE1", "Somebody")
+                  + _id3_frame(b"TALB", "An Album", enc=1))
+        blob = _id3_tag(frames, major=3) + _mp3_frame()
+        info = ac.probe(blob)
+        assert info["format"] == "MP3"
+        assert info["tags"] == {"title": "A Title", "artist": "Somebody",
+                                "album": "An Album"}
+
+    def test_v24_syncsafe_sizes(self):
+        frames = _id3_frame(b"TIT2", "X" * 200, syncsafe=True) \
+            + _id3_frame(b"TCON", "Jazz", syncsafe=True)
+        blob = _id3_tag(frames, major=4) + _mp3_frame()
+        info = ac.probe(blob)
+        assert info["tags"]["title"] == "X" * 200
+        assert info["tags"]["genre"] == "Jazz"
+
+    def test_untagged_mp3_has_no_tags_key(self):
+        info = ac.probe(_mp3_frame())
+        assert info["format"] == "MP3" and "tags" not in info
