@@ -66,7 +66,8 @@ def _real_meta(payload: bytes) -> Optional[dict]:
     if info is None:
         return None
     return {"width": info["width"], "height": info["height"],
-            "mode": info["mode"], "n_bytes": len(payload)}
+            "mode": info["mode"], "format": info.get("format"),
+            "n_bytes": len(payload)}
 
 
 def _meta_udf(field: str, ret: T.DataType):
@@ -96,6 +97,22 @@ def mode(col: Column) -> Column:
     return _meta_udf("mode", T.StringType())(col)
 
 
+def _metadata_json(p) -> str:
+    """Spark-free metadata kernel: dims/mode (+EXIF for JPEG/TIFF)."""
+    import json
+    m = _real_meta(p)
+    if m is None:
+        return json.dumps(_stub_meta(p))
+    d = {"width": m["width"], "height": m["height"], "mode": m["mode"]}
+    if m.get("format") in ("JPEG", "TIFF"):
+        from .tiff_codec import exif_from_jpeg, exif_from_tiff_body
+        ex = (exif_from_jpeg(bytes(p)) if m["format"] == "JPEG"
+              else exif_from_tiff_body(bytes(p)))
+        if ex:
+            d["exif"] = ex
+    return json.dumps(d, sort_keys=True)
+
+
 def get_metadata(col: Column) -> Column:
     """JSON metadata blob (reference functions/image.py get_metadata)."""
     @F.pandas_udf(T.StringType())
@@ -107,13 +124,7 @@ def get_metadata(col: Column) -> Column:
             if p is None:
                 out.append(None)
                 continue
-            m = _real_meta(p)
-            if m is not None:
-                out.append(json.dumps({"width": m["width"],
-                                       "height": m["height"],
-                                       "mode": m["mode"]}))
-            else:
-                out.append(json.dumps(_stub_meta(p)))
+            out.append(_metadata_json(p))
         return pd.Series(out)
     return fn(col)
 

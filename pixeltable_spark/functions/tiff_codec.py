@@ -426,3 +426,63 @@ def encode_tiff(arr: np.ndarray, mode: str = "RGB",
     out += overflow
     out += strip
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (the TIFF IFD structure embedded in JPEG APP1 per the public EXIF
+# spec; TIFF files carry the same tags in IFD0 directly)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {271: "make", 272: "model", 274: "orientation",
+              306: "datetime", 305: "software", 315: "artist",
+              33434: "exposure_time", 33437: "f_number",
+              34855: "iso", 36867: "datetime_original",
+              37386: "focal_length", 40962: "pixel_x", 40963: "pixel_y"}
+_EXIF_IFD_PTR = 34665
+
+
+def exif_from_tiff_body(body: bytes) -> dict:
+    """Named EXIF fields from a TIFF-structured blob (IFD0 + Exif sub-IFD)."""
+    out: dict = {}
+    try:
+        bo, tags = _parse_header(body)
+    except (ValueError, struct.error, IndexError):
+        return out
+    ifds = [tags]
+    ptr = tags.get(_EXIF_IFD_PTR)
+    if ptr:
+        try:
+            ifds.append(_read_ifd(body, int(ptr[0]), bo))
+        except (struct.error, IndexError):
+            pass
+    for ifd in ifds:
+        for tag, vals in ifd.items():
+            name = _EXIF_TAGS.get(tag)
+            if name is None or name in out or not vals:
+                continue
+            v = vals[0]
+            out[name] = round(v, 6) if isinstance(v, float) else v
+    return out
+
+
+def exif_from_jpeg(payload: bytes) -> dict:
+    """EXIF fields from a JPEG's APP1 'Exif\\0\\0' segment, or {}."""
+    p = bytes(payload)
+    if not p.startswith(b"\xff\xd8"):
+        return {}
+    i, n = 2, len(p)
+    while i + 4 < n:
+        if p[i] != 0xFF:
+            i += 1
+            continue
+        marker = p[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:                 # SOS: no EXIF past here
+            return {}
+        seg_len = struct.unpack(">H", p[i + 2:i + 4])[0]
+        if marker == 0xE1 and p[i + 4:i + 10] == b"Exif\x00\x00":
+            return exif_from_tiff_body(p[i + 10:i + 2 + seg_len])
+        i += 2 + seg_len
+    return {}

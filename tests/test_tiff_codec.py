@@ -265,3 +265,63 @@ class TestGatesAndWiring:
         # save_bytes round trip through the MiniImage surface
         back = ic.decode(img.save_bytes("TIFF"))
         assert np.array_equal(back.arr, arr)
+
+
+class TestExif:
+    @staticmethod
+    def _tiff_body() -> bytes:
+        # IFD0: Make(271 ascii), Orientation(274 short), ExifIFD ptr(34665)
+        # Exif IFD: ExposureTime(33434 rational 1/250), ISO(34855 short)
+        make = b"CamCo\x00"
+        # layout: header(8) IFD0(2+3*12+4=42) make(6) -> exif ifd at 56
+        ifd0 = struct.pack("<H", 3)
+        ifd0 += struct.pack("<HHI", 271, 2, len(make)) + struct.pack("<I", 50)
+        ifd0 += struct.pack("<HHI", 274, 3, 1) + struct.pack("<HH", 6, 0)
+        ifd0 += struct.pack("<HHI", 34665, 4, 1) + struct.pack("<I", 56)
+        ifd0 += struct.pack("<I", 0)
+        exif = struct.pack("<H", 2)
+        exif += struct.pack("<HHI", 33434, 5, 1) + struct.pack("<I", 56 + 30)
+        exif += struct.pack("<HHI", 34855, 3, 1) + struct.pack("<HH", 200, 0)
+        exif += struct.pack("<I", 0)
+        rat = struct.pack("<II", 1, 250)
+        body = b"II" + struct.pack("<HI", 42, 8) + ifd0 + make + exif + rat
+        assert body.index(make) == 50 and body.index(exif) == 56
+        return body
+
+    def test_exif_from_tiff_body(self):
+        ex = tc.exif_from_tiff_body(self._tiff_body())
+        assert ex["make"] == "CamCo"
+        assert ex["orientation"] == 6
+        assert ex["exposure_time"] == 0.004
+        assert ex["iso"] == 200
+
+    def test_exif_in_jpeg_app1(self):
+        from pixeltable_spark.functions.jpeg_codec import encode_jpeg
+        arr = _rand((8, 8, 3), seed=21)
+        jpg = encode_jpeg(arr, "RGB", 85)
+        payload = b"Exif\x00\x00" + self._tiff_body()
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        tagged = jpg[:2] + app1 + jpg[2:]
+        ex = tc.exif_from_jpeg(tagged)
+        assert ex["make"] == "CamCo" and ex["orientation"] == 6
+        # still decodes + probes normally with the APP1 present
+        assert ic.probe(tagged)["format"] == "JPEG"
+        assert ic.decode(tagged).size == (8, 8)
+        # no APP1 -> {}
+        assert tc.exif_from_jpeg(jpg) == {}
+
+    def test_exif_surfaces_in_get_metadata(self):
+        import json
+        from pixeltable_spark.functions.jpeg_codec import encode_jpeg
+        from pixeltable_spark.functions.image import _metadata_json
+        arr = _rand((4, 4, 3), seed=2)
+        jpg = encode_jpeg(arr, "RGB", 85)
+        payload = b"Exif\x00\x00" + self._tiff_body()
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        tagged = jpg[:2] + app1 + jpg[2:]
+        out = json.loads(_metadata_json(tagged))
+        assert out["exif"]["make"] == "CamCo"
+        assert out["exif"]["orientation"] == 6
+        # untagged image: no exif key, dims intact
+        plain = json.loads(_metadata_json(jpg))
+        assert "exif" not in plain and plain["width"] == 4
