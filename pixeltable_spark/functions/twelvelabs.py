@@ -37,9 +37,21 @@ async def embed(text: str, *, model_name: str) -> list:
     return fake_unit_vector(f"{model_name}|{text}", 16)
 
 
-def embed_image(*args: Any, **kwargs: Any):
-    """Image embedding overload (reference functions/twelvelabs.py:135) —
-    needs image codecs absent from this container."""
-    raise NotImplementedError(
-        "twelvelabs image/video embedding requires media support (no codec "
-        "in this environment); text embed is fully functional")
+@async_udf(return_type=ArrayType(ColumnType.float_()),
+           requests_per_minute=_RPM, concurrency=8)
+async def embed_image(image: bytes, *, model_name: str) -> list:
+    """Image embedding (reference functions/twelvelabs.py:135) — real
+    client when the SDK is importable; offline, a deterministic unit
+    vector seeded by the ACTUAL image content (probed via the in-repo
+    codec so non-images raise like the real endpoint would)."""
+    client = _cache.get()
+    if client is not None:
+        res = await client.embed.create(model_name=model_name,
+                                        image_file=bytes(image))
+        return list(res.image_embedding.segments[0].embeddings_float)
+    from .image_codec import probe
+    if probe(bytes(image)) is None:
+        raise ValueError("embed_image: payload is not a decodable image")
+    from ._provider_util import digest, fake_unit_vector
+    return fake_unit_vector(
+        digest("twelvelabs-img", model_name, bytes(image).hex()[:128]), 16)

@@ -86,9 +86,26 @@ async def rerank(query: str, documents: list, *, model: str,
     return _fake_rerank(query, documents, model, top_k, return_documents=True)
 
 
-def multimodal_embed(*args: Any, **kwargs: Any):
-    """Multimodal embedding (reference functions/voyageai.py:225) — needs
-    image codecs absent from this container."""
-    raise NotImplementedError(
-        "voyageai.multimodal_embed requires image support (no codec in "
-        "this environment); embeddings/rerank are fully functional")
+@async_udf(return_type=ArrayType(ColumnType.float_()),
+           requests_per_minute=_RPM, concurrency=8)
+async def multimodal_embed(inputs: list, *, model: str) -> list:
+    """Multimodal (text+image) embedding (reference
+    functions/voyageai.py:225) — real client when the SDK is importable;
+    offline, a deterministic unit vector seeded by the text parts and the
+    ACTUAL image bytes (images are validated via the in-repo codec)."""
+    client = _cache.get()
+    if client is not None:
+        res = await client.multimodal_embed(inputs=[inputs], model=model)
+        return list(res.embeddings[0])
+    from ._provider_util import digest, fake_unit_vector
+    from .image_codec import probe
+    parts = []
+    for item in inputs if isinstance(inputs, list) else [inputs]:
+        if isinstance(item, (bytes, bytearray)):
+            if probe(bytes(item)) is None:
+                raise ValueError(
+                    "multimodal_embed: payload is not a decodable image")
+            parts.append(bytes(item).hex()[:128])
+        else:
+            parts.append(str(item))
+    return fake_unit_vector(digest("voyage-mm", model, *parts), 16)

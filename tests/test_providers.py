@@ -52,9 +52,11 @@ class TestOpenAI:
         m = json.loads(r["m"])
         assert "results" in m and isinstance(m["results"][0]["flagged"], bool)
 
-    def test_media_endpoints_gated(self):
-        with pytest.raises(NotImplementedError):
-            oai.speech("hi", model="tts-1", voice="alloy")
+    def test_media_endpoints_codec_backed(self):
+        import asyncio
+        from pixeltable_spark.functions import audio_codec as ac
+        wav = asyncio.run(oai.speech.async_fn("hi", model="tts-1", voice="alloy"))
+        assert ac.probe(wav)["format"] == "WAV"
 
 
 class TestAnthropic:
@@ -92,9 +94,14 @@ class TestHuggingFaceLocal:
                                               model_id="ce1")).collect()
         assert all(isinstance(r["s"], float) for r in rows)
 
-    def test_image_models_gated(self):
-        with pytest.raises(NotImplementedError):
-            hf.detr_for_object_detection(None, model_id="x")
+    def test_image_models_codec_backed(self):
+        # round 5: detr runs offline as a deterministic geometric fake
+        # over REAL probed dims (see tests/test_providers_round5.py)
+        from pixeltable_spark.functions import _provider_util as pu
+        img = pu.procedural_image("gate", 20, 10)
+        det = hf.detr_for_object_detection.py_fn(img, model_id="x")
+        assert det["boxes"] and all(b[2] <= 20 and b[3] <= 10
+                                    for b in det["boxes"])
 
 
 class TestAsyncRuntimeIntegration:

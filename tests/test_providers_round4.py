@@ -64,11 +64,18 @@ class TestGemini:
         out = gemini.invoke_tools(ts, resp)
         assert out == [{"name": "add", "result": 5}]
 
-    def test_media_endpoints_gated(self):
-        for fn in (gemini.generate_images, gemini.generate_videos,
-                   gemini.generate_speech, gemini.transcribe):
-            with pytest.raises(NotImplementedError):
-                fn("x", model="m")
+    def test_media_endpoints_codec_backed(self):
+        # round 5: the stdlib codecs exist, so media endpoints return REAL
+        # deterministic payloads offline instead of raising
+        import asyncio
+        from pixeltable_spark.functions import audio_codec as ac
+        from pixeltable_spark.functions import image_codec as ic
+        img = asyncio.run(gemini.generate_images.async_fn("x"))
+        assert ic.probe(img)["format"] == "PNG"
+        wav = asyncio.run(gemini.generate_speech.async_fn("hello there"))
+        assert ac.probe(wav)["format"] == "WAV"
+        tr = asyncio.run(gemini.transcribe.async_fn(wav))
+        assert tr["text"].startswith("transcript[")
 
 
 class TestBedrock:
@@ -167,8 +174,10 @@ class TestOpenAICompatible:
         ).collect()
         assert json.loads(rows[0]["c"])["choices"][0]["text"].startswith("response[")
         assert len(rows[0]["e"]) == 16
-        with pytest.raises(NotImplementedError):
-            together.image_generations("x", model="m")
+        import asyncio, base64
+        from pixeltable_spark.functions import image_codec as ic
+        r = asyncio.run(together.image_generations.async_fn("x", model="m"))
+        assert ic.probe(base64.b64decode(r["data"][0]["b64_json"])) is not None
 
     def test_mistral_surfaces(self, docs):
         rows = docs.select(
@@ -259,13 +268,15 @@ class TestBreadthWave2:
         resp = json.loads(rows[0]["r"])
         assert resp["status"] == "COMPLETED" and resp["app"] == "fal-ai/flux"
 
-    def test_image_gen_gated(self):
-        from pixeltable_spark.functions import bfl, reve, runwayml, twelvelabs
-        for fn in (bfl.generate_image, reve.generate_image, reve.edit_image,
-                   runwayml.text_to_image, runwayml.text_to_video,
-                   twelvelabs.embed_image):
-            with pytest.raises(NotImplementedError):
-                fn("x")
+    def test_image_gen_codec_backed(self):
+        # round 5: generation providers return real procedural media
+        import asyncio
+        from pixeltable_spark.functions import bfl, twelvelabs
+        from pixeltable_spark.functions import image_codec as ic
+        img = asyncio.run(bfl.generate.async_fn("x"))
+        assert ic.probe(img) is not None
+        vec = asyncio.run(twelvelabs.embed_image.async_fn(img, model_name="m"))
+        assert len(vec) == 16
 
 
 class TestYolox:

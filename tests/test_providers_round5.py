@@ -1,0 +1,274 @@
+"""Round-5 provider-surface completion: the reference's full functions
+inventory (openai vision/responses/translations/image ops/invoke_tools,
+anthropic invoke_tools, bfl generate/edit/fill/expand, reve create,
+runwayml generation, gemini media generation, the 17 huggingface
+pipelines, and the uuid/net/util/globals import-path modules). Offline
+paths are deterministic and, where media is produced, REAL decodable
+payloads from the in-repo codecs."""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+
+import numpy as np
+import pytest
+
+from pixeltable_spark.functions import _provider_util as pu
+from pixeltable_spark.functions import anthropic as an
+from pixeltable_spark.functions import audio_codec as ac
+from pixeltable_spark.functions import bfl, gemini, huggingface as hf
+from pixeltable_spark.functions import image_codec as ic
+from pixeltable_spark.functions import openai as oa
+from pixeltable_spark.functions import reve, runwayml
+from pixeltable_spark.functions import video_codec as vc
+from pixeltable_spark.functions.query_template import Tool
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def call(f, *a, **k):
+    return f.py_fn(*a, **k)
+
+
+IMG = pu.procedural_image("fixture", 40, 30)
+WAV = pu.procedural_wav("fixture", 1.0)
+
+
+class TestProceduralMedia:
+    def test_image_deterministic_and_decodable(self):
+        a = pu.procedural_image("s", 48, 32)
+        assert a == pu.procedural_image("s", 48, 32)
+        assert a != pu.procedural_image("s2", 48, 32)
+        img = ic.decode(a)
+        assert img.size == (48, 32)
+
+    def test_wav_and_video(self):
+        assert ac.probe(pu.procedural_wav("s", 0.5))["n_frames"] == 4000
+        assert vc.probe(pu.procedural_video("s", 6))["n_frames"] == 6
+
+
+class TestImageGenProviders:
+    def test_bfl_surface(self):
+        img = run(bfl.generate.async_fn("a red square", seed=7))
+        assert ic.probe(img)["format"] == "JPEG"
+        assert img == run(bfl.generate.async_fn("a red square", seed=7))
+        png = run(bfl.generate.async_fn("x", output_format="png"))
+        assert ic.probe(png)["format"] == "PNG"
+        for f in (bfl.edit.async_fn("bluer", img),
+                  bfl.fill.async_fn(img, prompt="sky"),
+                  bfl.expand.async_fn(img, top=8)):
+            assert ic.probe(run(f)) is not None
+
+    def test_reve_create_shape(self):
+        r = run(reve.create.async_fn("hello", aspect_ratio="16:9"))
+        assert set(r) == {"image", "layout"}
+        assert ic.probe(base64.b64decode(r["image"]))["format"] == "PNG"
+        assert r["layout"]["aspect_ratio"] == "16:9"
+        # reference images change the output deterministically
+        r2 = run(reve.create.async_fn("hello", references=[IMG]))
+        assert r2["image"] != r["image"]
+        assert r2["layout"]["n_references"] == 1
+
+    def test_runwayml_tasks(self):
+        t = run(runwayml.text_to_image.async_fn("a cat"))
+        assert t["status"] == "SUCCEEDED"
+        assert ic.probe(base64.b64decode(t["output"][0])) is not None
+        v = run(runwayml.image_to_video.async_fn(IMG, duration=2))
+        assert vc.probe(base64.b64decode(v["output"][0]))["n_frames"] == 8
+        vv = run(runwayml.video_to_video.async_fn(
+            base64.b64decode(v["output"][0]), prompt_text="restyle"))
+        assert vc.probe(base64.b64decode(vv["output"][0])) is not None
+
+    def test_gemini_media(self):
+        img = run(gemini.generate_images.async_fn("x"))
+        assert ic.probe(img)["format"] == "PNG"
+        sp = run(gemini.generate_speech.async_fn("one two three"))
+        assert ac.probe(sp)["format"] == "WAV"
+        tr = run(gemini.transcribe.async_fn(sp))
+        assert tr["text"].startswith("transcript[") and tr["duration_s"] > 0
+        vid = run(gemini.generate_videos.async_fn("y"))
+        assert vc.probe(base64.b64decode(vid["video"]))["format"] == "AVI"
+
+
+class TestOpenAICompletion:
+    def test_speech_transcribe_translate_roundtrip(self):
+        wav = run(oa.speech.async_fn("hello world", model="tts-1",
+                                     voice="alloy"))
+        assert ac.probe(wav)["format"] == "WAV"
+        tr = run(oa.transcriptions.async_fn(wav, model="whisper-1"))
+        assert tr["text"].startswith("transcript[")
+        assert tr["duration"] == ac.probe(wav)["duration_s"]
+        xl = run(oa.translations.async_fn(wav, model="whisper-1"))
+        assert xl["text"].startswith("translation[")
+
+    def test_image_family(self):
+        img = run(oa.image_generations.async_fn("a cat"))
+        assert ic.probe(img)["format"] == "PNG"
+        e = run(oa.image_edits.async_fn(img, prompt="hat"))
+        v = run(oa.image_variations.async_fn(img))
+        assert ic.probe(e) and ic.probe(v) and e != v
+
+    def test_responses_and_vision(self):
+        r = run(oa.responses.async_fn([{"role": "user", "content": "hi"}],
+                                      model="gpt-4o"))
+        assert r["status"] == "completed"
+        assert r["output"][0]["content"][0]["text"].startswith("response[")
+        vis = run(oa.vision.async_fn("what?", IMG, model="gpt-4o"))
+        assert "40x30" in vis      # real probed dims in the fake answer
+
+    def test_invoke_tools_both_response_shapes(self):
+        def add(a: int, b: int) -> int:
+            "add"
+            return a + b
+        tool = Tool(add)
+        chat = {"choices": [{"message": {"tool_calls": [
+            {"function": {"name": "add", "arguments": '{"a":2,"b":3}'}}]}}]}
+        assert oa.invoke_tools([tool], chat) == [
+            {"name": "add", "result": 5}]
+        resp = {"output": [{"type": "function_call", "name": "add",
+                            "arguments": '{"a":1,"b":1}'}]}
+        assert oa.invoke_tools([tool], resp)[0]["result"] == 2
+
+    def test_anthropic_invoke_tools(self):
+        def mul(a: int, b: int) -> int:
+            "multiply"
+            return a * b
+        resp = {"content": [{"type": "text", "text": "…"},
+                            {"type": "tool_use", "name": "mul",
+                             "input": {"a": 3, "b": 4}}]}
+        assert an.invoke_tools([Tool(mul)], resp) == [
+            {"name": "mul", "result": 12}]
+
+
+class TestHuggingFaceVision:
+    def test_detr_detection_and_coco(self):
+        det = call(hf.detr_for_object_detection, IMG,
+                   model_id="facebook/detr-resnet-50")
+        assert len(det["boxes"]) == len(det["labels"]) == len(det["scores"])
+        for b in det["boxes"]:
+            assert 0 <= b[0] <= b[2] <= 40 and 0 <= b[1] <= b[3] <= 30
+        coco = call(hf.detr_to_coco, IMG, det)
+        assert coco["image"]["width"] == 40
+        ann = coco["annotations"][0]
+        assert ann["bbox"][2] > 0 and ann["bbox"][3] > 0   # xywh
+        assert det == call(hf.detr_for_object_detection, IMG,
+                           model_id="facebook/detr-resnet-50")
+
+    def test_segmentation_family(self):
+        seg = call(hf.detr_for_segmentation, IMG, model_id="m")
+        assert seg["segments"][0]["area"] > 0
+        vit = call(hf.vit_for_image_classification, IMG, model_id="m",
+                   top_k=3)
+        assert len(vit) == 3 and vit[0]["score"] >= vit[2]["score"]
+        sam = call(hf.sam_automatic_mask_generation, IMG)
+        assert all(m["predicted_iou"] > 0.5 for m in sam["masks"])
+        sam3 = call(hf.sam3_for_segmentation, IMG,
+                    input_boxes=[[1, 1, 5, 5]])
+        assert sam3["boxes"] == [[1.0, 1.0, 5.0, 5.0]]
+
+
+class TestHuggingFaceText:
+    def test_lexicon_sentiment(self):
+        pos = call(hf.text_classification,
+                   "a great wonderful day", model_id="m")
+        assert pos[0]["label"] == "POSITIVE"
+        neg = call(hf.text_classification, "terrible awful bug",
+                   model_id="m")
+        assert neg[0]["label"] == "NEGATIVE"
+
+    def test_extractive_summarization_and_qa(self):
+        text = ("Spark processes data. Spark scales to large clusters. "
+                "Cats are nice. Spark has a SQL optimizer called Catalyst. "
+                "The weather is mild.")
+        summ = call(hf.summarization, text, model_id="m")
+        assert "Spark" in summ and len(summ) < len(text)
+        qa = call(hf.question_answering, text,
+                  "What optimizer does Spark have?", model_id="m")
+        assert "Catalyst" in qa["answer"]
+        assert text[qa["start"]:qa["end"]] == qa["answer"]
+
+    def test_ner_and_translation(self):
+        ner = call(hf.token_classification,
+                   "I met Alice Smith at Apple in Paris.", model_id="m")
+        words = [e["word"] for e in ner]
+        assert "Alice Smith" in words and "Paris" in words
+        for e in ner:
+            assert e["entity_group"] in ("PER", "ORG", "LOC", "MISC")
+        tr = call(hf.translation, "hello", model_id="m", target_lang="fr")
+        assert tr.startswith("[fr:") and tr.endswith(" hello")
+
+    def test_generation(self):
+        g = call(hf.text_generation, "Once upon", model_id="gpt2")
+        assert g.startswith("Once upon generated[")
+
+
+class TestHuggingFaceMedia:
+    def test_asr_with_timestamps(self):
+        asr = call(hf.automatic_speech_recognition, WAV, model_id="w",
+                   return_timestamps=True, chunk_length_s=1)
+        assert asr["text"].startswith("transcript[")
+        assert asr["chunks"][0]["timestamp"] == [0.0, 1.0]
+        s2t = call(hf.speech2text_for_conditional_generation, WAV,
+                   model_id="w")
+        assert s2t.startswith("transcript[")
+
+    def test_tts_caption_t2i(self):
+        tts = call(hf.text_to_speech, "hello world", model_id="m")
+        assert ac.probe(tts)["format"] == "WAV"
+        cap = call(hf.image_captioning, IMG, model_id="m")
+        assert "40x30" in cap
+        t2i = call(hf.text_to_image, "a dog", model_id="m",
+                   width=64, height=48)
+        assert ic.probe(t2i)["width"] == 64
+
+    def test_image_to_image_transforms_actual_pixels(self):
+        i2i = call(hf.image_to_image, IMG, "warmer", model_id="m")
+        out = ic.decode(i2i)
+        assert out.size == (40, 30)
+        assert not np.array_equal(out.arr, ic.decode(IMG).arr)
+        assert i2i == call(hf.image_to_image, IMG, "warmer", model_id="m")
+
+    def test_image_to_video_animates_input(self):
+        i2v = call(hf.image_to_video, IMG, model_id="m", num_frames=5,
+                   fps=4)
+        info = vc.probe(i2v)
+        assert info["n_frames"] == 5 and abs(info["fps"] - 4.0) < 1e-6
+
+
+class TestImportPathParity:
+    def test_alias_modules(self):
+        from pixeltable_spark.functions import globals as g
+        from pixeltable_spark.functions import net, util
+        from pixeltable_spark.functions import uuid as u
+        assert util.get_metadata is util.get_media_metadata
+        assert ac.probe(WAV)["format"] == "WAV"
+        assert util.get_metadata(WAV)["format"] == "WAV"
+        for mod, names in ((g, ["map", "filter", "sort", "cast", "count",
+                                "sum", "mean", "min", "max"]),
+                           (u, ["uuid4", "uuid7", "hex", "to_string"]),
+                           (net, ["presigned_url", "url_host"])):
+            for n in names:
+                assert hasattr(mod, n), (mod.__name__, n)
+
+    def test_full_reference_function_inventory(self):
+        """Every public def in every reference functions module resolves
+        on our same-named module — the round-5 parity gate."""
+        import ast
+        import importlib
+        import os
+        refdir = "/root/reference/pixeltable/functions"
+        missing = []
+        for f in sorted(os.listdir(refdir)):
+            if not f.endswith(".py") or f.startswith("_"):
+                continue
+            tree = ast.parse(open(os.path.join(refdir, f)).read())
+            names = {n.name for n in tree.body
+                     if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                     and not n.name.startswith("_")}
+            m = importlib.import_module(
+                f"pixeltable_spark.functions.{f[:-3]}")
+            missing += [f"{f[:-3]}.{n}" for n in names if not hasattr(m, n)]
+        assert missing == [], missing
