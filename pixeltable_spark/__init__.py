@@ -69,6 +69,7 @@ from .globals_api import (
     tool,
 )
 from .index import EmbeddingIndex, add_embedding_index
+from . import iterators  # noqa: F401 — reference import-path parity
 from .serving import TableServer, serve
 from .sources import io
 

@@ -69,6 +69,58 @@ def audio_splitter(df: DataFrame, chunk_bytes: int = 1 << 20,
     return df.mapInPandas(op, out_schema)
 
 
+def audio_splitter_time(df: DataFrame, duration: float,
+                        overlap: float = 0.0, min_segment: float = 0.0,
+                        payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Time-based audio segmentation (reference functions/audio.py:472
+    audio_splitter: duration/overlap/min_segment seconds): decode via the
+    codec waist, slice sample windows, re-encode each segment as PCM WAV.
+    One row per segment with pos/start_time/end_time/segment. Narrow
+    mapInPandas — segments of one file never leave its scan partition."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    if overlap < 0 or overlap >= duration:
+        raise ValueError("overlap must satisfy 0 <= overlap < duration")
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("start_time", T.DoubleType()),
+        T.StructField("end_time", T.DoubleType()),
+        T.StructField("segment", T.BinaryType()),
+    ])
+    cols = [id_col, "pos", "start_time", "end_time", "segment"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import audio_codec as ac
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    continue
+                samples, rate, width = ac.decode(bytes(p))
+                step = duration - overlap
+                n = samples.shape[0]
+                pos = 0
+                t = 0.0
+                while t * rate < n:
+                    s0 = int(round(t * rate))
+                    s1 = min(int(round((t + duration) * rate)), n)
+                    if (s1 - s0) / rate >= max(min_segment, 1e-9):
+                        rows.append({
+                            id_col: r[id_col], "pos": pos,
+                            "start_time": round(t, 6),
+                            "end_time": round(s1 / rate, 6),
+                            "segment": ac.encode(samples[s0:s1], rate, width),
+                        })
+                        pos += 1
+                    t += step
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(op, out_schema)
+
+
 def _audio_transform_udf(name: str, real_fn=None) -> Column:
     """Real WAV kernel when the payload decodes (audio_codec), else the
     deterministic re-hash stub standing in for an ffmpeg filter graph."""

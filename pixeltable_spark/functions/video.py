@@ -32,13 +32,17 @@ except ImportError:
 
 def frame_iterator(df: DataFrame, every_n: int = 30,
                    payload_col: str = "payload",
-                   id_col: str = "media_id") -> DataFrame:
-    """Explode videos into frame rows (reference iterators frame_iterator;
-    drives component views). Real PNG frames for uncompressed AVI; the
-    deterministic stub for payloads needing ffmpeg."""
+                   id_col: str = "media_id",
+                   fps: "float | None" = None,
+                   num_frames: "int | None" = None) -> DataFrame:
+    """Explode videos into frame rows (reference
+    functions/video/iterators.py FrameIterator; drives component views).
+    `fps` extracts at a target rate, `num_frames` evenly spaces an exact
+    count, default strides every_n. Real PNG frames for uncompressed AVI;
+    the deterministic stub for payloads needing ffmpeg."""
     from ..operators.multimodal import sample_video_frames
     return sample_video_frames(df, every_n=every_n, binary_col=payload_col,
-                               id_col=id_col)
+                               id_col=id_col, fps=fps, num_frames=num_frames)
 
 
 def get_metadata(col: Column) -> Column:

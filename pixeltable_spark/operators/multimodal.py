@@ -106,9 +106,33 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(op, out_schema)
 
 
+def _frame_indices(n_frames: int, src_fps: float, every_n: int,
+                   fps: "float | None", num_frames: "int | None") -> list:
+    """Which frame ordinals to emit (reference video/iterators.py:104:
+    fps = extraction rate, num_frames = evenly spaced exact count;
+    default = every_n stride)."""
+    if num_frames is not None:
+        k = min(max(1, int(num_frames)), n_frames)
+        return sorted({round(i * (n_frames - 1) / max(k - 1, 1))
+                       for i in range(k)})
+    if fps is not None and src_fps > 0:
+        stride = max(src_fps / float(fps), 1e-9)
+        out, seen = [], set()
+        i = 0.0
+        while int(i) < n_frames:
+            if int(i) not in seen:
+                out.append(int(i))
+                seen.add(int(i))
+            i += stride
+        return out
+    return list(range(0, n_frames, max(1, every_n)))
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30,
                         binary_col: str = "payload",
-                        id_col: str = "media_id") -> DataFrame:
+                        id_col: str = "media_id",
+                        fps: "float | None" = None,
+                        num_frames: "int | None" = None) -> DataFrame:
     """Frame-sampling plumbing (UDTF shape): each video row explodes into
     frame rows with frame_idx — the component-view pattern
     (reference exec/component_iteration_node.py) over mapInPandas.
@@ -131,8 +155,9 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
                 if payload is None:
                     continue
                 try:
-                    frames, _fps = avi_decode(bytes(payload))
-                    for i in range(0, len(frames), every_n):
+                    frames, src_fps = avi_decode(bytes(payload))
+                    for i in _frame_indices(len(frames), src_fps, every_n,
+                                            fps, num_frames):
                         rows.append({
                             id_col: r[id_col], "frame_idx": i,
                             "frame": encode_png(frames[i], "RGB"),
@@ -140,9 +165,10 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
                     continue
                 except Exception:  # noqa: BLE001 — needs a real codec
                     pass
-                # stub: pretend 1 frame per 256 payload bytes
+                # stub: pretend 1 frame per 256 payload bytes at 30 fps
                 n_frames = max(1, len(payload) // 256)
-                for i in range(0, n_frames, every_n):
+                for i in _frame_indices(n_frames, 30.0, every_n,
+                                        fps, num_frames):
                     rows.append({
                         id_col: r[id_col],
                         "frame_idx": i,
