@@ -62,6 +62,83 @@ _VVMIN, _VVMAX = "_vv_min", "_vv_max"
 _BKT = "_bkt"
 SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 
+# -- Bloom-filter file skipping ---------------------------------------------
+# Per-file Bloom filters stored in the manifest alongside min/max stats:
+# a point lookup (`col == v`) on a 100 TB table prunes every file whose
+# bloom proves absence BEFORE Spark lists it — min/max stats can't do this
+# for high-cardinality unsorted keys (every file spans ~the full range).
+# Same design as Delta Lake bloom-filter indexes / Iceberg bloom write
+# props; built only for NEW files at commit time (one column-pruned read).
+_BLOOM_PFX = "__bloom__"
+_BLOOM_MAX_BITS = 1 << 21  # 256 KiB cap per (file, column)
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n values at target false-positive
+    rate: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+    import math
+    n = max(n, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(m, 64), _BLOOM_MAX_BITS)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_key(v) -> Optional[bytes]:
+    """Canonical byte encoding so build-side and probe-side hash the same
+    bytes for equal values (5 and 5.0 must collide; bool is not int)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"b1" if v else b"b0"
+    if isinstance(v, float) and v == int(v) and abs(v) < (1 << 62):
+        v = int(v)
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, float):
+        return b"f" + repr(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return b"y" + bytes(v)
+    return None
+
+
+def _bloom_positions(key: bytes, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one md5 (Kirsch-Mitzenmacher)."""
+    import hashlib
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float) -> Optional[dict]:
+    """{"m","k","b"(base64 bitmap)} over the non-null values, or None when
+    nothing encodable (bloom absent = file unprunable, always safe)."""
+    import base64
+    keys = [kb for v in values if (kb := _bloom_key(v)) is not None]
+    if not keys:
+        return None
+    m, k = _bloom_params(len(keys), fpp)
+    bits = bytearray((m + 7) // 8)
+    for kb in keys:
+        for pos in _bloom_positions(kb, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, v) -> bool:
+    import base64
+    kb = _bloom_key(v)
+    if kb is None:
+        return True
+    bits = base64.b64decode(bloom["b"])
+    for pos in _bloom_positions(kb, bloom["m"], bloom["k"]):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
 
 def _cellmd_col(name: str) -> str:
     return f"_cellmd_{name}"
@@ -291,6 +368,8 @@ class Table:
         # bucket count for the partitioned store layout; 16 suits local
         # testing — a real deployment sizes this so a bucket ~ 1 GB
         self.n_buckets = 16
+        # col -> target false-positive rate for per-file bloom skipping
+        self.bloom_cols: dict[str, float] = {}
 
     # -- creation / persistence -------------------------------------------
     @classmethod
@@ -319,6 +398,7 @@ class Table:
             "primary_key": self.primary_key,
             "history": self.history,
             "n_buckets": self.n_buckets,
+            "bloom_cols": self.bloom_cols,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
         }
         with open(os.path.join(self.path, "meta.json"), "w") as f:
@@ -337,6 +417,7 @@ class Table:
         self.primary_key = meta["primary_key"]
         self.history = meta["history"]
         self.n_buckets = meta.get("n_buckets", 16)
+        self.bloom_cols = meta.get("bloom_cols", {})
         self.schema = {
             k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
@@ -495,6 +576,18 @@ class Table:
                         cols[c.path_in_schema] = [min(prev[0], lo),
                                                   max(prev[1], hi)]
             out[rel] = {k: v for k, v in cols.items() if v is not None}
+            # bloom filters: the one place a NEW file's data (one pruned
+            # column per bloom) is read at commit time — carried-over
+            # files keep their manifest entry and are never re-read
+            for bcol, fpp in self.bloom_cols.items():
+                try:
+                    tbl = pq.read_table(os.path.join(self.path, rel),
+                                        columns=[bcol])
+                    bloom = _bloom_build(tbl.column(0).to_pylist(), fpp)
+                except Exception:  # noqa: BLE001 — stats are an optimization
+                    bloom = None
+                if bloom is not None:
+                    out[rel][_BLOOM_PFX + bcol] = bloom
         return out
 
     def _current_stats(self) -> dict:
@@ -513,18 +606,40 @@ class Table:
         the (col, op, literal) conjuncts. Comparisons are null-rejecting
         and parquet min/max ignore nulls, so pruning on them is safe for
         files that also hold nulls."""
+        def _admits_eq(st: dict, col: str, v) -> bool:
+            """Can a row with col == v exist in a file with these stats?"""
+            bloom = st.get(_BLOOM_PFX + col)
+            if bloom and not _bloom_might_contain(bloom, v):
+                return False
+            mm = st.get(col)
+            if not mm:
+                return True
+            try:
+                return mm[0] <= v <= mm[1]
+            except TypeError:
+                return True
+
         keep = []
         for f in files:
             st = stats.get(f) or {}
             skip = False
             for col, op, v in ranges:
+                if op == "==":
+                    if not _admits_eq(st, col, v):
+                        skip = True
+                        break
+                    continue
+                if op == "in":  # v is the literal list; file survives if
+                    if not any(_admits_eq(st, col, x) for x in v):  # any can
+                        skip = True
+                        break
+                    continue
                 mm = st.get(col)
                 if not mm:
                     continue
                 lo, hi = mm
                 try:
-                    if ((op == "==" and (v < lo or v > hi))
-                            or (op == "<" and not (lo < v))
+                    if ((op == "<" and not (lo < v))
                             or (op == "<=" and not (lo <= v))
                             or (op == ">" and not (hi > v))
                             or (op == ">=" and not (hi >= v))):
@@ -559,7 +674,13 @@ class Table:
                     f"CURRENT moved from {expected} to {now} during this "
                     "mutation; re-read and retry")
         prev_stats = self._current_stats()
-        stats = {f: prev_stats[f] for f in files if f in prev_stats}
+
+        def _fresh(f: str) -> bool:  # carried-over AND has every bloom col
+            st = prev_stats.get(f)
+            return st is not None and all(
+                _BLOOM_PFX + c in st for c in self.bloom_cols)
+
+        stats = {f: prev_stats[f] for f in files if _fresh(f)}
         new_files = [f for f in files if f not in stats]
         stats.update(self._collect_stats(new_files))
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
@@ -700,7 +821,104 @@ class Table:
         new = self._write_snapshot_files(df)
         self._commit_files(keep + new)
 
-    def optimize(self, purge_before: Optional[int] = None) -> dict:
+    def add_bloom_filter(self, col: str, fpp: float = 0.01) -> None:
+        """Enable per-file Bloom-filter skipping for equality predicates on
+        `col` (beyond-reference scale feature; same role as Delta bloom
+        indexes / Iceberg `write.parquet.bloom-filter-enabled`). Backfills
+        blooms for the current snapshot's files (one column-pruned read
+        per file), then every commit builds them for new files only.
+        min/max stats can't prune point lookups on high-cardinality
+        unsorted keys — every file spans ~the full range; a bloom proves
+        absence and the file never opens."""
+        target = dict(self.schema)
+        for cc in self.computed.values():
+            target[cc.name] = cc.col_type
+        if col not in target:
+            raise NotFoundError(f"unknown column {col!r}")
+        if not 0.0 < fpp < 0.5:
+            raise ValueError(f"fpp must be in (0, 0.5), got {fpp}")
+        self.bloom_cols[col] = float(fpp)
+        self._save_meta()
+        files = self._current_files()
+        if files:
+            # re-commit the same file list: _commit_files recomputes stats
+            # for any file missing a bloom entry (= all of them right now)
+            self._commit_files(files)
+        self._log("add_bloom_filter", column=col, fpp=fpp)
+
+    def drop_bloom_filter(self, col: str) -> None:
+        """Stop building blooms for `col`. Existing manifest entries stay
+        (harmless — still-correct pruning) until files are rewritten."""
+        self.bloom_cols.pop(col, None)
+        self._save_meta()
+        self._log("drop_bloom_filter", column=col)
+
+    def _zorder_expr(self, df: DataFrame, cols: Sequence[str]):
+        """Morton z-value Column over `cols`: per-column equal-frequency
+        quantile bucket (8 bits, approxQuantile sketch -> pyspark.ml
+        Bucketizer, both distributed) with the bits of all columns
+        interleaved. Sorting the rewrite by this value makes every
+        file's min/max tight on EVERY zorder column simultaneously, so
+        the manifest prunes multi-column range/point predicates —
+        sorting by (a, b) lexicographically only ever tightens `a`.
+        Same design as Delta OPTIMIZE ZORDER BY (range-id interleave)."""
+        from functools import reduce
+
+        from pyspark.ml.feature import Bucketizer
+
+        BITS, NQ = 8, 256
+        ncols = len(cols)
+        num = {"int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal"}
+        srcs = []
+        for c in cols:
+            dt = dict(df.dtypes).get(c, "")
+            base = dt.split("(")[0]
+            if base in num:
+                srcs.append(F.col(c).cast("double"))
+            elif base in ("timestamp", "timestamp_ntz"):
+                srcs.append(F.col(c).cast("double"))
+            elif base == "date":
+                srcs.append(F.col(c).cast("timestamp").cast("double"))
+            else:
+                raise ValueError(
+                    f"zorder_by column {c!r} has non-orderable-numeric type "
+                    f"{dt!r}; z-order v1 supports numeric/date/timestamp — "
+                    "add a computed numeric key for strings")
+        tmp = df.select(*[s.alias(f"__zsrc{i}") for i, s in enumerate(srcs)])
+        # one distributed Greenwald-Khanna pass for ALL columns' quantiles
+        probs = [i / NQ for i in range(1, NQ)]
+        allq = tmp.stat.approxQuantile(
+            [f"__zsrc{i}" for i in range(ncols)], probs, 1.0 / (2 * NQ))
+        inf = float("inf")
+        staged = df
+        bucket_cols = []
+        for i in range(ncols):
+            splits = sorted({q for q in allq[i] if q == q})  # dedupe, no NaN
+            name = f"__zb{i}"
+            if not splits:  # constant column: single bucket
+                staged = staged.withColumn(name, F.lit(0.0))
+            else:
+                staged = staged.withColumn(
+                    f"__zsrc{i}", F.coalesce(srcs[i], F.lit(inf)))
+                staged = Bucketizer(
+                    splits=[-inf] + splits + [inf],
+                    inputCol=f"__zsrc{i}", outputCol=name,
+                    handleInvalid="keep").transform(staged).drop(f"__zsrc{i}")
+            bucket_cols.append(F.least(F.col(name).cast("long"),
+                                       F.lit(NQ - 1)))
+        terms = []
+        for j, bc in enumerate(bucket_cols):
+            for i in range(BITS):
+                terms.append(F.shiftleft(
+                    F.shiftright(bc, i).bitwiseAND(F.lit(1)), i * ncols + j))
+        z = reduce(lambda a, b: a.bitwiseOR(b), terms)
+        return staged.withColumn("__z", z).drop(
+            *[f"__zb{i}" for i in range(ncols)])
+
+    def optimize(self, purge_before: Optional[int] = None,
+                 zorder_by: Optional[Sequence[str]] = None,
+                 target_files: Optional[int] = None) -> dict:
         """Compact the store: rewrite every bucket that has more than one
         data file into a single file (the Delta OPTIMIZE / Iceberg
         rewrite_data_files maintenance op). Logical content, version
@@ -708,6 +926,16 @@ class Table:
         commit. With ``purge_before=v``, row-versions already expired at
         v (_v_max <= v) are dropped during the rewrite, reclaiming MVCC
         garbage at the cost of time travel earlier than v.
+
+        With ``zorder_by=[cols...]`` the WHOLE table is rewritten
+        clustered by the interleaved-bit z-value of those columns
+        (Delta OPTIMIZE ZORDER BY): rows close in every dimension land
+        in the same files, so the manifest's min/max stats prune
+        multi-column predicates — not just the leading sort key.
+        ``target_files`` bounds the rewrite's output file count
+        (default: the session's parallelism). Subsequent row mutations
+        re-cluster only the buckets they touch; re-run optimize to
+        restore perfect clustering (same contract as Delta).
 
         Small files are the classic death-by-metadata failure at scale:
         every insert commits at least one file per touched bucket, and a
@@ -718,6 +946,33 @@ class Table:
         Returns {"compacted_buckets": n, "files_before": a, "files_after": b}.
         """
         cur = self._current_files()
+        if zorder_by:
+            if not cur:
+                return {"compacted_buckets": 0, "files_before": 0,
+                        "files_after": 0}
+            store = self._store_df()
+            if purge_before is not None:
+                store = store.filter(F.col(_VMAX) > purge_before)
+            spark = self.catalog.spark
+            n_out = int(target_files or spark.sparkContext.defaultParallelism)
+            staged = self._zorder_expr(store, list(zorder_by))
+            # range-partition on z ALONE (not _bkt: buckets hash rowids, so
+            # each bucket is a uniform z-sample and leading with it would
+            # leave every file full-range). Each task owns one contiguous
+            # z-slice; the partitionBy(_bkt) write then splits the slice
+            # into bucket-pure files whose rows all lie in that slice, so
+            # per-file min/max stay tight on EVERY zorder column while the
+            # bucket mutation unit survives. File count = target_files x
+            # occupied buckets — size target_files so file ~ 128 MB.
+            staged = (staged.repartitionByRange(max(n_out, 1), F.col("__z"))
+                      .sortWithinPartitions(_BKT, "__z").drop("__z"))
+            self._rewrite(staged)
+            after = self._current_files()
+            self._log("optimize", zorder_by=list(zorder_by),
+                      files_before=len(cur), files_after=len(after))
+            return {"compacted_buckets": self.n_buckets,
+                    "zorder_by": list(zorder_by),
+                    "files_before": len(cur), "files_after": len(after)}
         by_bucket: dict[Optional[int], list[str]] = {}
         for f in cur:
             by_bucket.setdefault(self._bucket_of(f), []).append(f)
@@ -792,7 +1047,8 @@ class Table:
         top-level ANDs, keeps `col <op> literal` / `literal <op> col`
         comparisons on scalar columns, ignores everything else (which
         simply doesn't prune)."""
-        from .exprs import ColumnRef, Comparison, CompoundPredicate, Literal
+        from .exprs import (ColumnRef, Comparison, CompoundPredicate,
+                            InPredicate, Literal)
         _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
                  "==": "==", "!=": "!="}
         out: list[tuple] = []
@@ -801,6 +1057,14 @@ class Table:
             if isinstance(e, CompoundPredicate) and e.op == "and":
                 for c in e.components:
                     visit(c)
+                return
+            if isinstance(e, InPredicate) \
+                    and isinstance(e.components[0], ColumnRef) \
+                    and all(isinstance(v, (int, float, str, bool))
+                            for v in e.values):
+                # a file survives if ANY listed value admits a match; with
+                # a bloom on the column this prunes batched point lookups
+                out.append((e.components[0].name, "in", list(e.values)))
                 return
             if isinstance(e, Comparison) and e.op != "!=":
                 a, b = e.components
