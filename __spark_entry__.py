@@ -1978,6 +1978,34 @@ def q93_media_probe(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q94_weighted_jaccard(spark, sf_dir):
+    """Exact weighted (multiset) Jaccard near-dup pairs over unigram term
+    frequencies, with the max_df stopword-skew guard (terms in >5% of the
+    corpus are dropped before totals — a broadcast anti-join; the term
+    equi-join is the only wide stage over raw terms). Set-based q34 calls
+    'spam spam spam ham' == 'spam ham'; this measure doesn't."""
+    df = _df(spark, sf_dir, "documents")
+    # cap = 5% of the corpus (metadata-only parquet count) — a fixed cap
+    # would silently drop the whole vocabulary at 10x the docs
+    max_df = max(1, int(0.05 * df.count()))
+    return dedup.weighted_jaccard_pairs(
+        df, threshold=0.3, max_df=max_df).orderBy("id_a", "id_b")
+
+
+def q95_icws_pairs(spark, sf_dir):
+    """ICWS (Ioffe 2010) consistent-weighted-sampling sketch of the same
+    measure: K=12 samples banded 4-per-band (hot-bucket guard), estimate =
+    agreeing fraction over the full signature, first-agreeing-band-wins
+    pair emission, slim-candidate + distributed-verify join shape.
+    Deterministic (xxhash64-derived gamma draws) but ln/floor ulp behavior
+    is engine-specific, so no SQL oracle — pinned by
+    tests/test_weighted_jaccard.py (estimator tracks the exact measure,
+    determinism, consistency)."""
+    df = _df(spark, sf_dir, "documents")
+    return dedup.icws_pairs(
+        df, num_samples=12, threshold=0.75).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2071,6 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_bpe_tokenize": q91_bpe_tokenize,
         "q92_lsa_semantic_dedup": q92_lsa_semantic_dedup,
         "q93_media_probe": q93_media_probe,
+        "q94_weighted_jaccard": q94_weighted_jaccard,
+        "q95_icws_pairs": q95_icws_pairs,
     }
 
 
@@ -2786,6 +2816,27 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q94_weighted_jaccard": r"""
+WITH toks AS (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM documents),
+tf0 AS (SELECT doc_id, term, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+        WHERE term <> '' GROUP BY 1, 2),
+hot AS (SELECT term FROM tf0 GROUP BY term
+        HAVING count(*) > (SELECT greatest(1, CAST(floor(0.05 * count(*))
+                                               AS BIGINT)) FROM documents)),
+tf AS (SELECT * FROM tf0 WHERE term NOT IN (SELECT term FROM hot)),
+tot AS (SELECT doc_id, sum(cnt) AS tot FROM tf GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(least(a.cnt, b.cnt)) AS im
+          FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(im AS DOUBLE) / (ta.tot + tb.tot - im), 6) AS wjaccard
+FROM inter JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
+WHERE CAST(im AS DOUBLE) / (ta.tot + tb.tot - im) >= 0.3
+ORDER BY id_a, id_b""",
         "q93_media_probe": """
 SELECT doc_id,
        CAST(5 + doc_id % 11 AS INTEGER) AS tiff_w,

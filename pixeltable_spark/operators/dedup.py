@@ -25,6 +25,7 @@ results bit-for-bit.
 from __future__ import annotations
 
 from functools import reduce
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -811,3 +812,223 @@ def dedup_against(df: DataFrame, ref_df: DataFrame,
     drop = (F.col("dup_exact") | F.col("dup_near")) if near         else F.col("dup_exact")
     keep = flags.where(~drop).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Weighted (multiset) Jaccard + ICWS sketches
+# ---------------------------------------------------------------------------
+# Set-based Jaccard (minhash/ngram_jaccard_pairs above) ignores term
+# frequency: "spam spam spam ham" and "spam ham" are identical sets. The
+# weighted measure J_w(A,B) = sum_t min(fA,fB) / sum_t max(fA,fB) over
+# term-frequency vectors is the standard fix (and the measure ICWS — Ioffe,
+# "Improved Consistent Sampling, Weighted Minhash and L1 Sketching",
+# ICDM 2010 — sketches). Reference analog: pixeltable ships string/split
+# plumbing but no weighted dedup; this is part of the beyond-reference
+# training-data-curation family.
+
+
+def term_freqs(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, term, cnt) unigram term frequencies of the lowercased
+    whitespace-tokenized text. One explode + one groupBy; map-side combine
+    shrinks the shuffle to distinct (doc, term) pairs."""
+    df = spread(df)   # few-split scans would explode on one core
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+          .filter(F.col("term") != ""))
+    return ex.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+
+
+def weighted_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", threshold: float = 0.3,
+                           max_df: Optional[int] = None) -> DataFrame:
+    """Exact weighted Jaccard pairs: (id_a, id_b, wjaccard) for every pair
+    with J_w >= threshold. Since sum_t max(fA,fB) = totA + totB - sum_t
+    min(fA,fB), only intersecting terms ever join: one term equi-join ->
+    per-pair sum(least(cnt,cnt)), then two broadcast-size joins against the
+    per-doc totals. No n^2 stage; candidate count is bounded by co-occurring
+    terms, exactly like ngram_jaccard_pairs.
+
+    ``max_df`` drops terms appearing in more than max_df docs BEFORE totals
+    are computed (a proper Jaccard on the reduced vocabulary): the hot-term
+    skew guard for boilerplate corpora — the dropped set is tiny (stopwords)
+    so it ships as a broadcast anti-join. Off by default because it changes
+    the measure."""
+    tc = term_freqs(df, text_col, id_col)
+    if max_df is not None:
+        hot = (tc.groupBy("term").agg(F.count("*").alias("df_"))
+               .filter(F.col("df_") > max_df).select("term"))
+        tc = tc.join(F.broadcast(hot), "term", "left_anti")
+    # one materialization feeds totals AND both join sides (no exchange
+    # reuse across self-join aliases otherwise)
+    tc = tc.localCheckpoint(eager=False)
+    tot = tc.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
+    a, b = tc.alias("a"), tc.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.term") == F.col("b.term"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.cnt"), F.col("b.cnt"))).alias("im")))
+    ta = tot.select(F.col(id_col).alias("id_a"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col(id_col).alias("id_b"), F.col("tot").alias("tot_b"))
+    wj = F.col("im") / (F.col("tot_a") + F.col("tot_b") - F.col("im"))
+    return (inter.join(ta, "id_a").join(tb, "id_b")
+            .filter(wj >= threshold)
+            .select("id_a", "id_b", F.round(wj, 6).alias("wjaccard")))
+
+
+def _icws_uniform(term: Column, salt: str) -> Column:
+    """Uniform draw in (0, 1] from xxhash64(salt || term): top 53 bits ->
+    (0, 1] with full double granularity. xxhash64 is ~4x cheaper than the
+    md5+conv slicing minhash uses; ICWS has no SQL oracle (engine-specific
+    ln/floor ulps — see q95), so hash portability buys nothing here."""
+    h53 = F.shiftrightunsigned(
+        F.xxhash64(F.concat(F.lit(salt), term)), 11)
+    return (h53.cast("double") + F.lit(1.0)) / F.lit(9007199254740992.0)
+
+
+def icws_signatures(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    num_samples: int = 8) -> DataFrame:
+    """ICWS (Ioffe 2010) signatures: K consistent weighted samples per doc,
+    each an element drawn with probability proportional to its weight such
+    that P[sample_k(A) == sample_k(B)] = J_w(A, B) exactly.
+
+    Per sample k and term with weight w (its in-doc frequency):
+        r ~ Gamma(2,1) = -ln(u1*u2),  c ~ Gamma(2,1) = -ln(u3*u4),
+        beta ~ U(0,1],  t = floor(ln(w)/r + beta),
+        ln y = r*(t - beta),  ln a = ln c - ln y - r,
+    and the sample is the (term, t) minimizing ln a. All draws are
+    md5-derived from (k, term) — deterministic, and consistent across docs
+    (the same term gets the same r/c/beta in every doc, which is what makes
+    collision probability equal J_w).
+
+    Plan shape: the term_freqs explode, then 2 materialized md5s per sample
+    and K min(struct(ln_a, term, t)) aggregates in ONE groupBy — map-side
+    partial aggregation ships K structs per doc regardless of doc size
+    (the minhash_signatures shape, with Gamma math in place of slicing).
+    min(struct) gives a deterministic total order (no min_by tie
+    nondeterminism). Output: id, s_0..s_{K-1} as "term|t" strings."""
+    tc = term_freqs(df, text_col, id_col)
+    # AQE coalesces the small term_freqs shuffle to very few partitions;
+    # the md5/gamma battery below is the expensive stage, so re-expand to
+    # full parallelism, keyed by id: HashPartitioning(id) already satisfies
+    # the groupBy(id) distribution, so the aggregate adds NO extra exchange
+    sc = df.sparkSession.sparkContext
+    tc = tc.repartition(sc.defaultParallelism, id_col)
+    lnw = F.log(F.col("cnt").cast("double"))
+    # The whole per-(term, k) battery lives in ONE projection whose output
+    # structs the aggregate min()s by plain column reference. Feeding the
+    # expressions to min() directly is 4-5x slower: CollapseProject folds
+    # the projection into the Aggregate, where codegen CSE does not apply
+    # across aggregate expressions, so every md5 is re-evaluated once per
+    # textual reference (~10x per sample). The nondeterministic barrier
+    # column blocks the collapse; inside the single ProjectExec,
+    # subexpression elimination computes each md5 once.
+    struct_cols = []
+    for k in range(num_samples):
+        u1, u2, u3, u4 = (_icws_uniform(F.col("term"), f"icws{k}u{s}|")
+                          for s in range(4))
+        beta = _icws_uniform(F.col("term"), f"icws{k}b|")
+        r = -(F.log(u1) + F.log(u2))
+        ln_c = F.log(-(F.log(u3) + F.log(u4)))
+        t = F.floor(lnw / r + beta)
+        ln_y = r * (t.cast("double") - beta)
+        ln_a = ln_c - ln_y - r
+        struct_cols.append(F.struct(
+            ln_a.alias("a"), F.col("term").alias("t"),
+            t.alias("tk")).alias(f"__pk{k}"))
+    ex = tc.select(F.col(id_col), *struct_cols,
+                   F.monotonically_increasing_id().alias("__nocollapse"))
+    sigs = ex.groupBy(id_col).agg(
+        *[F.min(f"__pk{k}").alias(f"__m{k}") for k in range(num_samples)])
+    return sigs.select(
+        F.col(id_col),
+        *[F.concat_ws("|", F.col(f"__m{k}.t"), F.col(f"__m{k}.tk"))
+          .alias(f"s_{k}") for k in range(num_samples)])
+
+
+def icws_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               num_samples: int = 8, threshold: float = 0.5,
+               rows_per_band: Optional[int] = None) -> DataFrame:
+    """Approximate weighted-Jaccard near-dup pairs from ICWS signatures:
+    candidates via minhash-style banding (band key = md5 of rows_per_band
+    consecutive samples; equi-join on (band, key) — never n^2), estimate =
+    fraction of agreeing samples over the FULL signature, emitted once via
+    first-agreeing-band-wins (the same distinct()-free projection filter
+    as minhash_lsh_pairs). E[est] = J_w.
+
+    rows_per_band is the skew knob: banding single samples (r=1) floods
+    hot buckets on corpora with a corpus-wide similarity floor (a popular
+    heavy term's sample captures thousands of docs -> m^2 join rows).
+    P[band collision] = J_w^r, so the default r — the largest power of two
+    with (1/2)^r still giving >=1 expected agreeing band at threshold 0.5
+    — keeps buckets sparse while catching everything near the threshold:
+    recall at J >= t is 1-(1-t^r)^(K/r)."""
+    if rows_per_band is None:
+        rows_per_band = max(1, min(4, num_samples // 2))
+    assert num_samples % rows_per_band == 0
+    bands = num_samples // rows_per_band
+    sig_cols = [f"s_{i}" for i in range(num_samples)]
+    # EAGER checkpoint: four lineages read sigs (both banded join sides +
+    # both verify sides) and a lazy checkpoint materializes too late to
+    # stop per-branch recomputation of the whole explode+agg; K samples
+    # per doc is tiny at any scale, so paying the materialization up
+    # front is strictly cheaper than 4x the signature job
+    sigs = icws_signatures(df, text_col, id_col, num_samples) \
+        .localCheckpoint()
+    # 64-bit sample hashes instead of the "term|t" strings: one long per
+    # sample in the shuffle, long comparisons in the verify (collision
+    # 2^-64 -- immaterial to a K-sample estimate)
+    sig_arr = F.array(*[F.xxhash64(F.col(c)) for c in sig_cols])
+    band_keys = F.array(*[
+        F.xxhash64(F.concat_ws(
+            "\x1f", *[F.col(sig_cols[b * rows_per_band + r])
+                      for r in range(rows_per_band)]))
+        for b in range(bands)])
+    packed = sigs.select(F.col(id_col), sig_arr.alias("sig"),
+                         band_keys.alias("bk"))
+    # candidate generation is SLIM -- ids only. A corpus-wide boilerplate
+    # band can put thousands of docs in one bucket, and every pair of that
+    # bucket materializes inside the single join task that owns the key
+    # (AQE cannot split one key): with the verify math inlined there, the
+    # hot task serializes the whole stage. Skinny candidates stream out of
+    # the hot task fast; the explicit repartition then spreads the verify.
+    banded = packed.select(
+        F.col(id_col), F.posexplode(F.col("bk")).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                          F.col("a.key") == F.col("b.key"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.band").alias("band")))
+    sc = df.sparkSession.sparkContext
+    cand = cand.repartition(sc.defaultParallelism, "id_a", "id_b")
+    sa = packed.select(F.col(id_col).alias("id_a"),
+                       F.col("sig").alias("sig_a"))
+    sb = packed.select(F.col(id_col).alias("id_b"),
+                       F.col("sig").alias("sig_b"))
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    # first AGREEING BAND wins (the distinct()-free pair dedup). The
+    # verify math is all element_at/when chains -- whole-stage codegen;
+    # zip_with/filter/array_position HOFs are interpreted (~2us/element)
+    # and dominate at millions of candidate rows.
+    eq = [F.element_at(F.col("sig_a"), i + 1)
+          == F.element_at(F.col("sig_b"), i + 1)
+          for i in range(num_samples)]
+    matches = reduce(lambda x, y: x + y,
+                     [e.cast("int") for e in eq])
+    est = matches.cast("double") / F.lit(float(num_samples))
+    band_agree = [
+        reduce(lambda x, y: x & y,
+               [eq[i * rows_per_band + r] for r in range(rows_per_band)])
+        for i in range(bands)
+    ]
+    first_agree = F.lit(-1)
+    for i in range(bands - 1, -1, -1):
+        first_agree = F.when(band_agree[i], F.lit(i)).otherwise(first_agree)
+    return (j.filter(F.col("band") == first_agree)
+            .filter(est >= threshold)
+            .select("id_a", "id_b", F.round(est, 6).alias("est_wjaccard")))
