@@ -201,3 +201,67 @@ def xlsx_to_markdown(payload: bytes, max_rows: int = 1000) -> str:
             for r in rows[1:]:
                 out.append("| " + " | ".join(r) + " |")
     return "\n\n".join(out)
+
+
+def xlsx_sheet_rows(payload: bytes, max_rows: int = 1_000_000) -> dict:
+    """XLSX bytes -> {sheet_name: list[list[cell]]} with typed cells:
+    numbers come back as int/float, booleans as bool, strings (shared,
+    inline or formula-cached) as str, empty cells as None. The tabular
+    counterpart of xlsx_to_markdown, backing io.import_excel (reference
+    io/pandas.py import_excel delegates to pandas.read_excel; same class
+    of documents, stdlib-only)."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not an XLSX (not a zip archive): {e}") from e
+    if "xl/workbook.xml" not in zf.namelist():
+        raise ValueError("not an XLSX (missing xl/workbook.xml)")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sroot.findall(f"{_S}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    names = [sh.get("name", f"Sheet{i+1}") for i, sh in
+             enumerate(wb.iter(f"{_S}sheet"))]
+    sheet_files = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()))
+
+    def _cell_value(c):
+        t = c.get("t")
+        if t == "inlineStr":
+            return "".join(x.text or "" for x in c.iter(f"{_S}t"))
+        v = c.find(f"{_S}v")
+        if v is None or v.text is None:
+            return None
+        if t == "s":
+            idx = int(v.text)
+            return shared[idx] if idx < len(shared) else None
+        if t == "b":
+            return v.text.strip() == "1"
+        if t == "str":      # formula cached string
+            return v.text
+        txt = v.text.strip()
+        try:
+            f = float(txt)
+        except ValueError:
+            return txt
+        return int(f) if f.is_integer() and "." not in txt \
+            and "e" not in txt.lower() else f
+
+    out: dict = {}
+    for i, fname in enumerate(sheet_files):
+        root = ET.fromstring(zf.read(fname))
+        rows: list[list] = []
+        for row in root.iter(f"{_S}row"):
+            if len(rows) >= max_rows:
+                break
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{_S}c"):
+                cells[_cell_col(c.get("r", "A1"))] = _cell_value(c)
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(j) for j in range(width)])
+        out[names[i] if i < len(names) else f"Sheet{i+1}"] = rows
+    return out

@@ -21,8 +21,13 @@ current font per Tf operator, resolves the page's /Resources /Font
 dictionary, and maps 2-byte code strings to Unicode. Fonts without a
 ToUnicode map fall back to latin-1 of the raw bytes.
 
-Out of scope (raises ValueError so callers fall back loudly): encrypted
-PDFs, LZW/other filters.
+Encrypted documents using the standard security handler with an empty
+user password (the common permissions-only encryption) are decrypted via
+``pdf_crypto`` — RC4 40-128 bit (V1/V2) and AES-128-CBC (/AESV2).
+
+Out of scope (raises ValueError so callers fall back loudly):
+password-protected PDFs (non-empty user password), AES-256 (V5/R6),
+LZW/other filters.
 """
 
 from __future__ import annotations
@@ -37,6 +42,53 @@ def _parse_objects(data: bytes) -> dict:
     for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", data, re.S):
         objs[int(m.group(1))] = m.group(2)
     return objs
+
+
+def _decrypt_objects(data: bytes, objs: dict) -> None:
+    """Decrypt stream bodies in place for standard-security-handler
+    documents with an empty user password (pdf_crypto). Cross-reference
+    streams are never encrypted (ISO 32000 §7.5.8.2); the /Encrypt
+    dictionary itself and its strings stay as-is (only /O and /U are read
+    from it, and those are stored unencrypted)."""
+    from .pdf_crypto import PdfDecryptor
+
+    m_enc = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s*R", data)
+    if not m_enc:
+        raise ValueError("encrypted PDF with inline /Encrypt unsupported")
+    enc_num = int(m_enc.group(1))
+    m_id = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data)
+    id0 = bytes.fromhex(m_id.group(1).decode()) if m_id else b""
+    enc_body = objs.get(enc_num)
+    if enc_body is None:
+        raise ValueError("missing /Encrypt object")
+    dec = PdfDecryptor(enc_body, id0)
+    gens = {int(m.group(1)): int(m.group(2)) for m in
+            re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data)}
+    for num, body in list(objs.items()):
+        if num == enc_num or re.search(rb"/Type\s*/XRef\b", body):
+            continue
+        ms = re.search(rb"stream\r?\n", body)
+        if not ms:
+            continue
+        start = ms.end()
+        m_len = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s*R)", body)
+        if m_len:
+            raw = body[start:start + int(m_len.group(1))]
+        else:
+            m_ref = re.search(rb"/Length\s+(\d+)\s+\d+\s*R", body)
+            if m_ref:
+                lb = objs.get(int(m_ref.group(1)), b"")
+                m_iv = re.search(rb"(\d+)", lb)
+                raw = body[start:start + int(m_iv.group(1))] if m_iv else b""
+            else:
+                m_end = re.search(rb"\r?\nendstream", body[start:])
+                raw = body[start:start + m_end.start()] if m_end else b""
+        try:
+            plain = dec.decrypt(num, gens.get(num, 0), raw)
+        except ValueError:
+            continue   # leave undecryptable stream as-is
+        objs[num] = (body[:ms.start()] + b"stream\n" + plain
+                     + b"\nendstream")
 
 
 def _expand_object_streams(objs: dict) -> None:
@@ -291,11 +343,13 @@ def extract_pages(payload: bytes) -> list:
     data = bytes(payload)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    if b"/Encrypt" in data:
-        raise ValueError("encrypted PDF")
     objs = _parse_objects(data)
     if not objs:
         raise ValueError("no PDF objects found")
+    if re.search(rb"/Encrypt\b", data):
+        # RC4 / AES-128 standard security handler, empty user password
+        # (pdf_crypto); raises for password-protected / V5 documents
+        _decrypt_objects(data, objs)
     _expand_object_streams(objs)
     # page order via the page tree when present, else document order
     page_ids: list[int] = []

@@ -51,6 +51,68 @@ def import_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def import_excel(spark: SparkSession, path: str, sheet_name=0,
+                 header: bool = True) -> DataFrame:
+    """Excel (.xlsx) -> DataFrame (reference io/pandas.py import_excel,
+    which delegates to pandas.read_excel; here the stdlib OOXML codec
+    parses cells with types — int/float/bool/str — so no pandas/openpyxl
+    dependency). ``sheet_name`` is an index or sheet name; ``header``
+    promotes the first row to column names. Driver-side parse (an .xlsx
+    is a single small zip — same driver-bound shape as the reference)."""
+    from ..functions.office_codec import xlsx_sheet_rows
+
+    with open(path, "rb") as f:
+        sheets = xlsx_sheet_rows(f.read())
+    if isinstance(sheet_name, int):
+        try:
+            rows = list(sheets.values())[sheet_name]
+        except IndexError:
+            raise ValueError(f"no sheet index {sheet_name} "
+                             f"(found {len(sheets)})") from None
+    else:
+        if sheet_name not in sheets:
+            raise ValueError(f"no sheet named {sheet_name!r} "
+                             f"(have {sorted(sheets)})")
+        rows = sheets[sheet_name]
+    if not rows:
+        raise ValueError("empty sheet")
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    if header:
+        names = [str(c) if c is not None else f"col{j}"
+                 for j, c in enumerate(rows[0])]
+        rows = rows[1:]
+    else:
+        names = [f"col{j}" for j in range(width)]
+    # per-column Spark type from the observed python values; mixed
+    # int/float widens to double, anything else to string
+    from pyspark.sql import types as T
+
+    def col_type(j):
+        kinds = {type(r[j]) for r in rows if r[j] is not None}
+        if kinds <= {bool}:
+            return T.BooleanType()
+        if kinds <= {int}:
+            return T.LongType()
+        if kinds <= {int, float}:
+            return T.DoubleType()
+        return T.StringType()
+
+    struct = T.StructType([T.StructField(n, col_type(j), True)
+                           for j, n in enumerate(names)])
+    def conv(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.DoubleType):
+            return float(v)
+        if isinstance(dt, T.StringType):
+            return str(v)
+        return v
+    data = [tuple(conv(r[j], struct[j].dataType) for j in range(width))
+            for r in rows]
+    return spark.createDataFrame(data, struct)
+
+
 def import_huggingface_dataset(spark: SparkSession, dataset) -> DataFrame:
     """HF datasets -> Spark via the Arrow format
     (reference io/hf_datasets.py:108). Accepts a loaded ``datasets.Dataset``

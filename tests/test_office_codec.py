@@ -138,3 +138,68 @@ class TestSplitterWiring:
         out = document_splitter_v2(df, separators="heading",
                                    input_format="pptx").collect()
         assert len(out) == 2  # one section per slide heading
+
+
+def make_typed_xlsx() -> bytes:
+    """Two sheets with typed cells: shared + inline strings, ints,
+    floats, bools, a blank, and a formula-cached string."""
+    wb = f'<?xml version="1.0"?><x:workbook {S_NS}><x:sheets>' \
+         '<x:sheet name="People" sheetId="1"/>' \
+         '<x:sheet name="Empty" sheetId="2"/></x:sheets></x:workbook>'
+    ss = f'<?xml version="1.0"?><x:sst {S_NS}>' \
+         '<x:si><x:t>name</x:t></x:si><x:si><x:t>alice</x:t></x:si></x:sst>'
+    sheet = f"""<?xml version="1.0"?>
+<x:worksheet {S_NS}><x:sheetData>
+ <x:row r="1"><x:c r="A1" t="s"><x:v>0</x:v></x:c>
+              <x:c r="B1" t="inlineStr"><x:is><x:t>age</x:t></x:is></x:c>
+              <x:c r="C1" t="inlineStr"><x:is><x:t>score</x:t></x:is></x:c>
+              <x:c r="D1" t="inlineStr"><x:is><x:t>active</x:t></x:is></x:c></x:row>
+ <x:row r="2"><x:c r="A2" t="s"><x:v>1</x:v></x:c>
+              <x:c r="B2"><x:v>34</x:v></x:c>
+              <x:c r="C2"><x:v>9.25</x:v></x:c>
+              <x:c r="D2" t="b"><x:v>1</x:v></x:c></x:row>
+ <x:row r="3"><x:c r="A3" t="str"><x:v>bob</x:v></x:c>
+              <x:c r="B3"><x:v>41</x:v></x:c>
+              <x:c r="D3" t="b"><x:v>0</x:v></x:c></x:row>
+</x:sheetData></x:worksheet>"""
+    sheet2 = f'<?xml version="1.0"?><x:worksheet {S_NS}>' \
+             '<x:sheetData/></x:worksheet>'
+    return _zip({"xl/workbook.xml": wb, "xl/sharedStrings.xml": ss,
+                 "xl/worksheets/sheet1.xml": sheet,
+                 "xl/worksheets/sheet2.xml": sheet2,
+                 "[Content_Types].xml": "<Types/>"})
+
+
+class TestXlsxRows:
+    def test_typed_cells(self):
+        sheets = oc.xlsx_sheet_rows(make_typed_xlsx())
+        assert list(sheets) == ["People", "Empty"]
+        rows = sheets["People"]
+        assert rows[0] == ["name", "age", "score", "active"]
+        assert rows[1] == ["alice", 34, 9.25, True]
+        assert rows[2] == ["bob", 41, None, False]
+        assert sheets["Empty"] == []
+
+
+class TestImportExcel:
+    def test_import_excel(self, spark, tmp_path):
+        from pixeltable_spark.sources.io import import_excel
+        p = tmp_path / "t.xlsx"
+        p.write_bytes(make_typed_xlsx())
+        df = import_excel(spark, str(p))
+        assert [f.name for f in df.schema.fields] \
+            == ["name", "age", "score", "active"]
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert types == {"name": "string", "age": "bigint",
+                         "score": "double", "active": "boolean"}
+        got = sorted((r["name"], r["age"], r["score"], r["active"])
+                     for r in df.collect())
+        assert got == [("alice", 34, 9.25, True), ("bob", 41, None, False)]
+        # by sheet name + headerless
+        df2 = import_excel(spark, str(p), sheet_name="People", header=False)
+        assert df2.count() == 3 and df2.columns == ["col0", "col1", "col2", "col3"]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no sheet named"):
+            import_excel(spark, str(p), sheet_name="Missing")
+        with _pt.raises(ValueError, match="empty sheet"):
+            import_excel(spark, str(p), sheet_name="Empty")
