@@ -880,11 +880,20 @@ class Table:
                 srcs.append(F.col(c).cast("double"))
             elif base == "date":
                 srcs.append(F.col(c).cast("timestamp").cast("double"))
+            elif base == "string":
+                # order-preserving 48-bit key from the first 6 UTF-8 bytes:
+                # byte order == lexicographic UTF-8 order, rpad x'00' keeps
+                # prefixes ("a" < "ab"), 48 bits stays exact in a double.
+                # Clustering quality only — min/max stats stay truthful on
+                # the real string values, so pruning correctness never
+                # depends on this key.
+                srcs.append(F.conv(F.hex(F.expr(
+                    f"rpad(cast(`{c}` as binary), 6, x'00')")), 16, 10)
+                    .cast("double"))
             else:
                 raise ValueError(
-                    f"zorder_by column {c!r} has non-orderable-numeric type "
-                    f"{dt!r}; z-order v1 supports numeric/date/timestamp — "
-                    "add a computed numeric key for strings")
+                    f"zorder_by column {c!r} has unsupported type {dt!r}; "
+                    "z-order supports numeric/date/timestamp/string")
         tmp = df.select(*[s.alias(f"__zsrc{i}") for i, s in enumerate(srcs)])
         # one distributed Greenwald-Khanna pass for ALL columns' quantiles
         probs = [i / NQ for i in range(1, NQ)]

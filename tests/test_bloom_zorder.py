@@ -201,12 +201,32 @@ class TestZOrder:
         assert t.ref(version=v).count() == 4096
         assert t.ref().count() == 4097
 
-    def test_string_column_rejected(self, spark, tmp_path):
+    def test_unsupported_column_rejected(self, spark, tmp_path):
         cat = pxt.Catalog(spark, str(tmp_path / "wh2"))
-        t = cat.create_table("s", {"s": pxt.String()})
-        t.insert([{"s": "a"}])
+        t = cat.create_table("s", {"s": pxt.Array(pxt.Float())})
+        t.insert([{"s": [1.0, 2.0]}])
         with pytest.raises(ValueError, match="zorder_by"):
             t.optimize(zorder_by=["s"])
+
+    def test_string_column_clusters(self, spark, tmp_path):
+        """String z-order: 48-bit UTF-8 prefix key clusters lexicographic
+        neighborhoods, so a prefix-range predicate prunes files."""
+        cat = pxt.Catalog(spark, str(tmp_path / "wh4"))
+        t = cat.create_table("s", {"host": pxt.String(), "n": pxt.Int()})
+        hosts = [f"{p}{i:04d}.example.com" for i in range(400)
+                 for p in ("alpha-", "beta-", "gamma-", "zeta-")]
+        t.insert([{"host": h, "n": i} for i, h in enumerate(hosts)])
+        before = sorted((r["host"], r["n"]) for r in t.ref().collect())
+        t.optimize(zorder_by=["host", "n"], target_files=16)
+        after = sorted((r["host"], r["n"]) for r in t.ref().collect())
+        assert before == after
+        files = t._current_files()
+        assert len(files) >= 8
+        kept = t._prune_files(files, t._current_stats(),
+                              [("host", ">=", "beta-"), ("host", "<", "c")])
+        assert len(kept) <= len(files) / 2
+        ref = t.ref()
+        assert t.scan((ref.host >= "beta-") & (ref.host < "c")).count() == 400
 
     def test_constant_and_null_columns(self, spark, tmp_path):
         cat = pxt.Catalog(spark, str(tmp_path / "wh3"))
