@@ -140,6 +140,31 @@ def _bloom_might_contain(bloom: dict, v) -> bool:
     return True
 
 
+_STR_STAT_MAX = 64
+
+
+def _truncate_str_stats(lo: str, hi: str,
+                        limit: int = _STR_STAT_MAX) -> tuple:
+    """Bound string min/max stats to `limit` chars for the manifest (the
+    Delta 32-char-truncation design: a documents table would otherwise
+    ship document prefixes in every manifest). Widening only, so pruning
+    stays conservative: lo[:limit] <= lo; hi becomes the prefix with its
+    last char bumped, which upper-bounds every string starting with that
+    prefix. Returns (lo, None) when no valid upper bound exists (all
+    prefix chars at the max code point) — caller drops the stat."""
+    if len(lo) > limit:
+        lo = lo[:limit]
+    if len(hi) > limit:
+        p = hi[:limit]
+        i = len(p) - 1
+        while i >= 0 and ord(p[i]) >= 0x10FFFF:
+            i -= 1
+        if i < 0:
+            return lo, None
+        hi = p[:i] + chr(ord(p[i]) + 1)
+    return lo, hi
+
+
 def _cellmd_col(name: str) -> str:
     return f"_cellmd_{name}"
 
@@ -567,6 +592,11 @@ class Table:
                     if not isinstance(lo, (int, float, str, bool)):
                         cols[c.path_in_schema] = None
                         continue
+                    if isinstance(lo, str):
+                        lo, hi = _truncate_str_stats(lo, hi)
+                        if hi is None:
+                            cols[c.path_in_schema] = None
+                            continue
                     prev = cols.get(c.path_in_schema)
                     if c.path_in_schema in cols and prev is None:
                         continue

@@ -234,3 +234,28 @@ class TestZOrder:
         t.insert([{"a": 7, "b": i if i % 3 else None} for i in range(100)])
         t.optimize(zorder_by=["a", "b"], target_files=4)
         assert t.ref().count() == 100
+
+
+class TestStringStatTruncation:
+    def test_manifest_bounded_and_pruning_safe(self, spark, tmp_path):
+        from pixeltable_spark.catalog import (_STR_STAT_MAX,
+                                              _truncate_str_stats)
+        lo, hi = _truncate_str_stats("a" * 100, "b" * 100, 8)
+        assert lo == "a" * 8 and hi == "b" * 7 + "c" and "b" * 100 <= hi
+        assert _truncate_str_stats("x", "\U0010FFFF" * 9, 8)[1] is None
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("d", {"k": pxt.String(), "body": pxt.String()})
+        t.insert([{"k": f"key-{i:03d}", "body": f"prefix-{i:03d} " + "z" * 500}
+                  for i in range(50)])
+        stats = t._current_stats()
+        for st in stats.values():
+            for col, v in st.items():
+                if col.startswith("__bloom__") or not isinstance(v, list):
+                    continue
+                for bound in v:
+                    if isinstance(bound, str):
+                        assert len(bound) <= _STR_STAT_MAX + 1
+        # pruning on the long column still correct (conservative bounds)
+        ref = t.ref()
+        got = t.scan(ref.body >= "prefix-045").count()
+        assert got == 5
