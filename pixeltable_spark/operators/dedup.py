@@ -839,6 +839,19 @@ def term_freqs(df: DataFrame, text_col: str = "text",
     return ex.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
 
 
+def _capped_term_freqs(df: DataFrame, text_col: str, id_col: str,
+                       max_df: Optional[int]) -> DataFrame:
+    """term_freqs minus terms in more than max_df docs. The hot set is
+    tiny (stopwords/boilerplate), so it ships as a BROADCAST anti-join —
+    the corpus-side term rows never shuffle for the cap."""
+    tc = term_freqs(df, text_col, id_col)
+    if max_df is not None:
+        hot = (tc.groupBy("term").agg(F.count("*").alias("df_"))
+               .filter(F.col("df_") > max_df).select("term"))
+        tc = tc.join(F.broadcast(hot), "term", "left_anti")
+    return tc
+
+
 def weighted_jaccard_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", threshold: float = 0.3,
                            max_df: Optional[int] = None) -> DataFrame:
@@ -854,11 +867,7 @@ def weighted_jaccard_pairs(df: DataFrame, text_col: str = "text",
     skew guard for boilerplate corpora — the dropped set is tiny (stopwords)
     so it ships as a broadcast anti-join. Off by default because it changes
     the measure."""
-    tc = term_freqs(df, text_col, id_col)
-    if max_df is not None:
-        hot = (tc.groupBy("term").agg(F.count("*").alias("df_"))
-               .filter(F.col("df_") > max_df).select("term"))
-        tc = tc.join(F.broadcast(hot), "term", "left_anti")
+    tc = _capped_term_freqs(df, text_col, id_col, max_df)
     # one materialization feeds totals AND both join sides (no exchange
     # reuse across self-join aliases otherwise)
     tc = tc.localCheckpoint(eager=False)

@@ -154,3 +154,31 @@ class TestIcws:
             ["doc_id", "text"])
         [r] = icws_pairs(df, num_samples=16, threshold=0.0, rows_per_band=1).collect()
         assert r["est_wjaccard"] >= 0.5   # J_w = 20/24 ~ 0.83
+
+
+class TestPlanShape:
+    """Pin the scale-critical plan properties (the 100 TB contract)."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_max_df_is_broadcast_anti_join(self, spark, docs_df):
+        from pixeltable_spark.operators.dedup import _capped_term_freqs
+        plan = self._plan(_capped_term_freqs(docs_df, "text", "doc_id", 5))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    def test_icws_verify_is_repartitioned(self, spark, docs_df):
+        """The slim-candidate shape: an explicit hash repartition on
+        (id_a, id_b) sits between the banded self-join and the verify,
+        so a hot boilerplate bucket cannot serialize the est stage."""
+        plan = self._plan(icws_pairs(docs_df, num_samples=8))
+        assert "hashpartitioning(id_a" in plan, plan
+
+    def test_icws_battery_not_single_partition(self, spark, docs_df):
+        """The hash/gamma battery projection must run at full parallelism,
+        not on the AQE-coalesced aggregate output."""
+        sigs = icws_signatures(docs_df, num_samples=4)
+        parallelism = spark.sparkContext.defaultParallelism
+        plan = self._plan(sigs)
+        assert f"hashpartitioning(doc_id" in plan, plan
+        assert f", {parallelism})" in plan, plan
