@@ -2006,6 +2006,20 @@ def q95_icws_pairs(spark, sf_dir):
         df, num_samples=12, threshold=0.75).orderBy("id_a", "id_b")
 
 
+def q96_cluster_representatives(spark, sf_dir):
+    """Quality-aware duplicate resolution (the step after q67's cluster
+    detection): per near-dup cluster keep the member maximizing text
+    length (min id on ties); singletons keep themselves. The oracle
+    replays the LSH pair graph with a recursive CTE and picks the same
+    argmax, so the full detect -> cluster -> resolve chain is
+    EXACT-checked."""
+    from pixeltable_spark.operators.dedup import cluster_representatives
+    df = _df(spark, sf_dir, "documents")
+    out = cluster_representatives(df, k=4, bands=2)
+    return (out.select("doc_id", F.length("text").alias("quality"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2101,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_media_probe": q93_media_probe,
         "q94_weighted_jaccard": q94_weighted_jaccard,
         "q95_icws_pairs": q95_icws_pairs,
+        "q96_cluster_representatives": q96_cluster_representatives,
     }
 
 
@@ -2816,6 +2831,25 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q96_cluster_representatives": f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql(4, 2).replace("ORDER BY id_a, id_b", "")}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+wc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+              length(d.text) AS q
+       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+reps AS (SELECT component,
+                first(doc_id ORDER BY q DESC, doc_id ASC) AS rep
+         FROM wc GROUP BY component)
+SELECT d.doc_id, length(d.text) AS quality
+FROM documents d JOIN reps r ON r.rep = d.doc_id
+ORDER BY d.doc_id""",
         "q94_weighted_jaccard": r"""
 WITH toks AS (SELECT doc_id,
                      string_split_regex(lower(trim(text)), '\s+') AS words

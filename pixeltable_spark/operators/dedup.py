@@ -563,6 +563,42 @@ def dedup_clusters(df: DataFrame, text_col: str = "text",
     return connected_components(pairs, "id_a", "id_b", max_iter)
 
 
+def cluster_representatives(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", quality=None,
+                            k: int = 8, bands: int = 4, shingle_n: int = 3,
+                            max_iter: int = 25) -> DataFrame:
+    """Quality-aware duplicate resolution: the rows of ``df`` that survive
+    keeping ONE representative per near-dup cluster — the doc maximizing
+    `quality` (a Column, a column name, or None for text length), ties
+    broken by min id. Docs outside every cluster keep themselves.
+
+    This is the resolution step real curation pipelines run after pair
+    detection (CCNet/RefinedWeb keep the longest/cleanest member, not an
+    arbitrary one). Plan: dedup_clusters (banded LSH + O(log n)
+    large-star/small-star) -> left join components (unpaired docs form
+    singleton components) -> one groupBy(component) with a single
+    min(struct(-quality, id)) aggregate -> left-semi join back. Nothing
+    driver-side; the only new shuffles are the component attach and the
+    per-cluster argmax."""
+    comps = dedup_clusters(df, text_col, id_col, k, bands, shingle_n,
+                           max_iter)
+    with_comp = (df.join(comps.withColumnRenamed("id", id_col),
+                         id_col, "left")
+                 .withColumn("component",
+                             F.coalesce("component", F.col(id_col))))
+    if quality is None:
+        q = F.length(F.col(text_col)).cast("long")
+    elif isinstance(quality, str):
+        q = F.col(quality)
+    else:
+        q = quality
+    reps = (with_comp.groupBy("component")
+            .agg(F.min(F.struct((-q).alias("nq"),
+                                F.col(id_col).alias("rid"))).alias("m"))
+            .select(F.col("m.rid").alias(id_col)))
+    return df.join(reps, id_col, "left_semi")
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 16,
                   max_hamming: int = 3) -> DataFrame:

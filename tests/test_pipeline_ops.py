@@ -444,3 +444,38 @@ class TestMixtureSample:
         b = {r["doc_id"] for r in
              mixture_sample(df, {"d": 0.5}, seed=2).collect()}
         assert a != b
+
+
+class TestClusterRepresentatives:
+    def test_keeps_best_per_cluster(self, spark):
+        from pixeltable_spark.operators.dedup import cluster_representatives
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the quiet woods tonight")
+        rows = [
+            (1, base),                          # cluster with 2 and 3
+            (2, base + " extended with extra words here"),   # longest
+            (3, base + " extended"),
+            (10, "completely different text about spark and parquet "
+                 "engines running distributed queries"),     # singleton
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept = sorted(r["doc_id"] for r in
+                      cluster_representatives(df, k=4, bands=2).collect())
+        assert 10 in kept                 # singleton survives
+        assert 2 in kept                  # longest member wins
+        assert 1 not in kept and 3 not in kept
+        # custom quality column flips the winner
+        from pyspark.sql import functions as F
+        df2 = df.withColumn("score", F.when(F.col("doc_id") == 3, 100)
+                            .otherwise(1))
+        kept2 = sorted(r["doc_id"] for r in cluster_representatives(
+            df2, quality="score", k=4, bands=2).collect())
+        assert 3 in kept2 and 2 not in kept2
+
+    def test_no_pairs_keeps_everything(self, spark):
+        from pixeltable_spark.operators.dedup import cluster_representatives
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "one two three four five six seven")],
+            ["doc_id", "text"])
+        assert cluster_representatives(df, k=4, bands=2).count() == 2
