@@ -12,6 +12,7 @@ isolates evaluation semantics, not plan rewrites.
 from __future__ import annotations
 
 import math
+import random
 
 import duckdb
 import pytest
@@ -453,3 +454,66 @@ def test_ranking_windows_match_duckdb(tbl, duck, fn_name):
         f"SELECT k, {sqlfn} OVER (PARTITION BY c ORDER BY a, k) "
         "FROM fuzz ORDER BY k").fetchall())
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# weighted-Jaccard differential suite: random corpora + random thresholds
+# vs the DuckDB formulation (multiset semantics, max_df cap included)
+# ---------------------------------------------------------------------------
+
+def _wj_corpus(seed: int):
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(rng.randint(5, 18))]
+    rows = []
+    n = rng.randint(6, 20)
+    for i in range(n):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        rows.append((i, " ".join(toks)))
+    if rng.random() < 0.7 and n > 2:   # seeded dup / near-dup
+        rows.append((n, rows[0][1]))
+        rows.append((n + 1, rows[1][1] + " " + rng.choice(vocab)))
+    return rows
+
+
+_WJ_ORACLE = r"""
+WITH toks AS (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM {tbl}),
+tf0 AS (SELECT doc_id, term, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+        WHERE term <> '' GROUP BY 1, 2),
+hot AS (SELECT term FROM tf0 GROUP BY term HAVING count(*) > {max_df}),
+tf AS (SELECT * FROM tf0 WHERE term NOT IN (SELECT term FROM hot)),
+tot AS (SELECT doc_id, sum(cnt) AS tot FROM tf GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(least(a.cnt, b.cnt)) AS im
+          FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(im AS DOUBLE) / (ta.tot + tb.tot - im), 6) AS wj
+FROM inter JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
+WHERE CAST(im AS DOUBLE) / (ta.tot + tb.tot - im) >= {th}
+ORDER BY id_a, id_b"""
+
+
+@pytest.mark.parametrize("seed", range(710, 722))
+def test_weighted_jaccard_matches_duckdb(spark, seed):
+    import duckdb as _dd
+
+    from pixeltable_spark.operators.dedup import weighted_jaccard_pairs
+
+    rng = random.Random(seed * 31)
+    rows = _wj_corpus(seed)
+    th = round(rng.uniform(0.05, 0.8), 2)
+    max_df = rng.randint(2, len(rows)) if rng.random() < 0.5 else None
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted((r["id_a"], r["id_b"], r["wjaccard"]) for r in
+                 weighted_jaccard_pairs(df, threshold=th,
+                                        max_df=max_df).collect())
+    con = _dd.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = _WJ_ORACLE.format(tbl="t", th=th,
+                            max_df=max_df if max_df is not None else 10**9)
+    want = [(a, b, round(w, 6)) for a, b, w in con.execute(sql).fetchall()]
+    assert got == want, (seed, th, max_df)
