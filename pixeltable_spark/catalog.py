@@ -70,6 +70,7 @@ SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 # Same design as Delta Lake bloom-filter indexes / Iceberg bloom write
 # props; built only for NEW files at commit time (one column-pruned read).
 _BLOOM_PFX = "__bloom__"
+_NULLS_PFX = "__nulls__"
 _BLOOM_MAX_BITS = 1 << 21  # 256 KiB cap per (file, column)
 
 
@@ -580,11 +581,25 @@ class Table:
             except Exception:  # noqa: BLE001 — stats are an optimization
                 continue
             cols: dict[str, list] = {}
+            nulls: dict[str, list] = {}   # col -> [null_count, rows]
             for rg in range(md.num_row_groups):
                 rgm = md.row_group(rg)
                 for ci in range(rgm.num_columns):
                     c = rgm.column(ci)
                     st = c.statistics
+                    # null counts prune IS [NOT] NULL independently of
+                    # min/max usability (Delta stores nullCount likewise)
+                    if st is not None and st.null_count is not None:
+                        prev_n = nulls.get(c.path_in_schema)
+                        if c.path_in_schema not in nulls or prev_n:
+                            if prev_n:
+                                prev_n[0] += st.null_count
+                                prev_n[1] += rgm.num_rows
+                            else:
+                                nulls[c.path_in_schema] = [st.null_count,
+                                                           rgm.num_rows]
+                    else:
+                        nulls[c.path_in_schema] = None  # unknowable
                     if st is None or not st.has_min_max:
                         cols[c.path_in_schema] = None  # poison: unknowable
                         continue
@@ -606,6 +621,9 @@ class Table:
                         cols[c.path_in_schema] = [min(prev[0], lo),
                                                   max(prev[1], hi)]
             out[rel] = {k: v for k, v in cols.items() if v is not None}
+            for k, v in nulls.items():
+                if v is not None:
+                    out[rel][_NULLS_PFX + k] = v
             # bloom filters: the one place a NEW file's data (one pruned
             # column per bloom) is read at commit time — carried-over
             # files keep their manifest entry and are never re-read
@@ -654,6 +672,13 @@ class Table:
             st = stats.get(f) or {}
             skip = False
             for col, op, v in ranges:
+                if op in ("isnull", "notnull"):
+                    nc = st.get(_NULLS_PFX + col)
+                    if nc and ((op == "isnull" and nc[0] == 0)
+                               or (op == "notnull" and nc[0] == nc[1])):
+                        skip = True
+                        break
+                    continue
                 if op == "==":
                     if not _admits_eq(st, col, v):
                         skip = True
@@ -1087,7 +1112,7 @@ class Table:
         comparisons on scalar columns, ignores everything else (which
         simply doesn't prune)."""
         from .exprs import (ColumnRef, Comparison, CompoundPredicate,
-                            InPredicate, Literal)
+                            InPredicate, IsNull, Literal)
         _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
                  "==": "==", "!=": "!="}
         out: list[tuple] = []
@@ -1096,6 +1121,17 @@ class Table:
             if isinstance(e, CompoundPredicate) and e.op == "and":
                 for c in e.components:
                     visit(c)
+                return
+            if isinstance(e, IsNull) \
+                    and isinstance(e.components[0], ColumnRef):
+                out.append((e.components[0].name, "isnull", None))
+                return
+            if isinstance(e, CompoundPredicate) and e.op == "not" \
+                    and len(e.components) == 1 \
+                    and isinstance(e.components[0], IsNull) \
+                    and isinstance(e.components[0].components[0], ColumnRef):
+                out.append((e.components[0].components[0].name,
+                            "notnull", None))
                 return
             if isinstance(e, InPredicate) \
                     and isinstance(e.components[0], ColumnRef) \

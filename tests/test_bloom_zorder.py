@@ -259,3 +259,25 @@ class TestStringStatTruncation:
         ref = t.ref()
         got = t.scan(ref.body >= "prefix-045").count()
         assert got == 5
+
+
+class TestNullCountSkipping:
+    def test_is_null_pruning(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("n", {"k": pxt.Int(False), "v": pxt.Int()})
+        t.insert([{"k": i, "v": i} for i in range(40)])          # no nulls
+        t.insert([{"k": 100 + i, "v": None} for i in range(40)])  # all null
+        t.insert([{"k": 200 + i, "v": None if i % 2 else i}
+                  for i in range(40)])                            # mixed
+        files = t._current_files()
+        stats = t._current_stats()
+        assert any("__nulls__v" in st for st in stats.values())
+        only_null = t._prune_files(files, stats, [("v", "isnull", None)])
+        only_set = t._prune_files(files, stats, [("v", "notnull", None)])
+        assert len(only_null) < len(files)      # no-null files pruned
+        assert len(only_set) < len(files)       # all-null files pruned
+        ref = t.ref()
+        assert t.scan(ref.v.is_null()).count() == 60
+        assert t.scan(~(ref.v == None)).count() == 60  # noqa: E711
+        got = sorted(r["k"] for r in t.scan(ref.v.is_null()).collect())
+        assert got[:3] == [100, 101, 102]
