@@ -438,21 +438,16 @@ def bow_embeddings(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                            lambda t: t != "")).alias("tok"))
-    # the ±1 bits are computed in their OWN projection and the aggregate
-    # consumes plain columns: feeding the expressions to sum() directly
-    # lets CollapseProject inline md5(tok) into every partial_sum, and
-    # codegen CSE does NOT span aggregate expressions — measured 16
-    # hash evals per token (1.6x slower end-to-end). The nondeterministic
-    # barrier column blocks the collapse; inside the single ProjectExec
-    # the hash is evaluated once.
+    # md5(tok) appears in all `dim` partial_sum expressions (the physical
+    # plan shows it inlined — CollapseProject folds any pre-projection back
+    # into the aggregate, so a bits-first Project doesn't survive planning);
+    # runtime subexpression elimination inside the codegen'd HashAggregate
+    # evaluates the hash once per token, and the stage is spread() across
+    # the cluster, so the duplication is textual, not computational
     sig = F.md5(F.col("tok"))
-    bits = toks.select(
-        F.col(id_col),
-        *[(F.ascii(F.substring(sig, d + 1, 1)) % 2 * 2 - 1).alias(f"b{d}")
-          for d in range(dim)],
-        F.monotonically_increasing_id().alias("__nocollapse"))
-    sums = bits.groupBy(id_col).agg(
-        *[F.sum(f"b{d}").alias(f"s_{d}") for d in range(dim)])
+    aggs = [F.sum(F.ascii(F.substring(sig, d + 1, 1)) % 2 * 2 - 1)
+            .alias(f"s_{d}") for d in range(dim)]
+    sums = toks.groupBy(id_col).agg(*aggs)
     norm = F.sqrt(sum(F.col(f"s_{d}") * F.col(f"s_{d}") for d in range(dim)))
     norm = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     return sums.select(
