@@ -964,13 +964,13 @@ def icws_signatures(df: DataFrame, text_col: str = "text",
     tc = tc.repartition(sc.defaultParallelism, id_col)
     lnw = F.log(F.col("cnt").cast("double"))
     # The whole per-(term, k) battery lives in ONE projection whose output
-    # structs the aggregate min()s by plain column reference. Feeding the
-    # expressions to min() directly is 4-5x slower: CollapseProject folds
-    # the projection into the Aggregate, where codegen CSE does not apply
-    # across aggregate expressions, so every md5 is re-evaluated once per
-    # textual reference (~10x per sample). The nondeterministic barrier
-    # column blocks the collapse; inside the single ProjectExec,
-    # subexpression elimination computes each md5 once.
+    # structs the aggregate min()s by plain column reference (the barrier
+    # column keeps CollapseProject from folding it into the Aggregate).
+    # Measured cost is the same either way — codegen subexpression
+    # elimination covers the repeated hash subtrees in both shapes; the
+    # split is kept for plan readability, not speed. The real costs here
+    # were the 1-partition AQE coalesce (fixed by the repartition above)
+    # and md5+conv vs xxhash64 draws (see _icws_uniform).
     struct_cols = []
     for k in range(num_samples):
         u1, u2, u3, u4 = (_icws_uniform(F.col("term"), f"icws{k}u{s}|")
