@@ -46,6 +46,14 @@ def probe(payload: bytes) -> Optional[dict]:
         if info is not None:
             info["sample_width"] = (info["bits_per_sample"] + 7) // 8
         return info
+    if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) in (b"AIFF",
+                                                                  b"AIFC"):
+        return probe_aiff(payload)
+    if bytes(payload[:4]) == b".snd":
+        info = probe_au(payload)
+        if info is not None:
+            info = {k: v for k, v in info.items() if not k.startswith("_")}
+        return info
     if bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
         return None
     try:
@@ -102,6 +110,10 @@ def decode(payload: bytes) -> tuple:
         from .flac_codec import decode_flac
         samples, rate, bits = decode_flac(payload)
         return samples, rate, (bits + 7) // 8
+    if info.get("format") == "AIFF":
+        return decode_aiff(payload)
+    if info.get("format") == "AU":
+        return decode_au(payload)
     if info.get("encoding") in ("ulaw", "alaw"):
         samples, rate = decode_g711(payload)
         return samples, rate, 2  # decoded to int16
@@ -612,3 +624,174 @@ def _id3v2_tags(tag: bytes) -> Optional[dict]:
                 out[key] = text
         pos += 10 + size
     return out or None
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFF-C (EA IFF 85 / Apple) — big-endian PCM
+# ---------------------------------------------------------------------------
+
+def _ext80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended (the AIFF sample-rate field) -> float:
+    1 sign + 15 exponent (bias 16383) + 64-bit explicit-integer mantissa."""
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_ext80(x: float) -> bytes:
+    if x == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    exp = 16383 + 63
+    while x >= (1 << 64):
+        x /= 2.0
+        exp += 1
+    while x < (1 << 63):
+        x *= 2.0
+        exp -= 1
+    return struct.pack(">H", sign | exp) + int(x).to_bytes(8, "big")
+
+
+def probe_aiff(payload: bytes) -> Optional[dict]:
+    """AIFF/AIFC COMM metadata (no decode)."""
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"FORM" or p[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    pos = 12
+    out = {"format": "AIFF", "compression": "NONE"}
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        size = struct.unpack(">I", p[pos + 4:pos + 8])[0]
+        body = p[pos + 8:pos + 8 + size]
+        if cid == b"COMM" and size >= 18:
+            ch, nframes, bits = struct.unpack(">HIH", body[:8])
+            rate = _ext80_to_float(body[8:18])
+            out.update(channels=ch, n_frames=nframes,
+                       sample_width=(bits + 7) // 8,
+                       sample_rate=int(round(rate)),
+                       duration_s=round(nframes / rate, 6) if rate else 0.0)
+            if size >= 22:   # AIFC: compression fourcc
+                out["compression"] = body[18:22].decode("latin-1")
+        pos += 8 + size + (size & 1)
+    return out if "channels" in out else None
+
+
+def decode_aiff(payload: bytes) -> tuple:
+    """(samples (n, ch) int16/int8, rate, width). PCM only ('NONE'/'sowt';
+    compressed AIFC variants raise)."""
+    info = probe_aiff(payload)
+    if info is None:
+        raise ValueError("not an AIFF payload")
+    comp = info.get("compression", "NONE")
+    if comp not in ("NONE", "sowt"):
+        raise ValueError(f"compressed AIFC ({comp!r}) needs a DSP codec")
+    p = bytes(payload)
+    pos, data = 12, None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        size = struct.unpack(">I", p[pos + 4:pos + 8])[0]
+        if cid == b"SSND":
+            off, _blk = struct.unpack(">II", p[pos + 8:pos + 16])
+            data = p[pos + 16 + off:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("AIFF without SSND chunk")
+    width = info["sample_width"]
+    ch = info["channels"]
+    if width == 2:
+        dt = "<i2" if comp == "sowt" else ">i2"
+        arr = np.frombuffer(data, dtype=dt).astype(np.int16)
+    elif width == 1:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported AIFF sample width {width}")
+    n = (len(arr) // ch) * ch
+    out = arr[:n].reshape(-1, ch)
+    return out[:info["n_frames"]].copy(), info["sample_rate"], width
+
+
+def encode_aiff(arr: "np.ndarray", rate: int) -> bytes:
+    """int16 (n, ch) -> AIFF (big-endian PCM)."""
+    arr = np.asarray(arr, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    comm = struct.pack(">HIH", ch, n, 16) + _float_to_ext80(float(rate))
+    ssnd = struct.pack(">II", 0, 0) + arr.astype(">i2").tobytes()
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd \
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+# ---------------------------------------------------------------------------
+# Sun AU / .snd — PCM / G.711 (reuses the ITU LUTs above)
+# ---------------------------------------------------------------------------
+
+_AU_ENCODINGS = {1: ("ulaw", 1), 2: ("pcm8", 1), 3: ("pcm16", 2),
+                 27: ("alaw", 1)}
+
+
+def probe_au(payload: bytes) -> Optional[dict]:
+    p = bytes(payload)
+    if len(p) < 24 or p[:4] != b".snd":
+        return None
+    off, size, enc, rate, ch = struct.unpack(">IIIII", p[4:24])
+    if enc not in _AU_ENCODINGS or ch == 0:
+        return None
+    name, width = _AU_ENCODINGS[enc]
+    if size == 0xFFFFFFFF:
+        size = max(len(p) - off, 0)
+    n = size // (width * ch)
+    return {"format": "AU", "encoding": name, "channels": ch,
+            "sample_rate": rate, "sample_width": width, "n_frames": n,
+            "duration_s": round(n / rate, 6) if rate else 0.0,
+            "_data_off": off, "_data_size": size}
+
+
+def decode_au(payload: bytes) -> tuple:
+    """(samples (n, ch) int16, rate, width)."""
+    info = probe_au(payload)
+    if info is None:
+        raise ValueError("not a Sun AU payload")
+    p = bytes(payload)
+    data = p[info["_data_off"]:info["_data_off"] + info["_data_size"]]
+    ch = info["channels"]
+    enc = info["encoding"]
+    if enc == "pcm16":
+        arr = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    elif enc == "pcm8":
+        arr = (np.frombuffer(data, dtype=np.int8).astype(np.int16)) << 8
+    else:  # G.711: same ITU LUTs as the WAV path
+        table = _G711_TABLES[7 if enc == "ulaw" else 6]
+        arr = table[np.frombuffer(data, dtype=np.uint8)]
+    n = (len(arr) // ch) * ch
+    return arr[:n].reshape(-1, ch).copy(), info["sample_rate"], \
+        info["sample_width"] if enc.startswith("pcm") else 2
+
+
+def encode_au(arr: "np.ndarray", rate: int, encoding: str = "pcm16") -> bytes:
+    """int16 (n, ch) -> AU. encoding: pcm16 | ulaw | alaw (G.711 nearest-
+    level quantization, same mapping as encode_g711)."""
+    arr = np.asarray(arr, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if encoding == "pcm16":
+        enc_code, body = 3, arr.astype(">i2").tobytes()
+    elif encoding in ("ulaw", "alaw"):
+        fmt = 7 if encoding == "ulaw" else 6
+        table = _G711_TABLES[fmt]
+        idx = np.abs(arr.reshape(-1, 1).astype(np.int32)
+                     - table.astype(np.int32)[None, :]).argmin(axis=1)
+        enc_code = 1 if encoding == "ulaw" else 27
+        body = idx.astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding!r}")
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(body), enc_code,
+                                int(rate), ch)
+    return hdr + body

@@ -84,6 +84,8 @@ def probe(payload: bytes) -> Optional[dict]:
     if p.startswith((b"II*\x00", b"MM\x00*")):
         from .tiff_codec import probe_tiff
         return probe_tiff(payload)
+    if p.startswith(b"\x00\x00\x01\x00"):
+        return probe_ico(payload)
     if p[4:8] == b"ftyp":                  # AVIF/HEIC image-in-BMFF
         from .video_codec import probe_mp4
         info = probe_mp4(payload)
@@ -361,6 +363,8 @@ def decode(payload: bytes) -> "MiniImage":
         from .tiff_codec import decode_tiff
         arr, mode = decode_tiff(bytes(payload))
         return MiniImage(arr, mode, "TIFF")
+    if info["format"] == "ICO":
+        return decode_ico(bytes(payload))
     raise ValueError(
         f"{info['format']} pixel decode needs a real codec (header "
         "probing works; install PIL for full decode)")
@@ -596,3 +600,145 @@ def composite(a: MiniImage, b: MiniImage, mask: MiniImage) -> MiniImage:
     fb = b.convert(a.mode).arr.astype(np.float32)
     out = fa * m[:, :, None] + fb * (1 - m[:, :, None])
     return MiniImage((out + 0.5).astype(np.uint8), a.mode)
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon container: PNG or BMP-DIB entries)
+# ---------------------------------------------------------------------------
+
+def _ico_entries(p: bytes) -> list:
+    """Parsed ICONDIRENTRY list [(w, h, bpp, size, offset)] or [] if the
+    payload is not a plausible ICO (the 4-byte magic is weak, so entry
+    bounds are sanity-checked)."""
+    if len(p) < 6 or p[:4] != b"\x00\x00\x01\x00":
+        return []
+    count = struct.unpack("<H", p[4:6])[0]
+    if not 1 <= count <= 64 or len(p) < 6 + 16 * count:
+        return []
+    out = []
+    for i in range(count):
+        e = p[6 + 16 * i:6 + 16 * i + 16]
+        w, h = e[0] or 256, e[1] or 256
+        bpp = struct.unpack("<H", e[6:8])[0]
+        size, off = struct.unpack("<II", e[8:16])
+        if off + size > len(p) or size < 16:
+            return []
+        out.append((w, h, bpp, size, off))
+    return out
+
+
+def probe_ico(payload: bytes) -> Optional[dict]:
+    ents = _ico_entries(bytes(payload))
+    if not ents:
+        return None
+    w, h, _bpp, _sz, _off = max(ents, key=lambda e: (e[0] * e[1], e[2]))
+    return {"format": "ICO", "width": int(w), "height": int(h),
+            "mode": "RGBA", "n_images": len(ents)}
+
+
+def _decode_ico_dib(body: bytes) -> np.ndarray:
+    """BMP DIB as stored in ICO: BITMAPINFOHEADER with doubled height
+    (XOR pixels + 1-bit AND transparency mask), bottom-up rows padded to
+    4 bytes, BGRA palette quads for <=8 bpp. -> RGBA array."""
+    (size, w, h2, _planes, bpp, comp) = struct.unpack(
+        "<IiiHHI", body[:20])
+    if comp != 0:
+        raise ValueError(f"compressed ICO DIB (BI_{comp}) unsupported")
+    h = h2 // 2
+    pos = size
+    palette = None
+    if bpp <= 8:
+        n_colors = struct.unpack("<I", body[32:36])[0] or (1 << bpp)
+        palette = np.frombuffer(
+            body[pos:pos + 4 * n_colors], dtype=np.uint8).reshape(-1, 4)
+        pos += 4 * n_colors
+    row_bytes = (w * bpp + 31) // 32 * 4
+    xor = body[pos:pos + row_bytes * h]
+    pos += row_bytes * h
+    mask_row = (w + 31) // 32 * 4
+    mask = body[pos:pos + mask_row * h]
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    for row in range(h):
+        src = xor[row * row_bytes:(row + 1) * row_bytes]
+        y = h - 1 - row          # bottom-up
+        if bpp == 32:
+            line = np.frombuffer(src[:w * 4], dtype=np.uint8).reshape(-1, 4)
+            out[y, :, 0], out[y, :, 1] = line[:, 2], line[:, 1]
+            out[y, :, 2], out[y, :, 3] = line[:, 0], line[:, 3]
+        elif bpp == 24:
+            line = np.frombuffer(src[:w * 3], dtype=np.uint8).reshape(-1, 3)
+            out[y, :, 0], out[y, :, 1] = line[:, 2], line[:, 1]
+            out[y, :, 2], out[y, :, 3] = line[:, 0], 255
+        elif bpp in (1, 4, 8):
+            bits = np.unpackbits(np.frombuffer(src, dtype=np.uint8))
+            if bpp == 8:
+                idx = np.frombuffer(src[:w], dtype=np.uint8)
+            elif bpp == 4:
+                nib = np.frombuffer(src, dtype=np.uint8)
+                idx = np.empty(len(nib) * 2, dtype=np.uint8)
+                idx[0::2], idx[1::2] = nib >> 4, nib & 0xF
+                idx = idx[:w]
+            else:
+                idx = bits[:w]
+            quad = palette[idx]
+            out[y, :, 0], out[y, :, 1] = quad[:, 2], quad[:, 1]
+            out[y, :, 2], out[y, :, 3] = quad[:, 0], 255
+        else:
+            raise ValueError(f"unsupported ICO DIB bpp {bpp}")
+    # AND mask: bit set = transparent. 32bpp entries with a real alpha
+    # channel keep it; the all-zero-alpha quirk falls back to the mask.
+    if mask and (bpp != 32 or not out[:, :, 3].any()):
+        for row in range(h):
+            mbits = np.unpackbits(np.frombuffer(
+                mask[row * mask_row:(row + 1) * mask_row], dtype=np.uint8))
+            out[h - 1 - row, :, 3] = np.where(mbits[:w] == 1, 0,
+                                              255).astype(np.uint8)
+    return out
+
+
+def decode_ico(payload: bytes) -> "MiniImage":
+    """Decode the best (largest, deepest) ICO entry -> RGBA MiniImage.
+    Entries are PNG (Vista+) or BMP DIBs with AND masks."""
+    p = bytes(payload)
+    ents = _ico_entries(p)
+    if not ents:
+        raise ValueError("not an ICO payload")
+    _w, _h, _bpp, size, off = max(ents, key=lambda e: (e[0] * e[1], e[2]))
+    body = p[off:off + size]
+    if body.startswith(_PNG_SIG):
+        img = _decode_png(body)
+        arr, mode = img.arr, img.mode
+        if mode != "RGBA":
+            rgba = np.zeros((*arr.shape[:2], 4), dtype=np.uint8)
+            rgb = arr if arr.ndim == 3 else np.repeat(arr[:, :, None], 3, 2)
+            rgba[:, :, :3], rgba[:, :, 3] = rgb[:, :, :3], 255
+            arr = rgba
+        return MiniImage(arr, "RGBA", "ICO")
+    return MiniImage(_decode_ico_dib(body), "RGBA", "ICO")
+
+
+def encode_ico(arr: np.ndarray, mode: str = "RGBA",
+               png_entry: bool = False) -> bytes:
+    """Single-entry ICO from an array: a 32bpp BGRA DIB with AND mask by
+    default, or a PNG entry (both layouts occur in the wild; the tests
+    round-trip each through decode_ico)."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    if w > 256 or h > 256:
+        raise ValueError("ICO entries are at most 256x256")
+    if arr.shape[2] == 3:
+        a = np.concatenate([arr, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    else:
+        a = arr
+    if png_entry:
+        body = encode_png(a, "RGBA")
+    else:
+        bgra = a[:, :, [2, 1, 0, 3]][::-1]   # bottom-up BGRA
+        mask_row = (w + 31) // 32 * 4
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                          len(bgra.tobytes()) + mask_row * h, 0, 0, 0, 0)
+        body = hdr + bgra.tobytes() + b"\x00" * (mask_row * h)
+    e_w, e_h = (0 if w == 256 else w), (0 if h == 256 else h)
+    entry = struct.pack("<BBBBHHII", e_w, e_h, 0, 0, 1, 32, len(body), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + body
