@@ -1978,6 +1978,64 @@ def q93_media_probe(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q97_icon_audio_probe(spark, sf_dir):
+    """Round-5c codec additions end-to-end: per doc, an ICO (PNG entry
+    for even ids, 32bpp DIB+mask for odd — both container layouts), an
+    AIFF and a Sun AU are synthesized with dims/frame-counts arithmetic
+    in doc_id, then probed/decoded back through the shared waists
+    (image_codec.decode_ico, audio_codec.decode dispatch) — DuckDB
+    checks the full pipeline without seeing a media byte."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = (_df(spark, sf_dir, "documents").select("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def _pipeline(ids):
+        import json
+
+        import numpy as np
+
+        from pixeltable_spark.functions import audio_codec as ac
+        from pixeltable_spark.functions import image_codec as ic
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h, fill = 3 + i % 14, 2 + i % 9, (i * 11) % 256
+            arr = np.full((h, w, 4), fill, dtype=np.uint8)
+            ico = ic.encode_ico(arr, png_entry=(i % 2 == 0))
+            img = ic.decode(ico)
+            n = 200 + i % 77
+            sig = np.full((n, 1), (i % 90) * 100, dtype=np.int16)
+            aif = ac.encode_aiff(sig, 8000)
+            adec, arate, _aw = ac.decode(aif)
+            au = ac.encode_au(sig, 16000)
+            audec, aurate, _uw = ac.decode(au)
+            out.append(json.dumps({
+                "iw": int(img.arr.shape[1]), "ih": int(img.arr.shape[0]),
+                "ipx": int(img.arr[0, 0, 0]),
+                "an": int(adec.shape[0]), "ar": int(arate),
+                "afirst": int(adec[0, 0]),
+                "un": int(audec.shape[0]), "ur": int(aurate),
+            }, sort_keys=True))
+        return pd.Series(out)
+
+    pipe = F.pandas_udf(_pipeline, T.StringType())
+    r = F.col("r")
+    return (df.withColumn("r", pipe(F.col("doc_id"))).select(
+        "doc_id",
+        F.get_json_object(r, "$.iw").cast("int").alias("ico_w"),
+        F.get_json_object(r, "$.ih").cast("int").alias("ico_h"),
+        F.get_json_object(r, "$.ipx").cast("int").alias("ico_px"),
+        F.get_json_object(r, "$.an").cast("int").alias("aiff_n"),
+        F.get_json_object(r, "$.ar").cast("int").alias("aiff_rate"),
+        F.get_json_object(r, "$.afirst").cast("int").alias("aiff_first"),
+        F.get_json_object(r, "$.un").cast("int").alias("au_n"),
+        F.get_json_object(r, "$.ur").cast("int").alias("au_rate"),
+    ).orderBy("doc_id"))
+
+
 def q94_weighted_jaccard(spark, sf_dir):
     """Exact weighted (multiset) Jaccard near-dup pairs over unigram term
     frequencies, with the max_df stopword-skew guard (terms in >5% of the
@@ -2116,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_weighted_jaccard": q94_weighted_jaccard,
         "q95_icws_pairs": q95_icws_pairs,
         "q96_cluster_representatives": q96_cluster_representatives,
+        "q97_icon_audio_probe": q97_icon_audio_probe,
     }
 
 
@@ -2830,6 +2889,17 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 2 + doc_id % 5 AS n,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
+FROM documents ORDER BY doc_id""",
+        "q97_icon_audio_probe": """
+SELECT doc_id,
+       CAST(3 + doc_id % 14 AS INT) AS ico_w,
+       CAST(2 + doc_id % 9 AS INT) AS ico_h,
+       CAST((doc_id * 11) % 256 AS INT) AS ico_px,
+       CAST(200 + doc_id % 77 AS INT) AS aiff_n,
+       CAST(8000 AS INT) AS aiff_rate,
+       CAST((doc_id % 90) * 100 AS INT) AS aiff_first,
+       CAST(200 + doc_id % 77 AS INT) AS au_n,
+       CAST(16000 AS INT) AS au_rate
 FROM documents ORDER BY doc_id""",
         "q96_cluster_representatives": f"""
 WITH RECURSIVE pairs AS ({_minhash_lsh_sql(4, 2).replace("ORDER BY id_a, id_b", "")}),
