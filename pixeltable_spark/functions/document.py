@@ -76,7 +76,8 @@ def _office_markdown_col(col, fmt: str):
     def fn(s):
         from . import office_codec as oc
         conv = {"docx": oc.docx_to_markdown, "pptx": oc.pptx_to_markdown,
-                "xlsx": oc.xlsx_to_markdown}[fmt]
+                "xlsx": oc.xlsx_to_markdown,
+                "epub": oc.epub_to_markdown}[fmt]
         return pd.Series([None if p is None else conv(bytes(p)) for p in s])
 
     return F.pandas_udf(fn, T.StringType())(col)
@@ -173,10 +174,10 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
         raise ValueError("overlap must be smaller than limit")
 
     if input_format not in ("text", "markdown", "html", "pdf",
-                            "docx", "pptx", "xlsx"):
+                            "docx", "pptx", "xlsx", "epub"):
         raise ValueError(
-            f"input_format must be text|markdown|html|pdf|docx|pptx|xlsx, "
-            f"got {input_format!r}")
+            f"input_format must be text|markdown|html|pdf|docx|pptx|xlsx"
+            f"|epub, got {input_format!r}")
 
     col = F.col(text_col)
     if input_format == "markdown":
@@ -189,7 +190,7 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
                                "## $1")
     elif input_format == "html":
         col = html_to_markdown(col)
-    elif input_format in ("docx", "pptx", "xlsx"):
+    elif input_format in ("docx", "pptx", "xlsx", "epub"):
         # binary OOXML → markdown, then the markdown pipeline applies
         col = _office_markdown_col(col, input_format)
     elif input_format == "pdf":

@@ -265,3 +265,72 @@ def xlsx_sheet_rows(payload: bytes, max_rows: int = 1_000_000) -> dict:
             rows.append([cells.get(j) for j in range(width)])
         out[names[i] if i < len(names) else f"Sheet{i+1}"] = rows
     return out
+
+
+def _html_to_md(html: str) -> str:
+    """Python-side mirror of document.html_to_markdown's Column chain
+    (headings -> ATX, block tags -> blank lines, tags stripped, core
+    entities) for formats that arrive as HTML inside containers (EPUB)."""
+    s = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ", html)
+    for lvl in range(1, 7):
+        s = re.sub(rf"(?is)<h{lvl}[^>]*>(.*?)</h{lvl}\s*>",
+                   lambda m, L=lvl: "\n\n" + "#" * L + " "
+                   + re.sub(r"(?s)<[^>]+>", "", m.group(1)).strip()
+                   + "\n\n", s)
+    s = re.sub(r"(?i)<(?:/p|p[^>]*|br\s*/?|/li|li[^>]*|/div|div[^>]*)>",
+               "\n\n", s)
+    s = re.sub(r"(?s)<[^>]+>", " ", s)
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        s = s.replace(ent, ch)
+    s = re.sub(r"[ \t]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{3,}", "\n\n", s)
+    return s.strip()
+
+
+def epub_to_markdown(payload: bytes) -> str:
+    """EPUB (OCF zip) -> markdown: container.xml -> OPF -> spine order,
+    each XHTML chapter through the HTML->markdown chain. Pure stdlib —
+    an EPUB is a zip of XHTML, which the engine already speaks."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not an EPUB (not a zip archive): {e}") from e
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+    except KeyError:
+        raise ValueError("not an EPUB (missing META-INF/container.xml)") \
+            from None
+    opf_path = None
+    for rf in container.iter():
+        if rf.tag.endswith("rootfile"):
+            opf_path = rf.get("full-path")
+            break
+    if not opf_path or opf_path not in zf.namelist():
+        raise ValueError("EPUB missing OPF rootfile")
+    opf = ET.fromstring(zf.read(opf_path))
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    manifest = {}
+    spine = []
+    title = None
+    for el in opf.iter():
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "item" and el.get("id") and el.get("href"):
+            manifest[el.get("id")] = el.get("href")
+        elif tag == "itemref" and el.get("idref"):
+            spine.append(el.get("idref"))
+        elif tag == "title" and el.text:
+            title = el.text.strip()
+    parts = [f"# {title}"] if title else []
+    for idref in spine:
+        href = manifest.get(idref)
+        if not href:
+            continue
+        name = base + href
+        if name not in zf.namelist():
+            continue
+        parts.append(_html_to_md(zf.read(name).decode("utf-8", "replace")))
+    if len(parts) <= (1 if title else 0):
+        raise ValueError("EPUB spine resolved no readable chapters")
+    return "\n\n".join(p for p in parts if p)

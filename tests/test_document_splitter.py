@@ -158,9 +158,9 @@ class TestHtmlInput:
         assert "Then restart." in texts
 
     def test_bad_format_raises(self, html_docs):
-        # docx/pptx/xlsx are supported as of round 5 — use a fake format
+        # docx/pptx/xlsx/epub are supported as of round 5 — fake format
         with pytest.raises(ValueError, match="input_format"):
-            document_splitter_v2(html_docs, input_format="epub")
+            document_splitter_v2(html_docs, input_format="mobi")
 
 
 class TestMarkdownSetext:

@@ -203,3 +203,57 @@ class TestImportExcel:
             import_excel(spark, str(p), sheet_name="Missing")
         with _pt.raises(ValueError, match="empty sheet"):
             import_excel(spark, str(p), sheet_name="Empty")
+
+
+def make_epub() -> bytes:
+    container = """<?xml version="1.0"?>
+<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+ <rootfiles><rootfile full-path="OEBPS/content.opf"
+  media-type="application/oebps-package+xml"/></rootfiles></container>"""
+    opf = """<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+ <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <dc:title>My Book</dc:title></metadata>
+ <manifest>
+  <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+  <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+ </manifest>
+ <spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>"""
+    ch1 = ("<html><body><h1>Chapter One</h1><p>It was a dark &amp; "
+           "stormy night.</p><p>Second para.</p></body></html>")
+    ch2 = ("<html><body><h2>Chapter Two</h2><p>The end.</p></body></html>")
+    return _zip({"META-INF/container.xml": container,
+                 "OEBPS/content.opf": opf,
+                 "OEBPS/ch1.xhtml": ch1, "OEBPS/ch2.xhtml": ch2,
+                 "mimetype": "application/epub+zip"})
+
+
+class TestEpub:
+    def test_spine_order_and_structure(self):
+        md = oc.epub_to_markdown(make_epub())
+        assert md.startswith("# My Book")
+        assert "# Chapter One" in md and "## Chapter Two" in md
+        assert md.index("Chapter One") < md.index("Chapter Two")
+        assert "dark & stormy night." in md
+        assert "The end." in md
+
+    def test_not_epub(self):
+        import pytest as _pt
+        with _pt.raises(ValueError, match="container.xml"):
+            oc.epub_to_markdown(_zip({"foo.txt": "x"}))
+
+    def test_splitter_accepts_epub(self, spark):
+        from pixeltable_spark.functions.document import document_splitter_v2
+        df = spark.createDataFrame(
+            [(1, bytearray(make_epub()))], "doc_id long, payload binary")
+        out = document_splitter_v2(df, text_col="payload",
+                                   separators="heading",
+                                   metadata="title,heading",
+                                   input_format="epub").collect()
+        assert len(out) >= 3
+        texts = [r["text"] for r in out]
+        assert any("Chapter One" in t for t in texts)
+        import json as _json
+        heads = [_json.loads(r["heading"]) for r in out
+                 if r["heading"] is not None]
+        assert any(h.get("h1") == "Chapter One" for h in heads)
