@@ -94,7 +94,9 @@ def probe(payload: bytes) -> Optional[dict]:
                     "width": info.get("width", 0),
                     "height": info.get("height", 0)}
         return None
-    return None
+    # TGA last: it has no magic number, so every other signature wins
+    # first and recognition relies on the footer or a plausible header
+    return probe_tga(payload)
 
 
 def _probe_jpeg(payload: bytes) -> Optional[dict]:
@@ -365,6 +367,8 @@ def decode(payload: bytes) -> "MiniImage":
         return MiniImage(arr, mode, "TIFF")
     if info["format"] == "ICO":
         return decode_ico(bytes(payload))
+    if info["format"] == "TGA":
+        return decode_tga(bytes(payload))
     raise ValueError(
         f"{info['format']} pixel decode needs a real codec (header "
         "probing works; install PIL for full decode)")
@@ -742,3 +746,144 @@ def encode_ico(arr: np.ndarray, mode: str = "RGBA",
     e_w, e_h = (0 if w == 256 else w), (0 if h == 256 else h)
     entry = struct.pack("<BBBBHHII", e_w, e_h, 0, 0, 1, 32, len(body), 22)
     return b"\x00\x00\x01\x00\x01\x00" + entry + body
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision Targa) — raw/RLE truecolor + colormapped
+# ---------------------------------------------------------------------------
+
+def probe_tga(payload: bytes) -> Optional[dict]:
+    """TGA has no magic; the footer signature ("TRUEVISION-XFILE.") or a
+    plausible header gates recognition. Returns dims/mode or None."""
+    p = bytes(payload)
+    if len(p) < 18:
+        return None
+    has_footer = p[-26:-8].startswith(b"TRUEVISION-XFILE") if len(p) >= 26 \
+        else False
+    id_len, cmap_type, img_type = p[0], p[1], p[2]
+    w, h = struct.unpack("<HH", p[12:16])
+    bpp, desc = p[16], p[17]
+    plausible = (cmap_type in (0, 1) and img_type in (1, 2, 3, 9, 10, 11)
+                 and 0 < w <= 16384 and 0 < h <= 16384
+                 and bpp in (8, 15, 16, 24, 32) and (desc & 0xC0) == 0)
+    if not (has_footer or plausible):
+        return None
+    mode = "L" if img_type in (3, 11) else ("RGBA" if bpp == 32 else "RGB")
+    return {"format": "TGA", "width": int(w), "height": int(h),
+            "mode": mode, "bits": int(bpp),
+            "rle": img_type in (9, 10, 11)}
+
+
+def _tga_unrle(data: bytes, n_px: int, bpp_bytes: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < n_px * bpp_bytes and i < len(data):
+        hdr = data[i]
+        i += 1
+        count = (hdr & 0x7F) + 1
+        if hdr & 0x80:            # run packet: one pixel repeated
+            out += data[i:i + bpp_bytes] * count
+            i += bpp_bytes
+        else:                     # raw packet
+            out += data[i:i + count * bpp_bytes]
+            i += count * bpp_bytes
+    return bytes(out[:n_px * bpp_bytes])
+
+
+def decode_tga(payload: bytes) -> "MiniImage":
+    info = probe_tga(payload)
+    if info is None:
+        raise ValueError("not a TGA payload")
+    p = bytes(payload)
+    id_len, cmap_type, img_type = p[0], p[1], p[2]
+    cm_start, cm_len, cm_bpp = struct.unpack("<HHB", p[3:8])
+    w, h, bpp, desc = info["width"], info["height"], info["bits"], p[17]
+    pos = 18 + id_len
+    palette = None
+    if cmap_type == 1:
+        cbytes = (cm_bpp + 7) // 8
+        palette = p[pos:pos + cm_len * cbytes]
+        pos += cm_len * cbytes
+    bpx = (bpp + 7) // 8
+    raw = p[pos:]
+    if info["rle"]:
+        raw = _tga_unrle(raw, w * h, bpx)
+    else:
+        raw = raw[:w * h * bpx]
+    if len(raw) < w * h * bpx:
+        raise ValueError("truncated TGA pixel data")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, bpx)
+    if img_type in (3, 11):                      # grayscale
+        arr, mode = px[:, :, 0], "L"
+    elif img_type in (1, 9):                     # colormapped
+        if palette is None:
+            raise ValueError("colormapped TGA without a palette")
+        cbytes = (cm_bpp + 7) // 8
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, cbytes)
+        idx = px[:, :, 0].astype(np.intp) - cm_start
+        quad = pal[np.clip(idx, 0, len(pal) - 1)]
+        arr = quad[:, :, [2, 1, 0]]              # BGR -> RGB
+        mode = "RGB"
+    elif bpp == 32:
+        arr, mode = px[:, :, [2, 1, 0, 3]], "RGBA"
+    elif bpp == 24:
+        arr, mode = px[:, :, [2, 1, 0]], "RGB"
+    elif bpp in (15, 16):
+        v = px[:, :, 0].astype(np.uint16) | (px[:, :, 1].astype(np.uint16)
+                                             << 8)
+        arr = np.stack([((v >> 10) & 31) * 255 // 31,
+                        ((v >> 5) & 31) * 255 // 31,
+                        (v & 31) * 255 // 31], axis=2).astype(np.uint8)
+        mode = "RGB"
+    else:
+        raise ValueError(f"unsupported TGA bpp {bpp}")
+    if not desc & 0x20:        # origin bottom-left -> flip to top-down
+        arr = arr[::-1]
+    if desc & 0x10:            # right-to-left
+        arr = arr[:, ::-1]
+    return MiniImage(np.ascontiguousarray(arr), mode, "TGA")
+
+
+def encode_tga(arr: np.ndarray, mode: str = "RGB",
+               rle: bool = False) -> bytes:
+    """Top-left-origin truecolor (or L) TGA, optionally RLE (type 10)."""
+    if arr.ndim == 2:
+        img_type, bpx = 3, 1
+        body_px = arr[:, :, None]
+    elif arr.shape[2] == 4:
+        img_type, bpx = 2, 4
+        body_px = arr[:, :, [2, 1, 0, 3]]
+    else:
+        img_type, bpx = 2, 3
+        body_px = arr[:, :, [2, 1, 0]]
+    h, w = arr.shape[:2]
+    flat = body_px.reshape(-1, bpx)
+    if rle and img_type == 2:
+        img_type = 10
+        out = bytearray()
+        i = 0
+        n = len(flat)
+        while i < n:
+            run = 1
+            while (i + run < n and run < 128
+                   and (flat[i + run] == flat[i]).all()):
+                run += 1
+            if run > 1:
+                out.append(0x80 | (run - 1))
+                out += flat[i].tobytes()
+                i += run
+            else:
+                j = i + 1
+                while (j < n and j - i < 128
+                       and not (j + 1 < n and (flat[j] == flat[j + 1]).all())):
+                    j += 1
+                out.append(j - i - 1)
+                out += flat[i:j].tobytes()
+                i = j
+        body = bytes(out)
+    else:
+        body = flat.tobytes()
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, img_type, 0, 0, 0, 0, 0,
+                      w, h, bpx * 8, 0x20)   # top-left origin
+    footer = b"\x00" * 8 + b"TRUEVISION-XFILE." + b"\x00"
+    return hdr + body + footer

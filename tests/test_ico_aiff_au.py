@@ -119,3 +119,58 @@ class TestAu:
     def test_not_au(self):
         assert ac.probe_au(b".sndXX") is None
         assert ac.probe_au(b"RIFF" + b"\x00" * 30) is None
+
+
+class TestTga:
+    def test_rgb_round_trip(self):
+        arr = _rgba(7, 11)[:, :, :3]
+        tga = ic.encode_tga(arr, "RGB")
+        info = ic.probe(tga)
+        assert info["format"] == "TGA" and (info["width"], info["height"]) \
+            == (11, 7) and info["mode"] == "RGB"
+        img = ic.decode(tga)
+        assert np.array_equal(img.arr, arr)
+
+    def test_rgba_rle_round_trip(self):
+        rng = np.random.RandomState(9)
+        # runs + noise to exercise both packet kinds
+        arr = np.repeat(rng.randint(0, 256, (5, 4, 4), dtype=np.uint8),
+                        5, axis=1)
+        arr[2, 7] = [1, 2, 3, 4]
+        tga = ic.encode_tga(arr, "RGBA", rle=True)
+        img = ic.decode(tga)
+        assert img.mode == "RGBA"
+        assert np.array_equal(img.arr, arr)
+
+    def test_grayscale(self):
+        arr = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        img = ic.decode(ic.encode_tga(arr))
+        # MiniImage normalizes L to (h, w, 1)
+        assert img.mode == "L" and np.array_equal(img.arr[:, :, 0], arr)
+
+    def test_bottom_left_origin_and_15bit(self):
+        # hand-built: 2x2 raw truecolor 16-bit, bottom-left origin
+        import struct as st
+        px = [0b0111110000000000, 0b0000001111100000,   # bottom row: R, G
+              0b0000000000011111, 0b0111111111111111]   # top row: B, W
+        hdr = st.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 2, 16, 0)
+        body = b"".join(st.pack("<H", v) for v in px)
+        img = ic.decode_tga(hdr + body)
+        assert tuple(img.arr[1, 0]) == (255, 0, 0)   # flipped to bottom
+        assert tuple(img.arr[0, 0]) == (0, 0, 255)
+        assert tuple(img.arr[0, 1]) == (255, 255, 255)
+
+    def test_colormapped(self):
+        import struct as st
+        # 3x1, 8-bit indices into a 2-entry BGR palette, top-left origin
+        hdr = st.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 2, 24, 0, 0, 3, 1, 8,
+                      0x20)
+        pal = bytes([255, 0, 0,   0, 255, 0])   # blue, green (BGR)
+        body = bytes([0, 1, 0])
+        img = ic.decode_tga(hdr + pal + body)
+        assert tuple(img.arr[0, 0]) == (0, 0, 255)
+        assert tuple(img.arr[0, 1]) == (0, 255, 0)
+
+    def test_not_tga(self):
+        assert ic.probe_tga(b"\x00" * 18) is None
+        assert ic.probe(b"\xff\xfe" + b"\x00" * 40) is None
