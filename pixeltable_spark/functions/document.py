@@ -173,11 +173,11 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
     if overlap and overlap >= limit:
         raise ValueError("overlap must be smaller than limit")
 
-    if input_format not in ("text", "markdown", "html", "pdf",
+    if input_format not in ("text", "markdown", "html", "xml", "pdf",
                             "docx", "pptx", "xlsx", "epub"):
         raise ValueError(
-            f"input_format must be text|markdown|html|pdf|docx|pptx|xlsx"
-            f"|epub, got {input_format!r}")
+            f"input_format must be text|markdown|html|xml|pdf|docx|pptx"
+            f"|xlsx|epub, got {input_format!r}")
 
     col = F.col(text_col)
     if input_format == "markdown":
@@ -190,6 +190,15 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
                                "## $1")
     elif input_format == "html":
         col = html_to_markdown(col)
+    elif input_format == "xml":
+        # reference parses XML with bs4 and walks text nodes
+        # (iterators/document.py get_xml_handle); the Column analog strips
+        # tags/comments/CDATA-markers and collapses whitespace
+        col = F.regexp_replace(col, r"(?s)<!\[CDATA\[(.*?)\]\]>", "$1")
+        col = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+        col = F.regexp_replace(col, r"(?s)<\?.*?\?>", " ")
+        col = F.regexp_replace(col, r"(?s)<[^>]+>", "\n\n")
+        col = F.regexp_replace(col, r"[ \t]+", " ")
     elif input_format in ("docx", "pptx", "xlsx", "epub"):
         # binary OOXML → markdown, then the markdown pipeline applies
         col = _office_markdown_col(col, input_format)

@@ -398,3 +398,18 @@ class TestPdfInput:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="input_format='pdf'"):
             document_splitter_v2(df, separators="page")
+
+
+class TestXmlInput:
+    def test_xml_text_extraction(self, spark):
+        xml = ("<?xml version='1.0'?><doc><!-- note --><title>Annual "
+               "Report</title><section><p>Revenue grew.</p>"
+               "<p><![CDATA[Margins & costs.]]></p></section></doc>")
+        df = spark.createDataFrame([(1, xml)], ["doc_id", "text"])
+        rows = document_splitter_v2(df, separators="paragraph",
+                                    input_format="xml").collect()
+        texts = [r["text"] for r in rows]
+        assert any("Annual Report" in t for t in texts)
+        assert any("Revenue grew." in t for t in texts)
+        assert any("Margins & costs." in t for t in texts)
+        assert not any("<" in t or "note" in t for t in texts)
