@@ -2036,6 +2036,22 @@ def q97_icon_audio_probe(spark, sf_dir):
     ).orderBy("doc_id"))
 
 
+def q98_gap_fill(spark, sf_dir):
+    """Time-series densify + fill (operators/timeseries.py gap_fill —
+    the TimescaleDB time_bucket_gapfill + locf analog): per-user 6h
+    buckets of avg(value) over events, every missing bucket generated
+    executor-side (sequence + explode per group, no calendar cross
+    join), last observation carried forward by a single-pass window.
+    Oracle: generate_series + IGNORE NULLS window in DuckDB."""
+    from pixeltable_spark.operators.timeseries import gap_fill
+    df = _df(spark, sf_dir, "events")
+    out = gap_fill(df, "ts", "value", 21600, by=["user_id"],
+                   agg="avg", fill="locf")
+    return (out.select("user_id", "bucket",
+                       F.round("value", 6).alias("value"), "filled")
+            .orderBy("user_id", "bucket"))
+
+
 def q94_weighted_jaccard(spark, sf_dir):
     """Exact weighted (multiset) Jaccard near-dup pairs over unigram term
     frequencies, with the max_df stopword-skew guard (terms in >5% of the
@@ -2175,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_icws_pairs": q95_icws_pairs,
         "q96_cluster_representatives": q96_cluster_representatives,
         "q97_icon_audio_probe": q97_icon_audio_probe,
+        "q98_gap_fill": q98_gap_fill,
     }
 
 
@@ -2890,6 +2907,24 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q98_gap_fill": """
+WITH agged AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(bucket) lo, max(bucket) hi
+          FROM agged GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bucket
+          FROM spans),
+dense AS (SELECT s.user_id, s.bucket, a.v, a.v IS NULL AS filled
+          FROM spine s LEFT JOIN agged a USING (user_id, bucket))
+SELECT user_id, bucket,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING), 6) AS value,
+       filled
+FROM dense ORDER BY user_id, bucket""",
         "q97_icon_audio_probe": """
 SELECT doc_id,
        CAST(3 + doc_id % 14 AS INT) AS ico_w,

@@ -1,0 +1,100 @@
+"""Time-series bucketing and gap filling (the TimescaleDB
+``time_bucket_gapfill`` + ``locf``/``interpolate`` family, re-expressed
+as Spark DataFrame ops — beyond-reference scale surface alongside the
+as-of/range joins in operators/joins.py).
+
+100 TB design: one groupBy per (keys, bucket) with map-side partial
+aggregation; the dense bucket spine is generated EXECUTOR-side with
+``sequence()`` + ``explode`` per group (never a driver loop or a
+cross join against a calendar table); fills are single-pass window
+functions over the per-group bucket order. Everything stays in
+whole-stage codegen — no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, every_s: int) -> Column:
+    """Epoch-aligned bucket start (as epoch seconds, long): the
+    TimescaleDB time_bucket(interval, ts) analog. Long output avoids
+    engine-specific timezone rendering in cross-engine comparisons."""
+    return (F.floor(F.unix_timestamp(ts) / every_s) * every_s).cast("long")
+
+
+def bucket_agg(df: DataFrame, ts_col: str, every_s: int,
+               aggs: dict, by: Sequence[str] = ()) -> DataFrame:
+    """groupBy(keys, time_bucket) with named aggregates: aggs maps output
+    name -> (agg_fn_name, col). One shuffle, map-side combine."""
+    b = time_bucket(F.col(ts_col), every_s).alias("bucket")
+    exprs = [getattr(F, fn)(c).alias(name)
+             for name, (fn, c) in aggs.items()]
+    return df.groupBy(*[F.col(k) for k in by], b).agg(*exprs)
+
+
+def gap_fill(df: DataFrame, ts_col: str, val_col: str, every_s: int,
+             by: Sequence[str] = (), agg: str = "avg",
+             fill: str = "locf",
+             max_fill_buckets: Optional[int] = None) -> DataFrame:
+    """Dense per-group time series: aggregate `val_col` into
+    `every_s`-second buckets, generate every missing bucket between each
+    group's min and max, and fill:
+
+    * ``fill='null'``   — gaps stay NULL (pure densify),
+    * ``fill='locf'``   — last observation carried forward,
+    * ``fill='linear'`` — linear interpolation between the neighboring
+      observed buckets (edges stay NULL, like Timescale's interpolate).
+
+    Output: by..., bucket (epoch seconds, long), value (double),
+    filled (boolean — True where the value was synthesized).
+
+    ``max_fill_buckets`` guards the skew case where one group spans years
+    of empty calendar (sequence() would materialize millions of rows for
+    a single group): groups whose span exceeds it raise rather than
+    silently exploding an executor."""
+    if fill not in ("null", "locf", "linear"):
+        raise ValueError(f"fill must be null|locf|linear, got {fill!r}")
+    agged = bucket_agg(df, ts_col, every_s, {"value": (agg, val_col)}, by)
+    keys = [F.col(k) for k in by]
+    spans = agged.groupBy(*keys).agg(F.min("bucket").alias("__lo"),
+                                     F.max("bucket").alias("__hi"))
+    if max_fill_buckets is not None:
+        bad = (F.col("__hi") - F.col("__lo")) / every_s > max_fill_buckets
+        spans = spans.withColumn(
+            "__lo",
+            F.when(bad, F.raise_error(F.concat(
+                F.lit(f"gap_fill: group span exceeds max_fill_buckets="
+                      f"{max_fill_buckets} at "),
+                F.concat_ws(",", *keys) if by else F.lit("<global>"))))
+            .otherwise(F.col("__lo")))
+    spine = spans.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.lit(every_s))).alias("bucket"))
+    dense = (spine.join(agged, [*by, "bucket"], "left")
+             .withColumn("filled", F.col("value").isNull()))
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    if fill == "locf":
+        dense = dense.withColumn(
+            "value",
+            F.last("value", ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    elif fill == "linear":
+        prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+        next_w = w.rowsBetween(1, Window.unboundedFollowing)
+        obs_b = F.when(~F.col("filled"), F.col("bucket"))
+        pv = F.last("value", ignorenulls=True).over(prev_w)
+        pb = F.last(obs_b, ignorenulls=True).over(prev_w)
+        nv = F.first("value", ignorenulls=True).over(next_w)
+        nb = F.first(obs_b, ignorenulls=True).over(next_w)
+        interp = pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb)
+        dense = dense.withColumn(
+            "value",
+            F.when(~F.col("filled"), F.col("value")).otherwise(interp))
+    return dense.select(*keys, "bucket",
+                        F.col("value").cast("double").alias("value"),
+                        "filled")

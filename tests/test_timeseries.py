@@ -1,0 +1,89 @@
+"""Time-series bucketing + gap filling (operators/timeseries.py): LOCF,
+linear interpolation, pure densify, the skew guard, and the q98-style
+DuckDB cross-check lives in the driver oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixeltable_spark.operators.timeseries import (
+    bucket_agg,
+    gap_fill,
+    time_bucket,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def series(spark):
+    rows = [
+        ("a", _ts(0, 10), 10.0),
+        ("a", _ts(0, 50), 20.0),    # bucket 0h: avg 15
+        ("a", _ts(3, 0), 45.0),     # 1h and 2h missing
+        ("b", _ts(1, 0), 5.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "v"])
+
+
+class TestGapFill:
+    def test_locf(self, spark, series):
+        out = {(r["k"], r["bucket"]): (r["value"], r["filled"])
+               for r in gap_fill(series, "ts", "v", 3600, by=["k"],
+                                 fill="locf").collect()}
+        base = int(dt.datetime(2024, 1, 1).replace(
+            tzinfo=dt.timezone.utc).timestamp())
+        assert out[("a", base)] == (15.0, False)
+        assert out[("a", base + 3600)] == (15.0, True)      # carried
+        assert out[("a", base + 7200)] == (15.0, True)
+        assert out[("a", base + 10800)] == (45.0, False)
+        assert out[("b", base + 3600)] == (5.0, False)
+        assert len(out) == 5
+
+    def test_linear(self, spark, series):
+        out = {(r["k"], r["bucket"]): r["value"]
+               for r in gap_fill(series, "ts", "v", 3600, by=["k"],
+                                 fill="linear").collect()}
+        base = int(dt.datetime(2024, 1, 1).replace(
+            tzinfo=dt.timezone.utc).timestamp())
+        assert out[("a", base + 3600)] == pytest.approx(25.0)
+        assert out[("a", base + 7200)] == pytest.approx(35.0)
+
+    def test_null_fill_and_flag(self, spark, series):
+        rows = gap_fill(series, "ts", "v", 3600, by=["k"],
+                        fill="null").collect()
+        gaps = [r for r in rows if r["filled"]]
+        assert len(gaps) == 2 and all(r["value"] is None for r in gaps)
+
+    def test_global_no_keys(self, spark, series):
+        rows = gap_fill(series, "ts", "v", 3600, fill="locf").collect()
+        assert len(rows) == 4   # 0h..3h global span
+        assert all(r["value"] is not None for r in rows)
+
+    def test_span_guard(self, spark):
+        df = spark.createDataFrame(
+            [("a", _ts(0), 1.0), ("a", dt.datetime(2025, 1, 1), 2.0)],
+            ["k", "ts", "v"])
+        with pytest.raises(Exception, match="max_fill_buckets"):
+            gap_fill(df, "ts", "v", 60, by=["k"],
+                     max_fill_buckets=1000).collect()
+
+    def test_bad_fill(self, spark, series):
+        with pytest.raises(ValueError, match="fill must be"):
+            gap_fill(series, "ts", "v", 3600, fill="spline")
+
+    def test_bucket_agg(self, spark, series):
+        rows = {(r["k"], r["bucket"]): (r["n"], r["total"])
+                for r in bucket_agg(series, "ts", 3600,
+                                    {"n": ("count", "v"),
+                                     "total": ("sum", "v")},
+                                    by=["k"]).collect()}
+        base = int(dt.datetime(2024, 1, 1).replace(
+            tzinfo=dt.timezone.utc).timestamp())
+        assert rows[("a", base)] == (2, 30.0)
+        assert rows[("b", base + 3600)] == (1, 5.0)
