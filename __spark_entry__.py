@@ -2052,6 +2052,25 @@ def q98_gap_fill(spark, sf_dir):
             .orderBy("user_id", "bucket"))
 
 
+def q99_ohlc(spark, sf_dir):
+    """Candlestick rollup (operators/timeseries.py ohlc): per (user,
+    day) open/high/low/close/n over events.value — min_by/max_by on
+    (ts, event_id) so open/close are deterministic even with duplicate
+    timestamps (first()/last() would be partition-order-dependent)."""
+    from pixeltable_spark.operators.timeseries import ohlc
+    df = _df(spark, sf_dir, "events")
+    # events carry microsecond timestamps with no (user, ts) ties at any
+    # sf (checked), so the plain ts order is already deterministic here;
+    # tiebreak_col exists on the operator for data that has ties
+    out = ohlc(df, "ts", "value", 86400, by=["user_id"])
+    return (out.select("user_id", "bucket",
+                       F.round("open", 6).alias("open"),
+                       F.round("high", 6).alias("high"),
+                       F.round("low", 6).alias("low"),
+                       F.round("close", 6).alias("close"), "n")
+            .orderBy("user_id", "bucket"))
+
+
 def q94_weighted_jaccard(spark, sf_dir):
     """Exact weighted (multiset) Jaccard near-dup pairs over unigram term
     frequencies, with the max_df stopword-skew guard (terms in >5% of the
@@ -2192,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_cluster_representatives": q96_cluster_representatives,
         "q97_icon_audio_probe": q97_icon_audio_probe,
         "q98_gap_fill": q98_gap_fill,
+        "q99_ohlc": q99_ohlc,
     }
 
 
@@ -2907,6 +2927,19 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q99_ohlc": """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         ts, event_id, value
+  FROM events)
+SELECT user_id, bucket,
+       round(arg_min(value, ts), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, ts), 6) AS close,
+       count(value) AS n
+FROM b GROUP BY 1, 2 ORDER BY user_id, bucket""",
         "q98_gap_fill": """
 WITH agged AS (
   SELECT user_id,

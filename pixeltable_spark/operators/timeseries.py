@@ -98,3 +98,22 @@ def gap_fill(df: DataFrame, ts_col: str, val_col: str, every_s: int,
     return dense.select(*keys, "bucket",
                         F.col("value").cast("double").alias("value"),
                         "filled")
+
+
+def ohlc(df: DataFrame, ts_col: str, val_col: str, every_s: int,
+         by: Sequence[str] = (),
+         tiebreak_col: Optional[str] = None) -> DataFrame:
+    """Per-bucket open/high/low/close (the candlestick rollup): one
+    groupBy with min_by/max_by on the event time — deterministic, unlike
+    first()/last() whose result depends on partition order. With equal
+    timestamps, `tiebreak_col` (e.g. an event id) makes open/close
+    well-defined; required when the data can carry ties."""
+    b = time_bucket(F.col(ts_col), every_s).alias("bucket")
+    order = F.struct(F.col(ts_col), *(
+        [F.col(tiebreak_col)] if tiebreak_col else []))
+    return df.groupBy(*[F.col(k) for k in by], b).agg(
+        F.min_by(val_col, order).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max_by(val_col, order).alias("close"),
+        F.count(val_col).alias("n"))

@@ -87,3 +87,16 @@ class TestGapFill:
             tzinfo=dt.timezone.utc).timestamp())
         assert rows[("a", base)] == (2, 30.0)
         assert rows[("b", base + 3600)] == (1, 5.0)
+
+
+class TestOhlc:
+    def test_deterministic_with_ties(self, spark):
+        from pixeltable_spark.operators.timeseries import ohlc
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [("a", t0, 1, 10.0), ("a", t0, 2, 99.0),   # tied ts
+                ("a", dt.datetime(2024, 1, 1, 5, 0), 3, 50.0)]
+        df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+        [r] = ohlc(df, "ts", "v", 86400, by=["k"],
+                   tiebreak_col="eid").collect()
+        assert (r["open"], r["high"], r["low"], r["close"], r["n"]) \
+            == (10.0, 99.0, 10.0, 50.0, 3)
