@@ -2113,6 +2113,34 @@ def q96_cluster_representatives(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q100_bm25_search(spark, sf_dir):
+    """Lexical full-text retrieval (operators/search.py bm25_topk): top-10
+    BM25 matches per query over documents. The corpus shuffle is pruned
+    to the query vocabulary before the exchange (broadcast literal IN
+    under the explode), doc length rides the scan projection, df stats /
+    query terms / corpus scalars are all broadcast — the scoring join
+    never moves the corpus. Scores rounded to 6 before ranking with a
+    doc_id tiebreak so the top-k cut is engine-deterministic."""
+    from pixeltable_spark.operators.search import bm25_topk
+    df = _df(spark, sf_dir, "documents")
+    out = bm25_topk(df, [("q1", "spark shuffle join"),
+                         ("q2", "window hash scan"),
+                         ("q3", "stream batch dedup")], k=10)
+    return out.orderBy("query_id", "rnk")
+
+
+def q101_funnel(spark, sf_dir):
+    """Ordered-funnel conversion over events (operators/timeseries.py
+    funnel): view -> click -> purchase, greedy earliest-first matching
+    (equivalent to nested min(ts) > prev stages — which is exactly how
+    the DuckDB oracle states it). ONE shuffle: per-user sorted event
+    fold via JVM aggregate(), no per-step join cascade."""
+    from pixeltable_spark.operators.timeseries import funnel
+    df = _df(spark, sf_dir, "events")
+    out = funnel(df, "ts", "event_type", ["view", "click", "purchase"])
+    return out.orderBy("step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2212,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_icon_audio_probe": q97_icon_audio_probe,
         "q98_gap_fill": q98_gap_fill,
         "q99_ohlc": q99_ohlc,
+        "q100_bm25_search": q100_bm25_search,
+        "q101_funnel": q101_funnel,
     }
 
 
@@ -2927,6 +2957,48 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q100_bm25_search": r"""
+WITH q(query_id, term, qtf) AS (VALUES
+  ('q1','spark',1),('q1','shuffle',1),('q1','join',1),
+  ('q2','window',1),('q2','hash',1),('q2','scan',1),
+  ('q3','stream',1),('q3','batch',1),('q3','dedup',1)),
+docs AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x <> '') AS tokens
+  FROM documents),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM docs),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+scored AS (SELECT q.query_id, tf.doc_id,
+  round(sum(q.qtf * ln(1 + (st.n_docs - dfq.dft + 0.5)/(dfq.dft + 0.5))
+        * tf.tf * 2.2
+        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6)
+    AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 10 ORDER BY query_id, rnk""",
+        "q101_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT step, event_type, users,
+       round(users / first(users) OVER (ORDER BY step), 6) AS conversion
+FROM (SELECT 1 AS step, 'view' AS event_type,
+             (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+WHERE users > 0 ORDER BY step""",
         "q99_ohlc": """
 WITH b AS (
   SELECT user_id,

@@ -117,3 +117,83 @@ def ohlc(df: DataFrame, ts_col: str, val_col: str, every_s: int,
         F.min(val_col).alias("low"),
         F.max_by(val_col, order).alias("close"),
         F.count(val_col).alias("n"))
+
+
+def funnel(df: DataFrame, ts_col: str, type_col: str,
+           steps: Sequence[str], by: str = "user_id",
+           within_s: Optional[int] = None) -> DataFrame:
+    """Ordered-funnel conversion (the Amplitude/Mixpanel funnel report):
+    how many entities completed step 1, then step 2 strictly after their
+    earliest step-1 completion, and so on — greedy earliest-first
+    matching, which is equivalent to the nested ``min(ts) > prev_min``
+    formulation (each stage's completion time is the minimum qualifying
+    timestamp given the previous stage's minimum).
+
+    ``within_s`` additionally requires every later step to land within
+    that many seconds of the entity's step-1 time (the conversion-window
+    knob); ``None`` means unbounded.
+
+    Output: (step, event_type, users, conversion) — one row per step,
+    conversion = users / step-1 users, rounded to 6.
+
+    100 TB design: ONE shuffle. Events are filtered to the funnel's
+    event types in the scan, grouped per entity with the (ts, step)
+    pairs sorted executor-side (``array_sort`` on structs — no window,
+    no per-step join cascade: a k-step funnel as iterated joins would
+    shuffle k times), and the funnel state machine runs as a JVM
+    ``aggregate()`` fold over each entity's sorted events. Per-entity
+    memory is bounded by that entity's funnel-relevant events — the
+    standard sort-within-group funnel shape; pathological single
+    entities (bots) are the caller's filter. The final per-step rollup
+    is a handful of rows."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel: steps must be non-empty")
+    if len(set(steps)) != n:
+        raise ValueError("funnel: step event types must be distinct")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (df.filter(F.col(type_col).isin(list(steps)))
+          .select(F.col(by),
+                  F.struct(
+                      F.col(ts_col).alias("t"),
+                      (F.array_position(step_arr, F.col(type_col)) - 1)
+                      .cast("int").alias("s")).alias("__ev")))
+    per_entity = ev.groupBy(by).agg(
+        F.array_sort(F.collect_list("__ev")).alias("__evs"))
+
+    # fold state: k = steps completed, tp = time of last completed step,
+    # t0 = time of step 1 (the conversion-window anchor)
+    acc0 = F.struct(F.lit(0).cast("int").alias("k"),
+                    F.lit(None).cast("timestamp").alias("tp"),
+                    F.lit(None).cast("timestamp").alias("t0"))
+
+    def advance(acc, e):
+        ok = (acc["k"] < n) & (e["s"] == acc["k"]) \
+            & ((acc["k"] == 0) | (e["t"] > acc["tp"]))
+        if within_s is not None:
+            ok = ok & ((acc["k"] == 0)
+                       | (e["t"] <= acc["t0"]
+                          + F.expr(f"INTERVAL {int(within_s)} SECONDS")))
+        return F.when(ok, F.struct(
+            (acc["k"] + 1).alias("k"), e["t"].alias("tp"),
+            F.when(acc["k"] == 0, e["t"]).otherwise(acc["t0"]).alias("t0"))
+        ).otherwise(acc)
+
+    reached = per_entity.select(
+        F.aggregate("__evs", acc0, advance)["k"].alias("__k"))
+    # each entity emits one row per completed step; sequence() is guarded
+    # (sequence(1, 0) would count DOWN in Spark, not return empty)
+    per_step = (reached
+                .filter(F.col("__k") >= 1)
+                .select(F.explode(F.sequence(F.lit(1), F.col("__k")))
+                        .alias("step"))
+                .groupBy("step").agg(F.count("*").alias("users")))
+    w_all = Window.partitionBy()
+    first_users = F.max(F.when(F.col("step") == 1, F.col("users"))) \
+        .over(w_all)
+    return (per_step
+            .withColumn("event_type",
+                        F.element_at(step_arr, F.col("step")))
+            .withColumn("conversion",
+                        F.round(F.col("users") / first_users, 6))
+            .select("step", "event_type", "users", "conversion"))
