@@ -2141,6 +2141,55 @@ def q101_funnel(spark, sf_dir):
     return out.orderBy("step")
 
 
+def q102_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over events (operators/timeseries.py
+    cohort_retention): entities cohorted by first-event week, per
+    (cohort, offset) active-user counts + retention vs the cohort size.
+    ONE shuffle over raw events — first week and the distinct-week set
+    come out of the same per-user groupBy (collect_set bounded by the
+    calendar, not the event count)."""
+    from pixeltable_spark.operators.timeseries import cohort_retention
+    df = _df(spark, sf_dir, "events")
+    out = cohort_retention(df, "ts", by="user_id", period_s=7 * 86400)
+    return out.orderBy("cohort", "offset")
+
+
+def q103_fuzzy_name_join(spark, sf_dir):
+    """Record-linkage blocking join (operators/joins.py
+    blocked_fuzzy_join): customer-name near-matches within a nation —
+    candidates via the c_nationkey blocking key (one AQE-splittable
+    equi-shuffle), verified with whole-stage-codegen levenshtein <= 2.
+    Non-matches never materialize; cross-block pairs are never compared
+    (the blocking contract)."""
+    from pixeltable_spark.operators.joins import blocked_fuzzy_join
+    c = _df(spark, sf_dir, "customer")
+    left = c.select(F.col("c_custkey").alias("id_a"),
+                    F.col("c_name").alias("name_a"),
+                    F.col("c_nationkey").alias("nat_a"))
+    right = c.select(F.col("c_custkey").alias("id_b"),
+                     F.col("c_name").alias("name_b"),
+                     F.col("c_nationkey").alias("nat_b"))
+    out = blocked_fuzzy_join(left, right, "name_a", "name_b",
+                             F.col("nat_a"), F.col("nat_b"), max_dist=2)
+    return (out.filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "edit_dist")
+            .orderBy("id_a", "id_b"))
+
+
+def q104_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection (operators/timeseries.py
+    rolling_zscore): each event's value vs mean/stddev of the previous
+    20 events of the same user (current row excluded — an outlier can't
+    mask itself). One window pass partitioned on user_id; rows with <2
+    prior observations or zero variance get NULL z."""
+    from pixeltable_spark.operators.timeseries import rolling_zscore
+    df = _df(spark, sf_dir, "events")
+    out = rolling_zscore(df, "ts", "value", by=["user_id"], lookback=20,
+                         z_threshold=3.0, order_cols=["event_id"])
+    return (out.select("user_id", "ts", "value", "z", "is_anomaly")
+            .orderBy("user_id", "ts"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2242,6 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_ohlc": q99_ohlc,
         "q100_bm25_search": q100_bm25_search,
         "q101_funnel": q101_funnel,
+        "q102_cohort_retention": q102_cohort_retention,
+        "q103_fuzzy_name_join": q103_fuzzy_name_join,
+        "q104_rolling_zscore": q104_rolling_zscore,
     }
 
 
@@ -2957,6 +3009,44 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q102_cohort_retention": """
+WITH b AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS wk
+           FROM events),
+pe AS (SELECT user_id, min(wk) AS cohort, list_distinct(list(wk)) AS act
+       FROM b GROUP BY 1),
+hits AS (SELECT cohort,
+                CAST((unnest(act) - cohort) / 604800 AS INT) AS "offset"
+         FROM pe),
+counts AS (SELECT cohort, "offset", count(*) AS users
+           FROM hits GROUP BY 1, 2)
+SELECT cohort, "offset", users,
+       round(users / max(CASE WHEN "offset" = 0 THEN users END)
+                      OVER (PARTITION BY cohort), 6) AS retention
+FROM counts ORDER BY cohort, "offset" """,
+        "q103_fuzzy_name_join": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b""",
+        "q104_rolling_zscore": """
+WITH w AS (
+  SELECT user_id, ts, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(value) OVER win AS nprev
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT user_id, ts, value,
+       CASE WHEN nprev >= 2 AND sd > 0
+            THEN round((value - mu) / sd, 6) END AS z,
+       abs(CASE WHEN nprev >= 2 AND sd > 0
+                THEN round((value - mu) / sd, 6) END) > 3.0 AS is_anomaly
+FROM w ORDER BY user_id, ts""",
         "q100_bm25_search": r"""
 WITH q(query_id, term, qtf) AS (VALUES
   ('q1','spark',1),('q1','shuffle',1),('q1','join',1),

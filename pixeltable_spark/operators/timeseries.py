@@ -119,6 +119,75 @@ def ohlc(df: DataFrame, ts_col: str, val_col: str, every_s: int,
         F.count(val_col).alias("n"))
 
 
+def cohort_retention(df: DataFrame, ts_col: str, by: str = "user_id",
+                     period_s: int = 7 * 86400) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by the period of
+    their FIRST event; for each (cohort, period offset) count how many of
+    the cohort's entities were active, and the retention rate relative to
+    the cohort's size (its offset-0 count — every entity is active in its
+    own first period by construction).
+
+    Output: (cohort, offset, users, retention) — cohort is the epoch-
+    second period start (long), offset the whole number of periods since
+    it (int).
+
+    100 TB design: ONE shuffle over raw events. Per entity, the first
+    period and the distinct-period set come out of the same groupBy
+    (``min`` + ``collect_set`` over period starts — the set is bounded by
+    the calendar, a few hundred entries per entity, not by event count,
+    and map-side partial aggregation dedups within each input partition).
+    The explode to (cohort, offset) rows and the final rollup are sized
+    by entities x active periods; the retention denominator is a window
+    over the handful of output rows."""
+    bucket = time_bucket(F.col(ts_col), period_s)
+    per_entity = (df.select(F.col(by), bucket.alias("__b"))
+                  .groupBy(by)
+                  .agg(F.min("__b").alias("__cohort"),
+                       F.collect_set("__b").alias("__active")))
+    hits = per_entity.select(
+        F.col("__cohort").alias("cohort"),
+        F.explode("__active").alias("__b")
+    ).select("cohort",
+             ((F.col("__b") - F.col("cohort")) / period_s)
+             .cast("int").alias("offset"))
+    counts = hits.groupBy("cohort", "offset").agg(
+        F.count("*").alias("users"))
+    w = Window.partitionBy("cohort")
+    size = F.max(F.when(F.col("offset") == 0, F.col("users"))).over(w)
+    return counts.select(
+        "cohort", "offset", "users",
+        F.round(F.col("users") / size, 6).alias("retention"))
+
+
+def rolling_zscore(df: DataFrame, ts_col: str, val_col: str,
+                   by: Sequence[str] = (), lookback: int = 20,
+                   z_threshold: float = 3.0,
+                   order_cols: Sequence[str] = ()) -> DataFrame:
+    """Streaming-style anomaly score: each row's value against the mean
+    and sample stddev of the previous `lookback` rows (the trailing
+    window EXCLUDES the current row, so an outlier can't mask itself).
+    Rows with fewer than 2 prior observations or zero variance get a
+    NULL z (not 0 — "no evidence" is not "not anomalous").
+
+    Output: input keys + (ts, value, z, is_anomaly). One window pass,
+    partitioned on `by` — no shuffle beyond the per-key sort; `order_cols`
+    appends tiebreak columns so the frame is deterministic when
+    timestamps can collide."""
+    w = (Window.partitionBy(*[F.col(k) for k in by])
+         .orderBy(F.col(ts_col).asc(),
+                  *[F.col(c).asc() for c in order_cols])
+         .rowsBetween(-lookback, -1))
+    mu = F.avg(val_col).over(w)
+    sd = F.stddev_samp(val_col).over(w)
+    nprev = F.count(val_col).over(w)
+    z = F.when((nprev >= 2) & (sd > 0),
+               F.round((F.col(val_col) - mu) / sd, 6))
+    return df.select(
+        *[F.col(k) for k in by], F.col(ts_col),
+        F.col(val_col).alias("value"), z.alias("z"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"))
+
+
 def funnel(df: DataFrame, ts_col: str, type_col: str,
            steps: Sequence[str], by: str = "user_id",
            within_s: Optional[int] = None) -> DataFrame:
