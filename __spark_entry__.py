@@ -2190,6 +2190,35 @@ def q104_rolling_zscore(spark, sf_dir):
             .orderBy("user_id", "ts"))
 
 
+def q105_pivot(spark, sf_dir):
+    """Cross-tab pivot (operators/reshape.py pivot_table): per-user
+    event-type counts as one wide row. Explicit pivot_values fix the
+    schema and compile to ONE conditional-aggregate groupBy (no
+    distinct-scan job, one shuffle); empty cells filled with 0 to match
+    SQL count semantics."""
+    from pixeltable_spark.operators.reshape import pivot_table
+    df = _df(spark, sf_dir, "events")
+    out = pivot_table(df, ["user_id"], "event_type", "value", agg="count",
+                      pivot_values=["click", "error", "purchase",
+                                    "signup", "view"],
+                      fill_value=0)
+    return out.orderBy("user_id")
+
+
+def q106_melt(spark, sf_dir):
+    """Wide -> long melt (operators/reshape.py melt, Spark native
+    unpivot): lineitem measure columns to (variable, value) rows —
+    a zero-shuffle generator expansion, each input row emitting 4
+    output rows in place."""
+    from pixeltable_spark.operators.reshape import melt
+    df = _df(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    out = melt(df, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return (out.select("l_orderkey", "l_linenumber", "variable",
+                       F.round("value", 6).alias("value"))
+            .orderBy("l_orderkey", "l_linenumber", "variable"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2294,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_cohort_retention": q102_cohort_retention,
         "q103_fuzzy_name_join": q103_fuzzy_name_join,
         "q104_rolling_zscore": q104_rolling_zscore,
+        "q105_pivot": q105_pivot,
+        "q106_melt": q106_melt,
     }
 
 
@@ -3009,6 +3040,30 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q105_pivot": """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id ORDER BY user_id""",
+        "q106_melt": """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax',
+         CAST(l_tax AS DOUBLE) FROM lineitem)
+SELECT l_orderkey, l_linenumber, variable, round(value, 6) AS value
+FROM m WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_linenumber, variable""",
         "q102_cohort_retention": """
 WITH b AS (SELECT user_id,
                   CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS wk
