@@ -2219,6 +2219,76 @@ def q106_melt(spark, sf_dir):
             .orderBy("l_orderkey", "l_linenumber", "variable"))
 
 
+def q107_split_dataset(spark, sf_dir):
+    """Deterministic 80/10/10 dataset split (operators/mldata.py
+    split_dataset): md5(seed, id) cumulative-interval assignment —
+    map-only, reproducible on any cluster, stable under appends (an
+    existing row's split never changes when rows arrive). Rolled up per
+    (split, source) for the check."""
+    from pixeltable_spark.operators.mldata import split_dataset
+    df = _df(spark, sf_dir, "documents")
+    out = split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        id_col="doc_id", seed=0)
+    return (out.groupBy("split", "source").agg(F.count("*").alias("n"))
+            .orderBy("split", "source"))
+
+
+def q108_negative_samples(spark, sf_dir):
+    """Contrastive negative mining (operators/mldata.py
+    negative_samples): up to 4 deterministic pseudo-random partners per
+    document via md5 hash-bucket probing — one equi-shuffle against the
+    bucketed corpus, one min_by aggregate, no cross join, no driver
+    collect. The oracle replays the identical hex-string hash math."""
+    from pixeltable_spark.operators.mldata import negative_samples
+    df = _df(spark, sf_dir, "documents")
+    out = negative_samples(df, id_col="doc_id", k=4, prefix_len=2, seed=0)
+    return out.orderBy("doc_id", "slot")
+
+
+def q109_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation composed end-to-end (operators/mldata.py
+    ranking_metrics over operators/search.py bm25_topk): BM25 top-10 per
+    query, graded relevance = number of distinct query terms present in
+    the document, NDCG@10 / MRR / hit count per query. The relevance
+    join reuses the query-vocabulary-pruned term pass — the corpus still
+    never shuffles unpruned."""
+    from pixeltable_spark.operators.mldata import ranking_metrics
+    from pixeltable_spark.operators.search import bm25_topk
+    qs = [("q1", "spark shuffle join"), ("q2", "window hash scan"),
+          ("q3", "stream batch dedup")]
+    df = _df(spark, sf_dir, "documents")
+    ranked = bm25_topk(df, qs, k=10)
+    vocab = sorted({t for _, s in qs for t in s.split()})
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, s in qs for t in s.split()],
+        "query_id string, term string")
+    present = (df.select(F.col("doc_id"), F.explode(toks).alias("term"))
+               .filter(F.col("term").isin(vocab)).distinct()
+               .join(F.broadcast(qterms), "term")
+               .groupBy("query_id", "doc_id")
+               .agg(F.count("*").alias("rel")))
+    joined = ranked.join(present, ["query_id", "doc_id"], "left") \
+        .fillna(0, subset=["rel"])
+    out = ranking_metrics(joined, "query_id", "rel", "rnk", k=10)
+    return out.orderBy("query_id")
+
+
+def q110_standardize(spark, sf_dir):
+    """Per-group feature standardization with winsorization
+    (operators/mldata.py standardize): z-scores of quantity and price
+    within each returnflag group, clipped to +/-2.5 sigma — grouped
+    stats ride one window pass, column math in codegen."""
+    from pixeltable_spark.operators.mldata import standardize
+    df = _df(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    out = standardize(df, ["l_quantity", "l_extendedprice"],
+                      by=["l_returnflag"], clip_sigma=2.5)
+    return (out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                       F.round("l_quantity_z", 6).alias("qty_z"),
+                       F.round("l_extendedprice_z", 6).alias("price_z"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2325,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_rolling_zscore": q104_rolling_zscore,
         "q105_pivot": q105_pivot,
         "q106_melt": q106_melt,
+        "q107_split_dataset": q107_split_dataset,
+        "q108_negative_samples": q108_negative_samples,
+        "q109_ranking_metrics": q109_ranking_metrics,
+        "q110_standardize": q110_standardize,
     }
 
 
@@ -3040,6 +3114,92 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q107_split_dataset": """
+WITH s AS (SELECT source,
+  CASE WHEN substr(md5('0___' || doc_id), 1, 16) <= 'ccccccccccccd000'
+         THEN 'train'
+       WHEN substr(md5('0___' || doc_id), 1, 16) <= 'e666666666666800'
+         THEN 'val'
+       ELSE 'test' END AS split
+  FROM documents)
+SELECT split, source, count(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY split, source""",
+        "q108_negative_samples": """
+WITH corpus AS (SELECT doc_id AS cand,
+                       substr(md5('0___' || doc_id), 1, 2) AS bkt
+                FROM documents),
+probes AS (SELECT doc_id, slot,
+                  substr(md5('0___' || doc_id || '___' || slot
+                             || '___probe'), 1, 2) AS bkt
+           FROM documents, (SELECT unnest([0, 1, 2, 3]) AS slot)),
+cand AS (SELECT p.doc_id, p.slot, c.cand
+         FROM probes p JOIN corpus c USING (bkt)
+         WHERE c.cand <> p.doc_id)
+SELECT doc_id,
+       arg_min(cand, md5('0___' || doc_id || '___' || slot || '___'
+                         || cand)) AS neg_id,
+       slot
+FROM cand GROUP BY doc_id, slot ORDER BY doc_id, slot""",
+        "q109_ranking_metrics": r"""
+WITH q(query_id, term, qtf) AS (VALUES
+  ('q1','spark',1),('q1','shuffle',1),('q1','join',1),
+  ('q2','window',1),('q2','hash',1),('q2','scan',1),
+  ('q3','stream',1),('q3','batch',1),('q3','dedup',1)),
+docs AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x <> '') AS tokens
+  FROM documents),
+dl AS (SELECT doc_id, len(tokens) AS dl FROM docs),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+scored AS (SELECT q.query_id, tf.doc_id,
+  round(sum(q.qtf * ln(1 + (st.n_docs - dfq.dft + 0.5)/(dfq.dft + 0.5))
+        * tf.tf * 2.2
+        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6)
+    AS score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 10),
+rel AS (SELECT q.query_id, tf.doc_id, count(*) AS rel
+        FROM tf JOIN q USING (term) GROUP BY 1, 2),
+j AS (SELECT r.query_id, r.rnk, coalesce(rel.rel, 0) AS rel
+      FROM ranked r LEFT JOIN rel
+        ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+ideal AS (SELECT query_id, rel, rnk,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, rnk ASC) AS ir
+  FROM j)
+SELECT query_id,
+  round(CASE WHEN sum(rel / log2(ir + 1)) > 0
+             THEN sum(rel / log2(rnk + 1)) / sum(rel / log2(ir + 1))
+             ELSE 0 END, 6) AS ndcg,
+  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rnk END), 0), 6)
+    AS mrr,
+  count(CASE WHEN rel > 0 THEN 1 END) AS hits
+FROM ideal GROUP BY 1 ORDER BY query_id""",
+        "q110_standardize": """
+WITH f AS (SELECT * FROM lineitem WHERE l_orderkey < 5000),
+w AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_quantity, l_extendedprice,
+             avg(l_quantity) OVER g AS mu_q,
+             stddev_samp(l_quantity) OVER g AS sd_q,
+             avg(l_extendedprice) OVER g AS mu_p,
+             stddev_samp(l_extendedprice) OVER g AS sd_p
+      FROM f WINDOW g AS (PARTITION BY l_returnflag))
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(CASE WHEN sd_q > 0 THEN
+         least(greatest((l_quantity - mu_q) / sd_q, -2.5), 2.5) END, 6)
+         AS qty_z,
+       round(CASE WHEN sd_p > 0 THEN
+         least(greatest((l_extendedprice - mu_p) / sd_p, -2.5), 2.5)
+         END, 6) AS price_z
+FROM w ORDER BY l_orderkey, l_linenumber""",
         "q105_pivot": """
 SELECT user_id,
        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
