@@ -2289,6 +2289,47 @@ def q110_standardize(spark, sf_dir):
             .orderBy("l_orderkey", "l_linenumber"))
 
 
+def q111_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build (operators/timeseries.py
+    scd2): collapse each user's event stream into event_type validity
+    intervals — one row per change with valid_from/valid_to/is_current.
+    One shuffle on the key; lag-detect and lead-close-out ride the same
+    partitioning (the filter between them preserves it)."""
+    from pixeltable_spark.operators.timeseries import scd2
+    df = _df(spark, sf_dir, "events")
+    out = scd2(df, ["user_id"], "ts", ["event_type"],
+               order_cols=["event_id"])
+    return (out.select("user_id", "event_type", "valid_from", "valid_to",
+                       "is_current")
+            .orderBy("user_id", "valid_from"))
+
+
+def q112_histogram(spark, sf_dir):
+    """Per-event-type equi-width histogram of event values
+    (operators/profile.py histogram): 20 bins over the GLOBAL min/max
+    (comparable bins across groups — the bounds ride a broadcast one-row
+    aggregate), clamp-to-edge bins, one map-side-combined rollup."""
+    from pixeltable_spark.operators.profile import histogram
+    df = _df(spark, sf_dir, "events")
+    out = histogram(df, "value", bins=20, by=["event_type"])
+    return (out.select("event_type", "bin",
+                       F.round("bin_lo", 6).alias("bin_lo"),
+                       F.round("bin_hi", 6).alias("bin_hi"), "n")
+            .orderBy("event_type", "bin"))
+
+
+def q113_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (operators/profile.py
+    corr_matrix) over the lineitem measures — all 6 pairs in ONE
+    map-side-combined aggregation pass (corr is algebraic), long-format
+    upper triangle."""
+    from pixeltable_spark.operators.profile import corr_matrix
+    df = _df(spark, sf_dir, "lineitem")
+    out = corr_matrix(df, ["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"])
+    return out.orderBy("col_a", "col_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2399,6 +2440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_negative_samples": q108_negative_samples,
         "q109_ranking_metrics": q109_ranking_metrics,
         "q110_standardize": q110_standardize,
+        "q111_scd2": q111_scd2,
+        "q112_histogram": q112_histogram,
+        "q113_corr_matrix": q113_corr_matrix,
     }
 
 
@@ -3114,6 +3158,50 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q111_scd2": """
+WITH m AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, event_type, ts FROM m
+      WHERE prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+ORDER BY user_id, valid_from""",
+        "q112_histogram": """
+WITH b AS (SELECT min(value) AS lo,
+                  (max(value) - min(value)) / 20 AS w FROM events),
+h AS (SELECT event_type,
+             CAST(least(greatest(floor((value - lo) / w), 0), 19)
+                  AS INT) AS bin, lo, w
+      FROM events, b WHERE value IS NOT NULL)
+SELECT event_type, bin,
+       round(lo + bin * w, 6) AS bin_lo,
+       round(lo + (bin + 1) * w, 6) AS bin_hi,
+       count(*) AS n
+FROM h GROUP BY event_type, bin, lo, w
+ORDER BY event_type, bin""",
+        "q113_corr_matrix": """
+WITH c AS (SELECT
+  corr(l_quantity, l_extendedprice) AS c0,
+  corr(l_quantity, l_discount) AS c1,
+  corr(l_quantity, l_tax) AS c2,
+  corr(l_extendedprice, l_discount) AS c3,
+  corr(l_extendedprice, l_tax) AS c4,
+  corr(l_discount, l_tax) AS c5
+  FROM lineitem)
+SELECT col_a, col_b, round(v, 6) AS corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS v
+    FROM c
+  UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM c
+  UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM c
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM c
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM c
+  UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM c)
+ORDER BY col_a, col_b""",
         "q107_split_dataset": """
 WITH s AS (SELECT source,
   CASE WHEN substr(md5('0___' || doc_id), 1, 16) <= 'ccccccccccccd000'

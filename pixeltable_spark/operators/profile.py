@@ -104,3 +104,68 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
     ])
     return (wide.select(F.explode(pairs).alias("ps"))
             .select("ps.col_name", "ps.stat", "ps.value"))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 10,
+              lo: float | None = None, hi: float | None = None,
+              by: Sequence[str] = ()) -> DataFrame:
+    """Equi-width histogram of a numeric column, optionally per group:
+    (by..., bin, bin_lo, bin_hi, n). Omitted `lo`/`hi` are taken from a
+    one-row global min/max aggregate (broadcast-crossed in — IEEE double
+    math, so bin edges are engine-deterministic given the same data).
+    Values above `hi` clamp into the last bin, below `lo` into the
+    first (closed outer edges, the numpy.histogram convention); empty
+    bins are not emitted (join against a spine if you need density —
+    see gap_fill for the pattern).
+
+    One shuffle: the (keys, bin) rollup with map-side combine. The
+    bounds pass is metadata-cheap (min/max only) and skipped entirely
+    when explicit bounds are given — give them at 100 TB."""
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"))
+        src = df.crossJoin(F.broadcast(bounds))
+        lo_c = F.col("__lo") if lo is None else F.lit(float(lo))
+        hi_c = F.col("__hi") if hi is None else F.lit(float(hi))
+    else:
+        src, lo_c, hi_c = df, F.lit(float(lo)), F.lit(float(hi))
+    w = (hi_c - lo_c) / bins
+    idx = F.when(w > 0, F.least(
+        F.greatest(F.floor((x - lo_c) / w), F.lit(0)),
+        F.lit(bins - 1)).cast("int")).otherwise(F.lit(0))
+    keys = [F.col(k) for k in by]
+    binned = src.filter(x.isNotNull()).select(
+        *keys, idx.alias("bin"), lo_c.alias("__l"), w.alias("__w"))
+    # __l/__w are row-constant (literals or the broadcast 1-row bounds),
+    # so grouping on them adds no cardinality — it just carries them
+    # through to the edge computation
+    return (binned.groupBy(*[k for k in by], "bin", "__l", "__w")
+            .agg(F.count("*").alias("n"))
+            .select(*keys, "bin",
+                    (F.col("__l") + F.col("bin") * F.col("__w"))
+                    .alias("bin_lo"),
+                    (F.col("__l") + (F.col("bin") + 1) * F.col("__w"))
+                    .alias("bin_hi"), "n"))
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations in long format (col_a, col_b,
+    corr), upper triangle only (col_a < col_b by the given order).
+    ONE aggregation pass — every corr() is algebraic, so all pairs ride
+    a single map-side-combined job; no per-pair scans, no driver math.
+    O(k^2) aggregate buffers for k columns: fine for the tens-of-columns
+    profiling case, cap k upstream for very wide tables."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    wide = df.agg(*[
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+        .alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)])
+    arr = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.round(F.col(f"__c_{i}"), 6).alias("corr"))
+        for i, (a, b) in enumerate(pairs)])
+    return (wide.select(F.explode(arr).alias("p"))
+            .select("p.col_a", "p.col_b", "p.corr"))

@@ -266,3 +266,35 @@ def funnel(df: DataFrame, ts_col: str, type_col: str,
             .withColumn("conversion",
                         F.round(F.col("users") / first_users, 6))
             .select("step", "event_type", "users", "conversion"))
+
+
+def scd2(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+         attr_cols: Sequence[str],
+         order_cols: Sequence[str] = ()) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse an update/event
+    stream into validity intervals per key — one output row per ATTRIBUTE
+    CHANGE, with ``valid_from`` (the change time), ``valid_to`` (the next
+    change, NULL while current) and ``is_current``. Consecutive rows with
+    identical attributes merge into one interval; comparison is
+    null-safe (NULL -> NULL is "no change").
+
+    100 TB design: one shuffle on the key columns; change detection is a
+    lag() over the per-key order and interval close-out a lead() over the
+    SAME partitioning (the filter between them preserves partitioning —
+    no second exchange, just a re-sort). ``order_cols`` appends tiebreak
+    columns for streams that can carry duplicate timestamps."""
+    if not attr_cols:
+        raise ValueError("scd2: attr_cols must be non-empty")
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    prev = F.lag(cur).over(w)
+    changed = ~cur.eqNullSafe(prev)   # first row: lag NULL -> changed
+    marked = df.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (marked.select(
+        *keys, *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull()))
