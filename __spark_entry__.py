@@ -2330,6 +2330,66 @@ def q113_corr_matrix(spark, sf_dir):
     return out.orderBy("col_a", "col_b")
 
 
+def q114_funnel_stream(spark, sf_dir):
+    """The ordered funnel run as a STATEFUL STREAM
+    (streaming/stateful.py funnel_stream — applyInPandasWithState, three
+    scalars of state per entity, no event buffering): availableNow replay
+    of the events source, per-entity progress aggregated to the same
+    per-step rollup as batch q101 — and checked against the SAME
+    nested-min SQL oracle (streaming ≡ batch on a time-ordered replay,
+    also pinned by tests/test_stateful_streaming.py)."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark import streaming
+    steps = ["view", "click", "purchase"]
+    ts_type = spark.read.parquet(
+        f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        prog = streaming.funnel_stream(raw, "ts", "event_type", steps)
+        name = "q114_funnel_" + _uuid.uuid4().hex[:10]
+        q = (prog.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    # steps_completed is monotone per entity: max() collapses multi-batch
+    # update emissions to final progress
+    final = (spark.table(name).groupBy("user_id")
+             .agg(F.max("steps_completed").alias("__k")))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    per_step = (final.filter(F.col("__k") >= 1)
+                .select(F.explode(F.sequence(F.lit(1), F.col("__k")))
+                        .alias("step"))
+                .groupBy("step").agg(F.count("*").alias("users")))
+    from pyspark.sql import Window as W
+    first_users = F.max(F.when(F.col("step") == 1, F.col("users"))) \
+        .over(W.partitionBy())
+    return (per_step
+            .withColumn("event_type", F.element_at(step_arr, F.col("step")))
+            .withColumn("conversion",
+                        F.round(F.col("users") / first_users, 6))
+            .select("step", "event_type", "users", "conversion")
+            .orderBy("step"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2443,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_scd2": q111_scd2,
         "q112_histogram": q112_histogram,
         "q113_corr_matrix": q113_corr_matrix,
+        "q114_funnel_stream": q114_funnel_stream,
     }
 
 
@@ -2591,7 +2652,7 @@ _TOKCOUNT = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_rege
 _STOPPAT = r"\b(" + "|".join(textops.LANG_STOPWORDS["en"]) + r")\b"
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     md5_key_li = ("md5('{seed}___' || CAST(l_orderkey AS VARCHAR) || '___' || "
                   "CAST(l_linenumber AS VARCHAR))")
     # q87: long-format per-column profile — generated, one UNION ALL arm
@@ -3927,3 +3988,12 @@ FROM documents a JOIN documents b
   ON a.doc_id < b.doc_id AND a.doc_id % 29 = b.doc_id % 29
 ORDER BY id_a, id_b""",
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the streaming funnel replay must equal the batch funnel: a
+    # time-ordered availableNow replay shares q101's nested-min oracle
+    # (also pinned by tests/test_stateful_streaming.py)
+    d["q114_funnel_stream"] = d["q101_funnel"]
+    return d

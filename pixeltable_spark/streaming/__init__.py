@@ -8,10 +8,11 @@ from .incremental import (
 from .stateful import (
     stream_dedup_stateful,
     stateful_running_uda,
+    funnel_stream,
 )
 
 __all__ = [
     "incremental_ingest", "stream_from_directory", "windowed_event_counts",
     "sessionize_stream", "run_stream_to_memory",
-    "stream_dedup_stateful", "stateful_running_uda",
+    "stream_dedup_stateful", "stateful_running_uda", "funnel_stream",
 ]

@@ -24,9 +24,15 @@ from pyspark.sql import types as T
 
 def stream_from_directory(spark: SparkSession, path: str,
                           schema: T.StructType,
-                          fmt: str = "parquet") -> DataFrame:
-    """File-source stream: new files in `path` become micro-batches."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+                          fmt: str = "parquet",
+                          options: dict | None = None) -> DataFrame:
+    """File-source stream: new files in `path` become micro-batches.
+    `options` passes reader options through (e.g. maxFilesPerTrigger to
+    bound batch size / force one-file-per-batch replays)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
 
 
 def incremental_ingest(stream_df: DataFrame, table,

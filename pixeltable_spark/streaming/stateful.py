@@ -224,3 +224,93 @@ def stateful_running_uda(stream_df: DataFrame, uda_cls: type,
             fn, out_schema, state_schema, "update",
             GroupStateTimeout.EventTimeTimeout)
     )
+
+
+def funnel_stream(stream_df: DataFrame, ts_col: str, type_col: str,
+                  steps: list, by: str = "user_id",
+                  within_s: Optional[int] = None,
+                  watermark: str = "1 hour",
+                  state_ttl_ms: int = 86_400_000) -> DataFrame:
+    """The batch ordered-funnel (operators/timeseries.py funnel) run
+    INCREMENTALLY per entity: GroupState carries the state machine
+    (steps completed, last-step time, funnel-start time); each
+    micro-batch advances it over the batch's funnel-relevant events in
+    event-time order and emits the entity's current progress
+    (key, steps_completed, funnel_start, last_step_ts) in update mode.
+
+    Semantics contract: within a micro-batch events are consumed in
+    event-time order, and the greedy earliest-first machine is exactly
+    the batch funnel's; an event that arrives in a LATER batch than one
+    it precedes in event time cannot retroactively advance a step the
+    machine already passed (standard at-watermark streaming funnel
+    semantics). Over an availableNow replay of a time-ordered source the
+    result equals the batch funnel exactly — pinned by a test.
+
+    State per entity is three scalars (no event buffering), expiring
+    `state_ttl_ms` after the entity's newest event — bounded state at
+    unbounded entity cardinality. Events not in `steps` are filtered
+    BEFORE the shuffle."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_stream: steps must be non-empty")
+    if len(set(steps)) != n:
+        raise ValueError("funnel_stream: step event types must be distinct")
+    step_idx = {s: i for i, s in enumerate(steps)}
+    key_type = stream_df.schema[by].dataType
+    out_schema = T.StructType([
+        T.StructField(by, key_type),
+        T.StructField("steps_completed", T.IntegerType()),
+        T.StructField("funnel_start", T.TimestampType()),
+        T.StructField("last_step_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("tp_us", T.LongType()),
+        T.StructField("t0_us", T.LongType()),
+    ])
+    within_us = None if within_s is None else int(within_s) * 1_000_000
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        k, tp_us, t0_us = state.get if state.exists else (0, 0, 0)
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            max_ts_ms = max(max_ts_ms,
+                            int(pdf[ts_col].max().value // 1_000_000))
+            ts_us = pdf[ts_col].astype("int64") // 1_000
+            for t, ev in zip(ts_us, pdf[type_col]):
+                if k >= n or step_idx.get(ev) != k:
+                    continue
+                if k > 0 and not t > tp_us:
+                    continue
+                if (within_us is not None and k > 0
+                        and t > t0_us + within_us):
+                    continue
+                if k == 0:
+                    t0_us = int(t)
+                tp_us = int(t)
+                k += 1
+        state.update((k, tp_us, t0_us))
+        if max_ts_ms > 0:
+            state.setTimeoutTimestamp(max_ts_ms + state_ttl_ms)
+        yield pd.DataFrame([{
+            by: key[0], "steps_completed": k,
+            "funnel_start": (pd.Timestamp(t0_us * 1000) if k > 0 else None),
+            "last_step_ts": (pd.Timestamp(tp_us * 1000) if k > 0 else None),
+        }])
+
+    return (
+        stream_df
+        .filter(F.col(type_col).isin(list(steps)))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(by))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout)
+    )

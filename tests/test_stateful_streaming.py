@@ -143,3 +143,93 @@ class TestStatefulRunningUda:
         expect = {uid: (4, float(sum(range(uid, 12, 3))))
                   for uid in range(3)}
         assert {k: v for k, v in final.items()} == expect
+
+EV_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+])
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@pytest.fixture()
+def funnel_landing(spark, tmp_path):
+    """Two time-ordered files: u1 converts across the file boundary
+    (state must survive micro-batches), u2 stalls, u3 is out of order."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-01 00:01:00", 2, "view"),
+        (2, "2024-01-01 00:02:00", 1, "click"),
+        (3, "2024-01-01 00:03:00", 3, "click"),    # click before view
+        # --- second file ---
+        (4, "2024-01-01 00:04:00", 1, "purchase"),
+        (5, "2024-01-01 00:05:00", 3, "view"),
+        (6, "2024-01-01 00:06:00", 2, "other"),    # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "funnel_landing")
+    df.filter(F.col("event_id") < 4).coalesce(1) \
+        .write.mode("append").parquet(d)
+    df.filter(F.col("event_id") >= 4).coalesce(1) \
+        .write.mode("append").parquet(d)
+    return d
+
+
+class TestFunnelStream:
+    def test_state_survives_batches(self, spark, funnel_landing):
+        stream = streaming.stream_from_directory(
+            spark, funnel_landing, EV_SCHEMA,
+            options={"maxFilesPerTrigger": "1"})
+        out = streaming.funnel_stream(stream, "ts", "event_type",
+                                      FUNNEL_STEPS)
+        streaming.run_stream_to_memory(out, "funnel_t1",
+                                       output_mode="update")
+        rows = spark.table("funnel_t1").collect()
+        # update mode: keep the LAST emission per user
+        last = {}
+        for r in rows:
+            last[r["user_id"]] = r["steps_completed"]
+        # u1 view+click in batch 1, purchase in batch 2 -> 3
+        # u2 view only -> 1; u3 click arrived before view -> 1
+        assert last == {1: 3, 2: 1, 3: 1}
+
+    def test_matches_batch_funnel_on_replay(self, spark, funnel_landing):
+        from pixeltable_spark.operators.timeseries import funnel
+        stream = streaming.stream_from_directory(
+            spark, funnel_landing, EV_SCHEMA)
+        out = streaming.funnel_stream(stream, "ts", "event_type",
+                                      FUNNEL_STEPS)
+        streaming.run_stream_to_memory(out, "funnel_t2",
+                                       output_mode="update")
+        last = {}
+        for r in spark.table("funnel_t2").collect():
+            last[r["user_id"]] = r["steps_completed"]
+        batch_df = spark.read.parquet(funnel_landing)
+        batch = {r["step"]: r["users"]
+                 for r in funnel(batch_df, "ts", "event_type",
+                                 FUNNEL_STEPS).collect()}
+        for step, users in batch.items():
+            got = sum(1 for k in last.values() if k >= step)
+            assert got == users, f"step {step}: stream {got} != {users}"
+
+    def test_conversion_window(self, spark, funnel_landing):
+        stream = streaming.stream_from_directory(
+            spark, funnel_landing, EV_SCHEMA)
+        out = streaming.funnel_stream(stream, "ts", "event_type",
+                                      FUNNEL_STEPS, within_s=180)
+        streaming.run_stream_to_memory(out, "funnel_t3",
+                                       output_mode="update")
+        last = {r["user_id"]: r["steps_completed"]
+                for r in spark.table("funnel_t3").collect()}
+        # u1's purchase at +4min falls outside the 3-min window
+        assert last[1] == 2
+
+    def test_validation(self, spark, funnel_landing):
+        stream = streaming.stream_from_directory(
+            spark, funnel_landing, EV_SCHEMA)
+        with pytest.raises(ValueError):
+            streaming.funnel_stream(stream, "ts", "event_type", [])
