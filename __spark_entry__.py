@@ -2390,6 +2390,42 @@ def q114_funnel_stream(spark, sf_dir):
             .orderBy("step"))
 
 
+def q115_interval_join(spark, sf_dir):
+    """Interval-OVERLAP join (operators/joins.py interval_join): pairs
+    of a customer's orders whose activity windows ([orderdate,
+    orderdate + 1+key%20 days]) intersect — both sides explode to
+    shared 30-day bins, pairing becomes an equi-join on (custkey, bin),
+    and a multi-bin overlap emits ONCE via the first-shared-bin
+    projection filter (the LSH first-band-wins trick, no distinct()
+    shuffle). Oracle: the plain theta overlap join."""
+    from pixeltable_spark.operators.joins import interval_join
+    o = _df(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.unix_timestamp("o_orderdate").alias("lo"),
+        (F.unix_timestamp("o_orderdate")
+         + (1 + F.col("o_orderkey") % 20) * 86400).alias("hi"))
+    out = interval_join(iv, iv, "lo", "hi", "lo", "hi",
+                        by=["custkey"], bin_width=30 * 86400.0)
+    return (out.filter(F.col("okey") < F.col("okey_r"))
+            .select("custkey", "okey", "okey_r")
+            .orderBy("custkey", "okey", "okey_r"))
+
+
+def q116_ab_test(spark, sf_dir):
+    """Welch two-sample t-test (operators/stats.py ab_test): event
+    values of even- vs odd-id users, ONE conditional-aggregate pass
+    (n/mean/var per arm ride the same map-side combine), t statistic /
+    Welch df / two-sided p from the A&S 7.1.26 erf polynomial — pure
+    codegen column math that the oracle replays with the identical
+    IEEE-double association order."""
+    from pixeltable_spark.operators.stats import ab_test
+    df = _df(spark, sf_dir, "events").withColumn(
+        "grp", (F.col("user_id") % 2).cast("int"))
+    return ab_test(df, "value", "grp", control=0, treatment=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2504,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_histogram": q112_histogram,
         "q113_corr_matrix": q113_corr_matrix,
         "q114_funnel_stream": q114_funnel_stream,
+        "q115_interval_join": q115_interval_join,
+        "q116_ab_test": q116_ab_test,
     }
 
 
@@ -3219,6 +3257,48 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q115_interval_join": """
+WITH iv AS (SELECT o_custkey AS custkey, o_orderkey AS okey,
+                   epoch(o_orderdate) AS lo,
+                   epoch(o_orderdate) + (1 + o_orderkey % 20) * 86400
+                     AS hi
+            FROM orders)
+SELECT a.custkey AS custkey, a.okey AS okey, b.okey AS okey_r
+FROM iv a JOIN iv b
+  ON a.custkey = b.custkey
+ AND a.lo <= b.hi AND b.lo <= a.hi
+ AND a.okey < b.okey
+ORDER BY a.custkey, a.okey, okey_r""",
+        "q116_ab_test": """
+WITH a AS (SELECT
+  count(value) FILTER (WHERE user_id % 2 = 0) AS n_c,
+  count(value) FILTER (WHERE user_id % 2 = 1) AS n_t,
+  avg(value) FILTER (WHERE user_id % 2 = 0) AS mean_c,
+  avg(value) FILTER (WHERE user_id % 2 = 1) AS mean_t,
+  var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_c,
+  var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v_t
+  FROM events),
+s AS (SELECT *, v_c / n_c AS se2_c, v_t / n_t AS se2_t FROM a),
+tt AS (SELECT *,
+  (mean_t - mean_c) / sqrt(se2_c + se2_t) AS t_stat,
+  (se2_c + se2_t) * (se2_c + se2_t)
+    / (se2_c * se2_c / (n_c - 1) + se2_t * se2_t / (n_t - 1))
+    AS welch_df
+  FROM s),
+e AS (SELECT *, abs(t_stat) / 1.4142135623730951 AS x FROM tt),
+u AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM e),
+ph AS (SELECT *,
+  1.0 - ((((((0.0 + 1.061405429) * t + -1.453152027) * t
+            + 1.421413741) * t + -0.284496736) * t
+          + 0.254829592) * t) * exp(-(x * x)) AS erfv
+  FROM u)
+SELECT n_c, n_t,
+       round(mean_c, 6) AS mean_c, round(mean_t, 6) AS mean_t,
+       round(mean_t - mean_c, 6) AS diff,
+       round(t_stat, 6) AS t_stat,
+       round(welch_df, 6) AS welch_df,
+       round(2.0 * (1.0 - 0.5 * (1.0 + erfv)), 6) AS p_value
+FROM ph""",
         "q111_scd2": """
 WITH m AS (
   SELECT user_id, event_type, ts,

@@ -226,3 +226,50 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
     return out.select(*[l[c] for c in left.columns],
                       *[F.col(rename[c]) for c in right.columns],
                       dist.alias("edit_dist"))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_lo: str, left_hi: str,
+                  right_lo: str, right_hi: str,
+                  by: Optional[Sequence[str]] = None,
+                  bin_width: Optional[float] = None) -> DataFrame:
+    """Inner interval-OVERLAP join: pairs where [left_lo, left_hi] and
+    [right_lo, right_hi] intersect (closed ends), plus optional
+    equi-keys — the genomics/temporal "overlap join" that point-in-
+    interval range_join doesn't cover.
+
+    Without `bin_width` Spark plans the theta join directly (broadcast
+    nested loop — fine when one side is small). With it, BOTH sides
+    explode to shared range bins and the pairing becomes an equi-join on
+    (by..., bin); a pair overlapping several shared bins would emit
+    once per bin, so the join keeps only the FIRST shared bin — the bin
+    of max(floor(left_lo/w), floor(right_lo/w)), the later of the two
+    interval starts, which both sides provably cover when the intervals
+    overlap. Same emit-once projection trick as the LSH
+    first-agreeing-band-wins pair join (operators/dedup.py) — no
+    distinct() shuffle. Right-side name collisions are suffixed `_r`."""
+    by = list(by or [])
+    rename = {c: f"{c}_r" if c in set(left.columns) else c
+              for c in right.columns}
+    r = right.select(*[F.col(c).alias(rename[c]) for c in right.columns])
+    rlo, rhi = rename[right_lo], rename[right_hi]
+    overlap = [F.col(left_lo) <= F.col(rhi), F.col(rlo) <= F.col(left_hi)]
+    eq = [left[b] == r[rename[b]] for b in by]
+    if bin_width is None:
+        out = left.join(r, on=overlap + eq)
+        return out.select(*[left[c] for c in left.columns],
+                          *[F.col(rename[c]) for c in right.columns])
+    w = float(bin_width)
+    lb = left.withColumn("__bin", F.explode(F.sequence(
+        F.floor(F.col(left_lo) / w), F.floor(F.col(left_hi) / w))))
+    rb = r.withColumn("__bin", F.explode(F.sequence(
+        F.floor(F.col(rlo) / w), F.floor(F.col(rhi) / w))))
+    first_shared = F.greatest(F.floor(F.col(left_lo) / w),
+                              F.floor(F.col(rlo) / w))
+    on = [lb["__bin"] == rb["__bin"]] + \
+        [lb[b] == rb[rename[b]] for b in by]
+    out = (lb.join(rb, on=on)
+           .filter(overlap[0] & overlap[1])
+           .filter(lb["__bin"] == first_shared))
+    return out.select(*[lb[c] for c in left.columns],
+                      *[rb[rename[c]] for c in right.columns])
