@@ -517,3 +517,89 @@ def test_weighted_jaccard_matches_duckdb(spark, seed):
                             max_df=max_df if max_df is not None else 10**9)
     want = [(a, b, round(w, 6)) for a, b, w in con.execute(sql).fetchall()]
     assert got == want, (seed, th, max_df)
+
+
+# -- funnel vs nested-min SQL on random event streams -----------------------
+
+def _funnel_oracle_sql(steps: list) -> str:
+    """Generate the nested-min CTE chain for an arbitrary step list —
+    the same formulation as the q101/q114 oracle, parameterized."""
+    ctes = [f"s1 AS (SELECT user_id, min(ts) AS t FROM ev "
+            f"WHERE event_type = '{steps[0]}' GROUP BY 1)"]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t "
+            f"FROM ev e JOIN s{i - 1} USING (user_id) "
+            f"WHERE e.event_type = '{s}' AND e.ts > s{i - 1}.t "
+            f"GROUP BY 1)")
+    arms = [f"SELECT {i} AS step, '{s}' AS event_type, "
+            f"(SELECT count(*) FROM s{i}) AS users"
+            for i, s in enumerate(steps, start=1)]
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT step, event_type, users"
+            " FROM (" + " UNION ALL ".join(arms) + ")"
+            " WHERE users > 0 ORDER BY step")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_funnel_matches_duckdb(spark, seed):
+    """Random event streams — duplicate timestamps included to exercise
+    the strict-ordering tie semantics — through operators/timeseries.py
+    funnel vs the generated nested-min oracle."""
+    import datetime as dt
+
+    from pixeltable_spark.operators.timeseries import funnel
+    rng = random.Random(7000 + seed)
+    types = ["A", "B", "C", "D"]
+    k = rng.choice([2, 3])
+    steps = rng.sample(types, k)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(rng.randrange(8),
+             base + dt.timedelta(minutes=rng.randrange(40)),  # ties likely
+             rng.choice(types))
+            for _ in range(150)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = sorted((r["step"], r["event_type"], r["users"])
+                 for r in funnel(df, "ts", "event_type", steps).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev "
+                "(user_id BIGINT, ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    want = sorted(tuple(r) for r in
+                  con.execute(_funnel_oracle_sql(steps)).fetchall())
+    assert got == want, f"steps={steps}"
+
+
+# -- interval_join: binned path vs theta path vs DuckDB ---------------------
+
+@pytest.mark.parametrize("seed", range(5))
+def test_interval_join_binned_matches_theta_and_duckdb(spark, seed):
+    from pixeltable_spark.operators.joins import interval_join
+    rng = random.Random(8000 + seed)
+
+    def mk(n, id0):
+        out = []
+        for i in range(n):
+            lo = rng.uniform(0, 100)
+            out.append((id0 + i, round(lo, 3),
+                        round(lo + rng.uniform(0, 30), 3)))
+        return out
+
+    lrows, rrows = mk(40, 0), mk(40, 1000)
+    left = spark.createDataFrame(lrows, "lid long, lo double, hi double")
+    right = spark.createDataFrame(rrows, "rid long, lo double, hi double")
+    w = rng.choice([3.0, 10.0, 45.0])
+    binned = sorted((r["lid"], r["rid"]) for r in interval_join(
+        left, right, "lo", "hi", "lo", "hi", bin_width=w).collect())
+    assert len(binned) == len(set(binned)), "duplicate pair emitted"
+    theta = sorted((r["lid"], r["rid"]) for r in interval_join(
+        left, right, "lo", "hi", "lo", "hi").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (lid BIGINT, lo DOUBLE, hi DOUBLE)")
+    con.execute("CREATE TABLE r (rid BIGINT, lo DOUBLE, hi DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    want = sorted(tuple(r) for r in con.execute(
+        "SELECT lid, rid FROM l JOIN r "
+        "ON l.lo <= r.hi AND r.lo <= l.hi").fetchall())
+    assert binned == theta == want, f"w={w}"
