@@ -2426,6 +2426,52 @@ def q116_ab_test(spark, sf_dir):
     return ab_test(df, "value", "grp", control=0, treatment=1)
 
 
+def q117_conversion_test(spark, sf_dir):
+    """Two-proportion z-test (operators/stats.py two_proportion_test):
+    did odd-id users purchase at a different rate than even-id users?
+    Per-user conversion flags from one groupBy, then the pooled-variance
+    z and the A&S-polynomial p in a single conditional-aggregate row."""
+    from pixeltable_spark.operators.stats import two_proportion_test
+    df = _df(spark, sf_dir, "events")
+    # "big purchase" (value > 190) so the conversion rate sits mid-range
+    # at every sf — plain 'any purchase' saturates to 1.0 and the test
+    # is degenerate (se = 0 -> NULL by design)
+    per_user = (df.groupBy("user_id")
+                .agg(F.max((F.col("event_type") == "purchase")
+                           & (F.col("value") > 190))
+                     .alias("converted"))
+                .withColumn("grp", (F.col("user_id") % 2).cast("int")))
+    return two_proportion_test(per_user, "converted", "grp",
+                               control=0, treatment=1)
+
+
+def q118_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (operators/search.py
+    top_terms_per_doc): top-3 distinguishing terms per document, hapax
+    (min_df=2) and boilerplate (max_df 60%) filtered on the
+    aggregate-sized df table, round-before-rank + term tiebreak.
+    Restricted to doc_id < 200 to keep the check output bounded; the
+    operator itself is corpus-wide."""
+    from pixeltable_spark.operators.search import top_terms_per_doc
+    df = _df(spark, sf_dir, "documents")
+    out = top_terms_per_doc(df, k=3, min_df=2, max_df_frac=0.6)
+    return (out.filter(F.col("doc_id") < 200)
+            .orderBy("doc_id", "rnk"))
+
+
+def q119_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (operators/quality.py fk_summary —
+    the dbt `relationships` test distributed): events.user_id against
+    the BUILDING-segment customer dimension — parent reduces to
+    distinct keys before a left-anti join, child streams through one
+    scan; plus the one-row totals/violations/rate summary."""
+    from pixeltable_spark.operators.quality import fk_summary
+    ev = _df(spark, sf_dir, "events")
+    cust = _df(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    return fk_summary(ev, cust, ["user_id"], ["c_custkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2542,6 +2588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_funnel_stream": q114_funnel_stream,
         "q115_interval_join": q115_interval_join,
         "q116_ab_test": q116_ab_test,
+        "q117_conversion_test": q117_conversion_test,
+        "q118_keywords": q118_keywords,
+        "q119_fk_audit": q119_fk_audit,
     }
 
 
@@ -3257,6 +3306,71 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q117_conversion_test": """
+WITH per_user AS (SELECT user_id,
+                         max(event_type = 'purchase' AND value > 190)
+                           AS converted
+                  FROM events GROUP BY 1),
+a AS (SELECT
+  count(*) FILTER (WHERE user_id % 2 = 0) AS n_c,
+  count(*) FILTER (WHERE user_id % 2 = 1) AS n_t,
+  count(*) FILTER (WHERE user_id % 2 = 0 AND converted) AS succ_c,
+  count(*) FILTER (WHERE user_id % 2 = 1 AND converted) AS succ_t
+  FROM per_user),
+s AS (SELECT *,
+  CAST(succ_c AS DOUBLE) / n_c AS p_c,
+  CAST(succ_t AS DOUBLE) / n_t AS p_t,
+  CAST(succ_c + succ_t AS DOUBLE) / (n_c + n_t) AS pool
+  FROM a),
+zt AS (SELECT *,
+  (p_t - p_c) / sqrt(pool * (1.0 - pool) * (1.0 / n_c + 1.0 / n_t))
+    AS z FROM s),
+e AS (SELECT *, abs(z) / 1.4142135623730951 AS x FROM zt),
+u AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM e),
+ph AS (SELECT *,
+  1.0 - ((((((0.0 + 1.061405429) * t + -1.453152027) * t
+            + 1.421413741) * t + -0.284496736) * t
+          + 0.254829592) * t) * exp(-(x * x)) AS erfv
+  FROM u)
+SELECT n_c, n_t, succ_c, succ_t,
+       round(p_c, 6) AS rate_c, round(p_t, 6) AS rate_t,
+       round(p_t - p_c, 6) AS diff, round(z, 6) AS z_stat,
+       round(2.0 * (1.0 - 0.5 * (1.0 + erfv)), 6) AS p_value
+FROM ph""",
+        "q118_keywords": r"""
+WITH toks AS (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS words
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(words) AS term FROM toks)
+       WHERE term <> '' GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1
+        HAVING count(*) >= 2
+           AND count(*) <= (SELECT CAST(floor(0.6 * n) AS BIGINT)
+                            FROM nd)),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dfq.dft), 6)
+                    AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 3 AND doc_id < 200
+ORDER BY doc_id, rnk""",
+        "q119_fk_audit": """
+WITH pk AS (SELECT DISTINCT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'),
+v AS (SELECT count(*) AS violations FROM events e
+      WHERE e.user_id IS NOT NULL
+        AND e.user_id NOT IN (SELECT c_custkey FROM pk)),
+t AS (SELECT count(*) AS total_rows,
+             count(*) FILTER (WHERE user_id IS NULL) AS null_keys
+      FROM events)
+SELECT total_rows, null_keys, violations,
+       round(violations / (total_rows - null_keys), 6)
+         AS violation_rate
+FROM t, v""",
         "q115_interval_join": """
 WITH iv AS (SELECT o_custkey AS custkey, o_orderkey AS okey,
                    epoch(o_orderdate) AS lo,

@@ -1,0 +1,56 @@
+"""Data-quality audit operators: referential-integrity checking (the
+dbt-style `relationships` test, distributed).
+
+100 TB design: fk_violations is a LEFT ANTI join on the key — the
+parent side reduces to its distinct keys first (aggregate-sized, and
+broadcast when small), so the child table streams through one pruned
+scan; the summary variant adds a single-row conditional aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_violations(child: DataFrame, parent: DataFrame,
+                  child_keys: Sequence[str],
+                  parent_keys: Sequence[str]) -> DataFrame:
+    """Rows of `child` whose (non-null) foreign key has no match in
+    `parent` — NULL keys are skipped (SQL FK semantics: NULL means
+    'no reference', not a violation). Returns the violating child rows
+    unchanged."""
+    if len(child_keys) != len(parent_keys) or not child_keys:
+        raise ValueError("fk_violations: key lists must be same-length "
+                         "and non-empty")
+    pk = parent.select(*[F.col(p).alias(f"__pk_{i}")
+                         for i, p in enumerate(parent_keys)]).distinct()
+    cond = [child[c] == pk[f"__pk_{i}"]
+            for i, c in enumerate(child_keys)]
+    non_null = child
+    for c in child_keys:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    return non_null.join(pk, on=cond, how="left_anti")
+
+
+def fk_summary(child: DataFrame, parent: DataFrame,
+               child_keys: Sequence[str],
+               parent_keys: Sequence[str]) -> DataFrame:
+    """One-row audit summary: total child rows, rows with a NULL key,
+    violations, and the violation rate over non-null keys."""
+    viol = fk_violations(child, parent, child_keys, parent_keys)
+    null_cond = None
+    for c in child_keys:
+        n = F.col(c).isNull()
+        null_cond = n if null_cond is None else (null_cond | n)
+    totals = child.agg(
+        F.count("*").alias("total_rows"),
+        F.count(F.when(null_cond, F.lit(1))).alias("null_keys"))
+    v = viol.agg(F.count("*").alias("violations"))
+    return (totals.crossJoin(F.broadcast(v))
+            .select("total_rows", "null_keys", "violations",
+                    F.round(F.col("violations")
+                            / (F.col("total_rows") - F.col("null_keys")),
+                            6).alias("violation_rate")))

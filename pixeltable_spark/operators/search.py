@@ -104,3 +104,42 @@ def bm25_topk(df: DataFrame, queries: Sequence[Tuple[str, str]],
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", id_col, "score", "rnk"))
+
+
+def top_terms_per_doc(df: DataFrame, k: int = 5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_df: int = 1,
+                      max_df_frac: float = 1.0) -> DataFrame:
+    """TF-IDF keyword extraction: the k highest-scoring terms per
+    document, score = tf * ln(N / df), rounded to 6 BEFORE ranking with
+    a term tiebreak so the cut is engine-deterministic. `min_df` drops
+    hapax noise; `max_df_frac` drops corpus-wide boilerplate (both
+    filters apply to the df table, which is aggregate-sized).
+
+    Output: (id, term, score, rnk).
+
+    100 TB design: unlike query-driven BM25 this is inherently a
+    full-vocabulary pass — but it is ONE (doc, term) aggregate with
+    map-side combine (shuffle = distinct doc-term pairs), the df table
+    joins back BROADCAST (vocabulary-of-the-corpus sized after the
+    min_df cut, which at web scale is the step that keeps it so), and
+    the per-doc top-k is a window over each doc's own terms."""
+    tf = (df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            .alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    n_docs = df.count()   # metadata-cheap; one scalar
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("dft"))
+             .filter((F.col("dft") >= min_df)
+                     & (F.col("dft") <= int(max_df_frac * n_docs))))
+    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                        / F.col("dft")), 6)
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .select(F.col(id_col), "term", score.alias("score"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", "score", "rnk"))

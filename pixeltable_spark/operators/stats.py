@@ -62,7 +62,9 @@ def ab_test(df: DataFrame, metric_col: str, group_col: str,
     se2_c = F.col("__v_c") / F.col("n_c")
     se2_t = F.col("__v_t") / F.col("n_t")
     se = F.sqrt(se2_c + se2_t)
-    t_stat = (F.col("mean_t") - F.col("mean_c")) / se
+    # both arms zero-variance -> undefined test -> NULL, not an ANSI
+    # divide-by-zero
+    t_stat = F.when(se > 0, (F.col("mean_t") - F.col("mean_c")) / se)
     welch_df = ((se2_c + se2_t) * (se2_c + se2_t)
                 / (se2_c * se2_c / (F.col("n_c") - 1)
                    + se2_t * se2_t / (F.col("n_t") - 1)))
@@ -74,4 +76,42 @@ def ab_test(df: DataFrame, metric_col: str, group_col: str,
         F.round(F.col("mean_t") - F.col("mean_c"), 6).alias("diff"),
         F.round(t_stat, 6).alias("t_stat"),
         F.round(welch_df, 6).alias("welch_df"),
+        F.round(p, 6).alias("p_value"))
+
+
+def two_proportion_test(df: DataFrame, success_col: str, group_col: str,
+                        control, treatment) -> DataFrame:
+    """Two-proportion z-test (conversion-rate A/B): per-variant trials/
+    successes/rate, the rate difference, the pooled-variance z statistic
+
+        z = (p_t - p_c) / sqrt(p_pool (1 - p_pool) (1/n_c + 1/n_t))
+
+    and the two-sided p-value via the same A&S erf polynomial as
+    ab_test. `success_col` is evaluated as a boolean (non-null true =
+    success). ONE conditional-aggregate pass, column math in codegen,
+    oracle-replayable IEEE association order."""
+    s = F.col(success_col).cast("boolean")
+    is_c = F.col(group_col) == F.lit(control)
+    is_t = F.col(group_col) == F.lit(treatment)
+    agg = df.agg(
+        F.count(F.when(is_c, F.lit(1))).alias("n_c"),
+        F.count(F.when(is_t, F.lit(1))).alias("n_t"),
+        F.count(F.when(is_c & s, F.lit(1))).alias("succ_c"),
+        F.count(F.when(is_t & s, F.lit(1))).alias("succ_t"))
+    p_c = F.col("succ_c") / F.col("n_c")
+    p_t = F.col("succ_t") / F.col("n_t")
+    pool = (F.col("succ_c") + F.col("succ_t")) \
+        / (F.col("n_c") + F.col("n_t"))
+    se = F.sqrt(pool * (1.0 - pool)
+                * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+    # pooled rate 0 or 1 (nobody / everybody converts) gives se = 0:
+    # the test is undefined -> NULL, not an ANSI divide-by-zero
+    z = F.when(se > 0, (p_t - p_c) / se)
+    p = 2.0 * (1.0 - normal_cdf(F.abs(z)))
+    return agg.select(
+        "n_c", "n_t", "succ_c", "succ_t",
+        F.round(p_c, 6).alias("rate_c"),
+        F.round(p_t, 6).alias("rate_t"),
+        F.round(p_t - p_c, 6).alias("diff"),
+        F.round(z, 6).alias("z_stat"),
         F.round(p, 6).alias("p_value"))

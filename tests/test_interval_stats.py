@@ -12,7 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from pixeltable_spark.operators.joins import interval_join
-from pixeltable_spark.operators.stats import ab_test, erf_approx
+from pixeltable_spark.operators.stats import (
+    ab_test,
+    erf_approx,
+    two_proportion_test,
+)
 
 
 class TestIntervalJoin:
@@ -117,3 +121,77 @@ class TestAbTest:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "Join" not in plan
+
+
+class TestTwoProportionTest:
+    def test_hand_computed(self, spark):
+        # c: 2/10 convert; t: 5/10
+        rows = [("c", i < 2) for i in range(10)] + \
+               [("t", i < 5) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        out = two_proportion_test(df, "ok", "g", "c", "t").collect()[0]
+        assert (out["n_c"], out["succ_c"]) == (10, 2)
+        assert (out["n_t"], out["succ_t"]) == (10, 5)
+        pool = 7 / 20
+        se = math.sqrt(pool * (1 - pool) * (1 / 10 + 1 / 10))
+        z = (0.5 - 0.2) / se
+        assert out["z_stat"] == pytest.approx(z, abs=2e-6)
+        p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2))))
+        assert out["p_value"] == pytest.approx(p, abs=1e-5)
+
+    def test_degenerate_all_convert_is_null(self, spark):
+        rows = [("c", True)] * 3 + [("t", True)] * 3
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        out = two_proportion_test(df, "ok", "g", "c", "t").collect()[0]
+        assert out["z_stat"] is None and out["p_value"] is None
+
+
+class TestTopTermsPerDoc:
+    def test_tfidf_ranking(self, spark):
+        from pixeltable_spark.operators.search import top_terms_per_doc
+        rows = [(1, "rare common common"), (2, "common common other"),
+                (3, "rare other unique")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = top_terms_per_doc(df, k=2)
+        got = {(r["doc_id"], r["rnk"]): r["term"] for r in out.collect()}
+        # doc1: 'rare' (df=2) beats 'common' x2 (df=2)? tf=1*ln(3/2)=.405
+        # vs tf=2*ln(3/2)=.81 -> common first
+        assert got[(1, 1)] == "common"
+        # doc3: 'unique' df=1 -> ln(3)=1.099 beats rare/other ln(1.5)
+        assert got[(3, 1)] == "unique"
+
+    def test_min_max_df_filters(self, spark):
+        from pixeltable_spark.operators.search import top_terms_per_doc
+        rows = [(1, "boiler x"), (2, "boiler y"), (3, "boiler z"),
+                (4, "boiler w")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = top_terms_per_doc(df, k=5, min_df=2,
+                                max_df_frac=0.9).collect()
+        terms = {r["term"] for r in out}
+        # hapaxes (x/y/z/w, df=1) cut by min_df; 'boiler' (df=4 > 3.6)
+        # cut by max_df_frac
+        assert terms == set()
+
+
+class TestFkAudit:
+    def test_violations_and_summary(self, spark):
+        from pixeltable_spark.operators.quality import (
+            fk_summary,
+            fk_violations,
+        )
+        child = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 99), (4, None)],
+            "id long, fk long")
+        parent = spark.createDataFrame([(10,), (11,), (11,)], ["pk"])
+        v = fk_violations(child, parent, ["fk"], ["pk"]).collect()
+        assert [r["id"] for r in v] == [3]  # NULL fk is not a violation
+        s = fk_summary(child, parent, ["fk"], ["pk"]).collect()[0]
+        assert (s["total_rows"], s["null_keys"], s["violations"]) == \
+            (4, 1, 1)
+        assert s["violation_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_validation(self, spark):
+        from pixeltable_spark.operators.quality import fk_violations
+        df = spark.createDataFrame([(1,)], ["a"])
+        with pytest.raises(ValueError):
+            fk_violations(df, df, ["a"], [])
