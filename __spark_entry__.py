@@ -2472,6 +2472,20 @@ def q119_fk_audit(spark, sf_dir):
     return fk_summary(ev, cust, ["user_id"], ["c_custkey"])
 
 
+def q120_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/mldata.py weighted_sample_n — Efraimidis-Spirakis A-ES
+    keys over md5 uniforms): 20 docs per source, inclusion probability
+    proportional to n_chars. Hash math instead of RNG state, so the
+    oracle replays the identical 52-bit draw and top-n per group."""
+    from pixeltable_spark.operators.mldata import weighted_sample_n
+    df = _df(spark, sf_dir, "documents")
+    out = weighted_sample_n(df, 20, "n_chars", by=["source"],
+                            id_col="doc_id", seed=0)
+    return (out.select("doc_id", "source", "n_chars")
+            .orderBy("source", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2591,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_conversion_test": q117_conversion_test,
         "q118_keywords": q118_keywords,
         "q119_fk_audit": q119_fk_audit,
+        "q120_weighted_sample": q120_weighted_sample,
     }
 
 
@@ -3306,6 +3321,15 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q120_weighted_sample": """
+WITH k AS (SELECT doc_id, source, n_chars,
+  ln((('0x' || substr(md5('0___' || doc_id), 1, 13))::BIGINT + 1.0)
+     / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key DESC) AS r FROM k)
+WHERE r <= 20 ORDER BY source, doc_id""",
         "q117_conversion_test": """
 WITH per_user AS (SELECT user_id,
                          max(event_type = 'purchase' AND value > 190)

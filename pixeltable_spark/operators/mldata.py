@@ -182,3 +182,38 @@ def ranking_metrics(df: DataFrame, query_col: str, rel_col: str,
                 F.round(F.coalesce(1.0 / F.col("__fh"), F.lit(0.0)), 6)
                 .alias("mrr"),
                 F.col("hits")))
+
+
+def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
+                      by: Sequence[str] = (), id_col: str = "doc_id",
+                      seed: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u = md5-uniform(seed, id) and the n
+    rows with the largest ln(u)/weight are kept (equivalently u^(1/w) —
+    inclusion probability proportional to weight, exactly the reservoir
+    key). Rows with NULL or non-positive weight are excluded.
+
+    Same auditability property as split_dataset: hash math instead of
+    RNG state, so the sample is reproducible on any cluster/partitioning
+    and REPLAYABLE IN SQL for checking (the 13-hex md5 prefix converts
+    to the identical 52-bit integer in any engine).
+
+    One window pass per group (ties impossible — u is id-unique), no
+    global sort: the per-group top-n is a rank over the `by`
+    partitioning, the same shape as any top-k-per-group."""
+    if n < 1:
+        raise ValueError("weighted_sample_n: n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    v = F.conv(F.substring(
+        F.md5(F.concat_ws("___", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 13),
+        16, 10).cast("long")
+    u = (v.cast("double") + 1.0) / F.lit(float(1 << 52))
+    key = F.log(u) / w
+    win = (Window.partitionBy(*[F.col(k) for k in by])
+           .orderBy(F.col("__es_key").desc()))
+    return (df.filter(w.isNotNull() & (w > 0))
+            .withColumn("__es_key", key)
+            .withColumn("__es_rnk", F.row_number().over(win))
+            .filter(F.col("__es_rnk") <= n)
+            .drop("__es_key", "__es_rnk"))

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pixeltable_spark.operators.mldata import (
+    weighted_sample_n,
     negative_samples,
     ranking_metrics,
     split_dataset,
@@ -143,3 +144,48 @@ class TestStandardize:
     def test_validation(self, spark, feats):
         with pytest.raises(ValueError):
             standardize(feats, [])
+
+
+class TestWeightedSampleN:
+    @pytest.fixture()
+    def weighted(self, spark):
+        rows = [(i, "g", 1000.0 if i == 0 else 1.0) for i in range(40)]
+        return spark.createDataFrame(rows, ["doc_id", "g", "w"])
+
+    def test_deterministic_and_seed_sensitive(self, spark, weighted):
+        a = sorted(r["doc_id"] for r in weighted_sample_n(
+            weighted, 5, "w", by=["g"]).collect())
+        b = sorted(r["doc_id"] for r in weighted_sample_n(
+            weighted, 5, "w", by=["g"]).collect())
+        c = sorted(r["doc_id"] for r in weighted_sample_n(
+            weighted, 5, "w", by=["g"], seed=3).collect())
+        assert a == b and len(a) == 5
+        assert a != c
+
+    def test_weight_drives_inclusion(self, spark, weighted):
+        # doc 0 carries 1000x the weight: across 12 seeds it should be
+        # sampled nearly always (P[miss] ~ (1 - 1000/1039)^5 ~ 1e-7)
+        hits = sum(
+            any(r["doc_id"] == 0 for r in weighted_sample_n(
+                weighted, 5, "w", by=["g"], seed=s).collect())
+            for s in range(12))
+        assert hits >= 11
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        rows = [(1, 1.0), (2, 0.0), (3, -4.0), (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample_n(df, 10, "w").collect()
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_per_group_cut(self, spark):
+        rows = [(i, "a" if i < 30 else "b", 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "g", "w"])
+        out = weighted_sample_n(df, 7, "w", by=["g"]).collect()
+        by_g = {}
+        for r in out:
+            by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+        assert by_g == {"a": 7, "b": 7}
+
+    def test_validation(self, spark, weighted):
+        with pytest.raises(ValueError):
+            weighted_sample_n(weighted, 0, "w")
