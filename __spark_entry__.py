@@ -2486,6 +2486,43 @@ def q120_weighted_sample(spark, sf_dir):
             .orderBy("source", "doc_id"))
 
 
+def q121_top_paths(spark, sf_dir):
+    """User-journey mining (operators/timeseries.py top_paths): the 10
+    most common event-type trigrams across per-user time-ordered
+    streams — ONE shuffle (per-entity array_sort(collect_list), n-grams
+    via slice-under-transform executor-side), vocabulary-sized rollup,
+    deterministic path tiebreak."""
+    from pixeltable_spark.operators.timeseries import top_paths
+    df = _df(spark, sf_dir, "events")
+    return top_paths(df, "ts", "event_type", by="user_id", n=3, k=10,
+                     order_cols=["event_id"]).orderBy("rnk")
+
+
+def q122_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/timeseries.py
+    transition_matrix): P(next event type | current) per user stream —
+    one lead() window on the entity shuffle, vocabulary-sized rollup,
+    row-normalized probabilities."""
+    from pixeltable_spark.operators.timeseries import transition_matrix
+    df = _df(spark, sf_dir, "events")
+    return transition_matrix(df, "ts", "event_type", by="user_id",
+                             order_cols=["event_id"]) \
+        .orderBy("cur", "nxt")
+
+
+def q123_vocab_divergence(spark, sf_dir):
+    """Corpus distribution drift (operators/text.py vocab_divergence):
+    Jensen-Shannon divergence between the English and German documents'
+    smoothed unigram distributions — each corpus reduces to
+    vocabulary-sized counts before the full-outer term join; totals
+    broadcast; one aggregate-sized sum. The drift check a training
+    pipeline runs between a new crawl and the current mix."""
+    from pixeltable_spark.operators.text import vocab_divergence
+    docs = _df(spark, sf_dir, "documents")
+    return vocab_divergence(docs.filter(F.col("lang") == "en"),
+                            docs.filter(F.col("lang") == "de"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2606,6 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_keywords": q118_keywords,
         "q119_fk_audit": q119_fk_audit,
         "q120_weighted_sample": q120_weighted_sample,
+        "q121_top_paths": q121_top_paths,
+        "q122_transitions": q122_transitions,
+        "q123_vocab_divergence": q123_vocab_divergence,
     }
 
 
@@ -3321,6 +3361,57 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q121_top_paths": """
+WITH l AS (SELECT user_id,
+                  list(event_type ORDER BY ts, event_id) AS types
+           FROM events GROUP BY 1),
+g AS (SELECT unnest(CASE WHEN len(types) >= 3 THEN
+        list_transform(generate_series(1, len(types) - 2),
+                       i -> array_to_string(types[i:i+2], '>'))
+      ELSE []::VARCHAR[] END) AS path FROM l),
+c AS (SELECT path, count(*) AS n FROM g GROUP BY 1)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk
+FROM c QUALIFY rnk <= 10 ORDER BY rnk""",
+        "q122_transitions": """
+WITH p AS (SELECT event_type AS cur,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT cur, nxt, count(*) AS n FROM p
+      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT cur, nxt, n,
+       round(n / sum(n) OVER (PARTITION BY cur), 6) AS prob
+FROM c ORDER BY cur, nxt""",
+        "q123_vocab_divergence": r"""
+WITH ta AS (SELECT unnest(list_filter(
+              string_split_regex(lower(trim(text)), '\s+'),
+              x -> x <> '')) AS term
+            FROM documents WHERE lang = 'en'),
+tb AS (SELECT unnest(list_filter(
+         string_split_regex(lower(trim(text)), '\s+'),
+         x -> x <> '')) AS term
+       FROM documents WHERE lang = 'de'),
+ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ca FULL JOIN cb USING (term)),
+t AS (SELECT sum(ca) AS tokens_a, sum(cb) AS tokens_b,
+             count(CASE WHEN ca > 0 THEN 1 END) AS vocab_a,
+             count(CASE WHEN cb > 0 THEN 1 END) AS vocab_b,
+             count(*) AS vocab_union FROM j),
+s AS (SELECT (ca + 0.5) / (tokens_a + 0.5 * vocab_union) AS p,
+             (cb + 0.5) / (tokens_b + 0.5 * vocab_union) AS q
+      FROM j, t)
+SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+               + 0.5 * q * ln(q / ((p + q) / 2.0))), 6)
+         AS js_divergence,
+       (SELECT CAST(tokens_a AS BIGINT) FROM t) AS tokens_a,
+       (SELECT CAST(tokens_b AS BIGINT) FROM t) AS tokens_b,
+       (SELECT vocab_a FROM t) AS vocab_a,
+       (SELECT vocab_b FROM t) AS vocab_b,
+       (SELECT vocab_union FROM t) AS vocab_union
+FROM s""",
         "q120_weighted_sample": """
 WITH k AS (SELECT doc_id, source, n_chars,
   ln((('0x' || substr(md5('0___' || doc_id), 1, 13))::BIGINT + 1.0)

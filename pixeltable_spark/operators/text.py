@@ -504,3 +504,53 @@ def mixture_sample(df: DataFrame, rates: dict, domain_col: str = "source",
                       F.lit(SampleClause.fraction_to_md5_hex(float(rate)))
                       ).otherwise(expr)
     return df.filter(key <= expr)
+
+
+def vocab_divergence(df_a: DataFrame, df_b: DataFrame,
+                     text_col: str = "text",
+                     smoothing: float = 0.5) -> DataFrame:
+    """Corpus distribution drift: Jensen-Shannon divergence between two
+    corpora's unigram term distributions (plus token/vocab size stats) —
+    the standard check that a new crawl / a held-out split matches the
+    training distribution. Add-k smoothed over the UNION vocabulary:
+
+        p_t = (count_a(t) + k) / (tokens_a + k * |V|)   (q_t likewise)
+        JS  = 0.5 * sum p ln(p/m) + 0.5 * sum q ln(q/m),  m = (p+q)/2
+
+    JS is bounded by ln 2, symmetric, finite even for disjoint vocab.
+    Output: one row (js_divergence, tokens_a, tokens_b, vocab_a,
+    vocab_b, vocab_union).
+
+    100 TB design: each corpus reduces to its vocabulary-sized term
+    counts (one explode + map-side-combined groupBy per side); the
+    full-outer term join, the scalar totals (broadcast-crossed), and
+    the final sum are all aggregate-sized. No driver math."""
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (spread(d).select(F.explode(toks).alias("term"))
+                .filter(F.col("term") != "")
+                .groupBy("term").agg(F.count("*").alias(name)))
+    ca, cb = counts(df_a, "ca"), counts(df_b, "cb")
+    joined = (ca.join(cb, "term", "full_outer")
+              .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                      F.coalesce("cb", F.lit(0)).alias("cb")))
+    totals = joined.agg(
+        F.sum("ca").alias("tokens_a"), F.sum("cb").alias("tokens_b"),
+        F.count(F.when(F.col("ca") > 0, F.lit(1))).alias("vocab_a"),
+        F.count(F.when(F.col("cb") > 0, F.lit(1))).alias("vocab_b"),
+        F.count("*").alias("vocab_union"))
+    k = float(smoothing)
+    src = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("ca") + k) / (F.col("tokens_a") + k * F.col("vocab_union"))
+    q = (F.col("cb") + k) / (F.col("tokens_b") + k * F.col("vocab_union"))
+    m = (p + q) / 2.0
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (src.agg(F.sum(contrib).alias("__js"),
+                    F.first("tokens_a").alias("tokens_a"),
+                    F.first("tokens_b").alias("tokens_b"),
+                    F.first("vocab_a").alias("vocab_a"),
+                    F.first("vocab_b").alias("vocab_b"),
+                    F.first("vocab_union").alias("vocab_union"))
+            .select(F.round("__js", 6).alias("js_divergence"),
+                    "tokens_a", "tokens_b", "vocab_a", "vocab_b",
+                    "vocab_union"))

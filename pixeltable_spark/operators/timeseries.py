@@ -298,3 +298,61 @@ def scd2(df: DataFrame, key_cols: Sequence[str], ts_col: str,
         F.col(ts_col).alias("valid_from"),
         F.lead(F.col(ts_col)).over(w2).alias("valid_to"))
         .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def transition_matrix(df: DataFrame, ts_col: str, type_col: str,
+                      by: str = "user_id",
+                      order_cols: Sequence[str] = ()) -> DataFrame:
+    """First-order Markov transition estimates between event types:
+    (cur, nxt, n, prob) with prob = P(next = nxt | current = cur),
+    estimated from each entity's time-ordered stream (transitions never
+    cross entities). One shuffle on the entity key for the lead()
+    window; the (cur, nxt) rollup is vocabulary-sized and its row
+    normalizer is a window over that tiny output."""
+    w = (Window.partitionBy(F.col(by))
+         .orderBy(F.col(ts_col).asc(),
+                  *[F.col(c).asc() for c in order_cols]))
+    nxt = F.lead(F.col(type_col)).over(w)
+    pairs = (df.select(F.col(type_col).alias("cur"), nxt.alias("nxt"))
+             .filter(F.col("nxt").isNotNull()))
+    counts = pairs.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("cur"))
+    return counts.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / row_total, 6).alias("prob"))
+
+
+def top_paths(df: DataFrame, ts_col: str, type_col: str,
+              by: str = "user_id", n: int = 3, k: int = 10,
+              order_cols: Sequence[str] = ()) -> DataFrame:
+    """User-journey mining: the k most common length-n event-type paths
+    (consecutive subsequences of each entity's time-ordered stream),
+    as (path, n) with '>'-joined type names and a path-string tiebreak
+    so the cut is deterministic.
+
+    ONE shuffle: per-entity ordered streams via array_sort(collect_list)
+    (the funnel shape), n-grams generated executor-side with a
+    slice-under-transform (no window, no self-joins), then a
+    vocabulary-sized rollup + top-k."""
+    if n < 1:
+        raise ValueError("top_paths: n must be >= 1")
+    ev = F.struct(F.col(ts_col).alias("t"),
+                  *[F.col(c).alias(f"o{i}")
+                    for i, c in enumerate(order_cols)],
+                  F.col(type_col).alias("e"))
+    per_entity = (df.groupBy(F.col(by))
+                  .agg(F.array_sort(F.collect_list(ev)).alias("__evs"))
+                  .select(F.expr("transform(__evs, x -> x.e)")
+                          .alias("__types")))
+    # sequence(1, 0) counts DOWN in Spark (same trap the funnel guards):
+    # entities with fewer than n events contribute an empty array
+    grams = per_entity.select(F.explode(F.expr(
+        f"CASE WHEN size(__types) >= {n} THEN "
+        f"transform(sequence(1, size(__types) - {n - 1}), "
+        f"i -> array_join(slice(__types, i, {n}), '>')) "
+        f"ELSE array() END")).alias("path"))
+    counts = grams.groupBy("path").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("path", "n", "rnk"))

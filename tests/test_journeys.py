@@ -1,0 +1,112 @@
+"""top_paths / transition_matrix (operators/timeseries.py) and
+vocab_divergence (operators/text.py): hand-built expectations, short
+streams, JS divergence bounds and symmetry."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pixeltable_spark.operators.text import vocab_divergence
+from pixeltable_spark.operators.timeseries import (
+    top_paths,
+    transition_matrix,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture()
+def stream(spark):
+    rows = [
+        (1, _ts(0), 0, "A"), (1, _ts(1), 1, "B"), (1, _ts(2), 2, "C"),
+        (1, _ts(3), 3, "A"), (1, _ts(4), 4, "B"),
+        (2, _ts(0), 5, "A"), (2, _ts(1), 6, "B"), (2, _ts(2), 7, "C"),
+        (3, _ts(0), 8, "X"),          # too short for any trigram
+    ]
+    return spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"])
+
+
+class TestTopPaths:
+    def test_trigrams(self, spark, stream):
+        out = {r["path"]: r["n"]
+               for r in top_paths(stream, "ts", "event_type", n=3,
+                                  order_cols=["event_id"]).collect()}
+        # u1: A>B>C, B>C>A, C>A>B; u2: A>B>C
+        assert out == {"A>B>C": 2, "B>C>A": 1, "C>A>B": 1}
+
+    def test_rank_and_cut(self, spark, stream):
+        rows = top_paths(stream, "ts", "event_type", n=2, k=2,
+                         order_cols=["event_id"]).collect()
+        assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] \
+            == [1, 2]
+        assert rows[0]["path"] == "A>B"   # 3 occurrences, top
+
+    def test_short_streams_excluded(self, spark, stream):
+        out = top_paths(stream, "ts", "event_type", n=5).collect()
+        assert out[0]["path"] == "A>B>C>A>B" and len(out) == 1
+
+    def test_validation(self, spark, stream):
+        with pytest.raises(ValueError):
+            top_paths(stream, "ts", "event_type", n=0)
+
+
+class TestTransitionMatrix:
+    def test_probs(self, spark, stream):
+        out = {(r["cur"], r["nxt"]): (r["n"], r["prob"])
+               for r in transition_matrix(stream, "ts", "event_type",
+                                          order_cols=["event_id"])
+               .collect()}
+        # from A: ->B x3 (u1 twice, u2 once); from B: ->C x2;
+        # from C: ->A x1 (u1 only; u2's C is terminal)
+        assert out[("A", "B")] == (3, 1.0)
+        assert out[("B", "C")] == (2, 1.0)
+        assert out[("C", "A")] == (1, 1.0)
+        assert ("X", None) not in out  # terminal events emit nothing
+
+    def test_row_normalization(self, spark):
+        rows = [(1, _ts(i), i, t) for i, t in
+                enumerate(["A", "B", "A", "C", "A", "B"])]
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "event_type"])
+        out = {(r["cur"], r["nxt"]): r["prob"]
+               for r in transition_matrix(df, "ts", "event_type",
+                                          order_cols=["event_id"])
+               .collect()}
+        # A -> B twice, A -> C once
+        assert out[("A", "B")] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[("A", "C")] == pytest.approx(1 / 3, abs=1e-6)
+
+
+class TestVocabDivergence:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    def test_identical_corpora_near_zero(self, spark):
+        a = self._df(spark, ["x y z", "x y"])
+        out = vocab_divergence(a, a).collect()[0]
+        assert out["js_divergence"] == pytest.approx(0.0, abs=1e-9)
+        assert out["vocab_a"] == out["vocab_b"] == out["vocab_union"] == 3
+        assert out["tokens_a"] == out["tokens_b"] == 5
+
+    def test_disjoint_bounded_by_ln2(self, spark):
+        a = self._df(spark, ["aa bb cc"] * 4)
+        b = self._df(spark, ["dd ee ff"] * 4)
+        out = vocab_divergence(a, b, smoothing=0.01).collect()[0]
+        assert 0.8 * math.log(2) < out["js_divergence"] <= math.log(2)
+        assert out["vocab_union"] == 6
+
+    def test_symmetric(self, spark):
+        a = self._df(spark, ["x y z z", "w"])
+        b = self._df(spark, ["x q q", "z"])
+        ab = vocab_divergence(a, b).collect()[0]["js_divergence"]
+        ba = vocab_divergence(b, a).collect()[0]["js_divergence"]
+        assert ab == pytest.approx(ba, abs=2e-6)
+        assert ab > 0
