@@ -11,9 +11,10 @@ samples a window; this runs all of them against their oracles):
 
     python tools/check_correctness.py /root/testdata/sf0.01
 
-Exit 0 = all queries match DuckDB (rows + schema + values); the three
-oracle-less iterative ops (q70 PQ, q88 SemDeDup, q91 BPE) report
-ROWS-ONLY and are pinned by property tests instead.
+Exit 0 = all queries match DuckDB (rows + schema + values); the five
+oracle-less ops (q70 PQ, q88 SemDeDup, q91 BPE, q92 LSA, q95 ICWS —
+iterative algorithms or engine-specific ulp behavior) report ROWS-ONLY
+and are pinned by property tests instead.
 """
 
 from __future__ import annotations
