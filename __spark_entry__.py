@@ -2524,6 +2524,17 @@ def q123_vocab_divergence(spark, sf_dir):
                             docs.filter(F.col("lang") == "de"))
 
 
+def q124_char_entropy(spark, sf_dir):
+    """Low-information document filter (operators/text.py char_entropy):
+    per-doc Shannon entropy of the character distribution — repetitive
+    spam scores near 0, natural text ~3-4 nats. One (doc, char)
+    aggregate (shuffle bounded by docs x alphabet, not text volume) and
+    a per-doc rollup on the same key distribution."""
+    from pixeltable_spark.operators.text import char_entropy
+    df = _df(spark, sf_dir, "documents")
+    return char_entropy(df).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2647,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_top_paths": q121_top_paths,
         "q122_transitions": q122_transitions,
         "q123_vocab_divergence": q123_vocab_divergence,
+        "q124_char_entropy": q124_char_entropy,
     }
 
 
@@ -3362,6 +3374,20 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q124_char_entropy": """
+WITH ch AS (SELECT doc_id, length(text) AS n,
+                   unnest(string_split(text, '')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS cnt, first(n) AS n
+       FROM ch GROUP BY doc_id, c),
+pd AS (SELECT doc_id,
+              round(sum(-(cnt / CAST(n AS DOUBLE))
+                        * ln(cnt / CAST(n AS DOUBLE))), 6) AS entropy
+       FROM cc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(length(d.text), 0) AS n_chars,
+       coalesce(pd.entropy, 0.0) AS entropy,
+       coalesce(pd.entropy, 0.0) < 2.0 AS is_low
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
         "q121_top_paths": """
 WITH l AS (SELECT user_id,
                   list(event_type ORDER BY ts, event_id) AS types

@@ -554,3 +554,39 @@ def vocab_divergence(df_a: DataFrame, df_b: DataFrame,
             .select(F.round("__js", 6).alias("js_divergence"),
                     "tokens_a", "tokens_b", "vocab_a", "vocab_b",
                     "vocab_union"))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 low_threshold: float = 2.0) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the classic low-information filter (repetitive spam,
+    '=====' separators, single-char floods score near 0; natural text
+    sits ~3-4 nats). Output: (id, n_chars, entropy, is_low).
+
+    One explode + one (doc, char) aggregate with map-side combine
+    (shuffle bounded by docs x alphabet, not text volume), then a
+    per-doc rollup on the SAME key distribution — no second exchange.
+    Empty docs get entropy 0."""
+    d = spread(df)
+    ch = (d.select(F.col(id_col), F.length(text_col).alias("__n"),
+                   F.explode(F.split(F.col(text_col), "(?!^)"))
+                   .alias("__c"))
+          # split(limit=-1) keeps the trailing empty match: drop the
+          # phantom "" char or every doc gains a 1/n entropy term
+          .filter(F.col("__c") != "")
+          .groupBy(id_col, "__c")
+          .agg(F.count("*").alias("__cnt"), F.first("__n").alias("__n")))
+    p = F.col("__cnt") / F.col("__n")
+    per_doc = (ch.groupBy(id_col)
+               .agg(F.round(F.sum(-(p * F.log(p))), 6).alias("entropy"),
+                    F.first("__n").alias("n_chars")))
+    # docs with empty/NULL text never explode: re-attach with 0 entropy
+    base = df.select(F.col(id_col),
+                     F.coalesce(F.length(text_col), F.lit(0))
+                     .alias("__len"))
+    out = (base.join(per_doc, id_col, "left")
+           .select(F.col(id_col),
+                   F.col("__len").alias("n_chars"),
+                   F.coalesce("entropy", F.lit(0.0)).alias("entropy")))
+    return out.withColumn("is_low", F.col("entropy") < low_threshold)

@@ -110,3 +110,26 @@ class TestVocabDivergence:
         ba = vocab_divergence(b, a).collect()[0]["js_divergence"]
         assert ab == pytest.approx(ba, abs=2e-6)
         assert ab > 0
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        from pixeltable_spark.operators.text import char_entropy
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: (r["n_chars"], r["entropy"], r["is_low"])
+               for r in char_entropy(df).collect()}
+        assert out[1] == (4, 0.0, True)           # single char
+        assert out[2] == (4, round(math.log(2), 6), True)
+        assert out[3] == (4, round(math.log(4), 6), True)
+        assert out[4] == (0, 0.0, True)           # empty doc
+        # uniform over k chars == ln k exactly
+
+    def test_natural_text_not_low(self, spark):
+        from pixeltable_spark.operators.text import char_entropy
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"])
+        r = char_entropy(df).collect()[0]
+        assert r["entropy"] > 3.0 and r["is_low"] is False
