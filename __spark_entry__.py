@@ -2535,6 +2535,33 @@ def q124_char_entropy(spark, sf_dir):
     return char_entropy(df).orderBy("doc_id")
 
 
+def q125_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling (operators/mldata.py robust_scale —
+    sklearn RobustScaler distributed): per-returnflag scaled quantity
+    and price. Percentiles ride one grouped aggregate (shared buffer
+    per column) and join back broadcast; zero-IQR groups give NULL."""
+    from pixeltable_spark.operators.mldata import robust_scale
+    df = _df(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    out = robust_scale(df, ["l_quantity", "l_extendedprice"],
+                       by=["l_returnflag"])
+    return (out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                       F.round("l_quantity_r", 6).alias("qty_r"),
+                       F.round("l_extendedprice_r", 6).alias("price_r"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+def q126_twap(spark, sf_dir):
+    """Time-weighted average (operators/timeseries.py twap): per-user
+    6-hour TWAP of event values — each observation holds until the next
+    in its bucket (weights in integer microseconds, no float time
+    math); a plain avg() would over-weight bursts. The lead() window
+    and the bucket rollup share one shuffle."""
+    from pixeltable_spark.operators.timeseries import twap
+    df = _df(spark, sf_dir, "events")
+    return twap(df, "ts", "value", 21600, by=["user_id"]) \
+        .orderBy("user_id", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2659,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_transitions": q122_transitions,
         "q123_vocab_divergence": q123_vocab_divergence,
         "q124_char_entropy": q124_char_entropy,
+        "q125_robust_scale": q125_robust_scale,
+        "q126_twap": q126_twap,
     }
 
 
@@ -3374,6 +3403,40 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q125_robust_scale": """
+WITH f AS (SELECT * FROM lineitem WHERE l_orderkey < 5000),
+st AS (SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS med_q,
+              quantile_cont(l_quantity, 0.75)
+                - quantile_cont(l_quantity, 0.25) AS iqr_q,
+              quantile_cont(l_extendedprice, 0.5) AS med_p,
+              quantile_cont(l_extendedprice, 0.75)
+                - quantile_cont(l_extendedprice, 0.25) AS iqr_p
+       FROM f GROUP BY 1)
+SELECT f.l_orderkey, f.l_linenumber, f.l_returnflag,
+       round(CASE WHEN iqr_q > 0
+                  THEN (l_quantity - med_q) / iqr_q END, 6) AS qty_r,
+       round(CASE WHEN iqr_p > 0
+                  THEN (l_extendedprice - med_p) / iqr_p END, 6)
+         AS price_r
+FROM f JOIN st USING (l_returnflag)
+ORDER BY l_orderkey, l_linenumber""",
+        "q126_twap": """
+WITH s AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                    AS bucket,
+                  epoch_us(ts) AS us, value
+           FROM events),
+d AS (SELECT *,
+             coalesce(lead(us) OVER (PARTITION BY user_id, bucket
+                                     ORDER BY us),
+                      (bucket + 21600) * 1000000) - us AS dur
+      FROM s)
+SELECT user_id, bucket,
+       round(CASE WHEN sum(dur) > 0
+                  THEN sum(value * dur) / sum(dur) END, 6) AS twap,
+       count(*) AS n
+FROM d GROUP BY 1, 2 ORDER BY user_id, bucket""",
         "q124_char_entropy": """
 WITH ch AS (SELECT doc_id, length(text) AS n,
                    unnest(string_split(text, '')) AS c

@@ -217,3 +217,36 @@ def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
             .withColumn("__es_rnk", F.row_number().over(win))
             .filter(F.col("__es_rnk") <= n)
             .drop("__es_key", "__es_rnk"))
+
+
+def robust_scale(df: DataFrame, cols: Sequence[str],
+                 by: Sequence[str] = ()) -> DataFrame:
+    """Median/IQR scaling (sklearn RobustScaler): (x - median) / (p75 -
+    p25) per column as `<col>_r`, optionally per group — the outlier-
+    resistant complement to standardize() (a single 1e9 outlier moves a
+    z-score's mean/std arbitrarily; it moves the median/IQR not at
+    all). Zero-IQR groups get NULL.
+
+    Plan: percentiles are holistic, so they ride ONE grouped aggregate
+    (one shared percentile buffer per column — the q87 lesson) and join
+    back on the group keys (broadcast when the group count is small;
+    the 1-row global case is a broadcast cross)."""
+    if not cols:
+        raise ValueError("robust_scale: cols must be non-empty")
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    aggs = []
+    for c in cols:
+        arr = F.percentile(F.col(c), pcts)
+        aggs.append(F.element_at(arr, 2).alias(f"__med_{c}"))
+        aggs.append((F.element_at(arr, 3) - F.element_at(arr, 1))
+                    .alias(f"__iqr_{c}"))
+    if by:
+        stats = df.groupBy(*[F.col(k) for k in by]).agg(*aggs)
+        out = df.join(F.broadcast(stats), list(by))
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    for c in cols:
+        med, iqr = F.col(f"__med_{c}"), F.col(f"__iqr_{c}")
+        out = out.withColumn(
+            f"{c}_r", F.when(iqr > 0, (F.col(c) - med) / iqr))
+    return out.drop(*[f"__{p}_{c}" for c in cols for p in ("med", "iqr")])

@@ -356,3 +356,38 @@ def top_paths(df: DataFrame, ts_col: str, type_col: str,
     return (counts.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("path", "n", "rnk"))
+
+
+def twap(df: DataFrame, ts_col: str, val_col: str, every_s: int,
+         by: Sequence[str] = (),
+         order_cols: Sequence[str] = ()) -> DataFrame:
+    """Time-weighted average per bucket (the irregular-sampling TWAP —
+    a plain avg() over-weights bursts): each observation's value holds
+    from its timestamp until the next observation in the same (keys,
+    bucket) partition, or the bucket's end for the last one; the bucket
+    value is the duration-weighted mean. Weights are integer
+    MICROSECONDS (no float time math).
+
+    Output: (by..., bucket, twap, n). One shuffle: the lead() window
+    and the (keys, bucket) rollup share the partitioning."""
+    us = F.unix_micros(F.col(ts_col))
+    b = time_bucket(F.col(ts_col), every_s)
+    src = df.select(*[F.col(k) for k in by], us.alias("__us"),
+                    b.alias("bucket"),
+                    F.col(val_col).cast("double").alias("__v"),
+                    *[F.col(c) for c in order_cols])
+    w = (Window.partitionBy(*[F.col(k) for k in by], F.col("bucket"))
+         .orderBy(F.col("__us").asc(),
+                  *[F.col(c).asc() for c in order_cols]))
+    bucket_end_us = (F.col("bucket") + every_s) * 1_000_000
+    dur = F.coalesce(F.lead("__us").over(w), bucket_end_us) - F.col("__us")
+    agged = (src.withColumn("__dur", dur)
+             .groupBy(*[F.col(k) for k in by], "bucket")
+             .agg(F.sum(F.col("__v") * F.col("__dur")).alias("__vw"),
+                  F.sum("__dur").alias("__w"),
+                  F.count("*").alias("n")))
+    return agged.select(
+        *[F.col(k) for k in by], "bucket",
+        F.round(F.when(F.col("__w") > 0,
+                       F.col("__vw") / F.col("__w")), 6).alias("twap"),
+        "n")

@@ -189,3 +189,35 @@ class TestWeightedSampleN:
     def test_validation(self, spark, weighted):
         with pytest.raises(ValueError):
             weighted_sample_n(weighted, 0, "w")
+
+
+class TestRobustScale:
+    def test_hand_computed(self, spark):
+        from pixeltable_spark.operators.mldata import robust_scale
+        # g=a: values 1..5 -> med 3, IQR 4-2=2; outlier group g=b
+        rows = [("a", float(v)) for v in [1, 2, 3, 4, 5]] + \
+               [("b", 7.0), ("b", 7.0)]
+        df = spark.createDataFrame(rows, ["g", "x"])
+        out = {(r["g"], r["x"]): r["x_r"]
+               for r in robust_scale(df, ["x"], by=["g"]).collect()}
+        assert out[("a", 3.0)] == 0.0
+        assert out[("a", 5.0)] == 1.0
+        assert out[("a", 1.0)] == -1.0
+        assert out[("b", 7.0)] is None  # zero IQR
+
+    def test_outlier_resistance(self, spark):
+        from pixeltable_spark.operators.mldata import robust_scale
+        base = [float(v) for v in range(1, 101)]
+        clean = spark.createDataFrame([(v,) for v in base], ["x"])
+        dirty = spark.createDataFrame(
+            [(v,) for v in base + [1e9]], ["x"])
+        rc = {r["x"]: r["x_r"] for r in robust_scale(clean, ["x"]).collect()}
+        rd = {r["x"]: r["x_r"] for r in robust_scale(dirty, ["x"]).collect()}
+        # the scale of ordinary points barely moves despite the 1e9 spike
+        assert abs(rc[50.0] - rd[50.0]) < 0.02
+
+    def test_validation(self, spark):
+        from pixeltable_spark.operators.mldata import robust_scale
+        df = spark.createDataFrame([(1.0,)], ["x"])
+        with pytest.raises(ValueError):
+            robust_scale(df, [])

@@ -100,3 +100,33 @@ class TestOhlc:
                    tiebreak_col="eid").collect()
         assert (r["open"], r["high"], r["low"], r["close"], r["n"]) \
             == (10.0, 99.0, 10.0, 50.0, 3)
+
+
+class TestTwap:
+    def test_duration_weighting(self, spark):
+        from pixeltable_spark.operators.timeseries import twap
+        # bucket [0, 3600): value 10 holds 0->1800s, 100 holds
+        # 1800->3600s -> TWAP 55; plain avg would also be 55 here, so
+        # add a burst: three rapid 100s at the end change avg, not TWAP
+        rows = [("a", _ts(0, 0), 10.0), ("a", _ts(0, 30), 100.0)]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = twap(df, "ts", "v", 3600, by=["k"]).collect()[0]
+        assert out["twap"] == 55.0 and out["n"] == 2
+
+    def test_burst_insensitive(self, spark):
+        from pixeltable_spark.operators.timeseries import twap
+        base = [("a", _ts(0, 0), 10.0), ("a", _ts(0, 30), 100.0)]
+        burst = base + [("a", _ts(0, 59), 100.0),
+                        ("a", dt.datetime(2024, 1, 1, 0, 59, 30), 100.0)]
+        df_b = spark.createDataFrame(burst, ["k", "ts", "v"])
+        out = twap(df_b, "ts", "v", 3600, by=["k"]).collect()[0]
+        # the extra same-value ticks split the tail interval but don't
+        # change the integral
+        assert out["twap"] == 55.0 and out["n"] == 4
+
+    def test_single_obs_holds_to_bucket_end(self, spark):
+        from pixeltable_spark.operators.timeseries import twap
+        df = spark.createDataFrame([("a", _ts(0, 45), 8.0)],
+                                   ["k", "ts", "v"])
+        out = twap(df, "ts", "v", 3600, by=["k"]).collect()[0]
+        assert out["twap"] == 8.0 and out["n"] == 1
