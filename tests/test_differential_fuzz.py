@@ -603,3 +603,95 @@ def test_interval_join_binned_matches_theta_and_duckdb(spark, seed):
         "SELECT lid, rid FROM l JOIN r "
         "ON l.lo <= r.hi AND r.lo <= l.hi").fetchall())
     assert binned == theta == want, f"w={w}"
+
+
+# -- gap_fill on random series vs generated DuckDB oracles ------------------
+
+_GF_SQL = {
+    "null": """
+WITH agged AS (SELECT k, CAST(floor(epoch(ts)/{e})*{e} AS BIGINT) AS bucket,
+                      avg(v) AS v FROM ev GROUP BY 1, 2),
+spans AS (SELECT k, min(bucket) lo, max(bucket) hi FROM agged GROUP BY 1),
+spine AS (SELECT k, unnest(generate_series(lo, hi, {e})) AS bucket
+          FROM spans)
+SELECT s.k, s.bucket, round(a.v, 6) AS value, a.v IS NULL AS filled
+FROM spine s LEFT JOIN agged a USING (k, bucket) ORDER BY k, bucket""",
+    "locf": """
+WITH agged AS (SELECT k, CAST(floor(epoch(ts)/{e})*{e} AS BIGINT) AS bucket,
+                      avg(v) AS v FROM ev GROUP BY 1, 2),
+spans AS (SELECT k, min(bucket) lo, max(bucket) hi FROM agged GROUP BY 1),
+spine AS (SELECT k, unnest(generate_series(lo, hi, {e})) AS bucket
+          FROM spans),
+dense AS (SELECT s.k, s.bucket, a.v, a.v IS NULL AS filled
+          FROM spine s LEFT JOIN agged a USING (k, bucket))
+SELECT k, bucket,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bucket ROWS UNBOUNDED PRECEDING), 6)
+         AS value, filled
+FROM dense ORDER BY k, bucket""",
+    "linear": """
+WITH agged AS (SELECT k, CAST(floor(epoch(ts)/{e})*{e} AS BIGINT) AS bucket,
+                      avg(v) AS v FROM ev GROUP BY 1, 2),
+spans AS (SELECT k, min(bucket) lo, max(bucket) hi FROM agged GROUP BY 1),
+spine AS (SELECT k, unnest(generate_series(lo, hi, {e})) AS bucket
+          FROM spans),
+dense AS (SELECT s.k, s.bucket, a.v, a.v IS NULL AS filled
+          FROM spine s LEFT JOIN agged a USING (k, bucket)),
+f AS (SELECT *,
+  last_value(v IGNORE NULLS) OVER w_prev AS pv,
+  last_value(CASE WHEN NOT filled THEN bucket END IGNORE NULLS)
+    OVER w_prev AS pb,
+  first_value(v IGNORE NULLS) OVER w_next AS nv,
+  first_value(CASE WHEN NOT filled THEN bucket END IGNORE NULLS)
+    OVER w_next AS nb
+  FROM dense
+  WINDOW w_prev AS (PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w_next AS (PARTITION BY k ORDER BY bucket
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT k, bucket,
+       round(CASE WHEN NOT filled THEN v
+                  ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END, 6)
+         AS value, filled
+FROM f ORDER BY k, bucket""",
+}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_gap_fill_matches_duckdb(spark, seed):
+    """Random sparse series through every fill mode vs generated
+    DuckDB spine+window oracles (the q98 oracle, parameterized)."""
+    import datetime as dt
+
+    from pixeltable_spark.operators.timeseries import gap_fill
+    rng = random.Random(9000 + seed)
+    every = rng.choice([60, 300, 3600])
+    base = dt.datetime(2024, 1, 1)
+    rows = [(rng.randrange(3),
+             base + dt.timedelta(seconds=rng.randrange(20000)),
+             round(rng.uniform(0, 100), 3))
+            for _ in range(80)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (k BIGINT, ts TIMESTAMP, v DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    for fill in ("null", "locf", "linear"):
+        got = sorted(
+            (r["k"], r["bucket"],
+             None if r["value"] is None else round(r["value"], 6),
+             r["filled"])
+            for r in gap_fill(df, "ts", "v", every, by=["k"],
+                              fill=fill).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            _GF_SQL[fill].format(e=every)).fetchall())
+        assert len(got) == len(want), f"fill={fill} every={every}"
+        for g, w in zip(got, want):
+            assert g[:2] == w[:2] and g[3] == w[3], \
+                f"fill={fill}: {g} vs {w}"
+            if g[2] is None or w[2] is None:
+                assert g[2] == w[2], f"fill={fill}: {g} vs {w}"
+            else:
+                # random avg()s land on 6th-decimal rounding boundaries
+                # (summation order); allow 1 ulp at that digit
+                assert abs(g[2] - w[2]) <= 2e-6, \
+                    f"fill={fill}: {g} vs {w}"
