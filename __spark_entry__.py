@@ -2562,6 +2562,18 @@ def q126_twap(spark, sf_dir):
         .orderBy("user_id", "bucket")
 
 
+def q127_collocations(spark, sf_dir):
+    """Corpus collocations (operators/text.py collocations): top-20
+    adjacent word pairs by PMI (Church & Hanks), marginals counted over
+    the same pair positions, min_count=5 noise floor. One bigram
+    explode (zip_with of the token array against its own tail — no
+    self-join), pair aggregate with map-side combine, vocabulary-sized
+    marginal rollups joined back broadcast."""
+    from pixeltable_spark.operators.text import collocations
+    df = _df(spark, sf_dir, "documents")
+    return collocations(df, k=20, min_count=5).orderBy("rnk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2688,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_char_entropy": q124_char_entropy,
         "q125_robust_scale": q125_robust_scale,
         "q126_twap": q126_twap,
+        "q127_collocations": q127_collocations,
     }
 
 
@@ -3403,6 +3416,28 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q127_collocations": r"""
+WITH toks AS (SELECT list_filter(
+                string_split_regex(lower(trim(text)), '\s+'),
+                x -> x <> '') AS w
+              FROM documents),
+bi AS (SELECT unnest(list_transform(
+         generate_series(1, len(w) - 1),
+         i -> {'a': w[i], 'b': w[i + 1]})) AS p
+       FROM toks),
+pairs AS (SELECT p.a AS a, p.b AS b, count(*) AS n_ab
+          FROM bi GROUP BY 1, 2),
+l AS (SELECT a, sum(n_ab) AS n_a FROM pairs GROUP BY 1),
+r AS (SELECT b, sum(n_ab) AS n_b FROM pairs GROUP BY 1),
+t AS (SELECT sum(n_ab) AS n_pairs FROM pairs),
+scored AS (SELECT pairs.a, pairs.b, pairs.n_ab,
+                  round(ln(CAST(t.n_pairs * pairs.n_ab AS DOUBLE)
+                           / (l.n_a * r.n_b)), 6) AS pmi
+           FROM pairs JOIN l USING (a) JOIN r USING (b) CROSS JOIN t
+           WHERE pairs.n_ab >= 5)
+SELECT a, b, n_ab, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 20 ORDER BY rnk""",
         "q125_robust_scale": """
 WITH f AS (SELECT * FROM lineitem WHERE l_orderkey < 5000),
 st AS (SELECT l_returnflag,

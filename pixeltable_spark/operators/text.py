@@ -10,7 +10,7 @@ values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -590,3 +590,47 @@ def char_entropy(df: DataFrame, text_col: str = "text",
                    F.col("__len").alias("n_chars"),
                    F.coalesce("entropy", F.lit(0.0)).alias("entropy")))
     return out.withColumn("is_low", F.col("entropy") < low_threshold)
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 20,
+                 min_count: int = 5) -> DataFrame:
+    """Corpus collocations: the k adjacent word pairs with the highest
+    PMI, ``ln(N_pairs * c(a,b) / (c_left(a) * c_right(b)))`` — the
+    classic collocation statistic (Church & Hanks 1990), with unigram
+    marginals counted over the SAME pair positions (left/right of each
+    bigram) so the distribution is properly normalized. ``min_count``
+    drops rare pairs whose PMI is pure noise (hapax pairs always top an
+    unfiltered PMI list). Round-before-rank + pair tiebreak.
+
+    One explode of word bigrams (zip_with of the token array against
+    its own tail — no self-join), one pair aggregate with map-side
+    combine; the marginals are vocabulary-sized rollups of the pair
+    table itself, joined back broadcast."""
+    if k < 1:
+        raise ValueError("collocations: k must be >= 1")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    bi = F.zip_with(F.slice(toks, 1, F.greatest(F.size(toks) - 1,
+                                                F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1,
+                                                F.lit(0))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    pairs = (df.select(F.explode(bi).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("n_ab")))
+    left = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    right = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    total = pairs.agg(F.sum("n_ab").alias("n_pairs"))
+    pmi = F.round(F.log(F.col("n_pairs") * F.col("n_ab")
+                        / (F.col("n_a") * F.col("n_b"))), 6)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a").asc(),
+                       F.col("b").asc())
+    return (pairs.filter(F.col("n_ab") >= min_count)
+            .join(F.broadcast(left), "a")
+            .join(F.broadcast(right), "b")
+            .crossJoin(F.broadcast(total))
+            .select("a", "b", "n_ab", pmi.alias("pmi"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("a", "b", "n_ab", "pmi", "rnk"))

@@ -133,3 +133,41 @@ class TestCharEntropy:
             ["doc_id", "text"])
         r = char_entropy(df).collect()[0]
         assert r["entropy"] > 3.0 and r["is_low"] is False
+
+
+class TestCollocations:
+    def test_pmi_hand_computed(self, spark):
+        from pixeltable_spark.operators.text import collocations
+        # 20 bigrams total; min_count=2 keeps (new,york) 7, (york,new) 5,
+        # (york,the) 2, (the,cat) 2. PMI discounts frequent marginals:
+        # (the,cat) = ln(20*2/(3*2)) tops (new,york) = ln(20*7/(7*7)).
+        docs = ["new york " * 6 + "the cat sat",
+                "the dog ran new york the cat"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+        out = {(r["a"], r["b"]): (r["n_ab"], r["pmi"], r["rnk"])
+               for r in collocations(df, k=5, min_count=2).collect()}
+        assert out[("the", "cat")] == \
+            (2, round(math.log(20 * 2 / (3 * 2)), 6), 1)
+        assert out[("new", "york")][0] == 7
+        assert out[("new", "york")][1] == \
+            round(math.log(20 * 7 / (7 * 7)), 6)
+        # (new,york) and (york,the) tie on PMI; alphabetical tiebreak
+        assert out[("new", "york")][2] == 2
+        assert out[("york", "the")][2] == 3
+        assert out[("york", "new")][2] == 4
+
+    def test_min_count_floor(self, spark):
+        from pixeltable_spark.operators.text import collocations
+        df = spark.createDataFrame(
+            [(1, "rare pair common common common common")],
+            ["doc_id", "text"])
+        out = collocations(df, k=10, min_count=2).collect()
+        assert all(r["n_ab"] >= 2 for r in out)
+        assert ("rare", "pair") not in {(r["a"], r["b"]) for r in out}
+
+    def test_validation(self, spark):
+        from pixeltable_spark.operators.text import collocations
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            collocations(df, k=0)
