@@ -2574,6 +2574,31 @@ def q127_collocations(spark, sf_dir):
     return collocations(df, k=20, min_count=5).orderBy("rnk")
 
 
+def q128_rolling_corr(spark, sf_dir):
+    """Trailing-window trend detection (operators/timeseries.py
+    rolling_corr): Pearson correlation of each user's last 50 event
+    values against time — corr() is an algebraic co-moment aggregate,
+    so the frame slides in O(1) per row on one entity shuffle."""
+    from pixeltable_spark.operators.timeseries import rolling_corr
+    df = _df(spark, sf_dir, "events")
+    out = rolling_corr(df, "ts", "ts", "value", by=["user_id"],
+                       lookback=50, min_obs=10,
+                       order_cols=["event_id"])
+    return (out.select("user_id", "ts", "corr", "n_window")
+            .orderBy("user_id", "ts"))
+
+
+def q129_benford(spark, sf_dir):
+    """Benford's-law audit (operators/quality.py benford_audit) of
+    lineitem prices: first-significant-digit distribution vs
+    log10(1+1/d) with the chi-square statistic — digit extracted from
+    the decimal string (the arithmetic 10^floor(log10 x) form flips at
+    exact powers of ten where engines' log10 ulps differ)."""
+    from pixeltable_spark.operators.quality import benford_audit
+    df = _df(spark, sf_dir, "lineitem")
+    return benford_audit(df, "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2701,6 +2726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_robust_scale": q125_robust_scale,
         "q126_twap": q126_twap,
         "q127_collocations": q127_collocations,
+        "q128_rolling_corr": q128_rolling_corr,
+        "q129_benford": q129_benford,
     }
 
 
@@ -3416,6 +3443,34 @@ SELECT doc_id,
        (4000 + 1000 * (doc_id % 3)) // 4 AS clip_n,
        CAST(2 AS BIGINT) AS peak_ratio
 FROM documents ORDER BY doc_id""",
+        "q128_rolling_corr": """
+WITH w AS (
+  SELECT user_id, ts,
+         corr(CAST(epoch_us(ts) AS DOUBLE), value) OVER win AS c,
+         count(value) OVER win AS n_window
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+SELECT user_id, ts,
+       round(CASE WHEN n_window >= 10 THEN c END, 6) AS corr,
+       n_window
+FROM w ORDER BY user_id, ts""",
+        "q129_benford": """
+WITH d AS (SELECT regexp_extract(
+             CAST(abs(CAST(l_extendedprice AS DOUBLE)) AS VARCHAR),
+             '[1-9]', 0) AS digit
+           FROM lineitem
+           WHERE abs(CAST(l_extendedprice AS DOUBLE)) > 0),
+c AS (SELECT digit, count(*) AS n FROM d WHERE digit <> '' GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c),
+s AS (SELECT CAST(digit AS INT) AS digit, n, total,
+             n / total AS freq,
+             log10(1.0 + 1.0 / CAST(digit AS INT)) AS benford
+      FROM c, t)
+SELECT digit, n, round(freq, 6) AS freq, round(benford, 6) AS benford,
+       round(sum((n - total * benford) * (n - total * benford)
+                 / (total * benford)) OVER (), 6) AS chi2
+FROM s ORDER BY digit""",
         "q127_collocations": r"""
 WITH toks AS (SELECT list_filter(
                 string_split_regex(lower(trim(text)), '\s+'),

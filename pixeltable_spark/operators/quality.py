@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,3 +54,38 @@ def fk_summary(child: DataFrame, parent: DataFrame,
                     F.round(F.col("violations")
                             / (F.col("total_rows") - F.col("null_keys")),
                             6).alias("violation_rate")))
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit (the classic
+    fabricated-numbers / unit-mixing detector for financial and metric
+    columns): per digit 1-9, observed count and frequency vs the
+    Benford expectation log10(1 + 1/d), plus the corpus chi-square
+    statistic repeated on every row (9-row output; >> ~20 means the
+    column does not follow Benford — judgment is domain-specific).
+
+    The first significant digit is extracted from the decimal STRING
+    rendering (first [1-9] char) rather than floor(x / 10^floor(log10
+    x)) — the arithmetic form flips digits at exact powers of ten when
+    log10 lands an ulp under an integer, and engines differ in exactly
+    those ulps. One conditional-aggregate pass + a 9-row rollup."""
+    x = F.abs(F.col(col).cast("double"))
+    digit = F.regexp_extract(x.cast("string"), "[1-9]", 0)
+    counts = (df.filter(x > 0)
+              .select(digit.alias("digit"))
+              .filter(F.col("digit") != "")
+              .groupBy("digit").agg(F.count("*").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    freq = F.col("n") / total
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+    chi2_term = (F.col("n") - total * benford) \
+        * (F.col("n") - total * benford) / (total * benford)
+    w_all = Window.partitionBy()
+    return (counts
+            .withColumn("freq", F.round(freq, 6))
+            .withColumn("benford", F.round(benford, 6))
+            .withColumn("chi2",
+                        F.round(F.sum(chi2_term).over(w_all), 6))
+            .select(F.col("digit").cast("int").alias("digit"),
+                    "n", "freq", "benford", "chi2")
+            .orderBy("digit"))

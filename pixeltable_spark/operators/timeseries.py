@@ -391,3 +391,32 @@ def twap(df: DataFrame, ts_col: str, val_col: str, every_s: int,
         F.round(F.when(F.col("__w") > 0,
                        F.col("__vw") / F.col("__w")), 6).alias("twap"),
         "n")
+
+
+def rolling_corr(df: DataFrame, ts_col: str, x_col, y_col,
+                 by: Sequence[str] = (), lookback: int = 50,
+                 min_obs: int = 10,
+                 order_cols: Sequence[str] = ()) -> DataFrame:
+    """Trailing-window Pearson correlation between two series (pairs
+    monitoring, sensor drift, trend detection — pass the timestamp
+    itself as `x_col` and the correlation becomes a trend-strength
+    score in [-1, 1]). The window INCLUDES the current row (unlike
+    rolling_zscore's self-excluding frame — correlation is a
+    relationship measure, not an anomaly score). Windows with fewer
+    than `min_obs` rows get NULL.
+
+    One window pass on the `by` partitioning; corr() is an algebraic
+    co-moment aggregate, so the frame slides in O(1) per row."""
+    x = (F.unix_micros(F.col(x_col)).cast("double")
+         if isinstance(x_col, str) and x_col == ts_col
+         else F.col(x_col).cast("double"))
+    w = (Window.partitionBy(*[F.col(k) for k in by])
+         .orderBy(F.col(ts_col).asc(),
+                  *[F.col(c).asc() for c in order_cols])
+         .rowsBetween(-(lookback - 1), 0))
+    n = F.count(F.col(y_col)).over(w)
+    c = F.corr(x, F.col(y_col).cast("double")).over(w)
+    return df.select(
+        *[F.col(k) for k in by], F.col(ts_col),
+        F.round(F.when(n >= min_obs, c), 6).alias("corr"),
+        n.alias("n_window"))

@@ -117,3 +117,36 @@ class TestCorrMatrix:
         df = spark.createDataFrame([(1.0,)], ["a"])
         with pytest.raises(ValueError):
             corr_matrix(df, ["a"])
+
+
+class TestBenfordAudit:
+    def test_benford_conforming(self, spark):
+        from pixeltable_spark.operators.quality import benford_audit
+        # geometric sequence 1.07^k spans magnitudes uniformly in log
+        # space -> Benford-distributed first digits -> small chi2
+        rows = [(1.07 ** k,) for k in range(300)]
+        df = spark.createDataFrame(rows, "x double")
+        out = benford_audit(df, "x").collect()
+        assert [r["digit"] for r in out] == list(range(1, 10))
+        assert sum(r["n"] for r in out) == 300
+        assert out[0]["chi2"] < 20
+        assert abs(out[0]["freq"] - out[0]["benford"]) < 0.05
+
+    def test_uniform_fails_benford(self, spark):
+        from pixeltable_spark.operators.quality import benford_audit
+        # uniform integers 100..999: every first digit ~1/9, far from
+        # Benford's 30%-for-1 -> huge chi2
+        df = spark.createDataFrame([(float(v),) for v in range(100, 1000)],
+                                   "x double")
+        out = benford_audit(df, "x").collect()
+        assert out[0]["chi2"] > 100
+        assert all(abs(r["freq"] - 1 / 9) < 0.01 for r in out)
+
+    def test_zeros_negatives_and_fractions(self, spark):
+        from pixeltable_spark.operators.quality import benford_audit
+        df = spark.createDataFrame(
+            [(0.0,), (-230.0,), (0.0071,), (None,)], "x double")
+        out = {r["digit"]: r["n"]
+               for r in benford_audit(df, "x").collect()}
+        # zero/NULL dropped; sign ignored; leading zeros skipped
+        assert out == {2: 1, 7: 1}

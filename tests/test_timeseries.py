@@ -130,3 +130,25 @@ class TestTwap:
                                    ["k", "ts", "v"])
         out = twap(df, "ts", "v", 3600, by=["k"]).collect()[0]
         assert out["twap"] == 8.0 and out["n"] == 1
+
+
+class TestRollingCorr:
+    def test_trend_detection(self, spark):
+        from pixeltable_spark.operators.timeseries import rolling_corr
+        rows = [("a", _ts(0, m), float(m)) for m in range(30)] + \
+               [("b", _ts(0, m), float(30 - m)) for m in range(30)]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = {(r["k"], r["n_window"]): r["corr"]
+               for r in rolling_corr(df, "ts", "ts", "v", by=["k"],
+                                     lookback=50, min_obs=10).collect()}
+        # perfectly increasing -> +1; decreasing -> -1 (last windows)
+        assert out[("a", 30)] == 1.0
+        assert out[("b", 30)] == -1.0
+
+    def test_min_obs_null(self, spark):
+        from pixeltable_spark.operators.timeseries import rolling_corr
+        rows = [("a", _ts(0, m), float(m * m)) for m in range(5)]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = rolling_corr(df, "ts", "ts", "v", by=["k"],
+                           min_obs=10).collect()
+        assert all(r["corr"] is None for r in out)
