@@ -3461,12 +3461,16 @@ WITH d AS (SELECT regexp_extract(
              '[1-9]', 0) AS digit
            FROM lineitem
            WHERE abs(CAST(l_extendedprice AS DOUBLE)) > 0),
-c AS (SELECT digit, count(*) AS n FROM d WHERE digit <> '' GROUP BY 1),
-t AS (SELECT sum(n) AS total FROM c),
-s AS (SELECT CAST(digit AS INT) AS digit, n, total,
+c AS (SELECT CAST(digit AS INT) AS digit, count(*) AS n
+      FROM d WHERE digit <> '' GROUP BY 1),
+spine AS (SELECT CAST(g AS INT) AS digit FROM generate_series(1, 9) AS t(g)),
+j AS (SELECT spine.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM spine LEFT JOIN c ON spine.digit = c.digit),
+t AS (SELECT sum(n) AS total FROM j),
+s AS (SELECT digit, n, total,
              n / total AS freq,
-             log10(1.0 + 1.0 / CAST(digit AS INT)) AS benford
-      FROM c, t)
+             log10(1.0 + 1.0 / digit) AS benford
+      FROM j, t)
 SELECT digit, n, round(freq, 6) AS freq, round(benford, 6) AS benford,
        round(sum((n - total * benford) * (n - total * benford)
                  / (total * benford)) OVER (), 6) AS chi2

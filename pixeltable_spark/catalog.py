@@ -92,8 +92,15 @@ def _bloom_key(v) -> Optional[bytes]:
         return None
     if isinstance(v, bool):
         return b"b1" if v else b"b0"
-    if isinstance(v, float) and v == int(v) and abs(v) < (1 << 62):
-        v = int(v)
+    if isinstance(v, float):
+        import math
+        if not math.isfinite(v):
+            # inf/-inf/nan: int(v) raises, and they can never equal an int,
+            # so skip canonicalization and use a distinct stable encoding
+            # ("inf"/"-inf"/"nan") — build and probe sides agree.
+            return b"f" + repr(v).encode()
+        if v == int(v) and abs(v) < (1 << 62):
+            v = int(v)
     if isinstance(v, int):
         return b"i" + str(v).encode()
     if isinstance(v, float):
@@ -131,7 +138,11 @@ def _bloom_build(values, fpp: float) -> Optional[dict]:
 
 def _bloom_might_contain(bloom: dict, v) -> bool:
     import base64
-    kb = _bloom_key(v)
+    try:
+        kb = _bloom_key(v)
+    except Exception:
+        # unencodable literal -> can't prove absence; never crash pruning
+        return True
     if kb is None:
         return True
     bits = base64.b64decode(bloom["b"])

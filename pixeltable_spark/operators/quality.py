@@ -74,10 +74,22 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
     counts = (df.filter(x > 0)
               .select(digit.alias("digit"))
               .filter(F.col("digit") != "")
-              .groupBy("digit").agg(F.count("*").alias("n")))
+              .groupBy("digit").agg(F.count("*").alias("n"))
+              .select(F.col("digit").cast("int").alias("digit"), "n"))
+    # Left-join onto a literal 1..9 spine so absent digits contribute their
+    # full (0 - N*p_d)^2 / (N*p_d) chi-square term — summing only observed
+    # digits UNDERSTATES chi2 exactly in the most anomalous case (e.g. a
+    # column whose values all start with 1), and breaks the documented
+    # 9-row contract. The spine is 9 rows: broadcast, no extra shuffle.
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    counts = (spine.join(F.broadcast(counts), "digit", "left")
+              .select("digit",
+                      F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                      .alias("n")))
     total = F.sum("n").over(Window.partitionBy())
     freq = F.col("n") / total
-    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
     chi2_term = (F.col("n") - total * benford) \
         * (F.col("n") - total * benford) / (total * benford)
     w_all = Window.partitionBy()
@@ -86,6 +98,5 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
             .withColumn("benford", F.round(benford, 6))
             .withColumn("chi2",
                         F.round(F.sum(chi2_term).over(w_all), 6))
-            .select(F.col("digit").cast("int").alias("digit"),
-                    "n", "freq", "benford", "chi2")
+            .select("digit", "n", "freq", "benford", "chi2")
             .orderBy("digit"))

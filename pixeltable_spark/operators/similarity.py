@@ -63,8 +63,21 @@ def _plane_weights(plane: int, dim: int) -> list:
 
 
 #: literal-weights length when the vector dim is unknown at plan time; per-row
-#: element_at lookups cover up to this many dims
+#: element_at lookups cover up to this many dims, indices beyond fall back to
+#: the JVM-side md5 derivation in _plane_weight_expr (identical values)
 _MAX_LSH_DIM = 512
+
+
+def _plane_weight_expr(plane: int):
+    """JVM-side twin of _plane_weights: weight for (plane, 1-based index i)
+    as a Column expression — ascii of the first md5 hex char of
+    "p{plane}_{i}", %2*2-1. Used only for indices past the _MAX_LSH_DIM
+    literal, so the md5 cost is paid per element only beyond dim 512."""
+    def w(i: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"p{plane}_"), i.cast("string"))
+                  .cast("binary"))
+        return (F.ascii(F.substring(h, 1, 1)) % 2 * 2 - 1).cast("double")
+    return w
 
 
 def _infer_dim(df: DataFrame, vec_col: str):
@@ -90,11 +103,18 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8,
         ws = _plane_weights(p, dim if dim is not None else _MAX_LSH_DIM)
         w_lit = F.array(*[F.lit(w) for w in ws])
         if dim is None:
-            # unknown dim: O(1) element_at lookups into the constant array,
-            # iterating only the row's vector length (slicing the literal
-            # per row measured 3x slower)
+            # unknown dim: O(1) lookups into the constant array, iterating
+            # only the row's vector length (slicing the literal per row
+            # measured 3x slower). Indices past _MAX_LSH_DIM fall back to
+            # the same md5 derivation computed JVM-side (try_element_at is
+            # NULL out-of-bounds even under ANSI; plain element_at would
+            # error there and silently NULL-fold otherwise, collapsing
+            # every >512-dim vector into bucket 0).
+            w_fallback = _plane_weight_expr(p)
             terms = F.transform(
-                vec, lambda x, i: x.cast("double") * F.element_at(w_lit, i + 1))
+                vec, lambda x, i: x.cast("double") * F.coalesce(
+                    F.try_element_at(w_lit, (i + 1).cast("int")),
+                    w_fallback(i + 1)))
         else:
             terms = F.zip_with(vec, w_lit,
                                lambda x, w: x.cast("double") * w)
