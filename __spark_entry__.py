@@ -3468,12 +3468,13 @@ j AS (SELECT spine.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
       FROM spine LEFT JOIN c ON spine.digit = c.digit),
 t AS (SELECT sum(n) AS total FROM j),
 s AS (SELECT digit, n, total,
-             n / total AS freq,
+             CASE WHEN total > 0 THEN n / total END AS freq,
              log10(1.0 + 1.0 / digit) AS benford
       FROM j, t)
 SELECT digit, n, round(freq, 6) AS freq, round(benford, 6) AS benford,
-       round(sum((n - total * benford) * (n - total * benford)
-                 / (total * benford)) OVER (), 6) AS chi2
+       CASE WHEN total > 0 THEN
+         round(sum((n - total * benford) * (n - total * benford)
+                   / (total * benford)) OVER (), 6) END AS chi2
 FROM s ORDER BY digit""",
         "q127_collocations": r"""
 WITH toks AS (SELECT list_filter(

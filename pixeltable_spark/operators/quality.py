@@ -88,15 +88,19 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
                       F.coalesce(F.col("n"), F.lit(0)).cast("long")
                       .alias("n")))
     total = F.sum("n").over(Window.partitionBy())
-    freq = F.col("n") / total
+    # Empty input (total == 0) would make freq and chi2 0/0 = NaN;
+    # emit NULL stats on the 9-row spine instead (documented contract).
+    freq = F.try_divide(F.col("n"), total)
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
-    chi2_term = (F.col("n") - total * benford) \
-        * (F.col("n") - total * benford) / (total * benford)
+    chi2_term = F.try_divide(
+        (F.col("n") - total * benford) * (F.col("n") - total * benford),
+        total * benford)
     w_all = Window.partitionBy()
     return (counts
             .withColumn("freq", F.round(freq, 6))
             .withColumn("benford", F.round(benford, 6))
             .withColumn("chi2",
-                        F.round(F.sum(chi2_term).over(w_all), 6))
+                        F.when(total > 0,
+                               F.round(F.sum(chi2_term).over(w_all), 6)))
             .select("digit", "n", "freq", "benford", "chi2")
             .orderBy("digit"))

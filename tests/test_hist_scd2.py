@@ -148,5 +148,7 @@ class TestBenfordAudit:
             [(0.0,), (-230.0,), (0.0071,), (None,)], "x double")
         out = {r["digit"]: r["n"]
                for r in benford_audit(df, "x").collect()}
-        # zero/NULL dropped; sign ignored; leading zeros skipped
-        assert out == {2: 1, 7: 1}
+        # zero/NULL dropped; sign ignored; leading zeros skipped.
+        # Full 9-digit spine: unobserved digits present with n=0 so
+        # their chi2 terms are included (see quality.py docstring).
+        assert out == {d: (1 if d in (2, 7) else 0) for d in range(1, 10)}
