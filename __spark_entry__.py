@@ -521,11 +521,14 @@ def q39_knn_join(spark, sf_dir):
 
 
 def q40_lang_id(spark, sf_dir):
-    # spread the single-file scan: the 4-language regexp battery is the
-    # per-row cost and would otherwise run on one core (see textops.spread)
+    """Model-based language id (operators/langid.py: hashed char-n-gram
+    Naive Bayes, integer-sum scoring) — corpus-scale explode +
+    codegen hash-agg path; spread the single-file scan so the gram
+    extraction parallelizes (see textops.spread)."""
+    from pixeltable_spark.operators.langid import lang_id_table
     df = textops.spread(_df(spark, sf_dir, "documents"))
     return (
-        df.select(F.col("doc_id"), textops.lang_id(F.col("text")).alias("lang_pred"))
+        lang_id_table(df, "doc_id", "text")
         .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_pred")
     )
@@ -1830,12 +1833,16 @@ def q89_curation_pipeline(spark, sf_dir):
     # for every doc and the rule would blank the whole pipeline
     g = (TXo.gopher_filter(df, min_words=10, min_stopwords=0)
          .select("doc_id", "n_words", F.col("keep").alias("g_keep")))
+    from pixeltable_spark.operators.langid import lang_id_table
     base = df.select(
         "doc_id",
-        TXo.lang_id(F.col("text")).alias("lang_pred"),
         TXo.quality_score(F.col("text")).alias("quality"),
         has_pii(F.col("text"), ["email", "ssn", "ipv4"]).alias("pii"),
         TXo.fingerprint(F.col("text")).alias("fp"))
+    # model lang-id via the explode+hash-agg table path (the scalar
+    # column fn is interpreted-HOF slow at corpus scale), joined back
+    # on the key — one extra doc_id-keyed shuffle, O(docs) rows
+    base = base.join(lang_id_table(df, "doc_id", "text"), "doc_id")
     reps = base.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
     return (base.join(g, "doc_id").join(reps, "fp")
             .where(F.col("g_keep") & ~F.col("pii")
@@ -2852,6 +2859,14 @@ def _hexbyte_sql(texpr: str, pos: int) -> str:
 _LANGS = sorted(textops.LANG_STOPWORDS)
 
 
+def _langid_ctes(src: str = "documents", id_col: str = "doc_id") -> str:
+    """CTE chain replaying the model-based lang_id (operators/langid.py,
+    hashed char 1/2/3-gram Naive Bayes) bit-for-bit in DuckDB via
+    integer weight sums. Ends with `lgpred(id_col, lang_pred)`."""
+    from pixeltable_spark.operators.langid import langid_ctes
+    return langid_ctes(src, id_col)
+
+
 def _lang_scores_sql() -> str:
     parts = []
     for lg in _LANGS:
@@ -2982,8 +2997,8 @@ gopher AS (
           AND coalesce(d.dup_line_frac, 0.0) <= 0.3
           AND coalesce(r.top_ngram_frac, 0.0) <= 0.2) AS g_keep
   FROM m LEFT JOIN rep r USING (doc_id) LEFT JOIN dl d USING (doc_id)),
-scores AS (SELECT doc_id, {_lang_scores_sql()} FROM documents),
-pred AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM scores),
+{_langid_ctes()},
+pred AS (SELECT doc_id, lang_pred FROM lgpred),
 fp AS (SELECT doc_id,
               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
        FROM documents),
@@ -3229,9 +3244,9 @@ ranked AS (
   FROM pairs)
 SELECT lid, rid, cos, rk FROM ranked WHERE rk <= 3 ORDER BY lid, rk""",
         "q40_lang_id": f"""
-WITH scores AS (SELECT doc_id, {_lang_scores_sql()} FROM documents),
-pred AS (SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM scores)
-SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred""",
+WITH {_langid_ctes()}
+SELECT lang_pred, count(*) AS n FROM lgpred
+GROUP BY lang_pred ORDER BY lang_pred""",
         "q41_text_quality": f"""
 WITH m AS (
   SELECT doc_id,

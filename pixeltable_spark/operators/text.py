@@ -109,22 +109,13 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """argmax over per-language stopword hit counts; 'und' (undetermined)
-    when no language scores > 0. Ties break by language-name order
-    (deterministic — matches the oracle SQL's greatest-first CASE)."""
-    scores = lang_scores(text)
-    langs = sorted(scores)
-    best = None
-    best_score = None
-    for lg in langs:
-        s = scores[lg]
-        if best is None:
-            best, best_score = F.lit(lg), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lg)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    """Model-based language id (8 languages): hashed char 1/2/3-gram
+    Naive Bayes trained on the in-repo seed corpus, scored pure-JVM —
+    see operators/langid.py. 'und' for empty/whitespace-only text.
+    (Replaced the 4-language stopword-count heuristic in round 7; the
+    old behavior survives as lang_scores for quality metrics.)"""
+    from .langid import lang_id as _model_lang_id
+    return _model_lang_id(text)
 
 
 def fingerprint(text: Column) -> Column:

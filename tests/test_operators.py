@@ -137,11 +137,13 @@ class TestText:
                df.select("doc_id", textops.token_count(F.col("text")).alias("n")).collect()}
         assert got == {1: 3, 2: 0, 3: 0, 4: 1}
 
-    def test_lang_id_picks_stopword_language(self, spark):
+    def test_lang_id_model_based(self, spark):
+        # round 7: lang_id is the char-n-gram Naive Bayes model
+        # (operators/langid.py); 'und' only for empty/whitespace text
         df = spark.createDataFrame([
             {"doc_id": 1, "text": "the cat and the dog is in that house"},
             {"doc_id": 2, "text": "der hund und die katze ist nicht ein tier"},
-            {"doc_id": 3, "text": "xyzzy qwerty plugh"},
+            {"doc_id": 3, "text": "   "},
         ])
         got = {r.doc_id: r.lang for r in
                df.select("doc_id", textops.lang_id(F.col("text")).alias("lang")).collect()}
