@@ -67,6 +67,23 @@ SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 # a point lookup (`col == v`) on a 100 TB table prunes every file whose
 # bloom proves absence BEFORE Spark lists it — min/max stats can't do this
 # for high-cardinality unsorted keys (every file spans ~the full range).
+# Manifest format versioning (reference parity: metadata/__init__.py:21
+# VERSION + :42 register_converter): v1 = unstamped pre-round-7
+# manifests, v2 = stamped. Bump MANIFEST_FORMAT_VERSION on any breaking
+# manifest-schema change and register an upgrade fn for the OLD version.
+MANIFEST_FORMAT_VERSION = 2
+
+
+def _upgrade_manifest_v1(m: dict) -> dict:
+    """v1 -> v2: identical layout, just stamp the version (v1 predates
+    the stamp; files/stats keys are unchanged)."""
+    out = dict(m)
+    out["format_version"] = 2
+    return out
+
+
+_MANIFEST_UPGRADES = {1: _upgrade_manifest_v1}
+
 # Same design as Delta Lake bloom-filter indexes / Iceberg bloom write
 # props; built only for NEW files at commit time (one column-pruned read).
 _BLOOM_PFX = "__bloom__"
@@ -488,6 +505,31 @@ class Table:
     def _current_path(self) -> str:
         return os.path.join(self.path, "CURRENT")
 
+    def _load_manifest(self, relpath: str) -> dict:
+        """Load + version-gate a manifest (reference parity:
+        metadata/__init__.py:21 VERSION / :42 register_converter — the
+        reference stamps a schema_version and chains per-version
+        converters; same contract here for the file-manifest format).
+
+        Missing format_version = v1 (pre-round-7 manifests). Older
+        versions are upgraded in-memory through _MANIFEST_UPGRADES and
+        re-stamped on the next commit; a NEWER version than this build
+        understands is refused with a clear message instead of being
+        misread."""
+        with open(os.path.join(self.path, relpath)) as f:
+            m = json.load(f)
+        ver = m.get("format_version", 1)
+        if ver > MANIFEST_FORMAT_VERSION:
+            raise RuntimeError(
+                f"table {self.name!r}: manifest {relpath} has format_"
+                f"version {ver}, but this build understands at most "
+                f"{MANIFEST_FORMAT_VERSION} — upgrade pixeltable_spark "
+                "to open this warehouse")
+        while ver < MANIFEST_FORMAT_VERSION:
+            m = _MANIFEST_UPGRADES[ver](m)
+            ver = m["format_version"]
+        return m
+
     def _atomic_write(self, path: str, data: str) -> None:
         tmp = path + ".tmp-" + _uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
@@ -517,8 +559,7 @@ class Table:
             with open(self._current_path) as f:
                 cur = json.load(f)
             self._manifest_at_read = cur["manifest"]
-            with open(os.path.join(self.path, cur["manifest"])) as f:
-                return json.load(f)["files"]
+            return self._load_manifest(cur["manifest"])["files"]
         self._manifest_at_read = None
         if os.path.isdir(self._data_dir):
             return self._scan_parquet(self._data_dir)
@@ -655,8 +696,7 @@ class Table:
             return {}
         with open(self._current_path) as f:
             cur = json.load(f)
-        with open(os.path.join(self.path, cur["manifest"])) as f:
-            return json.load(f).get("stats", {})
+        return self._load_manifest(cur["manifest"]).get("stats", {})
 
     @staticmethod
     def _prune_files(files: Sequence[str], stats: dict,
@@ -751,9 +791,12 @@ class Table:
         stats.update(self._collect_stats(new_files))
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
         self._atomic_write(os.path.join(self.path, mrel),
-                           json.dumps({"files": sorted(files),
-                                       "stats": stats}))
-        self._atomic_write(self._current_path, json.dumps({"manifest": mrel}))
+                           json.dumps({
+                               "format_version": MANIFEST_FORMAT_VERSION,
+                               "files": sorted(files),
+                               "stats": stats}))
+        self._atomic_write(self._current_path, json.dumps({
+            "format_version": MANIFEST_FORMAT_VERSION, "manifest": mrel}))
         self._manifest_at_read = mrel
         self._vacuum(set(files), keep_manifest=mrel)
 

@@ -46,6 +46,10 @@ from ..type_system import ColumnType
 # a batch of partial-state rows (they re-merge in the reduce stage)
 _UDA_COMBINE_FLUSH_AT = 100_000
 
+# proportional stratified sampling collects a per-stratum quota map to the
+# driver; refuse beyond this many distinct strata (driver-OOM guard)
+MAX_STRATA = 100_000
+
 
 class JoinClause:
     """One join step (reference _query.py:1359-1446, query_clauses.py:14-40).
@@ -778,9 +782,22 @@ class Planner:
 
         strata = [e.compile(ctx) for e in sc.stratify_by]
         skey = F.concat_ws("\x1f", *[s.cast("string") for s in strata])
-        counts = {r["sk"]: r["c"] for r in
-                  df.withColumn("sk", skey).groupBy("sk")
-                  .agg(F.count(F.lit(1)).alias("c")).collect()}
+        # The strata-count map is collected to the driver; stratification
+        # keys are low-cardinality by design, but a user stratifying on a
+        # near-unique key would otherwise OOM the driver — cap and fail
+        # with guidance instead (limit+1 probe: one extra row, not a scan
+        # of the full count). MAX_STRATA is the module-level cap.
+        rows = (df.withColumn("sk", skey).groupBy("sk")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .limit(MAX_STRATA + 1).collect())
+        if len(rows) > MAX_STRATA:
+            raise ValueError(
+                f"sample(n=..., stratify_by=...) found more than "
+                f"{MAX_STRATA:,} distinct strata — the stratification key "
+                "is too fine-grained for proportional allocation (the "
+                "per-stratum quota map is driver-resident). Stratify on a "
+                "coarser key, or use fraction= / n_per_stratum= sampling.")
+        counts = {r["sk"]: r["c"] for r in rows}
         total = sum(counts.values())
         alloc = {}
         rems = []
