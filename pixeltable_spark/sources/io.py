@@ -474,3 +474,90 @@ def import_webdataset(spark: SparkSession, path: str):
     rdd = spark.sparkContext.parallelize(shards, len(shards)) \
         .mapPartitions(read_shard)
     return spark.createDataFrame(rdd, schema)
+
+
+# ---------------------------------------------------------------------------
+# reference io name parity (io/pandas.py:95, io/sql.py:14,85, io/globals.py:12)
+# ---------------------------------------------------------------------------
+
+def df_infer_schema(df, schema_overrides=None,
+                    primary_key=None) -> dict:
+    """Infer a pixeltable schema dict from a pandas DataFrame (reference
+    io/pandas.py:95 df_infer_schema). Columns named in ``primary_key``
+    are non-nullable; ``schema_overrides`` entries pass through
+    verbatim. Dtype mapping mirrors the reference's
+    __pd_coltype_to_pxt_type: integer -> Int, float -> Float, bool ->
+    Bool, datetime -> Timestamp, date objects -> Date, strings ->
+    String, anything else -> Json."""
+    import datetime as _dt
+
+    from ..type_system import ColumnType
+
+    schema_overrides = schema_overrides or {}
+    primary_key = set(primary_key or [])
+    out: dict = {}
+    for name in df.columns:
+        if name in schema_overrides:
+            out[name] = schema_overrides[name]
+            continue
+        nullable = name not in primary_key
+        dt = df[name].dtype
+        kind = getattr(dt, "kind", "O")
+        if kind in ("i", "u"):
+            out[name] = ColumnType.int_(nullable)
+        elif kind == "f":
+            out[name] = ColumnType.float_(nullable)
+        elif kind == "b":
+            out[name] = ColumnType.bool_(nullable)
+        elif kind == "M":
+            out[name] = ColumnType.timestamp(nullable)
+        else:
+            sample = df[name].dropna()
+            v = sample.iloc[0] if len(sample) else None
+            if isinstance(v, _dt.datetime):
+                out[name] = ColumnType.timestamp(nullable)
+            elif isinstance(v, _dt.date):
+                out[name] = ColumnType.date(nullable)
+            elif isinstance(v, str) or v is None:
+                out[name] = ColumnType.string(nullable)
+            else:
+                out[name] = ColumnType.json(nullable)
+    return out
+
+
+def import_sql(spark: SparkSession, query_or_table: str, *,
+               db_connect_str: str, **options: Any) -> DataFrame:
+    """RDBMS import by table name or SQL query (reference io/sql.py:85
+    import_sql). A string containing whitespace is treated as a query
+    and wrapped as a JDBC subquery; otherwise it is a table name."""
+    # alias must not start with '_' (Derby rejects such identifiers)
+    src = (f"({query_or_table}) AS pxt_src"
+           if any(c.isspace() for c in query_or_table.strip())
+           else query_or_table)
+    return import_jdbc(spark, db_connect_str, src, **options)
+
+
+def export_sql(df: DataFrame, target_table_name: str, *,
+               db_connect_str: str, if_exists: str = "error",
+               **options: Any) -> None:
+    """RDBMS export (reference io/sql.py:14 export_sql). ``if_exists``
+    maps to Spark JDBC save modes: 'error' -> errorifexists, 'replace'
+    -> overwrite, 'insert' -> append."""
+    modes = {"error": "errorifexists", "replace": "overwrite",
+             "insert": "append"}
+    if if_exists not in modes:
+        raise ValueError(
+            f"if_exists must be one of {sorted(modes)}, got {if_exists!r}")
+    export_jdbc(df, db_connect_str, target_table_name,
+                mode=modes[if_exists], **options)
+
+
+def export_images_as_fo_dataset(df: DataFrame, out_dir: str,
+                                image_col: str = "image_path",
+                                detections=None, **kw):
+    """Voxel51 image export (reference io/globals.py:12
+    export_images_as_fo_dataset) — delegates to :func:`export_fiftyone`;
+    ``detections`` is the boxes column name (the reference's detections
+    expr)."""
+    return export_fiftyone(df, out_dir, image_col=image_col,
+                           boxes_col=detections, **kw)

@@ -249,6 +249,30 @@ class TestJdbcRoundtrip:
         want = sorted((tuple(r) for r in src.collect()))
         assert got == want
 
+    def test_sql_name_aliases_roundtrip(self, spark, tmp_path):
+        """import_sql/export_sql (reference io/sql.py:14,85 names) over
+        the same Derby path: export with if_exists mapping, import by
+        table name and by whitespace-detected query."""
+        from pixeltable_spark.sources import io as pio
+
+        url = f"jdbc:derby:{tmp_path}/derbydb3;create=true"
+        driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        src = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, s string")
+        pio.export_sql(src, "t_alias", db_connect_str=url,
+                       if_exists="replace", driver=driver)
+        back = pio.import_sql(spark, "t_alias", db_connect_str=url,
+                              driver=driver)
+        assert sorted(tuple(r) for r in back.collect()) == \
+            sorted(tuple(r) for r in src.collect())
+        sub = pio.import_sql(
+            spark, 'SELECT "k" FROM t_alias WHERE "k" >= 2',
+            db_connect_str=url, driver=driver)
+        assert sub.count() == 2
+        with pytest.raises(ValueError, match="if_exists"):
+            pio.export_sql(src, "t_alias", db_connect_str=url,
+                           if_exists="nope", driver=driver)
+
     def test_import_pushdown_query(self, spark, tmp_path):
         from pixeltable_spark.sources import io as pio
 
