@@ -20,6 +20,9 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 import pixeltable_spark as pxt  # noqa: E402
 
+sys.path.insert(0, ROOT + "/tools")
+from py_oracles import PY_ORACLES  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -46,6 +49,45 @@ def vals_equal(a, b):
             return a == float(b) or "close"
         return False
     return a == b
+
+
+def compare_rows(cols, srows_t, ocols_raw, orows):
+    """Shared row/value compare: srows_t are spark tuples in `cols`
+    order; orows are oracle tuples in ocols_raw order."""
+    ocols = sorted(ocols_raw)
+    if cols != ocols:
+        return f"SCHEMA MISMATCH spark={cols} oracle={ocols}"
+    if len(srows_t) != len(orows):
+        return f"ROWCOUNT spark={len(srows_t)} oracle={len(orows)}"
+    s_sorted = sorted(srows_t, key=lambda t: tuple(str(x) for x in t))
+    oidx = [ocols_raw.index(c) for c in cols]
+    o_sorted = sorted(
+        [tuple(norm_val(r[i]) for i in oidx) for r in orows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    n_close = 0
+    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        for c, (sv, ov) in zip(cols, zip(sr, orow)):
+            eq = vals_equal(sv, ov)
+            if eq is False:
+                return f"VALUE row{i} col={c} spark={sv!r} oracle={ov!r}"
+            if eq == "close":
+                n_close += 1
+    exact = ("EXACT" if n_close == 0
+             else f"CLOSE({n_close} float cells differ in repr)")
+    return f"OK {len(s_sorted)} rows [{exact}]"
+
+
+def compare_py(name, sdf, py_oracle, sf_dir):
+    """Compare a Spark result against a numpy/python replay oracle
+    (tools/py_oracles.py) — the value gate for non-SQL-expressible
+    algorithms (k-means, SVD, BPE merges, ICWS draws)."""
+    cols = sorted(sdf.columns)
+    srows = [tuple(norm_val(r[c]) for c in cols) for r in sdf.collect()]
+    ocols, orows = py_oracle(sf_dir)
+    res = compare_rows(cols, srows, ocols, orows)
+    return res.replace("OK ", "OK(py-replay) ") if res.startswith("OK") \
+        else res
 
 
 def compare(name, sdf, con, sql):
@@ -99,6 +141,8 @@ def main():
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 res = compare(name, sdf, con, oracles[name])
+            elif name in PY_ORACLES:
+                res = compare_py(name, sdf, PY_ORACLES[name], sf_dir)
             else:
                 res = f"ROWS-ONLY {sdf.count()} rows (no oracle)"
         except Exception as e:  # noqa: BLE001
