@@ -30,6 +30,56 @@ except ImportError:
     HAS_AV = False
 
 
+def _load_av():
+    """Lazy PyAV lookup — resolved per call (cheap: module cache hit)
+    so an interpreter that gains PyAV after import, or a test injecting
+    a fake into sys.modules, is picked up."""
+    try:
+        import av as _av
+        return _av
+    except ImportError:
+        return None
+
+
+def probe_any(payload) -> "dict | None":
+    """The codec narrow waist for container metadata: full-fidelity
+    stdlib probe for AVI (frame-accurate, no dependencies); for
+    compressed containers (MP4/EBML/Ogg) the stdlib probe_* parsers
+    provide header metadata, ESCALATED to PyAV automatically when it is
+    importable (the reference's decode path, functions/video/
+    editing.py:25-811 via av.open) — PyAV sees through codecs the
+    stdlib probes cannot (h264/vp9 stream dims, exact duration)."""
+    info = _vc.probe(payload)
+    if info is not None and info.get("format") == "AVI":
+        return info  # stdlib path is already full-fidelity for AVI
+    av_mod = _load_av()
+    if av_mod is not None:
+        try:
+            import io as _io
+            with av_mod.open(_io.BytesIO(bytes(payload))) as c:
+                out = {"format": getattr(getattr(c, "format", None),
+                                         "name", "unknown"),
+                       "via": "pyav"}
+                vs = next((s for s in getattr(c, "streams", [])
+                           if getattr(s, "type", None) == "video"), None)
+                if vs is not None:
+                    for attr in ("width", "height", "frames"):
+                        v = getattr(vs, attr, None)
+                        if v:
+                            out["n_frames" if attr == "frames"
+                                else attr] = int(v)
+                    rate = getattr(vs, "average_rate", None)
+                    if rate:
+                        out["fps"] = float(rate)
+                dur = getattr(c, "duration", None)
+                if dur:
+                    out["duration"] = float(dur) / 1_000_000.0
+                return out
+        except Exception:  # noqa: BLE001 — fall back to the probe
+            pass
+    return info
+
+
 def frame_iterator(df: DataFrame, every_n: int = 30,
                    payload_col: str = "payload",
                    id_col: str = "media_id",
@@ -47,8 +97,9 @@ def frame_iterator(df: DataFrame, every_n: int = 30,
 
 def get_metadata(col: Column) -> Column:
     """Container metadata: real AVI header fields (width/height/fps/
-    n_frames/duration) when the payload is RIFF/AVI, byte-level info
-    otherwise."""
+    n_frames/duration) when the payload is RIFF/AVI, stdlib header
+    probes for MP4/EBML/Ogg (escalated through PyAV when installed —
+    see probe_any), byte-level info otherwise."""
     @F.pandas_udf(T.StringType())
     def fn(s):
         import json
@@ -57,7 +108,7 @@ def get_metadata(col: Column) -> Column:
             if p is None:
                 out.append(None)
                 continue
-            info = _vc.probe(p)
+            info = probe_any(p)
             if info is None:
                 info = {"n_bytes": len(p),
                         "magic": bytes(p[:4]).hex().upper()}
