@@ -71,6 +71,28 @@ def register_local_model(model_id: str, model: Any) -> None:
     _LOCAL_MODELS[model_id] = model
 
 
+#: model ids that resolve to the in-repo pretrained TinyTransformer
+#: (models/tiny_transformer.py — a REAL pre-LN transformer encoder
+#: forward pass; weights MLM-pretrained from the seed corpus by
+#: tools/train_tiny_encoder.py and shipped in the repo, <1 MiB)
+TINY_ENCODER_IDS = frozenset({"pxt-tiny-encoder", "tiny-encoder-v1"})
+
+
+def _load_tiny_encoder():
+    m = _MODELS.get("__tiny_encoder__")
+    if m is None:
+        import os
+
+        from ..models.tiny_transformer import TinyTransformer
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "models", "weights",
+            "tiny_encoder_v1.npz")
+        if not os.path.exists(path):
+            return None
+        m = _MODELS["__tiny_encoder__"] = TinyTransformer.load(path)
+    return m
+
+
 @udf(return_type=ArrayType(ColumnType.float_()))
 def sentence_transformer(sentence: str, *, model_id: str = "all-mpnet-base-v2",
                          normalize_embeddings: bool = False,
@@ -80,7 +102,9 @@ def sentence_transformer(sentence: str, *, model_id: str = "all-mpnet-base-v2",
     real sentence-transformers weights -> ``local_model`` (a trained
     ``operators.lsa.LsaModel`` — genuinely semantic: synonyms sharing
     contexts get nearby vectors) -> registered local model -> the
-    classical BoW random-projection fallback."""
+    in-repo pretrained TinyTransformer for TINY_ENCODER_IDS (a real
+    transformer forward pass on shipped weights) -> the classical BoW
+    random-projection fallback."""
     m = _load_sentence_transformer(model_id)
     if m is not None:
         vec = m.encode([sentence],
@@ -89,6 +113,10 @@ def sentence_transformer(sentence: str, *, model_id: str = "all-mpnet-base-v2",
     lm = local_model if local_model is not None else _LOCAL_MODELS.get(model_id)
     if lm is not None:
         return [float(x) for x in lm.encode(sentence)]
+    if model_id in TINY_ENCODER_IDS:
+        te = _load_tiny_encoder()
+        if te is not None:
+            return [float(x) for x in te.encode(sentence)]
     return _md5_embed(sentence, model_id)
 
 
