@@ -2856,7 +2856,6 @@ def _hexbyte_sql(texpr: str, pos: int) -> str:
     return f"({d1} * 16 + {d2})"
 
 
-_LANGS = sorted(textops.LANG_STOPWORDS)
 
 
 def _langid_ctes(src: str = "documents", id_col: str = "doc_id") -> str:
@@ -2865,26 +2864,6 @@ def _langid_ctes(src: str = "documents", id_col: str = "doc_id") -> str:
     integer weight sums. Ends with `lgpred(id_col, lang_pred)`."""
     from pixeltable_spark.operators.langid import langid_ctes
     return langid_ctes(src, id_col)
-
-
-def _lang_scores_sql() -> str:
-    parts = []
-    for lg in _LANGS:
-        pat = r"\b(" + "|".join(textops.LANG_STOPWORDS[lg]) + r")\b"
-        parts.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lg}")
-    return ", ".join(parts)
-
-
-def _lang_case_sql() -> str:
-    # first language (in sorted order) with maximal score wins ties —
-    # mirrors the strict-> update loop in operators/text.py lang_id
-    conds = []
-    for i, lg in enumerate(_LANGS):
-        others = [f"s_{lg} >= s_{o}" for o in _LANGS[i + 1:]]
-        cond = " AND ".join(others) if others else "TRUE"
-        conds.append(f"WHEN {cond} THEN '{lg}'")
-    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in _LANGS) + ")"
-    return f"CASE WHEN {greatest} = 0 THEN 'und' " + " ".join(conds) + " END"
 
 
 _TOKCOUNT = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"

@@ -188,6 +188,16 @@ def _ngram_buckets(text: Column, n_buckets: int) -> Column:
                        lambda g: _bucket_expr(g, n_buckets))
 
 
+def _weight_array(w) -> Column:
+    """Integer weight list as ONE Column expression. F.lit(list) builds
+    array(*[lit(x) ...]) — 1024 py4j round trips per language, measured
+    4-5 s of driver time PER QUERY BUILD across the 8 languages. A single
+    F.expr with the SQL array literal is one call; Catalyst's constant
+    folding collapses it to the same array Literal."""
+    return F.expr("CAST(array(" + ",".join(str(int(v)) for v in w)
+                  + ") AS ARRAY<BIGINT>)")
+
+
 def langid_scores(text: Column,
                   n_buckets: int = N_BUCKETS) -> dict[str, Column]:
     """Per-language model score as pure-JVM columns: mean bucket weight
@@ -199,9 +209,7 @@ def langid_scores(text: Column,
     cnt = F.size(bks)
     out: dict[str, Column] = {}
     for lg, w, bias in zip(langs, IW, B):
-        # one Literal node per language (F.lit(list), NOT array(*lits) —
-        # 1024 child nodes per language blow up Catalyst analysis)
-        w_arr = F.lit(list(w))
+        w_arr = _weight_array(w)
         tot = F.aggregate(bks, F.lit(0).cast("long"),
                           lambda acc, b: acc + F.element_at(w_arr, b + 1))
         out[lg] = F.when(cnt > 0,
@@ -226,7 +234,7 @@ def lang_id(text: Column, n_buckets: int = N_BUCKETS) -> Column:
     cnt = F.size(bks)
     entries = []
     for idx, (lg, w) in enumerate(zip(langs, IW)):
-        w_arr = F.lit(list(w))
+        w_arr = _weight_array(w)
         tot = F.aggregate(bks, F.lit(0).cast("long"),
                           lambda acc, b: acc + F.element_at(w_arr, b + 1))
         entries.append(F.struct(tot.alias("s"),
@@ -342,7 +350,7 @@ def lang_id_table(df, key: str = "doc_id", text_col: str = "text",
     # on the count.
     aggs = [F.count("__lg_b").alias("__lg_cnt")]
     for i, w in enumerate(IW):
-        w_arr = F.lit(list(w))
+        w_arr = _weight_array(w)
         aggs.append(F.sum(F.element_at(w_arr, F.col("__lg_b") + 1))
                     .alias(f"__lg_s{i}"))
     sums = e.groupBy(key).agg(*aggs)
