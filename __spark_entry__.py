@@ -2606,6 +2606,66 @@ def q129_benford(spark, sf_dir):
     return benford_audit(df, "l_extendedprice")
 
 
+def _q130_synth_text():
+    """Deterministic multi-line document synthesized from doc_id
+    arithmetic + the corpus text, so every C4 rule branch fires on the
+    driver testdata (whose raw text has no newlines or punctuation).
+    The oracle rebuilds the identical text in SQL."""
+    did = F.col("doc_id")
+    return F.concat_ws(
+        "\n",
+        F.lit("This is a good line with punctuation."),
+        F.substring(F.col("text"), 1, 40),
+        F.when(did % 3 == 0,
+               F.lit("Please enable javascript to continue."))
+        .otherwise(F.lit("Another fine sentence appears here!")),
+        F.when(did % 5 == 0, F.lit("short one."))
+        .otherwise(F.lit("A third proper sentence is present here?")),
+        F.when(did % 7 == 0,
+               F.lit("We use cookies and a privacy policy."))
+        .otherwise(F.lit("Closing sentence for the document.")),
+        F.when(did % 11 == 0, F.lit("function() { return 1; }"))
+        .otherwise(F.lit("No code here.")))
+
+
+def q130_c4_filter(spark, sf_dir):
+    """C4 cleanup rule battery (operators/text.py c4_filter — Raffel et
+    al. 2020 §2.2: terminal-punctuation lines, min words per line,
+    javascript lines, lorem-ipsum/policy phrases, curly braces, min
+    kept lines). Map-only JVM column math; the doc text is synthesized
+    from doc_id arithmetic so every rule branch fires (q93 pattern)."""
+    df = _df(spark, sf_dir, "documents").select(
+        "doc_id", _q130_synth_text().alias("text"))
+    return (textops.c4_filter(df, min_words_per_line=3, min_kept_lines=3)
+            .orderBy("doc_id"))
+
+
+def q131_canonical_url(spark, sf_dir):
+    """URL canonicalization + dedup keys (operators/urlops.py —
+    RFC 3986 normalization + tracking-param strip): fragment drop,
+    authority lowercasing, default-port drop, utm/gclid removal with
+    param sorting, trailing-slash strip; md5 dedup key. URLs are
+    synthesized from event_id arithmetic (q93 pattern) so every
+    normalization branch fires; map-only, zero shuffle."""
+    from pixeltable_spark.operators.urlops import canonical_url, url_dedup_key
+    ev = _df(spark, sf_dir, "events").select("event_id", "event_type")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.when(eid % 2 == 0, F.lit("HTTP://Example.COM:80"))
+        .otherwise(F.lit("https://CDN.Site.org:443")),
+        F.lit("/products/"), F.col("event_type"),
+        F.when(eid % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&b="), (eid % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(eid % 4 == 0, F.lit("&gclid=abc")).otherwise(F.lit("")),
+        F.lit("#sec"), (eid % 7).cast("string"))
+    return (ev.select("event_id", url.alias("url"))
+            .select("event_id",
+                    canonical_url(F.col("url")).alias("canonical"),
+                    url_dedup_key(F.col("url")).alias("dedup_key"))
+            .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2735,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_collocations": q127_collocations,
         "q128_rolling_corr": q128_rolling_corr,
         "q129_benford": q129_benford,
+        "q130_c4_filter": q130_c4_filter,
+        "q131_canonical_url": q131_canonical_url,
     }
 
 
@@ -3449,6 +3511,8 @@ SELECT user_id, ts,
        round(CASE WHEN n_window >= 10 THEN c END, 6) AS corr,
        n_window
 FROM w ORDER BY user_id, ts""",
+        "q130_c4_filter": _q130_oracle(),
+        "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
              CAST(abs(CAST(l_extendedprice AS DOUBLE)) AS VARCHAR),
@@ -4476,6 +4540,59 @@ FROM documents a JOIN documents b
   ON a.doc_id < b.doc_id AND a.doc_id % 29 = b.doc_id % 29
 ORDER BY id_a, id_b""",
     }
+
+
+
+def _q130_oracle() -> str:
+    """DuckDB replay of q130: same synthesized text, same C4 rules."""
+    synth = """concat_ws(chr(10),
+  'This is a good line with punctuation.',
+  substr(text, 1, 40),
+  CASE WHEN doc_id % 3 = 0 THEN 'Please enable javascript to continue.'
+       ELSE 'Another fine sentence appears here!' END,
+  CASE WHEN doc_id % 5 = 0 THEN 'short one.'
+       ELSE 'A third proper sentence is present here?' END,
+  CASE WHEN doc_id % 7 = 0 THEN 'We use cookies and a privacy policy.'
+       ELSE 'Closing sentence for the document.' END,
+  CASE WHEN doc_id % 11 = 0 THEN 'function() {{ return 1; }}'
+       ELSE 'No code here.' END)"""
+    kept = ("list_filter(lines, ln -> "
+            "regexp_matches(trim(ln), '[.!?\"]$') "
+            "AND len(list_filter(string_split_regex(trim(ln), '\\s+'), "
+            "w -> w <> '')) >= 3 "
+            "AND NOT contains(lower(ln), 'javascript'))")
+    bad = ("(contains(lower(t), 'lorem ipsum') "
+           "OR contains(lower(t), 'privacy policy') "
+           "OR contains(lower(t), 'terms of use') "
+           "OR contains(lower(t), 'cookie policy') "
+           "OR contains(lower(t), 'uses cookies'))")
+    return f"""
+WITH synth AS (SELECT doc_id, {synth} AS t FROM documents),
+ln AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM synth),
+k AS (SELECT doc_id, t, len(lines) AS n_lines, {kept} AS kept FROM ln)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       array_to_string(kept, chr(10)) AS clean_text,
+       (len(kept) >= 3 AND NOT {bad} AND NOT contains(t, '{{')) AS keep
+FROM k ORDER BY doc_id"""
+
+
+def _q131_oracle() -> str:
+    """DuckDB replay of q131: same synthesized URLs, same normalization
+    (operators/urlops.py canonical_url_sql)."""
+    from pixeltable_spark.operators.urlops import canonical_url_sql
+    url = """(CASE WHEN event_id % 2 = 0 THEN 'HTTP://Example.COM:80'
+       ELSE 'https://CDN.Site.org:443' END
+  || '/products/' || event_type
+  || CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END
+  || '?utm_source=news&b=' || CAST(event_id % 5 AS VARCHAR) || '&a=1'
+  || CASE WHEN event_id % 4 = 0 THEN '&gclid=abc' ELSE '' END
+  || '#sec' || CAST(event_id % 7 AS VARCHAR))"""
+    canon = canonical_url_sql("u")
+    return f"""
+WITH urls AS (SELECT event_id, {url} AS u FROM events)
+SELECT event_id, {canon} AS canonical, md5({canon}) AS dedup_key
+FROM urls ORDER BY event_id"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -625,3 +625,52 @@ def collocations(df: DataFrame, text_col: str = "text",
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("a", "b", "n_ab", "pmi", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule battery (Raffel et al. 2020 §2.2, the public "Colossal
+# Clean Crawled Corpus" heuristics — the standard web-text cleanup pass)
+# ---------------------------------------------------------------------------
+
+_C4_BAD_PHRASES = ("lorem ipsum", "privacy policy", "terms of use",
+                   "cookie policy", "uses cookies")
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", min_words_per_line: int = 3,
+              min_kept_lines: int = 1) -> DataFrame:
+    """C4 cleanup: per document, keep only lines that end in a terminal
+    punctuation mark ('.', '!', '?', '"'), have >= min_words_per_line
+    whitespace words, and do not mention javascript; then drop the whole
+    document if it contains any boilerplate phrase (lorem ipsum /
+    privacy policy / terms of use / cookie policy / uses cookies), a
+    curly brace (code), or fewer than min_kept_lines surviving lines.
+
+    Output: (id, n_lines, n_kept_lines, clean_text, keep) where
+    clean_text is the kept lines re-joined with newlines (empty string
+    when nothing survives).
+
+    Map-only JVM column math: one split + one array filter per row —
+    no shuffle, no Python; the per-line lambda runs on the (short) line
+    array, not per character. The DuckDB oracle replays every rule."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != "")) >= min_words_per_line)
+        & ~F.lower(ln).contains("javascript"))
+    low = F.lower(F.col(text_col))
+    bad_phrase = None
+    for ph in _C4_BAD_PHRASES:
+        c = low.contains(ph)
+        bad_phrase = c if bad_phrase is None else (bad_phrase | c)
+    keep = ((F.size(kept) >= min_kept_lines)
+            & ~bad_phrase
+            & ~F.col(text_col).contains("{"))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        keep.alias("keep"))
