@@ -8,11 +8,11 @@ Reference parity: pixeltable exposes language detection through model
 UDFs (e.g. functions/huggingface.py text classifiers); this is the
 engine-portable equivalent — the model trains once driver-side from the
 deterministic in-repo seed corpus (langid_seed.py, original sentences)
-and scores fully JVM-side: char trigrams -> md5 bucket -> mean weight
-per language + bias -> argmax. Zero Python in the scoring path, zero
-shuffle, and a DuckDB oracle reproduces every score bit-for-bit because
-both engines fold identical rounded weight literals in identical array
-order.
+and scores fully JVM-side: char 1/2/3-grams -> md5 bucket -> INTEGER
+weight sum per language -> argmax. Zero Python in the scoring path,
+and integer sums are order-independent, so the python scorer, the
+Spark paths, and the DuckDB oracle agree bit-for-bit regardless of
+fold order or parallelism.
 
 Training is bounded (a few hundred sentences x n_buckets floats) and
 cached per-process; the 100 TB side is the scoring scan, which is one

@@ -109,7 +109,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """Model-based language id (8 languages): hashed char 1/2/3-gram
+    """Model-based language id (13 languages): hashed char 1/2/3-gram
     Naive Bayes trained on the in-repo seed corpus, scored pure-JVM —
     see operators/langid.py. 'und' for empty/whitespace-only text.
     (Replaced the 4-language stopword-count heuristic in round 7; the
