@@ -2666,6 +2666,35 @@ def q131_canonical_url(spark, sf_dir):
             .orderBy("event_id"))
 
 
+
+def q132_curation_stream(spark, sf_dir):
+    """STREAMING corpus curation (streaming/incremental.py
+    curation_stream): model lang-id + quality score + PII flag +
+    fingerprint + keep verdict as a stateless per-row stream projection
+    — availableNow replay of the documents source, checked against a
+    full SQL oracle assembled from the q40/q41/q89 fragments (a second
+    streaming query with an EXACT value oracle, after q114)."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.streaming import curation_stream
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cur = curation_stream(raw)
+        name = "q132_curation_" + _uuid.uuid4().hex[:10]
+        q = (cur.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return spark.table(name).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2797,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_benford": q129_benford,
         "q130_c4_filter": q130_c4_filter,
         "q131_canonical_url": q131_canonical_url,
+        "q132_curation_stream": q132_curation_stream,
     }
 
 
@@ -3512,6 +3542,7 @@ SELECT user_id, ts,
        n_window
 FROM w ORDER BY user_id, ts""",
         "q130_c4_filter": _q130_oracle(),
+        "q132_curation_stream": _q132_oracle(),
         "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
@@ -4593,6 +4624,35 @@ def _q131_oracle() -> str:
 WITH urls AS (SELECT event_id, {url} AS u FROM events)
 SELECT event_id, {canon} AS canonical, md5({canon}) AS dedup_key
 FROM urls ORDER BY event_id"""
+
+
+
+def _q132_oracle() -> str:
+    """Full SQL oracle for the streaming curation projection: the
+    model lang-id CTE chain + q41's quality formula + q89's PII regex +
+    the md5 fingerprint, composed per document."""
+    return f"""
+WITH {_langid_ctes()},
+m AS (
+  SELECT doc_id,
+         {_TOKCOUNT} AS tok,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS praw,
+         CAST(len(regexp_extract_all(lower(text), '{_STOPPAT}')) AS DOUBLE)
+           / ({_TOKCOUNT}) AS sraw,
+         regexp_matches(text,
+           '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}})'
+           || '|(?:\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b)'
+           || '|(?:\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b)') AS pii,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+q AS (SELECT doc_id,
+             round((CASE WHEN tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END)
+                   + least(sraw * 2.0, 0.3) - least(praw * 2.0, 0.2), 6)
+               AS quality, pii, fp FROM m)
+SELECT q.doc_id, lg.lang_pred, q.quality, q.pii, q.fp,
+       (lg.lang_pred = 'en' AND NOT q.pii AND q.quality >= 0.0) AS keep
+FROM q JOIN lgpred lg USING (doc_id) ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:

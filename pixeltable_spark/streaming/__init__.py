@@ -4,6 +4,7 @@ from .incremental import (
     windowed_event_counts,
     sessionize_stream,
     run_stream_to_memory,
+    curation_stream,
 )
 from .stateful import (
     stream_dedup_stateful,
@@ -13,6 +14,6 @@ from .stateful import (
 
 __all__ = [
     "incremental_ingest", "stream_from_directory", "windowed_event_counts",
-    "sessionize_stream", "run_stream_to_memory",
+    "sessionize_stream", "run_stream_to_memory", "curation_stream",
     "stream_dedup_stateful", "stateful_running_uda", "funnel_stream",
 ]

@@ -114,3 +114,37 @@ def run_stream_to_memory(agg_df: DataFrame, query_name: str,
     )
     q.awaitTermination()
     return q
+
+
+def curation_stream(stream_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    langs: tuple = ("en",),
+                    pii_kinds: tuple = ("email", "ssn", "ipv4"),
+                    quality_floor: float = 0.0) -> DataFrame:
+    """Streaming corpus curation: per incoming document, model language
+    id (scalar path — map-only), heuristic quality score, PII flag, and
+    a `keep` verdict (language in `langs`, no PII, quality above the
+    floor). Every stage is a stateless per-row projection, so this runs
+    identically on a stream and a batch frame — no watermark, no state
+    store, exactly the map-side subset of the batch q89 pipeline.
+    (Dedup-representative selection is inherently cross-row; for streams
+    pair this with dropDuplicates on the fingerprint within a watermark,
+    or run the batch dedup on the silver table.)"""
+    from ..operators.langid import lang_id_udf
+    from ..operators.pii import has_pii
+    from ..operators.text import fingerprint, quality_score, token_count
+
+    c = F.col(text_col)
+    # empty/whitespace-only docs would 0/0 inside quality_score under
+    # ANSI; they score the out-of-band floor and fail `keep` anyway
+    quality = F.when(token_count(c) > 0,
+                     quality_score(c)).otherwise(F.lit(0.1))
+    out = stream_df.select(
+        F.col(id_col),
+        lang_id_udf(c).alias("lang_pred"),
+        quality.alias("quality"),
+        has_pii(c, list(pii_kinds)).alias("pii"),
+        fingerprint(c).alias("fp"))
+    keep = (F.col("lang_pred").isin(*langs)
+            & ~F.col("pii") & (F.col("quality") >= quality_floor))
+    return out.withColumn("keep", keep)
