@@ -2634,7 +2634,7 @@ def q130_c4_filter(spark, sf_dir):
     javascript lines, lorem-ipsum/policy phrases, curly braces, min
     kept lines). Map-only JVM column math; the doc text is synthesized
     from doc_id arithmetic so every rule branch fires (q93 pattern)."""
-    df = _df(spark, sf_dir, "documents").select(
+    df = textops.spread(_df(spark, sf_dir, "documents")).select(
         "doc_id", _q130_synth_text().alias("text"))
     return (textops.c4_filter(df, min_words_per_line=3, min_kept_lines=3)
             .orderBy("doc_id"))
@@ -2648,7 +2648,8 @@ def q131_canonical_url(spark, sf_dir):
     synthesized from event_id arithmetic (q93 pattern) so every
     normalization branch fires; map-only, zero shuffle."""
     from pixeltable_spark.operators.urlops import canonical_url, url_dedup_key
-    ev = _df(spark, sf_dir, "events").select("event_id", "event_type")
+    ev = textops.spread(
+        _df(spark, sf_dir, "events").select("event_id", "event_type"))
     eid = F.col("event_id")
     url = F.concat(
         F.when(eid % 2 == 0, F.lit("HTTP://Example.COM:80"))
