@@ -125,7 +125,11 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the full metric set as columns."""
+    """Convenience: attach the full metric set as columns. Language id
+    uses the Arrow-batched UDF path (bit-exact with the scalar/table
+    paths; the scalar HOF expression is interpreted per gram and ~100x
+    slower per row — see langid.lang_id_udf)."""
+    from .langid import lang_id_udf
     c = F.col(text_col)
     return (
         spread(df).withColumn("n_tokens", token_count(c))
@@ -133,7 +137,7 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", punct_ratio(c))
         .withColumn("stopword_ratio", stopword_ratio(c))
         .withColumn("quality", quality_score(c))
-        .withColumn("lang_pred", lang_id(c))
+        .withColumn("lang_pred", lang_id_udf(c))
         .withColumn("fingerprint", fingerprint(c))
     )
 
