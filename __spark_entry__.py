@@ -2959,7 +2959,9 @@ def _langid_ctes(src: str = "documents", id_col: str = "doc_id") -> str:
     return langid_ctes(src, id_col)
 
 
-_TOKCOUNT = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+# filter-after-split mirrors operators/text.py token_count (trim strips
+# ASCII spaces only in both engines; '\n\t \n' must count 0, not 2)
+_TOKCOUNT = r"len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))"
 _STOPPAT = r"\b(" + "|".join(textops.LANG_STOPWORDS["en"]) + r")\b"
 
 
@@ -3323,10 +3325,12 @@ GROUP BY lang_pred ORDER BY lang_pred""",
 WITH m AS (
   SELECT doc_id,
          {_TOKCOUNT} AS n_tokens,
-         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-           / length(text) AS praw,
-         CAST(len(regexp_extract_all(lower(text), '{_STOPPAT}')) AS DOUBLE)
-           / ({_TOKCOUNT}) AS sraw
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN ({_TOKCOUNT}) > 0 THEN
+           CAST(len(regexp_extract_all(lower(text), '{_STOPPAT}')) AS DOUBLE)
+             / ({_TOKCOUNT}) ELSE 0.0 END AS sraw
   FROM documents)
 SELECT doc_id, n_tokens, round(praw, 6) AS punct_r, round(sraw, 6) AS stop_r,
        round((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END)
@@ -4586,7 +4590,7 @@ def _q130_oracle() -> str:
        ELSE 'A third proper sentence is present here?' END,
   CASE WHEN doc_id % 7 = 0 THEN 'We use cookies and a privacy policy.'
        ELSE 'Closing sentence for the document.' END,
-  CASE WHEN doc_id % 11 = 0 THEN 'function() {{ return 1; }}'
+  CASE WHEN doc_id % 11 = 0 THEN 'function() { return 1; }'
        ELSE 'No code here.' END)"""
     kept = ("list_filter(lines, ln -> "
             "regexp_matches(trim(ln), '[.!?\"]$') "
@@ -4637,10 +4641,12 @@ WITH {_langid_ctes()},
 m AS (
   SELECT doc_id,
          {_TOKCOUNT} AS tok,
-         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-           / length(text) AS praw,
-         CAST(len(regexp_extract_all(lower(text), '{_STOPPAT}')) AS DOUBLE)
-           / ({_TOKCOUNT}) AS sraw,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN ({_TOKCOUNT}) > 0 THEN
+           CAST(len(regexp_extract_all(lower(text), '{_STOPPAT}')) AS DOUBLE)
+             / ({_TOKCOUNT}) ELSE 0.0 END AS sraw,
          regexp_matches(text,
            '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}})'
            || '|(?:\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b)'
@@ -4648,9 +4654,14 @@ m AS (
          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents),
 q AS (SELECT doc_id,
-             round((CASE WHEN tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END)
-                   + least(sraw * 2.0, 0.3) - least(praw * 2.0, 0.2), 6)
-               AS quality, pii, fp FROM m)
+             -- empty-doc guard mirrors curation_stream's quality floor
+             -- (with guarded ratios the formula reduces to 0.1 anyway,
+             -- but state it explicitly so the oracle stays valid for
+             -- the input class the operator documents)
+             CASE WHEN tok > 0 THEN
+               round((CASE WHEN tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.1 END)
+                     + least(sraw * 2.0, 0.3) - least(praw * 2.0, 0.2), 6)
+             ELSE 0.1 END AS quality, pii, fp FROM m)
 SELECT q.doc_id, lg.lang_pred, q.quality, q.pii, q.fp,
        (lg.lang_pred = 'en' AND NOT q.pii AND q.quality >= 0.0) AS keep
 FROM q JOIN lgpred lg USING (doc_id) ORDER BY doc_id"""

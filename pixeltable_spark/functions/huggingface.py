@@ -98,25 +98,34 @@ def sentence_transformer(sentence: str, *, model_id: str = "all-mpnet-base-v2",
                          normalize_embeddings: bool = False,
                          local_model: Any = None) -> list:
     """Sentence embedding via a local sentence-transformers model
-    (reference functions/huggingface.py:32). Offline resolution order:
-    real sentence-transformers weights -> ``local_model`` (a trained
+    (reference functions/huggingface.py:32). Resolution order:
+    ``local_model`` (an explicitly passed trained
     ``operators.lsa.LsaModel`` — genuinely semantic: synonyms sharing
     contexts get nearby vectors) -> registered local model -> the
     in-repo pretrained TinyTransformer for TINY_ENCODER_IDS (a real
-    transformer forward pass on shipped weights) -> the classical BoW
-    random-projection fallback."""
-    m = _load_sentence_transformer(model_id)
-    if m is not None:
-        vec = m.encode([sentence],
-                       normalize_embeddings=normalize_embeddings)[0]
-        return [float(x) for x in vec]
-    lm = local_model if local_model is not None else _LOCAL_MODELS.get(model_id)
+    transformer forward pass on shipped weights) -> real
+    sentence-transformers hub weights (only for ids not claimed by a
+    repo-local path: those ids don't exist on the hub and would raise
+    inside the loader) -> the classical BoW random-projection
+    fallback."""
+    # repo-local ids resolve BEFORE the hub loader: these ids do not
+    # exist on the HF hub, so SentenceTransformer(model_id) would raise
+    # (uncaught) in exactly the environments that have the library —
+    # making the documented in-repo paths unreachable there.
+    if local_model is not None:
+        return [float(x) for x in local_model.encode(sentence)]
+    lm = _LOCAL_MODELS.get(model_id)
     if lm is not None:
         return [float(x) for x in lm.encode(sentence)]
     if model_id in TINY_ENCODER_IDS:
         te = _load_tiny_encoder()
         if te is not None:
             return [float(x) for x in te.encode(sentence)]
+    m = _load_sentence_transformer(model_id)
+    if m is not None:
+        vec = m.encode([sentence],
+                       normalize_embeddings=normalize_embeddings)[0]
+        return [float(x) for x in vec]
     return _md5_embed(sentence, model_id)
 
 

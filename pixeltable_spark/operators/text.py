@@ -64,10 +64,12 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization count."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    ).cast(T.LongType())
+    """Whitespace tokenization count: non-empty runs between \\s+
+    separators. filter-after-split (not trim-then-split) because Spark's
+    `trim` strips ASCII spaces only — a '\\n\\t \\n' doc would otherwise
+    count 2 phantom empty tokens. NULL text -> NULL."""
+    return F.size(F.filter(F.split(text, r"\s+"),
+                           lambda x: x != "")).cast(T.LongType())
 
 
 def word_token_count(text: Column) -> Column:
@@ -80,28 +82,46 @@ def char_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters in a fixed punctuation set."""
+    """Fraction of characters in a fixed punctuation set. 0.0 for empty
+    text (guarded: Spark 4 runs ANSI mode, where 0/0 kills the job —
+    and any real crawl shard contains empty docs)."""
     punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
-    return punct.cast(T.DoubleType()) / F.length(text)
+    return F.when(F.length(text) > 0,
+                  punct.cast(T.DoubleType()) / F.length(text)) \
+        .when(text.isNotNull(), F.lit(0.0))
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    return stopword_count(text, lang).cast(T.DoubleType()) / token_count(text)
+    """Stopword tokens / whitespace tokens; 0.0 for empty/whitespace-only
+    text (ANSI divide-by-zero guard)."""
+    n_tok = token_count(text)
+    return F.when(n_tok > 0,
+                  stopword_count(text, lang).cast(T.DoubleType()) / n_tok) \
+        .when(text.isNotNull(), F.lit(0.0))
 
 
 def mean_word_len(text: Column) -> Column:
+    """Mean whitespace-token length; NULL for empty/whitespace-only text
+    (undefined — there are no words; ANSI divide-by-zero guard)."""
+    n_tok = token_count(text)
     no_space = F.length(F.regexp_replace(text, r"\s+", ""))
-    return no_space.cast(T.DoubleType()) / token_count(text)
+    return F.when(n_tok > 0, no_space.cast(T.DoubleType()) / n_tok)
 
 
 def quality_score(text: Column) -> Column:
     """Composite heuristic quality score in [0,1]: length band + stopword
-    presence - punctuation excess. Deterministic, engine-portable."""
+    presence - punctuation excess. Deterministic, engine-portable.
+    Empty/whitespace-only docs score the out-of-band floor 0.1 (the same
+    value the len_score band assigns them; with guarded ratios the
+    composite reduces to exactly that)."""
     n_tok = token_count(text)
     len_score = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.1))
     stop_score = F.least(stopword_ratio(text) * F.lit(2.0), F.lit(0.3))
     punct_pen = F.least(punct_ratio(text) * F.lit(2.0), F.lit(0.2))
-    return F.round(len_score + stop_score - punct_pen, 6)
+    # NULL text -> NULL score (F.least SKIPS nulls, so without the guard
+    # a NULL doc would score 0.1+0.3-0.2=0.2 — a phantom quality signal)
+    return F.when(text.isNotNull(),
+                  F.round(len_score + stop_score - punct_pen, 6))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -194,6 +214,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     counts -> one groupBy(doc). Shuffle volume is distinct n-grams per doc,
     never raw text; AQE handles boilerplate-heavy skew. A filter on either
     fraction composes as a plain post-aggregation predicate.
+
+    Cardinality contract: docs with fewer than ``n`` tokens have no
+    n-grams and are ABSENT from the output (inner explode — same as the
+    SQL oracle). Consumers that need every doc must left-join and
+    coalesce (gopher_filter does exactly this).
     """
     grams = shingle_array(F.col(text_col), n)
     exploded = spread(df).select(F.col(id_col), F.explode(grams).alias("ngram"))
@@ -217,7 +242,9 @@ def duplicate_line_stats(df: DataFrame, text_col: str = "text",
     * ``dup_line_char_frac`` — fraction of line characters inside repeated
       occurrences (each line's chars beyond its first occurrence).
 
-    Same two-aggregation shape as :func:`repetition_stats`.
+    Same two-aggregation shape — and the same cardinality contract —
+    as :func:`repetition_stats`: docs with no non-empty lines are
+    absent from the output (left-join + coalesce to keep them).
     """
     lines = (
         spread(df).select(F.col(id_col),
@@ -281,7 +308,11 @@ def ngram_lm_score(df: DataFrame, model: DataFrame, text_col: str = "text",
 
     Plan: explode grams -> broadcast-join the (small) model -> one
     groupBy(doc). The corpus-side shuffle is per-doc partial averages
-    only (map-side agg); the model never shuffles."""
+    only (map-side agg); the model never shuffles.
+
+    Cardinality contract (same as repetition_stats): docs too short to
+    produce a single char n-gram are absent from the output — left-join
+    and coalesce to treat them as unscorable-keep or -drop."""
     grams = spread(df).select(F.col(id_col),
                       F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"))
     joined = grams.join(F.broadcast(model), on="gram", how="left")

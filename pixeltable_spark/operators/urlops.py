@@ -60,15 +60,26 @@ def url_dedup_key(url: Column) -> Column:
 def dedup_by_url(df: DataFrame, url_col: str = "url",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, url, canonical, key, is_canonical_rep): one representative
-    (min id) per canonical URL — one hash-key groupBy, never n^2."""
+    (min id) per canonical URL — one hash-key groupBy, never n^2.
+
+    NULL contract: rows with a NULL url have NULL canonical/key and are
+    each their own representative (is_canonical_rep=true) — a NULL url
+    carries no identity to dedup on, and an inner equi-join would
+    silently drop them (NULL never equals NULL), so they are split off
+    before the join and unioned back annotated."""
     d = df.select(id_col, url_col,
                   canonical_url(F.col(url_col)).alias("canonical"),
                   url_dedup_key(F.col(url_col)).alias("key"))
-    reps = d.groupBy("key").agg(F.min(id_col).alias("__rep"))
-    return (d.join(reps, "key")
+    nulls = d.where(F.col("key").isNull()) \
+        .select(id_col, url_col, "canonical", "key",
+                F.lit(True).alias("is_canonical_rep"))
+    keyed = d.where(F.col("key").isNotNull())
+    reps = keyed.groupBy("key").agg(F.min(id_col).alias("__rep"))
+    return (keyed.join(reps, "key")
             .select(id_col, url_col, "canonical", "key",
                     (F.col(id_col) == F.col("__rep"))
-                    .alias("is_canonical_rep")))
+                    .alias("is_canonical_rep"))
+            .unionByName(nulls))
 
 
 def canonical_url_sql(expr: str) -> str:
