@@ -34,11 +34,14 @@ incremental loads are plain filtered scans.
 
 from __future__ import annotations
 
+import fcntl
+import functools
 import json
 import os
 import shutil
 import time
 import uuid as _uuid
+from contextlib import contextmanager
 from typing import Any, Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import telemetry
-from .exceptions import AlreadyExistsError, NotFoundError
+from .exceptions import AlreadyExistsError, ConcurrencyError, NotFoundError
 from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
                              UpdateStatus, VersionMetadata, version_metadata)
 from .exprs import Expr
@@ -404,6 +407,17 @@ class Catalog:
         return Snapshot(base, base.version)
 
 
+def _locked_mutation(fn):
+    """Run a Table mutation inside the per-table inter-process write
+    lock (see Table._write_lock): serializes racing writers and rebases
+    this handle on the latest committed state before the body runs."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock():
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class Table:
     """Insertable, versioned table (reference catalog/insertable_table.py,
     catalog/table.py:52-1111)."""
@@ -455,13 +469,20 @@ class Table:
             "bloom_cols": self.bloom_cols,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
         }
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        # atomic (tmp + fsync + rename): a concurrent reader must never
+        # see a truncated meta.json / computed.pkl
+        self._atomic_write(os.path.join(self.path, "meta.json"),
+                           json.dumps(meta))
         # computed-column exprs carry arbitrary python callables ->
         # cloudpickle (same serializer Spark uses for UDF closures)
         from pyspark import cloudpickle
-        with open(os.path.join(self.path, "computed.pkl"), "wb") as f:
+        cpath = os.path.join(self.path, "computed.pkl")
+        tmp = cpath + ".tmp-" + _uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
             cloudpickle.dump(self.computed, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, cpath)
 
     def _load_meta(self) -> None:
         with open(os.path.join(self.path, "meta.json")) as f:
@@ -489,6 +510,74 @@ class Table:
     @property
     def _data_dir(self) -> str:
         return os.path.join(self.path, "data")
+
+    # -- multi-writer safety -------------------------------------------------
+    # Mutations from ANY process serialize on a per-table advisory flock
+    # held for the whole mutation (data write + manifest swap + meta save).
+    # On acquire the handle REBASES on the latest committed state (reload
+    # meta.json / computed.pkl / CURRENT), so N concurrent inserters
+    # produce N distinct versions with disjoint rowid ranges — no
+    # last-write-wins. flock releases on process death, so a crashed
+    # writer can never wedge the table. On an object-store deployment the
+    # same critical section becomes a CAS against the metastore (the
+    # Delta/Iceberg commit protocol); the in-critical-section work is the
+    # same either way. The reference gets this serialization from
+    # Postgres row locks (tests/test_concurrent.py); here the lock is the
+    # table directory itself.
+
+    _LOCK_TIMEOUT_S = float(os.environ.get("PXT_SPARK_LOCK_TIMEOUT", "120"))
+
+    @contextmanager
+    def _write_lock(self):
+        depth = getattr(self, "_lock_depth", 0)
+        if depth:  # reentrant: a mutation invoked from inside a mutation
+            self._lock_depth = depth + 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
+        os.makedirs(self.path, exist_ok=True)
+        fh = open(os.path.join(self.path, "LOCK"), "a+")
+        try:
+            deadline = time.time() + self._LOCK_TIMEOUT_S
+            while True:
+                try:
+                    fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() >= deadline:
+                        raise ConcurrencyError(
+                            f"table {self.name!r}: write lock not acquired "
+                            f"within {self._LOCK_TIMEOUT_S:.0f}s — another "
+                            "writer holds it (PXT_SPARK_LOCK_TIMEOUT tunes "
+                            "the wait)")
+                    time.sleep(0.05)
+            self._lock_depth = 1
+            try:
+                self._refresh_from_disk()
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+        finally:
+            fh.close()
+
+    def _refresh_from_disk(self) -> None:
+        """Rebase this handle on the latest committed state (another
+        process may have committed since this object loaded). Called
+        under the write lock, so what it reads cannot move again before
+        this writer's own commit."""
+        mpath = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mpath):
+            return
+        with open(mpath) as f:
+            disk = json.load(f)
+        if (disk.get("version", 0) != self.version
+                or disk.get("next_rowid", 0) != self.next_rowid):
+            self._load_meta()
+            # base snapshot moved -> any remembered manifest is stale
+            self._manifest_at_read = None
 
     # -- manifest commit protocol ------------------------------------------
     # Every mutation writes NEW parquet files only, then atomically commits
@@ -775,7 +864,7 @@ class Table:
                 now = json.load(f)["manifest"]
             expected = getattr(self, "_manifest_at_read", now)
             if expected is not None and now != expected:
-                raise RuntimeError(
+                raise ConcurrencyError(
                     f"concurrent modification of table {self.name!r}: "
                     f"CURRENT moved from {expected} to {now} during this "
                     "mutation; re-read and retry")
@@ -930,6 +1019,7 @@ class Table:
         new = self._write_snapshot_files(df)
         self._commit_files(keep + new)
 
+    @_locked_mutation
     def add_bloom_filter(self, col: str, fpp: float = 0.01) -> None:
         """Enable per-file Bloom-filter skipping for equality predicates on
         `col` (beyond-reference scale feature; same role as Delta bloom
@@ -955,6 +1045,7 @@ class Table:
             self._commit_files(files)
         self._log("add_bloom_filter", column=col, fpp=fpp)
 
+    @_locked_mutation
     def drop_bloom_filter(self, col: str) -> None:
         """Stop building blooms for `col`. Existing manifest entries stay
         (harmless — still-correct pruning) until files are rewritten."""
@@ -1293,6 +1384,7 @@ class Table:
                 for r in self.user_df().orderBy(_ROWID).collect()]
 
     # -- computed columns --------------------------------------------------
+    @_locked_mutation
     def add_computed_column(self, name: str, expr: Expr,
                             col_type: Optional[ColumnType] = None,
                             on_error: str = "abort") -> None:
@@ -1367,6 +1459,7 @@ class Table:
         )
 
     # -- schema evolution (reference catalog/table.py:221-459) -------------
+    @_locked_mutation
     def add_column(self, name: str, col_type: ColumnType,
                    default: Any = None) -> None:
         """Add a plain (non-computed) column; existing rows get `default`."""
@@ -1383,6 +1476,7 @@ class Table:
         self._log("add_column", column=name)
         self._save_meta()
 
+    @_locked_mutation
     def drop_column(self, name: str) -> None:
         if name in self.computed:
             del self.computed[name]
@@ -1401,6 +1495,7 @@ class Table:
         self._log("drop_column", column=name)
         self._save_meta()
 
+    @_locked_mutation
     def alter_column(self, name: str, col_type: ColumnType) -> None:
         """Change a plain column's type (reference catalog/table.py
         alter_column); stored values are cast, incompatible casts become
@@ -1416,6 +1511,7 @@ class Table:
         self._log("alter_column", column=name, new_type=col_type.kind.name)
         self._save_meta()
 
+    @_locked_mutation
     def rename_column(self, old: str, new: str) -> None:
         if new in self.schema or new in self.computed:
             raise ValueError(f"duplicate column {new!r}")
@@ -1447,6 +1543,7 @@ class Table:
 
     # -- mutations ---------------------------------------------------------
     @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def insert(self, rows: "list[dict] | DataFrame | TableRef") -> int:
         """Append rows: validate, assign _rowid/_v_min, evaluate computed
         columns over ONLY the new slice, persist, then propagate to views
@@ -1517,6 +1614,7 @@ class Table:
         return out, n
 
     @telemetry.traced("table.update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def update(self, value_spec: dict[str, Any], where: Optional[Expr] = None,
                cascade: bool = True) -> int:
         """Expire matching row-versions, re-insert updated versions at the
@@ -1556,6 +1654,7 @@ class Table:
         return UpdateStatus(n, op="update")
 
     @telemetry.traced("table.batch_update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def batch_update(self, rows: list[dict], cascade: bool = True) -> int:
         """Batched per-row updates matched by primary key — ONE plan for the
         whole batch: a keys DataFrame joined against the store, one version
@@ -1630,6 +1729,7 @@ class Table:
         return UpdateStatus(n, op="batch_update")
 
     @telemetry.traced("table.delete", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
         new_version = self.version + 1
@@ -1652,6 +1752,7 @@ class Table:
         return UpdateStatus(n, op="delete")
 
     @telemetry.traced("table.recompute_columns", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def recompute_columns(self, cols: Sequence[str],
                           where: Optional[Expr] = None) -> int:
         """Force recomputation of computed columns on a row subset
@@ -1678,6 +1779,7 @@ class Table:
         return UpdateStatus(n, op="recompute")
 
     @telemetry.traced("table.revert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def revert(self) -> None:
         """Undo the latest version (reference catalog/table.py:1079):
         rows born at V disappear, rows expired at V come back."""
@@ -1840,12 +1942,32 @@ class View(Table):
                 "version": self.version,
                 "version_floor": self._version_floor,
                 "loaded_base_version": self._loaded_base_version}
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(meta, f)
-        with open(os.path.join(self.path, "view.pkl"), "wb") as f:
+        self._atomic_write(os.path.join(self.path, "meta.json"),
+                           json.dumps(meta))
+        vpath = os.path.join(self.path, "view.pkl")
+        tmp = vpath + ".tmp-" + _uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
             cloudpickle.dump(
                 {"predicate": self.predicate, "extra": self.extra,
                  "iterator": self.iterator}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, vpath)
+
+    def _refresh_from_disk(self) -> None:
+        """View meta has no next_rowid (rows are keyed by the base's
+        _rowid) — rebase the view-version fields directly instead of the
+        Table loader."""
+        mpath = os.path.join(self.path, "meta.json")
+        if not os.path.exists(mpath):
+            return
+        with open(mpath) as f:
+            meta = json.load(f)
+        if meta.get("version", self.version) != self.version:
+            self.version = meta["version"]
+            self._version_floor = meta.get("version_floor", self.version)
+            self._loaded_base_version = meta.get("loaded_base_version", -1)
+            self._manifest_at_read = None
 
     @classmethod
     def _load_view(cls, catalog: Catalog, name: str, path: str) -> "View":
@@ -1882,6 +2004,7 @@ class View(Table):
     def _materialized_schema(self, df: DataFrame) -> DataFrame:
         return df
 
+    @_locked_mutation
     def _full_refresh(self) -> None:
         base_live = self.base.df()
         out = self._view_plan(base_live)
@@ -1898,6 +2021,7 @@ class View(Table):
         if self.base is not None:
             self._save_view_meta()
 
+    @_locked_mutation
     def _load_increment(self) -> None:
         """Incremental maintenance: only base rows created at the current
         base version flow through the view plan."""
@@ -1912,6 +2036,7 @@ class View(Table):
         self._save_view_meta()
         self._propagate_insert()
 
+    @_locked_mutation
     def _apply_base_update(self, affected_rowids: DataFrame) -> None:
         """Incremental update/delete propagation: expire live view rows for
         the affected base ``_rowid``s, re-run the view plan over ONLY those
