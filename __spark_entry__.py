@@ -2696,6 +2696,82 @@ def q132_curation_stream(spark, sf_dir):
     return spark.table(name).orderBy("doc_id")
 
 
+def q133_mvcc_mutations(spark, sf_dir):
+    """Write-path MVCC battery under the hard oracle gate (catalog.py
+    insert/update/delete/revert/time-travel; reference
+    catalog/table.py:675-1111 + store.py MVCC layout): load customers
+    into a fresh versioned table, update one segment, delete negatives,
+    REVERT that delete, delete big balances instead, then read the
+    final version joined with a time-travel read of version 1. DuckDB
+    replays the whole mutation history as pure relational algebra —
+    cell-exact, so _v_min/_v_max bookkeeping, bucket rewrites, revert
+    and version visibility are all value-checked, not just row-counted."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    wh = tempfile.mkdtemp(prefix="pxt_q133_")
+    cat = pxt.Catalog(spark, wh)
+    # n_buckets=4: the update/delete predicates are not rowid-aligned so
+    # every bucket is touched regardless — fewer buckets = fewer files
+    # to rewrite/stat for the same mutation coverage
+    t = cat.create_table("t", {"k": pxt.Int(False), "v": pxt.Float(True),
+                               "s": pxt.String(True)}, primary_key=["k"],
+                         n_buckets=4)
+    t.insert(cust.select(
+        F.col("c_custkey").cast("int").alias("k"),
+        F.col("c_acctbal").cast("double").alias("v"),
+        F.col("c_mktsegment").alias("s")))                        # v1
+    t.update({"v": ColumnRef("v", t.schema["v"]) + 100.0},
+             where=ColumnRef("s", t.schema["s"]) == "BUILDING")   # v2
+    t.delete(where=ColumnRef("v", t.schema["v"]) < 0.0)           # v3
+    t.revert()                                                    # back to v2
+    t.delete(where=ColumnRef("v", t.schema["v"]) > 9000.0)        # v3'
+    final = t.user_df()
+    orig = t.df(version=1).select(F.col("k"), F.col("v").alias("v_orig"))
+    return (final.join(orig, "k")
+            .select("k", F.col("v").alias("v_final"), "s", "v_orig")
+            .orderBy("k"))
+
+
+def q134_view_propagation(spark, sf_dir):
+    """Materialized-view incremental maintenance under the hard oracle
+    gate (catalog.py View._load_increment/_apply_base_update; reference
+    catalog/view.py:38-328, plan.py:717-836): filtered + computed view
+    over a base table, then insert/update/delete on the BASE — the view
+    must track each change incrementally (new rows flow through the
+    plan, updated rows enter/leave the predicate, deleted rows vanish).
+    DuckDB replays the final base state through the view definition —
+    the incremental path must equal the from-scratch evaluation."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = ords.select(F.col("o_orderkey").cast("int").alias("k"),
+                      F.col("o_totalprice").cast("double").alias("p"),
+                      F.col("o_orderstatus").alias("st"))
+    wh = tempfile.mkdtemp(prefix="pxt_q134_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("base", {"k": pxt.Int(False), "p": pxt.Float(True),
+                                  "st": pxt.String(True)}, n_buckets=4)
+    t.insert(src.where(F.col("k") % 3 != 0))          # seed
+    pcol = ColumnRef("p", t.schema["p"])
+    v = cat.create_view(
+        "big", t, predicate=pcol >= 150000.0,
+        # * 0.5 is exact in IEEE double, so the oracle matches bit-for-bit
+        extra_columns={"margin": (pcol * 0.5, pxt.Float())})
+    t.insert(src.where(F.col("k") % 3 == 0))          # incremental load
+    t.update({"p": pcol + 1000.0},
+             where=ColumnRef("st", t.schema["st"]) == "F")   # rows may enter
+    t.delete(where=ColumnRef("k", t.schema["k"]) % 10 == 0)  # rows leave
+    out = v.df()
+    return out.select("k", "p", "st", "margin").orderBy("k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2828,6 +2904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_c4_filter": q130_c4_filter,
         "q131_canonical_url": q131_canonical_url,
         "q132_curation_stream": q132_curation_stream,
+        "q133_mvcc_mutations": q133_mvcc_mutations,
+        "q134_view_propagation": q134_view_propagation,
     }
 
 
@@ -3548,6 +3626,27 @@ SELECT user_id, ts,
 FROM w ORDER BY user_id, ts""",
         "q130_c4_filter": _q130_oracle(),
         "q132_curation_stream": _q132_oracle(),
+        # q133/q134: DuckDB replays the MUTATION HISTORY as relational
+        # algebra over the same input — the engine's MVCC/incremental
+        # answer must equal the from-scratch evaluation, cell-exact
+        "q133_mvcc_mutations": """
+WITH v1 AS (SELECT CAST(c_custkey AS INT) AS k,
+                   CAST(c_acctbal AS DOUBLE) AS v, c_mktsegment AS s
+            FROM customer),
+v2 AS (SELECT k, CASE WHEN s = 'BUILDING' THEN v + 100.0 ELSE v END AS v, s
+       FROM v1),
+final AS (SELECT * FROM v2 WHERE NOT (v > 9000.0))
+SELECT f.k, f.v AS v_final, f.s, o.v AS v_orig
+FROM final f JOIN v1 o USING (k) ORDER BY f.k""",
+        "q134_view_propagation": """
+WITH base0 AS (SELECT CAST(o_orderkey AS INT) AS k,
+                      CAST(o_totalprice AS DOUBLE) AS p, o_orderstatus AS st
+               FROM orders),
+upd AS (SELECT k, CASE WHEN st = 'F' THEN p + 1000.0 ELSE p END AS p, st
+        FROM base0),
+final_base AS (SELECT * FROM upd WHERE k % 10 <> 0)
+SELECT k, p, st, p * 0.5 AS margin
+FROM final_base WHERE p >= 150000.0 ORDER BY k""",
         "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
