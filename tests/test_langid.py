@@ -9,10 +9,18 @@ from pyspark.sql import functions as F
 from pixeltable_spark.operators.langid import (char_ngrams, lang_id,
                                                langid_ctes, langid_model,
                                                score_text)
-from pixeltable_spark.operators.langid_seed import TEST, TRAIN
+from pixeltable_spark.operators.langid_seed import TEST, TEST2, TRAIN
 
 
 class TestModel:
+    def test_corpus_shape(self):
+        """>= 60 TRAIN sentences/language across multiple registers
+        (narrative + instructional + news + conversational), and an
+        out-of-domain TEST2 written independently of TRAIN's topics."""
+        assert set(TRAIN) == set(TEST) == set(TEST2)
+        assert all(len(v) >= 60 for v in TRAIN.values())
+        assert all(len(v) >= 9 for v in TEST2.values())
+
     def test_train_accuracy_perfect(self):
         ok = sum(1 for lg, ts in TRAIN.items() for t in ts
                  if score_text(t) == lg)
@@ -23,6 +31,24 @@ class TestModel:
         ok = sum(1 for lg, ts in TEST.items() for t in ts
                  if score_text(t) == lg)
         assert ok / tot >= 0.95, f"held-out accuracy {ok}/{tot}"
+
+    def test_out_of_domain_accuracy_at_least_90pct(self):
+        """The generalization gate (round-7 verdict: the 99% held-out
+        number shared authorship/domain with TRAIN; this set is
+        wildlife/astronomy/history/sport in a different register)."""
+        tot = sum(len(v) for v in TEST2.values())
+        misses = [(lg, score_text(t)) for lg, ts in TEST2.items()
+                  for t in ts if score_text(t) != lg]
+        assert (tot - len(misses)) / tot >= 0.90, f"OOD misses: {misses}"
+
+    def test_close_pair_es_pt_it_contrast(self):
+        """The classic close-pair confusion (round-7 probe missed
+        es->pt): every es/pt/it sentence in BOTH eval sets must stay in
+        its own language."""
+        for S in (TEST, TEST2):
+            for lg in ("es", "pt", "it"):
+                for t in S[lg]:
+                    assert score_text(t) == lg, (lg, t, score_text(t))
 
     def test_deterministic_weights(self):
         langs1, w1, b1 = langid_model()
