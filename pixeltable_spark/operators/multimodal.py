@@ -179,17 +179,32 @@ def sample_video_frames(df: DataFrame, every_n: int = 30,
     return df.mapInPandas(op, out_schema)
 
 
+def _local_opener(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def prefetch_payloads(df: DataFrame, path_col: str = "media_path",
                       payload_col: str = "payload",
-                      max_workers: int = 15) -> DataFrame:
+                      max_workers: int = 15,
+                      opener=None,
+                      cache_dir: "str | None" = None,
+                      cache_bytes: "int | None" = None) -> DataFrame:
     """Fetch by-reference media into inline payloads — the executor-side
     analog of the reference's CachePrefetchNode (reference
     exec/cache_prefetch_node.py: 15 workers, batched): a thread pool per
     Arrow batch overlaps I/O, rows with missing/unreadable files get a null
     payload plus an error string instead of failing the batch.
 
-    Local paths are read directly; extending to object stores means
-    swapping the opener (the threading/batching shape is the design)."""
+    `opener(path) -> bytes` is pluggable (defaults to local open; an
+    object-store deployment passes its GET). With `cache_dir` set (or
+    `cache_bytes` alone, using the default dir), fetches go through the
+    PERSISTENT executor-local LRU file cache (operators/file_cache.py,
+    the reference's FileCache design): repeated queries over the same
+    media hit local disk instead of re-fetching, across Arrow batches,
+    across queries, and across worker restarts — the cache directory is
+    the index. At 100 TB this is what makes iterate-on-a-query workloads
+    over remote media affordable."""
     from concurrent.futures import ThreadPoolExecutor
 
     out_schema = T.StructType(
@@ -197,14 +212,20 @@ def prefetch_payloads(df: DataFrame, path_col: str = "media_path",
         + [T.StructField(payload_col, T.BinaryType()),
            T.StructField(f"_fetch_error_{payload_col}", T.StringType())]
     )
+    use_cache = cache_dir is not None or cache_bytes is not None
+    base_opener = opener or _local_opener
 
     def fetch_one(path):
         if path is None:
             return None, "null path"
         try:
-            with open(path, "rb") as f:
-                return f.read(), None
-        except OSError as e:
+            if use_cache:
+                from .file_cache import DEFAULT_CAPACITY_BYTES, shared_cache
+                cache = shared_cache(
+                    cache_dir, cache_bytes or DEFAULT_CAPACITY_BYTES)
+                return cache.get_or_fetch(path, base_opener), None
+            return base_opener(path), None
+        except Exception as e:  # noqa: BLE001 — per-row error tolerance
             return None, f"{type(e).__name__}: {e}"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
