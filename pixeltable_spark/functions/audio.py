@@ -99,6 +99,25 @@ def audio_splitter_time(df: DataFrame, duration: float,
                 p = r[payload_col]
                 if p is None:
                     continue
+                info = ac.probe(bytes(p))
+                if info is not None and info.get("format") == "MP3":
+                    # stream-copy at reservoir-safe frame boundaries —
+                    # no decode needed, segments are valid MP3 payloads
+                    # (overlap requires re-encoding, hence PCM formats)
+                    if overlap:
+                        raise ValueError(
+                            "overlap is unsupported for MP3 stream-copy "
+                            "segmentation (needs decode); use overlap=0")
+                    n_pos = 0
+                    for t0, t1, seg in ac.mp3_split(bytes(p), duration):
+                        if t1 - t0 >= max(min_segment, 1e-9):
+                            rows.append({
+                                id_col: r[id_col], "pos": n_pos,
+                                "start_time": round(t0, 6),
+                                "end_time": round(t1, 6),
+                                "segment": seg})
+                            n_pos += 1
+                    continue
                 samples, rate, width = ac.decode(bytes(p))
                 step = duration - overlap
                 n = samples.shape[0]

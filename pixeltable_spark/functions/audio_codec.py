@@ -795,3 +795,184 @@ def encode_au(arr: "np.ndarray", rate: int, encoding: str = "pcm16") -> bytes:
     hdr = b".snd" + struct.pack(">IIIII", 24, len(body), enc_code,
                                 int(rate), ch)
     return hdr + body
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame toolkit: frame-accurate indexing, exact duration, and
+# stream-copy segmentation (public ISO 11172-3 / 13818-3 frame layout).
+#
+# Full Layer III DECODE is deliberately absent: it requires the spec's
+# numeric Huffman code tables and the 512-tap synthesis window, which are
+# arbitrary published constants, not derivable from first principles —
+# approximating them would produce silently wrong PCM, which is worse
+# than the honest probe + PyAV escalation (functions/audio.py). What a
+# large-scale pipeline needs BEFORE any DSP, though, is all structural:
+# exact durations (VBR included, no Xing required), valid frame-boundary
+# segmentation for downstream ASR chunking, and per-frame bitrate stats.
+# All of that is fully spec-constructible and tested here.
+# ---------------------------------------------------------------------------
+
+def _mp3_header_at(p: bytes, pos: int) -> Optional[dict]:
+    """Parse the 4-byte MPEG audio frame header at `pos`; None if it is
+    not a valid header. Returns size/samples/rate/bitrate/etc."""
+    if pos + 4 > len(p):
+        return None
+    h = p[pos:pos + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    version = {0: "2.5", 2: "2", 3: "1"}.get((h[1] >> 3) & 3)
+    layer = {1: 3, 2: 2, 3: 1}.get((h[1] >> 1) & 3)
+    if version is None or layer is None:
+        return None
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format/bad: unsupported
+        return None
+    vgroup = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (h[2] >> 1) & 1
+    protected = not (h[1] & 1)  # protection bit 0 -> 16-bit CRC follows
+    mode = (h[3] >> 6) & 3
+    channels = 1 if mode == 3 else 2
+    if layer == 1:
+        spf = 384
+        size = (12 * bitrate // rate + padding) * 4
+    elif layer == 2:
+        spf = 1152
+        size = 144 * bitrate // rate + padding
+    else:  # layer 3
+        spf = 1152 if version == "1" else 576
+        size = (144 if version == "1" else 72) * bitrate // rate + padding
+    return {"offset": pos, "size": size, "samples": spf, "rate": rate,
+            "bitrate": bitrate, "version": version, "layer": layer,
+            "channels": channels, "padding": padding,
+            "protected": protected}
+
+
+def _mp3_side_info_size(version: str, channels: int) -> int:
+    if version == "1":
+        return 17 if channels == 1 else 32
+    return 9 if channels == 1 else 17
+
+
+def mp3_main_data_begin(p: bytes, fr: dict) -> Optional[int]:
+    """Layer III side-info `main_data_begin`: how many bytes of this
+    frame's audio payload live in PREVIOUS frames' bit reservoir
+    (9 bits MPEG1, 8 bits MPEG2/2.5, straight after header+optional
+    CRC). 0 = the frame is self-contained — a clean split point."""
+    if fr["layer"] != 3:
+        return 0
+    pos = fr["offset"] + 4 + (2 if fr["protected"] else 0)
+    if pos + 2 > len(p):
+        return None
+    two = (p[pos] << 8) | p[pos + 1]
+    return two >> 7 if fr["version"] == "1" else two >> 8
+
+
+def mp3_frame_index(payload: bytes, max_frames: Optional[int] = None
+                    ) -> list:
+    """Walk every frame: [{offset, size, samples, rate, bitrate, ...}].
+    Skips a leading ID3v2 tag and a trailing ID3v1 ('TAG', 128 bytes);
+    false syncs are rejected by requiring the NEXT header (when in
+    bounds) to parse too. Handles VBR (per-frame bitrate) exactly."""
+    if payload is None or len(payload) < 4:
+        return []
+    p = bytes(payload)
+    pos = 0
+    if p[:3] == b"ID3" and len(p) > 10:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
+               ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    end = len(p)
+    if end >= 128 and p[end - 128:end - 125] == b"TAG":
+        end -= 128
+    frames = []
+    while pos + 4 <= end:
+        fr = _mp3_header_at(p, pos)
+        if fr is None:
+            pos += 1  # resync byte-by-byte
+            continue
+        nxt = pos + fr["size"]
+        if nxt + 4 <= end and _mp3_header_at(p, nxt) is None:
+            pos += 1  # false sync (random 0xFFEx bytes)
+            continue
+        frames.append(fr)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        pos = nxt
+    return frames
+
+
+def _is_info_frame(p: bytes, fr: dict) -> bool:
+    """Xing/Info/VBRI tag frame (silent metadata frame written by
+    encoders) — excluded from audio duration and segmentation."""
+    off = fr["offset"] + 4 + _mp3_side_info_size(fr["version"],
+                                                 fr["channels"])
+    tag = bytes(p[off:off + 4])
+    return tag in (b"Xing", b"Info") or \
+        bytes(p[fr["offset"] + 36:fr["offset"] + 40]) == b"VBRI"
+
+
+def mp3_duration(payload: bytes) -> float:
+    """EXACT duration: sum samples/rate over indexed frames (VBR needs
+    no Xing header), excluding a leading Xing/Info/VBRI tag frame."""
+    p = bytes(payload)
+    frames = mp3_frame_index(p)
+    if frames and _is_info_frame(p, frames[0]):
+        frames = frames[1:]
+    return round(sum(f["samples"] / f["rate"] for f in frames), 6)
+
+
+def mp3_bitrate_stats(payload: bytes) -> Optional[dict]:
+    """Per-frame bitrate distribution: {n_frames, min/max/mean_kbps,
+    vbr} — the CBR-vs-VBR evidence a curation pipeline filters on."""
+    p = bytes(payload)
+    frames = mp3_frame_index(p)
+    if frames and _is_info_frame(p, frames[0]):
+        frames = frames[1:]
+    if not frames:
+        return None
+    rates = [f["bitrate"] // 1000 for f in frames]
+    return {"n_frames": len(frames), "min_kbps": min(rates),
+            "max_kbps": max(rates),
+            "mean_kbps": round(sum(rates) / len(rates), 3),
+            "vbr": len(set(rates)) > 1}
+
+
+def mp3_split(payload: bytes, duration: float,
+              reservoir_safe: bool = True) -> list:
+    """Stream-copy segmentation at frame boundaries: returns
+    [(start_time, end_time, mp3_bytes)] with each segment a valid
+    standalone frame sequence of ~`duration` seconds. With
+    `reservoir_safe` (Layer III), cuts only where the next frame's
+    main_data_begin == 0 — frames never back-reference bytes that were
+    cut away, so every segment decodes cleanly from its first frame
+    (the bit-reservoir caveat that naive frame splitting ignores).
+    Bytes are COPIED, never re-encoded: concatenating the segments
+    reproduces the original frame stream exactly."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    p = bytes(payload)
+    frames = mp3_frame_index(p)
+    if frames and _is_info_frame(p, frames[0]):
+        frames = frames[1:]
+    if not frames:
+        return []
+    segs = []
+    seg_start_i = 0
+    t = 0.0
+    seg_t0 = 0.0
+    for i, f in enumerate(frames):
+        t += f["samples"] / f["rate"]
+        boundary_ok = (i + 1 == len(frames)
+                       or not reservoir_safe
+                       or frames[i + 1]["layer"] != 3
+                       or mp3_main_data_begin(p, frames[i + 1]) == 0)
+        if (t - seg_t0 >= duration and boundary_ok) or i + 1 == len(frames):
+            lo = frames[seg_start_i]["offset"]
+            hi = f["offset"] + f["size"]
+            segs.append((round(seg_t0, 6), round(t, 6), p[lo:hi]))
+            seg_start_i = i + 1
+            seg_t0 = t
+    return segs
