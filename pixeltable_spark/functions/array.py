@@ -49,7 +49,19 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    angle is undefined — and Spark 4's ANSI mode would otherwise kill
+    the job with a divide-by-zero on the first zero embedding)."""
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom)
+
+
+def _py_cosine(a, b):
+    denom = (_m.sqrt(sum(x * x for x in a))
+             * _m.sqrt(sum(y * y for y in b)))
+    if denom == 0:
+        return None
+    return sum(x * y for x, y in zip(a, b)) / denom
 
 
 dot = Function("dot", _FLOAT, spark_fn=dot_col,
@@ -57,9 +69,6 @@ dot = Function("dot", _FLOAT, spark_fn=dot_col,
 norm = Function("norm", _FLOAT, spark_fn=norm_col,
                 py_fn=lambda a: _m.sqrt(sum(x * x for x in a)))
 cosine_similarity = Function(
-    "cosine_similarity", _FLOAT, spark_fn=cosine_col,
-    py_fn=lambda a, b: sum(x * y for x, y in zip(a, b))
-    / (_m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(y * y for y in b))),
-)
+    "cosine_similarity", _FLOAT, spark_fn=cosine_col, py_fn=_py_cosine)
 register_method(TypeKind.ARRAY, "similarity",
                 lambda base, other: cosine_similarity(base, other))

@@ -49,11 +49,14 @@ def fk_summary(child: DataFrame, parent: DataFrame,
         F.count("*").alias("total_rows"),
         F.count(F.when(null_cond, F.lit(1))).alias("null_keys"))
     v = viol.agg(F.count("*").alias("violations"))
+    # every key NULL -> zero non-null keys -> rate undefined (NULL), not
+    # an ANSI divide-by-zero killing the audit job
+    nn = F.col("total_rows") - F.col("null_keys")
     return (totals.crossJoin(F.broadcast(v))
             .select("total_rows", "null_keys", "violations",
-                    F.round(F.col("violations")
-                            / (F.col("total_rows") - F.col("null_keys")),
-                            6).alias("violation_rate")))
+                    F.when(nn > 0,
+                           F.round(F.col("violations") / nn, 6))
+                    .alias("violation_rate")))
 
 
 def benford_audit(df: DataFrame, col: str) -> DataFrame:

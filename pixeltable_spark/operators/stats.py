@@ -65,9 +65,14 @@ def ab_test(df: DataFrame, metric_col: str, group_col: str,
     # both arms zero-variance -> undefined test -> NULL, not an ANSI
     # divide-by-zero
     t_stat = F.when(se > 0, (F.col("mean_t") - F.col("mean_c")) / se)
-    welch_df = ((se2_c + se2_t) * (se2_c + se2_t)
-                / (se2_c * se2_c / (F.col("n_c") - 1)
-                   + se2_t * se2_t / (F.col("n_t") - 1)))
+    # Welch df guards: n=1 arms make (n-1)=0 and zero-variance arms make
+    # the whole denominator 0 — both must yield NULL, not kill the job
+    # (var_samp already returns NULL for n<2, so the per-arm guard only
+    # needs to dodge the 0/0; the outer guard covers 0-variance arms)
+    nm1_c, nm1_t = F.col("n_c") - 1, F.col("n_t") - 1
+    d = (F.when(nm1_c > 0, se2_c * se2_c / nm1_c).otherwise(F.lit(0.0))
+         + F.when(nm1_t > 0, se2_t * se2_t / nm1_t).otherwise(F.lit(0.0)))
+    welch_df = F.when(d > 0, (se2_c + se2_t) * (se2_c + se2_t) / d)
     p = 2.0 * (1.0 - normal_cdf(F.abs(t_stat)))
     return agg.select(
         "n_c", "n_t",
@@ -98,12 +103,15 @@ def two_proportion_test(df: DataFrame, success_col: str, group_col: str,
         F.count(F.when(is_t, F.lit(1))).alias("n_t"),
         F.count(F.when(is_c & s, F.lit(1))).alias("succ_c"),
         F.count(F.when(is_t & s, F.lit(1))).alias("succ_t"))
-    p_c = F.col("succ_c") / F.col("n_c")
-    p_t = F.col("succ_t") / F.col("n_t")
-    pool = (F.col("succ_c") + F.col("succ_t")) \
-        / (F.col("n_c") + F.col("n_t"))
+    # empty arms (n=0) make every ratio 0/0 — NULL stats, not a dead job
+    p_c = F.when(F.col("n_c") > 0, F.col("succ_c") / F.col("n_c"))
+    p_t = F.when(F.col("n_t") > 0, F.col("succ_t") / F.col("n_t"))
+    pool = F.when(F.col("n_c") + F.col("n_t") > 0,
+                  (F.col("succ_c") + F.col("succ_t"))
+                  / (F.col("n_c") + F.col("n_t")))
     se = F.sqrt(pool * (1.0 - pool)
-                * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+                * (F.when(F.col("n_c") > 0, 1.0 / F.col("n_c"))
+                   + F.when(F.col("n_t") > 0, 1.0 / F.col("n_t"))))
     # pooled rate 0 or 1 (nobody / everybody converts) gives se = 0:
     # the test is undefined -> NULL, not an ANSI divide-by-zero
     z = F.when(se > 0, (p_t - p_c) / se)
