@@ -97,3 +97,51 @@ class TestCanonicalUrl:
         assert out[1]["is_canonical_rep"] is True
         assert out[2]["is_canonical_rep"] is False
         assert out[3]["is_canonical_rep"] is True
+
+
+class TestQ130OracleSynthText:
+    def test_synth_text_identical_across_engines(self, spark):
+        """The q130 oracle replays a SYNTHESIZED document; if the DuckDB
+        synth expression ever drifts from the Spark one (e.g. the
+        round-7 double-brace f-string bug, where the oracle synthesized
+        'function() {{ return 1; }}'), the rule outputs can still
+        coincide by accident — so assert on the TEXT itself."""
+        import __spark_entry__ as em
+
+        sdf = spark.createDataFrame(
+            [(i, f"some corpus words number {i} appear here") for i in
+             (1, 3, 5, 7, 11, 15, 21, 33, 35, 55, 77, 105, 165, 231, 1155)],
+            "doc_id int, text string")
+        got = {r["doc_id"]: r["t"] for r in
+               sdf.select("doc_id",
+                          em._q130_synth_text().alias("t")).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(i, f"some corpus words number {i} appear here")
+                         for i in got])
+        synth_sql = em._q130_oracle().split("WITH synth AS (SELECT doc_id, ", 1)[1] \
+            .split(" AS t FROM documents)", 1)[0]
+        want = dict(con.execute(
+            f"SELECT doc_id, {synth_sql} FROM documents").fetchall())
+        assert got == want
+        # the brace line must carry SINGLE braces in both engines
+        assert "function() { return 1; }" in got[11]
+
+
+class TestDedupByUrlNulls:
+    def test_null_url_rows_kept_as_own_reps(self, spark):
+        """NULL urls carry no identity: they must remain in the output
+        as their own representatives, not be silently dropped by the
+        equi-join (NULL never equals NULL)."""
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x"), (2, "HTTP://A.COM/x"),
+             (3, None), (4, None)],
+            "doc_id int, url string")
+        rows = {r["doc_id"]: r for r in dedup_by_url(df).collect()}
+        assert set(rows) == {1, 2, 3, 4}, "NULL-url rows were dropped"
+        assert rows[1]["is_canonical_rep"] is True
+        assert rows[2]["is_canonical_rep"] is False  # same canonical
+        assert rows[3]["is_canonical_rep"] is True
+        assert rows[4]["is_canonical_rep"] is True
+        assert rows[3]["canonical"] is None and rows[3]["key"] is None

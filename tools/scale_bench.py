@@ -9,6 +9,15 @@ cluster).
 
 Usage: python tools/scale_bench.py [factor ...]   (default: 1 5 25)
 Writes SCALE.md at the repo root.
+
+`--distinct` builds DISTINCT data instead of near-duplicate replicas:
+document token order is rotated per replica and a replica-salt token is
+injected (shingle sets differ, so dedup operators see a realistic
+mostly-unique corpus), and lineitem quantities/prices are perturbed
+per replica. x10 of sf0.1 == sf1-equivalent row counts (~6M distinct
+lineitems, ~500k distinct documents) — the round-7 verdict's headroom
+ask: confirm the exponents hold when the corpus is NOT duplication-
+heavy. Appends a second section to SCALE.md.
 """
 
 from __future__ import annotations
@@ -31,10 +40,13 @@ OUT_DIR = "/tmp/pxt_scale"
 ID_STRIDE = 1_000_000_000
 
 
-def build(spark, factor: int) -> str:
+def build(spark, factor: int, distinct: bool = False) -> str:
     """Replicate documents/embeddings/events/lineitem `factor` times
-    into parquet with enough files for full scan parallelism."""
-    out = os.path.join(OUT_DIR, f"x{factor}")
+    into parquet with enough files for full scan parallelism. With
+    `distinct`, replicas are made substantially UNIQUE (rotated token
+    order + salt token; perturbed lineitem measures) instead of
+    near-duplicates."""
+    out = os.path.join(OUT_DIR, f"x{factor}{'d' if distinct else ''}")
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
@@ -45,10 +57,26 @@ def build(spark, factor: int) -> str:
           .parquet(os.path.join(out, f"{name}.parquet"))
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if distinct:
+        # rotate word order by a per-(replica, doc) offset and inject a
+        # salt token: almost every word 3-gram changes, so the corpus is
+        # genuinely distinct for shingle/minhash/fingerprint purposes
+        words = F.split(F.col("text"), " ")
+        k = ((F.col("__rep") * 31 + F.col("doc_id")) % F.greatest(
+            F.size(words), F.lit(1))).cast("int") + 1
+        rotated = F.concat_ws(
+            " ",
+            F.concat(F.slice(words, k, 1 << 30),
+                     F.slice(words, 1, k - 1)))
+        text = F.concat(rotated, F.lit(" u"),
+                        (F.col("__rep") * ID_STRIDE + F.col("doc_id"))
+                        .cast("string"))
+    else:
+        text = F.concat(F.col("text"), F.lit(" r"),
+                        F.col("__rep").cast("string"))
     _write("documents", docs.crossJoin(reps).select(
         (F.col("doc_id") + F.col("__rep") * ID_STRIDE).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" r"),
-                 F.col("__rep").cast("string")).alias("text"),
+        text.alias("text"),
         "lang", "source", "n_chars"))
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     _write("embeddings", emb.crossJoin(reps).select(
@@ -61,10 +89,23 @@ def build(spark, factor: int) -> str:
         (F.col("user_id") + F.col("__rep") * ID_STRIDE).alias("user_id"),
         "event_type", "value", "props"))
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    _write("lineitem", li.crossJoin(reps).select(
-        (F.col("l_orderkey") + F.col("__rep") * ID_STRIDE)
-        .alias("l_orderkey"),
-        *[c for c in li.columns if c != "l_orderkey"]))
+    li_rest = [c for c in li.columns
+               if c not in ("l_orderkey", "l_quantity", "l_extendedprice")]
+    if distinct:
+        _write("lineitem", li.crossJoin(reps).select(
+            (F.col("l_orderkey") + F.col("__rep") * ID_STRIDE)
+            .alias("l_orderkey"),
+            (F.col("l_quantity") + (F.col("__rep") % 7))
+            .alias("l_quantity"),
+            (F.col("l_extendedprice")
+             * (1.0 + (F.col("__rep") % 13) / 100.0))
+            .alias("l_extendedprice"),
+            *li_rest))
+    else:
+        _write("lineitem", li.crossJoin(reps).select(
+            (F.col("l_orderkey") + F.col("__rep") * ID_STRIDE)
+            .alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"]))
     return out
 
 
@@ -111,11 +152,11 @@ def _ops(spark, d: str):
     }
 
 
-def main() -> None:
+def main(distinct: bool = False) -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
     spark = pxt.get_session(app_name="pxt_scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = {f: build(spark, f) for f in factors}
+    dirs = {f: build(spark, f, distinct) for f in factors}
     results: dict[str, dict[int, float]] = {}
     for f in factors:
         for name, thunk in _ops(spark, dirs[f]).items():
@@ -127,29 +168,43 @@ def main() -> None:
             results.setdefault(name, {})[f] = dt
             print(f"x{f:<3} {name:20s} {dt:7.2f}s", flush=True)
     lo, hi = min(factors), max(factors)
-    lines = ["# SCALE — replicated-corpus scaling evidence", "",
-             f"Base data: `{SF_DIR}` replicated with remapped ids and a",
-             "per-replica text suffix (near-duplicate corpus — the",
-             "realistic shape for dedup ops). Wall seconds are min-of-2",
-             f"on local[32]; exponent e fits wall ~ factor^e between",
-             f"x{lo} and x{hi} (e <= ~1.1 = linear-or-better; the",
-             "sublinear cases are fixed-cost-dominated at this size).", "",
-             "| operator | " + " | ".join(f"x{f} (s)" for f in factors)
-             + " | exponent e |",
-             "|---|" + "---|" * (len(factors) + 1)]
+    if distinct:
+        lines = ["", "## sf1-equivalent headroom run (DISTINCT data)", "",
+                 f"Same operators over `{SF_DIR}` expanded with rotated-",
+                 "token distinct documents and perturbed lineitem",
+                 "measures (NOT near-duplicates — the round-7 verdict's",
+                 f"headroom ask). x10 == sf1-equivalent cardinality",
+                 "(~6M distinct lineitems, ~500k distinct documents).", ""]
+    else:
+        lines = ["# SCALE — replicated-corpus scaling evidence", "",
+                 f"Base data: `{SF_DIR}` replicated with remapped ids and a",
+                 "per-replica text suffix (near-duplicate corpus — the",
+                 "realistic shape for dedup ops). Wall seconds are min-of-2",
+                 f"on local[32]; exponent e fits wall ~ factor^e between",
+                 f"x{lo} and x{hi} (e <= ~1.1 = linear-or-better; the",
+                 "sublinear cases are fixed-cost-dominated at this size).",
+                 ""]
+    lines += ["| operator | " + " | ".join(f"x{f} (s)" for f in factors)
+              + " | exponent e |",
+              "|---|" + "---|" * (len(factors) + 1)]
     for name, times in results.items():
         e = (math.log(times[hi] / times[lo]) / math.log(hi / lo)
              if hi > lo and times[lo] > 0 else float("nan"))
         lines.append("| " + name + " | "
                      + " | ".join(f"{times[f]:.2f}" for f in factors)
                      + f" | {e:.2f} |")
-    with open(os.path.join(ROOT, "SCALE.md"), "w") as fh:
+    path = os.path.join(ROOT, "SCALE.md")
+    mode = "a" if distinct else "w"
+    with open(path, mode) as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote SCALE.md")
+    print(("appended to" if distinct else "wrote") + " SCALE.md")
 
 
 if __name__ == "__main__":
     if "--clean" in sys.argv:
         shutil.rmtree(OUT_DIR, ignore_errors=True)
         sys.argv.remove("--clean")
-    main()
+    _distinct = "--distinct" in sys.argv
+    if _distinct:
+        sys.argv.remove("--distinct")
+    main(distinct=_distinct)
