@@ -2772,6 +2772,75 @@ def q134_view_propagation(spark, sf_dir):
     return out.select("k", "p", "st", "margin").orderBy("k")
 
 
+def q135_schema_evolution(spark, sf_dir):
+    """Schema evolution under the hard oracle gate (catalog.py
+    add_column/add_computed_column backfill/rename_column/drop_column;
+    reference catalog/table.py add_column/drop_column/rename_column):
+    seed a table from nation, add a computed column AFTER the seed
+    insert (backfill over existing rows), insert more rows (computed
+    over only the new slice), add + drop a plain column, rename a
+    column, then read. DuckDB replays the surviving projection."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src = nat.select(F.col("n_nationkey").cast("int").alias("nk"),
+                     F.col("n_name").alias("name"),
+                     F.col("n_regionkey").cast("int").alias("rk"))
+    wh = tempfile.mkdtemp(prefix="pxt_q135_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("t", {"nk": pxt.Int(False), "name": pxt.String(True),
+                               "rk": pxt.Int(True)}, n_buckets=2)
+    t.insert(src.where(F.col("nk") < 15))              # seed
+    rk = ColumnRef("rk", t.schema["rk"])
+    t.add_computed_column("rk10", rk * 10)             # backfill path
+    t.insert(src.where(F.col("nk") >= 15))             # incremental path
+    t.add_column("bonus", pxt.Float(True))             # all-null add
+    t.rename_column("name", "nation_name")
+    t.drop_column("bonus")
+    out = t.user_df()
+    return out.select("nk", "nation_name", "rk", "rk10").orderBy("nk")
+
+
+def q136_pii_audit(spark, sf_dir):
+    """PII audit battery with Luhn-validated card detection
+    (operators/pii.py; public ISO/IEC 7812 mod-10): text synthesized
+    from doc_id arithmetic embeds emails, SSNs, and a bank of known
+    test card numbers — half Luhn-valid, half not — so the naive
+    regex count and the checksum-validated count disagree exactly
+    where they should. Map-only codegen column math; DuckDB replays
+    the fold with list_transform/list_aggregate."""
+    from pixeltable_spark.operators.pii import (pii_count, scrub_pii,
+                                                valid_card_count)
+
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.lit("Contact"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("nobody")),
+        F.when(did % 5 == 0, F.lit("ssn 123-45-6789")).otherwise(F.lit("")),
+        F.lit("card"),
+        # alternating valid / invalid test PANs (publicly known vectors)
+        F.when(did % 4 == 0, F.lit("4111111111111111"))
+        .when(did % 4 == 1, F.lit("4111111111111112"))
+        .when(did % 4 == 2, F.lit("378282246310005"))
+        .otherwise(F.lit("1234567890123456")),
+        F.lit("end"))
+    df = _df(spark, sf_dir, "documents").select("doc_id", text.alias("t"))
+    return (df.select(
+        "doc_id",
+        pii_count(F.col("t"), "email").alias("n_email"),
+        pii_count(F.col("t"), "ssn").alias("n_ssn"),
+        pii_count(F.col("t"), "credit_card").alias("n_card_naive"),
+        valid_card_count(F.col("t")).alias("n_card_luhn"),
+        scrub_pii(F.col("t"), ["email", "ssn"]).alias("scrubbed"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2906,6 +2975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_curation_stream": q132_curation_stream,
         "q133_mvcc_mutations": q133_mvcc_mutations,
         "q134_view_propagation": q134_view_propagation,
+        "q135_schema_evolution": q135_schema_evolution,
+        "q136_pii_audit": q136_pii_audit,
     }
 
 
@@ -3037,9 +3108,9 @@ def _langid_ctes(src: str = "documents", id_col: str = "doc_id") -> str:
     return langid_ctes(src, id_col)
 
 
-# filter-after-split mirrors operators/text.py token_count (trim strips
+# count-of-\S+-runs mirrors operators/text.py token_count (trim strips
 # ASCII spaces only in both engines; '\n\t \n' must count 0, not 2)
-_TOKCOUNT = r"len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))"
+_TOKCOUNT = r"len(regexp_extract_all(text, '\S+'))"
 _STOPPAT = r"\b(" + "|".join(textops.LANG_STOPWORDS["en"]) + r")\b"
 
 
@@ -3647,6 +3718,12 @@ upd AS (SELECT k, CASE WHEN st = 'F' THEN p + 1000.0 ELSE p END AS p, st
 final_base AS (SELECT * FROM upd WHERE k % 10 <> 0)
 SELECT k, p, st, p * 0.5 AS margin
 FROM final_base WHERE p >= 150000.0 ORDER BY k""",
+        "q135_schema_evolution": """
+SELECT CAST(n_nationkey AS INT) AS nk, n_name AS nation_name,
+       CAST(n_regionkey AS INT) AS rk,
+       CAST(n_regionkey AS INT) * 10 AS rk10
+FROM nation ORDER BY nk""",
+        "q136_pii_audit": _q136_oracle(),
         "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
@@ -4729,6 +4806,39 @@ WITH urls AS (SELECT event_id, {url} AS u FROM events)
 SELECT event_id, {canon} AS canonical, md5({canon}) AS dedup_key
 FROM urls ORDER BY event_id"""
 
+
+
+def _q136_oracle() -> str:
+    """DuckDB replay of q136: identical synthesized text, regex counts,
+    and the Luhn mod-10 fold (operators/pii.py luhn_sql)."""
+    from pixeltable_spark.operators.pii import PII_PATTERNS, luhn_sql
+    synth = """concat_ws(' ', 'Contact',
+  CASE WHEN doc_id % 3 = 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       ELSE 'nobody' END,
+  CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789' ELSE '' END,
+  'card',
+  CASE WHEN doc_id % 4 = 0 THEN '4111111111111111'
+       WHEN doc_id % 4 = 1 THEN '4111111111111112'
+       WHEN doc_id % 4 = 2 THEN '378282246310005'
+       ELSE '1234567890123456' END,
+  'end')"""
+    email, ssn = PII_PATTERNS["email"], PII_PATTERNS["ssn"]
+    card = PII_PATTERNS["credit_card"]
+    cand = (r"list_filter(list_transform("
+            r"regexp_extract_all(t, '\b(?:\d[ -]?){12,18}\d\b'), "
+            r"s -> regexp_replace(s, '[ -]', '', 'g')), "
+            r"s -> length(s) BETWEEN 13 AND 16)")
+    luhn = luhn_sql("s")
+    return f"""
+WITH synth AS (SELECT doc_id, {synth} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{email}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{ssn}')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '{card}')) AS INT) AS n_card_naive,
+       CAST(len(list_filter({cand}, s -> {luhn})) AS INT) AS n_card_luhn,
+       regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                      '{ssn}', '<SSN>', 'g') AS scrubbed
+FROM synth ORDER BY doc_id"""
 
 
 def _q132_oracle() -> str:

@@ -56,3 +56,59 @@ def has_pii(text: Column, kinds: list[str] | None = None) -> Column:
     alternation so it can serve as a pushed-down filter."""
     pat = "|".join(f"(?:{PII_PATTERNS[k]})" for k in (kinds or list(PII_PATTERNS)))
     return text.rlike(pat)
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card detection (public ISO/IEC 7812 mod-10 checksum):
+# the naive \d{13,16} pattern flags every long number (timestamps, ids);
+# the checksum kills ~90% of those false positives. Pure column math —
+# a fold over the digit string, codegen'd, with an exact DuckDB mirror.
+# ---------------------------------------------------------------------------
+
+def luhn_valid(digits: Column) -> Column:
+    """True when the digit string passes the Luhn mod-10 check. Fold
+    from the RIGHT: every second digit doubles (minus 9 when > 9)."""
+    n = F.length(digits)
+    idx = F.sequence(F.lit(1), n)
+
+    def term(i):
+        d = F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1)) - 48
+        doubled = d * 2
+        return F.when(i % 2 == 0,
+                      F.when(doubled > 9, doubled - 9).otherwise(doubled)
+                      ).otherwise(d)
+
+    total = F.aggregate(idx, F.lit(0),
+                        lambda acc, i: acc + term(i.cast("int")))
+    return (n >= 13) & (total % 10 == 0)
+
+
+def luhn_sql(expr: str) -> str:
+    """DuckDB expression mirroring luhn_valid for oracle checks."""
+    n = f"length({expr})"
+    term = (f"CASE WHEN i % 2 = 0 THEN "
+            f"CASE WHEN 2 * (ascii(substr({expr}, CAST({n} - i + 1 AS INT), 1)) - 48) > 9 "
+            f"THEN 2 * (ascii(substr({expr}, CAST({n} - i + 1 AS INT), 1)) - 48) - 9 "
+            f"ELSE 2 * (ascii(substr({expr}, CAST({n} - i + 1 AS INT), 1)) - 48) END "
+            f"ELSE ascii(substr({expr}, CAST({n} - i + 1 AS INT), 1)) - 48 END")
+    total = (f"list_aggregate(list_transform(range(1, CAST({n} AS INT) + 1), "
+             f"i -> {term}), 'sum')")
+    return f"({n} >= 13 AND coalesce({total}, -1) % 10 = 0)"
+
+
+def card_candidates(text: Column) -> Column:
+    """All 13-16 digit runs in the text (array<string>), allowing the
+    common space/dash grouping (e.g. '4111 1111 1111 1111'), with the
+    separators stripped so the candidates are plain digit strings."""
+    runs = F.regexp_extract_all(
+        text, F.lit(r"\b(?:\d[ -]?){12,18}\d\b"), F.lit(0))
+    cleaned = F.transform(
+        runs, lambda s: F.regexp_replace(s, r"[ -]", ""))
+    return F.filter(cleaned,
+                    lambda s: (F.length(s) >= 13) & (F.length(s) <= 16))
+
+
+def valid_card_count(text: Column) -> Column:
+    """Number of Luhn-valid card candidates — the high-precision PII
+    signal (pii_count('credit_card') is the high-recall one)."""
+    return F.size(F.filter(card_candidates(text), luhn_valid))
