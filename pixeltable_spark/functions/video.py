@@ -77,7 +77,56 @@ def probe_any(payload) -> "dict | None":
                 return out
         except Exception:  # noqa: BLE001 — fall back to the probe
             pass
+    # MP4 without PyAV: enrich the header probe with sample-table truth
+    # (ISO 14496-12 stts/stsz/stss — exact, codec-independent)
+    if info is not None and info.get("format") == "MP4":
+        try:
+            samples = _vc.mp4_sample_index(payload)
+        except Exception:  # noqa: BLE001 — malformed stbl: header only
+            samples = []
+        if samples:
+            dur = _vc.mp4_exact_duration(payload)
+            info["n_frames"] = len(samples)
+            info["n_keyframes"] = sum(1 for s in samples if s["keyframe"])
+            if dur:
+                info["duration_s"] = dur
+                info["fps"] = round(len(samples) / dur, 6)
     return info
+
+
+def keyframe_index(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Per-sample structural index of MP4 payloads: one row per sample
+    with (idx, t, size, keyframe) from the ISO 14496-12 sample tables —
+    the unit of keyframe-aligned parallel clip extraction. Narrow
+    mapInPandas: a video's rows never leave its scan partition; non-MP4
+    payloads contribute no rows."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("t", T.DoubleType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("keyframe", T.BooleanType()),
+    ])
+    cols = [id_col, "idx", "t", "size", "keyframe"]
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = r[payload_col]
+                if p is None:
+                    continue
+                for s in _vc.mp4_sample_index(bytes(p)):
+                    rows.append({id_col: r[id_col], "idx": s["idx"],
+                                 "t": s["t"], "size": s["size"],
+                                 "keyframe": s["keyframe"]})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(op, out_schema)
 
 
 def frame_iterator(df: DataFrame, every_n: int = 30,

@@ -528,3 +528,192 @@ def scene_cuts(payload: bytes, threshold: float = 27.0) -> list:
     diffs = np.abs(frames[1:].astype(np.int16)
                    - frames[:-1].astype(np.int16)).mean(axis=(1, 2, 3))
     return [int(i) + 1 for i in np.nonzero(diffs > threshold)[0]]
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table toolkit (public ISO/IEC 14496-12 stbl layout): the
+# frame-accurate structural layer under any decode — exact per-sample
+# timestamps/sizes/offsets from stts/stsz/stsc/stco(co64), keyframes
+# from stss, composition offsets from ctts. This is what distributed
+# video pipelines need BEFORE a codec: exact durations and fps that
+# don't trust the header, keyframe-aligned segmentation for parallel
+# clip extraction, and direct access-unit byte ranges for handing to a
+# decoder elsewhere. (H.264/VP9 pixel decode itself stays with the PyAV
+# escalation path — the entropy-coding layer is not re-derivable here.)
+# ---------------------------------------------------------------------------
+
+def _u32s(payload: bytes, pos: int, n: int) -> list:
+    return list(struct.unpack(f">{n}I", payload[pos:pos + 4 * n]))
+
+
+def mp4_sample_tables(payload: bytes) -> list:
+    """Per-track raw sample tables: [{handler, codec, timescale,
+    deltas, ctts, sizes, chunk_offsets, stsc, sync}] — every stbl box
+    parsed exactly; [] when not ISO BMFF."""
+    p = bytes(payload)
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return []
+    tracks: list = []
+    cur: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, body, bend in _bmff_boxes(p, start, end):
+            if fourcc == b"trak":
+                cur.clear()
+                walk(body, bend)
+                if cur.get("sizes") is not None:
+                    tracks.append(dict(cur))
+                cur.clear()
+            elif fourcc in _BMFF_CONTAINERS:
+                walk(body, bend)
+            elif fourcc == b"mdhd":
+                ver = p[body]
+                if ver == 1:
+                    cur["timescale"] = struct.unpack(
+                        ">I", p[body + 20:body + 24])[0]
+                else:
+                    cur["timescale"] = struct.unpack(
+                        ">I", p[body + 12:body + 16])[0]
+            elif fourcc == b"hdlr" and body + 12 <= len(p):
+                cur["handler"] = p[body + 8:body + 12].decode("latin-1")
+            elif fourcc == b"stsd" and body + 16 <= len(p):
+                cur["codec"] = p[body + 12:body + 16].decode(
+                    "latin-1").strip()
+            elif fourcc == b"stts":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                v = _u32s(p, body + 8, 2 * n)
+                cur["deltas"] = [(v[2 * i], v[2 * i + 1])
+                                 for i in range(n)]  # (count, delta)
+            elif fourcc == b"ctts":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                ver = p[body]
+                raw = p[body + 8:body + 8 + 8 * n]
+                fmt = ">" + ("Ii" if ver == 1 else "II") * n
+                v = list(struct.unpack(fmt, raw))
+                cur["ctts"] = [(v[2 * i], v[2 * i + 1]) for i in range(n)]
+            elif fourcc == b"stsz":
+                const, n = struct.unpack(">II", p[body + 4:body + 12])
+                cur["sizes"] = ([const] * n if const
+                                else _u32s(p, body + 12, n))
+            elif fourcc == b"stsc":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                v = _u32s(p, body + 8, 3 * n)
+                cur["stsc"] = [(v[3 * i], v[3 * i + 1], v[3 * i + 2])
+                               for i in range(n)]  # (first_chunk,
+                #                      samples_per_chunk, desc_index)
+            elif fourcc == b"stco":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                cur["chunk_offsets"] = _u32s(p, body + 8, n)
+            elif fourcc == b"co64":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                cur["chunk_offsets"] = list(struct.unpack(
+                    f">{n}Q", p[body + 8:body + 8 + 8 * n]))
+            elif fourcc == b"stss":
+                n = struct.unpack(">I", p[body + 4:body + 8])[0]
+                cur["sync"] = _u32s(p, body + 8, n)  # 1-based indices
+
+    walk(0, len(p))
+    return tracks
+
+
+def mp4_sample_index(payload: bytes, handler: str = "vide") -> list:
+    """Flat per-sample index for the first track with `handler`:
+    [{idx, dts, pts, t (dts seconds), size, offset, keyframe}].
+    Offsets come from the stsc chunk map + cumulative sizes inside each
+    chunk — byte-exact access-unit ranges. Without an stss box EVERY
+    sample is a sync sample (spec default)."""
+    for tr in mp4_sample_tables(payload):
+        if tr.get("handler") != handler:
+            continue
+        ts = tr.get("timescale") or 1
+        sizes = tr["sizes"]
+        n = len(sizes)
+        # expand stts -> per-sample dts
+        dts, t = [], 0
+        for count, delta in tr.get("deltas", []):
+            for _ in range(count):
+                dts.append(t)
+                t += delta
+        dts += [t] * (n - len(dts))
+        # expand ctts -> per-sample pts offset (0 when absent)
+        cto = []
+        for count, off in tr.get("ctts", []):
+            cto += [off] * count
+        cto += [0] * (n - len(cto))
+        # expand stsc chunk map -> per-sample (chunk, index-in-chunk)
+        offsets = []
+        chunks = tr.get("chunk_offsets", [])
+        stsc = tr.get("stsc", [(1, n or 1, 1)])
+        si = 0
+        for ci in range(len(chunks)):
+            spc = 0
+            for first, per, _desc in stsc:
+                if ci + 1 >= first:
+                    spc = per
+            pos = chunks[ci]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                offsets.append(pos)
+                pos += sizes[si]
+                si += 1
+        offsets += [None] * (n - len(offsets))
+        sync = set(tr.get("sync", [])) or None
+        return [{"idx": i, "dts": dts[i], "pts": dts[i] + cto[i],
+                 "t": round(dts[i] / ts, 6), "size": sizes[i],
+                 "offset": offsets[i],
+                 "keyframe": (sync is None or (i + 1) in sync)}
+                for i in range(n)]
+    return []
+
+
+def mp4_exact_duration(payload: bytes, handler: str = "vide") -> Optional[float]:
+    """Media duration = sum of stts deltas / timescale — the
+    sample-table truth, independent of the (editable) mvhd header."""
+    for tr in mp4_sample_tables(payload):
+        if tr.get("handler") == handler and tr.get("timescale"):
+            total = sum(c * d for c, d in tr.get("deltas", []))
+            return round(total / tr["timescale"], 6)
+    return None
+
+
+def mp4_keyframe_times(payload: bytes) -> list:
+    """Seconds of every sync sample of the video track."""
+    return [s["t"] for s in mp4_sample_index(payload) if s["keyframe"]]
+
+
+def mp4_sample_bytes(payload: bytes, idx: int,
+                     handler: str = "vide") -> Optional[bytes]:
+    """The raw access-unit bytes of one sample (for handing to an
+    external decoder) — None when the index is out of range or offsets
+    are unresolvable."""
+    samples = mp4_sample_index(payload, handler)
+    if not 0 <= idx < len(samples):
+        return None
+    s = samples[idx]
+    if s["offset"] is None:
+        return None
+    return bytes(payload[s["offset"]:s["offset"] + s["size"]])
+
+
+def mp4_gop_segments(payload: bytes, duration: float) -> list:
+    """Keyframe-aligned segmentation: [(t0, t1, first_idx, n_samples)]
+    with each segment starting ON a sync sample and lasting ~duration
+    seconds — the unit of parallel clip extraction (a worker can decode
+    its segment independently because it starts at a keyframe)."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    samples = mp4_sample_index(payload)
+    if not samples:
+        return []
+    total = mp4_exact_duration(payload) or (samples[-1]["t"] or 0.0)
+    segs = []
+    start_i = 0
+    for i, s in enumerate(samples[1:], 1):
+        if s["keyframe"] and s["t"] - samples[start_i]["t"] >= duration:
+            segs.append((samples[start_i]["t"], s["t"],
+                         start_i, i - start_i))
+            start_i = i
+    segs.append((samples[start_i]["t"], round(total, 6),
+                 start_i, len(samples) - start_i))
+    return segs
