@@ -100,16 +100,23 @@ def audio_splitter_time(df: DataFrame, duration: float,
                 if p is None:
                     continue
                 info = ac.probe(bytes(p))
-                if info is not None and info.get("format") == "MP3":
-                    # stream-copy at reservoir-safe frame boundaries —
-                    # no decode needed, segments are valid MP3 payloads
-                    # (overlap requires re-encoding, hence PCM formats)
+                fmt = (info or {}).get("format")
+                if fmt in ("MP3", "OGG"):
+                    # stream-copy at frame/page boundaries — no decode
+                    # needed, segments are valid standalone payloads
+                    # (MP3 cuts only at reservoir-safe frames; OGG at
+                    # packet-aligned pages with the header pages
+                    # re-prefixed). Overlap requires re-encoding, hence
+                    # PCM formats only.
                     if overlap:
                         raise ValueError(
-                            "overlap is unsupported for MP3 stream-copy "
-                            "segmentation (needs decode); use overlap=0")
+                            f"overlap is unsupported for {fmt} stream-"
+                            "copy segmentation (needs decode); use "
+                            "overlap=0")
+                    split = (ac.mp3_split if fmt == "MP3"
+                             else ac.ogg_split)
                     n_pos = 0
-                    for t0, t1, seg in ac.mp3_split(bytes(p), duration):
+                    for t0, t1, seg in split(bytes(p), duration):
                         if t1 - t0 >= max(min_segment, 1e-9):
                             rows.append({
                                 id_col: r[id_col], "pos": n_pos,

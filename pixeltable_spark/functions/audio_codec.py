@@ -976,3 +976,142 @@ def mp3_split(payload: bytes, duration: float,
             seg_start_i = i + 1
             seg_t0 = t
     return segs
+
+
+# ---------------------------------------------------------------------------
+# Ogg page toolkit (public RFC 3533): page-accurate indexing with CRC
+# verification, granule-exact duration, and packet-aligned stream-copy
+# segmentation. Pages are the container's seek/recovery unit, so all of
+# this is structural — no Vorbis/Opus DSP required (those stay with the
+# PyAV escalation, same policy as MP3/H.264).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc_table():
+    """CRC-32 table for the Ogg page checksum (poly 0x04c11db7,
+    non-reflected, init 0, xorout 0 — RFC 3533 appendix A)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tab = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+                r &= 0xFFFFFFFF
+            tab.append(r)
+        _OGG_CRC_TABLE = tab
+    return _OGG_CRC_TABLE
+
+
+def ogg_page_crc(page: bytes) -> int:
+    """Checksum of a full page with its CRC field zeroed."""
+    tab = _ogg_crc_table()
+    data = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tab[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def ogg_page_index(payload: bytes, verify_crc: bool = False) -> list:
+    """Walk every page: [{offset, size, serial, seq, granule, bos, eos,
+    continued, n_segments, packet_ends, crc_ok?}]. `packet_ends` is True
+    when the page's last lacing value < 255 (a packet boundary ends
+    here — the next non-continued page is a clean cut point). Resyncs
+    byte-by-byte on garbage between pages."""
+    p = bytes(payload)
+    pages = []
+    pos = 0
+    n = len(p)
+    while pos + 27 <= n:
+        if p[pos:pos + 4] != b"OggS" or p[pos + 4] != 0:
+            pos += 1
+            continue
+        hdr_type = p[pos + 5]
+        granule = struct.unpack("<q", p[pos + 6:pos + 14])[0]
+        serial, seq, crc = struct.unpack("<III", p[pos + 14:pos + 26])
+        nseg = p[pos + 26]
+        if pos + 27 + nseg > n:
+            break
+        lacing = p[pos + 27:pos + 27 + nseg]
+        body = sum(lacing)
+        size = 27 + nseg + body
+        if pos + size > n:
+            break
+        entry = {"offset": pos, "size": size, "serial": serial,
+                 "seq": seq, "granule": granule,
+                 "continued": bool(hdr_type & 1),
+                 "bos": bool(hdr_type & 2), "eos": bool(hdr_type & 4),
+                 "n_segments": nseg,
+                 "packet_ends": nseg > 0 and lacing[-1] < 255}
+        if verify_crc:
+            entry["crc_ok"] = ogg_page_crc(p[pos:pos + size]) == crc
+        pages.append(entry)
+        pos += size
+    return pages
+
+
+def ogg_duration(payload: bytes) -> Optional[float]:
+    """Granule-exact duration from the page index (not just the last
+    rfind): max granulepos of the stream, minus Opus pre-skip, over the
+    codec's granule rate (Opus granules always run at 48 kHz)."""
+    info = probe_ogg(payload)
+    if info is None:
+        return None
+    return info.get("duration_s")
+
+
+def ogg_split(payload: bytes, duration: float) -> list:
+    """Packet-aligned stream-copy segmentation: [(t0, t1, ogg_bytes)].
+    Each segment = the stream's header pages (every BOS-serial page up
+    to the first audio-data page: id + comment/setup packets) + a run
+    of whole data pages starting at a non-continued page, so packets
+    are never torn. Page bytes are copied verbatim (CRCs stay valid);
+    page sequence numbers jump across cuts, which decoders treat as a
+    recoverable hole (the same contract as chained-stream tools)."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    p = bytes(payload)
+    info = probe_ogg(p)
+    pages = ogg_page_index(p)
+    if not info or not pages:
+        return []
+    rate = info.get("sample_rate")
+    pre_skip = 0
+    if info.get("encoding") == "opus":
+        body = pages[0]["offset"] + 27 + pages[0]["n_segments"]
+        if p[body:body + 8] == b"OpusHead":
+            pre_skip = struct.unpack("<H", p[body + 10:body + 12])[0]
+    # header pages: granule 0 (id/comment/setup) before any audio data
+    n_hdr = 0
+    for pg in pages:
+        if pg["granule"] not in (0, -1) and not pg["bos"]:
+            break
+        n_hdr += 1
+    header = p[pages[0]["offset"]:
+               pages[n_hdr - 1]["offset"] + pages[n_hdr - 1]["size"]] \
+        if n_hdr else b""
+    data = pages[n_hdr:]
+    if not data or not rate:
+        return []
+
+    def t_of(granule):
+        return max(granule - pre_skip, 0) / rate
+
+    segs = []
+    start_i = 0
+    t0 = 0.0
+    for i, pg in enumerate(data):
+        end_t = t_of(pg["granule"]) if pg["granule"] >= 0 else t0
+        next_clean = (i + 1 == len(data)
+                      or not data[i + 1]["continued"])
+        if ((end_t - t0 >= duration and pg["packet_ends"] and next_clean)
+                or i + 1 == len(data)):
+            lo = data[start_i]["offset"]
+            hi = pg["offset"] + pg["size"]
+            segs.append((round(t0, 6), round(end_t, 6), header + p[lo:hi]))
+            start_i = i + 1
+            t0 = end_t
+    return segs
