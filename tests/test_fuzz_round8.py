@@ -179,3 +179,59 @@ class TestMp4Fuzz:
             segs = vc.mp4_gop_segments(p, duration=0.01)
             assert sum(s[3] for s in segs) == n
             assert all(idx[s[2]]["keyframe"] for s in segs)
+
+
+# -- plan-shape pins for the round-8 operators ---------------------------------
+
+class TestPlanShapes:
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pii_audit_projection_map_only(self, spark):
+        """q136's scoring surface (regex counts + the Luhn fold +
+        scrubbing) is one map-only codegen projection — no Exchange, no
+        Python in the plan."""
+        from pixeltable_spark.operators.pii import (pii_count, scrub_pii,
+                                                    valid_card_count)
+        df = spark.createDataFrame(
+            [(1, "card 4111111111111111 x@y.io")], "doc_id int, t string")
+        q = df.select(
+            pii_count(F.col("t"), "email").alias("e"),
+            valid_card_count(F.col("t")).alias("l"),
+            scrub_pii(F.col("t")).alias("s"))
+        plan = self._plan(q)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_luhn_stays_jvm_side(self, spark):
+        from pixeltable_spark.operators.pii import luhn_valid
+        df = spark.createDataFrame([("4111111111111111",)], "s string")
+        plan = self._plan(df.select(luhn_valid(F.col("s"))))
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_text_metric_guards_map_only(self, spark):
+        """The ANSI guards added this round must not introduce a
+        shuffle or a Python stage into the per-row metric projection."""
+        from pixeltable_spark.operators import text as textops
+        df = spark.createDataFrame([(1, "some text.")],
+                                   "doc_id int, text string")
+        q = df.select(
+            textops.token_count(F.col("text")),
+            textops.punct_ratio(F.col("text")),
+            textops.stopword_ratio(F.col("text")),
+            textops.quality_score(F.col("text")))
+        plan = self._plan(q)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_dedup_by_url_single_shuffle_family(self, spark):
+        """The NULL-safe rewrite (split + union) must stay one
+        aggregation shuffle on the keyed branch, not add a distinct or
+        an extra exchange per branch."""
+        from pixeltable_spark.operators.urlops import dedup_by_url
+        df = spark.createDataFrame([(1, "http://a/b")],
+                                   "doc_id int, url string")
+        plan = self._plan(dedup_by_url(df))
+        # partial agg -> Exchange(key) -> final agg, then the join's
+        # broadcast/exchange; the NULL branch adds NO exchange
+        assert plan.count("Exchange") <= 3, plan
