@@ -664,13 +664,28 @@ class Table:
                     return None
         return None
 
-    def _write_snapshot_files(self, df: DataFrame) -> list[str]:
+    def _write_snapshot_files(self, df: DataFrame,
+                              preserve_partitioning: bool = False
+                              ) -> list[str]:
         """Write `df` as NEW parquet files into the stable `_bkt=N/` layout
         (flat when unbucketed) and return their relative paths. Existing
         files are never touched; nothing becomes visible until
         _commit_files."""
         tmp = os.path.join(self._data_dir, ".tmp-" + _uuid.uuid4().hex[:8])
         partitioned = _BKT in df.columns
+        if partitioned and not preserve_partitioning:
+            # co-locate each bucket in one task before the partitioned
+            # write: otherwise every upstream task emits a file per
+            # bucket it touches (tasks x buckets small files per commit
+            # — measured 58 view files from 4 commits at 4 buckets),
+            # and every extra file pays a footer-stats read at commit
+            # and a scan split forever after. One file per bucket per
+            # commit is the bucketed-store contract (a deployment sizes
+            # n_buckets to ~1 GB buckets, so this is also the right
+            # file size at scale). optimize(zorder_by=...) passes
+            # preserve_partitioning=True — its range-partition-on-z
+            # layout IS the point and must reach the writer untouched.
+            df = df.repartition(self.n_buckets, F.col(_BKT))
         w = df.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy(_BKT)
@@ -992,11 +1007,13 @@ class Table:
         new = self._write_snapshot_files(self._with_bkt(df))
         self._commit_files(list(cur) + new)
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(self, df: DataFrame,
+                 preserve_partitioning: bool = False) -> None:
         """Copy-on-write snapshot swap of the WHOLE table (schema changes,
         revert fallback — what Delta MERGE does transactionally). Row-level
         mutations go through _rewrite_buckets instead."""
-        new = self._write_snapshot_files(self._with_bkt(df))
+        new = self._write_snapshot_files(
+            self._with_bkt(df), preserve_partitioning=preserve_partitioning)
         self._commit_files(new)
 
     def _rewrite_buckets(self, df: DataFrame, buckets: Sequence[int]) -> None:
@@ -1175,7 +1192,7 @@ class Table:
             # occupied buckets — size target_files so file ~ 128 MB.
             staged = (staged.repartitionByRange(max(n_out, 1), F.col("__z"))
                       .sortWithinPartitions(_BKT, "__z").drop("__z"))
-            self._rewrite(staged)
+            self._rewrite(staged, preserve_partitioning=True)
             after = self._current_files()
             self._log("optimize", zorder_by=list(zorder_by),
                       files_before=len(cur), files_after=len(after))
