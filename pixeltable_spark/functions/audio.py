@@ -101,7 +101,7 @@ def audio_splitter_time(df: DataFrame, duration: float,
                     continue
                 info = ac.probe(bytes(p))
                 fmt = (info or {}).get("format")
-                if fmt in ("MP3", "OGG"):
+                if fmt in ("MP3", "OGG", "AAC"):
                     # stream-copy at frame/page boundaries — no decode
                     # needed, segments are valid standalone payloads
                     # (MP3 cuts only at reservoir-safe frames; OGG at
@@ -113,8 +113,8 @@ def audio_splitter_time(df: DataFrame, duration: float,
                             f"overlap is unsupported for {fmt} stream-"
                             "copy segmentation (needs decode); use "
                             "overlap=0")
-                    split = (ac.mp3_split if fmt == "MP3"
-                             else ac.ogg_split)
+                    split = {"MP3": ac.mp3_split, "OGG": ac.ogg_split,
+                             "AAC": ac.adts_split}[fmt]
                     n_pos = 0
                     for t0, t1, seg in split(bytes(p), duration):
                         if t1 - t0 >= max(min_segment, 1e-9):

@@ -34,7 +34,9 @@ def probe(payload: bytes) -> Optional[dict]:
         return None
     if bytes(payload[:3]) == b"ID3" or (
             payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0):
-        return probe_mp3(payload)
+        # ADTS AAC shares the 0xFFEx sync; its layer bits are the
+        # MPEG-audio reserved value, so probe_mp3 cleanly rejects it
+        return probe_mp3(payload) or probe_adts(payload)
     if bytes(payload[4:8]) == b"ftyp":     # M4A/MP4 audio container
         from .video_codec import probe_mp4
         return probe_mp4(payload)
@@ -1114,4 +1116,114 @@ def ogg_split(payload: bytes, duration: float) -> list:
             segs.append((round(t0, 6), round(end_t, 6), header + p[lo:hi]))
             start_i = i + 1
             t0 = end_t
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# ADTS (AAC) frame toolkit (public ISO/IEC 13818-7 / 14496-3 ADTS
+# header layout): frame-exact indexing, duration, and stream-copy
+# segmentation. Every field needed is structural — syncword, profile,
+# sampling-frequency index, channel config, the 13-bit frame length,
+# and raw-blocks-per-frame; AAC frames are independent (no reservoir),
+# so any frame boundary is a clean cut. AAC DSP decode stays with the
+# PyAV escalation (same policy as MP3/H.264/Opus).
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+
+
+def _adts_header_at(p: bytes, pos: int) -> Optional[dict]:
+    if pos + 7 > len(p):
+        return None
+    if p[pos] != 0xFF or (p[pos + 1] & 0xF6) != 0xF0:  # sync + layer 00
+        return None
+    protection_absent = p[pos + 1] & 1
+    sr_idx = (p[pos + 2] >> 2) & 0xF
+    if sr_idx >= len(_ADTS_RATES):
+        return None
+    profile = ((p[pos + 2] >> 6) & 3) + 1
+    channels = ((p[pos + 2] & 1) << 2) | ((p[pos + 3] >> 6) & 3)
+    size = ((p[pos + 3] & 3) << 11) | (p[pos + 4] << 3) | (p[pos + 5] >> 5)
+    if size < 7:
+        return None
+    n_blocks = (p[pos + 6] & 3) + 1   # raw data blocks, 1024 samples each
+    return {"offset": pos, "size": size,
+            "samples": 1024 * n_blocks,
+            "rate": _ADTS_RATES[sr_idx],
+            "profile": profile,        # 1=Main 2=LC 3=SSR 4=LTP
+            "channels": channels,
+            "crc": not protection_absent}
+
+
+def adts_frame_index(payload: bytes) -> list:
+    """Every ADTS frame: [{offset, size, samples, rate, profile,
+    channels, crc}] — false syncs rejected by requiring the next
+    header (when in bounds) to parse; skips a leading ID3v2 tag."""
+    if payload is None or len(payload) < 7:
+        return []
+    p = bytes(payload)
+    pos = 0
+    if p[:3] == b"ID3" and len(p) > 10:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
+               ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    frames = []
+    n = len(p)
+    while pos + 7 <= n:
+        fr = _adts_header_at(p, pos)
+        if fr is None:
+            pos += 1
+            continue
+        nxt = pos + fr["size"]
+        if nxt + 7 <= n and _adts_header_at(p, nxt) is None:
+            pos += 1
+            continue
+        frames.append(fr)
+        pos = nxt
+    return frames
+
+
+def adts_duration(payload: bytes) -> float:
+    """EXACT duration: sum samples/rate over indexed frames."""
+    return round(sum(f["samples"] / f["rate"]
+                     for f in adts_frame_index(payload)), 6)
+
+
+def probe_adts(payload: bytes) -> Optional[dict]:
+    """AAC/ADTS metadata (get_metadata surface)."""
+    frames = adts_frame_index(payload)
+    if not frames:
+        return None
+    f0 = frames[0]
+    return {"format": "AAC", "container": "ADTS",
+            "profile": {1: "Main", 2: "LC", 3: "SSR", 4: "LTP"}.get(
+                f0["profile"], str(f0["profile"])),
+            "sample_rate": f0["rate"], "channels": f0["channels"],
+            "n_frames": len(frames),
+            "duration_s": adts_duration(payload)}
+
+
+def adts_split(payload: bytes, duration: float) -> list:
+    """Stream-copy segmentation at frame boundaries:
+    [(t0, t1, adts_bytes)] — every AAC frame is self-contained, so any
+    boundary is clean; bytes are copied, never re-encoded."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    p = bytes(payload)
+    frames = adts_frame_index(p)
+    if not frames:
+        return []
+    segs = []
+    start_i = 0
+    t = 0.0
+    t0 = 0.0
+    for i, f in enumerate(frames):
+        t += f["samples"] / f["rate"]
+        if t - t0 >= duration or i + 1 == len(frames):
+            lo = frames[start_i]["offset"]
+            hi = f["offset"] + f["size"]
+            segs.append((round(t0, 6), round(t, 6), p[lo:hi]))
+            start_i = i + 1
+            t0 = t
     return segs
