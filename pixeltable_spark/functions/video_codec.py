@@ -717,3 +717,222 @@ def mp4_gop_segments(payload: bytes, duration: float) -> list:
     segs.append((samples[start_i]["t"], round(total, 6),
                  start_i, len(samples) - start_i))
     return segs
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM block toolkit (public RFC 8794 EBML + the Matroska
+# element registry): per-block timestamps/keyframes from Cluster/
+# SimpleBlock/BlockGroup, and cluster-aligned stream-copy segmentation
+# (each output re-prefixed with the EBML header + Segment Info/Tracks,
+# Segment rewritten as unknown-size — the standard live-stream form).
+# Same policy as MP4/MP3/Ogg: the structural layer is exact and tested;
+# VP9/AV1/H.264 pixel decode stays with the PyAV escalation.
+# ---------------------------------------------------------------------------
+
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SEGMENT = 0x18538067
+
+
+def _mkv_segment_bounds(p: bytes):
+    """(segment_body_start, segment_body_end, ebml_header_end) or None."""
+    pos = 0
+    eid, p1 = _ebml_vint(p, pos, keep_marker=True)
+    if eid != 0x1A45DFA3:
+        return None
+    size, p2 = _ebml_vint(p, p1, keep_marker=False)
+    hdr_end = p2 + size if size >= 0 else p2
+    eid, p1 = _ebml_vint(p, hdr_end, keep_marker=True)
+    if eid != _MKV_SEGMENT:
+        return None
+    size, body = _ebml_vint(p, p1, keep_marker=False)
+    end = len(p) if size == -1 else min(body + size, len(p))
+    return body, end, hdr_end
+
+
+def _lace_frame_count(body: bytes, pos: int, flags: int) -> int:
+    lacing = (flags >> 1) & 3
+    if lacing == 0:
+        return 1
+    if pos < len(body):
+        return body[pos] + 1
+    return 1
+
+
+def mkv_block_index(payload: bytes) -> list:
+    """Every SimpleBlock/BlockGroup in every Cluster:
+    [{offset, size, track, t, keyframe, n_frames}] with `t` in seconds
+    (cluster timestamp + block relative, x TimestampScale). SimpleBlock
+    keyframe = its flag bit; Block keyframe = BlockGroup has NO
+    ReferenceBlock (spec semantics)."""
+    p = bytes(payload)
+    bounds = _mkv_segment_bounds(p)
+    if bounds is None:
+        return []
+    seg_start, seg_end, _ = bounds
+    tscale = 1_000_000
+    blocks = []
+
+    def block_fields(body_start: int, body_end: int):
+        track, q = _ebml_vint(p, body_start, keep_marker=False)
+        if track is None or q + 3 > body_end:
+            return None
+        rel = struct.unpack(">h", p[q:q + 2])[0]
+        flags = p[q + 2]
+        nf = _lace_frame_count(p, q + 3, flags)
+        return track, rel, flags, nf
+
+    pos = seg_start
+    while pos < seg_end:
+        eid, p1 = _ebml_vint(p, pos, keep_marker=True)
+        if eid is None:
+            return blocks
+        size, p2 = _ebml_vint(p, p1, keep_marker=False)
+        if size is None:
+            return blocks
+        bend = seg_end if size == -1 else min(p2 + size, seg_end)
+        if eid == 0x2AD7B1 or eid == 0x1549A966:   # TimestampScale / Info
+            if eid == 0x2AD7B1:
+                tscale = int.from_bytes(p[p2:bend], "big") or 1_000_000
+            else:
+                q = p2
+                while q < bend:
+                    i2, q1 = _ebml_vint(p, q, keep_marker=True)
+                    s2, q2 = _ebml_vint(p, q1, keep_marker=False)
+                    if i2 is None or s2 is None or s2 < 0:
+                        break
+                    if i2 == 0x2AD7B1:
+                        tscale = int.from_bytes(p[q2:q2 + s2],
+                                                "big") or 1_000_000
+                    q = q2 + s2
+        elif eid == _MKV_CLUSTER:
+            ctime = 0
+            q = p2
+            while q < bend:
+                i2, q1 = _ebml_vint(p, q, keep_marker=True)
+                s2, q2 = _ebml_vint(p, q1, keep_marker=False)
+                if i2 is None or s2 is None:
+                    break
+                e2 = bend if s2 == -1 else min(q2 + s2, bend)
+                if i2 == 0xE7:                     # cluster Timestamp
+                    ctime = int.from_bytes(p[q2:e2], "big")
+                elif i2 == 0xA3:                   # SimpleBlock
+                    bf = block_fields(q2, e2)
+                    if bf:
+                        track, rel, flags, nf = bf
+                        blocks.append({
+                            "offset": q, "size": e2 - q, "track": track,
+                            "t": round((ctime + rel) * tscale / 1e9, 6),
+                            "keyframe": bool(flags & 0x80),
+                            "n_frames": nf})
+                elif i2 == 0xA0:                   # BlockGroup
+                    entry = None
+                    has_ref = False
+                    r = q2
+                    while r < e2:
+                        i3, r1 = _ebml_vint(p, r, keep_marker=True)
+                        s3, r2 = _ebml_vint(p, r1, keep_marker=False)
+                        if i3 is None or s3 is None or s3 < 0:
+                            break
+                        e3 = min(r2 + s3, e2)
+                        if i3 == 0xA1:             # Block
+                            bf = block_fields(r2, e3)
+                            if bf:
+                                track, rel, flags, nf = bf
+                                entry = {
+                                    "offset": q, "size": e2 - q,
+                                    "track": track,
+                                    "t": round((ctime + rel) * tscale / 1e9,
+                                               6),
+                                    "n_frames": nf}
+                        elif i3 == 0xFB:           # ReferenceBlock
+                            has_ref = True
+                        r = e3
+                    if entry:
+                        entry["keyframe"] = not has_ref
+                        blocks.append(entry)
+                if s2 == -1:
+                    break
+                q = e2
+        if size == -1:
+            # unknown-size element: children were walked in-line above
+            # only for clusters; for others bail to avoid loops
+            if eid != _MKV_CLUSTER:
+                return blocks
+            pos = bend
+        else:
+            pos = bend
+    return blocks
+
+
+def mkv_keyframe_times(payload: bytes, track: Optional[int] = None) -> list:
+    return [b["t"] for b in mkv_block_index(payload)
+            if b["keyframe"] and (track is None or b["track"] == track)]
+
+
+def mkv_split(payload: bytes, duration: float) -> list:
+    """Cluster-aligned stream-copy segmentation: [(t0, t1, mkv_bytes)].
+    Each output = the original EBML header + a Segment with UNKNOWN
+    size (the live-streaming form every demuxer accepts) containing the
+    original pre-cluster children (Info/Tracks/...) verbatim plus a run
+    of whole original clusters. Cluster bytes are never modified."""
+    if duration <= 0:
+        raise ValueError("duration must be > 0")
+    p = bytes(payload)
+    bounds = _mkv_segment_bounds(p)
+    if bounds is None:
+        return []
+    seg_start, seg_end, hdr_end = bounds
+    ebml_hdr = p[:hdr_end]
+    # find clusters + the pre-cluster child region
+    clusters = []   # (offset, end, start_t)
+    tscale = 1_000_000
+    pos = seg_start
+    first_cluster = None
+    while pos < seg_end:
+        eid, p1 = _ebml_vint(p, pos, keep_marker=True)
+        size, p2 = _ebml_vint(p, p1, keep_marker=False)
+        if eid is None or size is None:
+            break
+        bend = seg_end if size == -1 else min(p2 + size, seg_end)
+        if eid == 0x1549A966:  # Info: pull the scale for timing
+            q = p2
+            while q < bend:
+                i2, q1 = _ebml_vint(p, q, keep_marker=True)
+                s2, q2 = _ebml_vint(p, q1, keep_marker=False)
+                if i2 is None or s2 is None or s2 < 0:
+                    break
+                if i2 == 0x2AD7B1:
+                    tscale = int.from_bytes(p[q2:q2 + s2], "big") or tscale
+                q = q2 + s2
+        elif eid == _MKV_CLUSTER:
+            if first_cluster is None:
+                first_cluster = pos
+            ctime = 0
+            q = p2
+            i2, q1 = _ebml_vint(p, q, keep_marker=True)
+            s2, q2 = _ebml_vint(p, q1, keep_marker=False)
+            if i2 == 0xE7 and s2 and s2 > 0:
+                ctime = int.from_bytes(p[q2:q2 + s2], "big")
+            clusters.append((pos, bend, ctime * tscale / 1e9))
+        if size == -1 and eid != _MKV_CLUSTER:
+            break
+        pos = bend
+    if not clusters or first_cluster is None:
+        return []
+    pre = p[seg_start:first_cluster]   # Info/Tracks/... verbatim
+    seg_hdr = b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7  # unknown size
+    header = ebml_hdr + seg_hdr + pre
+    # group clusters into ~duration runs
+    last_t = clusters[-1][2]
+    segs = []
+    start_i = 0
+    for i, (off, end, t) in enumerate(clusters):
+        nxt_t = clusters[i + 1][2] if i + 1 < len(clusters) else None
+        t0 = clusters[start_i][2]
+        if (nxt_t is not None and nxt_t - t0 >= duration) \
+                or i + 1 == len(clusters):
+            t1 = nxt_t if nxt_t is not None else last_t
+            segs.append((round(t0, 6), round(t1, 6),
+                         header + p[clusters[start_i][0]:end]))
+            start_i = i + 1
+    return segs
