@@ -2841,6 +2841,180 @@ def q136_pii_audit(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+_MP3_BANK = [32, 48, 64, 96, 128, 160, 192, 256, 320]
+
+
+def q137_audio_structure(spark, sf_dir):
+    """Audio structural layer under the hard oracle gate
+    (audio_codec.py mp3_frame_index/mp3_duration/adts_*): per document,
+    SYNTHESIZE a VBR MP3 (3 + doc_id%7 frames, bitrate bank walked from
+    doc_id, padding alternating) and an ADTS AAC stream (2 + doc_id%5
+    frames) inside an Arrow batch, run the REAL frame indexers over the
+    bytes, and return frame counts / exact durations / mean bitrate.
+    The DuckDB oracle replays the expected numbers closed-form — so the
+    parsers' output is value-gated, not just unit-tested."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import audio_codec as ac
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mp3_frames", T.IntegerType()),
+        T.StructField("mp3_dur", T.DoubleType()),
+        T.StructField("mp3_mean_kbps", T.DoubleType()),
+        T.StructField("aac_frames", T.IntegerType()),
+        T.StructField("aac_dur", T.DoubleType()),
+    ])
+
+    def _mk_mp3_frame(bitrate_kbps, padding):
+        br_idx = ac._MP3_BITRATES[("1", 3)].index(bitrate_kbps) + 1
+        size = 144 * bitrate_kbps * 1000 // 44100 + padding
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (0 << 2) | (padding << 1),
+                     0x00])
+        return hdr + bytes(32) + bytes(size - 36)
+
+    def _mk_adts_frame():
+        size = 150
+        h = bytearray(7)
+        h[0], h[1] = 0xFF, 0xF1
+        h[2] = (1 << 6) | (4 << 2)      # LC, 44100
+        h[3] = (2 & 3) << 6 | ((size >> 11) & 3)
+        h[4] = (size >> 3) & 0xFF
+        h[5] = ((size & 7) << 5) | 0x1F
+        h[6] = 0xFC
+        return bytes(h) + bytes(size - 7)
+
+    frame_cache: dict = {}
+
+    def _frame(kbps, pad):
+        f = frame_cache.get((kbps, pad))
+        if f is None:
+            f = frame_cache[(kbps, pad)] = _mk_mp3_frame(kbps, pad)
+        return f
+
+    adts_one = _mk_adts_frame()
+    # every per-row result is a pure function of doc_id % lcm(7,9,2,5):
+    # memoize the 630 distinct cases so 60k+ rows parse ~630 streams
+    result_cache: dict = {}
+
+    def _result(key):
+        r = result_cache.get(key)
+        if r is not None:
+            return r
+        n_mp3 = 3 + key % 7
+        mp3 = b"".join(_frame(_MP3_BANK[(key + i) % len(_MP3_BANK)],
+                              i % 2) for i in range(n_mp3))
+        aac = adts_one * (2 + key % 5)
+        st = ac.mp3_bitrate_stats(mp3)
+        r = (len(ac.mp3_frame_index(mp3)), ac.mp3_duration(mp3),
+             st["mean_kbps"], len(ac.adts_frame_index(aac)),
+             ac.adts_duration(aac))
+        result_cache[key] = r
+        return r
+
+    def op(batches):
+        lcm = 630  # lcm(7, 9, 2, 5): the doc_id periodicity of the synth
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mf, md, mk, af, ad = _result(did % lcm)
+                rows.append({
+                    "doc_id": did, "mp3_frames": mf, "mp3_dur": md,
+                    "mp3_mean_kbps": mk, "aac_frames": af, "aac_dur": ad})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    base = textops.spread(_df(spark, sf_dir, "documents")).select("doc_id")
+    return base.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
+def q138_video_structure(spark, sf_dir):
+    """Video structural layer under the hard oracle gate
+    (video_codec.py mp4_sample_index/mp4_gop_segments): per document,
+    synthesize a valid BMFF file (10 + doc_id%8 samples, stts of two
+    runs, keyframes every 4th sample) in an Arrow batch, run the REAL
+    sample-table parser, and return frame/keyframe counts, exact
+    duration, and the GOP segment count at a fixed duration — all
+    replayed closed-form by the DuckDB oracle."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import video_codec as vc
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_keyframes", T.IntegerType()),
+        T.StructField("dur", T.DoubleType()),
+        T.StructField("n_gops", T.IntegerType()),
+    ])
+
+    def _box(fourcc, body):
+        return _struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def _full(fourcc, body):
+        return _box(fourcc, b"\x00\x00\x00\x00" + body)
+
+    def _mk_mp4(n):
+        sizes = [20 + (i % 5) for i in range(n)]
+        deltas = [(n // 2, 100), (n - n // 2, 50)]
+        sync = list(range(1, n + 1, 4))
+        ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isom")
+        mdat = _box(b"mdat", b"".join(bytes([i % 251]) * s
+                                      for i, s in enumerate(sizes)))
+        stts = _full(b"stts", _struct.pack(">I", len(deltas)) + b"".join(
+            _struct.pack(">II", c, d) for c, d in deltas))
+        stsz = _full(b"stsz", _struct.pack(">II", 0, n) + b"".join(
+            _struct.pack(">I", s) for s in sizes))
+        stsc = _full(b"stsc", _struct.pack(">I", 1)
+                     + _struct.pack(">III", 1, n, 1))
+        stco = _full(b"stco", _struct.pack(">II", 1, len(ftyp) + 8))
+        stss = _full(b"stss", _struct.pack(">I", len(sync)) + b"".join(
+            _struct.pack(">I", s) for s in sync))
+        stsd = _full(b"stsd", _struct.pack(">I", 1)
+                     + _box(b"avc1", b"\x00" * 78))
+        stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco + stss)
+        total = sum(c * d for c, d in deltas)
+        mdhd = _full(b"mdhd", _struct.pack(">IIIIHH", 0, 0, 600, total,
+                                           0x55C4, 0))
+        hdlr = _full(b"hdlr", _struct.pack(">I", 0) + b"vide"
+                     + b"\x00" * 12 + b"V\x00")
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        trak = _box(b"trak", _full(b"tkhd", b"\x00" * 80) + mdia)
+        mvhd = _full(b"mvhd", _struct.pack(">IIII", 0, 0, 600, total)
+                     + b"\x00" * 80)
+        return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+    cache: dict = {}
+
+    def _result(m):
+        r = cache.get(m)
+        if r is None:
+            p = _mk_mp4(10 + m)
+            idx = vc.mp4_sample_index(p)
+            r = cache[m] = (len(idx),
+                            sum(1 for s in idx if s["keyframe"]),
+                            vc.mp4_exact_duration(p),
+                            len(vc.mp4_gop_segments(p, duration=0.5)))
+        return r
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ns, nk, dur, ng = _result(did % 8)
+                rows.append({"doc_id": did, "n_samples": ns,
+                             "n_keyframes": nk, "dur": dur, "n_gops": ng})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    base = textops.spread(_df(spark, sf_dir, "documents")).select("doc_id")
+    return base.mapInPandas(op, out_schema).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2977,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_view_propagation": q134_view_propagation,
         "q135_schema_evolution": q135_schema_evolution,
         "q136_pii_audit": q136_pii_audit,
+        "q137_audio_structure": q137_audio_structure,
+        "q138_video_structure": q138_video_structure,
     }
 
 
@@ -3724,6 +3900,8 @@ SELECT CAST(n_nationkey AS INT) AS nk, n_name AS nation_name,
        CAST(n_regionkey AS INT) * 10 AS rk10
 FROM nation ORDER BY nk""",
         "q136_pii_audit": _q136_oracle(),
+        "q137_audio_structure": _q137_oracle(),
+        "q138_video_structure": _q138_oracle(),
         "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
@@ -4839,6 +5017,63 @@ SELECT doc_id,
        regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
                       '{ssn}', '<SSN>', 'g') AS scrubbed
 FROM synth ORDER BY doc_id"""
+
+
+def _q137_oracle() -> str:
+    """Closed-form DuckDB replay of q137: the synthesized streams'
+    frame counts, durations, and VBR mean bitrate from doc_id
+    arithmetic — the REAL parsers in the Spark path must land exactly
+    on these numbers."""
+    bank = ", ".join(str(b) for b in _MP3_BANK)
+    return f"""
+SELECT doc_id,
+  CAST(3 + doc_id % 7 AS INT) AS mp3_frames,
+  round((3 + doc_id % 7) * 1152.0 / 44100, 6) AS mp3_dur,
+  round(list_aggregate(list_transform(range(0, CAST(3 + doc_id % 7 AS INT)),
+        i -> ([{bank}])[CAST((doc_id + i) % {len(_MP3_BANK)} AS INT) + 1]),
+      'avg'), 3) AS mp3_mean_kbps,
+  CAST(2 + doc_id % 5 AS INT) AS aac_frames,
+  round((2 + doc_id % 5) * 1024.0 / 44100, 6) AS aac_dur
+FROM documents ORDER BY doc_id"""
+
+
+def _q138_expected_gops(n: int, duration: float = 0.5) -> int:
+    """Independent pure-python replay of the keyframe-aligned greedy
+    segmentation for the q138 synthetic layout (keyframes every 4th
+    sample, stts = n//2 @100 + rest @50 ticks, timescale 600) — NOT
+    calling the engine's mp4_gop_segments."""
+    ts = []
+    t = 0
+    for i in range(n):
+        # 6-dp rounding mirrors mp4_sample_index's t exactly — the
+        # greedy >= comparison is IEEE-sensitive right at the boundary
+        ts.append(round(t / 600.0, 6))
+        t += 100 if i < n // 2 else 50
+    kf = [i % 4 == 0 for i in range(n)]
+    segs = 0
+    start = 0
+    i = 1
+    while i < n:
+        if kf[i] and ts[i] - ts[start] >= duration:
+            segs += 1
+            start = i
+        i += 1
+    return segs + 1   # the tail segment
+
+
+def _q138_oracle() -> str:
+    gop_cases = " ".join(
+        f"WHEN {n} THEN {_q138_expected_gops(10 + n % 8)}"
+        for n in range(8))
+    return f"""
+SELECT doc_id,
+  CAST(10 + doc_id % 8 AS INT) AS n_samples,
+  CAST(((10 + doc_id % 8) + 3) // 4 AS INT) AS n_keyframes,
+  round((((10 + doc_id % 8) // 2) * 100
+         + ((10 + doc_id % 8) - (10 + doc_id % 8) // 2) * 50) / 600.0, 6)
+    AS dur,
+  CAST(CASE doc_id % 8 {gop_cases} END AS INT) AS n_gops
+FROM documents ORDER BY doc_id"""
 
 
 def _q132_oracle() -> str:
