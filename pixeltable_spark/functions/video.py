@@ -91,6 +91,14 @@ def probe_any(payload) -> "dict | None":
             if dur:
                 info["duration_s"] = dur
                 info["fps"] = round(len(samples) / dur, 6)
+        if info.get("video_codec") == "avc1":
+            # SPS-true dimensions: the tkhd width/height is an editable
+            # presentation hint; the avcC SPS is the bitstream truth
+            cfg = _vc.mp4_avc_config(payload)
+            if cfg:
+                info["width"] = cfg["width"]
+                info["height"] = cfg["height"]
+                info["h264_profile_idc"] = cfg["profile_idc"]
     return info
 
 

@@ -936,3 +936,210 @@ def mkv_split(payload: bytes, duration: float) -> list:
                          header + p[clusters[start_i][0]:end]))
             start_i = i + 1
     return segs
+
+
+# ---------------------------------------------------------------------------
+# H.264/AVC structural layer (public ISO/IEC 14496-10): NAL unit
+# indexing (Annex B start codes AND AVCC length-prefixed), Exp-Golomb
+# SPS parsing for REAL width/height/profile (containers routinely lie
+# in tkhd), and IDR-keyframe detection. Entropy decode (CABAC/CAVLC
+# pixel reconstruction) stays with the PyAV escalation — the structural
+# syntax here is exact and complete for metadata purposes.
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:                      # Exp-Golomb unsigned
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad Exp-Golomb")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:                      # Exp-Golomb signed
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _unescape_rbsp(data: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 \
+                and data[i + 2] == 3:
+            out += data[i:i + 2]
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def h264_parse_sps(nal: bytes) -> Optional[dict]:
+    """Decode an SPS NAL (type 7) per 14496-10 §7.3.2.1: profile/level,
+    chroma format, exact coded dimensions including frame cropping."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        return None
+    try:
+        r = _BitReader(_unescape_rbsp(nal[1:]))
+        profile_idc = r.u(8)
+        r.u(8)                                 # constraint flags + reserved
+        level_idc = r.u(8)
+        r.ue()                                 # seq_parameter_set_id
+        chroma_format_idc = 1
+        if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128,
+                           138, 139, 134, 135):
+            chroma_format_idc = r.ue()
+            if chroma_format_idc == 3:
+                r.u(1)                         # separate_colour_plane
+            r.ue()                             # bit_depth_luma_minus8
+            r.ue()                             # bit_depth_chroma_minus8
+            r.u(1)                             # qpprime_y_zero...
+            if r.u(1):                         # seq_scaling_matrix_present
+                for i in range(8 if chroma_format_idc != 3 else 12):
+                    if r.u(1):                 # scaling list present
+                        size = 16 if i < 6 else 64
+                        last, nxt = 8, 8
+                        for _ in range(size):
+                            if nxt:
+                                nxt = (last + r.se() + 256) % 256
+                            last = nxt if nxt else last
+        r.ue()                                 # log2_max_frame_num_minus4
+        poc_type = r.ue()
+        if poc_type == 0:
+            r.ue()
+        elif poc_type == 1:
+            r.u(1)
+            r.se()
+            r.se()
+            for _ in range(r.ue()):
+                r.se()
+        r.ue()                                 # max_num_ref_frames
+        r.u(1)                                 # gaps_in_frame_num
+        w_mbs = r.ue() + 1
+        h_map = r.ue() + 1
+        frame_mbs_only = r.u(1)
+        if not frame_mbs_only:
+            r.u(1)                             # mb_adaptive_frame_field
+        r.u(1)                                 # direct_8x8_inference
+        crop = [0, 0, 0, 0]
+        if r.u(1):                             # frame_cropping_flag
+            crop = [r.ue(), r.ue(), r.ue(), r.ue()]
+        # crop units per 7-19..7-22
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        unit_y = sub_h * (2 - frame_mbs_only)
+        width = w_mbs * 16 - sub_w * (crop[0] + crop[1])
+        height = (2 - frame_mbs_only) * h_map * 16 - unit_y * (crop[2]
+                                                               + crop[3])
+        return {"profile_idc": profile_idc, "level_idc": level_idc,
+                "chroma_format_idc": chroma_format_idc,
+                "width": width, "height": height,
+                "interlaced": not frame_mbs_only}
+    except (IndexError, ValueError):
+        return None
+
+
+def h264_nal_units(payload: bytes, length_size: Optional[int] = None
+                   ) -> list:
+    """NAL unit index: [{offset, size, type, idr}]. Annex B start-code
+    streams by default; pass `length_size` (1/2/4, from avcC) for AVCC
+    length-prefixed sample data. Type 5 = IDR slice (keyframe)."""
+    p = bytes(payload)
+    out = []
+    if length_size:
+        pos = 0
+        while pos + length_size <= len(p):
+            n = int.from_bytes(p[pos:pos + length_size], "big")
+            body = pos + length_size
+            if n == 0 or body + n > len(p):
+                break
+            t = p[body] & 0x1F
+            out.append({"offset": body, "size": n, "type": t,
+                        "idr": t == 5})
+            pos = body + n
+        return out
+    i = 0
+    n = len(p)
+    starts = []
+    while i + 3 <= n:
+        if p[i] == 0 and p[i + 1] == 0:
+            if p[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= n and p[i + 2] == 0 and p[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        while e > s and p[e - 1] == 0:         # trailing start-code zeros
+            e -= 1
+        t = p[s] & 0x1F
+        out.append({"offset": s, "size": e - s, "type": t, "idr": t == 5})
+    return out
+
+
+def h264_stream_info(payload: bytes, length_size: Optional[int] = None
+                     ) -> Optional[dict]:
+    """Stream-level metadata from the first SPS: dims/profile/level +
+    NAL/IDR counts."""
+    nals = h264_nal_units(payload, length_size)
+    if not nals:
+        return None
+    info = {"n_nals": len(nals),
+            "n_idr": sum(1 for x in nals if x["idr"])}
+    p = bytes(payload)
+    for x in nals:
+        if x["type"] == 7:
+            sps = h264_parse_sps(p[x["offset"]:x["offset"] + x["size"]])
+            if sps:
+                info.update(sps)
+                break
+    return info
+
+
+def mp4_avc_config(payload: bytes) -> Optional[dict]:
+    """SPS-true video metadata for an MP4 whose track is avc1: find the
+    avcC box (stsd sample entry extension), parse its first SPS, and
+    return dims/profile + the NAL length size used by sample data —
+    the container's tkhd width/height can disagree; the SPS is the
+    bitstream truth."""
+    p = bytes(payload)
+    i = p.find(b"avcC")
+    if i < 0 or i + 12 > len(p):
+        return None
+    body = i + 4
+    if p[body] != 1:                           # configurationVersion
+        return None
+    length_size = (p[body + 4] & 3) + 1
+    n_sps = p[body + 5] & 0x1F
+    pos = body + 6
+    for _ in range(n_sps):
+        if pos + 2 > len(p):
+            return None
+        ln = struct.unpack(">H", p[pos:pos + 2])[0]
+        sps = h264_parse_sps(p[pos + 2:pos + 2 + ln])
+        if sps:
+            sps["nal_length_size"] = length_size
+            return sps
+        pos += 2 + ln
+    return None
