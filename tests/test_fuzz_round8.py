@@ -235,3 +235,58 @@ class TestPlanShapes:
         # partial agg -> Exchange(key) -> final agg, then the join's
         # broadcast/exchange; the NULL branch adds NO exchange
         assert plan.count("Exchange") <= 3, plan
+
+
+# -- container fuzz (Ogg pages / ADTS frames / MKV blocks / H.264 SPS) ---------
+
+class TestContainerFuzz:
+    @_SET
+    @given(st.lists(st.integers(1, 200), min_size=1, max_size=25),
+           st.integers(0, 400))
+    def test_ogg_pages_ground_truth(self, page_sizes, pre_skip):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_ogg_pages import build_opus_stream, mk_page
+
+        from pixeltable_spark.functions import audio_codec as ac
+        p = build_opus_stream(n_data_pages=len(page_sizes),
+                              pre_skip=pre_skip)
+        idx = ac.ogg_page_index(p, verify_crc=True)
+        assert len(idx) == len(page_sizes) + 2
+        assert all(pg["crc_ok"] for pg in idx)
+        assert sum(pg["size"] for pg in idx) == len(p)
+        assert ac.ogg_duration(p) == pytest.approx(
+            len(page_sizes) * 960 / 48000, abs=1e-6)
+
+    @_SET
+    @given(st.lists(st.tuples(st.integers(8, 1500), st.integers(1, 4)),
+                    min_size=1, max_size=30))
+    def test_adts_ground_truth(self, spec):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_adts_frames import mk_adts
+
+        from pixeltable_spark.functions import audio_codec as ac
+        p = b"".join(mk_adts(size=s, n_blocks=b) for s, b in spec)
+        idx = ac.adts_frame_index(p)
+        assert len(idx) == len(spec)
+        assert [f["size"] for f in idx] == [s for s, _ in spec]
+        assert ac.adts_duration(p) == pytest.approx(
+            sum(b * 1024 for _, b in spec) / 44100, abs=1e-6)
+        segs = ac.adts_split(p, duration=0.05)
+        assert b"".join(s for _, _, s in segs) == p
+
+    @_SET
+    @given(st.integers(16, 4000), st.integers(16, 4000),
+           st.sampled_from([66, 100]))
+    def test_h264_sps_dims_roundtrip(self, w, h, profile):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_h264_structure import mk_sps
+
+        from pixeltable_spark.functions import video_codec as vc
+        w -= w % 2
+        h -= h % 2   # crop units are 2 px for 4:2:0
+        w, h = max(w, 16), max(h, 16)
+        sps = vc.h264_parse_sps(mk_sps(w, h, profile=profile))
+        assert (sps["width"], sps["height"]) == (w, h)
