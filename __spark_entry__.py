@@ -3015,6 +3015,41 @@ def q138_video_structure(spark, sf_dir):
     return base.mapInPandas(op, out_schema).orderBy("doc_id")
 
 
+def q139_index_maintenance(spark, sf_dir):
+    """Embedding-index INSERT-SYNC under the hard oracle gate
+    (index.py EmbeddingIndex/add-then-insert; reference
+    catalog/table.py:461 add_embedding_index — index values computed
+    incrementally at insert time): load half the embeddings into a
+    versioned table, build the index, insert the OTHER half, then
+    search. The DuckDB oracle computes exact top-k cosine over ALL
+    embeddings — if post-index inserts were invisible to the search,
+    half the corpus would be missing and the result set could not
+    match."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.index import EmbeddingIndex
+    from pixeltable_spark.type_system import ArrayType
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    wh = tempfile.mkdtemp(prefix="pxt_q139_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table(
+        "e", {"vid": pxt.Int(False),
+              "embedding": ArrayType(element=pxt.Float(False))},
+        n_buckets=2)
+    t.insert(emb.where(F.col("vid") % 2 == 0))       # half the corpus
+    idx = EmbeddingIndex(t, "embedding", "embedding", method="exact")
+    t.insert(emb.where(F.col("vid") % 2 == 1))       # index must see these
+    hits = idx.search(QUERY_VEC, k=20)
+    return (hits.select("vid",
+                        F.col("_similarity").alias("cos"))
+            .orderBy(F.col("cos").desc(), "vid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3153,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_pii_audit": q136_pii_audit,
         "q137_audio_structure": q137_audio_structure,
         "q138_video_structure": q138_video_structure,
+        "q139_index_maintenance": q139_index_maintenance,
     }
 
 
@@ -3902,6 +3938,12 @@ FROM nation ORDER BY nk""",
         "q136_pii_audit": _q136_oracle(),
         "q137_audio_structure": _q137_oracle(),
         "q138_video_structure": _q138_oracle(),
+        # q139: exact top-k over ALL embeddings — catches an index that
+        # missed post-creation inserts (half the corpus would be absent)
+        "q139_index_maintenance": f"""
+WITH {_COS_CTE}
+SELECT CAST(vec_id AS INT) AS vid, cos FROM cos
+ORDER BY cos DESC, vid LIMIT 20""",
         "q131_canonical_url": _q131_oracle(),
         "q129_benford": """
 WITH d AS (SELECT regexp_extract(
