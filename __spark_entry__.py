@@ -3050,6 +3050,53 @@ def q139_index_maintenance(spark, sf_dir):
             .orderBy(F.col("cos").desc(), "vid"))
 
 
+def q140_sessionize_stream(spark, sf_dir):
+    """Gap sessionization as a STATEFUL STREAM
+    (streaming/stateful.py sessionize_stream_stateful —
+    applyInPandasWithState, two scalars of state per entity, numpy
+    shifted-diff fold, no event buffering): availableNow replay of the
+    events source, per-user session counts collapsed by max() (the
+    count is monotone across update emissions) — checked against the
+    SAME lag+gap SQL oracle as batch q22 (streaming ≡ batch on a
+    time-ordered replay; third streaming query with a full SQL oracle,
+    after q114/q132)."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark import streaming
+    ts_type = spark.read.parquet(
+        f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sess = streaming.sessionize_stream_stateful(raw, "ts", "user_id",
+                                                    gap_s=1800)
+        name = "q140_sess_" + _uuid.uuid4().hex[:10]
+        q = (sess.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_sessions").alias("n_sessions"))
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3189,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_audio_structure": q137_audio_structure,
         "q138_video_structure": q138_video_structure,
         "q139_index_maintenance": q139_index_maintenance,
+        "q140_sessionize_stream": q140_sessionize_stream,
     }
 
 
@@ -5159,4 +5207,7 @@ def oracle_sql() -> dict[str, str]:
     # time-ordered availableNow replay shares q101's nested-min oracle
     # (also pinned by tests/test_stateful_streaming.py)
     d["q114_funnel_stream"] = d["q101_funnel"]
+    # the streaming sessionizer's availableNow replay must equal the
+    # batch lag+gap formulation — q22's oracle, verbatim
+    d["q140_sessionize_stream"] = d["q22_sessionize"]
     return d

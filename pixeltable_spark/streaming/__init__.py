@@ -10,10 +10,12 @@ from .stateful import (
     stream_dedup_stateful,
     stateful_running_uda,
     funnel_stream,
+    sessionize_stream_stateful,
 )
 
 __all__ = [
     "incremental_ingest", "stream_from_directory", "windowed_event_counts",
     "sessionize_stream", "run_stream_to_memory", "curation_stream",
     "stream_dedup_stateful", "stateful_running_uda", "funnel_stream",
+    "sessionize_stream_stateful",
 ]

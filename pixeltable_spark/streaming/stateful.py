@@ -314,3 +314,66 @@ def funnel_stream(stream_df: DataFrame, ts_col: str, type_col: str,
             fn, out_schema, state_schema, "update",
             GroupStateTimeout.EventTimeTimeout)
     )
+
+
+def sessionize_stream_stateful(stream_df: DataFrame, ts_col: str = "ts",
+                               by: str = "user_id", gap_s: int = 1800,
+                               tiebreak_col: str = "event_id") -> DataFrame:
+    """Gap-threshold sessionization as a STATEFUL STREAM: per entity,
+    two scalars of state — (last_event_us, n_sessions) — no event
+    buffering, the same contract as :func:`funnel_stream`.
+
+    Each micro-batch folds the entity's events in (ts, tiebreak) order:
+    a gap > ``gap_s`` from the previous event (possibly in an EARLIER
+    micro-batch — that's what the carried last_event_us is for) starts a
+    new session. Emits (by, n_sessions) per entity per batch in update
+    mode; n_sessions is monotone, so ``max()`` collapses the emissions
+    to the final count. On a time-ordered availableNow replay this
+    equals the batch lag+gap formulation exactly (q22's SQL oracle);
+    out-of-order arrivals WITHIN a micro-batch are sorted away, while
+    cross-batch disorder needs the source ordered — the same caveat as
+    every pure-scalar-state sessionizer.
+
+    The inner fold is numpy (shifted-diff > gap), not a python loop, so
+    a hot entity with a million events in one batch costs one vector
+    pass."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField(by, T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+    ])
+    gap_us = int(gap_s) * 1_000_000
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, n = state.get if state.exists else (None, 0)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values([ts_col, tiebreak_col])
+        us = rows[ts_col].astype("int64").to_numpy() // 1000
+        prev = np.empty_like(us)
+        prev[1:] = us[:-1]
+        # the entity's very first event always opens a session: seed a
+        # synthetic prev just past the gap (int64-min would overflow
+        # the subtraction and silently drop that first session)
+        prev[0] = (last_us if last_us is not None
+                   else int(us[0]) - gap_us - 1)
+        n += int((us - prev > gap_us).sum())
+        state.update((int(us[-1]), int(n)))
+        yield pd.DataFrame([{by: key[0], "n_sessions": int(n)}])
+
+    return (
+        stream_df.groupBy(F.col(by))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout)
+    )

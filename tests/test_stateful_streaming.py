@@ -233,3 +233,76 @@ class TestFunnelStream:
             spark, funnel_landing, EV_SCHEMA)
         with pytest.raises(ValueError):
             streaming.funnel_stream(stream, "ts", "event_type", [])
+
+
+class TestSessionizeStreamStateful:
+    @pytest.fixture()
+    def sess_landing(self, spark, tmp_path):
+        """Two files split MID-SESSION: user 1's events at minutes
+        0,10 land in file A and 20, 90 in file B — the 20-minute event
+        continues the session only if state carried the last timestamp
+        across micro-batches; 90 opens session 2. User 2 has a single
+        event per file, 3 hours apart (2 sessions)."""
+        rows = [
+            (1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:10:00", 1),
+            (3, "2024-01-01 13:00:00", 2),
+            (4, "2024-01-01 10:20:00", 1), (5, "2024-01-01 11:30:00", 1),
+            (6, "2024-01-01 16:30:00", 2),
+        ]
+        df = spark.createDataFrame(
+            [(e, ts, u, 0.0) for e, ts, u in rows],
+            "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = str(tmp_path / "sess")
+        df.filter(F.col("event_id") <= 3).coalesce(1) \
+          .write.mode("append").parquet(d)
+        df.filter(F.col("event_id") > 3).coalesce(1) \
+          .write.mode("append").parquet(d)
+        return d
+
+    def test_state_carries_across_batches(self, spark, sess_landing):
+        stream = streaming.stream_from_directory(spark, sess_landing, SCHEMA)
+        sess = streaming.sessionize_stream_stateful(
+            stream, "ts", "user_id", gap_s=1800)
+        streaming.run_stream_to_memory(sess, "sess_t1",
+                                       output_mode="update")
+        out = (spark.table("sess_t1").groupBy("user_id")
+               .agg(F.max("n_sessions").alias("n")).collect())
+        got = {r["user_id"]: r["n"] for r in out}
+        # user 1: 10:00/10:10/10:20 one session (the 10:20 event only
+        # continues it if last_us survived the batch boundary), 11:30
+        # second session. user 2: 13:00 and 16:30 = two sessions.
+        assert got == {1: 2, 2: 2}
+
+    def test_matches_batch_sessionize(self, spark, sess_landing):
+        stream = streaming.stream_from_directory(spark, sess_landing, SCHEMA)
+        sess = streaming.sessionize_stream_stateful(
+            stream, "ts", "user_id", gap_s=1800)
+        streaming.run_stream_to_memory(sess, "sess_t2",
+                                       output_mode="update")
+        got = {r["user_id"]: r["n"] for r in
+               (spark.table("sess_t2").groupBy("user_id")
+                .agg(F.max("n_sessions").alias("n")).collect())}
+        # batch replay: lag + gap over the same files
+        from pyspark.sql import Window as W
+        batch = spark.read.schema(SCHEMA).parquet(sess_landing)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        prev = F.lag(us).over(w)
+        newf = F.when(prev.isNull() | ((us - prev) > 1800 * 1_000_000), 1) \
+            .otherwise(0)
+        want = {r["user_id"]: r["n"] for r in
+                batch.select("user_id", newf.alias("f"))
+                .groupBy("user_id").agg(F.sum("f").alias("n")).collect()}
+        assert got == want
+
+    def test_validation(self, spark, sess_landing):
+        stream = streaming.stream_from_directory(spark, sess_landing, SCHEMA)
+        sess = streaming.sessionize_stream_stateful(stream, "ts", "user_id",
+                                                    gap_s=60)
+        streaming.run_stream_to_memory(sess, "sess_t3",
+                                       output_mode="update")
+        got = {r["user_id"]: r["n"] for r in
+               (spark.table("sess_t3").groupBy("user_id")
+                .agg(F.max("n_sessions").alias("n")).collect())}
+        assert got == {1: 4, 2: 2}   # 60s gap splits every user-1 event
