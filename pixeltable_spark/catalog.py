@@ -438,6 +438,10 @@ class Table:
         self.n_buckets = 16
         # col -> target false-positive rate for per-file bloom skipping
         self.bloom_cols: dict[str, float] = {}
+        # post-commit logical state stamped into the next manifest (see
+        # _commit_files): set by version-bumping mutations pre-write
+        self._pending_version: Optional[int] = None
+        self._pending_next_rowid: Optional[int] = None
 
     # -- creation / persistence -------------------------------------------
     @classmethod
@@ -468,6 +472,11 @@ class Table:
             "n_buckets": self.n_buckets,
             "bloom_cols": self.bloom_cols,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
+            # the manifest this meta is in sync with: loaders trust meta
+            # only while CURRENT still points here; when CURRENT has
+            # moved past it (a crash between commit and meta save), the
+            # manifest's own version/next_rowid stamp wins
+            "manifest": getattr(self, "_manifest_at_read", None),
         }
         # atomic (tmp + fsync + rename): a concurrent reader must never
         # see a truncated meta.json / computed.pkl
@@ -501,6 +510,25 @@ class Table:
             from pyspark import cloudpickle
             with open(cpath, "rb") as f:
                 self.computed = cloudpickle.load(f)
+        # reconcile with the COMMITTED state: when CURRENT points past
+        # the manifest this meta was saved against (a crash between the
+        # commit swap and the meta save), the manifest's version stamp
+        # is the durable truth and wins — otherwise meta stands (it may
+        # legitimately record no-commit version bumps and reverts)
+        cur_path = os.path.join(self.path, "CURRENT")
+        if os.path.exists(cur_path):
+            try:
+                with open(cur_path) as f:
+                    cur_manifest = json.load(f)["manifest"]
+                if meta.get("manifest") != cur_manifest:
+                    m = self._load_manifest(cur_manifest)
+                    if "version" in m:
+                        self.version = m["version"]
+                        self.next_rowid = m.get("next_rowid",
+                                                self.next_rowid)
+                self._manifest_at_read = cur_manifest
+            except (OSError, KeyError, json.JSONDecodeError):
+                pass  # pre-stamp manifest or unreadable: meta stands
 
     def _log(self, op: str, **kw: Any) -> None:
         self.history.append({"version": self.version, "op": op,
@@ -556,6 +584,12 @@ class Table:
             self._lock_depth = 1
             try:
                 self._refresh_from_disk()
+                # a prior mutation that bumped state but never
+                # committed (matched-nothing update/delete) may have
+                # left a stale pending stamp — clear it so it cannot
+                # ride a later, unrelated commit
+                self._pending_version = None
+                self._pending_next_rowid = None
                 yield
             finally:
                 self._lock_depth = 0
@@ -565,16 +599,34 @@ class Table:
 
     def _refresh_from_disk(self) -> None:
         """Rebase this handle on the latest committed state (another
-        process may have committed since this object loaded). Called
-        under the write lock, so what it reads cannot move again before
-        this writer's own commit."""
+        process may have committed since this object loaded, or a
+        crashed writer may have committed a manifest without saving
+        meta.json). Called under the write lock, so what it reads
+        cannot move again before this writer's own commit. The
+        manifest's version stamp is the committed truth; meta.json is
+        the cache (see _commit_files)."""
         mpath = os.path.join(self.path, "meta.json")
         if not os.path.exists(mpath):
             return
         with open(mpath) as f:
             disk = json.load(f)
-        if (disk.get("version", 0) != self.version
-                or disk.get("next_rowid", 0) != self.next_rowid):
+        disk_v = disk.get("version", 0)
+        disk_r = disk.get("next_rowid", 0)
+        cur_path = self._current_path
+        if os.path.exists(cur_path):
+            try:
+                with open(cur_path) as f:
+                    cur_manifest = json.load(f)["manifest"]
+                if disk.get("manifest") != cur_manifest:
+                    # meta predates the latest commit (crashed writer):
+                    # the manifest stamp is the committed truth
+                    m = self._load_manifest(cur_manifest)
+                    if "version" in m:
+                        disk_v = m["version"]
+                        disk_r = m.get("next_rowid", disk_r)
+            except (OSError, KeyError, json.JSONDecodeError):
+                pass
+        if disk_v != self.version or disk_r != self.next_rowid:
             self._load_meta()
             # base snapshot moved -> any remembered manifest is stale
             self._manifest_at_read = None
@@ -894,11 +946,29 @@ class Table:
         new_files = [f for f in files if f not in stats]
         stats.update(self._collect_stats(new_files))
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
+        # stamp the POST-commit logical state into the manifest: the
+        # CURRENT swap is the commit point, so version/next_rowid must
+        # become durable WITH it — a crash between the swap and the
+        # meta.json save otherwise lets the next writer reuse a
+        # committed version number (duplicate live row-versions) or
+        # recycle committed rowids (key collisions). Loaders reconcile:
+        # the manifest stamp, when present, wins over meta.json.
+        # Mutations set _pending_version/_pending_next_rowid just
+        # before their write; storage-only commits (optimize,
+        # add_bloom_filter) stamp the unchanged current values.
+        pending_v = getattr(self, "_pending_version", None)
+        pending_r = getattr(self, "_pending_next_rowid", None)
+        manifest = {"format_version": MANIFEST_FORMAT_VERSION,
+                    "files": sorted(files),
+                    "stats": stats,
+                    "version": (pending_v if pending_v is not None
+                                else self.version),
+                    "next_rowid": (pending_r if pending_r is not None
+                                   else self.next_rowid)}
+        self._pending_version = None
+        self._pending_next_rowid = None
         self._atomic_write(os.path.join(self.path, mrel),
-                           json.dumps({
-                               "format_version": MANIFEST_FORMAT_VERSION,
-                               "files": sorted(files),
-                               "stats": stats}))
+                           json.dumps(manifest))
         self._atomic_write(self._current_path, json.dumps({
             "format_version": MANIFEST_FORMAT_VERSION, "manifest": mrel}))
         self._manifest_at_read = mrel
@@ -1415,6 +1485,7 @@ class Table:
         if self._has_data():
             store = self._store_df()
             store = self._eval_computed(store, [cc])
+            self._pending_version = self.version + 1
             self._rewrite(store)
         self.version += 1
         self._log("add_computed_column", column=name)
@@ -1488,6 +1559,7 @@ class Table:
         if self._has_data():
             store = self._store_df().withColumn(
                 name, F.lit(default).cast(col_type.spark_type()))
+            self._pending_version = self.version + 1
             self._rewrite(store.select(*[f.name for f in self._store_schema().fields]))
         self.version += 1
         self._log("add_column", column=name)
@@ -1507,6 +1579,7 @@ class Table:
         else:
             raise ValueError(f"unknown column {name!r}")
         if self._has_data():
+            self._pending_version = self.version + 1
             self._rewrite(self._store_df().drop(name, _cellmd_col(name)))
         self.version += 1
         self._log("drop_column", column=name)
@@ -1523,6 +1596,7 @@ class Table:
         if self._has_data():
             store = self._store_df().withColumn(
                 name, F.col(name).cast(col_type.spark_type()))
+            self._pending_version = self.version + 1
             self._rewrite(store)
         self.version += 1
         self._log("alter_column", column=name, new_type=col_type.kind.name)
@@ -1553,6 +1627,7 @@ class Table:
         for cc in self.computed.values():
             _walk(cc.expr)
         if self._has_data():
+            self._pending_version = self.version + 1
             self._rewrite(self._store_df().withColumnRenamed(old, new))
         self.version += 1
         self._log("rename_column", old=old, new=new)
@@ -1593,6 +1668,8 @@ class Table:
         )
         slice_df = self._eval_computed(slice_df, list(self.computed.values()))
         slice_df = slice_df.select(*[f.name for f in self._store_schema().fields])
+        self._pending_version = new_version
+        self._pending_next_rowid = self.next_rowid + n
         self._append(slice_df)
         self.version = new_version
         self.next_rowid += n
@@ -1663,6 +1740,7 @@ class Table:
         updated = updated.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
         if cascade:
             updated = self._eval_computed(updated, list(self.computed.values()))
+        self._pending_version = new_version
         self._rewrite_buckets(expired.unionByName(updated), aff)
         self.version = new_version
         self._log("update", rows=n)
@@ -1738,6 +1816,7 @@ class Table:
                    .withColumn(_VMAX, F.lit(MAXV)))
         if cascade:
             updated = self._eval_computed(updated, list(self.computed.values()))
+        self._pending_version = new_version
         self._rewrite_buckets(expired.unionByName(updated), aff)
         self.version = new_version
         self._log("batch_update", rows=n)
@@ -1761,6 +1840,7 @@ class Table:
         out = sub.withColumn(
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
         )
+        self._pending_version = new_version
         self._rewrite_buckets(out, aff)
         self.version = new_version
         self._log("delete", rows=n)
@@ -1788,6 +1868,7 @@ class Table:
             _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX)))
         recomputed = self._eval_computed(sub.filter(matched), ccs)
         recomputed = recomputed.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
+        self._pending_version = new_version
         self._rewrite_buckets(expired.unionByName(recomputed), aff)
         self.version = new_version
         self._log("recompute", rows=n, columns=list(cols))
@@ -1812,6 +1893,7 @@ class Table:
             sub.filter(F.col(_VMIN) < v)
             .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV)).otherwise(F.col(_VMAX)))
         )
+        self._pending_version = v - 1
         self._rewrite_buckets(out, aff)
         self.version = v - 1
         self.history = [h for h in self.history if h["version"] < v]
