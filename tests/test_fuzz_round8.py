@@ -290,3 +290,46 @@ class TestContainerFuzz:
         w, h = max(w, 16), max(h, 16)
         sps = vc.h264_parse_sps(mk_sps(w, h, profile=profile))
         assert (sps["width"], sps["height"]) == (w, h)
+
+
+class TestMkvFuzz:
+    @_SET
+    @given(st.data())
+    def test_block_index_ground_truth(self, data):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_mkv_blocks import (block_group, build_mkv, cluster, el,
+                                     simple_block)
+
+        from pixeltable_spark.functions import video_codec as vc
+        tscale = data.draw(st.sampled_from([1_000_000, 500_000, 2_000_000]))
+        n_clusters = data.draw(st.integers(1, 6))
+        spec = []   # (ctime, [(rel, keyframe, via_group)])
+        t = 0
+        for _ in range(n_clusters):
+            blocks = data.draw(st.lists(
+                st.tuples(st.integers(0, 500), st.booleans(), st.booleans()),
+                min_size=1, max_size=5))
+            spec.append((t, blocks))
+            t += data.draw(st.integers(100, 1000))
+        ebml_hdr = el(0x1A45DFA3, el(0x4282, b"matroska"))
+        info = el(0x1549A966, el(0x2AD7B1, tscale.to_bytes(3, "big")))
+        tracks = el(0x1654AE6B, el(0xAE, el(0x83, b"\x01")
+                                   + el(0x86, b"V_T")))
+        body = info + tracks
+        want = []
+        for ctime, blocks in spec:
+            blob = b""
+            for rel, kf, via_group in blocks:
+                if via_group:
+                    blob += block_group(1, rel, ref=not kf)
+                else:
+                    blob += simple_block(1, rel, kf)
+                want.append((round((ctime + rel) * tscale / 1e9, 6), kf))
+            body += cluster(ctime, blob)
+        p = ebml_hdr + el(0x18538067, body)
+        idx = vc.mkv_block_index(p)
+        assert [(b["t"], b["keyframe"]) for b in idx] == want
+        segs = vc.mkv_split(p, duration=1e-9)
+        assert sum(len([b for b in vc.mkv_block_index(s)])
+                   for _, _, s in segs) == len(want)
