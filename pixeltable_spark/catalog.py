@@ -438,6 +438,11 @@ class Table:
         self.n_buckets = 16
         # col -> target false-positive rate for per-file bloom skipping
         self.bloom_cols: dict[str, float] = {}
+        # earliest version still reconstructible: optimize(purge_before=v)
+        # physically drops row-versions expired at/before v, so time travel
+        # below v would silently miss rows — raise instead (see
+        # _validate_version)
+        self.version_floor = 0
         # post-commit logical state stamped into the next manifest (see
         # _commit_files): set by version-bumping mutations pre-write
         self._pending_version: Optional[int] = None
@@ -471,6 +476,7 @@ class Table:
             "history": self.history,
             "n_buckets": self.n_buckets,
             "bloom_cols": self.bloom_cols,
+            "version_floor": self.version_floor,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
             # the manifest this meta is in sync with: loaders trust meta
             # only while CURRENT still points here; when CURRENT has
@@ -502,6 +508,7 @@ class Table:
         self.history = meta["history"]
         self.n_buckets = meta.get("n_buckets", 16)
         self.bloom_cols = meta.get("bloom_cols", {})
+        self.version_floor = meta.get("version_floor", 0)
         self.schema = {
             k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
@@ -1212,6 +1219,15 @@ class Table:
         return staged.withColumn("__z", z).drop(
             *[f"__zb{i}" for i in range(ncols)])
 
+    def _record_optimize(self, purge_before: Optional[int]) -> None:
+        """Persist optimize()'s metadata effects: purge raises the
+        time-travel floor (versions below it are physically gone)."""
+        if purge_before is not None:
+            self.version_floor = max(self.version_floor,
+                                     min(int(purge_before), self.version))
+        self._save_meta()
+
+    @_locked_mutation
     def optimize(self, purge_before: Optional[int] = None,
                  zorder_by: Optional[Sequence[str]] = None,
                  target_files: Optional[int] = None) -> dict:
@@ -1266,6 +1282,7 @@ class Table:
             after = self._current_files()
             self._log("optimize", zorder_by=list(zorder_by),
                       files_before=len(cur), files_after=len(after))
+            self._record_optimize(purge_before)
             return {"compacted_buckets": self.n_buckets,
                     "zorder_by": list(zorder_by),
                     "files_before": len(cur), "files_after": len(after)}
@@ -1284,6 +1301,7 @@ class Table:
             self._rewrite(store)
             after = self._current_files()
             self._log("optimize", files_before=len(cur), files_after=len(after))
+            self._record_optimize(purge_before)
             return {"compacted_buckets": len(by_bucket),
                     "files_before": len(cur), "files_after": len(after)}
         if not crowded and purge_before is None:
@@ -1301,14 +1319,38 @@ class Table:
         self._commit_files(keep + new)
         after = self._current_files()
         self._log("optimize", files_before=len(cur), files_after=len(after))
+        self._record_optimize(purge_before)
         return {"compacted_buckets": len(targets),
                 "files_before": len(cur), "files_after": len(after)}
 
     # -- read path ---------------------------------------------------------
+    def _validate_version(self, version: Optional[int]) -> int:
+        """Resolve + validate a time-travel version argument. A version
+        that never existed (> current) or is no longer reconstructible
+        (below the optimize(purge_before=...) floor) raises NotFoundError
+        instead of silently passing the visibility predicate — on a table
+        at version 1, every live row satisfies `_v_min <= 99 < _v_max`,
+        so an unvalidated df(version=99) returns plausible-looking wrong
+        data (reference validates via its version catalog,
+        catalog/table.py:1087-1111)."""
+        if version is None:
+            return self.version
+        v = int(version)
+        if v > self.version or v < 0:
+            raise NotFoundError(
+                f"table {self.name!r} has no version {version} "
+                f"(current version is {self.version})")
+        if v < self.version_floor:
+            raise NotFoundError(
+                f"table {self.name!r} version {version} predates "
+                f"optimize(purge_before={self.version_floor}) and is no "
+                "longer reconstructible")
+        return v
+
     def df(self, version: Optional[int] = None) -> DataFrame:
         """Live rows at a version (default: current) — the version-interval
         visibility predicate (reference store.py:39-42)."""
-        v = self.version if version is None else version
+        v = self._validate_version(version)
         # manifest-stats skipping: a file whose every row was created
         # after v (or expired at/before v) never opens — time travel on a
         # 100 TB table reads only the files that existed at v
@@ -1392,7 +1434,7 @@ class Table:
         (TableRef when where is None). On a 100 TB table a selective
         scan opens only the files whose stats admit matches — the
         Delta/Iceberg data-skipping read path."""
-        v = self.version if version is None else version
+        v = self._validate_version(version)
         ranges = [(_VMIN, "<=", v), (_VMAX, ">", v)]
         if where is not None:
             ranges += self._extract_ranges(where)
@@ -2053,17 +2095,38 @@ class View(Table):
             os.fsync(f.fileno())
         os.rename(tmp, vpath)
 
+    def _manifest_version_stamp(self) -> Optional[int]:
+        """The version stamped into the CURRENT manifest, or None. Pre-
+        round-9 view manifests were stamped with the PRE-mutation version,
+        so callers must treat the stamp as a lower bound (take max with
+        meta) rather than the unconditional truth."""
+        if not os.path.exists(self._current_path):
+            return None
+        try:
+            with open(self._current_path) as f:
+                cur_manifest = json.load(f)["manifest"]
+            return self._load_manifest(cur_manifest).get("version")
+        except (OSError, KeyError, json.JSONDecodeError):
+            return None
+
     def _refresh_from_disk(self) -> None:
         """View meta has no next_rowid (rows are keyed by the base's
         _rowid) — rebase the view-version fields directly instead of the
-        Table loader."""
+        Table loader. The committed manifest's version stamp wins over
+        meta.json when it is AHEAD (a writer that crashed between the
+        CURRENT swap and the meta save), so a reloaded handle never
+        reuses a committed version number for its next mutation."""
         mpath = os.path.join(self.path, "meta.json")
         if not os.path.exists(mpath):
             return
         with open(mpath) as f:
             meta = json.load(f)
-        if meta.get("version", self.version) != self.version:
-            self.version = meta["version"]
+        disk_v = meta.get("version", self.version)
+        stamp = self._manifest_version_stamp()
+        if stamp is not None and stamp > disk_v:
+            disk_v = stamp
+        if disk_v != self.version:
+            self.version = disk_v
             self._version_floor = meta.get("version_floor", self.version)
             self._loaded_base_version = meta.get("loaded_base_version", -1)
             self._manifest_at_read = None
@@ -2078,6 +2141,12 @@ class View(Table):
             spec = cloudpickle.load(f)
         v.base = catalog.get_table(meta["base"])
         v.version = meta["version"]
+        # reconcile against the committed manifest stamp: a crash between
+        # the CURRENT swap and the meta save must not let this handle
+        # reuse the committed version (same contract as Table._load_meta)
+        stamp = v._manifest_version_stamp()
+        if stamp is not None and stamp > v.version:
+            v.version = stamp
         v._version_floor = meta.get("version_floor", meta["version"])
         v._loaded_base_version = meta.get("loaded_base_version", -1)
         v.predicate = spec["predicate"]
@@ -2111,7 +2180,11 @@ class View(Table):
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
         # views use the same bucketed layout + manifest commit as base
         # tables, so ALL writers (_load_increment append, _apply_base_update
-        # bucket swap) agree on one protocol
+        # bucket swap) agree on one protocol; stamping the POST-mutation
+        # version into the manifest closes the crash-between-commit-and-
+        # meta-save window for views exactly as for tables (loaders
+        # reconcile against the stamp — see _refresh_from_disk)
+        self._pending_version = new_v
         self._rewrite(self._with_bkt(out))
         self._loaded_base_version = self.base.version
         self.version += 1
@@ -2129,6 +2202,7 @@ class View(Table):
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
         # layout-aware append (partitioned by _bkt unless legacy flat dir)
+        self._pending_version = new_v
         self._append(out)
         self._loaded_base_version = self.base.version
         self.version += 1
@@ -2170,6 +2244,7 @@ class View(Table):
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
+        self._pending_version = new_v
         self._rewrite_buckets(expired.unionByName(self._with_bkt(out)), bkts)
         self._loaded_base_version = self.base.version
         self.version = new_v
@@ -2189,8 +2264,12 @@ class View(Table):
         if _BKT in raw.columns:  # storage detail, recomputable from _rowid
             raw = raw.drop(_BKT)
         v = self.version if version is None else version
+        if version is not None and (version > self.version or version < 0):
+            raise NotFoundError(
+                f"view {self.name!r} has no version {version} "
+                f"(current version is {self.version})")
         if version is not None and version < self._version_floor:
-            raise ValueError(
+            raise NotFoundError(
                 f"view {self.name!r} version {version} predates the last "
                 f"full refresh (floor={self._version_floor}) and is no "
                 "longer reconstructible")

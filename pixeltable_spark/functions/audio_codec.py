@@ -909,8 +909,11 @@ def mp3_frame_index(payload: bytes, max_frames: Optional[int] = None
 def _is_info_frame(p: bytes, fr: dict) -> bool:
     """Xing/Info/VBRI tag frame (silent metadata frame written by
     encoders) — excluded from audio duration and segmentation."""
-    off = fr["offset"] + 4 + _mp3_side_info_size(fr["version"],
-                                                 fr["channels"])
+    # the tag sits after header + optional 2-byte CRC + side info
+    # (mirrors mp3_main_data_begin: a CRC-protected Xing frame would
+    # otherwise go unrecognized and skew duration/VBR stats by a frame)
+    off = fr["offset"] + 4 + (2 if fr["protected"] else 0) \
+        + _mp3_side_info_size(fr["version"], fr["channels"])
     tag = bytes(p[off:off + 4])
     return tag in (b"Xing", b"Info") or \
         bytes(p[fr["offset"] + 36:fr["offset"] + 40]) == b"VBRI"

@@ -731,6 +731,30 @@ def mp4_gop_segments(payload: bytes, duration: float) -> list:
 
 _MKV_CLUSTER = 0x1F43B675
 _MKV_SEGMENT = 0x18538067
+# valid Cluster children (Matroska element registry): Timestamp,
+# SilentTracks, Position, PrevSize, SimpleBlock, BlockGroup, plus the
+# EBML global elements CRC-32 / Void
+_MKV_CLUSTER_CHILDREN = {0xE7, 0x5854, 0xA7, 0xAB, 0xA3, 0xA0, 0xBF, 0xEC}
+
+
+def _mkv_cluster_end(p: bytes, child_start: int, seg_end: int) -> int:
+    """True end of an UNKNOWN-size Cluster: RFC 8794 §6.2 — an
+    unknown-size element ends at the first element that is not a valid
+    child (in a live-captured WebM, the next Cluster's ID). Without this
+    a parse of unknown-size clusters swallows every following Cluster as
+    a child and silently drops their blocks."""
+    q = child_start
+    while q < seg_end:
+        i2, q1 = _ebml_vint(p, q, keep_marker=True)
+        s2, q2 = _ebml_vint(p, q1, keep_marker=False)
+        if i2 is None or s2 is None:
+            return seg_end
+        if i2 not in _MKV_CLUSTER_CHILDREN:
+            return q  # e.g. the next (possibly unknown-size) Cluster
+        if s2 == -1:  # unknown-size CHILD: undefined layout, bail
+            return seg_end
+        q = min(q2 + s2, seg_end)
+    return seg_end
 
 
 def _mkv_segment_bounds(p: bytes):
@@ -805,6 +829,10 @@ def mkv_block_index(payload: bytes) -> list:
                                                 "big") or 1_000_000
                     q = q2 + s2
         elif eid == _MKV_CLUSTER:
+            if size == -1:
+                # unknown-size cluster: resolve its true end so following
+                # top-level Clusters are walked as siblings, not children
+                bend = _mkv_cluster_end(p, p2, seg_end)
             ctime = 0
             q = p2
             while q < bend:
@@ -905,6 +933,11 @@ def mkv_split(payload: bytes, duration: float) -> list:
                     tscale = int.from_bytes(p[q2:q2 + s2], "big") or tscale
                 q = q2 + s2
         elif eid == _MKV_CLUSTER:
+            if size == -1:
+                # unknown-size cluster (live-captured WebM): end at the
+                # first non-child element, else every later cluster lands
+                # inside this one and the split emits one giant segment
+                bend = _mkv_cluster_end(p, p2, seg_end)
             if first_cluster is None:
                 first_cluster = pos
             ctime = 0
@@ -1077,22 +1110,23 @@ def h264_nal_units(payload: bytes, length_size: Optional[int] = None
         return out
     i = 0
     n = len(p)
-    starts = []
+    starts = []  # (payload_start, start_code_start)
     while i + 3 <= n:
         if p[i] == 0 and p[i + 1] == 0:
             if p[i + 2] == 1:
-                starts.append(i + 3)
+                starts.append((i + 3, i))
                 i += 3
                 continue
             if i + 4 <= n and p[i + 2] == 0 and p[i + 3] == 1:
-                starts.append(i + 4)
+                starts.append((i + 4, i))
                 i += 4
                 continue
         i += 1
-    for k, s in enumerate(starts):
-        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
-        while e > s and p[e - 1] == 0:         # trailing start-code zeros
-            e -= 1
+    for k, (s, _cs) in enumerate(starts):
+        # a NAL ends exactly where the NEXT start code begins — stripping
+        # only the code's own bytes preserves legitimate
+        # trailing_zero_8bits / cabac_zero_words that belong to this NAL
+        e = starts[k + 1][1] if k + 1 < len(starts) else n
         t = p[s] & 0x1F
         out.append({"offset": s, "size": e - s, "type": t, "idr": t == 5})
     return out

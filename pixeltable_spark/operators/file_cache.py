@@ -80,6 +80,12 @@ class FileCache:
         tmp = p + ".tmp-" + _uuid.uuid4().hex[:8]
         with open(tmp, "wb") as f:
             f.write(data)
+            f.flush()
+            # fsync before the rename (same discipline as the catalog's
+            # _atomic_write): without it a power loss can persist the
+            # rename but not the data, and lookup would serve truncated
+            # bytes as valid media forever
+            os.fsync(f.fileno())
         os.rename(tmp, p)
         self._evict_if_needed()
 
