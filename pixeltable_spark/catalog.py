@@ -72,9 +72,13 @@ SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 # for high-cardinality unsorted keys (every file spans ~the full range).
 # Manifest format versioning (reference parity: metadata/__init__.py:21
 # VERSION + :42 register_converter): v1 = unstamped pre-round-7
-# manifests, v2 = stamped. Bump MANIFEST_FORMAT_VERSION on any breaking
-# manifest-schema change and register an upgrade fn for the OLD version.
-MANIFEST_FORMAT_VERSION = 2
+# manifests, v2 = stamped monolithic (full file list + stats inline),
+# v3 = log-structured (the manifest lists immutable SEGMENT files, each
+# holding the files added/removed by one commit — the Delta _delta_log /
+# Iceberg manifest-list design). Bump MANIFEST_FORMAT_VERSION on any
+# breaking manifest-schema change and register an upgrade fn for the
+# OLD version.
+MANIFEST_FORMAT_VERSION = 3
 
 
 def _upgrade_manifest_v1(m: dict) -> dict:
@@ -85,7 +89,16 @@ def _upgrade_manifest_v1(m: dict) -> dict:
     return out
 
 
-_MANIFEST_UPGRADES = {1: _upgrade_manifest_v1}
+def _upgrade_manifest_v2(m: dict) -> dict:
+    """v2 -> v3: a v2 manifest keeps its inline files/stats (readers
+    resolve both shapes — see _resolve_manifest); the next commit
+    writes the segmented form."""
+    out = dict(m)
+    out["format_version"] = 3
+    return out
+
+
+_MANIFEST_UPGRADES = {1: _upgrade_manifest_v1, 2: _upgrade_manifest_v2}
 
 # Same design as Delta Lake bloom-filter indexes / Iceberg bloom write
 # props; built only for NEW files at commit time (one column-pruned read).
@@ -698,6 +711,37 @@ class Table:
                                                self.path))
         return sorted(out)
 
+    def _resolve_manifest(self, relpath: str) -> dict:
+        """Materialize a manifest into {"files": [...], "stats": {...},
+        "segments": [...]?, "version"?, "next_rowid"?}. A v3 segmented
+        manifest is replayed: each segment's `remove` list drops files,
+        its `add` map (file -> footer stats) inserts/overrides them —
+        later segments win, so a re-add with refreshed stats (bloom
+        backfill) supersedes the old entry. v1/v2 manifests carry
+        files/stats inline and pass through. Memoized per manifest
+        relpath (manifests and segments are immutable once written)."""
+        cache = getattr(self, "_resolve_cache", None)
+        if cache is not None and cache[0] == relpath:
+            return cache[1]
+        m = self._load_manifest(relpath)
+        if "segments" in m:
+            stats: dict[str, dict] = {}
+            for seg_rel in m["segments"]:
+                with open(os.path.join(self.path, seg_rel)) as f:
+                    seg = json.load(f)
+                for r in seg.get("remove", ()):
+                    stats.pop(r, None)
+                stats.update(seg.get("add", {}))
+            out = {"files": sorted(stats), "stats": stats,
+                   "segments": list(m["segments"])}
+            for k in ("version", "next_rowid"):
+                if k in m:
+                    out[k] = m[k]
+        else:
+            out = m
+        self._resolve_cache = (relpath, out)
+        return out
+
     def _current_files(self) -> list[str]:
         """The current snapshot's file list; legacy (pre-manifest) tables
         fall back to a directory scan and upgrade on their next commit.
@@ -707,7 +751,7 @@ class Table:
             with open(self._current_path) as f:
                 cur = json.load(f)
             self._manifest_at_read = cur["manifest"]
-            return self._load_manifest(cur["manifest"])["files"]
+            return self._resolve_manifest(cur["manifest"])["files"]
         self._manifest_at_read = None
         if os.path.isdir(self._data_dir):
             return self._scan_parquet(self._data_dir)
@@ -859,7 +903,7 @@ class Table:
             return {}
         with open(self._current_path) as f:
             cur = json.load(f)
-        return self._load_manifest(cur["manifest"]).get("stats", {})
+        return self._resolve_manifest(cur["manifest"]).get("stats", {})
 
     @staticmethod
     def _prune_files(files: Sequence[str], stats: dict,
@@ -920,14 +964,30 @@ class Table:
                 keep.append(f)
         return keep
 
+    # a segmented manifest checkpoints (one full-file-map segment) once it
+    # accumulates this many delta segments: replay cost stays bounded
+    # while commit cost stays O(files changed), amortized — the Delta
+    # checkpoint-every-N-commits design
+    _CHECKPOINT_SEGMENTS = int(os.environ.get(
+        "PXT_SPARK_MANIFEST_CHECKPOINT", "24"))
+
     def _commit_files(self, files: Sequence[str]) -> None:
-        """The commit point: write a new manifest (file list + per-file
-        footer stats for data skipping), swap CURRENT onto it (atomic
-        rename), then best-effort vacuum of unreferenced files. A crash
-        before the CURRENT swap leaves the old snapshot intact; a crash
-        after it leaves only unreferenced garbage for the next vacuum.
-        Stats for carried-over files come from the previous manifest;
-        only NEW files pay a footer read."""
+        """The commit point, log-structured: write ONE immutable segment
+        holding only this commit's delta (files added with their footer
+        stats + files removed), write a small manifest that lists the
+        segment chain, swap CURRENT onto it (atomic rename), then
+        best-effort vacuum of unreferenced files. A crash before the
+        CURRENT swap leaves the old snapshot intact; a crash after it
+        leaves only unreferenced garbage for the next vacuum.
+
+        Commit cost is O(files changed + segment-chain length), NOT
+        O(total files): carried-over files are never re-listed or
+        re-statted — at 100 TB (10^5-10^7 files) the old monolithic
+        manifest was a GB-scale driver-side JSON rewrite per commit.
+        Every _CHECKPOINT_SEGMENTS commits the chain collapses into one
+        checkpoint segment (full file map), bounding replay cost (same
+        contract as Delta's _delta_log checkpoints / Iceberg's manifest
+        list)."""
         os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
         # optimistic concurrency: if CURRENT moved since this mutation read
         # its base snapshot, another writer committed in between — abort
@@ -942,16 +1002,38 @@ class Table:
                     f"concurrent modification of table {self.name!r}: "
                     f"CURRENT moved from {expected} to {now} during this "
                     "mutation; re-read and retry")
-        prev_stats = self._current_stats()
+            prev = self._resolve_manifest(now)
+        else:
+            prev = {"files": [], "stats": {}}
+        prev_files = set(prev["files"])
+        prev_stats = prev.get("stats", {})
+        prev_segments = prev.get("segments")
 
         def _fresh(f: str) -> bool:  # carried-over AND has every bloom col
             st = prev_stats.get(f)
             return st is not None and all(
                 _BLOOM_PFX + c in st for c in self.bloom_cols)
 
-        stats = {f: prev_stats[f] for f in files if _fresh(f)}
-        new_files = [f for f in files if f not in stats]
-        stats.update(self._collect_stats(new_files))
+        fset = set(files)
+        # (re)statted files: genuinely new ones, plus carried files whose
+        # stats entry is missing a newly-enabled bloom column (re-added in
+        # the new segment; replay lets the later entry win)
+        new_files = [f for f in files if not _fresh(f)]
+        new_stats = self._collect_stats(new_files)
+        removed = sorted(prev_files - fset)
+        srel = os.path.join("manifests", f"s-{_uuid.uuid4().hex[:12]}.json")
+        if prev_segments is None \
+                or len(prev_segments) >= self._CHECKPOINT_SEGMENTS:
+            # checkpoint: one segment with the FULL file map (also the
+            # v1/v2-inline -> v3 migration path). O(all) once, amortized.
+            add = {f: (new_stats[f] if f in new_stats
+                       else prev_stats.get(f, {})) for f in files}
+            segment = {"add": add, "remove": []}
+            segments = [srel]
+        else:
+            segment = {"add": {f: new_stats.get(f, {}) for f in new_files},
+                       "remove": removed}
+            segments = list(prev_segments) + [srel]
         mrel = os.path.join("manifests", f"m-{_uuid.uuid4().hex[:12]}.json")
         # stamp the POST-commit logical state into the manifest: the
         # CURRENT swap is the commit point, so version/next_rowid must
@@ -966,22 +1048,36 @@ class Table:
         pending_v = getattr(self, "_pending_version", None)
         pending_r = getattr(self, "_pending_next_rowid", None)
         manifest = {"format_version": MANIFEST_FORMAT_VERSION,
-                    "files": sorted(files),
-                    "stats": stats,
+                    "segments": segments,
                     "version": (pending_v if pending_v is not None
                                 else self.version),
                     "next_rowid": (pending_r if pending_r is not None
                                    else self.next_rowid)}
         self._pending_version = None
         self._pending_next_rowid = None
+        # segments before the manifest, manifest before the swap: every
+        # referenced object is durable by the time CURRENT can reach it
+        self._atomic_write(os.path.join(self.path, srel),
+                           json.dumps(segment))
         self._atomic_write(os.path.join(self.path, mrel),
                            json.dumps(manifest))
         self._atomic_write(self._current_path, json.dumps({
             "format_version": MANIFEST_FORMAT_VERSION, "manifest": mrel}))
         self._manifest_at_read = mrel
-        self._vacuum(set(files), keep_manifest=mrel)
+        # prime the resolver cache with the state just committed
+        stats = {f: prev_stats[f] for f in files if _fresh(f)}
+        stats.update(new_stats)
+        for f in fset - set(stats):
+            stats[f] = {}
+        self._resolve_cache = (mrel, {
+            "files": sorted(fset), "stats": stats, "segments": segments,
+            "version": manifest["version"],
+            "next_rowid": manifest["next_rowid"]})
+        self._vacuum(set(files), keep_manifest=mrel,
+                     keep_segments={os.path.basename(s) for s in segments})
 
-    def _vacuum(self, keep: set, keep_manifest: str) -> None:
+    def _vacuum(self, keep: set, keep_manifest: str,
+                keep_segments: Optional[set] = None) -> None:
         """Remove data files and manifests no longer referenced by CURRENT.
         Runs strictly after the commit point, so a crash here only delays
         cleanup. (On an object store this directory walk becomes a prefix
@@ -1012,9 +1108,10 @@ class Table:
                         pass
         mdir = os.path.join(self.path, "manifests")
         if os.path.isdir(mdir):
-            keep_name = os.path.basename(keep_manifest)
+            keep_names = {os.path.basename(keep_manifest)}
+            keep_names.update(keep_segments or ())
             for f in os.listdir(mdir):
-                if f != keep_name and f.endswith(".json"):
+                if f not in keep_names and f.endswith(".json"):
                     try:
                         os.remove(os.path.join(mdir, f))
                     except OSError:

@@ -20,8 +20,7 @@ from pixeltable_spark.catalog import (_bloom_build, _bloom_key,
 def _manifest(t) -> dict:
     with open(os.path.join(t.path, "CURRENT")) as f:
         cur = json.load(f)
-    with open(os.path.join(t.path, cur["manifest"])) as f:
-        return json.load(f)
+    return t._resolve_manifest(cur["manifest"])
 
 
 class TestBloomUnit:

@@ -229,7 +229,14 @@ print("DONE", wid, flush=True)
     import duckdb
     cur = json.load(open(os.path.join(wh, "t", "CURRENT")))
     mf = json.load(open(os.path.join(wh, "t", cur["manifest"])))
-    files = [os.path.join(wh, "t", f) for f in mf["files"]]
+    # replay the v3 segment log independently of any engine handle
+    live: dict = {}
+    for srel in mf["segments"]:
+        seg = json.load(open(os.path.join(wh, "t", srel)))
+        for r in seg.get("remove", ()):
+            live.pop(r, None)
+        live.update(seg.get("add", {}))
+    files = [os.path.join(wh, "t", f) for f in sorted(live)]
     con = duckdb.connect()
     ks = sorted(r[0] for r in con.execute(
         "SELECT k FROM read_parquet(?)", [files]).fetchall())

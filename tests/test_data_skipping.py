@@ -25,8 +25,7 @@ def skip_tbl(spark, tmp_path):
 def _manifest(t) -> dict:
     with open(os.path.join(t.path, "CURRENT")) as f:
         cur = json.load(f)
-    with open(os.path.join(t.path, cur["manifest"])) as f:
-        return json.load(f)
+    return t._resolve_manifest(cur["manifest"])
 
 
 class TestStatsCollection:

@@ -29,8 +29,7 @@ def _make(cat, n=32):
 def _manifest_files(t) -> list[str]:
     with open(t._current_path) as f:
         cur = json.load(f)
-    with open(os.path.join(t.path, cur["manifest"])) as f:
-        return json.load(f)["files"]
+    return t._resolve_manifest(cur["manifest"])["files"]
 
 
 class TestManifestCommit:

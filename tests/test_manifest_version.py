@@ -66,8 +66,11 @@ class TestManifestVersion:
         m["format_version"] = MANIFEST_FORMAT_VERSION + 7
         with open(mpath, "w") as f:
             json.dump(m, f)
+        # a fresh handle (new build opening this warehouse) must refuse;
+        # the live handle's resolver cache is bypassed by reloading
+        t2 = pxt.Catalog(t.catalog.spark, t.catalog.root).get_table("t")
         with pytest.raises(RuntimeError, match="format_version.*upgrade"):
-            t.count()
+            t2.count()
 
 
 class TestStratifyCardinalityGuard:
