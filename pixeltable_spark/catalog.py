@@ -34,7 +34,6 @@ incremental loads are plain filtered scans.
 
 from __future__ import annotations
 
-import fcntl
 import functools
 import json
 import os
@@ -49,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import telemetry
+from .commit_store import resolve_commit_store
 from .exceptions import AlreadyExistsError, ConcurrencyError, NotFoundError
 from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
                              UpdateStatus, VersionMetadata, version_metadata)
@@ -233,9 +233,18 @@ class Catalog:
     """Directory-tree namespace of tables/views/snapshots
     (reference catalog/dir.py, globals.py:854 create_dir)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 commit_store=None):
+        """`commit_store` selects the commit-protocol backend for every
+        table in this catalog: 'posix' (default — flock-serialized
+        writers, shared-filesystem deployments) or 'object-store' /
+        'optimistic' (no lock across mutations, conditional-put commit
+        with retry-on-conflict — the S3/GCS protocol; see
+        commit_store.py). A CommitStore instance is also accepted;
+        PXT_SPARK_COMMIT_STORE overrides the default."""
         self.spark = spark
         self.root = root
+        self.commit_store = resolve_commit_store(commit_store)
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, Table] = {}
 
@@ -421,13 +430,29 @@ class Catalog:
 
 
 def _locked_mutation(fn):
-    """Run a Table mutation inside the per-table inter-process write
-    lock (see Table._write_lock): serializes racing writers and rebases
-    this handle on the latest committed state before the body runs."""
+    """Run a Table mutation inside the commit-store's mutation guard
+    (see Table._write_lock): the posix backend serializes racing
+    writers up front; the object-store backend lets them race and
+    surfaces conflicts at the commit point, in which case the WHOLE
+    mutation is retried here against the rebased snapshot (the
+    Delta/Iceberg commit-retry loop). Aborted attempts leave only
+    unreferenced files, which vacuum reclaims after the retention
+    window."""
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
-        with self._write_lock():
-            return fn(self, *args, **kwargs)
+        retries = self._commit_store.commit_retries
+        attempt = 0
+        while True:
+            try:
+                with self._write_lock():
+                    return fn(self, *args, **kwargs)
+            except ConcurrencyError:
+                if getattr(self, "_lock_depth", 0):
+                    raise  # nested mutation: let the outermost retry
+                attempt += 1
+                if attempt > retries:
+                    raise
+                time.sleep(min(0.05 * (2 ** attempt), 1.0))
     return wrapper
 
 
@@ -437,6 +462,7 @@ class Table:
 
     def __init__(self, catalog: Catalog, name: str, path: str):
         self.catalog = catalog
+        self._commit_store = catalog.commit_store
         self.name = name
         self.path = path
         self.schema: dict[str, ColumnType] = {}
@@ -560,18 +586,17 @@ class Table:
         return os.path.join(self.path, "data")
 
     # -- multi-writer safety -------------------------------------------------
-    # Mutations from ANY process serialize on a per-table advisory flock
-    # held for the whole mutation (data write + manifest swap + meta save).
-    # On acquire the handle REBASES on the latest committed state (reload
-    # meta.json / computed.pkl / CURRENT), so N concurrent inserters
-    # produce N distinct versions with disjoint rowid ranges — no
-    # last-write-wins. flock releases on process death, so a crashed
-    # writer can never wedge the table. On an object-store deployment the
-    # same critical section becomes a CAS against the metastore (the
-    # Delta/Iceberg commit protocol); the in-critical-section work is the
-    # same either way. The reference gets this serialization from
-    # Postgres row locks (tests/test_concurrent.py); here the lock is the
-    # table directory itself.
+    # Mutations from ANY process are protected by the catalog's pluggable
+    # CommitStore (commit_store.py). The posix backend holds a per-table
+    # advisory flock for the whole mutation (data write + manifest swap +
+    # meta save); the object-store backend holds nothing and detects
+    # conflicts at the commit point via a conditional put, with the whole
+    # mutation retried by _locked_mutation (the Delta/Iceberg commit
+    # protocol). Either way, on guard acquire the handle REBASES on the
+    # latest committed state (reload meta.json / computed.pkl / CURRENT),
+    # so N concurrent inserters produce N distinct versions with disjoint
+    # rowid ranges — no last-write-wins. The reference gets this
+    # serialization from Postgres row locks (tests/test_concurrent.py).
 
     _LOCK_TIMEOUT_S = float(os.environ.get("PXT_SPARK_LOCK_TIMEOUT", "120"))
 
@@ -585,25 +610,19 @@ class Table:
             finally:
                 self._lock_depth -= 1
             return
-        os.makedirs(self.path, exist_ok=True)
-        fh = open(os.path.join(self.path, "LOCK"), "a+")
-        try:
-            deadline = time.time() + self._LOCK_TIMEOUT_S
-            while True:
-                try:
-                    fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if time.time() >= deadline:
-                        raise ConcurrencyError(
-                            f"table {self.name!r}: write lock not acquired "
-                            f"within {self._LOCK_TIMEOUT_S:.0f}s — another "
-                            "writer holds it (PXT_SPARK_LOCK_TIMEOUT tunes "
-                            "the wait)")
-                    time.sleep(0.05)
+        with self._commit_store.mutation_guard(self.path, self.name,
+                                               self._LOCK_TIMEOUT_S):
             self._lock_depth = 1
             try:
                 self._refresh_from_disk()
+                # pin this mutation's base snapshot + conflict token:
+                # all in-mutation reads resolve the manifest observed
+                # HERE, and the commit's conditional swap verifies
+                # against it. Without the pin, an optimistic racer's
+                # commit landing mid-mutation would be silently merged
+                # under a stale version stamp (duplicate versions).
+                # "" = no CURRENT yet (the If-None-Match case).
+                self._manifest_at_read = self._current_token()
                 # a prior mutation that bumped state but never
                 # committed (matched-nothing update/delete) may have
                 # left a stale pending stamp — clear it so it cannot
@@ -613,9 +632,17 @@ class Table:
                 yield
             finally:
                 self._lock_depth = 0
-                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
-        finally:
-            fh.close()
+
+    def _current_token(self) -> str:
+        """Commit conflict token: CURRENT's manifest relpath, or "" when
+        the table has no CURRENT yet."""
+        if os.path.exists(self._current_path):
+            try:
+                with open(self._current_path) as f:
+                    return json.load(f)["manifest"]
+            except (OSError, KeyError, json.JSONDecodeError):
+                return ""
+        return ""
 
     def _refresh_from_disk(self) -> None:
         """Rebase this handle on the latest committed state (another
@@ -745,14 +772,33 @@ class Table:
     def _current_files(self) -> list[str]:
         """The current snapshot's file list; legacy (pre-manifest) tables
         fall back to a directory scan and upgrade on their next commit.
-        Records the manifest observed so _commit_files can detect a
-        concurrent writer (optimistic concurrency)."""
+        INSIDE a mutation, reads resolve the manifest pinned at rebase
+        (see _write_lock) so the whole mutation sees one consistent
+        snapshot even if an optimistic racer commits mid-flight — the
+        stale pin then fails this mutation's conditional swap and it
+        retries. Outside mutations, records the manifest observed as
+        the conflict token."""
+        depth = getattr(self, "_lock_depth", 0)
+        if depth:
+            pinned = getattr(self, "_manifest_at_read", None)
+            if pinned:
+                try:
+                    return self._resolve_manifest(pinned)["files"]
+                except OSError:
+                    pass  # racing commit vacuumed the pinned snapshot:
+                    # fall through to CURRENT; the stale pin will fail
+                    # the CAS at commit and the mutation retries
+            elif pinned == "":  # no CURRENT at rebase (new/legacy table)
+                return (self._scan_parquet(self._data_dir)
+                        if os.path.isdir(self._data_dir) else [])
         if os.path.exists(self._current_path):
             with open(self._current_path) as f:
                 cur = json.load(f)
-            self._manifest_at_read = cur["manifest"]
+            if not depth:
+                self._manifest_at_read = cur["manifest"]
             return self._resolve_manifest(cur["manifest"])["files"]
-        self._manifest_at_read = None
+        if not depth:
+            self._manifest_at_read = None
         if os.path.isdir(self._data_dir):
             return self._scan_parquet(self._data_dir)
         return []
@@ -898,7 +944,18 @@ class Table:
         return out
 
     def _current_stats(self) -> dict:
-        """File stats of the current manifest ({} for legacy manifests)."""
+        """File stats of the current manifest ({} for legacy manifests).
+        In-mutation reads use the snapshot pinned at rebase, mirroring
+        _current_files."""
+        if getattr(self, "_lock_depth", 0):
+            pinned = getattr(self, "_manifest_at_read", None)
+            if pinned:
+                try:
+                    return self._resolve_manifest(pinned).get("stats", {})
+                except OSError:
+                    pass
+            elif pinned == "":
+                return {}
         if not os.path.exists(self._current_path):
             return {}
         with open(self._current_path) as f:
@@ -989,19 +1046,21 @@ class Table:
         contract as Delta's _delta_log checkpoints / Iceberg's manifest
         list)."""
         os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
-        # optimistic concurrency: if CURRENT moved since this mutation read
-        # its base snapshot, another writer committed in between — abort
-        # rather than silently dropping their files at vacuum (a real
-        # multi-writer deployment does this CAS against the metastore)
+        # optimistic concurrency pre-check: if CURRENT already moved since
+        # this mutation read its base snapshot, abort cheaply before the
+        # stats collection; the AUTHORITATIVE check is the commit store's
+        # conditional swap below (atomic with the publish)
+        expected = getattr(self, "_manifest_at_read", None)
         if os.path.exists(self._current_path):
             with open(self._current_path) as f:
                 now = json.load(f)["manifest"]
-            expected = getattr(self, "_manifest_at_read", now)
+            # expected == "" means this mutation rebased on a table with
+            # NO CURRENT — one appearing since is a racer's first commit
             if expected is not None and now != expected:
                 raise ConcurrencyError(
                     f"concurrent modification of table {self.name!r}: "
-                    f"CURRENT moved from {expected} to {now} during this "
-                    "mutation; re-read and retry")
+                    f"CURRENT moved from {expected or '<none>'} to {now} "
+                    "during this mutation; re-read and retry")
             prev = self._resolve_manifest(now)
         else:
             prev = {"files": [], "stats": {}}
@@ -1061,8 +1120,13 @@ class Table:
                            json.dumps(segment))
         self._atomic_write(os.path.join(self.path, mrel),
                            json.dumps(manifest))
-        self._atomic_write(self._current_path, json.dumps({
-            "format_version": MANIFEST_FORMAT_VERSION, "manifest": mrel}))
+        # the commit point: a conditional swap through the commit store
+        # (atomic with the conflict check on optimistic backends)
+        self._commit_store.swap_current(
+            self._current_path,
+            json.dumps({"format_version": MANIFEST_FORMAT_VERSION,
+                        "manifest": mrel}),
+            expected, self.name)
         self._manifest_at_read = mrel
         # prime the resolver cache with the state just committed
         stats = {f: prev_stats[f] for f in files if _fresh(f)}
@@ -1081,9 +1145,23 @@ class Table:
         """Remove data files and manifests no longer referenced by CURRENT.
         Runs strictly after the commit point, so a crash here only delays
         cleanup. (On an object store this directory walk becomes a prefix
-        listing — same contract.)"""
+        listing — same contract.) Under an optimistic commit store,
+        files younger than the store's retention window are spared: an
+        in-flight racing writer's uncommitted data/segment files look
+        unreferenced until its commit lands (the Delta VACUUM retention
+        rationale)."""
+        min_age = self._commit_store.vacuum_min_age_s
+
+        def _old_enough(path: str) -> bool:
+            if not min_age:
+                return True
+            try:
+                return time.time() - os.path.getmtime(path) >= min_age
+            except OSError:
+                return False  # vanished underneath us: nothing to do
+
         for rel in self._scan_parquet(self._data_dir):
-            if rel not in keep:
+            if rel not in keep and _old_enough(os.path.join(self.path, rel)):
                 try:
                     os.remove(os.path.join(self.path, rel))
                 except OSError:
@@ -1094,7 +1172,8 @@ class Table:
             for d in list(dirnames):
                 full = os.path.join(dirpath, d)
                 if d.startswith(".tmp-"):
-                    shutil.rmtree(full, ignore_errors=True)
+                    if _old_enough(full):  # may be a racing writer's
+                        shutil.rmtree(full, ignore_errors=True)
                 else:
                     try:
                         os.rmdir(full)  # only succeeds when empty
@@ -1111,7 +1190,8 @@ class Table:
             keep_names = {os.path.basename(keep_manifest)}
             keep_names.update(keep_segments or ())
             for f in os.listdir(mdir):
-                if f not in keep_names and f.endswith(".json"):
+                if f not in keep_names and f.endswith(".json") \
+                        and _old_enough(os.path.join(mdir, f)):
                     try:
                         os.remove(os.path.join(mdir, f))
                     except OSError:

@@ -70,20 +70,18 @@ class TestCommitProtocolFaults:
                                                       monkeypatch):
         """Manifest file exists but CURRENT still points at the old one:
         readers keep the old snapshot."""
-        from pixeltable_spark import catalog as cmod
         wh = str(tmp_path / "wh")
         t = _mk(pxt.Catalog(spark, wh))
         before = _content(t)
-        orig = t._atomic_write
         calls = []
 
-        def crash_on_current(path, data):
-            if os.path.basename(path) == "CURRENT":
-                calls.append(path)
-                raise RuntimeError("injected crash")
-            return orig(path, data)
+        def crash_on_current(path, data, expected, name):
+            calls.append(path)
+            raise RuntimeError("injected crash")
 
-        monkeypatch.setattr(t, "_atomic_write", crash_on_current)
+        # the CURRENT swap goes through the commit store (commit_store.py)
+        monkeypatch.setattr(t._commit_store, "swap_current",
+                            crash_on_current)
         k = ColumnRef("k", t.schema["k"])
         with pytest.raises(RuntimeError, match="injected crash"):
             t.update({"v": -1.0}, where=k < 5)
