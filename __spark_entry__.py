@@ -3097,6 +3097,51 @@ def q140_sessionize_stream(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q141_component_groupby(spark, sf_dir):
+    """NESTED component views + group_by(base_tbl) under the oracle gate
+    (catalog.py View + iterators.py _as_view_iterator composite identity;
+    plans/query.py group_by(table handle); reference
+    _query.py:1446-1538 groups a component view by its base row, one pos
+    level per iterator): documents -> token-chunk component view ->
+    sub-chunk component view OVER the component view (identity
+    `_rowid + _pos + _pos_2`), then both views grouped by the ROOT base
+    table and joined back for per-document chunk/sub-chunk counts.
+    DuckDB replays the two-level token-window explode in closed form."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark import functions as pxtf
+    from pixeltable_spark.iterators import DocumentSplitter
+
+    docs = (_df(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(150)
+            .where(F.length(F.trim(F.col("text"))) > 0))
+    wh = tempfile.mkdtemp(prefix="pxt_q141_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("d", {"doc_id": pxt.Int(False),
+                               "text": pxt.String(True)}, n_buckets=4)
+    t.insert(docs.select("doc_id", "text"))
+    chunks = cat.create_view("chunks", t, iterator=DocumentSplitter.create(
+        document="text", separators="token_limit", limit=20))
+    subs = cat.create_view("subs", chunks, iterator=DocumentSplitter.create(
+        document="text", separators="token_limit", limit=5))
+    base = t.ref()
+    cref, sref = chunks.ref(), subs.ref()
+    g1 = pxt.TableRef.from_df(
+        cref.group_by(t).select(cref["_rowid"],
+                                n_chunks=pxtf.count(cref["_rowid"])).df(),
+        "g1")
+    g2 = pxt.TableRef.from_df(
+        sref.group_by(t).select(sref["_rowid"],
+                                n_subs=pxtf.count(sref["_rowid"])).df(),
+        "g2")
+    q = (base.join(g1, on=base["_rowid"] == g1["_rowid"])
+             .join(g2, on=base["_rowid"] == g2["_rowid"])
+             .select(base.doc_id, g1.n_chunks, g2.n_subs)
+             .order_by(base.doc_id))
+    return q.df()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3237,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_video_structure": q138_video_structure,
         "q139_index_maintenance": q139_index_maintenance,
         "q140_sessionize_stream": q140_sessionize_stream,
+        "q141_component_groupby": q141_component_groupby,
     }
 
 
@@ -5210,4 +5256,17 @@ def oracle_sql() -> dict[str, str]:
     # the streaming sessionizer's availableNow replay must equal the
     # batch lag+gap formulation — q22's oracle, verbatim
     d["q140_sessionize_stream"] = d["q22_sessionize"]
+    # q141: the two-level token-window explode in closed form — a chunk of
+    # m words (m = least(20, n - start)) yields floor((m-1)/5)+1 sub-chunks
+    # (the splitter's window starts are sequence(0, m-1, stride))
+    d["q141_component_groupby"] = r"""
+WITH src AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 150),
+nz AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+       FROM src WHERE length(trim(text)) > 0),
+ch AS (SELECT doc_id, len(words) AS n,
+              unnest(range(0, len(words), 20)) AS s FROM nz),
+pc AS (SELECT doc_id, least(20, n - s) AS m FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CAST(floor((m - 1) / 5) + 1 AS BIGINT)) AS n_subs
+FROM pc GROUP BY doc_id ORDER BY doc_id"""
     return d

@@ -1629,6 +1629,14 @@ class Table:
     def column_names(self) -> list[str]:
         return list(self.schema) + list(self.computed)
 
+    def _component_identity_cols(self) -> list[str]:
+        """The storage columns that identify ONE row of this table inside
+        a dependent component view's frame: the base rowid, plus one
+        ordinal per iterator level for component views (reference groups
+        a component view by its base row via these — _query.py:1446-1538).
+        Consumed by Query.group_by(table_handle)."""
+        return [_ROWID]
+
     # -- reference-style query/column sugar --------------------------------
     # the reference queries directly off the catalog handle
     # (t.select(t.col).where(...)); delegate to the versioned ref()
@@ -2373,8 +2381,10 @@ class View(Table):
     @_locked_mutation
     def _load_increment(self) -> None:
         """Incremental maintenance: only base rows created at the current
-        base version flow through the view plan."""
-        new_rows = self.base.df().filter(F.col(_VMIN) == self.base.version)
+        base version flow through the view plan. A VIEW base versions its
+        rows with the view-local interval (_vv_min), not the table one."""
+        vcol = _VVMIN if isinstance(self.base, View) else _VMIN
+        new_rows = self.base.df().filter(F.col(vcol) == self.base.version)
         out = self._view_plan(new_rows)
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
@@ -2429,6 +2439,17 @@ class View(Table):
         for child in self._views:
             child._apply_base_update(affected_rowids)
 
+    def _component_identity_cols(self) -> list[str]:
+        """Base identity + one ordinal per iterator level along the view
+        chain: level 1 is `_pos`, deeper levels `_pos_2`, `_pos_3`, ...
+        (matching _as_view_iterator's naming)."""
+        cols = (self.base._component_identity_cols()
+                if self.base is not None else [_ROWID])
+        if self.iterator is not None:
+            depth = sum(1 for c in cols if c.startswith("_pos")) + 1
+            cols = cols + ["_pos" if depth == 1 else f"_pos_{depth}"]
+        return cols
+
     # views read their own materialized storage
     def df(self, version: Optional[int] = None) -> DataFrame:
         """Live view rows at a view version (default: current). Versions
@@ -2462,8 +2483,11 @@ class View(Table):
 
     def collect(self) -> list[dict]:
         df = self.df()
-        order = [_ROWID] + ([_POS] if _POS in df.columns else [])
-        drop = [c for c in df.columns if c in SYSTEM_COLS]
+        pos_levels = sorted(c for c in df.columns
+                            if c == _POS or c.startswith(_POS + "_"))
+        order = [_ROWID] + pos_levels
+        drop = [c for c in df.columns
+                if c in SYSTEM_COLS or c in pos_levels]
         return [r.asDict(recursive=True)
                 for r in df.orderBy(*order).drop(*drop).collect()]
 

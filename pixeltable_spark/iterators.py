@@ -46,12 +46,35 @@ def _as_view_iterator(splitter: Callable[..., DataFrame],
     contract: when the base carries MVCC system columns, the splitter runs
     keyed on _rowid (so every component row stays joined to its base row)
     and its ordinal is exposed as _pos; a plain DataFrame passes through
-    with the natural id column."""
+    with the natural id column.
+
+    NESTED component views (a view over a component view — reference
+    exposes one pos level per iterator, _query.py:1446-1538): the base
+    frame already carries _pos[, _pos_2, ...]. The splitter is then keyed
+    on the FULL component identity (base _rowid + every parent ordinal),
+    packed into one struct key — keying on _rowid alone would collide two
+    parent components of the same base row (their sub-component ordinals
+    both restart at 0) and drop the parent ordinals entirely. The new
+    (deepest) level lands as _pos_<depth+1>."""
     def it(df: DataFrame) -> DataFrame:
         if "_rowid" in df.columns:
-            out = splitter(df, id_col="_rowid")
-            if pos_col in out.columns and "_pos" not in out.columns:
-                out = out.withColumnRenamed(pos_col, "_pos")
+            pos_levels = sorted(c for c in df.columns
+                                if c == "_pos" or c.startswith("_pos_"))
+            if not pos_levels:
+                out = splitter(df, id_col="_rowid")
+                if pos_col in out.columns and "_pos" not in out.columns:
+                    out = out.withColumnRenamed(pos_col, "_pos")
+                return out
+            from pyspark.sql import functions as F
+            key_cols = ["_rowid"] + pos_levels
+            src = df.withColumn("__ckey", F.struct(*key_cols))
+            out = splitter(src, id_col="__ckey")
+            for c in key_cols:
+                out = out.withColumn(c, F.col("__ckey." + c))
+            out = out.drop("__ckey")
+            new_level = f"_pos_{len(pos_levels) + 1}"
+            if pos_col in out.columns:
+                out = out.withColumnRenamed(pos_col, new_level)
             return out
         id_col = next((c for c in ("doc_id", "media_id")
                        if c in df.columns), df.columns[0])

@@ -213,8 +213,23 @@ class Query:
         return q
 
     def group_by(self, *exprs) -> "Query":
+        """Group keys. A catalog table/view HANDLE is also accepted:
+        grouping a component view by its base table (or any ancestor
+        view) groups by that ancestor's identity columns — base `_rowid`
+        plus one `_pos` level per iterator between the ancestor and it
+        (reference _query.py:1446-1538 group_by(base_tbl))."""
+        from ..type_system import ColumnType
+        from ..exprs import ColumnRef
         q = self._copy()
-        q.group_by_exprs = [to_expr(e) for e in exprs]
+        out = []
+        for e in exprs:
+            ident = getattr(e, "_component_identity_cols", None)
+            if callable(ident):
+                out.extend(ColumnRef(c, ColumnType.int_(False))
+                           for c in ident())
+            else:
+                out.append(to_expr(e))
+        q.group_by_exprs = out
         return q
 
     def order_by(self, *exprs, asc: bool = True) -> "Query":
@@ -503,6 +518,11 @@ class Planner:
             tmp = tmp.withColumn(key, ge.compile(ctx))
             gkeys.append(key)
             gmap[_expr_key(ge)] = key
+            if isinstance(ge, ColumnRef):
+                # name-level fallback: group keys synthesized from a table
+                # HANDLE (group_by(base_tbl)) carry no tbl back-pointer,
+                # while select items do — match plain column refs by name
+                gmap.setdefault(("col*", ge.name), key)
 
         agg_cols: list[Column] = []
         uda_specs: list[tuple[str, FunctionCall]] = []
@@ -521,6 +541,11 @@ class Planner:
                 out_cols.append(F.col(name))
             else:
                 gk = gmap.get(_expr_key(e))
+                if gk is None:
+                    inner = (e.components[0] if isinstance(e, AliasedExpr)
+                             else e)
+                    if isinstance(inner, ColumnRef):
+                        gk = gmap.get(("col*", inner.name))
                 if gk is None:
                     raise ValueError(
                         f"select item {name!r} is neither an aggregate nor a group_by expression"

@@ -106,3 +106,78 @@ class TestIteratorClasses:
         t = pxt.TableRef.from_df(df, "d", rowid_cols=["doc_id"])
         it = StringSplitter.create(text=t.text)   # ColumnRef, not a string
         assert len(it(df).collect()) == 2
+
+
+class TestNestedComponentViews:
+    """View over a component view (reference _query.py:1446-1538): one
+    pos level per iterator (_pos, _pos_2, ...), composite component
+    identity, full mutation propagation through the chain, and
+    group_by(<table handle>) resolving to an ancestor's identity."""
+
+    @pytest.fixture()
+    def chain(self, spark, tmp_path):
+        from pixeltable_spark.iterators import DocumentSplitter
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table(
+            "docs", {"doc_id": pxt.ColumnType.int_(),
+                     "text": pxt.ColumnType.string()},
+            primary_key=["doc_id"])
+        t.insert([{"doc_id": 1, "text": "Alpha beta. Gamma delta epsilon!"},
+                  {"doc_id": 2, "text": "One two three. Four five."}])
+        v = cat.create_view("sents", t,
+                            iterator=StringSplitter.create(text="text"))
+        v2 = cat.create_view("chunks", v, iterator=DocumentSplitter.create(
+            document="segment", separators="token_limit", limit=2))
+        return cat, t, v, v2
+
+    def test_identity_columns_per_level(self, chain):
+        _cat, t, v, v2 = chain
+        assert t._component_identity_cols() == ["_rowid"]
+        assert v._component_identity_cols() == ["_rowid", "_pos"]
+        assert v2._component_identity_cols() == ["_rowid", "_pos", "_pos_2"]
+        cols = v2.df().columns
+        assert "_pos" in cols and "_pos_2" in cols
+        # composite identity is unique (keying on _rowid alone would
+        # collide sub-components of two sentences of one doc)
+        rows = [(r["_rowid"], r["_pos"], r["_pos_2"])
+                for r in v2.df().collect()]
+        assert len(set(rows)) == len(rows) == 6
+
+    def test_two_level_explode_content(self, chain):
+        _cat, _t, _v, v2 = chain
+        got = sorted((r["_rowid"], r["_pos"], r["_pos_2"], r["text"])
+                     for r in v2.df().collect())
+        assert got == [(0, 0, 0, "Alpha beta."), (0, 1, 0, "Gamma delta"),
+                       (0, 1, 1, "epsilon!"), (1, 0, 0, "One two"),
+                       (1, 0, 1, "three."), (1, 1, 0, "Four five.")]
+
+    def test_mutations_propagate_through_chain(self, chain):
+        _cat, t, v, v2 = chain
+        from pixeltable_spark.exprs import ColumnRef
+        t.insert([{"doc_id": 3, "text": "Six seven eight nine."}])
+        assert v.count() == 5 and v2.count() == 8   # incremental insert
+        t.update({"text": "Zip zap."},
+                 where=ColumnRef("doc_id", t.schema["doc_id"]) == 1)
+        texts = {r["text"] for r in v2.df().collect()}
+        assert "Zip zap." in texts and "Alpha beta." not in texts
+        t.delete(where=ColumnRef("doc_id", t.schema["doc_id"]) == 2)
+        assert v2.count() == 3                       # doc2's chunks gone
+
+    def test_group_by_table_handle(self, chain):
+        from pixeltable_spark import functions as pxtf
+        _cat, t, v, v2 = chain
+        cref = v2.ref()
+        by_base = (cref.group_by(t)
+                   .select(cref["_rowid"], n=pxtf.count(cref["_rowid"]))
+                   .collect())
+        assert sorted((r["_rowid"], r["n"]) for r in by_base) == \
+            [(0, 3), (1, 3)]
+        by_sent = (cref.group_by(v)
+                   .select(n=pxtf.count(cref["_rowid"])).collect())
+        assert sorted(r["n"] for r in by_sent) == [1, 1, 2, 2]
+
+    def test_collect_orders_by_all_pos_levels(self, chain):
+        _cat, _t, _v, v2 = chain
+        texts = [r["text"] for r in v2.collect()]
+        assert texts == ["Alpha beta.", "Gamma delta", "epsilon!",
+                         "One two", "three.", "Four five."]
