@@ -63,6 +63,8 @@ _ROWID, _VMIN, _VMAX, _POS = "_rowid", "_v_min", "_v_max", "_pos"
 _VVMIN, _VVMAX = "_vv_min", "_vv_max"
 # bucket partition column: _rowid % n_buckets — the unit of mutation
 _BKT = "_bkt"
+# hidden rename target for atomic namespace deletes (see Catalog._gc_tombstones)
+_TOMBSTONE_PFX = ".dropped-"
 SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 
 # -- Bloom-filter file skipping ---------------------------------------------
@@ -247,6 +249,22 @@ class Catalog:
         self.commit_store = resolve_commit_store(commit_store)
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, Table] = {}
+        self._gc_tombstones()
+
+    def _gc_tombstones(self) -> None:
+        """Reap half-deleted namespace trees. drop_dir/drop_table commit
+        by RENAMING the target to a hidden tombstone (one atomic rename),
+        then delete the tombstone tree; a crash mid-delete leaves only a
+        tombstone, which every reader skips and this reaps lazily — the
+        catalog is always in exactly one of the two consistent states."""
+        try:
+            entries = os.listdir(self.root)
+        except OSError:
+            return
+        for e in entries:
+            if e.startswith(_TOMBSTONE_PFX):
+                shutil.rmtree(os.path.join(self.root, e),
+                              ignore_errors=True)
 
     # -- namespace ---------------------------------------------------------
     def create_dir(self, path: str) -> None:
@@ -264,6 +282,7 @@ class Catalog:
         base = self._tbl_dir(path) if path else self.root
         out = []
         for dirpath, dirnames, _files in os.walk(base):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
             # don't descend into table storage
             if self._is_table_dir(dirpath):
                 dirnames[:] = []
@@ -285,8 +304,8 @@ class Catalog:
             raise NotFoundError(f"no such directory: {path!r}")
         for entry in sorted(os.listdir(base)):
             full = os.path.join(base, entry)
-            if not os.path.isdir(full):
-                continue
+            if not os.path.isdir(full) or entry.startswith("."):
+                continue  # hidden entries incl. drop tombstones
             rel = (f"{path}.{entry}" if path else entry)
             if self._is_table_dir(full):
                 tables.append(rel)
@@ -334,7 +353,7 @@ class Catalog:
                 f"{len(contents['tables'])} table(s)")
         for t in contents["tables"]:
             self._tables.pop(t, None)
-        shutil.rmtree(d)
+        self._atomic_drop(d)
 
     def move(self, src: str, dst: str) -> None:
         """Rename/move a table or directory within the namespace
@@ -373,7 +392,7 @@ class Catalog:
         d = self._tbl_dir(name)
         if os.path.exists(d):
             if if_exists == "replace":
-                shutil.rmtree(d)
+                self._atomic_drop(d)
             elif if_exists == "ignore":
                 return self.get_table(name)
             else:
@@ -399,15 +418,28 @@ class Catalog:
                 self._tables[name] = Table._load(self, name, d)
         return self._tables[name]
 
+    def _atomic_drop(self, d: str) -> None:
+        """Delete a namespace tree with one consistent commit point: the
+        RENAME onto a hidden tombstone is atomic; the (possibly long,
+        crash-prone) recursive delete then runs on the tombstone, which
+        readers skip and _gc_tombstones reaps if this process dies
+        mid-way. A multi-second rmtree of a half-dropped directory can
+        never be observed under its real name."""
+        tomb = os.path.join(self.root,
+                            _TOMBSTONE_PFX + _uuid.uuid4().hex[:12])
+        os.rename(d, tomb)  # the commit point
+        shutil.rmtree(tomb, ignore_errors=True)
+
     def drop_table(self, name: str) -> None:
         d = self._tbl_dir(name)
         if os.path.exists(d):
-            shutil.rmtree(d)
+            self._atomic_drop(d)
         self._tables.pop(name, None)
 
     def list_tables(self) -> list[str]:
         out = []
-        for dirpath, _dirnames, filenames in os.walk(self.root):
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(".")]
             if "meta.json" in filenames:
                 rel = os.path.relpath(dirpath, self.root)
                 out.append(rel.replace(os.sep, "."))
