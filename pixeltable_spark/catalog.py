@@ -61,7 +61,8 @@ _ROWID, _VMIN, _VMAX, _POS = "_rowid", "_v_min", "_v_max", "_pos"
 # view-local version interval (a view has its own version counter, distinct
 # from the base's _v_min/_v_max which pass through the view plan)
 _VVMIN, _VVMAX = "_vv_min", "_vv_max"
-# bucket partition column: _rowid % n_buckets — the unit of mutation
+# bucket partition column: (_rowid // bucket_chunk) % n_buckets — the
+# write-clustering unit (mutations are file-granular)
 _BKT = "_bkt"
 # hidden rename target for atomic namespace deletes (see Catalog._gc_tombstones)
 _TOMBSTONE_PFX = ".dropped-"
@@ -379,11 +380,13 @@ class Catalog:
     def create_table(self, name: str, schema: dict[str, ColumnType],
                      primary_key: Optional[Sequence[str]] = None,
                      if_exists: str = "error",
-                     n_buckets: Optional[int] = None) -> "Table":
-        """`n_buckets` sizes the mutation unit (`_bkt = _rowid % n`,
-        default 16): more buckets = finer-grained update/delete rewrites
-        and more files; size it to expected-table-size / target-file-size
-        on a real deployment."""
+                     n_buckets: Optional[int] = None,
+                     bucket_chunk: Optional[int] = None) -> "Table":
+        """`n_buckets` sizes the write-clustering unit
+        (`_bkt = (_rowid // bucket_chunk) % n`, default 16): mutations
+        are file-granular, so n_buckets bounds files-per-bulk-commit and
+        scan parallelism; size it to expected-table-size /
+        target-file-size on a real deployment."""
         # accept bare type factories (pxt.String) as well as instances
         # (pxt.String(False)) — the reference's schema literals allow both
         schema = {k: (v() if callable(v) and not isinstance(v, ColumnType)
@@ -400,6 +403,8 @@ class Catalog:
         t = Table._create(self, name, d, schema, list(primary_key or []))
         if n_buckets is not None:
             t.n_buckets = int(n_buckets)
+        if bucket_chunk is not None:
+            t.bucket_chunk = max(1, int(bucket_chunk))
             t._save_meta()
         self._tables[name] = t
         return t
@@ -507,6 +512,14 @@ class Table:
         # bucket count for the partitioned store layout; 16 suits local
         # testing — a real deployment sizes this so a bucket ~ 1 GB
         self.n_buckets = 16
+        # rows per contiguous rowid run within one bucket: _bkt =
+        # (_rowid // chunk) % n_buckets. chunk > 1 keeps a small append's
+        # contiguous rowids in O(batch/chunk) buckets — so a 1000-row
+        # insert commits 1-2 files, not one tiny file per bucket — while
+        # bulk loads still stripe evenly. Tables persisted before this
+        # knob load chunk=1 (the old pure-mod formula) so their stored
+        # _bkt= dirs stay consistent.
+        self.bucket_chunk = 1024
         # col -> target false-positive rate for per-file bloom skipping
         self.bloom_cols: dict[str, float] = {}
         # earliest version still reconstructible: optimize(purge_before=v)
@@ -546,6 +559,7 @@ class Table:
             "primary_key": self.primary_key,
             "history": self.history,
             "n_buckets": self.n_buckets,
+            "bucket_chunk": self.bucket_chunk,
             "bloom_cols": self.bloom_cols,
             "version_floor": self.version_floor,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
@@ -578,6 +592,7 @@ class Table:
         self.primary_key = meta["primary_key"]
         self.history = meta["history"]
         self.n_buckets = meta.get("n_buckets", 16)
+        self.bucket_chunk = meta.get("bucket_chunk", 1)
         self.bloom_cols = meta.get("bloom_cols", {})
         self.version_floor = meta.get("version_floor", 0)
         self.schema = {
@@ -1255,15 +1270,20 @@ class Table:
         return bool(self._current_files())
 
     def _with_bkt(self, df: DataFrame) -> DataFrame:
-        """Ensure the bucket partition column: _bkt = _rowid % n_buckets.
-        Buckets are the unit of mutation — an update/delete rewrites ONLY
-        the bucket directories holding matched rows (the plain-parquet
-        analog of Delta MERGE's file-level rewrite; reference gets this
-        from Postgres row-level updates, store.py:27-58)."""
+        """Ensure the bucket partition column:
+        _bkt = (_rowid // bucket_chunk) % n_buckets. Buckets are the
+        WRITE-CLUSTERING unit (one file per touched bucket per commit);
+        mutations themselves are file-granular (_mutation_subset). The
+        chunk keeps a small append's contiguous rowids in O(batch/chunk)
+        buckets while striping bulk loads evenly, and makes per-file
+        _rowid min/max ranges near-disjoint — which is what lets view
+        propagation prune by base rowid."""
         if _BKT in df.columns or _ROWID not in df.columns:
             return df
+        chunk = max(1, int(getattr(self, "bucket_chunk", 1)))
         return df.withColumn(
-            _BKT, F.pmod(F.col(_ROWID), F.lit(self.n_buckets)).cast("int"))
+            _BKT, F.pmod(F.floor(F.col(_ROWID) / F.lit(chunk)),
+                         F.lit(self.n_buckets)).cast("int"))
 
     def _store_df(self, ranges: Optional[Sequence[tuple]] = None) -> DataFrame:
         """All row-versions, including expired ones (+ `_bkt`)."""
@@ -1295,32 +1315,87 @@ class Table:
 
     def _rewrite(self, df: DataFrame,
                  preserve_partitioning: bool = False) -> None:
-        """Copy-on-write snapshot swap of the WHOLE table (schema changes,
-        revert fallback — what Delta MERGE does transactionally). Row-level
-        mutations go through _rewrite_buckets instead."""
+        """Copy-on-write snapshot swap of the WHOLE table (schema changes
+        and full refreshes). Row-level mutations go through
+        _mutation_subset + _replace_files instead — file-granular COW."""
         new = self._write_snapshot_files(
             self._with_bkt(df), preserve_partitioning=preserve_partitioning)
         self._commit_files(new)
 
-    def _rewrite_buckets(self, df: DataFrame, buckets: Sequence[int]) -> None:
-        """Replace ONLY the named buckets' files with the new content in
-        `df` (which must hold exactly those buckets' rows). Unaffected
-        buckets' files carry over into the new manifest untouched —
-        mutation cost scales with matched data, not table size."""
-        if not buckets:
-            return
-        df = self._with_bkt(df)
-        cur = self._current_files()
-        if any(self._bucket_of(f) is None for f in cur):
-            # legacy flat files have no bucket identity: one full rewrite
-            # migrates the table to the bucketed layout
-            rest = self._store_df().filter(~F.col(_BKT).isin(list(buckets)))
-            self._rewrite(rest.unionByName(df))
-            return
-        bset = set(int(b) for b in buckets)
-        keep = [f for f in cur if self._bucket_of(f) not in bset]
-        new = self._write_snapshot_files(df)
-        self._commit_files(keep + new)
+    def _mutation_subset(self, prepare, ranges: Sequence[tuple] = (),
+                         live_col: str = _VMAX,
+                         live_floor: Optional[int] = None,
+                         ) -> "tuple[Optional[DataFrame], list[str], int]":
+        """File-granular mutation planning — the Delta MERGE two-pass
+        shape (the reference mutates rows in place via Postgres,
+        store.py:27-58; on immutable parquet the analog is copy-on-write
+        of exactly the files that hold matched rows).
+
+        Pass 1 prunes the manifest with the mutation predicate's
+        conjuncts plus liveness (a fully-expired file cannot hold a
+        mutable row), then scans ONLY the surviving files — column-pruned
+        to the predicate columns + the parquet `_metadata` virtual column
+        — to learn which files actually contain matches. Pass 2 re-reads
+        exactly those files in full as the rewrite input. Mutation cost
+        therefore scales with files-holding-matches, never with bucket
+        width or table size: a 1000-row keyed update on a 10^6-file
+        table opens the handful of files the stats/blooms admit and
+        rewrites only those that matched.
+
+        `prepare(df)` must return df with a boolean `__m` column marking
+        matched LIVE rows (it may join auxiliary inputs first, e.g.
+        batch_update's broadcast key batch). Returns
+        (sub, matched_files, n): `sub` is the full-width content of the
+        matched files re-marked by `prepare`, or None when nothing
+        matched (the caller still bumps the version — a no-op mutation
+        is a commit). Legacy flat-layout tables force matched_files =
+        ALL current files so their first mutation migrates them to the
+        bucketed layout in one pass (previous behavior)."""
+        from urllib.parse import unquote, urlparse
+
+        spark = self.catalog.spark
+        files = self._current_files()
+        if not files:
+            return None, [], 0
+        legacy = any(self._bucket_of(f) is None for f in files)
+        floor = self.version if live_floor is None else live_floor
+        cand = self._prune_files(
+            files, self._current_stats(),
+            [(live_col, ">", floor), *ranges])
+        if not cand:
+            return None, [], 0
+        probe = prepare(
+            spark.read.parquet(*[os.path.join(self.path, f) for f in cand])
+            .withColumn("__file", F.col("_metadata.file_path")))
+        per_file = {r[0]: r[1]
+                    for r in probe.filter(F.col("__m"))
+                    .groupBy("__file").agg(F.count(F.lit(1))).collect()}
+        n = int(sum(per_file.values()))
+        if n == 0:
+            return None, [], 0
+        if legacy:
+            matched = list(files)
+        else:
+            matched = sorted(
+                os.path.relpath(unquote(urlparse(u).path), self.path)
+                for u in per_file)
+        sub = prepare(self._with_bkt(spark.read.parquet(
+            *[os.path.join(self.path, f) for f in matched])))
+        return sub, matched, n
+
+    def _replace_files(self, df: DataFrame, matched: Sequence[str]
+                       ) -> list[str]:
+        """Commit a file-granular mutation: write `df` (the rewritten
+        content of the matched files, plus any appended row-versions) as
+        new files, carry every other current file over untouched, swap
+        the manifest. Returns the newly written files — the commit's
+        delta, which is the ONLY place rows born or expired at this
+        version can live, so view propagation reads O(delta)."""
+        new = self._write_snapshot_files(self._with_bkt(df))
+        drop = set(matched)
+        self._commit_files(
+            [f for f in self._current_files() if f not in drop] + new)
+        return new
 
     @_locked_mutation
     def add_bloom_filter(self, col: str, fpp: float = 0.01) -> None:
@@ -1974,37 +2049,40 @@ class Table:
         new version; cascade recomputes dependent computed columns
         (reference catalog/table.py:940, plan.py:415-487)."""
         new_version = self.version + 1
-        store = self._store_df()
-        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
-        pred = where.compile() if where is not None else F.lit(True)
-        matched = live & pred
-
-        # one scan finds both the match count and the affected buckets;
-        # everything after reads/writes ONLY those bucket directories
-        per_bkt = {r[0]: r[1] for r in store.filter(matched)
-                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
-        n, aff = sum(per_bkt.values()), sorted(per_bkt)
-        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
-        # old row-versions: expire at new_version
-        expired = sub.withColumn(
-            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
-        )
-        # new row-versions for matched rows
-        updated = sub.filter(matched)
-        for col, val in value_spec.items():
+        for col in value_spec:
             if col not in self.schema:
                 raise ValueError(f"unknown or non-updatable column {col!r}")
-            val_col = val.compile() if isinstance(val, Expr) else F.lit(val)
-            updated = updated.withColumn(col, val_col.cast(self.schema[col].spark_type()))
-        updated = updated.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
-        if cascade:
-            updated = self._eval_computed(updated, list(self.computed.values()))
-        self._pending_version = new_version
-        self._rewrite_buckets(expired.unionByName(updated), aff)
+        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        pred = where.compile() if where is not None else F.lit(True)
+        ranges = self._extract_ranges(where) if where is not None else []
+        # file-granular COW: stats-prune candidates, probe for the files
+        # that actually hold matches, rewrite only those
+        sub, matched_files, n = self._mutation_subset(
+            lambda df: df.withColumn("__m", live & pred), ranges)
+        new_files: list[str] = []
+        if sub is not None:
+            # old row-versions: expire at new_version
+            expired = sub.withColumn(
+                _VMAX, F.when(F.col("__m"), F.lit(new_version))
+                        .otherwise(F.col(_VMAX)))
+            # new row-versions for matched rows
+            updated = sub.filter(F.col("__m"))
+            for col, val in value_spec.items():
+                val_col = val.compile() if isinstance(val, Expr) else F.lit(val)
+                updated = updated.withColumn(
+                    col, val_col.cast(self.schema[col].spark_type()))
+            updated = (updated.withColumn(_VMIN, F.lit(new_version))
+                       .withColumn(_VMAX, F.lit(MAXV)))
+            if cascade:
+                updated = self._eval_computed(
+                    updated, list(self.computed.values()))
+            self._pending_version = new_version
+            new_files = self._replace_files(
+                expired.unionByName(updated).drop("__m"), matched_files)
         self.version = new_version
         self._log("update", rows=n)
         self._save_meta()
-        self._propagate_changes()
+        self._propagate_changes(new_files)
         return UpdateStatus(n, op="update")
 
     @telemetry.traced("table.batch_update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
@@ -2052,35 +2130,48 @@ class Table:
         upd_df = self.catalog.spark.createDataFrame(data, T.StructType(fields))
 
         new_version = self.version + 1
-        store = self._store_df()
-        joined = store.join(F.broadcast(upd_df), on=self.primary_key, how="left")
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
-        matched = live & F.coalesce(F.col("__matched"), F.lit(False))
         helper_cols = ["__matched"] + [x for c in upd_cols
                                        for x in (f"__upd_{c}", f"__has_{c}")]
-        per_bkt = {r[0]: r[1] for r in joined.filter(matched)
-                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
-        n, aff = sum(per_bkt.values()), sorted(per_bkt)
-        joined = (joined.filter(F.col(_BKT).isin(aff)) if aff else joined)
-        expired = joined.withColumn(
-            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
-        ).drop(*helper_cols)
-        updated = joined.filter(matched)
-        for c in upd_cols:
-            updated = updated.withColumn(
-                c, F.when(F.col(f"__has_{c}"), F.col(f"__upd_{c}"))
-                    .otherwise(F.col(c)).cast(self.schema[c].spark_type()))
-        updated = (updated.drop(*helper_cols)
-                   .withColumn(_VMIN, F.lit(new_version))
-                   .withColumn(_VMAX, F.lit(MAXV)))
-        if cascade:
-            updated = self._eval_computed(updated, list(self.computed.values()))
-        self._pending_version = new_version
-        self._rewrite_buckets(expired.unionByName(updated), aff)
+
+        def prepare(df):
+            j = df.join(F.broadcast(upd_df), on=self.primary_key, how="left")
+            return j.withColumn(
+                "__m", live & F.coalesce(F.col("__matched"), F.lit(False)))
+
+        # a single-column key batch prunes files via pk min/max + blooms
+        # (the MERGE point-lookup fast path); multi-column keys fall back
+        # to liveness-only pruning
+        ranges: list[tuple] = []
+        if len(self.primary_key) == 1 and len(rows) <= 8192:
+            pk = self.primary_key[0]
+            vals = [row[pk] for row in rows]
+            if all(isinstance(v, (int, float, str, bool)) for v in vals):
+                ranges = [(pk, "in", vals)]
+        sub, matched_files, n = self._mutation_subset(prepare, ranges)
+        new_files: list[str] = []
+        if sub is not None:
+            expired = sub.withColumn(
+                _VMAX, F.when(F.col("__m"), F.lit(new_version))
+                        .otherwise(F.col(_VMAX))).drop(*helper_cols)
+            updated = sub.filter(F.col("__m"))
+            for c in upd_cols:
+                updated = updated.withColumn(
+                    c, F.when(F.col(f"__has_{c}"), F.col(f"__upd_{c}"))
+                        .otherwise(F.col(c)).cast(self.schema[c].spark_type()))
+            updated = (updated.drop(*helper_cols)
+                       .withColumn(_VMIN, F.lit(new_version))
+                       .withColumn(_VMAX, F.lit(MAXV)))
+            if cascade:
+                updated = self._eval_computed(
+                    updated, list(self.computed.values()))
+            self._pending_version = new_version
+            new_files = self._replace_files(
+                expired.unionByName(updated).drop("__m"), matched_files)
         self.version = new_version
         self._log("batch_update", rows=n)
         self._save_meta()
-        self._propagate_changes()
+        self._propagate_changes(new_files)
         return UpdateStatus(n, op="batch_update")
 
     @telemetry.traced("table.delete", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
@@ -2088,23 +2179,22 @@ class Table:
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
         new_version = self.version + 1
-        store = self._store_df()
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
-        matched = live & pred
-        per_bkt = {r[0]: r[1] for r in store.filter(matched)
-                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
-        n, aff = sum(per_bkt.values()), sorted(per_bkt)
-        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
-        out = sub.withColumn(
-            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX))
-        )
-        self._pending_version = new_version
-        self._rewrite_buckets(out, aff)
+        ranges = self._extract_ranges(where) if where is not None else []
+        sub, matched_files, n = self._mutation_subset(
+            lambda df: df.withColumn("__m", live & pred), ranges)
+        new_files: list[str] = []
+        if sub is not None:
+            out = sub.withColumn(
+                _VMAX, F.when(F.col("__m"), F.lit(new_version))
+                        .otherwise(F.col(_VMAX))).drop("__m")
+            self._pending_version = new_version
+            new_files = self._replace_files(out, matched_files)
         self.version = new_version
         self._log("delete", rows=n)
         self._save_meta()
-        self._propagate_changes()
+        self._propagate_changes(new_files)
         return UpdateStatus(n, op="delete")
 
     @telemetry.traced("table.recompute_columns", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
@@ -2115,24 +2205,26 @@ class Table:
         (reference catalog/table.py:1025)."""
         ccs = [self.computed[c] for c in cols]
         new_version = self.version + 1
-        store = self._store_df()
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
-        matched = live & pred
-        per_bkt = {r[0]: r[1] for r in store.filter(matched)
-                   .groupBy(_BKT).agg(F.count(F.lit(1))).collect()}
-        n, aff = sum(per_bkt.values()), sorted(per_bkt)
-        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
-        expired = sub.withColumn(
-            _VMAX, F.when(matched, F.lit(new_version)).otherwise(F.col(_VMAX)))
-        recomputed = self._eval_computed(sub.filter(matched), ccs)
-        recomputed = recomputed.withColumn(_VMIN, F.lit(new_version)).withColumn(_VMAX, F.lit(MAXV))
-        self._pending_version = new_version
-        self._rewrite_buckets(expired.unionByName(recomputed), aff)
+        ranges = self._extract_ranges(where) if where is not None else []
+        sub, matched_files, n = self._mutation_subset(
+            lambda df: df.withColumn("__m", live & pred), ranges)
+        new_files: list[str] = []
+        if sub is not None:
+            expired = sub.withColumn(
+                _VMAX, F.when(F.col("__m"), F.lit(new_version))
+                        .otherwise(F.col(_VMAX)))
+            recomputed = self._eval_computed(sub.filter(F.col("__m")), ccs)
+            recomputed = (recomputed.withColumn(_VMIN, F.lit(new_version))
+                          .withColumn(_VMAX, F.lit(MAXV)))
+            self._pending_version = new_version
+            new_files = self._replace_files(
+                expired.unionByName(recomputed).drop("__m"), matched_files)
         self.version = new_version
         self._log("recompute", rows=n, columns=list(cols))
         self._save_meta()
-        self._propagate_changes()
+        self._propagate_changes(new_files)
         return UpdateStatus(n, op="recompute")
 
     @telemetry.traced("table.revert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
@@ -2143,17 +2235,21 @@ class Table:
         if self.version == 0:
             raise ValueError("nothing to revert")
         v = self.version
-        store = self._store_df()
-        touched = (F.col(_VMIN) == v) | (F.col(_VMAX) == v)
-        aff = sorted(r[0] for r in
-                     store.filter(touched).select(_BKT).distinct().collect())
-        sub = store.filter(F.col(_BKT).isin(aff)) if aff else store
-        out = (
-            sub.filter(F.col(_VMIN) < v)
-            .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV)).otherwise(F.col(_VMAX)))
-        )
-        self._pending_version = v - 1
-        self._rewrite_buckets(out, aff)
+        # rows born or expired at v live ONLY in files whose max(_v_max)
+        # >= v (born: MAXV; expired-at-v: exactly v) — so the liveness
+        # floor is v-1 here, unlike the v of forward mutations
+        sub, matched_files, n = self._mutation_subset(
+            lambda df: df.withColumn(
+                "__m", (F.col(_VMIN) == v) | (F.col(_VMAX) == v)),
+            live_floor=v - 1)
+        if sub is not None:
+            out = (
+                sub.drop("__m").filter(F.col(_VMIN) < v)
+                .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV))
+                            .otherwise(F.col(_VMAX)))
+            )
+            self._pending_version = v - 1
+            self._replace_files(out, matched_files)
         self.version = v - 1
         self.history = [h for h in self.history if h["version"] < v]
         self._save_meta()
@@ -2243,15 +2339,27 @@ class Table:
         for v in self._views:
             v._full_refresh()
 
-    def _propagate_changes(self) -> None:
+    def _propagate_changes(self,
+                           delta_files: Optional[Sequence[str]] = None
+                           ) -> None:
         """Incremental update/delete propagation: dependent views expire and
         recompute ONLY the rows whose base `_rowid` changed at the current
         version (reference plan.py:717-760 create_view_update_plan), instead
-        of a full re-materialization."""
+        of a full re-materialization. With `delta_files` (the commit's
+        newly written files — the only place rows born or expired at this
+        version can live) the affected-rowid scan reads O(delta), not the
+        table."""
         if not self._views:
             return
         v = self.version
-        affected = (self._store_df()
+        if delta_files is None:
+            src = self._store_df()
+        elif delta_files:
+            src = self.catalog.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in delta_files])
+        else:  # no data changed at this version: nothing to propagate,
+            src = self._store_df().limit(0)  # but views still bump
+        affected = (src
                     .filter((F.col(_VMIN) == v) | (F.col(_VMAX) == v))
                     .select(_ROWID).distinct())
         for view in self._views:
@@ -2299,7 +2407,9 @@ class View(Table):
         meta = {"kind": "view", "name": self.name, "base": self.base.name,
                 "version": self.version,
                 "version_floor": self._version_floor,
-                "loaded_base_version": self._loaded_base_version}
+                "loaded_base_version": self._loaded_base_version,
+                "n_buckets": self.n_buckets,
+                "bucket_chunk": self.bucket_chunk}
         self._atomic_write(os.path.join(self.path, "meta.json"),
                            json.dumps(meta))
         vpath = os.path.join(self.path, "view.pkl")
@@ -2366,6 +2476,11 @@ class View(Table):
             v.version = stamp
         v._version_floor = meta.get("version_floor", meta["version"])
         v._loaded_base_version = meta.get("loaded_base_version", -1)
+        v.n_buckets = meta.get("n_buckets", 16)
+        # views persisted before the chunked-bucket formula laid out
+        # their files with the pure-mod assignment: keep chunk=1 so the
+        # recomputed _bkt stays consistent with the stored dirs
+        v.bucket_chunk = meta.get("bucket_chunk", 1)
         v.predicate = spec["predicate"]
         v.extra = spec["extra"]
         v.iterator = spec["iterator"]
@@ -2378,6 +2493,10 @@ class View(Table):
 
     def _view_plan(self, base_df: DataFrame) -> DataFrame:
         df = base_df
+        if _BKT in df.columns:
+            # _bkt is the BASE's write-clustering; the view assigns its
+            # own (its n_buckets/bucket_chunk may differ)
+            df = df.drop(_BKT)
         if self.predicate is not None:
             df = df.filter(self.predicate.compile())
         if self.iterator is not None:
@@ -2416,7 +2535,24 @@ class View(Table):
         base version flow through the view plan. A VIEW base versions its
         rows with the view-local interval (_vv_min), not the table one."""
         vcol = _VVMIN if isinstance(self.base, View) else _VMIN
-        new_rows = self.base.df().filter(F.col(vcol) == self.base.version)
+        bv = self.base.version
+        # manifest-stats pruning: rows born at bv can only live in files
+        # whose vcol range admits bv — the base's latest commit delta,
+        # not the whole base table
+        if isinstance(self.base, View):
+            braw = self.base._read_current_raw([(vcol, "==", bv),
+                                                (_VVMAX, ">", bv)])
+            if braw is not None and _BKT in braw.columns:
+                braw = braw.drop(_BKT)
+            new_rows = (braw.filter((F.col(_VVMIN) <= bv)
+                                    & (F.col(_VVMAX) > bv))
+                        if braw is not None
+                        else self.base.df())
+        else:
+            new_rows = self.base._store_df(
+                [(vcol, "==", bv), (_VMAX, ">", bv)]).filter(
+                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        new_rows = new_rows.filter(F.col(vcol) == bv)
         out = self._view_plan(new_rows)
         new_v = self.version + 1
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
@@ -2443,28 +2579,36 @@ class View(Table):
             self._propagate_refresh()
             return
         new_v = self.version + 1
-        # only the affected base rowids' buckets are read or rewritten:
-        # a one-row base update touches one bucket dir, not the whole view
-        bkts = sorted(
-            r[0] for r in affected_rowids.select(
-                F.pmod(F.col(_ROWID), F.lit(self.n_buckets)).cast("int")
-            ).distinct().collect())
-        raw = self._with_bkt(raw)
-        scoped = raw.filter(F.col(_BKT).isin(bkts)) if bkts else raw.limit(0)
+        # file-granular: probe which VIEW files actually hold live rows
+        # for the affected base rowids; only those files are rewritten.
+        # A one-row base update touches the one or two view files whose
+        # _rowid stats admit it, not a bucket, not the whole view.
         aff = affected_rowids.withColumn("__aff", F.lit(True))
         live = (F.col(_VVMIN) <= self.version) & (F.col(_VVMAX) > self.version)
-        marked = scoped.join(aff, on=_ROWID, how="left")
-        expired = marked.withColumn(
-            _VVMAX,
-            F.when(live & F.coalesce(F.col("__aff"), F.lit(False)), F.lit(new_v))
-             .otherwise(F.col(_VVMAX))).drop("__aff")
+
+        def prepare(df):
+            return (df.join(aff, on=_ROWID, how="left")
+                    .withColumn("__m", live & F.coalesce(F.col("__aff"),
+                                                         F.lit(False))))
+
+        sub, matched_files, _n = self._mutation_subset(
+            prepare, live_col=_VVMAX)
         # deleted base rows simply produce no replacement view rows
         base_rows = self.base.df().join(affected_rowids, on=_ROWID, how="left_semi")
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
         self._pending_version = new_v
-        self._rewrite_buckets(expired.unionByName(self._with_bkt(out)), bkts)
+        if sub is not None:
+            expired = self._with_bkt(sub.withColumn(
+                _VVMAX, F.when(F.col("__m"), F.lit(new_v))
+                         .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
+            self._replace_files(
+                expired.unionByName(self._with_bkt(out)), matched_files)
+        elif not affected_rowids.isEmpty():
+            # no existing view rows to expire, but affected base rows may
+            # newly satisfy the view predicate: pure append
+            self._append(out)
         self._loaded_base_version = self.base.version
         self.version = new_v
         self._save_view_meta()

@@ -1,8 +1,10 @@
-"""Bucketed store layout: mutations rewrite only the `_bkt=N` partition
-directories holding matched rows (the plain-parquet analog of Delta MERGE's
-file-level rewrite; the reference gets row-level mutation from Postgres,
-store.py:27-58). At 100 TB this bounds update/delete cost by matched data,
-not table size."""
+"""Bucketed store layout: `_bkt = (_rowid // bucket_chunk) % n_buckets`
+partition dirs are the write-clustering unit; mutations are FILE-granular
+(the plain-parquet analog of Delta MERGE's file-level rewrite; the
+reference gets row-level mutation from Postgres, store.py:27-58). At
+100 TB this bounds update/delete cost by matched files, not table size.
+Tables here use bucket_chunk=4 so a 64-row table still exercises every
+bucket (the deployment default keeps ~1k-row runs per file)."""
 
 from __future__ import annotations
 
@@ -35,7 +37,7 @@ def _rows(t) -> dict:
 
 def _make_table(cat, n=64):
     t = cat.create_table("bt", {"k": pxt.Int(False), "v": pxt.Int()},
-                         primary_key=["k"])
+                         primary_key=["k"], bucket_chunk=4)
     t.insert([{"k": i, "v": i * 10} for i in range(n)])
     return t
 
@@ -63,8 +65,9 @@ class TestBucketedLayout:
         t = _make_table(cat)
         before = _bucket_state(t._data_dir)
         k = ColumnRef("k", t.schema["k"])
-        # rowids follow insert order, so k % 16 == 3 is exactly one bucket
-        n = t.delete(where=(k % 16) == 3)
+        # rowids follow insert order, so k // 4 == 3 is exactly one
+        # bucket (chunk=4: bucket = (rowid // 4) % 16)
+        n = t.delete(where=(k // 4) == 3)
         assert n == 4
         after = _bucket_state(t._data_dir)
         changed = [b for b in before if before[b] != after.get(b)]
@@ -104,13 +107,13 @@ class TestBucketedLayout:
     def test_batch_update_single_pass_bucketed(self, cat):
         t = _make_table(cat)
         before = _bucket_state(t._data_dir)
-        n = t.batch_update([{"k": 1, "v": -1}, {"k": 17, "v": -2}])
+        n = t.batch_update([{"k": 12, "v": -1}, {"k": 14, "v": -2}])
         assert n == 2
         after = _bucket_state(t._data_dir)
         changed = [b for b in before if before[b] != after.get(b)]
-        assert len(changed) == 1  # 1 % 16 == 17 % 16
+        assert len(changed) == 1  # 12 and 14 share rowid chunk 3
         rows = _rows(t)
-        assert rows[1] == -1 and rows[17] == -2
+        assert rows[12] == -1 and rows[14] == -2
 
     def test_view_update_then_insert_propagates(self, cat):
         """Regression: _apply_base_update used to leave the view storage
@@ -150,5 +153,6 @@ class TestBucketedLayout:
         cat._tables.pop("bt")
         t2 = cat.get_table("bt")
         assert t2.n_buckets == t.n_buckets
+        assert t2.bucket_chunk == 4  # chunk persists across reloads
         t2.insert([{"k": 100, "v": 1}])
         assert t2.count() == 5

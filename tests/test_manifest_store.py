@@ -86,7 +86,7 @@ class TestManifestCommit:
         k = ColumnRef("k", t.schema["k"])
         t.update({"v": -2}, where=k == 9)
         after = set(_manifest_files(t))
-        bkt = 9 % t.n_buckets
+        bkt = (9 // t.bucket_chunk) % t.n_buckets
         untouched_before = {f for f in before
                             if t._bucket_of(f) != bkt}
         assert untouched_before <= after  # same paths, never rewritten

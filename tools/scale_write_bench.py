@@ -1,0 +1,207 @@
+"""Write-path scale evidence: mutation cost vs table size.
+
+Builds a catalog table from the sf0.1 driver lineitem replicated Nx
+(factor 1/10/100 -> ~0.6M/6M/60M rows; round-8 verdict ask #4), with
+n_buckets scaled so per-bucket volume stays constant (how a real
+deployment sizes buckets), then times the write-path operations:
+
+  bulk_load        create + insert N rows (one commit)      ~linear
+  small_insert     1000-row insert                          ~flat
+  chain_insert     mean of 10 consecutive 100-row commits   ~flat
+                   (pins O(delta) log-structured manifests +
+                   checkpoint amortization)
+  point_update     few-row update by key equality           ~flat
+  range_update     ~4000-row update by key range            ~flat
+  small_delete     ~4000-row delete by key range            ~flat
+  view_insert      1000-row insert w/ dependent view        ~flat
+  view_update      1-row update w/ dependent view           ~flat
+  timetravel_read  count() at version 1                     ~linear scan
+  optimize         full compaction                          linear BY
+                   DESIGN (rewrites everything; run rarely)
+
+"flat" is the file-granular-COW claim: a mutation's cost scales with
+files-holding-matches (stats-pruned), never with table size. Exponent e
+fits wall ~ factor^e between x1 and the largest factor; e ~ 0 means the
+op would cost the same on a 100 TB table as on 1 TB.
+
+Usage: python tools/scale_write_bench.py [factor ...]  (default: 1 10 100)
+Appends section 3 to SCALE.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import pixeltable_spark as pxt  # noqa: E402
+from pixeltable_spark.exprs import ColumnRef  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = "/tmp/pxt_wscale"
+ID_STRIDE = 1_000_000_000
+
+
+def _source(spark, factor: int):
+    """lineitem replicated `factor`x with remapped, near-insert-ordered
+    keys (k tracks l_orderkey order, so key-range mutations align with
+    file min/max stats exactly as bulk-loaded fact keys do)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        (F.col("l_orderkey").cast("long") * 8
+         + F.col("l_linenumber").cast("long")).alias("k0"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_returnflag").alias("s"))
+    reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    return li.crossJoin(reps).select(
+        (F.col("k0") + F.col("__rep") * ID_STRIDE).alias("k"), "v", "s")
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def run_factor(spark, factor: int) -> dict[str, float]:
+    wh = os.path.join(OUT_DIR, f"x{factor}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = pxt.Catalog(spark, wh)
+    src = _source(spark, factor)
+    n_buckets = 8 * factor  # constant per-bucket volume, like a real
+    #                         deployment sizing buckets to ~1 GB
+    res: dict[str, float] = {}
+
+    t = None
+
+    def bulk():
+        nonlocal t
+        t = cat.create_table(
+            "t", {"k": pxt.Int(False), "v": pxt.Float(True),
+                  "s": pxt.String(True)},
+            primary_key=["k"], n_buckets=n_buckets)
+        t.insert(src)
+
+    res["bulk_load"] = _timed(bulk)
+    n0 = t.count()
+
+    kref = ColumnRef("k", t.schema["k"])
+    vref = ColumnRef("v", t.schema["v"])
+    # sf0.1 l_orderkey spans 0..150k -> k spans 0..1.2M within each
+    # replica; [600k, 608k) covers ~1000 orderkey slots = ~4000 rows
+    lo, hi = 600_000, 608_000
+    fresh = 900_000_000  # new-key space for inserts
+
+    res["small_insert"] = _timed(lambda: t.insert(
+        [{"k": fresh + i, "v": 1.0, "s": "N"} for i in range(1000)]))
+
+    def chain():
+        for c in range(10):
+            t.insert([{"k": fresh + 10_000 + c * 1000 + i,
+                       "v": 2.0, "s": "N"} for i in range(100)])
+
+    res["chain_insert"] = _timed(chain) / 10.0
+
+    matched: dict[str, int] = {}
+
+    def _mut(name, fn):
+        t0 = time.time()
+        st = fn()
+        res[name] = time.time() - t0
+        matched[name] = int(st)
+        if int(st) == 0:
+            raise RuntimeError(f"{name} matched 0 rows — battery "
+                               "predicates must hit real keys")
+
+    # one orderkey's lineitems (k in [lo, lo+8)): the point-lookup shape
+    _mut("point_update",
+         lambda: t.update({"v": 0.5}, where=(kref >= lo) & (kref < lo + 8)))
+    _mut("range_update",
+         lambda: t.update({"v": 0.25}, where=(kref >= lo) & (kref < hi)))
+    _mut("small_delete",
+         lambda: t.delete(where=(kref >= hi) & (kref < hi + 8_000)))
+
+    view = cat.create_view("big", t, predicate=vref >= 50_000.0,
+                           extra_columns={"half": (vref * 0.5,
+                                                   pxt.Float())})
+    res["view_insert"] = _timed(lambda: t.insert(
+        [{"k": fresh + 50_000 + i, "v": 60_000.0, "s": "V"}
+         for i in range(1000)]))
+    res["view_update"] = _timed(
+        lambda: t.update({"v": 70_000.0}, where=kref == fresh + 50_000))
+
+    res["timetravel_read"] = _timed(lambda: t.df(version=1).count())
+    res["optimize"] = _timed(lambda: t.optimize())
+
+    res["_rows"] = float(n0)
+    res["_files"] = float(len(t._current_files()))
+    return res
+
+
+OPS = ["bulk_load", "small_insert", "chain_insert", "point_update",
+       "range_update", "small_delete", "view_insert", "view_update",
+       "timetravel_read", "optimize"]
+
+LINEAR_BY_DESIGN = {"bulk_load", "timetravel_read", "optimize"}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    spark = pxt.get_session(app_name="pxt_scale_write_bench")
+    all_res = {}
+    for f in factors:
+        print(f"=== factor x{f} ===", flush=True)
+        all_res[f] = run_factor(spark, f)
+        for op in OPS:
+            print(f"  {op:16s} {all_res[f][op]:8.2f} s", flush=True)
+
+    f_lo, f_hi = factors[0], factors[-1]
+    lines = [
+        "",
+        "## Write-path scaling (mutation batteries; round-9)",
+        "",
+        f"Catalog tables bulk-loaded from sf0.1 lineitem replicated Nx",
+        f"(x1 = {int(all_res[f_lo]['_rows']):,} rows), n_buckets scaled",
+        "with volume (constant per-bucket size, as a deployment would).",
+        "Mutations are FILE-granular copy-on-write: stats/bloom-pruned",
+        "candidate files -> probe for files actually holding matches ->",
+        "rewrite only those (catalog.py _mutation_subset). Manifests are",
+        "log-structured (O(files changed) per commit). Exponent e fits",
+        f"wall ~ factor^e between x{f_lo} and x{f_hi}; e ~ 0 = table-size-",
+        "independent mutation cost. bulk_load / timetravel_read /",
+        "optimize touch all data by definition -> linear is correct for",
+        "them (marked *).",
+        "",
+        "| operation | " + " | ".join(f"x{f} (s)" for f in factors)
+        + " | exponent e |",
+        "|---|" + "---|" * (len(factors) + 1),
+    ]
+    for op in OPS:
+        walls = [all_res[f][op] for f in factors]
+        e = (math.log(max(walls[-1], 1e-3) / max(walls[0], 1e-3))
+             / math.log(f_hi / f_lo)) if f_hi > f_lo else 0.0
+        star = " *" if op in LINEAR_BY_DESIGN else ""
+        lines.append(
+            f"| {op}{star} | "
+            + " | ".join(f"{w:.2f}" for w in walls)
+            + f" | {e:.2f} |")
+    lines.append("")
+    lines.append(
+        "File counts after the battery: "
+        + ", ".join(f"x{f}: {int(all_res[f]['_files'])}" for f in factors)
+        + " — file growth tracks data volume, not commit count "
+        "(chunked bucket assignment keeps a 1000-row insert to 1-2 "
+        "files regardless of n_buckets).")
+    with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
