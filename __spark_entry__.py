@@ -3142,6 +3142,44 @@ def q141_component_groupby(spark, sf_dir):
     return q.df()
 
 
+def q142_merge_battery(spark, sf_dir):
+    """batch_update (keyed MERGE) under the hard oracle gate (catalog.py
+    batch_update: one broadcast key join, one version bump, one
+    file-granular rewrite per batch; reference catalog/table.py:978,
+    plan.py:619 the MERGE shape): load customers keyed by custkey, apply
+    three merge batches with DIFFERENT column subsets (v only, s only,
+    both — unmentioned columns must keep their values) plus unmatched
+    keys (ignored, not inserted), then one post-merge delete. DuckDB
+    replays the merges as CASE expressions over the final key sets —
+    cell-exact, so per-row column-subset semantics, no-match behavior
+    and MVCC bookkeeping are all value-checked."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    cust = _df(spark, sf_dir, "customer")
+    wh = tempfile.mkdtemp(prefix="pxt_q142_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("c", {"k": pxt.Int(False), "v": pxt.Float(True),
+                               "s": pxt.String(True)},
+                         primary_key=["k"], n_buckets=4)
+    t.insert(cust.select(F.col("c_custkey").cast("long").alias("k"),
+                         F.col("c_acctbal").cast("double").alias("v"),
+                         F.col("c_mktsegment").alias("s")))
+    # batch 1: v only (-1.0*k is exact in IEEE double for these ints)
+    t.batch_update([{"k": k, "v": -1.0 * k} for k in range(1, 1500, 97)])
+    # batch 2: s only — v set by batch 1 must survive where keys overlap
+    t.batch_update([{"k": k, "s": "MERGED"} for k in range(2, 1500, 101)])
+    # batch 3: both columns + keys far outside the table (no-ops)
+    t.batch_update([{"k": k, "v": 0.25 * k, "s": "BOTH"}
+                    for k in range(3, 1500, 103)]
+                   + [{"k": 10_000_000 + i, "v": 1.0, "s": "X"}
+                      for i in range(5)])
+    t.delete(where=ColumnRef("k", t.schema["k"]) % 10 == 7)
+    return t.user_df().select("k", "v", "s").orderBy("k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3283,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_index_maintenance": q139_index_maintenance,
         "q140_sessionize_stream": q140_sessionize_stream,
         "q141_component_groupby": q141_component_groupby,
+        "q142_merge_battery": q142_merge_battery,
     }
 
 
@@ -5269,4 +5308,23 @@ pc AS (SELECT doc_id, least(20, n - s) AS m FROM ch)
 SELECT doc_id, count(*) AS n_chunks,
        sum(CAST(floor((m - 1) / 5) + 1 AS BIGINT)) AS n_subs
 FROM pc GROUP BY doc_id ORDER BY doc_id"""
+    # q142: the three merge batches replayed as CASE expressions (later
+    # batches win per column; batch 2/3 column subsets leave the other
+    # column at its prior value), then the delete predicate
+    d["q142_merge_battery"] = """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k,
+         CAST(c_acctbal AS DOUBLE) AS v,
+         c_mktsegment AS s
+  FROM customer),
+m AS (
+  SELECT k,
+    CASE WHEN k >= 3 AND k < 1500 AND (k - 3) % 103 = 0 THEN 0.25 * k
+         WHEN k >= 1 AND k < 1500 AND (k - 1) % 97 = 0 THEN -1.0 * k
+         ELSE v END AS v,
+    CASE WHEN k >= 3 AND k < 1500 AND (k - 3) % 103 = 0 THEN 'BOTH'
+         WHEN k >= 2 AND k < 1500 AND (k - 2) % 101 = 0 THEN 'MERGED'
+         ELSE s END AS s
+  FROM base)
+SELECT k, v, s FROM m WHERE k % 10 <> 7 ORDER BY k"""
     return d

@@ -455,9 +455,12 @@ class Catalog:
                     predicate: Optional[Expr] = None,
                     extra_columns: Optional[dict[str, tuple[Expr, ColumnType]]] = None,
                     iterator: Optional[Callable[[DataFrame], DataFrame]] = None,
+                    n_buckets: Optional[int] = None,
+                    bucket_chunk: Optional[int] = None,
                     ) -> "View":
         v = View._create(self, name, self._tbl_dir(name), base, predicate,
-                         extra_columns or {}, iterator)
+                         extra_columns or {}, iterator,
+                         n_buckets=n_buckets, bucket_chunk=bucket_chunk)
         base._views.append(v)
         self._tables[name] = v
         return v
@@ -513,13 +516,18 @@ class Table:
         # testing — a real deployment sizes this so a bucket ~ 1 GB
         self.n_buckets = 16
         # rows per contiguous rowid run within one bucket: _bkt =
-        # (_rowid // chunk) % n_buckets. chunk > 1 keeps a small append's
-        # contiguous rowids in O(batch/chunk) buckets — so a 1000-row
-        # insert commits 1-2 files, not one tiny file per bucket — while
-        # bulk loads still stripe evenly. Tables persisted before this
-        # knob load chunk=1 (the old pure-mod formula) so their stored
-        # _bkt= dirs stay consistent.
-        self.bucket_chunk = 1024
+        # (_rowid // chunk) % n_buckets. The chunk is sized to one
+        # FILE's worth of rows (2^20), which buys three things at once:
+        # a small append's contiguous rowids land in 1-2 buckets (1-2
+        # files per commit, never one tiny file per bucket); a bulk
+        # commit emits one file per chunk, each holding a CONTIGUOUS
+        # rowid run, so per-file min/max on rowid — and on any
+        # load-ordered key — are near-disjoint and narrow mutations
+        # stats-prune to the few files that can match; and bucket sizes
+        # stay balanced as chunks wrap around the bucket ring. Tables
+        # persisted before this knob load chunk=1 (the old pure-mod
+        # striping) so their stored _bkt= dirs stay consistent.
+        self.bucket_chunk = 1 << 20
         # col -> target false-positive rate for per-file bloom skipping
         self.bloom_cols: dict[str, float] = {}
         # earliest version still reconstructible: optimize(purge_before=v)
@@ -875,13 +883,16 @@ class Table:
             # bucket it touches (tasks x buckets small files per commit
             # — measured 58 view files from 4 commits at 4 buckets),
             # and every extra file pays a footer-stats read at commit
-            # and a scan split forever after. One file per bucket per
-            # commit is the bucketed-store contract (a deployment sizes
-            # n_buckets to ~1 GB buckets, so this is also the right
-            # file size at scale). optimize(zorder_by=...) passes
+            # and a scan split forever after. Hash-partition on _bkt at
+            # the session's shuffle parallelism — NOT n_buckets: a task
+            # holding several buckets still writes one file per bucket
+            # dir, so file sizes stay ~bucket_chunk, while a 2-file
+            # mutation commit schedules 32 tasks instead of n_buckets
+            # (800-task no-op stages per tiny commit, measured at the
+            # x100 write battery). optimize(zorder_by=...) passes
             # preserve_partitioning=True — its range-partition-on-z
             # layout IS the point and must reach the writer untouched.
-            df = df.repartition(self.n_buckets, F.col(_BKT))
+            df = df.repartition(F.col(_BKT))
         w = df.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy(_BKT)
@@ -924,14 +935,17 @@ class Table:
         JSON-portable scalar types are kept; columns without usable
         stats are simply absent (pruning treats absent as unknowable).
         This is the Delta/Iceberg data-skipping design: at 100 TB the
-        planner prunes files from the manifest without opening them."""
+        planner prunes files from the manifest without opening them.
+        Footer reads are threaded (pyarrow releases the GIL on I/O and
+        decode) so a bulk commit's stats pass is bounded by storage
+        parallelism, not files x round-trip latency."""
         import pyarrow.parquet as pq
-        out: dict[str, dict] = {}
-        for rel in relpaths:
+
+        def _one(rel: str):
             try:
                 md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
             except Exception:  # noqa: BLE001 — stats are an optimization
-                continue
+                return rel, None
             cols: dict[str, list] = {}
             nulls: dict[str, list] = {}   # col -> [null_count, rows]
             for rg in range(md.num_row_groups):
@@ -972,10 +986,10 @@ class Table:
                     else:
                         cols[c.path_in_schema] = [min(prev[0], lo),
                                                   max(prev[1], hi)]
-            out[rel] = {k: v for k, v in cols.items() if v is not None}
+            entry = {k: v for k, v in cols.items() if v is not None}
             for k, v in nulls.items():
                 if v is not None:
-                    out[rel][_NULLS_PFX + k] = v
+                    entry[_NULLS_PFX + k] = v
             # bloom filters: the one place a NEW file's data (one pruned
             # column per bloom) is read at commit time — carried-over
             # files keep their manifest entry and are never re-read
@@ -987,8 +1001,17 @@ class Table:
                 except Exception:  # noqa: BLE001 — stats are an optimization
                     bloom = None
                 if bloom is not None:
-                    out[rel][_BLOOM_PFX + bcol] = bloom
-        return out
+                    entry[_BLOOM_PFX + bcol] = bloom
+            return rel, entry
+
+        if len(relpaths) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(relpaths))) as ex:
+                results = list(ex.map(_one, relpaths))
+        else:
+            results = [_one(r) for r in relpaths]
+        return {rel: entry for rel, entry in results if entry is not None}
 
     def _current_stats(self) -> dict:
         """File stats of the current manifest ({} for legacy manifests).
@@ -1028,6 +1051,22 @@ class Table:
                 return mm[0] <= v <= mm[1]
             except TypeError:
                 return True
+
+        # normalize ONCE before the per-file loop: a large IN-list would
+        # otherwise cost O(values x files) driver-side bloom probes — at
+        # manifest scale (10^6 files) that is the bottleneck, and a
+        # min/max band check prunes nearly as well past ~64 values
+        norm: list[tuple] = []
+        for col, op, v in ranges:
+            if op == "in" and len(v) > 64:
+                try:
+                    norm.append((col, ">=", min(v)))
+                    norm.append((col, "<=", max(v)))
+                except TypeError:
+                    pass  # mixed types: no pruning on this conjunct
+                continue
+            norm.append((col, op, v))
+        ranges = norm
 
         keep = []
         for f in files:
@@ -1311,6 +1350,17 @@ class Table:
         """Add new rows: new files + manifest commit (current ∪ new)."""
         cur = self._current_files()
         new = self._write_snapshot_files(self._with_bkt(df))
+        if cur and len(new) == 1 and new[0].endswith("-empty.parquet"):
+            # empty increment on a table that already has files: the
+            # schema-bearing empty marker is only needed for EMPTY
+            # tables, and its flat (unbucketed) path would otherwise
+            # flip a bucketed store into the legacy whole-table-rewrite
+            # mode and mix dir structures under partition discovery
+            try:
+                os.remove(os.path.join(self.path, new[0]))
+            except OSError:
+                pass
+            new = []
         self._commit_files(list(cur) + new)
 
     def _rewrite(self, df: DataFrame,
@@ -2391,12 +2441,18 @@ class View(Table):
     def _create(cls, catalog: Catalog, name: str, path: str, base: Table,
                 predicate: Optional[Expr],
                 extra: dict[str, tuple[Expr, ColumnType]],
-                iterator: Optional[Callable[[DataFrame], DataFrame]]) -> "View":
+                iterator: Optional[Callable[[DataFrame], DataFrame]],
+                n_buckets: Optional[int] = None,
+                bucket_chunk: Optional[int] = None) -> "View":
         v = cls(catalog, name, path)
         v.base = base
         v.predicate = predicate
         v.extra = extra
         v.iterator = iterator
+        if n_buckets is not None:
+            v.n_buckets = int(n_buckets)
+        if bucket_chunk is not None:
+            v.bucket_chunk = max(1, int(bucket_chunk))
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         v._full_refresh()
         v._save_view_meta()
@@ -2591,10 +2647,28 @@ class View(Table):
                     .withColumn("__m", live & F.coalesce(F.col("__aff"),
                                                          F.lit(False))))
 
+        # one tiny agg gives (a) emptiness and (b) the rowid bounds that
+        # prune the view-file probe: chunked bucket assignment makes
+        # per-file _rowid ranges near-disjoint, so a narrow base change
+        # opens only the view files that can hold those rowids
+        bounds = affected_rowids.agg(F.min(_ROWID), F.max(_ROWID)).first()
+        has_affected = bounds is not None and bounds[0] is not None
+        ranges = ([(_ROWID, ">=", int(bounds[0])),
+                   (_ROWID, "<=", int(bounds[1]))] if has_affected else [])
         sub, matched_files, _n = self._mutation_subset(
-            prepare, live_col=_VVMAX)
-        # deleted base rows simply produce no replacement view rows
-        base_rows = self.base.df().join(affected_rowids, on=_ROWID, how="left_semi")
+            prepare, ranges, live_col=_VVMAX)
+        # deleted base rows simply produce no replacement view rows; the
+        # base re-scan is pruned by the same rowid bounds (table bases
+        # version rows with _v_min/_v_max — view bases differ, skip)
+        base_live = self.base.df()
+        if has_affected and not isinstance(self.base, View):
+            bv = self.base.version
+            base_live = self.base._store_df(
+                [(_VMIN, "<=", bv), (_VMAX, ">", bv),
+                 (_ROWID, ">=", int(bounds[0])),
+                 (_ROWID, "<=", int(bounds[1]))]).filter(
+                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        base_rows = base_live.join(affected_rowids, on=_ROWID, how="left_semi")
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
@@ -2605,7 +2679,7 @@ class View(Table):
                          .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
             self._replace_files(
                 expired.unionByName(self._with_bkt(out)), matched_files)
-        elif not affected_rowids.isEmpty():
+        elif has_affected:
             # no existing view rows to expire, but affected base rows may
             # newly satisfy the view predicate: pure append
             self._append(out)

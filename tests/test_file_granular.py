@@ -20,13 +20,14 @@ from pixeltable_spark.exprs import ColumnRef
 
 
 def _mk(spark, tmp_path, n_commits=4, rows_per=200, n_buckets=2):
-    """A table built from several inserts: each commit adds one file per
-    bucket with a DISJOINT k range, so min/max stats can prove which
-    files a narrow-k mutation can touch."""
+    """A table built from several inserts: each commit adds files with
+    near-DISJOINT k ranges (bucket_chunk=256 so commits span multiple
+    rowid chunks), so min/max stats can prove which files a narrow-k
+    mutation can touch."""
     cat = pxt.Catalog(spark, str(tmp_path / "wh"))
     t = cat.create_table(
         "t", {"k": pxt.Int(False), "v": pxt.Float(True)},
-        primary_key=["k"], n_buckets=n_buckets)
+        primary_key=["k"], n_buckets=n_buckets, bucket_chunk=256)
     for c in range(n_commits):
         base = c * rows_per
         t.insert([{"k": base + i, "v": float(base + i)}
@@ -114,7 +115,8 @@ class TestFileGranularMutations:
 
     def test_recompute_columns_file_granular(self, spark, tmp_path):
         cat = pxt.Catalog(spark, str(tmp_path / "wh"))
-        t = cat.create_table("t", {"k": pxt.Int(False)}, n_buckets=2)
+        t = cat.create_table("t", {"k": pxt.Int(False)}, n_buckets=2,
+                             bucket_chunk=256)
         for c in range(3):
             t.insert([{"k": c * 100 + i} for i in range(100)])
         kref = ColumnRef("k", t.schema["k"])
@@ -135,7 +137,8 @@ class TestFileGranularMutations:
         vref = ColumnRef("v", t.schema["v"])
         view = cat.create_view("big", t, predicate=vref >= 0.0,
                                extra_columns={"half": (vref * 0.5,
-                                                       pxt.Float())})
+                                                       pxt.Float())},
+                               bucket_chunk=800)
         assert view.count() == 2400
         vbefore = set(view._current_files())
         assert len(vbefore) >= 2
@@ -163,6 +166,28 @@ class TestFileGranularMutations:
         # and leave again
         t.update({"v": -5.0}, where=ColumnRef("k", t.schema["k"]) < 2)
         assert view.count() == 1
+
+
+class TestEmptyIncrement:
+    def test_empty_increment_adds_no_files(self, spark, tmp_path):
+        """An insert that yields no view rows must not append the flat
+        empty-marker file to a populated bucketed view store (it would
+        flip the store into legacy whole-table-rewrite mode)."""
+        cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table(
+            "t", {"k": pxt.Int(False), "v": pxt.Float(True)},
+            n_buckets=2, bucket_chunk=256)
+        t.insert([{"k": i, "v": float(i)} for i in range(50)])
+        vref = ColumnRef("v", t.schema["v"])
+        view = cat.create_view("pos", t, predicate=vref >= 10.0)
+        assert view.count() == 40
+        vfiles = set(view._current_files())
+        t.insert([{"k": 100 + i, "v": 1.0} for i in range(20)])  # none pass
+        assert view.count() == 40
+        assert set(view._current_files()) == vfiles
+        # and a passing increment still lands
+        t.insert([{"k": 200, "v": 99.0}])
+        assert view.count() == 41
 
 
 class TestBloomPrunedMutation:

@@ -59,8 +59,13 @@ def _source(spark, factor: int):
         F.col("l_extendedprice").cast("double").alias("v"),
         F.col("l_returnflag").alias("s"))
     reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    # orderBy: a bulk fact load arrives roughly key-clustered (the ETL
+    # norm); without it the crossJoin interleaves every replica per
+    # source row and no file could ever be key-pruned. The sort is part
+    # of the timed bulk_load, as it would be in a real clustered load.
     return li.crossJoin(reps).select(
-        (F.col("k0") + F.col("__rep") * ID_STRIDE).alias("k"), "v", "s")
+        (F.col("k0") + F.col("__rep") * ID_STRIDE).alias("k"), "v", "s"
+    ).orderBy("k")
 
 
 def _timed(fn):
@@ -82,10 +87,13 @@ def run_factor(spark, factor: int) -> dict[str, float]:
 
     def bulk():
         nonlocal t
+        # chunk sized to ~8-16 MB files for this narrow schema: the
+        # mutation/rewrite unit is one file = 128k contiguous rowids at
+        # EVERY factor, so exponents measure the engine, not file size
         t = cat.create_table(
             "t", {"k": pxt.Int(False), "v": pxt.Float(True),
                   "s": pxt.String(True)},
-            primary_key=["k"], n_buckets=n_buckets)
+            primary_key=["k"], n_buckets=n_buckets, bucket_chunk=1 << 17)
         t.insert(src)
 
     res["bulk_load"] = _timed(bulk)
