@@ -3180,6 +3180,47 @@ def q142_merge_battery(spark, sf_dir):
     return t.user_df().select("k", "v", "s").orderBy("k")
 
 
+def q143_stream_ingest(spark, sf_dir):
+    """Exactly-once streaming ingest under the oracle gate (catalog.py
+    Table.insert_stream: foreachBatch + per-stream batch ledger stamped
+    in the manifest commit — Delta txnAppId/txnVersion; the reference
+    only has batch insert, catalog/table.py:675): orders flow through a
+    multi-batch availableNow file stream into a versioned table with a
+    computed column, then the WHOLE stream is replayed from a fresh
+    checkpoint under the same stream_id (the at-least-once failure
+    shape) — the ledger must make the replay a no-op. DuckDB sees the
+    batch equivalent; any duplicate or missed batch breaks cell-exact."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    ords = _df(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("double").alias("p"))
+    root = tempfile.mkdtemp(prefix="pxt_q143_")
+    src = f"{root}/src"
+    ords.repartition(4).write.parquet(src)
+    cat = pxt.Catalog(spark, f"{root}/wh")
+    t = cat.create_table("t", {"k": pxt.Int(False), "p": pxt.Float(True)})
+    pref = ColumnRef("p", t.schema["p"])
+    t.add_computed_column("margin", pref * 0.5, pxt.Float())
+
+    import pyspark.sql.types as T
+    schema = T.StructType([T.StructField("k", T.LongType(), False),
+                           T.StructField("p", T.DoubleType(), True)])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    t.insert_stream(stream, f"{root}/ck1",
+                    stream_id="orders").awaitTermination(300)
+    # full replay from a fresh checkpoint, same stream id: every batch
+    # re-delivers and every one must be rejected by the ledger
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    t.insert_stream(stream2, f"{root}/ck2",
+                    stream_id="orders").awaitTermination(300)
+    return t.user_df().select("k", "p", "margin").orderBy("k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3322,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_sessionize_stream": q140_sessionize_stream,
         "q141_component_groupby": q141_component_groupby,
         "q142_merge_battery": q142_merge_battery,
+        "q143_stream_ingest": q143_stream_ingest,
     }
 
 
@@ -5327,4 +5369,11 @@ m AS (
          ELSE s END AS s
   FROM base)
 SELECT k, v, s FROM m WHERE k % 10 <> 7 ORDER BY k"""
+    # q143: streaming ingest ≡ batch load (* 0.5 exact in IEEE double);
+    # a duplicated or dropped micro-batch breaks the row set
+    d["q143_stream_ingest"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       CAST(o_totalprice AS DOUBLE) AS p,
+       CAST(o_totalprice AS DOUBLE) * 0.5 AS margin
+FROM orders ORDER BY k"""
     return d

@@ -539,6 +539,13 @@ class Table:
         # _commit_files): set by version-bumping mutations pre-write
         self._pending_version: Optional[int] = None
         self._pending_next_rowid: Optional[int] = None
+        # streaming-ingest idempotency ledger: stream_id -> last ingested
+        # micro-batch id, made durable IN the manifest commit itself
+        # (Delta's txnAppId/txnVersion design) so foreachBatch replays
+        # after a crash are detected even when the crash landed between
+        # the commit swap and the meta save
+        self.stream_batches: dict[str, int] = {}
+        self._pending_stream_stamp: Optional[tuple[str, int]] = None
 
     # -- creation / persistence -------------------------------------------
     @classmethod
@@ -570,6 +577,7 @@ class Table:
             "bucket_chunk": self.bucket_chunk,
             "bloom_cols": self.bloom_cols,
             "version_floor": self.version_floor,
+            "stream_batches": self.stream_batches,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
             # the manifest this meta is in sync with: loaders trust meta
             # only while CURRENT still points here; when CURRENT has
@@ -603,6 +611,8 @@ class Table:
         self.bucket_chunk = meta.get("bucket_chunk", 1)
         self.bloom_cols = meta.get("bloom_cols", {})
         self.version_floor = meta.get("version_floor", 0)
+        self.stream_batches = {k: int(v) for k, v in
+                               meta.get("stream_batches", {}).items()}
         self.schema = {
             k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
@@ -627,6 +637,9 @@ class Table:
                         self.version = m["version"]
                         self.next_rowid = m.get("next_rowid",
                                                 self.next_rowid)
+                    for sid, bid in m.get("stream_batches", {}).items():
+                        self.stream_batches[sid] = max(
+                            int(bid), self.stream_batches.get(sid, -1))
                 self._manifest_at_read = cur_manifest
             except (OSError, KeyError, json.JSONDecodeError):
                 pass  # pre-stamp manifest or unreadable: meta stands
@@ -1198,6 +1211,18 @@ class Table:
                                 else self.version),
                     "next_rowid": (pending_r if pending_r is not None
                                    else self.next_rowid)}
+        # streaming-ingest ledger: durable WITH the data commit, so a
+        # foreachBatch replay after any crash sees the batch as done
+        pending_s = getattr(self, "_pending_stream_stamp", None)
+        stream_map = dict(getattr(self, "stream_batches", {}) or {})
+        if pending_s is not None:
+            sid, bid = pending_s
+            stream_map[sid] = max(int(bid), stream_map.get(sid, -1))
+        if stream_map:
+            manifest["stream_batches"] = stream_map
+        # NOTE: the pending stream stamp and in-memory ledger advance
+        # only after the swap succeeds (below) — a failed conditional
+        # swap must leave the stamp armed for the mutation retry
         self._pending_version = None
         self._pending_next_rowid = None
         # segments before the manifest, manifest before the swap: every
@@ -1214,6 +1239,8 @@ class Table:
                         "manifest": mrel}),
             expected, self.name)
         self._manifest_at_read = mrel
+        self.stream_batches = stream_map
+        self._pending_stream_stamp = None
         # prime the resolver cache with the state just committed
         stats = {f: prev_stats[f] for f in files if _fresh(f)}
         stats.update(new_stats)
@@ -2061,6 +2088,52 @@ class Table:
         self._save_meta()
         self._propagate_insert()
         return UpdateStatus(n, op="insert")
+
+    def insert_stream(self, source: DataFrame, checkpoint_dir: str,
+                      stream_id: Optional[str] = None,
+                      trigger_interval: Optional[str] = None):
+        """Exactly-once Structured Streaming ingest into this table:
+        each micro-batch lands as one versioned insert (computed columns
+        + view propagation included), and a per-stream batch ledger is
+        stamped into the SAME manifest commit as the data — Delta's
+        idempotent-writes txnAppId/txnVersion design. foreachBatch is
+        only at-least-once (a batch can replay after a failure between
+        the sink write and the checkpoint advance); the ledger makes the
+        replay a no-op, so restart-after-crash never duplicates rows.
+
+        `source` is an unbounded DataFrame (spark.readStream...). With
+        the default trigger the query drains all available input and
+        stops (Trigger.AvailableNow — batch parity); pass
+        `trigger_interval` (e.g. "10 seconds") for a continuous
+        micro-batch query. Returns the StreamingQuery. The ledger
+        assumes one writer per stream_id (the Structured Streaming
+        checkpoint contract); concurrent DIFFERENT streams or batch
+        writers interleave safely through the normal commit protocol."""
+        sid = stream_id or ("ckpt:" + os.path.abspath(checkpoint_dir))
+
+        def _ingest(batch_df, batch_id: int) -> None:
+            if self.stream_batch_done(sid, batch_id):
+                return  # replayed batch: already durable in a manifest
+            self._pending_stream_stamp = (sid, int(batch_id))
+            try:
+                self.insert(batch_df)
+            finally:
+                self._pending_stream_stamp = None
+
+        w = (source.writeStream
+             .foreachBatch(_ingest)
+             .option("checkpointLocation", checkpoint_dir))
+        if trigger_interval:
+            w = w.trigger(processingTime=trigger_interval)
+        else:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def stream_batch_done(self, stream_id: str, batch_id: int) -> bool:
+        """True when `batch_id` of `stream_id` is already durable in a
+        committed manifest — the idempotent-replay check insert_stream's
+        foreachBatch applies before inserting."""
+        return int(batch_id) <= self.stream_batches.get(stream_id, -1)
 
     def _assign_rowids(self, src: DataFrame, start: int) -> tuple[DataFrame, int]:
         """Monotonic _rowid continuing from `start`, assigned scalably:
