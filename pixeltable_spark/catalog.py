@@ -1280,18 +1280,28 @@ class Table:
                 except OSError:
                     pass
         # prune stray non-parquet write debris (_SUCCESS etc.) and stale
-        # tmp dirs / empty bucket dirs
+        # tmp dirs / empty bucket dirs. NEVER reach inside a .tmp-* tree
+        # except through the age-gated rmtree of its root: a racing
+        # writer's task-attempt dirs are briefly EMPTY right after
+        # creation, and an eager os.rmdir of one kills that writer's
+        # task mid-write (reproduced by the object-store racing suite)
         for dirpath, dirnames, files in os.walk(self._data_dir, topdown=False):
+            rel = os.path.relpath(dirpath, self._data_dir)
+            inside_tmp = any(p.startswith(".tmp-")
+                             for p in rel.split(os.sep)) if rel != "." \
+                else False
             for d in list(dirnames):
                 full = os.path.join(dirpath, d)
                 if d.startswith(".tmp-"):
-                    if _old_enough(full):  # may be a racing writer's
+                    if not inside_tmp and _old_enough(full):
                         shutil.rmtree(full, ignore_errors=True)
-                else:
+                elif not inside_tmp:
                     try:
                         os.rmdir(full)  # only succeeds when empty
                     except OSError:
                         pass
+            if inside_tmp:
+                continue
             for f in files:
                 if not f.endswith(".parquet"):
                     try:
@@ -1525,41 +1535,63 @@ class Table:
         ncols = len(cols)
         num = {"int", "bigint", "smallint", "tinyint", "float", "double",
                "decimal"}
-        srcs = []
+        srcs: list = []          # numeric-path source expr per col (or None)
+        str_cols: list = []      # string-path col names (or None)
         for c in cols:
             dt = dict(df.dtypes).get(c, "")
             base = dt.split("(")[0]
             if base in num:
                 srcs.append(F.col(c).cast("double"))
+                str_cols.append(None)
             elif base in ("timestamp", "timestamp_ntz"):
                 srcs.append(F.col(c).cast("double"))
+                str_cols.append(None)
             elif base == "date":
                 srcs.append(F.col(c).cast("timestamp").cast("double"))
+                str_cols.append(None)
             elif base == "string":
-                # order-preserving 48-bit key from the first 6 UTF-8 bytes:
-                # byte order == lexicographic UTF-8 order, rpad x'00' keeps
-                # prefixes ("a" < "ab"), 48 bits stays exact in a double.
-                # Clustering quality only — min/max stats stay truthful on
-                # the real string values, so pruning correctness never
-                # depends on this key.
-                srcs.append(F.conv(F.hex(F.expr(
-                    f"rpad(cast(`{c}` as binary), 6, x'00')")), 16, 10)
-                    .cast("double"))
+                # Delta computes range-partition ids per zorder column;
+                # same here: RangePartitioner (distributed sampling,
+                # works on any orderable type) assigns each string an
+                # equal-frequency rank in [0, NQ). A fixed-prefix byte
+                # key collapses prefix-heavy corpora ("alpha-…",
+                # "beta-0…" share 6 bytes) into a handful of ranks whose
+                # bits sink to the bottom of the z-value — range ids
+                # keep full 8-bit resolution no matter the prefixes.
+                # Clustering quality only: min/max stats stay truthful
+                # on the real strings, so pruning correctness never
+                # depends on this rank.
+                srcs.append(None)
+                str_cols.append(c)
             else:
                 raise ValueError(
                     f"zorder_by column {c!r} has unsupported type {dt!r}; "
                     "z-order supports numeric/date/timestamp/string")
-        tmp = df.select(*[s.alias(f"__zsrc{i}") for i, s in enumerate(srcs)])
-        # one distributed Greenwald-Khanna pass for ALL columns' quantiles
-        probs = [i / NQ for i in range(1, NQ)]
-        allq = tmp.stat.approxQuantile(
-            [f"__zsrc{i}" for i in range(ncols)], probs, 1.0 / (2 * NQ))
+        num_idx = [i for i in range(ncols) if srcs[i] is not None]
+        allq = []
+        if num_idx:
+            tmp = df.select(*[srcs[i].alias(f"__zsrc{i}") for i in num_idx])
+            # one distributed Greenwald-Khanna pass for every numeric col
+            probs = [i / NQ for i in range(1, NQ)]
+            allq = tmp.stat.approxQuantile(
+                [f"__zsrc{i}" for i in num_idx], probs, 1.0 / (2 * NQ))
         inf = float("inf")
         staged = df
         bucket_cols = []
         for i in range(ncols):
-            splits = sorted({q for q in allq[i] if q == q})  # dedupe, no NaN
             name = f"__zb{i}"
+            if str_cols[i] is not None:
+                # one range shuffle per string column (optimize is a
+                # full rewrite anyway); partition ids are ascending in
+                # key order, ties co-located -> an equal-frequency rank
+                staged = (staged.repartitionByRange(NQ, F.col(str_cols[i]))
+                          .withColumn(name,
+                                      F.spark_partition_id().cast("double")))
+                bucket_cols.append(F.least(F.col(name).cast("long"),
+                                           F.lit(NQ - 1)))
+                continue
+            qi = num_idx.index(i)
+            splits = sorted({q for q in allq[qi] if q == q})  # dedupe, no NaN
             if not splits:  # constant column: single bucket
                 staged = staged.withColumn(name, F.lit(0.0))
             else:

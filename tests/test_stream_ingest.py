@@ -96,3 +96,35 @@ class TestStreamIngest:
         assert t2.stream_batch_done("s", bid)
         assert t2.stream_batch_done("s", bid - 1)
         assert not t2.stream_batch_done("s", bid + 1)
+
+    def test_ledger_survives_crash_before_meta_save(self, spark, tmp_path,
+                                                    monkeypatch):
+        """The ledger is durable AT the commit point: a crash between
+        the CURRENT swap and the meta.json save must not lose it —
+        otherwise the replayed batch would double-insert. Loaders
+        reconcile from the manifest stamp, same as version/next_rowid."""
+        wh = str(tmp_path / "wh")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("t", {"k": pxt.Int(False)})
+        t.insert([{"k": 1}])
+
+        calls = {"n": 0}
+        orig = type(t)._save_meta
+
+        def crashing(self_):
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before meta save")
+
+        monkeypatch.setattr(type(t), "_save_meta", crashing)
+        t._pending_stream_stamp = ("x", 3)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.insert([{"k": 2}])
+        monkeypatch.setattr(type(t), "_save_meta", orig)
+        assert calls["n"] == 1
+        # fresh handles reconcile the ledger from the committed manifest
+        cat2 = pxt.Catalog(spark, wh)
+        t2 = cat2.get_table("t")
+        assert t2.stream_batch_done("x", 3), \
+            "ledger lost in the commit/meta crash window"
+        assert not t2.stream_batch_done("x", 4)
+        assert t2.count() == 2  # the data commit itself was durable
