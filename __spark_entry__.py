@@ -3167,15 +3167,21 @@ def q142_merge_battery(spark, sf_dir):
     t.insert(cust.select(F.col("c_custkey").cast("long").alias("k"),
                          F.col("c_acctbal").cast("double").alias("v"),
                          F.col("c_mktsegment").alias("s")))
-    # batch 1: v only (-1.0*k is exact in IEEE double for these ints)
-    t.batch_update([{"k": k, "v": -1.0 * k} for k in range(1, 1500, 97)])
+    # batch 1: v only (-1.0*k is exact in IEEE double for these ints);
+    # keys beyond the sf's max custkey are skipped (if_not_exists=ignore)
+    t.batch_update([{"k": k, "v": -1.0 * k} for k in range(1, 1500, 97)],
+                   if_not_exists="ignore")
     # batch 2: s only — v set by batch 1 must survive where keys overlap
-    t.batch_update([{"k": k, "s": "MERGED"} for k in range(2, 1500, 101)])
-    # batch 3: both columns + keys far outside the table (no-ops)
+    t.batch_update([{"k": k, "s": "MERGED"} for k in range(2, 1500, 101)],
+                   if_not_exists="ignore")
+    # batch 3: both columns, plus 5 keys outside the table that the
+    # UPSERT path must INSERT in the same commit (reference
+    # if_not_exists='insert', catalog/table.py:982-995)
     t.batch_update([{"k": k, "v": 0.25 * k, "s": "BOTH"}
                     for k in range(3, 1500, 103)]
                    + [{"k": 10_000_000 + i, "v": 1.0, "s": "X"}
-                      for i in range(5)])
+                      for i in range(5)],
+                   if_not_exists="insert")
     t.delete(where=ColumnRef("k", t.schema["k"]) % 10 == 7)
     return t.user_df().select("k", "v", "s").orderBy("k")
 
@@ -5352,7 +5358,8 @@ SELECT doc_id, count(*) AS n_chunks,
 FROM pc GROUP BY doc_id ORDER BY doc_id"""
     # q142: the three merge batches replayed as CASE expressions (later
     # batches win per column; batch 2/3 column subsets leave the other
-    # column at its prior value), then the delete predicate
+    # column at its prior value), batch 3's upserted rows appended, then
+    # the delete predicate
     d["q142_merge_battery"] = """
 WITH base AS (
   SELECT CAST(c_custkey AS BIGINT) AS k,
@@ -5367,7 +5374,10 @@ m AS (
     CASE WHEN k >= 3 AND k < 1500 AND (k - 3) % 103 = 0 THEN 'BOTH'
          WHEN k >= 2 AND k < 1500 AND (k - 2) % 101 = 0 THEN 'MERGED'
          ELSE s END AS s
-  FROM base)
+  FROM base
+  UNION ALL
+  SELECT 10000000 + i AS k, CAST(1.0 AS DOUBLE) AS v, 'X' AS s
+  FROM range(5) t(i))
 SELECT k, v, s FROM m WHERE k % 10 <> 7 ORDER BY k"""
     # q143: streaming ingest ≡ batch load (* 0.5 exact in IEEE double);
     # a duplicated or dropped micro-batch breaks the row set

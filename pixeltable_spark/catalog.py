@@ -1383,8 +1383,9 @@ class Table:
                 fields.append(T.StructField(_cellmd_col(cc.name), _CELLMD_TYPE))
         return T.StructType(fields)
 
-    def _append(self, df: DataFrame) -> None:
-        """Add new rows: new files + manifest commit (current ∪ new)."""
+    def _append(self, df: DataFrame) -> list[str]:
+        """Add new rows: new files + manifest commit (current ∪ new).
+        Returns the new files (the commit's delta)."""
         cur = self._current_files()
         new = self._write_snapshot_files(self._with_bkt(df))
         if cur and len(new) == 1 and new[0].endswith("-empty.parquet"):
@@ -1399,6 +1400,7 @@ class Table:
                 pass
             new = []
         self._commit_files(list(cur) + new)
+        return new
 
     def _rewrite(self, df: DataFrame,
                  preserve_partitioning: bool = False) -> None:
@@ -2242,12 +2244,23 @@ class Table:
 
     @telemetry.traced("table.batch_update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation
-    def batch_update(self, rows: list[dict], cascade: bool = True) -> int:
+    def batch_update(self, rows: list[dict], cascade: bool = True,
+                     if_not_exists: str = "error",
+                     return_rows: bool = False) -> int:
         """Batched per-row updates matched by primary key — ONE plan for the
         whole batch: a keys DataFrame joined against the store, one version
-        bump, one rewrite (reference catalog/table.py:978, plan.py:619,
+        bump, one rewrite (reference catalog/table.py:978-1024, plan.py:619,
         exec/row_update_node.py; the MERGE shape). Rows may update different
-        column subsets; unmentioned columns keep their values."""
+        column subsets; unmentioned columns keep their values.
+        `if_not_exists` directs rows whose key matches nothing: 'error'
+        (default, reference parity), 'ignore' (skip silently), or
+        'insert' (the upsert — inserted rows land in the SAME commit and
+        version as the updates). `return_rows=True` populates
+        UpdateStatus.rows with the new stored values of every affected
+        row, inserted ones included."""
+        if if_not_exists not in ("error", "ignore", "insert"):
+            raise ValueError(
+                "if_not_exists must be 'error', 'ignore' or 'insert'")
         if not self.primary_key:
             raise ValueError("batch_update requires a primary key")
         if not rows:
@@ -2282,7 +2295,8 @@ class Table:
                   + [True])
             for row in rows
         ]
-        upd_df = self.catalog.spark.createDataFrame(data, T.StructType(fields))
+        spark = self.catalog.spark
+        upd_df = spark.createDataFrame(data, T.StructType(fields))
 
         new_version = self.version + 1
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
@@ -2304,6 +2318,46 @@ class Table:
             if all(isinstance(v, (int, float, str, bool)) for v in vals):
                 ranges = [(pk, "in", vals)]
         sub, matched_files, n = self._mutation_subset(prepare, ranges)
+        # which batch keys matched? (bounded by the batch size, so the
+        # collect is tiny; only needed when unmatched rows have a fate)
+        def _key(row):
+            return tuple(row[pk] for pk in self.primary_key)
+
+        matched_keys: set = set()
+        missing: list[dict] = []
+        if if_not_exists != "ignore" or return_rows:
+            if sub is not None:
+                matched_keys = {tuple(r) for r in
+                                sub.filter(F.col("__m"))
+                                .select(*self.primary_key)
+                                .distinct().collect()}
+            missing = [row for row in rows if _key(row) not in matched_keys]
+            if missing and if_not_exists == "error":
+                raise ValueError(
+                    f"batch_update: {len(missing)} row(s) have no matching "
+                    f"primary key (first: { {k: missing[0][k] for k in self.primary_key} }); "
+                    "pass if_not_exists='ignore' or 'insert'")
+        inserts = missing if if_not_exists == "insert" else []
+        ins_df = None
+        n_new = 0
+        if inserts:
+            for i, r in enumerate(inserts):
+                for c, ct in self.schema.items():
+                    if not ct.nullable and r.get(c) is None:
+                        raise ValueError(
+                            f"batch_update(if_not_exists='insert'): missing "
+                            f"required column {c!r} in unmatched row {i}")
+            src = spark.createDataFrame(
+                [tuple(row.get(c) for c in self.schema) for row in inserts],
+                schema_to_struct(self.schema))
+            ins_df, n_new = self._assign_rowids(src, self.next_rowid)
+            ins_df = (ins_df.withColumn(_VMIN, F.lit(new_version))
+                      .withColumn(_VMAX, F.lit(MAXV)))
+            ins_df = self._eval_computed(ins_df,
+                                         list(self.computed.values()))
+            ins_df = ins_df.select(
+                *[f.name for f in self._store_schema().fields])
+            self._pending_next_rowid = self.next_rowid + n_new
         new_files: list[str] = []
         if sub is not None:
             expired = sub.withColumn(
@@ -2320,14 +2374,36 @@ class Table:
             if cascade:
                 updated = self._eval_computed(
                     updated, list(self.computed.values()))
+            out = self._with_bkt(expired.unionByName(updated).drop("__m"))
+            if ins_df is not None:
+                out = out.unionByName(self._with_bkt(ins_df))
             self._pending_version = new_version
-            new_files = self._replace_files(
-                expired.unionByName(updated).drop("__m"), matched_files)
+            new_files = self._replace_files(out, matched_files)
+        elif ins_df is not None:
+            self._pending_version = new_version
+            new_files = self._append(ins_df)
         self.version = new_version
-        self._log("batch_update", rows=n)
+        self.next_rowid += n_new
+        self._log("batch_update", rows=n + n_new)
         self._save_meta()
         self._propagate_changes(new_files)
-        return UpdateStatus(n, op="batch_update")
+        out_rows = None
+        if return_rows:
+            affected = [_key(row) for row in rows
+                        if _key(row) in matched_keys] \
+                + [_key(row) for row in inserts]
+            out_rows = []
+            if affected:
+                kdf = spark.createDataFrame(
+                    affected, T.StructType(
+                        [T.StructField(pk, self.schema[pk].spark_type(),
+                                       False) for pk in self.primary_key]))
+                out_rows = [r.asDict(recursive=True) for r in
+                            self.user_df().join(F.broadcast(kdf),
+                                                on=self.primary_key,
+                                                how="left_semi").collect()]
+        return UpdateStatus(n + n_new, op="batch_update",
+                            updated_cols=tuple(upd_cols), rows=out_rows)
 
     @telemetry.traced("table.delete", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation

@@ -87,13 +87,16 @@ class UpdateStatus(int):
     op: str
     updated_cols: tuple[str, ...]
     num_excs: int
+    rows: "list[dict] | None"  # populated by batch_update(return_rows=True)
 
     def __new__(cls, n: int, op: str = "", updated_cols: tuple = (),
-                num_excs: int = 0) -> "UpdateStatus":
+                num_excs: int = 0,
+                rows: "list[dict] | None" = None) -> "UpdateStatus":
         self = super().__new__(cls, int(n))
         self.op = op
         self.updated_cols = tuple(updated_cols)
         self.num_excs = int(num_excs)
+        self.rows = rows
         return self
 
     @property

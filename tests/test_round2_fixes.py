@@ -91,7 +91,8 @@ class TestBatchUpdateSinglePass:
         n = t.batch_update([{"k": 1, "v": 100.0},
                             {"k": 3, "s": "updated"},          # different col set
                             {"k": 5, "v": 500.0, "s": "both"},
-                            {"k": 99, "v": 1.0}])              # no such key
+                            {"k": 99, "v": 1.0}],              # no such key
+                           if_not_exists="ignore")
         assert len(calls) == 1, "batch_update must rewrite once, not per row"
         assert n == 3
         rows = {r["k"]: r for r in t.collect()}
