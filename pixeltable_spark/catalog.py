@@ -2081,11 +2081,54 @@ class Table:
     # -- mutations ---------------------------------------------------------
     @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation
-    def insert(self, rows: "list[dict] | DataFrame | TableRef") -> int:
+    def insert(self, rows: "list[dict] | DataFrame | TableRef | str | None" = None,
+               *, source_format: Optional[str] = None,
+               schema_overrides: Optional[dict] = None,
+               on_error: str = "abort", print_stats: bool = False,
+               return_rows: bool = False, **kwargs: Any) -> int:
         """Append rows: validate, assign _rowid/_v_min, evaluate computed
         columns over ONLY the new slice, persist, then propagate to views
-        (reference catalog/table.py:675-804, plan.py:255-324)."""
+        (reference catalog/table.py:675-804, plan.py:255-324).
+
+        Sources: a list of dicts, a DataFrame/TableRef, a file path/URL
+        (csv/parquet/json/excel — `source_format` overrides the
+        extension, `schema_overrides` casts named columns), or a single
+        row as keyword args (`t.insert(k=1, v=2.0)`, reference sugar).
+        `on_error='ignore'` downgrades a failing computed cell to NULL
+        (plus cellmd for tolerance-declared columns) instead of
+        aborting the batch; the returned status carries `num_excs`.
+        `return_rows=True` reads the committed slice back into
+        UpdateStatus.rows (driver-bound — use only for small batches)."""
+        if on_error not in ("abort", "ignore"):
+            raise ValueError("on_error must be 'abort' or 'ignore'")
         spark = self.catalog.spark
+        if rows is None:
+            if not kwargs:
+                raise ValueError(
+                    "insert: provide a source or single-row column kwargs")
+            rows = [kwargs]
+        elif kwargs:
+            raise ValueError(
+                "insert: pass EITHER a source OR column kwargs, not both")
+        if isinstance(rows, str):
+            from .sources import io as _io
+            fmt = (source_format
+                   or os.path.splitext(rows)[1].lstrip(".").lower())
+            fmt = {"xlsx": "excel", "xls": "excel", "jsonl": "json"}.get(
+                fmt, fmt)
+            readers = {"csv": _io.import_csv, "parquet": _io.import_parquet,
+                       "json": _io.import_json, "excel": _io.import_excel}
+            if fmt not in readers:
+                raise ValueError(
+                    f"insert: cannot infer a reader for {rows!r} "
+                    f"(got format {fmt!r}); pass source_format=")
+            src_df = readers[fmt](spark, rows)
+            for c, ct in (schema_overrides or {}).items():
+                ct = ct() if callable(ct) and not isinstance(ct, ColumnType) \
+                    else ct
+                src_df = src_df.withColumn(
+                    c, F.col(c).cast(ct.spark_type()))
+            rows = src_df
         if isinstance(rows, TableRef):
             src = rows.df()
         elif isinstance(rows, DataFrame):
@@ -2105,23 +2148,57 @@ class Table:
         src = src.select(*[F.col(c).cast(self.schema[c].spark_type()) for c in self.schema])
 
         new_version = self.version + 1
+        t0 = time.time()
         slice_df, n = self._assign_rowids(src, self.next_rowid)
         slice_df = (
             slice_df
             .withColumn(_VMIN, F.lit(new_version))
             .withColumn(_VMAX, F.lit(MAXV))
         )
-        slice_df = self._eval_computed(slice_df, list(self.computed.values()))
+        ccs = list(self.computed.values())
+        num_excs = 0
+        cached = None
+        if on_error == "ignore" and ccs:
+            # every computed column evaluates through the per-cell
+            # try/except path; columns DECLARED tolerant keep their
+            # cellmd, the rest store NULL for failing cells (their
+            # cellmd column doesn't exist in the store schema)
+            ccs = [cc if cc.on_error == "ignore" else
+                   ComputedColumn(cc.name, cc.expr, cc.col_type, "ignore")
+                   for cc in ccs]
+            slice_df = cached = self._eval_computed(slice_df, ccs).persist()
+            aggs = [F.sum(F.when(
+                F.col(f"{_cellmd_col(cc.name)}.errortype").isNotNull(),
+                1).otherwise(0)) for cc in ccs]
+            num_excs = int(sum(x or 0 for x in slice_df.agg(*aggs).first()))
+        else:
+            slice_df = self._eval_computed(slice_df, ccs)
         slice_df = slice_df.select(*[f.name for f in self._store_schema().fields])
         self._pending_version = new_version
         self._pending_next_rowid = self.next_rowid + n
-        self._append(slice_df)
+        new_files = self._append(slice_df)
+        if cached is not None:
+            cached.unpersist()
         self.version = new_version
         self.next_rowid += n
         self._log("insert", rows=n)
         self._save_meta()
         self._propagate_insert()
-        return UpdateStatus(n, op="insert")
+        out_rows = None
+        if return_rows and new_files:
+            nf = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in new_files])
+            keep = [c for c in self.column_names() if c in nf.columns]
+            out_rows = [r.asDict(recursive=True)
+                        for r in nf.orderBy(_ROWID).select(*keep).collect()]
+        elif return_rows:
+            out_rows = []
+        if print_stats:
+            print(f"insert: {n} rows, {num_excs} excs, "
+                  f"{len(new_files)} files, version {new_version}, "
+                  f"{time.time() - t0:.2f}s")
+        return UpdateStatus(n, op="insert", num_excs=num_excs,
+                            rows=out_rows)
 
     def insert_stream(self, source: DataFrame, checkpoint_dir: str,
                       stream_id: Optional[str] = None,
@@ -2430,14 +2507,49 @@ class Table:
 
     @telemetry.traced("table.recompute_columns", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation
-    def recompute_columns(self, cols: Sequence[str],
-                          where: Optional[Expr] = None) -> int:
+    def recompute_columns(self, *cols: "str | Sequence[str]",
+                          where: Optional[Expr] = None,
+                          errors_only: bool = False,
+                          cascade: bool = True) -> int:
         """Force recomputation of computed columns on a row subset
-        (reference catalog/table.py:1025)."""
+        (reference catalog/table.py:1025-1061): varargs column names,
+        `errors_only=True` restricts to rows whose single target column
+        recorded a per-cell error (cellmd.errortype), and
+        `cascade=True` (default) also recomputes every computed column
+        that transitively depends on a recomputed one (reference
+        plan.py:446 get_dependent_columns)."""
+        if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
+            cols = tuple(cols[0])  # legacy list form
+        if not cols:
+            raise ValueError("recompute_columns: name at least one column")
         ccs = [self.computed[c] for c in cols]
+        if errors_only:
+            if len(cols) != 1:
+                raise ValueError(
+                    "errors_only is only allowed for a single column")
+            if ccs[0].on_error != "ignore":
+                raise ValueError(
+                    "errors_only requires a column with per-cell error "
+                    "tolerance (on_error='ignore')")
+        if cascade:
+            names = {cc.name for cc in ccs}
+            changed = True
+            while changed:
+                changed = False
+                for cc in self.computed.values():
+                    if cc.name in names:
+                        continue
+                    if {r.name for r in cc.expr.column_refs()} & names:
+                        names.add(cc.name)
+                        changed = True
+            # declaration order == topo order for the re-evaluation
+            ccs = [cc for cc in self.computed.values() if cc.name in names]
         new_version = self.version + 1
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
+        if errors_only:
+            pred = pred & F.col(
+                f"{_cellmd_col(cols[0])}.errortype").isNotNull()
         ranges = self._extract_ranges(where) if where is not None else []
         sub, matched_files, n = self._mutation_subset(
             lambda df: df.withColumn("__m", live & pred), ranges)
