@@ -2278,10 +2278,12 @@ class Table:
     @telemetry.traced("table.update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation
     def update(self, value_spec: dict[str, Any], where: Optional[Expr] = None,
-               cascade: bool = True) -> int:
+               cascade: bool = True, return_rows: bool = False) -> int:
         """Expire matching row-versions, re-insert updated versions at the
         new version; cascade recomputes dependent computed columns
-        (reference catalog/table.py:940, plan.py:415-487)."""
+        (reference catalog/table.py:940-975, plan.py:415-487).
+        `return_rows=True` populates UpdateStatus.rows with each updated
+        row's new stored values (driver-bound — small updates only)."""
         new_version = self.version + 1
         for col in value_spec:
             if col not in self.schema:
@@ -2317,7 +2319,19 @@ class Table:
         self._log("update", rows=n)
         self._save_meta()
         self._propagate_changes(new_files)
-        return UpdateStatus(n, op="update")
+        out_rows = None
+        if return_rows:
+            out_rows = []
+            if new_files:
+                nf = self.catalog.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in new_files]
+                ).filter(F.col(_VMIN) == new_version)
+                keep = [c for c in self.column_names() if c in nf.columns]
+                out_rows = [r.asDict(recursive=True)
+                            for r in nf.orderBy(_ROWID).select(*keep)
+                            .collect()]
+        return UpdateStatus(n, op="update",
+                            updated_cols=tuple(value_spec), rows=out_rows)
 
     @telemetry.traced("table.batch_update", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation

@@ -73,6 +73,21 @@ class TestInsertParity:
         assert "insert: 1 rows" in capsys.readouterr().out
 
 
+class TestUpdateReturnRows:
+    def test_update_return_rows(self, cat):
+        t = _kv(cat)
+        t.insert([{"k": i, "v": float(i)} for i in range(5)])
+        kref = ColumnRef("k", t.schema["k"])
+        st = t.update({"v": 99.0}, where=kref < 2, return_rows=True)
+        assert st.num_rows == 2
+        assert sorted(r["k"] for r in st.rows) == [0, 1]
+        assert all(r["v"] == 99.0 for r in st.rows)
+        st2 = t.update({"v": 0.0}, where=kref > 100, return_rows=True)
+        assert st2.rows == []
+        st3 = t.update({"v": 1.0}, where=kref == 3)
+        assert st3.rows is None
+
+
 class TestRecomputeParity:
     def test_varargs_and_cascade(self, cat):
         t = _kv(cat)
