@@ -69,6 +69,7 @@ from .globals_api import (
     tool,
 )
 from .index import EmbeddingIndex, add_embedding_index
+from .results import ResultCursor, ResultSet, Row
 from . import iterators  # noqa: F401 — reference import-path parity
 from .serving import TableServer, serve
 from .sources import io
@@ -86,12 +87,14 @@ Image = ColumnType.image
 Video = ColumnType.video
 Audio = ColumnType.audio
 Document = ColumnType.document
+UUID = ColumnType.uuid
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Expr", "Literal", "ColumnRef", "InlineArray", "InlineDict", "R",
     "Query", "TableRef", "SampleClause", "get_session",
+    "ResultSet", "ResultCursor", "Row", "UUID",
     "table_from_parquet", "table_from_csv", "table_from_json",
     "table_from_pandas", "table_from_rows", "load_sf_tables",
     "ColumnType", "ArrayType", "TypeKind", "udf", "uda", "Aggregator",

@@ -1771,8 +1771,14 @@ class Table:
                 md = _cellmd_col(cc.name)
                 keep.append(md)
                 schema_with_rowid[md] = ColumnType.json()
-        return TableRef(df.select(*keep), self.name, schema_with_rowid,
-                        rowid_cols=[_ROWID])
+        tr = TableRef(df.select(*keep), self.name, schema_with_rowid,
+                      rowid_cols=[_ROWID])
+        # backpointer for query-handle mutations (Query.update/delete/
+        # recompute_columns, reference _query.py:1800-1875); a pinned
+        # version marks the handle immutable (snapshot semantics)
+        tr._catalog_tbl = self
+        tr._pinned_version = version
+        return tr
 
     @staticmethod
     def _extract_ranges(pred) -> list[tuple]:
@@ -1911,9 +1917,22 @@ class Table:
     def count(self) -> int:
         return self.df().count()
 
-    def collect(self) -> list[dict]:
-        return [r.asDict(recursive=True)
-                for r in self.user_df().orderBy(_ROWID).collect()]
+    def collect(self):
+        from .results import ResultSet
+        schema = dict(self.schema)
+        for cc in self.computed.values():
+            schema[cc.name] = cc.col_type
+        return ResultSet([r.asDict(recursive=True)
+                          for r in self.user_df().orderBy(_ROWID).collect()],
+                         schema)
+
+    def cursor(self):
+        """Streaming row iteration (reference _query.py ResultCursor via
+        Table.cursor()): one partition at a time, insertion order."""
+        ref = self.ref()
+        cols = list(self.schema) + list(self.computed)
+        q = ref._q().order_by(ref[_ROWID]).select(*[ref[c] for c in cols])
+        return q.cursor()
 
     # -- computed columns --------------------------------------------------
     @_locked_mutation
@@ -3033,20 +3052,28 @@ class View(Table):
         return raw  # pre-versioning storage (legacy)
 
     def ref(self, version: Optional[int] = None) -> TableRef:
-        return TableRef.from_df(self.df(version), self.name, rowid_cols=[_ROWID])
+        tr = TableRef.from_df(self.df(version), self.name,
+                              rowid_cols=[_ROWID])
+        tr._catalog_tbl = self
+        tr._pinned_version = version
+        return tr
 
     def count(self) -> int:
         return self.df().count()
 
-    def collect(self) -> list[dict]:
+    def collect(self):
+        from .results import ResultSet
         df = self.df()
         pos_levels = sorted(c for c in df.columns
                             if c == _POS or c.startswith(_POS + "_"))
         order = [_ROWID] + pos_levels
         drop = [c for c in df.columns
                 if c in SYSTEM_COLS or c in pos_levels]
-        return [r.asDict(recursive=True)
-                for r in df.orderBy(*order).drop(*drop).collect()]
+        out = df.orderBy(*order).drop(*drop)
+        schema = {f.name: ColumnType.from_spark(f.dataType, f.nullable)
+                  for f in out.schema.fields}
+        return ResultSet([r.asDict(recursive=True) for r in out.collect()],
+                         schema)
 
 
 class Snapshot:

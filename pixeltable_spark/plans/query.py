@@ -292,8 +292,118 @@ class Query:
                                                             "?")}):
             return Planner(self).to_df()
 
-    def collect(self) -> list[dict]:
-        return [r.asDict(recursive=True) for r in self.df().collect()]
+    def collect(self):
+        """Execute and materialize the result (reference _query.py:780
+        Query.collect -> ResultSet). Returns a ResultSet — a list of
+        dicts (backward compatible) with column indexing, .schema,
+        .to_pandas() and .to_pydantic() layered on."""
+        from ..results import ResultSet
+        from ..type_system import ColumnType
+        df = self.df()
+        schema = {f.name: ColumnType.from_spark(f.dataType, f.nullable)
+                  for f in df.schema.fields}
+        return ResultSet([r.asDict(recursive=True) for r in df.collect()],
+                         schema)
+
+    def cursor(self):
+        """Streaming iteration over the result (reference _query.py:271
+        ResultCursor): yields Row mappings one partition at a time via
+        toLocalIterator — never materializes the full result driver-side."""
+        from ..results import ResultCursor
+        return ResultCursor(self)
+
+    @property
+    def schema(self) -> dict:
+        """Result columns as name -> type string (reference Query.schema).
+        Planning only — no Spark job runs."""
+        from ..type_system import ColumnType
+        return {f.name: repr(ColumnType.from_spark(f.dataType, f.nullable))
+                for f in self.df().schema.fields}
+
+    def describe(self) -> None:
+        """Print a clause-by-clause description of this query (reference
+        _query.py Query.describe)."""
+        print(repr(self))
+
+    def __repr__(self) -> str:
+        parts = [f"from: {getattr(self.tbl, '_name', '?')}"]
+        for jc in self.joins:
+            parts.append(f"join: {getattr(jc.other, '_name', '?')}"
+                         f" ({jc.how})")
+        if self.select_items:
+            parts.append("select: " + ", ".join(
+                n or repr(e) for n, e in self.select_items))
+        if self.where_pred is not None:
+            parts.append(f"where: {self.where_pred!r}")
+        if self.group_by_exprs:
+            parts.append("group_by: " + ", ".join(
+                repr(e) for e in self.group_by_exprs))
+        if getattr(self, "having_pred", None) is not None:
+            parts.append(f"having: {self.having_pred!r}")
+        if self.order_by_items:
+            parts.append("order_by: " + ", ".join(
+                f"{e!r} {'asc' if a else 'desc'}"
+                for e, a in self.order_by_items))
+        if self.limit_n is not None:
+            parts.append(f"limit: {self.limit_n}"
+                         + (f" offset {self.offset_n}" if self.offset_n
+                            else ""))
+        if self.sample_clause is not None:
+            parts.append("sample: ...")
+        return "Query(" + "; ".join(parts) + ")"
+
+    # -- mutations through a query handle (reference _query.py:1800-1875:
+    # t.where(pred).update/delete/recompute_columns forward the where
+    # clause to the underlying catalog table) --------------------------
+    def _mutation_target(self, op: str, forbid_view: bool = False):
+        if self.joins:
+            raise ValueError(f"cannot use {op!r} after join")
+        if self.group_by_exprs:
+            raise ValueError(f"cannot use {op!r} after group_by")
+        if self.order_by_items:
+            raise ValueError(f"cannot use {op!r} after order_by")
+        if self.select_items:
+            raise ValueError(f"cannot use {op!r} after select")
+        if self.limit_n is not None:
+            raise ValueError(f"cannot use {op!r} after limit")
+        if self.sample_clause is not None:
+            raise ValueError(f"cannot use {op!r} after sample")
+        if self.distinct_flag:
+            raise ValueError(f"cannot use {op!r} after distinct")
+        tbl = getattr(self.tbl, "_catalog_tbl", None)
+        if tbl is None:
+            raise ValueError(
+                f"{op}() requires a query rooted at a catalog table")
+        if getattr(self.tbl, "_pinned_version", None) is not None:
+            raise ValueError(f"cannot use {op!r} on a snapshot or "
+                             "version-pinned table")
+        if forbid_view and type(tbl).__name__ == "View":
+            raise ValueError(f"cannot use {op!r} on a view")
+        return tbl
+
+    def update(self, value_spec: dict, cascade: bool = True):
+        """Update the matching rows of the underlying table (reference
+        _query.py:1800 Query.update): the accumulated where clause scopes
+        the mutation."""
+        tbl = self._mutation_target("update")
+        return tbl.update(value_spec, where=self.where_pred,
+                          cascade=cascade)
+
+    def delete(self):
+        """Delete the matching rows of the underlying base table
+        (reference _query.py:1856 Query.delete; views refuse)."""
+        tbl = self._mutation_target("delete", forbid_view=True)
+        return tbl.delete(where=self.where_pred)
+
+    def recompute_columns(self, *cols, errors_only: bool = False,
+                          cascade: bool = True):
+        """Recompute computed columns for the matching rows (reference
+        _query.py:1831 Query.recompute_columns)."""
+        tbl = self._mutation_target("recompute_columns")
+        names = [c if isinstance(c, str) else c.name for c in cols]
+        return tbl.recompute_columns(*names, where=self.where_pred,
+                                     errors_only=errors_only,
+                                     cascade=cascade)
 
     def show(self, n: int = 20) -> list[dict]:
         """First n rows as dicts, printed compactly (reference
