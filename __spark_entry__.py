@@ -3227,6 +3227,41 @@ def q143_stream_ingest(spark, sf_dir):
     return t.user_df().select("k", "p", "margin").orderBy("k")
 
 
+def q144_similarity_expr(spark, sf_dir):
+    """ColumnRef.similarity() under the hard oracle gate (exprs.py
+    SimilarityExpr + catalog Table.add_embedding_index; reference
+    exprs/similarity_expr.py, index/embedding_index.py:270-295 metric
+    semantics): index the precomputed embedding ARRAY column directly
+    (the reference's array-column path — no embedding fn), metric=l2,
+    and rank nearest-first by the expr. Compiles to pure-JVM
+    zip_with/aggregate over the array + TakeOrderedAndProject — the
+    100 TB shape is a scan + partition-local top-k, no shuffle of the
+    corpus. The DuckDB oracle recomputes exact L2 distance."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark import functions as pxtf
+    from pixeltable_spark.type_system import ArrayType
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    wh = tempfile.mkdtemp(prefix="pxt_q144_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table(
+        "e", {"vid": pxt.Int(False),
+              "embedding": ArrayType(element=pxt.Float(False))},
+        n_buckets=2)
+    t.insert(emb)
+    t.add_embedding_index("embedding", idx_name="nn", metric="l2")
+    r = t.ref()
+    sim = pxtf.math.round(
+        r.embedding.similarity(vector=QUERY_VEC, idx="nn"), digits=6)
+    return (r.select(r.vid, dist=sim)
+            .order_by(sim).order_by(r.vid).limit(20).df())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3370,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_component_groupby": q141_component_groupby,
         "q142_merge_battery": q142_merge_battery,
         "q143_stream_ingest": q143_stream_ingest,
+        "q144_similarity_expr": q144_similarity_expr,
     }
 
 
@@ -5386,4 +5422,15 @@ SELECT CAST(o_orderkey AS BIGINT) AS k,
        CAST(o_totalprice AS DOUBLE) AS p,
        CAST(o_totalprice AS DOUBLE) * 0.5 AS margin
 FROM orders ORDER BY k"""
+    # q144: exact L2 nearest neighbors of the fixed query vector
+    d["q144_similarity_expr"] = f"""
+WITH s AS (SELECT CAST(vec_id AS INT) AS vid,
+                  CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+q AS (SELECT {_vec_lit()} AS v),
+d AS (SELECT vid,
+             round(sqrt(sum((e - q.v[i]) * (e - q.v[i]))), 6) AS dist
+      FROM s, q GROUP BY vid)
+SELECT vid, dist FROM d ORDER BY dist, vid LIMIT 20"""
     return d

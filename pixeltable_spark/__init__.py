@@ -68,7 +68,7 @@ from .globals_api import (
     retrieval_udf,
     tool,
 )
-from .index import EmbeddingIndex, add_embedding_index
+from .index import EmbeddingIndex, add_embedding_index, drop_embedding_index
 from .results import ResultCursor, ResultSet, Row
 from . import iterators  # noqa: F401 — reference import-path parity
 from .serving import TableServer, serve
@@ -102,7 +102,7 @@ __all__ = [
     "Catalog", "Table", "View", "Snapshot",
     "ColumnMetadata", "IndexMetadata", "TableMetadata", "UpdateStatus",
     "VersionMetadata",
-    "EmbeddingIndex", "add_embedding_index", "io",
+    "EmbeddingIndex", "add_embedding_index", "drop_embedding_index", "io",
     "TableServer", "serve",
     "Error", "ErrorCode", "NotFoundError", "AlreadyExistsError",
     "RequestError", "ConcurrencyError", "ExternalServiceError",

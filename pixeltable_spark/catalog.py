@@ -510,7 +510,7 @@ class Table:
         self.computed: dict[str, ComputedColumn] = {}
         self.version = 0
         self.next_rowid = 0
-        self.history: list[dict] = []
+        self._history: list[dict] = []
         self._views: list[View] = []
         # bucket count for the partitioned store layout; 16 suits local
         # testing — a real deployment sizes this so a bucket ~ 1 GB
@@ -572,7 +572,7 @@ class Table:
             "version": self.version,
             "next_rowid": self.next_rowid,
             "primary_key": self.primary_key,
-            "history": self.history,
+            "history": self._history,
             "n_buckets": self.n_buckets,
             "bucket_chunk": self.bucket_chunk,
             "bloom_cols": self.bloom_cols,
@@ -606,7 +606,7 @@ class Table:
         self.version = meta["version"]
         self.next_rowid = meta["next_rowid"]
         self.primary_key = meta["primary_key"]
-        self.history = meta["history"]
+        self._history = meta["history"]
         self.n_buckets = meta.get("n_buckets", 16)
         self.bucket_chunk = meta.get("bucket_chunk", 1)
         self.bloom_cols = meta.get("bloom_cols", {})
@@ -645,7 +645,7 @@ class Table:
                 pass  # pre-stamp manifest or unreadable: meta stands
 
     def _log(self, op: str, **kw: Any) -> None:
-        self.history.append({"version": self.version, "op": op,
+        self._history.append({"version": self.version, "op": op,
                              "ts": time.time(), **kw})
 
     # -- storage -----------------------------------------------------------
@@ -1917,6 +1917,69 @@ class Table:
     def count(self) -> int:
         return self.df().count()
 
+    def columns(self) -> list:
+        """User-visible column names, stored then computed (reference
+        catalog/table.py columns())."""
+        return list(self.schema) + list(self.computed)
+
+    def show(self, n: int = 20):
+        """Print + return the first n rows (reference Table.show)."""
+        return self.ref()._q().show(n)
+
+    def get_base_table(self) -> "Optional[Table]":
+        """The base table of a view, None for base tables (reference
+        catalog/table.py get_base_table)."""
+        return getattr(self, "base", None)
+
+    def history(self, n: Optional[int] = None):
+        """Version history, most recent first (reference
+        catalog/table.py:1111 history)."""
+        return self.history_report(n)
+
+    def add_columns(self, schema: dict, defaults: Optional[dict] = None
+                    ) -> None:
+        """Add several plain columns at once (reference
+        catalog/table.py add_columns)."""
+        for name, ct in schema.items():
+            self.add_column(name, ct,
+                            default=(defaults or {}).get(name))
+
+    # -- embedding indexes as table methods (reference catalog/table.py
+    # add_embedding_index/drop_embedding_index/drop_index) --------------
+    def add_embedding_index(self, column: str, *,
+                            idx_name: Optional[str] = None,
+                            embedding: Optional[Callable] = None,
+                            string_embed: Optional[Callable] = None,
+                            metric: str = "cosine",
+                            if_exists: str = "error", **kw):
+        from .index import add_embedding_index as _add
+        fn = embedding if embedding is not None else string_embed
+        # accept @udf-wrapped functions: unwrap to the plain callable
+        fn = getattr(fn, "fn", None) or getattr(fn, "__wrapped__", None) \
+            or fn
+        return _add(self, column, embed_fn=fn, idx_name=idx_name,
+                    metric=metric, if_exists=if_exists, **kw)
+
+    def drop_embedding_index(self, column: Optional[str] = None,
+                             idx_name: Optional[str] = None) -> None:
+        from .index import drop_embedding_index as _drop
+        _drop(self, column=column, idx_name=idx_name)
+
+    def drop_index(self, idx_name: str) -> None:
+        from .index import drop_embedding_index as _drop
+        _drop(self, idx_name=idx_name)
+
+    def to_pytorch_dataset(self, out_dir: str, **kw):
+        """Export as pickled shards for a torch IterableDataset
+        (reference _query.py:2002 to_pytorch_dataset)."""
+        from .sources.io import export_pytorch
+        return export_pytorch(self.user_df(), out_dir, **kw)
+
+    def to_coco_dataset(self, out_path: str, **kw) -> str:
+        """COCO detection-format export (reference _query.py:2039)."""
+        from .sources.io import export_coco
+        return export_coco(self.user_df(), out_path, **kw)
+
     def collect(self):
         from .results import ResultSet
         schema = dict(self.schema)
@@ -2627,14 +2690,14 @@ class Table:
             self._pending_version = v - 1
             self._replace_files(out, matched_files)
         self.version = v - 1
-        self.history = [h for h in self.history if h["version"] < v]
+        self._history = [h for h in self._history if h["version"] < v]
         self._save_meta()
         self._propagate_refresh()
 
     def get_versions(self) -> list[VersionMetadata]:
         """Programmatic version metadata, most recent LAST (reference
         Table.get_versions)."""
-        return [version_metadata(h) for h in self.history]
+        return [version_metadata(h) for h in self._history]
 
     def history_report(self, n: Optional[int] = None):
         """Human-readable version report as a pandas DataFrame, most
@@ -2673,7 +2736,8 @@ class Table:
         for iname, ix in getattr(self, "_indexes", {}).items():
             indices[iname] = IndexMetadata(
                 name=iname, columns=[ix.column], index_type="embedding",
-                parameters={"metric": "cosine", "method": ix.method})
+                parameters={"metric": getattr(ix, "metric", "cosine"),
+                            "method": ix.method})
         kind = ("view" if isinstance(self, View)
                 else "snapshot" if isinstance(self, Snapshot) else "table")
         return TableMetadata(

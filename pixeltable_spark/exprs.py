@@ -255,8 +255,125 @@ class ColumnRef(Expr):
         st["tbl"] = None
         return st
 
+    def similarity(self, item: Any = None, *, string: Optional[str] = None,
+                   vector: Any = None, idx: Optional[str] = None,
+                   **modal: Any) -> "SimilarityExpr":
+        """Similarity score between this indexed column and a constant
+        query (reference exprs/column_ref.py:195 ColumnRef.similarity).
+        Requires an embedding index on this column
+        (Table.add_embedding_index). Exactly one of `string`/`vector`
+        (or a modality kwarg: image/audio/video/document, all path-like
+        here) identifies the query; `idx` disambiguates when the column
+        carries several indexes. The score follows the index's metric."""
+        tbl = self.tbl
+        cat_tbl = getattr(tbl, "_catalog_tbl", None) if tbl is not None \
+            else None
+        if cat_tbl is None:
+            raise ValueError(
+                "similarity() requires a column of a catalog table with "
+                "an embedding index (see Table.add_embedding_index)")
+        cands = [ix for ix in getattr(cat_tbl, "_indexes", {}).values()
+                 if ix.column == self.name]
+        if idx is not None:
+            cands = [ix for ix in cands if getattr(ix, "name", None) == idx]
+        if not cands:
+            raise ValueError(
+                f"column {self.name!r} has no embedding index"
+                + (f" named {idx!r}" if idx else ""))
+        if len(cands) > 1:
+            raise ValueError(
+                f"column {self.name!r} has {len(cands)} embedding "
+                "indexes; disambiguate with idx=<name>")
+        ix = cands[0]
+        queries = [q for q in
+                   (item, string, vector, *modal.values()) if q is not None]
+        if len(queries) != 1:
+            raise ValueError(
+                "similarity() takes exactly one query (string=, vector=, "
+                "or a modality kwarg)")
+        q = queries[0]
+        if vector is not None or isinstance(q, (list, tuple)) \
+                or hasattr(q, "tolist"):
+            qvec = [float(x) for x in
+                    (q.tolist() if hasattr(q, "tolist") else q)]
+        else:
+            embed = getattr(ix, "embed_fn", None)
+            if embed is None:
+                raise ValueError(
+                    f"index on {self.name!r} has no embedding function; "
+                    "pass vector= instead")
+            qvec = [float(x) for x in embed(q)]
+        cc = getattr(cat_tbl, "computed", {}).get(ix.embed_col)
+        embed_type = cc.col_type if cc is not None \
+            else ArrayType(ColumnType.float_())
+        embed_ref = ColumnRef(ix.embed_col, embed_type, tbl=tbl)
+        return SimilarityExpr(embed_ref, qvec,
+                              metric=getattr(ix, "metric", "cosine"))
+
     def __repr__(self):
         return f"ColumnRef({self.name})"
+
+
+class SimilarityExpr(Expr):
+    """Similarity score between an indexed column and a constant query
+    (reference exprs/similarity_expr.py, index/embedding_index.py:270-295
+    similarity_clause). Higher = more similar for cosine/ip; l2 is a
+    distance (lower = nearer), matching pgvector's operator semantics:
+    cosine -> 1 - cosine_distance, ip -> inner product, l2 -> euclidean.
+
+    Compiles to pure-JVM array math (zip_with + aggregate) over the
+    index's embedding computed column with the query vector inlined as a
+    literal array — ordering by it with a limit is a
+    TakeOrderedAndProject, no shuffle, no Python."""
+
+    def __init__(self, embed_ref: "ColumnRef", qvec: Sequence[float],
+                 metric: str = "cosine"):
+        if metric not in ("cosine", "ip", "l2"):
+            raise ValueError(f"unknown similarity metric {metric!r}")
+        super().__init__(ColumnType.float_(), [embed_ref])
+        self.qvec = [float(x) for x in qvec]
+        self.metric = metric
+
+    def to_column(self, ctx: CompileCtx) -> Optional[Column]:
+        a = self.components[0].to_column(ctx)
+        if a is None:
+            return None
+        q = F.array(*[F.lit(x) for x in self.qvec])
+        if self.metric == "l2":
+            sq = F.aggregate(
+                F.zip_with(a, q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            return F.sqrt(sq)
+        dot = F.aggregate(F.zip_with(a, q, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        if self.metric == "ip":
+            return dot
+        import math
+        nq = math.sqrt(sum(x * x for x in self.qvec))
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+        denom = na * F.lit(nq)
+        # ANSI-safe: zero-norm vectors score 0.0 instead of dividing by 0
+        return F.when(denom > F.lit(0.0), dot / denom).otherwise(F.lit(0.0))
+
+    def eval_py(self, row: dict) -> Any:
+        import math
+        a = self.components[0].eval_py(row)
+        if a is None:
+            return None
+        a = [float(x) for x in a]
+        q = self.qvec
+        if self.metric == "l2":
+            return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, q)))
+        dot = sum(x * y for x, y in zip(a, q))
+        if self.metric == "ip":
+            return dot
+        denom = math.sqrt(sum(x * x for x in a)) \
+            * math.sqrt(sum(x * x for x in q))
+        return dot / denom if denom > 0 else 0.0
+
+    def __repr__(self):
+        return (f"similarity({self.components[0]!r}, "
+                f"dim={len(self.qvec)}, metric={self.metric!r})")
 
 
 class Literal(Expr):
