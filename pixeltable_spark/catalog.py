@@ -2094,6 +2094,9 @@ class Table:
 
     @_locked_mutation
     def drop_column(self, name: str) -> None:
+        if name in (self.primary_key or []):
+            # reference catalog/table_version.py:875
+            raise ValueError(f"cannot drop primary key column {name!r}")
         if name in self.computed:
             del self.computed[name]
         elif name in self.schema:
@@ -2119,6 +2122,10 @@ class Table:
         NULL (Spark cast semantics)."""
         if name not in self.schema:
             raise ValueError(f"unknown or non-alterable column {name!r}")
+        if name in (self.primary_key or []):
+            # reference catalog/local_table.py:669
+            raise ValueError(
+                f"cannot alter the type of primary key column {name!r}")
         self.schema[name] = col_type
         if self._has_data():
             store = self._store_df().withColumn(
@@ -2163,6 +2170,56 @@ class Table:
     # -- mutations ---------------------------------------------------------
     @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
     @_locked_mutation
+    def _enforce_insert_constraints(self, src: DataFrame) -> None:
+        """Store-side constraints the reference gets from Postgres (NOT
+        NULL + the primary-key index raise on violation — reference
+        catalog/table_version.py:1246, io/table_data_conduit.py:172):
+        Spark storage enforces neither, so violations are probed here
+        BEFORE anything is written.
+
+        Cost model: the NULL probe is a column-pruned early-exit scan of
+        only the required columns, and runs only when the incoming
+        schema cannot prove non-null. The PK probes (intra-batch dup +
+        existing-key collision) shuffle only the incoming batch and
+        semi-join it against the table's key columns — the same work a
+        store-side unique index does, paid at insert. Append-only
+        pipelines that don't declare a primary key pay nothing;
+        PXT_SPARK_ENFORCE_PK=0 disables the PK probes for bulk loads
+        that guarantee uniqueness upstream."""
+        src_fields = {f.name: f for f in src.schema.fields}
+        check = [c for c, ct in self.schema.items()
+                 if not ct.nullable and src_fields[c].nullable]
+        if check:
+            import functools
+            bad = (src.select(*check)
+                   .where(functools.reduce(
+                       lambda a, b: a | b,
+                       [F.col(c).isNull() for c in check]))
+                   .first())
+            if bad is not None:
+                col = next(c for c in check if bad[c] is None)
+                raise ValueError(
+                    f"missing required column {col!r} "
+                    "(NULL value in inserted data)")
+        pk = list(self.primary_key or [])
+        if pk and os.environ.get("PXT_SPARK_ENFORCE_PK", "1") != "0":
+            dup = (src.groupBy(*pk)
+                   .agg(F.count(F.lit(1)).alias("__n"))
+                   .where(F.col("__n") > 1).first())
+            if dup is not None:
+                key = tuple(dup[c] for c in pk)
+                raise ValueError(
+                    f"duplicate primary key {key!r} within inserted rows")
+            if self._has_data():
+                hit = (src.select(*pk)
+                       .join(self.df().select(*pk), on=pk, how="left_semi")
+                       .first())
+                if hit is not None:
+                    key = tuple(hit[c] for c in pk)
+                    raise ValueError(
+                        f"primary key {key!r} already exists in table "
+                        f"{self.name!r}")
+
     def insert(self, rows: "list[dict] | DataFrame | TableRef | str | None" = None,
                *, source_format: Optional[str] = None,
                schema_overrides: Optional[dict] = None,
@@ -2228,6 +2285,7 @@ class Table:
                 raise ValueError(f"missing required column {c!r}")
             src = src.withColumn(c, F.lit(None).cast(self.schema[c].spark_type()))
         src = src.select(*[F.col(c).cast(self.schema[c].spark_type()) for c in self.schema])
+        self._enforce_insert_constraints(src)
 
         new_version = self.version + 1
         t0 = time.time()
@@ -2370,6 +2428,13 @@ class Table:
         for col in value_spec:
             if col not in self.schema:
                 raise ValueError(f"unknown or non-updatable column {col!r}")
+            if col in (self.primary_key or []):
+                # reference catalog/table_version.py:1246: PK values are
+                # row identity (batch_update matches on them) — mutating
+                # one in place can collide with an existing key
+                raise ValueError(
+                    f"column {col!r} is a primary key column and cannot "
+                    "be updated")
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
         ranges = self._extract_ranges(where) if where is not None else []
