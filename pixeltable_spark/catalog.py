@@ -546,6 +546,20 @@ class Table:
         # the commit swap and the meta save
         self.stream_batches: dict[str, int] = {}
         self._pending_stream_stamp: Optional[tuple[str, int]] = None
+        # versioned schema: one snapshot per schema-changing version, so
+        # time travel and revert see the columns AS OF that version
+        # (reference: schema_version in catalog metadata,
+        # catalog/table_version.py bump_schema_version). Each entry:
+        # {"version": v, "cols": [[logical, physical, type_dict,
+        # is_computed], ...]}. drop_column is METADATA-ONLY (the Delta
+        # "drop column" shape): the physical column stays in the files,
+        # recorded in `retired` (physical -> type dict; None marks a
+        # cellmd struct) so the reader schema keeps resolving it.
+        self.schema_history: list[dict] = []
+        self.retired: dict[str, Optional[dict]] = {}
+        # dropped computed-column definitions, kept so revert() can
+        # restore them (physical name -> ComputedColumn)
+        self.computed_retired: dict[str, ComputedColumn] = {}
 
     # -- creation / persistence -------------------------------------------
     @classmethod
@@ -556,8 +570,45 @@ class Table:
         t.primary_key = primary_key
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         t._log("create")
+        t._snapshot_schema()
         t._save_meta()
         return t
+
+    # -- versioned schema ---------------------------------------------------
+    def _snapshot_schema(self) -> None:
+        """Record the current logical schema under the current version
+        (one entry per schema-changing version; same-version re-snapshot
+        replaces)."""
+        cols = [[n, n, ct.as_dict(), False] for n, ct in self.schema.items()]
+        cols += [[cc.name, cc.name, cc.col_type.as_dict(), True]
+                 for cc in self.computed.values()]
+        self.schema_history = [s for s in self.schema_history
+                               if s["version"] != self.version]
+        self.schema_history.append({"version": self.version, "cols": cols})
+
+    def _schema_at(self, version: int) -> Optional[dict]:
+        """The schema snapshot in effect at `version` (latest snapshot
+        with version <= it), or None for legacy tables without history."""
+        if not self.schema_history:
+            return None
+        past = [s for s in self.schema_history if s["version"] <= version]
+        return past[-1] if past else self.schema_history[0]
+
+    def _full_read_schema(self) -> T.StructType:
+        """Reader schema for the store: current columns + every retired
+        physical column still addressable by time travel. Files written
+        after a drop simply lack the retired column and read as NULL
+        (their row-versions postdate the drop anyway)."""
+        st = self._store_schema()
+        have = {f.name for f in st.fields}
+        fields = list(st.fields)
+        for phys, tdict in self.retired.items():
+            if phys in have:
+                continue
+            dt = _CELLMD_TYPE if tdict is None \
+                else ColumnType.from_dict(tdict).spark_type()
+            fields.append(T.StructField(phys, dt, True))
+        return T.StructType(fields)
 
     @classmethod
     def _load(cls, catalog: Catalog, name: str, path: str) -> "Table":
@@ -579,6 +630,8 @@ class Table:
             "version_floor": self.version_floor,
             "stream_batches": self.stream_batches,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
+            "schema_history": self.schema_history,
+            "retired": self.retired,
             # the manifest this meta is in sync with: loaders trust meta
             # only while CURRENT still points here; when CURRENT has
             # moved past it (a crash between commit and meta save), the
@@ -595,7 +648,8 @@ class Table:
         cpath = os.path.join(self.path, "computed.pkl")
         tmp = cpath + ".tmp-" + _uuid.uuid4().hex[:8]
         with open(tmp, "wb") as f:
-            cloudpickle.dump(self.computed, f)
+            cloudpickle.dump({"__live__": self.computed,
+                              "__retired__": self.computed_retired}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, cpath)
@@ -616,11 +670,23 @@ class Table:
         self.schema = {
             k: ColumnType.from_dict(d) for k, d in meta["schema"].items()
         }
+        self.schema_history = meta.get("schema_history") or []
+        self.retired = meta.get("retired") or {}
         cpath = os.path.join(self.path, "computed.pkl")
         if os.path.exists(cpath):
             from pyspark import cloudpickle
             with open(cpath, "rb") as f:
-                self.computed = cloudpickle.load(f)
+                loaded = cloudpickle.load(f)
+            if isinstance(loaded, dict) and "__live__" in loaded:
+                self.computed = loaded["__live__"]
+                self.computed_retired = loaded.get("__retired__", {})
+            else:  # legacy format: the live dict itself
+                self.computed = loaded
+        if not self.schema_history:
+            # legacy table: synthesize a single snapshot at version 0
+            # (pre-history schema mutations are not reconstructible)
+            self._snapshot_schema()
+            self.schema_history[0]["version"] = 0
         # reconcile with the COMMITTED state: when CURRENT points past
         # the manifest this meta was saved against (a crash between the
         # commit swap and the meta save), the manifest's version stamp
@@ -1331,15 +1397,23 @@ class Table:
         if not files:
             return None
         spark = self.catalog.spark
+        # once a column has been retired (metadata-only drop), files
+        # written before and after the drop disagree on columns: read
+        # under the explicit full schema so pre-drop files keep their
+        # values and post-drop files surface NULLs. Tables with no
+        # retired columns read exactly as before.
+        reader = spark.read
+        if self.retired:
+            reader = reader.schema(self._full_read_schema())
         if ranges:
             pruned = self._prune_files(files, self._current_stats(), ranges)
             if not pruned:
                 # keep one file for schema; no row can match, but the
                 # caller still applies the row-level predicate
-                return (spark.read.parquet(os.path.join(self.path, files[0]))
+                return (reader.parquet(os.path.join(self.path, files[0]))
                         .limit(0))
             files = pruned
-        return spark.read.parquet(
+        return reader.parquet(
             *[os.path.join(self.path, f) for f in files])
 
     def _has_data(self) -> bool:
@@ -1754,12 +1828,38 @@ class Table:
             (F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
 
     def user_df(self, version: Optional[int] = None) -> DataFrame:
-        cols = [c for c in self.column_names()]
-        return self.df(version).select(*cols)
+        if version is None:
+            return self.df().select(*self.column_names())
+        # time travel sees the schema AS OF that version: columns added
+        # later are absent, columns dropped later resolve through their
+        # retired physical names (reference: versioned schema metadata)
+        v = self._validate_version(version)
+        snap = self._schema_at(v)
+        if snap is None:
+            return self.df(v).select(*self.column_names())
+        return self.df(v).select(
+            *[F.col(phys).alias(logical)
+              for logical, phys, _t, _c in snap["cols"]])
 
     def ref(self, version: Optional[int] = None) -> TableRef:
         """Bind as a queryable TableRef (system cols hidden, _rowid kept as
-        the insertion-order key for head/tail/sample)."""
+        the insertion-order key for head/tail/sample). A pinned version
+        binds the schema AS OF that version (snapshot projection)."""
+        if version is not None:
+            v = self._validate_version(version)
+            snap = self._schema_at(v)
+            if snap is not None:
+                proj = [F.col(_ROWID)] + [
+                    F.col(phys).alias(logical)
+                    for logical, phys, _t, _c in snap["cols"]]
+                schema_v = {_ROWID: ColumnType.int_(False)}
+                schema_v.update({logical: ColumnType.from_dict(tdict)
+                                 for logical, _p, tdict, _c in snap["cols"]})
+                tr = TableRef(self.df(v).select(*proj), self.name,
+                              schema_v, rowid_cols=[_ROWID])
+                tr._catalog_tbl = self
+                tr._pinned_version = version
+                return tr
         df = self.df(version)
         schema = dict(self.schema)
         for cc in self.computed.values():
@@ -2007,6 +2107,7 @@ class Table:
         row once; new inserts compute incrementally."""
         if name in self.schema or name in self.computed:
             raise ValueError(f"duplicate column {name!r}")
+        self._exhume_if_retired(name)
         cc = ComputedColumn(name, expr, col_type or expr.col_type, on_error)
         self.computed[name] = cc
         if self._has_data():
@@ -2016,6 +2117,7 @@ class Table:
             self._rewrite(store)
         self.version += 1
         self._log("add_computed_column", column=name)
+        self._snapshot_schema()
         self._save_meta()
 
     def _eval_computed(self, df: DataFrame, ccs: Sequence[ComputedColumn]) -> DataFrame:
@@ -2082,37 +2184,83 @@ class Table:
             raise ValueError(f"duplicate column {name!r}")
         if not col_type.nullable and default is None:
             raise ValueError("non-nullable add_column requires a default")
+        self._exhume_if_retired(name)
         self.schema[name] = col_type
         if self._has_data():
             store = self._store_df().withColumn(
                 name, F.lit(default).cast(col_type.spark_type()))
+            keep = [f.name for f in self._store_schema().fields] \
+                + [p for p in self.retired if p in store.columns]
             self._pending_version = self.version + 1
-            self._rewrite(store.select(*[f.name for f in self._store_schema().fields]))
+            self._rewrite(store.select(*keep))
         self.version += 1
         self._log("add_column", column=name)
+        self._snapshot_schema()
         self._save_meta()
+
+    def _exhume_if_retired(self, name: str) -> None:
+        """A new column is reusing a retired physical name: rename the
+        retired data to a mangled physical (`name__vN`) so every past
+        schema snapshot keeps addressing the OLD values and the new
+        column starts clean. The one physical rewrite happens only in
+        this rare drop-then-re-add case — plain drops stay O(1)."""
+        if name not in self.retired:
+            return
+        mangled = f"{name}__v{self.version}"
+        old_md = _cellmd_col(name)
+        new_md = _cellmd_col(mangled)
+        if self._has_data():
+            store = self._store_df().withColumnRenamed(name, mangled)
+            if old_md in store.columns:
+                store = store.withColumnRenamed(old_md, new_md)
+            # storage-only commit (like optimize): no version bump
+            self._rewrite(store)
+        self.retired[mangled] = self.retired.pop(name)
+        if old_md in self.retired:
+            self.retired[new_md] = self.retired.pop(old_md)
+        if name in self.computed_retired:
+            self.computed_retired[mangled] = self.computed_retired.pop(name)
+        for snap in self.schema_history:
+            for c in snap["cols"]:
+                if c[1] == name:
+                    c[1] = mangled
 
     @_locked_mutation
     def drop_column(self, name: str) -> None:
+        """METADATA-ONLY drop (the Delta/Iceberg drop-column shape, vs the
+        reference's Postgres schema change): the physical column stays in
+        the stored files and is recorded in `retired`, so (a) the drop is
+        O(1) regardless of table size — no 100 TB rewrite — and (b) time
+        travel to a pre-drop version and revert() still see the values
+        (reference keeps them via its versioned schema,
+        catalog/table_version.py:868-880)."""
         if name in (self.primary_key or []):
             # reference catalog/table_version.py:875
             raise ValueError(f"cannot drop primary key column {name!r}")
         if name in self.computed:
-            del self.computed[name]
+            cc = self.computed.pop(name)
+            self.computed_retired[name] = cc
+            self.retired[name] = cc.col_type.as_dict()
+            if cc.on_error == "ignore":
+                self.retired[_cellmd_col(name)] = None  # cellmd struct
         elif name in self.schema:
             deps = [cc.name for cc in self.computed.values()
                     if any(r.name == name for r in cc.expr.column_refs())]
             if deps:
                 raise ValueError(
                     f"column {name!r} is referenced by computed columns {deps}")
+            self.retired[name] = self.schema[name].as_dict()
             del self.schema[name]
         else:
             raise ValueError(f"unknown column {name!r}")
-        if self._has_data():
-            self._pending_version = self.version + 1
-            self._rewrite(self._store_df().drop(name, _cellmd_col(name)))
+        self.bloom_cols.pop(name, None)
+        # indexes over the dropped column (or backed by it) die with it
+        for iname in [k for k, ix in getattr(self, "_indexes", {}).items()
+                      if ix.column == name or ix.embed_col == name]:
+            del self._indexes[iname]
         self.version += 1
         self._log("drop_column", column=name)
+        self._snapshot_schema()
         self._save_meta()
 
     @_locked_mutation
@@ -2134,6 +2282,7 @@ class Table:
             self._rewrite(store)
         self.version += 1
         self._log("alter_column", column=name, new_type=col_type.kind.name)
+        self._snapshot_schema()
         self._save_meta()
 
     @_locked_mutation
@@ -2160,16 +2309,24 @@ class Table:
 
         for cc in self.computed.values():
             _walk(cc.expr)
+        for cc in self.computed_retired.values():
+            _walk(cc.expr)
         if self._has_data():
             self._pending_version = self.version + 1
             self._rewrite(self._store_df().withColumnRenamed(old, new))
+        # the physical rename applies to ALL row-versions: past schema
+        # snapshots keep the old LOGICAL name but must point at the new
+        # physical so time travel keeps resolving the values
+        for snap in self.schema_history:
+            for c in snap["cols"]:
+                if c[1] == old:
+                    c[1] = new
         self.version += 1
         self._log("rename_column", old=old, new=new)
+        self._snapshot_schema()
         self._save_meta()
 
     # -- mutations ---------------------------------------------------------
-    @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
-    @_locked_mutation
     def _enforce_insert_constraints(self, src: DataFrame) -> None:
         """Store-side constraints the reference gets from Postgres (NOT
         NULL + the primary-key index raise on violation — reference
@@ -2220,6 +2377,8 @@ class Table:
                         f"primary key {key!r} already exists in table "
                         f"{self.name!r}")
 
+    @telemetry.traced("table.insert", attrs_fn=lambda self, *a, **k: {"table": self.name, "version": self.version})
+    @_locked_mutation
     def insert(self, rows: "list[dict] | DataFrame | TableRef | str | None" = None,
                *, source_format: Optional[str] = None,
                schema_overrides: Optional[dict] = None,
@@ -2756,8 +2915,97 @@ class Table:
             self._replace_files(out, matched_files)
         self.version = v - 1
         self._history = [h for h in self._history if h["version"] < v]
+        self._restore_schema_at(v - 1)
         self._save_meta()
         self._propagate_refresh()
+
+    def _restore_schema_at(self, target_version: int) -> None:
+        """Rewind the logical schema to its state at `target_version`
+        (reference revert restores the catalog's schema version too):
+        columns added by the reverted version retire, dropped columns
+        come back — computed definitions resurface from the retired
+        store."""
+        if not any(s["version"] > target_version
+                   for s in self.schema_history):
+            return  # no schema change is being reverted
+        self.schema_history = [s for s in self.schema_history
+                               if s["version"] <= target_version]
+        snap = self.schema_history[-1] if self.schema_history else None
+        if snap is None:
+            return
+        new_schema: dict[str, ColumnType] = {}
+        new_computed: dict[str, ComputedColumn] = {}
+        for logical, phys, tdict, is_comp in snap["cols"]:
+            ct = ColumnType.from_dict(tdict)
+            if is_comp:
+                cc = (self.computed.get(logical)
+                      or self.computed_retired.get(phys)
+                      or self.computed_retired.get(logical))
+                if cc is not None:
+                    cc.name = logical
+                    new_computed[logical] = cc
+                else:  # definition lost (legacy): degrade to plain
+                    new_schema[logical] = ct
+            else:
+                new_schema[logical] = ct
+        # columns the revert removes -> retired (their data stays)
+        for name, ct in self.schema.items():
+            if name not in new_schema and name not in new_computed:
+                self.retired[name] = ct.as_dict()
+        for name, cc in self.computed.items():
+            if name not in new_computed and name not in new_schema:
+                self.computed_retired[name] = cc
+                self.retired[name] = cc.col_type.as_dict()
+                if cc.on_error == "ignore":
+                    self.retired[_cellmd_col(name)] = None
+        # a restored column whose snapshot points at a MANGLED physical
+        # (it was dropped, re-added under the same name, and both steps
+        # are now reverted): move the data back under its logical name —
+        # the only revert shape that needs a physical rewrite
+        mangled = [(logical, phys) for logical, phys, _t, _c
+                   in snap["cols"] if phys != logical]
+        if mangled and self._has_data():
+            store = self._store_df()
+            for logical, phys in mangled:
+                if logical in store.columns:
+                    # the occupant is a just-retired newer incarnation:
+                    # shelve it under a fresh physical name
+                    fresh = f"{logical}__r{target_version}_" \
+                            f"{len(self.retired)}"
+                    store = store.withColumnRenamed(logical, fresh)
+                    if logical in self.retired:
+                        self.retired[fresh] = self.retired.pop(logical)
+                    if logical in self.computed_retired:
+                        self.computed_retired[fresh] = \
+                            self.computed_retired.pop(logical)
+                    for s in self.schema_history:
+                        for c in s["cols"]:
+                            if c[1] == logical:
+                                c[1] = fresh
+                store = store.withColumnRenamed(phys, logical)
+                if phys in self.retired:
+                    self.retired[logical] = self.retired.pop(phys)
+                if phys in self.computed_retired:
+                    self.computed_retired[logical] = \
+                        self.computed_retired.pop(phys)
+                for s in self.schema_history:
+                    for c in s["cols"]:
+                        if c[1] == phys:
+                            c[1] = logical
+            self._rewrite(store)  # storage-only commit, no version bump
+            for entry in snap["cols"]:
+                if entry[1] != entry[0]:
+                    entry[1] = entry[0]
+        # columns the revert restores -> leave the retired store
+        for logical, phys, _t, is_comp in snap["cols"]:
+            self.retired.pop(phys, None)
+            cc = new_computed.get(logical)
+            if cc is not None:
+                self.computed_retired.pop(phys, None)
+                self.computed_retired.pop(logical, None)
+                if cc.on_error == "ignore":
+                    self.retired.pop(_cellmd_col(phys), None)
+        self.schema, self.computed = new_schema, new_computed
 
     def get_versions(self) -> list[VersionMetadata]:
         """Programmatic version metadata, most recent LAST (reference

@@ -1,0 +1,136 @@
+"""Versioned schema: metadata-only drop_column, schema-true time travel,
+and revert() restoring dropped columns (reference keeps a versioned
+schema in its catalog — catalog/table_version.py bump_schema_version,
+868-880 drop; Delta/Iceberg analog: drop column = metadata change,
+reader schema keeps resolving retired physicals)."""
+import pytest
+
+import pixeltable_spark as pxt
+from pixeltable_spark.exceptions import NotFoundError
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    cat = pxt.Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("t", {"k": pxt.Int(False), "x": pxt.Int()})
+    t.insert([{"k": 1, "x": 10}, {"k": 2, "x": 20}])   # v1
+    return cat, t
+
+
+def _rows(df):
+    return sorted(tuple(sorted(r.asDict().items())) for r in df.collect())
+
+
+class TestSchemaTimeTravel:
+    def test_added_column_absent_before_add(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        assert [f.name for f in t.user_df(version=1).schema.fields] \
+            == ["k", "x"]
+        assert "y" in [f.name for f in t.user_df(version=2).schema.fields]
+
+    def test_dropped_column_visible_at_old_versions(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.insert([{"k": 3, "x": 30, "y": 300}])        # v3
+        t.drop_column("y")                             # v4, metadata-only
+        assert t.columns() == ["k", "x"]
+        old = {r["k"]: r["y"] for r in t.user_df(version=3).collect()}
+        assert old[3] == 300 and old[1] is None
+        # current reads have no y at all
+        assert "y" not in [f.name for f in t.user_df().schema.fields]
+
+    def test_drop_is_metadata_only(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())
+        files_before = sorted(t._current_files())
+        t.drop_column("y")
+        assert sorted(t._current_files()) == files_before  # no rewrite
+
+    def test_revert_restores_dropped_plain_column(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.update({"y": 7}, where=t.ref().k == 1)       # v3
+        t.drop_column("y")                             # v4
+        t.revert()                                     # v3 again
+        assert t.columns() == ["k", "x", "y"]
+        vals = {r["k"]: r["y"] for r in t.collect()}
+        assert vals[1] == 7 and vals[2] is None
+
+    def test_revert_restores_computed_column_def(self, t):
+        cat, t = t
+        t.add_computed_column("c", t.ref().x * 2)      # v2
+        t.drop_column("c")                             # v3
+        t.revert()                                     # v2
+        assert "c" in t.columns()
+        t.insert([{"k": 9, "x": 90}])                  # def must still run
+        vals = {r["k"]: r["c"] for r in t.collect()}
+        assert vals[9] == 180 and vals[1] == 20
+
+    def test_revert_of_add_retires_column(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.revert()                                     # v1: y gone
+        assert t.columns() == ["k", "x"]
+        with pytest.raises(Exception):
+            _ = t.ref().y
+
+    def test_drop_then_readd_new_type(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.update({"y": 5})                             # v3
+        vold = t.version
+        t.drop_column("y")                             # v4
+        t.add_column("y", pxt.String())                # v5, exhumed
+        t.update({"y": "new"})                         # v6
+        assert {r["y"] for r in t.collect()} == {"new"}
+        # the OLD incarnation's values survive at the old version
+        assert {r["y"] for r in t.user_df(version=vold).collect()} == {5}
+
+    def test_persistence_across_reload(self, t, spark, tmp_path):
+        cat, t = t
+        t.add_column("y", pxt.Int())
+        t.update({"y": 42})
+        vold = t.version
+        t.drop_column("y")
+        t2 = pxt.Catalog(spark, str(tmp_path / "wh")).get_table("t")
+        assert t2.columns() == ["k", "x"]
+        assert {r["y"] for r in t2.user_df(version=vold).collect()} == {42}
+        t2.revert()
+        assert "y" in t2.columns()
+
+    def test_ref_version_binds_old_schema(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        r1 = t.ref(version=1)
+        assert "y" not in r1.column_names()
+        with pytest.raises(AttributeError):
+            _ = r1.y
+        r2 = t.ref(version=2)
+        got = r2.select(r2.k, r2.y).collect()
+        assert len(got) == 2
+
+    def test_invalid_version_still_raises(self, t):
+        cat, t = t
+        with pytest.raises(NotFoundError):
+            t.user_df(version=99)
+
+    def test_rename_keeps_history_resolvable(self, t):
+        cat, t = t
+        t.rename_column("x", "z")                      # v2 (rewrite)
+        # old version shows the OLD logical name, same values
+        old = t.user_df(version=1)
+        assert [f.name for f in old.schema.fields] == ["k", "x"]
+        assert {r["x"] for r in old.collect()} == {10, 20}
+        assert {r["z"] for r in t.collect()} == {10, 20}
+
+    def test_mutations_after_drop_keep_retired_values(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.update({"y": 1}, where=t.ref().k == 1)       # v3
+        vpre = t.version
+        t.drop_column("y")                             # v4
+        # a post-drop rewrite of the files must not lose retired data
+        t.update({"x": 99}, where=t.ref().k == 1)      # v5 rewrites file
+        old = {r["k"]: r["y"] for r in t.user_df(version=vpre).collect()}
+        assert old[1] == 1
