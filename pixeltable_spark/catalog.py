@@ -2198,6 +2198,23 @@ class Table:
         self._snapshot_schema()
         self._save_meta()
 
+    def _check_view_deps(self, name: str) -> None:
+        """Refuse to drop a column a dependent view reads (reference
+        raises for dependent views; silently resolving the retired
+        physical would freeze the view's predicate on stale data)."""
+        vdeps = []
+        for v in self._views:
+            refs = []
+            if getattr(v, "predicate", None) is not None:
+                refs += list(v.predicate.column_refs())
+            for e, _t in getattr(v, "extra", {}).values():
+                refs += list(e.column_refs())
+            if any(r.name == name for r in refs):
+                vdeps.append(v.name)
+        if vdeps:
+            raise ValueError(
+                f"column {name!r} is referenced by views {vdeps}")
+
     def _exhume_if_retired(self, name: str) -> None:
         """A new column is reusing a retired physical name: rename the
         retired data to a mangled physical (`name__vN`) so every past
@@ -2238,6 +2255,7 @@ class Table:
             # reference catalog/table_version.py:875
             raise ValueError(f"cannot drop primary key column {name!r}")
         if name in self.computed:
+            self._check_view_deps(name)
             cc = self.computed.pop(name)
             self.computed_retired[name] = cc
             self.retired[name] = cc.col_type.as_dict()
@@ -2249,6 +2267,7 @@ class Table:
             if deps:
                 raise ValueError(
                     f"column {name!r} is referenced by computed columns {deps}")
+            self._check_view_deps(name)
             self.retired[name] = self.schema[name].as_dict()
             del self.schema[name]
         else:

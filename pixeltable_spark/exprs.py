@@ -101,6 +101,33 @@ class Expr:
             return True
         return any(c.has_window() for c in self.components)
 
+    # -- serialization (reference exprs/expr.py as_dict/from_dict: every
+    # expr round-trips through a JSON dict so queries can be persisted;
+    # registered functions serialize by name, arbitrary callables refuse
+    # loudly — same constraint as the reference's FunctionRegistry) -----
+    def as_dict(self) -> dict:
+        d: dict = {"_classname": type(self).__name__,
+                   "col_type": self.col_type.as_dict(),
+                   "components": [c.as_dict() for c in self.components],
+                   "attrs": {}}
+        for k, v in self.__dict__.items():
+            if k in ("col_type", "components") or k == "tbl":
+                continue  # tbl rebinds at from_dict time
+            d["attrs"][k] = _attr_to_dict(type(self).__name__, k, v)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict, tbl: Any = None) -> "Expr":
+        sub = _expr_class(d["_classname"])
+        obj = sub.__new__(sub)
+        obj.col_type = ColumnType.from_dict(d["col_type"])
+        obj.components = [Expr.from_dict(c, tbl) for c in d["components"]]
+        for k, spec in d["attrs"].items():
+            setattr(obj, k, _attr_from_dict(spec, tbl))
+        if isinstance(obj, ColumnRef):
+            obj.tbl = tbl
+        return obj
+
     # -- operator overloads (build the tree) -------------------------------
     def __add__(self, o):  return _arith("+", self, o)
     def __radd__(self, o): return _arith("+", o, self)
@@ -254,6 +281,16 @@ class ColumnRef(Expr):
         st = self.__dict__.copy()
         st["tbl"] = None
         return st
+
+    def as_dict(self) -> dict:
+        # qualify with the owning catalog table's name so a deserialized
+        # multi-table query rebinds same-named columns correctly
+        d = super().as_dict()
+        ct = getattr(self.tbl, "_catalog_tbl", None) \
+            if self.tbl is not None else None
+        if ct is not None:
+            d["attrs"]["tbl_name"] = {"_value": ct.name}
+        return d
 
     def similarity(self, item: Any = None, *, string: Optional[str] = None,
                    vector: Any = None, idx: Optional[str] = None,
@@ -1247,3 +1284,94 @@ def _from_pandas(v: Any) -> Any:
     if hasattr(v, "tolist"):
         return v.tolist()
     return v
+
+
+# -- expr serialization helpers (Expr.as_dict/from_dict) ------------------
+
+def _expr_class(name: str) -> type:
+    """Resolve a serialized _classname to its Expr subclass (recursive
+    subclass walk, computed lazily so late-defined classes register)."""
+    stack, seen = [Expr], {}
+    while stack:
+        c = stack.pop()
+        seen[c.__name__] = c
+        stack.extend(c.__subclasses__())
+    if name not in seen:
+        raise ValueError(f"unknown expr class {name!r}")
+    return seen[name]
+
+
+def _function_path(fn: "Function") -> str:
+    """Registry path of a Function ('math.round', 'sum', ...); raises for
+    functions not reachable through pixeltable_spark.functions."""
+    from . import functions as pxtf
+    if getattr(pxtf, getattr(fn, "name", ""), None) is fn:
+        return fn.name
+    for mod_name in dir(pxtf):
+        mod = getattr(pxtf, mod_name)
+        if callable(mod) or not hasattr(mod, "__dict__"):
+            continue
+        for fname, f in vars(mod).items():
+            if f is fn:
+                return f"{mod_name}.{fname}"
+    raise ValueError(
+        f"function {getattr(fn, 'name', fn)!r} is not reachable through "
+        "the pixeltable_spark.functions registry and cannot serialize")
+
+
+def _resolve_function(path: str) -> "Function":
+    from . import functions as pxtf
+    obj: Any = pxtf
+    for part in path.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _attr_to_dict(cls_name: str, key: str, v: Any) -> dict:
+    if isinstance(v, Function):
+        return {"_function": _function_path(v)}
+    if isinstance(v, Expr):
+        return {"_expr": v.as_dict()}
+    if isinstance(v, ColumnType):
+        return {"_coltype": v.as_dict()}
+    if isinstance(v, datetime.datetime):
+        return {"_datetime": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"_date": v.isoformat()}
+    if isinstance(v, (list, tuple)) and any(isinstance(x, Expr) for x in v):
+        if not all(isinstance(x, Expr) for x in v):
+            raise ValueError(
+                f"{cls_name}.{key}: mixed expr/value list cannot serialize")
+        return {"_expr_list": [x.as_dict() for x in v]}
+    if _jsonable_value(v):
+        return {"_value": list(v) if isinstance(v, tuple) else v}
+    raise ValueError(
+        f"{cls_name}.{key} ({type(v).__name__}) is not serializable — "
+        "only registered functions, exprs, and JSON values round-trip")
+
+
+def _attr_from_dict(spec: dict, tbl: Any) -> Any:
+    if "_function" in spec:
+        return _resolve_function(spec["_function"])
+    if "_expr" in spec:
+        return Expr.from_dict(spec["_expr"], tbl)
+    if "_coltype" in spec:
+        return ColumnType.from_dict(spec["_coltype"])
+    if "_datetime" in spec:
+        return datetime.datetime.fromisoformat(spec["_datetime"])
+    if "_date" in spec:
+        return datetime.date.fromisoformat(spec["_date"])
+    if "_expr_list" in spec:
+        return [Expr.from_dict(x, tbl) for x in spec["_expr_list"]]
+    return spec["_value"]
+
+
+def _jsonable_value(v: Any) -> bool:
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return True
+    if isinstance(v, (list, tuple)):
+        return all(_jsonable_value(x) for x in v)
+    if isinstance(v, dict):
+        return all(isinstance(k, str) and _jsonable_value(x)
+                   for k, x in v.items())
+    return False

@@ -328,7 +328,7 @@ class Query:
     def __repr__(self) -> str:
         parts = [f"from: {getattr(self.tbl, '_name', '?')}"]
         for jc in self.joins:
-            parts.append(f"join: {getattr(jc.other, '_name', '?')}"
+            parts.append(f"join: {getattr(jc.tbl, '_name', '?')}"
                          f" ({jc.how})")
         if self.select_items:
             parts.append("select: " + ", ".join(
@@ -351,6 +351,116 @@ class Query:
         if self.sample_clause is not None:
             parts.append("sample: ...")
         return "Query(" + "; ".join(parts) + ")"
+
+    # -- serialization (reference _query.py:1904-1985 Query.as_dict/
+    # from_dict: persistable query definitions; tables serialize by
+    # catalog name + pinned version and rebind at load) ------------------
+    def as_dict(self) -> dict:
+        from ..exprs import Expr as _Expr
+
+        def tbl_key(tr) -> dict:
+            ct = getattr(tr, "_catalog_tbl", None)
+            if ct is None:
+                raise ValueError(
+                    "only queries rooted at catalog tables serialize "
+                    "(free DataFrame-backed refs have no stable address)")
+            return {"table": ct.name,
+                    "version": getattr(tr, "_pinned_version", None)}
+
+        def on_dict(on) -> Any:
+            if on is None or isinstance(on, str):
+                return on
+            if isinstance(on, (list, tuple)) \
+                    and all(isinstance(x, str) for x in on):
+                return list(on)
+            return {"_expr": on.as_dict()}
+
+        d: dict = {
+            "_classname": "Query",
+            "from": tbl_key(self.tbl),
+            "joins": [{"tbl": tbl_key(j.tbl), "on": on_dict(j.on),
+                       "how": j.how} for j in self.joins],
+            "select": [[n, e.as_dict()] for n, e in self.select_items],
+            "where": self.where_pred.as_dict()
+            if self.where_pred is not None else None,
+            "group_by": [e.as_dict() for e in self.group_by_exprs],
+            "having": self.having_pred.as_dict()
+            if getattr(self, "having_pred", None) is not None else None,
+            "order_by": [[e.as_dict(), asc]
+                         for e, asc in self.order_by_items],
+            "limit": self.limit_n, "offset": self.offset_n,
+            "distinct": self.distinct_flag,
+        }
+        sc = self.sample_clause
+        if sc is not None:
+            d["sample"] = {"n": sc.n, "n_per_stratum": sc.n_per_stratum,
+                           "fraction": sc.fraction, "seed": sc.seed,
+                           "stratify_by": [e.as_dict()
+                                           for e in sc.stratify_by]}
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict, catalog) -> "Query":
+        """Rebuild a serialized query against `catalog` (tables resolve
+        by name; a recorded pinned version re-pins)."""
+        from ..exprs import Expr as _Expr
+
+        def bind(key: dict):
+            t = catalog.get_table(key["table"])
+            return t.ref(version=key.get("version"))
+
+        from ..exprs import ColumnRef as _CR
+
+        ref = bind(d["from"])
+        q = cls(ref)
+        refs = [ref]
+
+        def rebind(e) -> None:
+            """Column refs re-attach to whichever bound table carries the
+            name (from-table wins ties, matching build-time behavior)."""
+            if isinstance(e, _CR):
+                want = getattr(e, "tbl_name", None)
+                cands = ([tr for tr in refs
+                          if getattr(getattr(tr, "_catalog_tbl", None),
+                                     "name", None) == want]
+                         if want is not None else []) or refs
+                for tr in cands:
+                    if e.name in tr._schema:
+                        e.tbl = tr
+                        break
+            for c in e.components:
+                rebind(c)
+
+        def load(spec):
+            e = _Expr.from_dict(spec, ref)
+            rebind(e)
+            return e
+
+        for j in d.get("joins", []):
+            jr = bind(j["tbl"])
+            refs.append(jr)
+            on = j["on"]
+            if isinstance(on, dict):
+                on = load(on["_expr"])
+            q.joins.append(JoinClause(jr, on, "inner"))
+            q.joins[-1].how = j["how"]  # already Spark-normalized
+        q.select_items = [(n, load(e)) for n, e in d.get("select", [])]
+        if d.get("where") is not None:
+            q.where_pred = load(d["where"])
+        q.group_by_exprs = [load(e) for e in d.get("group_by", [])]
+        if d.get("having") is not None:
+            q.having_pred = load(d["having"])
+        q.order_by_items = [(load(e), asc)
+                            for e, asc in d.get("order_by", [])]
+        q.limit_n = d.get("limit")
+        q.offset_n = d.get("offset", 0)
+        q.distinct_flag = d.get("distinct", False)
+        if d.get("sample") is not None:
+            s = d["sample"]
+            q.sample_clause = SampleClause(
+                s["n"], s["n_per_stratum"], s["fraction"], s["seed"],
+                [load(e) for e in s["stratify_by"]])
+        return q
 
     # -- mutations through a query handle (reference _query.py:1800-1875:
     # t.where(pred).update/delete/recompute_columns forward the where

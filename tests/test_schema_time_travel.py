@@ -124,6 +124,12 @@ class TestSchemaTimeTravel:
         assert {r["x"] for r in old.collect()} == {10, 20}
         assert {r["z"] for r in t.collect()} == {10, 20}
 
+    def test_drop_of_view_referenced_column_refuses(self, t):
+        cat, t = t
+        cat.create_view("v", t, predicate=t.ref().x > 1)
+        with pytest.raises(ValueError, match="referenced by views"):
+            t.drop_column("x")
+
     def test_mutations_after_drop_keep_retired_values(self, t):
         cat, t = t
         t.add_column("y", pxt.Int())                   # v2
