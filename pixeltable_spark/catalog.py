@@ -1837,9 +1837,23 @@ class Table:
         snap = self._schema_at(v)
         if snap is None:
             return self.df(v).select(*self.column_names())
-        return self.df(v).select(
-            *[F.col(phys).alias(logical)
-              for logical, phys, _t, _c in snap["cols"]])
+        return self.df(v).select(*self._snap_projection(snap))
+
+    def _snap_projection(self, snap: dict) -> list:
+        """Projection for one schema snapshot: retired physicals alias
+        back to their logical names, and scalar columns whose type was
+        later altered cast back to the type recorded at that version."""
+        out = []
+        for logical, phys, tdict, _c in snap["cols"]:
+            col = F.col(phys)
+            want = ColumnType.from_dict(tdict)
+            cur = self.schema.get(phys) if phys in self.schema else None
+            if (cur is not None and cur.kind != want.kind
+                    and want.kind.name in ("INT", "FLOAT", "BOOL",
+                                           "STRING")):
+                col = col.cast(want.spark_type())
+            out.append(col.alias(logical))
+        return out
 
     def ref(self, version: Optional[int] = None) -> TableRef:
         """Bind as a queryable TableRef (system cols hidden, _rowid kept as

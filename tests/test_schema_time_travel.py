@@ -124,6 +124,15 @@ class TestSchemaTimeTravel:
         assert {r["x"] for r in old.collect()} == {10, 20}
         assert {r["z"] for r in t.collect()} == {10, 20}
 
+    def test_alter_column_type_history(self, t):
+        cat, t = t
+        t.alter_column("x", pxt.Float())               # v2
+        t.update({"x": 7.5}, where=t.ref().k == 1)     # v3
+        old = {r["k"]: r["x"] for r in t.user_df(version=1).collect()}
+        assert old[1] == 10 and isinstance(old[1], int)  # int AS OF v1
+        new = {r["k"]: r["x"] for r in t.collect()}
+        assert new[1] == 7.5
+
     def test_drop_of_view_referenced_column_refuses(self, t):
         cat, t = t
         cat.create_view("v", t, predicate=t.ref().x > 1)
