@@ -2691,36 +2691,55 @@ class Table:
         if if_not_exists not in ("error", "ignore", "insert"):
             raise ValueError(
                 "if_not_exists must be 'error', 'ignore' or 'insert'")
-        if not self.primary_key:
-            raise ValueError("batch_update requires a primary key")
         if not rows:
             return 0
+        # rows may address their target by primary key OR by the _rowid
+        # pseudo-column (reference local_table.py:972: _rowid can be used
+        # instead of the primary key)
+        by_rowid = all(_ROWID in row for row in rows)
+        if by_rowid:
+            key_cols = [_ROWID]
+            if if_not_exists == "insert":
+                raise ValueError(
+                    "batch_update: if_not_exists='insert' is incompatible "
+                    "with _rowid-addressed rows (rowids are engine-assigned)")
+        else:
+            if not self.primary_key:
+                raise ValueError(
+                    "batch_update requires a primary key (or _rowid values "
+                    "in every row)")
+            key_cols = list(self.primary_key)
         upd_cols: list[str] = []
         seen_keys = set()
         for row in rows:
-            for pk in self.primary_key:
+            for pk in key_cols:
                 if pk not in row:
                     raise ValueError("batch_update rows must include primary key values")
-            key = tuple(row[pk] for pk in self.primary_key)
+            key = tuple(row[pk] for pk in key_cols)
             if key in seen_keys:
                 raise ValueError(f"duplicate primary key in batch: {key!r}")
             seen_keys.add(key)
             for k in row:
-                if k in self.primary_key:
+                if k in key_cols:
                     continue
                 if k not in self.schema:
                     raise ValueError(f"unknown or non-updatable column {k!r}")
+                if k in (self.primary_key or []):
+                    raise ValueError(
+                        f"column {k!r} is a primary key column and cannot "
+                        "be updated")
                 if k not in upd_cols:
                     upd_cols.append(k)
 
-        fields = [T.StructField(pk, self.schema[pk].spark_type(), False)
-                  for pk in self.primary_key]
+        fields = [T.StructField(
+            pk, T.LongType() if pk == _ROWID
+            else self.schema[pk].spark_type(), False) for pk in key_cols]
         for c in upd_cols:
             fields.append(T.StructField(f"__upd_{c}", self.schema[c].spark_type(), True))
             fields.append(T.StructField(f"__has_{c}", T.BooleanType(), False))
         fields.append(T.StructField("__matched", T.BooleanType(), False))
         data = [
-            tuple([row[pk] for pk in self.primary_key]
+            tuple([row[pk] for pk in key_cols]
                   + [x for c in upd_cols for x in (row.get(c), c in row)]
                   + [True])
             for row in rows
@@ -2734,7 +2753,7 @@ class Table:
                                        for x in (f"__upd_{c}", f"__has_{c}")]
 
         def prepare(df):
-            j = df.join(F.broadcast(upd_df), on=self.primary_key, how="left")
+            j = df.join(F.broadcast(upd_df), on=key_cols, how="left")
             return j.withColumn(
                 "__m", live & F.coalesce(F.col("__matched"), F.lit(False)))
 
@@ -2742,8 +2761,8 @@ class Table:
         # (the MERGE point-lookup fast path); multi-column keys fall back
         # to liveness-only pruning
         ranges: list[tuple] = []
-        if len(self.primary_key) == 1 and len(rows) <= 8192:
-            pk = self.primary_key[0]
+        if len(key_cols) == 1 and len(rows) <= 8192:
+            pk = key_cols[0]
             vals = [row[pk] for row in rows]
             if all(isinstance(v, (int, float, str, bool)) for v in vals):
                 ranges = [(pk, "in", vals)]
@@ -2751,7 +2770,7 @@ class Table:
         # which batch keys matched? (bounded by the batch size, so the
         # collect is tiny; only needed when unmatched rows have a fate)
         def _key(row):
-            return tuple(row[pk] for pk in self.primary_key)
+            return tuple(row[pk] for pk in key_cols)
 
         matched_keys: set = set()
         missing: list[dict] = []
@@ -2759,13 +2778,14 @@ class Table:
             if sub is not None:
                 matched_keys = {tuple(r) for r in
                                 sub.filter(F.col("__m"))
-                                .select(*self.primary_key)
+                                .select(*key_cols)
                                 .distinct().collect()}
             missing = [row for row in rows if _key(row) not in matched_keys]
             if missing and if_not_exists == "error":
                 raise ValueError(
                     f"batch_update: {len(missing)} row(s) have no matching "
-                    f"primary key (first: { {k: missing[0][k] for k in self.primary_key} }); "
+                    f"primary key or rowid "
+                    f"(first: { {k: missing[0][k] for k in key_cols} }); "
                     "pass if_not_exists='ignore' or 'insert'")
         inserts = missing if if_not_exists == "insert" else []
         ins_df = None
