@@ -3262,6 +3262,89 @@ def q144_similarity_expr(spark, sf_dir):
             .order_by(sim).order_by(r.vid).limit(20).df())
 
 
+def q145_schema_time_travel(spark, sf_dir):
+    """Versioned-schema time travel under the hard oracle gate
+    (catalog.py schema snapshots + METADATA-ONLY drop_column; reference
+    keeps a versioned schema via catalog/table_version.py
+    bump_schema_version): add a column, fill it for half the rows,
+    drop it (no rewrite — the physical column stays, resolved through
+    the retired reader schema), insert more rows, then revert. Reads at
+    three points must see the schema AS OF each version: the dropped
+    column's values at v3, its absence at v1, and the post-revert state
+    (insert undone, column still absent). DuckDB replays each stage
+    from the source data; any history leak (column visible too early,
+    values lost by the drop, revert not undoing the insert) breaks
+    cell-exact."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    src = nat.select(F.col("n_nationkey").cast("int").alias("nk"),
+                     F.col("n_name").alias("name"),
+                     F.col("n_regionkey").cast("int").alias("rk"))
+    wh = tempfile.mkdtemp(prefix="pxt_q145_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("t", {"nk": pxt.Int(False),
+                               "name": pxt.String(True),
+                               "rk": pxt.Int(True)}, n_buckets=2)
+    t.insert(src.where(F.col("nk") < 20))              # v1: 20 rows
+    t.add_column("extra", pxt.Int(True))               # v2
+    nk = ColumnRef("nk", t.schema["nk"])
+    t.update({"extra": nk * 7}, where=nk < 10)         # v3
+    t.drop_column("extra")                             # v4: metadata-only
+    t.insert(src.where(F.col("nk") >= 20))             # v5
+    t.revert()                                         # back to v4 state
+
+    def stage(df, label, ncols, with_extra):
+        val = F.col("extra") if with_extra else F.lit(None).cast("int")
+        return df.select(F.lit(label).alias("stage"),
+                         F.col("nk"), val.alias("val"),
+                         F.lit(ncols).alias("ncols"))
+
+    out = (stage(t.user_df(version=3), "at_v3", 4, True)
+           .unionByName(stage(t.user_df(version=1), "at_v1", 3, False))
+           .unionByName(stage(t.user_df(), "final", 3, False)))
+    return out.orderBy("stage", "nk")
+
+
+def q146_serialized_query(spark, sf_dir):
+    """Query JSON serialization under the hard oracle gate
+    (plans/query.py Query.as_dict/from_dict + exprs.py Expr.as_dict;
+    reference _query.py:1904-1985): build a filtered grouped aggregate
+    over a versioned table, round-trip it through json.dumps/loads,
+    rebind against the catalog by table name, and EXECUTE the
+    deserialized plan. DuckDB computes the same aggregate from the
+    source — a clause lost or rebound wrongly in the round-trip breaks
+    the values."""
+    import json as _json
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark import functions as pxtf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"))
+    wh = tempfile.mkdtemp(prefix="pxt_q146_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("o", {"ok": pxt.Int(False),
+                               "prio": pxt.String(True),
+                               "price": pxt.Float(True)}, n_buckets=2)
+    t.insert(orders)
+    r = t.ref()
+    q = (r.where(r.price > 50_000.0)
+         .group_by(r.prio)
+         .select(r.prio, n=pxtf.count(r.ok),
+                 rev=pxtf.math.round(pxtf.sum(r.price), digits=2))
+         .order_by(r.prio))
+    blob = _json.dumps(q.as_dict())                    # pure JSON
+    q2 = pxt.Query.from_dict(_json.loads(blob), cat)
+    return q2.df()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3406,6 +3489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_merge_battery": q142_merge_battery,
         "q143_stream_ingest": q143_stream_ingest,
         "q144_similarity_expr": q144_similarity_expr,
+        "q145_schema_time_travel": q145_schema_time_travel,
+        "q146_serialized_query": q146_serialized_query,
     }
 
 
@@ -5433,4 +5518,22 @@ d AS (SELECT vid,
              round(sqrt(sum((e - q.v[i]) * (e - q.v[i]))), 6) AS dist
       FROM s, q GROUP BY vid)
 SELECT vid, dist FROM d ORDER BY dist, vid LIMIT 20"""
+    # q145: schema-as-of-version replay — extra visible (with values)
+    # only at v3, absent at v1 and after the revert (insert undone too)
+    d["q145_schema_time_travel"] = """
+WITH src AS (SELECT CAST(n_nationkey AS INT) AS nk FROM nation
+             WHERE n_nationkey < 20)
+SELECT 'at_v1' AS stage, nk, CAST(NULL AS INT) AS val, 3 AS ncols FROM src
+UNION ALL
+SELECT 'at_v3', nk, CASE WHEN nk < 10 THEN nk * 7 END, 4 FROM src
+UNION ALL
+SELECT 'final', nk, CAST(NULL AS INT), 3 FROM src
+ORDER BY stage, nk"""
+    # q146: the deserialized plan must equal the direct aggregate
+    d["q146_serialized_query"] = """
+SELECT o_orderpriority AS prio,
+       count(o_orderkey) AS n,
+       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS rev
+FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 50000.0
+GROUP BY prio ORDER BY prio"""
     return d
