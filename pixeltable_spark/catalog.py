@@ -546,6 +546,12 @@ class Table:
         # the commit swap and the meta save
         self.stream_batches: dict[str, int] = {}
         self._pending_stream_stamp: Optional[tuple[str, int]] = None
+        # post-rename schema state stamped into the NEXT manifest commit
+        # (exhume / revert-restore rename physical columns in the same
+        # rewrite; a crash between that commit and the meta save must not
+        # leave the retired map pointing at physical names that no longer
+        # exist — same durability pattern as _pending_version)
+        self._pending_schema_stamp: Optional[dict] = None
         # versioned schema: one snapshot per schema-changing version, so
         # time travel and revert see the columns AS OF that version
         # (reference: schema_version in catalog metadata,
@@ -706,6 +712,30 @@ class Table:
                     for sid, bid in m.get("stream_batches", {}).items():
                         self.stream_batches[sid] = max(
                             int(bid), self.stream_batches.get(sid, -1))
+                    ss = m.get("schema_state")
+                    if ss is not None:
+                        # a physical-rename commit landed but its meta
+                        # save did not: the manifest's stamped maps match
+                        # the committed files and win over meta's
+                        self.retired = ss.get("retired", self.retired)
+                        self.schema_history = ss.get(
+                            "schema_history", self.schema_history)
+                        if "schema" in ss:  # crashed mid-revert restore
+                            self.schema = {
+                                k: ColumnType.from_dict(v)
+                                for k, v in ss["schema"].items()}
+                        if "computed" in ss:
+                            live: dict = {}
+                            for n in ss["computed"]:
+                                cc = (self.computed.get(n)
+                                      or self.computed_retired.get(n))
+                                if cc is not None:
+                                    cc.name = n
+                                    live[n] = cc
+                            for n, cc in list(self.computed.items()):
+                                if n not in live:
+                                    self.computed_retired[n] = cc
+                            self.computed = live
                 self._manifest_at_read = cur_manifest
             except (OSError, KeyError, json.JSONDecodeError):
                 pass  # pre-stamp manifest or unreadable: meta stands
@@ -807,7 +837,19 @@ class Table:
                         disk_r = m.get("next_rowid", disk_r)
             except (OSError, KeyError, json.JSONDecodeError):
                 pass
-        if disk_v != self.version or disk_r != self.next_rowid:
+        cur_manifest = None
+        if os.path.exists(cur_path):
+            try:
+                with open(cur_path) as f:
+                    cur_manifest = json.load(f)["manifest"]
+            except (OSError, KeyError, json.JSONDecodeError):
+                pass
+        if (disk_v != self.version or disk_r != self.next_rowid
+                or (cur_manifest is not None
+                    and cur_manifest != getattr(self, "_manifest_at_read",
+                                                None))):
+            # the manifest-identity clause catches storage-only commits
+            # (optimize, exhume renames): same version, different files
             self._load_meta()
             # base snapshot moved -> any remembered manifest is stale
             self._manifest_at_read = None
@@ -1286,6 +1328,11 @@ class Table:
             stream_map[sid] = max(int(bid), stream_map.get(sid, -1))
         if stream_map:
             manifest["stream_batches"] = stream_map
+        pending_sch = getattr(self, "_pending_schema_stamp", None)
+        if pending_sch is not None:
+            # physical-rename durability: the retired map + snapshots
+            # that match the files THIS commit writes travel WITH it
+            manifest["schema_state"] = pending_sch
         # NOTE: the pending stream stamp and in-memory ledger advance
         # only after the swap succeeds (below) — a failed conditional
         # swap must leave the stamp armed for the mutation retry
@@ -1307,6 +1354,7 @@ class Table:
         self._manifest_at_read = mrel
         self.stream_batches = stream_map
         self._pending_stream_stamp = None
+        self._pending_schema_stamp = None
         # prime the resolver cache with the state just committed
         stats = {f: prev_stats[f] for f in files if _fresh(f)}
         stats.update(new_stats)
@@ -2240,21 +2288,32 @@ class Table:
         mangled = f"{name}__v{self.version}"
         old_md = _cellmd_col(name)
         new_md = _cellmd_col(mangled)
+        # compute the POST-rename maps first and arm them as the commit's
+        # schema stamp: a crash between the rewrite's CURRENT swap and
+        # the meta save must not leave meta's retired map addressing
+        # physical names the rewritten files no longer carry
+        new_retired = dict(self.retired)
+        new_retired[mangled] = new_retired.pop(name)
+        if old_md in new_retired:
+            new_retired[new_md] = new_retired.pop(old_md)
+        import copy as _copy
+        new_hist = _copy.deepcopy(self.schema_history)
+        for snap in new_hist:
+            for c in snap["cols"]:
+                if c[1] == name:
+                    c[1] = mangled
         if self._has_data():
             store = self._store_df().withColumnRenamed(name, mangled)
             if old_md in store.columns:
                 store = store.withColumnRenamed(old_md, new_md)
             # storage-only commit (like optimize): no version bump
+            self._pending_schema_stamp = {"retired": new_retired,
+                                          "schema_history": new_hist}
             self._rewrite(store)
-        self.retired[mangled] = self.retired.pop(name)
-        if old_md in self.retired:
-            self.retired[new_md] = self.retired.pop(old_md)
+        self.retired = new_retired
+        self.schema_history = new_hist
         if name in self.computed_retired:
             self.computed_retired[mangled] = self.computed_retired.pop(name)
-        for snap in self.schema_history:
-            for c in snap["cols"]:
-                if c[1] == name:
-                    c[1] = mangled
 
     @_locked_mutation
     def drop_column(self, name: str) -> None:
@@ -3045,10 +3104,19 @@ class Table:
                     for c in s["cols"]:
                         if c[1] == phys:
                             c[1] = logical
-            self._rewrite(store)  # storage-only commit, no version bump
             for entry in snap["cols"]:
                 if entry[1] != entry[0]:
                     entry[1] = entry[0]
+            # the renamed files and the maps that address them commit
+            # together (crash-safe, same pattern as _exhume_if_retired);
+            # the restored schema/computed sets ride along so a crash
+            # before the meta save still reconciles to the reverted state
+            self._pending_schema_stamp = {
+                "retired": dict(self.retired),
+                "schema_history": self.schema_history,
+                "schema": {n: ct.as_dict() for n, ct in new_schema.items()},
+                "computed": list(new_computed)}
+            self._rewrite(store)  # storage-only commit, no version bump
         # columns the revert restores -> leave the retired store
         for logical, phys, _t, is_comp in snap["cols"]:
             self.retired.pop(phys, None)

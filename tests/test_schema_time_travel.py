@@ -149,3 +149,80 @@ class TestSchemaTimeTravel:
         t.update({"x": 99}, where=t.ref().k == 1)      # v5 rewrites file
         old = {r["k"]: r["y"] for r in t.user_df(version=vpre).collect()}
         assert old[1] == 1
+
+
+class TestSchemaCrashSafety:
+    """Physical-rename durability: the exhume/restore rewrites stamp the
+    post-rename schema state into the manifest commit itself, so a crash
+    between the CURRENT swap and the meta save reconciles on reload
+    (catalog.py _pending_schema_stamp; same pattern as the version
+    stamp)."""
+
+    def test_crash_after_exhume_commit_before_meta_save(self, spark,
+                                                        tmp_path):
+        wh = str(tmp_path / "wh")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
+        t.insert([{"k": 1, "y": 42}])
+        vold = t.version
+        t.drop_column("y")                    # retired under phys 'y'
+        # simulate: exhume's rewrite commits, then the writer dies
+        # before any meta save (add_column never completes)
+        t._exhume_if_retired("y")
+        t2 = pxt.Catalog(spark, wh).get_table("t")
+        # the stamped maps must address the RENAMED physical, so the
+        # old version still reads its values
+        assert {r["y"] for r in t2.user_df(version=vold).collect()} \
+            == {42}
+        assert "y" not in t2.retired          # renamed away
+        assert any(p.startswith("y__v") for p in t2.retired)
+        # and the name is free for a clean re-add
+        t2.add_column("y", pxt.String())
+        t2.update({"y": "new"})
+        assert {r["y"] for r in t2.collect()} == {"new"}
+        assert {r["y"] for r in t2.user_df(version=vold).collect()} \
+            == {42}
+
+    def test_metadata_only_revert_crash_is_a_noop(self, spark, tmp_path,
+                                                  monkeypatch):
+        """A revert whose only effect is schema metadata commits nothing
+        before its meta save — a crash there means the revert simply
+        did not happen (atomic)."""
+        wh = str(tmp_path / "wh")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
+        t.insert([{"k": 1, "y": 42}])         # v1
+        t.drop_column("y")                    # v2 (metadata-only)
+        monkeypatch.setattr(type(t), "_save_meta",
+                            lambda self: (_ for _ in ()).throw(
+                                RuntimeError("crash")))
+        with pytest.raises(RuntimeError):
+            t.revert()                        # v2 -> v1, pure metadata
+        t2 = pxt.Catalog(spark, wh).get_table("t")
+        assert t2.version == 2 and t2.columns() == ["k"]  # unreverted
+
+    def test_crash_mid_mangled_restore_reconciles(self, spark, tmp_path,
+                                                  monkeypatch):
+        """The mangled-restore rewrite (revert past a drop-then-re-add)
+        stamps the post-rename maps into its commit: a crash before the
+        meta save reconciles to the reverted schema on reload."""
+        wh = str(tmp_path / "wh")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
+        t.insert([{"k": 1, "y": 42}])         # v1
+        t.drop_column("y")                    # v2 (y retired)
+        t.add_column("y", pxt.String())       # v3 (exhume: y -> y__v2)
+        t.revert()                            # v2: string y retired
+        orig = type(t)._save_meta
+
+        def boom(self):
+            raise RuntimeError("crash before meta save")
+
+        monkeypatch.setattr(type(t), "_save_meta", boom)
+        with pytest.raises(RuntimeError):
+            t.revert()                        # v1: mangled restore runs
+        monkeypatch.setattr(type(t), "_save_meta", orig)
+        t2 = pxt.Catalog(spark, wh).get_table("t")
+        assert t2.version == 1                # manifest stamp won
+        assert t2.columns() == ["k", "y"]     # int y restored
+        assert {r["y"] for r in t2.collect()} == {42}
