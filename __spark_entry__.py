@@ -3345,6 +3345,65 @@ def q146_serialized_query(spark, sf_dir):
     return q2.df()
 
 
+def q147_stream_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM join under the hard oracle gate
+    (streaming/incremental.py stream_stream_join; Structured
+    Streaming's state-store-buffered two-sided join — the reference has
+    no stream processing at all, SURVEY §2.11): view events joined to
+    same-user purchase events within 30 minutes, both sides replayed
+    from the events source with availableNow. Watermark + time-range
+    condition bound the join state to the window, so at scale state is
+    O(events in the watermark), not O(stream). DuckDB computes the same
+    time-window self-join; per-user attributed-pair counts and summed
+    purchase value must match cell-exact."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.streaming import stream_stream_join
+
+    ts_type = spark.read.parquet(
+        f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+    def src():
+        raw = (spark.readStream.format("parquet").schema(schema)
+               .option("pathGlobFilter", "events.parquet").load(sf_dir))
+        if isinstance(ts_type, T.LongType):
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return raw.select("event_id", "ts", "user_id", "event_type",
+                          "value")
+
+    views = src().where(F.col("event_type") == "view")
+    purchases = src().where(F.col("event_type") == "purchase")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        joined = stream_stream_join(views, purchases, "user_id",
+                                    within_s=1800, watermark_s=3600)
+        name = "q147_ssj_" + _uuid.uuid4().hex[:10]
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (spark.table(name)
+            .groupBy(F.col("l_user_id").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum("r_value"), 4).alias("attributed"))
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3491,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_similarity_expr": q144_similarity_expr,
         "q145_schema_time_travel": q145_schema_time_travel,
         "q146_serialized_query": q146_serialized_query,
+        "q147_stream_stream_join": q147_stream_stream_join,
     }
 
 
@@ -5536,4 +5596,14 @@ SELECT o_orderpriority AS prio,
        round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS rev
 FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 50000.0
 GROUP BY prio ORDER BY prio"""
+    # q147: streaming two-sided join == the batch time-window self-join
+    d["q147_stream_stream_join"] = """
+SELECT v.user_id AS user_id,
+       count(*) AS n_pairs,
+       round(sum(p.value), 4) AS attributed
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id ORDER BY user_id"""
     return d

@@ -5,6 +5,7 @@ from .incremental import (
     sessionize_stream,
     run_stream_to_memory,
     curation_stream,
+    stream_stream_join,
 )
 from .stateful import (
     stream_dedup_stateful,
@@ -17,5 +18,5 @@ __all__ = [
     "incremental_ingest", "stream_from_directory", "windowed_event_counts",
     "sessionize_stream", "run_stream_to_memory", "curation_stream",
     "stream_dedup_stateful", "stateful_running_uda", "funnel_stream",
-    "sessionize_stream_stateful",
+    "sessionize_stream_stateful", "stream_stream_join",
 ]

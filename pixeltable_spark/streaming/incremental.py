@@ -148,3 +148,34 @@ def curation_stream(stream_df: DataFrame, text_col: str = "text",
     keep = (F.col("lang_pred").isin(*langs)
             & ~F.col("pii") & (F.col("quality") >= quality_floor))
     return out.withColumn("keep", keep)
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       within_s: int = 1800, watermark_s: int = 3600,
+                       how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events of the same `key` whose timestamp falls in
+    (left_ts, left_ts + within_s] — the view->purchase attribution
+    shape. Spark's stream-stream join machinery buffers both sides in
+    the state store; the watermark + the time-range condition bound how
+    long a row waits for matches, so state is O(events within the
+    watermark window), not O(stream) (Structured Streaming's
+    inner/outer join requirements). On an availableNow replay of a
+    bounded source the result equals the batch time-window join.
+
+    The left frame's columns come out prefixed `l_`, the right's `r_`
+    (stream-stream joins forbid ambiguous names across sides)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("stream_stream_join supports inner/leftOuter")
+    l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]) \
+        .withWatermark(f"l_{left_ts}", f"{watermark_s} seconds")
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]) \
+        .withWatermark(f"r_{right_ts}", f"{watermark_s} seconds")
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") > F.col(f"l_{left_ts}"))
+        & (F.col(f"r_{right_ts}")
+           <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within_s} SECONDS"))
+    )
+    return l.join(r, cond, how)

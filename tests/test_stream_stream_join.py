@@ -1,0 +1,66 @@
+"""Watermarked stream-stream join (streaming/incremental.py
+stream_stream_join): availableNow replay == batch time-window join."""
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pixeltable_spark.streaming import stream_stream_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _src(spark):
+    ts_type = spark.read.parquet(f"{SF}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(SF))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def _batch(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def test_inner_join_equals_batch(spark):
+    views = _src(spark).where(F.col("event_type") == "view")
+    buys = _src(spark).where(F.col("event_type") == "purchase")
+    joined = stream_stream_join(views, buys, "user_id", within_s=1800)
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in spark.table(name).collect()}
+    b = _batch(spark)
+    v = b.where(F.col("event_type") == "view").alias("v")
+    p = b.where(F.col("event_type") == "purchase").alias("p")
+    want = {(r["lv"], r["rp"]) for r in
+            v.join(p, (F.col("v.user_id") == F.col("p.user_id"))
+                   & (F.col("p.ts") > F.col("v.ts"))
+                   & (F.col("p.ts") <= F.col("v.ts")
+                      + F.expr("INTERVAL 1800 SECONDS")))
+            .select(F.col("v.event_id").alias("lv"),
+                    F.col("p.event_id").alias("rp")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_how_validation(spark):
+    views = _src(spark)
+    with pytest.raises(ValueError, match="inner/leftOuter"):
+        stream_stream_join(views, views, "user_id", how="full")
