@@ -653,9 +653,20 @@ class Table:
         from pyspark import cloudpickle
         cpath = os.path.join(self.path, "computed.pkl")
         tmp = cpath + ".tmp-" + _uuid.uuid4().hex[:8]
+        # embedding-index definitions persist WITH the table (reference
+        # stores index md in its catalog; a reloaded handle must keep
+        # serving idx.search()/similarity())
+        idx_specs = {
+            name: {"column": ix.column, "embed_col": ix.embed_col,
+                   "n_planes": ix.n_planes, "method": ix.method,
+                   "pq_m": ix.pq_m, "pq_k": ix.pq_k,
+                   "pq_rerank": ix.pq_rerank, "metric": ix.metric,
+                   "embed_fn": ix.embed_fn}
+            for name, ix in getattr(self, "_indexes", {}).items()}
         with open(tmp, "wb") as f:
             cloudpickle.dump({"__live__": self.computed,
-                              "__retired__": self.computed_retired}, f)
+                              "__retired__": self.computed_retired,
+                              "__indexes__": idx_specs}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, cpath)
@@ -686,6 +697,17 @@ class Table:
             if isinstance(loaded, dict) and "__live__" in loaded:
                 self.computed = loaded["__live__"]
                 self.computed_retired = loaded.get("__retired__", {})
+                specs = loaded.get("__indexes__", {})
+                if specs:
+                    from .index import EmbeddingIndex
+                    self._indexes = {
+                        name: EmbeddingIndex(
+                            self, s["column"], s["embed_col"],
+                            s["n_planes"], method=s["method"],
+                            pq_m=s["pq_m"], pq_k=s["pq_k"],
+                            pq_rerank=s["pq_rerank"], name=name,
+                            metric=s["metric"], embed_fn=s["embed_fn"])
+                        for name, s in specs.items()}
             else:  # legacy format: the live dict itself
                 self.computed = loaded
         if not self.schema_history:

@@ -202,6 +202,7 @@ def add_embedding_index(table: Table, column: str,
                          name=name, metric=metric, embed_fn=embed_fn)
     table._indexes[name] = idx
     table._log("add_embedding_index", column=column, embed_col=embed_col)
+    table._save_meta()  # index defs persist with the table
     return idx
 
 
@@ -235,3 +236,4 @@ def drop_embedding_index(table: Table, column: Optional[str] = None,
     if ix.embed_col in getattr(table, "computed", {}):
         table.drop_column(ix.embed_col)
     table._log("drop_embedding_index", name=ix.name)
+    table._save_meta()

@@ -198,3 +198,38 @@ class TestTableParityMethods:
         assert t.get_base_table() is None
         v = cat.create_view("v", t, predicate=t.ref().k > 0)
         assert v.get_base_table() is t
+
+
+class TestIndexPersistence:
+    def test_index_survives_catalog_reload(self, spark, tmp_path):
+        wh = str(tmp_path / "whp")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("docs", {"i": pxt.Int(False),
+                                      "txt": pxt.String()})
+        t.insert([{"i": 0, "txt": "alpha"}, {"i": 1, "txt": "beta"}])
+        t.add_embedding_index("txt", idx_name="e", metric="cosine")
+        t2 = pxt.Catalog(spark, wh).get_table("docs")
+        assert list(t2._indexes) == ["e"]
+        ix = t2._indexes["e"]
+        assert ix.metric == "cosine" and ix.embed_fn is not None
+        r = t2.ref()
+        top = (r.select(r.i)
+               .order_by(r.txt.similarity(string="beta", idx="e"),
+                         asc=False).limit(1).collect())
+        assert top[0]["i"] == 1
+        assert ix.search(ix.embed_fn("alpha"), k=1).collect()[0]["i"] == 0
+        # inserts through the reloaded handle stay index-synced
+        t2.insert([{"i": 2, "txt": "gamma"}])
+        assert ix.search(ix.embed_fn("gamma"), k=1).collect()[0]["i"] == 2
+
+    def test_drop_persists_across_reload(self, spark, tmp_path):
+        wh = str(tmp_path / "whd")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("docs", {"i": pxt.Int(False),
+                                      "txt": pxt.String()})
+        t.insert([{"i": 0, "txt": "x"}])
+        t.add_embedding_index("txt", idx_name="e")
+        t.drop_embedding_index(idx_name="e")
+        t2 = pxt.Catalog(spark, wh).get_table("docs")
+        assert getattr(t2, "_indexes", {}) == {}
+        assert t2.get_metadata()["indices"] == {}
