@@ -1886,9 +1886,27 @@ class Table:
                 "longer reconstructible")
         return v
 
+    def _sync_latest(self) -> None:
+        """Latest-read semantics for version=None reads: if another
+        process committed past this handle's cached state, reload it
+        (one small CURRENT read per query — a stale handle must never
+        keep answering from a superseded snapshot; a stale VIEW handle
+        after a racer's refresh otherwise filters everything out and
+        silently returns 0 rows). Pinned-version reads and in-mutation
+        reads (write lock held) never sync — their snapshot is the
+        point."""
+        if getattr(self, "_lock_depth", 0):
+            return
+        token = self._current_token()
+        if token != getattr(self, "_manifest_at_read", None):
+            self._refresh_from_disk()
+            self._manifest_at_read = token
+
     def df(self, version: Optional[int] = None) -> DataFrame:
         """Live rows at a version (default: current) — the version-interval
         visibility predicate (reference store.py:39-42)."""
+        if version is None:
+            self._sync_latest()
         v = self._validate_version(version)
         # manifest-stats skipping: a file whose every row was created
         # after v (or expired at/before v) never opens — time travel on a
@@ -3546,12 +3564,35 @@ class View(Table):
             cols = cols + ["_pos" if depth == 1 else f"_pos_{depth}"]
         return cols
 
+    def _sync_latest(self) -> None:
+        """View reads also catch up on BASE movement: a racer that
+        mutated the base through its own handles may never have seen
+        this view (propagation reaches only the views registered on the
+        mutating handle), leaving the materialization behind the base.
+        Same self-healing as _load_view, applied at read time."""
+        if getattr(self, "_lock_depth", 0):
+            return  # in-mutation read: the pinned snapshot is the point
+        super()._sync_latest()
+        base = self.base
+        if base is None:
+            return
+        base._sync_latest()
+        if self._loaded_base_version < base.version:
+            with self._write_lock():  # acquire refreshes this handle
+                base._sync_latest()
+                # re-check under the lock: a racer may have caught up
+                if self._loaded_base_version < base.version:
+                    self._full_refresh()
+                    self._save_view_meta()
+
     # views read their own materialized storage
     def df(self, version: Optional[int] = None) -> DataFrame:
         """Live view rows at a view version (default: current). Versions
         below the last full refresh are not reconstructible — the rewrite
         discarded them (reference pins snapshot versions via MVCC;
         catalog/view.py:43-45)."""
+        if version is None:
+            self._sync_latest()
         raw = self._read_current_raw()
         if raw is None:
             raise ValueError(f"view {self.name!r} has no materialized data")
