@@ -697,8 +697,8 @@ class Table:
             if isinstance(loaded, dict) and "__live__" in loaded:
                 self.computed = loaded["__live__"]
                 self.computed_retired = loaded.get("__retired__", {})
-                specs = loaded.get("__indexes__", {})
-                if specs:
+                specs = loaded.get("__indexes__")
+                if specs is not None:  # {} clears a racer's drop too
                     from .index import EmbeddingIndex
                     self._indexes = {
                         name: EmbeddingIndex(
