@@ -2500,8 +2500,23 @@ class Table:
                 raise ValueError(
                     f"duplicate primary key {key!r} within inserted rows")
             if self._has_data():
+                # stats-prune the existing-key scan by the BATCH's key
+                # range: a small insert into a key-clustered 100 TB table
+                # opens only the files whose min/max overlap the batch
+                # (one tiny agg over the batch buys it)
+                ranges: list[tuple] = []
+                if len(pk) == 1:
+                    b = src.agg(F.min(pk[0]).alias("lo"),
+                                F.max(pk[0]).alias("hi")).first()
+                    if b is not None and b["lo"] is not None:
+                        ranges = [(pk[0], ">=", b["lo"]),
+                                  (pk[0], "<=", b["hi"])]
+                live = (self._store_df(ranges)
+                        .filter((F.col(_VMIN) <= self.version)
+                                & (F.col(_VMAX) > self.version))
+                        .select(*pk))
                 hit = (src.select(*pk)
-                       .join(self.df().select(*pk), on=pk, how="left_semi")
+                       .join(live, on=pk, how="left_semi")
                        .first())
                 if hit is not None:
                     key = tuple(hit[c] for c in pk)

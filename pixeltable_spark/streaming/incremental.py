@@ -165,7 +165,16 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
     bounded source the result equals the batch time-window join.
 
     The left frame's columns come out prefixed `l_`, the right's `r_`
-    (stream-stream joins forbid ambiguous names across sides)."""
+    (stream-stream joins forbid ambiguous names across sides).
+
+    `how='leftOuter'` caveat (inherent Structured Streaming semantics,
+    verified on a bounded replay): an unmatched left row emits only
+    once the watermark passes its join window, so rows within
+    `watermark_s` of the stream's END stay withheld in state when a
+    bounded replay terminates — inner-join results are always complete,
+    outer-null results are complete only up to the final watermark.
+    Append a max-timestamp heartbeat row to flush the tail, or use the
+    batch interval join for bounded data."""
     if how not in ("inner", "leftOuter"):
         raise ValueError("stream_stream_join supports inner/leftOuter")
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]) \
