@@ -156,9 +156,25 @@ def _transform_udf(name: str, transform):
     return fn
 
 
-def resize(col: Column, w: int, h: int) -> Column:
-    return _transform_udf(f"resize{w}x{h}",
-                          lambda img: img.resize((w, h)))(col)
+def resize(col: Column, w: int, h: int,
+           resample: "str | None" = None) -> Column:
+    """Resize; `resample` picks the filter (nearest/bilinear/bicubic/
+    lanczos/box — real separable convolutions in the stdlib codec;
+    PIL's Resampling constants when PIL serves the decode). Default
+    None keeps the engine's deterministic historical kernel."""
+    def _do(img):
+        if resample is None:
+            return img.resize((w, h))
+        try:  # PIL path: map the name onto its Resampling enum
+            import PIL.Image as _PI
+            if not hasattr(img, "arr"):
+                return img.resize(
+                    (w, h), getattr(_PI.Resampling, resample.upper()))
+        except ImportError:
+            pass
+        return img.resize((w, h), resample=resample)
+    tag = f"resize{w}x{h}" + (resample or "")
+    return _transform_udf(tag, _do)(col)
 
 
 def rotate(col: Column, degrees: float) -> Column:

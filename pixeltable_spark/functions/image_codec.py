@@ -400,6 +400,57 @@ def encode_png(arr: np.ndarray, mode: str) -> bytes:
 # MiniImage — the numpy forms of the PIL calls the engine uses
 # ---------------------------------------------------------------------------
 
+def _resample_kernel(name: str):
+    """(support, f(x)) for the classic resampling filters (public
+    formulas; PIL implements the same kernels): triangle, Keys bicubic
+    with a=-0.5, Lanczos-3, box."""
+    if name == "bilinear":
+        return 1.0, lambda x: np.maximum(0.0, 1.0 - np.abs(x))
+    if name == "bicubic":
+        def keys(x, a=-0.5):
+            ax = np.abs(x)
+            r = np.where(ax < 1,
+                         (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+                         a * ax ** 3 - 5 * a * ax ** 2
+                         + 8 * a * ax - 4 * a)
+            return np.where(ax < 2, r, 0.0)
+        return 2.0, keys
+    if name == "lanczos":
+        def lanczos3(x):
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = np.sinc(x) * np.sinc(x / 3.0)
+            return np.where(np.abs(x) < 3, r, 0.0)
+        return 3.0, lanczos3
+    if name == "box":
+        return 0.5, lambda x: np.where(np.abs(x) <= 0.5, 1.0, 0.0)
+    raise ValueError(f"unknown resample filter {name!r}; expected "
+                     "nearest/bilinear/bicubic/lanczos/box")
+
+
+def _resample_axis(arr: "np.ndarray", out_size: int, axis: int,
+                   name: str) -> "np.ndarray":
+    """Resample one axis: normalized-weight matrix multiply. Kernel
+    support scales with the downscale factor (antialiasing); weights
+    per output pixel are normalized so constants are reproduced
+    exactly. Edge handling = renormalization over in-bounds taps (the
+    same as clamping, up to normalization — PIL's scheme)."""
+    in_size = arr.shape[axis]
+    out_size = max(1, int(out_size))
+    if in_size == out_size:
+        return arr
+    support, f = _resample_kernel(name)
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    centers = (np.arange(out_size) + 0.5) * scale          # input coords
+    x = (centers[:, None] - (np.arange(in_size) + 0.5)) / fscale
+    w = f(x)
+    norm = w.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    w = w / norm
+    return np.moveaxis(
+        np.tensordot(w, arr, axes=([1], [axis])), 0, axis)
+
+
 class MiniImage:
     def __init__(self, arr: np.ndarray, mode: str, fmt: str = "PNG"):
         if arr.ndim == 2:
@@ -443,11 +494,30 @@ class MiniImage:
     def copy(self) -> "MiniImage":
         return MiniImage(self.arr.copy(), self.mode, self.format)
 
-    def resize(self, size: tuple) -> "MiniImage":
+    def resize(self, size: tuple, resample: str = "nearest") -> "MiniImage":
+        """Resize with a real resampling filter (separable convolution,
+        the textbook scheme PIL implements): nearest (the engine's
+        deterministic historical default), bilinear (triangle, support
+        1), bicubic (Keys a=-0.5, support 2 — PIL's BICUBIC kernel),
+        lanczos (sinc windowed to 3 lobes) and box (area average).
+        Downscales widen the kernel support by the scale factor
+        (antialiasing), exactly as PIL's ANTIALIAS path does."""
         w, h = int(size[0]), int(size[1])
-        ys = (np.arange(h) * (self.height / h)).astype(int).clip(0, self.height - 1)
-        xs = (np.arange(w) * (self.width / w)).astype(int).clip(0, self.width - 1)
-        return MiniImage(self.arr[np.ix_(ys, xs)], self.mode, self.format)
+        if resample in (None, "nearest"):
+            ys = (np.arange(h) * (self.height / h)) \
+                .astype(int).clip(0, self.height - 1)
+            xs = (np.arange(w) * (self.width / w)) \
+                .astype(int).clip(0, self.width - 1)
+            return MiniImage(self.arr[np.ix_(ys, xs)], self.mode,
+                             self.format)
+        arr = self.arr.astype(np.float64)
+        arr = _resample_axis(arr, h, 0, resample)
+        arr = _resample_axis(arr, w, 1, resample)
+        if self.arr.dtype == np.uint8:
+            arr = np.rint(arr).clip(0, 255).astype(np.uint8)
+        else:
+            arr = arr.astype(self.arr.dtype)
+        return MiniImage(arr, self.mode, self.format)
 
     def thumbnail(self, size: tuple) -> None:
         ratio = min(size[0] / self.width, size[1] / self.height, 1.0)
