@@ -173,6 +173,17 @@ def multiply_volume(col: Column, factor: float) -> Column:
         f"vol{factor}", lambda p: _ac.multiply_volume(p, factor))(col)
 
 
+def resample(col: Column, rate: int, lobes: int = 3) -> Column:
+    """Sample-rate conversion by windowed-sinc (Lanczos) interpolation —
+    REAL bandlimited resampling in the stdlib codec (audio_codec.py
+    sinc_resample), anti-aliased on downsampling, for every decodable
+    format (PCM/G.711/ADPCM WAV, FLAC, AIFF, AU); output is PCM WAV at
+    the target rate."""
+    return _audio_transform_udf(
+        f"resample{rate}",
+        lambda p: _ac.resample_payload(p, rate, lobes=lobes))(col)
+
+
 def encode_audio(col: Column, codec: str = "mp3",
                  bitrate: str = "128k") -> Column:
     """Re-encode (reference functions/audio.py encode_audio). 'wav' →

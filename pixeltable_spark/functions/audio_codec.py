@@ -1230,3 +1230,57 @@ def adts_split(payload: bytes, duration: float) -> list:
             start_i = i + 1
             t0 = t
     return segs
+
+
+def sinc_resample(samples: np.ndarray, sr_in: int, sr_out: int,
+                  lobes: int = 3) -> np.ndarray:
+    """Sample-rate conversion by windowed-sinc interpolation (Lanczos
+    window, `lobes` sinc lobes) — the textbook bandlimited-resampling
+    construction (Smith's resample algorithm), derivable from first
+    principles with no codec tables. Downsampling widens the kernel by
+    the rate ratio so content above the NEW Nyquist is attenuated
+    (anti-aliasing); weights per output sample are normalized so DC is
+    reproduced exactly. Edges clamp-extend. O(n_out x taps) with
+    taps ~ 2*lobes*max(ratio,1)."""
+    if sr_in == sr_out:
+        return samples
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    x = np.asarray(samples, dtype=np.float64)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n_in = x.shape[0]
+    if n_in == 0:
+        return samples
+    scale = sr_in / sr_out
+    fscale = max(scale, 1.0)
+    sup = lobes * fscale
+    n_out = max(1, int(round(n_in * sr_out / sr_in)))
+    centers = np.arange(n_out) * scale
+    k0 = np.ceil(centers - sup).astype(np.int64)
+    n_taps = int(np.floor(2 * sup)) + 2
+    idx = k0[:, None] + np.arange(n_taps)
+    t = (centers[:, None] - idx) / fscale
+    w = np.sinc(t) * np.sinc(t / lobes)
+    w[np.abs(t) >= lobes] = 0.0
+    norm = w.sum(axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    w /= norm
+    gathered = x[idx.clip(0, n_in - 1)]          # (n_out, taps, ch)
+    out = np.einsum("ot,otc->oc", w, gathered)
+    if samples.dtype.kind in "iu":
+        lim = np.iinfo(samples.dtype)
+        out = np.rint(out).clip(lim.min, lim.max).astype(samples.dtype)
+    else:
+        out = out.astype(samples.dtype)
+    return out[:, 0] if squeeze else out
+
+
+def resample_payload(payload: bytes, target_rate: int,
+                     lobes: int = 3) -> bytes:
+    """Decode -> windowed-sinc rate conversion -> PCM WAV at the new
+    rate (any decodable input: PCM/G.711/ADPCM WAV, FLAC, AIFF, AU)."""
+    samples, rate, width = decode(payload)
+    out = sinc_resample(samples, rate, int(target_rate), lobes=lobes)
+    return encode(out, int(target_rate), width=max(2, width))
