@@ -3404,6 +3404,60 @@ def q147_stream_stream_join(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q148_audio_resample(spark, sf_dir):
+    """Windowed-sinc sample-rate conversion under the hard oracle gate
+    (audio_codec.py sinc_resample/resample_payload — Smith's
+    bandlimited resampling, real derivable DSP): per document,
+    synthesize a PCM WAV sine (rate/length/frequency walked from
+    doc_id), resample to 16 kHz inside the Arrow batch, decode the
+    result and report the output rate, frame count and duration. The
+    DuckDB oracle replays the length arithmetic closed-form
+    (n_out = round(n_in * 16000 / rate_in)); the DSP quality itself
+    (DC exactness, tone preservation, anti-aliasing) is pinned by
+    tests/test_audio_resample.py."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import audio_codec as ac
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate_in", T.IntegerType()),
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("rate_out", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("dur_ms", T.DoubleType()),
+    ])
+    rates = [8000, 11025, 22050, 44100]
+
+    def gen(batches):
+        import numpy as np
+        cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                key = did % 20
+                if key not in cache:
+                    rate = rates[key % 4]
+                    n = 400 + 37 * key
+                    t = np.arange(n) / rate
+                    freq = 200 + 10 * key
+                    x = (8000 * np.sin(2 * np.pi * freq * t)) \
+                        .astype(np.int16)
+                    wav = ac.encode(x, rate)
+                    out = ac.resample_payload(wav, 16000)
+                    samples, r_out, _w = ac.decode(out)
+                    cache[key] = (rate, n, r_out, samples.shape[0])
+                rate, n, r_out, n_out = cache[key]
+                rows.append((did, rate, n, r_out, n_out,
+                             round(1000.0 * n_out / r_out, 6)))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, out_schema).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3551,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_schema_time_travel": q145_schema_time_travel,
         "q146_serialized_query": q146_serialized_query,
         "q147_stream_stream_join": q147_stream_stream_join,
+        "q148_audio_resample": q148_audio_resample,
     }
 
 
@@ -5606,4 +5661,22 @@ FROM events v JOIN events p
  AND v.event_type = 'view' AND p.event_type = 'purchase'
  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
 GROUP BY v.user_id ORDER BY user_id"""
+    # q148: resampler length arithmetic replayed closed-form
+    d["q148_audio_resample"] = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 AS INT) AS key
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CASE key % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                      WHEN 2 THEN 22050 ELSE 44100 END AS rate_in,
+         400 + 37 * key AS n_in
+  FROM p)
+SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
+       16000 AS rate_out,
+       CAST(round(n_in * 16000.0 / rate_in) AS INT) AS n_out,
+       round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
+         AS dur_ms
+FROM q ORDER BY doc_id"""
     return d

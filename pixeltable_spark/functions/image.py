@@ -666,3 +666,80 @@ def phash(col: Column, hash_size: int = 8, highfreq_factor: int = 4) -> Column:
         med = np.median(flat)
         return np.concatenate([[False], flat > med])
     return _hash_udf(f"phash{hash_size}x{highfreq_factor}", kern)(col)
+
+
+def _pair_metric_udf(name: str, kern) -> Column:
+    """Arrow-batched metric over two image payload columns: decode both
+    through the narrow-waist loader, compute kern(gray_a, gray_b) as
+    float64 luma arrays (b resized to a's geometry when they differ)."""
+    @F.pandas_udf(T.DoubleType())
+    def fn(a, b):
+        import numpy as np
+        import pandas as pd
+        out = []
+        for pa, pb in zip(a, b):
+            if pa is None or pb is None:
+                out.append(None)
+                continue
+            try:
+                ia = _load_image(bytes(pa)).convert("L")
+                ib = _load_image(bytes(pb)).convert("L")
+                ga = np.squeeze(np.asarray(
+                    ia.arr if hasattr(ia, "arr") else ia)) \
+                    .astype(np.float64)
+                gb_img = ib if (ib.width, ib.height) \
+                    == (ia.width, ia.height) \
+                    else ib.resize((ia.width, ia.height))
+                gb = np.squeeze(np.asarray(
+                    gb_img.arr if hasattr(gb_img, "arr") else gb_img)) \
+                    .astype(np.float64)
+                out.append(float(kern(ga, gb)))
+            except Exception:  # noqa: BLE001 — undecodable payload
+                out.append(None)
+        return pd.Series(out, dtype="float64")
+    return fn
+
+
+def psnr(a: Column, b: Column, max_val: float = 255.0) -> Column:
+    """Peak signal-to-noise ratio in dB between two images (grayscale
+    luma; b resampled to a's geometry). Identical images -> +inf is
+    capped at 100 dB so the column stays finite/orderable."""
+    def kern(ga, gb):
+        import numpy as np
+        mse = float(np.mean((ga - gb) ** 2))
+        if mse <= 0:
+            return 100.0
+        return min(100.0, 20 * np.log10(max_val) - 10 * np.log10(mse))
+    return _pair_metric_udf("psnr", kern)(a, b)
+
+
+def ssim(a: Column, b: Column, max_val: float = 255.0) -> Column:
+    """Structural similarity (Wang et al. 2004, the standard global
+    form with K1=0.01/K2=0.03 over 8x8 windows, mean-pooled): 1.0 for
+    identical images, falling with luminance/contrast/structure
+    differences. Real windowed statistics in numpy — no external
+    imaging dependency."""
+    def kern(ga, gb):
+        import numpy as np
+        c1 = (0.01 * max_val) ** 2
+        c2 = (0.03 * max_val) ** 2
+        h, w = ga.shape
+        bs = 8
+        hh, ww = (h // bs) * bs, (w // bs) * bs
+        if hh == 0 or ww == 0:   # tiny image: single global window
+            mua, mub = ga.mean(), gb.mean()
+            va, vb = ga.var(), gb.var()
+            cov = ((ga - mua) * (gb - mub)).mean()
+            return ((2 * mua * mub + c1) * (2 * cov + c2)
+                    / ((mua ** 2 + mub ** 2 + c1) * (va + vb + c2)))
+        A = ga[:hh, :ww].reshape(hh // bs, bs, ww // bs, bs)
+        B = gb[:hh, :ww].reshape(hh // bs, bs, ww // bs, bs)
+        mua = A.mean(axis=(1, 3))
+        mub = B.mean(axis=(1, 3))
+        va = A.var(axis=(1, 3))
+        vb = B.var(axis=(1, 3))
+        cov = (A * B).mean(axis=(1, 3)) - mua * mub
+        s = ((2 * mua * mub + c1) * (2 * cov + c2)
+             / ((mua ** 2 + mub ** 2 + c1) * (va + vb + c2)))
+        return float(s.mean())
+    return _pair_metric_udf("ssim", kern)(a, b)

@@ -94,3 +94,48 @@ class TestResizeFunctionPlumbing:
             img = _load_image(bytes(out))
         assert (img.width, img.height) == (4, 4)
         assert int(np.asarray(img.arr).mean()) == 200
+
+
+class TestImageQualityMetrics:
+    """PSNR / SSIM (Wang et al. 2004 global form, 8x8 windows) over
+    image payload pairs (functions/image.py psnr/ssim)."""
+
+    def _frames(self, spark):
+        from pixeltable_spark.functions.image_codec import encode_png
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        noisy = np.clip(base.astype(int)
+                        + rng.randint(-20, 21, base.shape),
+                        0, 255).astype(np.uint8)
+        inverted = (255 - base).astype(np.uint8)
+        pngs = [encode_png(a, "RGB") for a in (base, noisy, inverted)]
+        rows = [(bytearray(pngs[0]), bytearray(pngs[0])),
+                (bytearray(pngs[0]), bytearray(pngs[1])),
+                (bytearray(pngs[0]), bytearray(pngs[2]))]
+        return spark.createDataFrame(rows, "a binary, b binary")
+
+    def test_psnr_ssim_ordering(self, spark):
+        from pixeltable_spark.functions import image as pxti
+        from pyspark.sql import functions as F
+        out = self._frames(spark).select(
+            pxti.psnr(F.col("a"), F.col("b")).alias("p"),
+            pxti.ssim(F.col("a"), F.col("b")).alias("s")).collect()
+        ident, noisy, inv = out
+        assert ident["p"] == 100.0 and ident["s"] == pytest.approx(1.0)
+        assert 20 < noisy["p"] < 40 and 0.2 < noisy["s"] < 0.999
+        # inversion flips structure: covariance negative, SSIM far
+        # below the noisy pair (PSNR alone can't see this — that's
+        # exactly why SSIM exists)
+        assert inv["s"] < 0.1 < noisy["s"]
+
+    def test_null_and_garbage_payloads(self, spark):
+        from pixeltable_spark.functions import image as pxti
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(None, bytearray(b"x")), (bytearray(b"junk"),
+                                       bytearray(b"junk"))],
+            "a binary, b binary")
+        out = df.select(pxti.psnr(F.col("a"), F.col("b")).alias("p"),
+                        pxti.ssim(F.col("a"), F.col("b")).alias("s")) \
+            .collect()
+        assert out[0]["p"] is None and out[1]["s"] is None
