@@ -554,9 +554,14 @@ class MiniImage:
             return MiniImage(np.concatenate([rgb, alpha], axis=2), "RGBA",
                              self.format)
         if target == "L":
-            # ITU-R 601-2 luma, PIL's formula
-            lum = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
-                   + rgb[:, :, 2] * 114) // 1000
+            # ITU-R 601-2 luma, PIL's formula. Accumulate in int32:
+            # uint8 * 299 promotes only to uint16 (numpy value-based
+            # promotion), which WRAPS for any pixel brighter than ~109
+            # — a silent garbled-grayscale bug found via the SSIM
+            # inversion property test.
+            r32 = rgb.astype(np.int32)
+            lum = (r32[:, :, 0] * 299 + r32[:, :, 1] * 587
+                   + r32[:, :, 2] * 114) // 1000
             return MiniImage(lum.astype(np.uint8), "L", self.format)
         raise ValueError(f"unsupported convert target {target!r}")
 
