@@ -3458,6 +3458,57 @@ def q148_audio_resample(spark, sf_dir):
     return docs.mapInPandas(gen, out_schema).orderBy("doc_id")
 
 
+def q149_image_quality(spark, sf_dir):
+    """PSNR/SSIM image-quality metrics under the hard oracle gate
+    (functions/image.py psnr/ssim — Wang et al. 2004 with the standard
+    constants; the whole path runs REAL: PNG encode -> stdlib decode ->
+    grayscale -> metric): per document, two solid-color frames with
+    luma values derived from doc_id. For constant images both metrics
+    collapse to closed form — PSNR = 20 log10(255) - 10 log10((a-b)^2)
+    (100 dB cap when equal) and SSIM = (2ab+c1)/(a^2+b^2+c1) — which
+    DuckDB replays exactly. Any luma/codec/windowing defect (e.g. the
+    uint16 luma wrap this round's property tests caught) breaks the
+    values."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.functions import image as pxti
+
+    pair_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("a", T.BinaryType()),
+        T.StructField("b", T.BinaryType()),
+    ])
+
+    def gen(batches):
+        import numpy as np
+
+        from pixeltable_spark.functions.image_codec import encode_png
+        cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                key = did % 24
+                if key not in cache:
+                    av = 30 + 9 * key
+                    bv = min(255, av + (key % 5) * 11)
+                    cache[key] = (
+                        encode_png(np.full((16, 16), av, np.uint8), "L"),
+                        encode_png(np.full((16, 16), bv, np.uint8), "L"))
+                pa, pb = cache[key]
+                rows.append((did, bytearray(pa), bytearray(pb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "a", "b"])
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id")
+    pairs = docs.mapInPandas(gen, pair_schema)
+    return (pairs.select(
+        "doc_id",
+        F.round(pxti.psnr(F.col("a"), F.col("b")), 6).alias("p"),
+        F.round(pxti.ssim(F.col("a"), F.col("b")), 6).alias("s"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3606,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_serialized_query": q146_serialized_query,
         "q147_stream_stream_join": q147_stream_stream_join,
         "q148_audio_resample": q148_audio_resample,
+        "q149_image_quality": q149_image_quality,
     }
 
 
@@ -5679,4 +5731,20 @@ SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
        round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
          AS dur_ms
 FROM q ORDER BY doc_id"""
+    # q149: constant-image PSNR/SSIM in closed form. For solid frames:
+    # mse = (a-b)^2; ssim's contrast/structure term is exactly c2/c2=1,
+    # leaving the luminance term (2ab+c1)/(a^2+b^2+c1).
+    d["q149_image_quality"] = """
+WITH p AS (SELECT doc_id, CAST(doc_id % 24 AS INT) AS key FROM documents),
+v AS (SELECT doc_id,
+             CAST(30 + 9 * key AS DOUBLE) AS a,
+             CAST(least(255, 30 + 9 * key + (key % 5) * 11) AS DOUBLE) AS b
+      FROM p)
+SELECT doc_id,
+       round(CASE WHEN a = b THEN 100.0
+                  ELSE least(100.0, 20 * log10(255.0)
+                             - 10 * log10((a - b) * (a - b))) END,
+             6) AS p,
+       round((2 * a * b + 6.5025) / (a * a + b * b + 6.5025), 6) AS s
+FROM v ORDER BY doc_id"""
     return d
