@@ -346,3 +346,60 @@ def audio_fingerprint(col: Column, bits: int = 64) -> Column:
                     signed=True)
         return pd.Series([one(p) for p in s], dtype="object")
     return fn(col)
+
+
+_SPECTRAL_TYPE = T.StructType([
+    T.StructField("centroid_hz", T.DoubleType()),
+    T.StructField("rolloff_hz", T.DoubleType()),
+    T.StructField("bandwidth_hz", T.DoubleType()),
+    T.StructField("flatness", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def spectral_features(col: Column, rolloff_pct: float = 0.85) -> Column:
+    """Magnitude-spectrum summary struct (centroid/rolloff/bandwidth/
+    flatness/zcr/rms — audio_codec.spectral_features, textbook MIR
+    definitions in pure numpy) for every decodable payload; NULL
+    outside the decodable subset."""
+    @F.pandas_udf(_SPECTRAL_TYPE)
+    def fn(s):
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                samples, rate, _w = _ac.decode(bytes(p))
+                return _ac.spectral_features(samples, rate,
+                                             rolloff_pct=rolloff_pct)
+            except Exception:  # noqa: BLE001
+                return None
+        rows = [one(p) for p in s]
+        return pd.DataFrame(
+            [r if r is not None else {k.name: None
+                                      for k in _SPECTRAL_TYPE}
+             for r in rows])
+    return fn(col)
+
+
+def mel_energies(col: Column, n_mels: int = 20) -> Column:
+    """Log mel-filterbank energies (array<double>, the MFCC front half
+    — audio_codec.mel_filterbank_energies, Slaney-style triangles from
+    the public mel formula); NULL outside the decodable subset."""
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def fn(s):
+        import pandas as pd
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                samples, rate, _w = _ac.decode(bytes(p))
+                return [float(x) for x in _ac.mel_filterbank_energies(
+                    samples, rate, n_mels=n_mels)]
+            except Exception:  # noqa: BLE001
+                return None
+        return pd.Series([one(p) for p in s], dtype="object")
+    return fn(col)

@@ -1284,3 +1284,76 @@ def resample_payload(payload: bytes, target_rate: int,
     samples, rate, width = decode(payload)
     out = sinc_resample(samples, rate, int(target_rate), lobes=lobes)
     return encode(out, int(target_rate), width=max(2, width))
+
+
+def spectral_features(samples: np.ndarray, rate: int,
+                      rolloff_pct: float = 0.85) -> dict:
+    """Magnitude-spectrum summary of a mono signal (textbook MIR
+    definitions, all derivable): spectral centroid (amplitude-weighted
+    mean frequency), rolloff (smallest frequency below which
+    `rolloff_pct` of spectral energy lies), bandwidth (amplitude-
+    weighted std around the centroid), flatness (geometric/arithmetic
+    mean ratio of the power spectrum: 1 = white noise, ->0 = pure
+    tone), zero-crossing rate, and rms."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = x.shape[0]
+    out = {"centroid_hz": 0.0, "rolloff_hz": 0.0, "bandwidth_hz": 0.0,
+           "flatness": 0.0, "zcr": 0.0, "rms": 0.0}
+    if n == 0:
+        return out
+    out["rms"] = float(np.sqrt(np.mean(x ** 2)))
+    if n > 1:
+        out["zcr"] = float(np.mean(np.signbit(x[1:]) !=
+                                   np.signbit(x[:-1])))
+    x = x - x.mean()
+    spec = np.abs(np.fft.rfft(x))
+    tot = spec.sum()
+    if tot <= 0:
+        return out
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+    c = float((freqs * spec).sum() / tot)
+    out["centroid_hz"] = c
+    out["rolloff_hz"] = float(
+        freqs[int(np.searchsorted(np.cumsum(spec), rolloff_pct * tot))])
+    out["bandwidth_hz"] = float(
+        np.sqrt(((freqs - c) ** 2 * spec).sum() / tot))
+    p = spec ** 2
+    out["flatness"] = float(np.exp(np.mean(np.log(p + 1e-12)))
+                            / (p.mean() + 1e-12))
+    return out
+
+
+def mel_filterbank_energies(samples: np.ndarray, rate: int,
+                            n_mels: int = 20, fmin: float = 0.0,
+                            fmax: Optional[float] = None) -> np.ndarray:
+    """Log-energies of a triangular mel filterbank over the full-signal
+    power spectrum (the standard Slaney-style construction from the
+    public mel formula mel = 2595 log10(1 + f/700)); the front half of
+    an MFCC pipeline, derivable end to end."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros(n_mels)
+    fmax = fmax or rate / 2.0
+    p = np.abs(np.fft.rfft(x - x.mean())) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / rate)
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1)
+
+    pts = from_mel(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    out = np.zeros(n_mels)
+    for i in range(n_mels):
+        lo, mid, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-9)
+        dn = (hi - freqs) / max(hi - mid, 1e-9)
+        w = np.clip(np.minimum(up, dn), 0.0, None)
+        out[i] = np.log(np.dot(w, p) + 1e-10)
+    return out

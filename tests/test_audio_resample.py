@@ -79,3 +79,63 @@ class TestSincResample:
         samples, rate, _w = ac.decode(bytes(out))
         assert rate == 16000 and len(samples) == 16000 * len(wav) // 1 \
             or rate == 16000
+
+
+class TestSpectralFeatures:
+    """Spectral summary + mel filterbank (audio_codec.spectral_features
+    / mel_filterbank_energies — textbook MIR definitions)."""
+
+    def test_pure_tone_centroid_and_flatness(self):
+        rate, n = 8192, 1024
+        k = 100                              # bin-aligned: 800 Hz
+        t = np.arange(n) / rate
+        x = (8000 * np.sin(2 * np.pi * 8 * k * t)).astype(np.int16)
+        f = ac.spectral_features(x, rate)
+        assert abs(f["centroid_hz"] - 800) < 5
+        assert f["rolloff_hz"] == pytest.approx(800, abs=8)
+        assert f["flatness"] < 0.01          # pure tone
+        assert f["zcr"] == pytest.approx(2 * 800 / rate, rel=0.05)
+
+    def test_white_noise_flatness_high(self):
+        rng = np.random.RandomState(0)
+        x = rng.randint(-8000, 8000, 8192).astype(np.int16)
+        f = ac.spectral_features(x, 8192)
+        assert f["flatness"] > 0.3
+        assert 1500 < f["centroid_hz"] < 2600   # ~half Nyquist
+
+    def test_silence(self):
+        f = ac.spectral_features(np.zeros(1000, np.int16), 8000)
+        assert f["centroid_hz"] == 0.0 and f["rms"] == 0.0
+
+    def test_mel_energies_tone_localized(self):
+        rate, n = 8192, 4096
+        t = np.arange(n) / rate
+        x = (8000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+        e = ac.mel_filterbank_energies(x, rate, n_mels=20)
+        assert e.shape == (20,)
+        # the band containing 1 kHz dominates
+        def to_mel(f): return 2595 * np.log10(1 + f / 700)
+        pts = 700 * (10 ** (np.linspace(0, to_mel(rate / 2), 22)
+                            / 2595) - 1)
+        want = int(np.argmax(np.argmax(
+            [(pts[i] <= 1000 <= pts[i + 2]) for i in range(20)])) or 0)
+        assert abs(int(np.argmax(e)) - np.argmax(
+            [(pts[i] <= 1000 <= pts[i + 2]) for i in range(20)])) <= 1
+
+    def test_spark_struct_and_array(self, spark):
+        from pixeltable_spark.functions import audio as pxta
+        from pyspark.sql import functions as F
+
+        t = np.arange(8192) / 8192
+        wav = ac.encode((8000 * np.sin(2 * np.pi * 440 * t))
+                        .astype(np.int16), 8192)
+        df = spark.createDataFrame(
+            [(bytearray(wav),), (bytearray(b"junk"),)], "a binary")
+        rows = df.select(
+            pxta.spectral_features(F.col("a")).alias("f"),
+            pxta.mel_energies(F.col("a"), 16).alias("m")).collect()
+        good, bad = rows
+        assert abs(good["f"]["centroid_hz"] - 440) < 10
+        assert len(good["m"]) == 16
+        assert bad["f"] is None or bad["f"]["centroid_hz"] is None
+        assert bad["m"] is None
