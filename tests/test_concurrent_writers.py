@@ -229,9 +229,11 @@ print("DONE", wid, flush=True)
     import duckdb
     cur = json.load(open(os.path.join(wh, "t", "CURRENT")))
     mf = json.load(open(os.path.join(wh, "t", cur["manifest"])))
-    # replay the v3 segment log independently of any engine handle
+    # replay the segment log independently of any engine handle
+    # (v4 entries are {"p": path, ...} dicts; older ones bare strings)
     live: dict = {}
-    for srel in mf["segments"]:
+    for entry in mf["segments"]:
+        srel = entry["p"] if isinstance(entry, dict) else entry
         seg = json.load(open(os.path.join(wh, "t", srel)))
         for r in seg.get("remove", ()):
             live.pop(r, None)

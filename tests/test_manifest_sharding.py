@@ -29,11 +29,17 @@ def _current_manifest(t) -> dict:
         return json.load(f), cur["manifest"]
 
 
+def _seg_rel(entry):
+    # manifest v4: segment entries are {"p": path, "n", "r", summary};
+    # older manifests carried bare path strings
+    return entry["p"] if isinstance(entry, dict) else entry
+
+
 def _segments(t) -> list[dict]:
     m, _ = _current_manifest(t)
     out = []
-    for srel in m["segments"]:
-        with open(os.path.join(t.path, srel)) as f:
+    for entry in m["segments"]:
+        with open(os.path.join(t.path, _seg_rel(entry))) as f:
             out.append(json.load(f))
     return out
 
@@ -87,11 +93,11 @@ class TestDeltaSegments:
         fake = [f"data/_bkt={i % 16}/snap-fake-{i:06d}.parquet"
                 for i in range(20_000)]
         t._commit_files(fake)               # checkpoint: O(all), once
-        ckpt_rel = _current_manifest(t)[0]["segments"][0]
+        ckpt_rel = _seg_rel(_current_manifest(t)[0]["segments"][0])
         ckpt_bytes = os.path.getsize(os.path.join(t.path, ckpt_rel))
         t._commit_files(fake + ["data/_bkt=0/snap-fake-new.parquet"])
         m, mrel = _current_manifest(t)
-        delta_rel = m["segments"][-1]
+        delta_rel = _seg_rel(m["segments"][-1])
         delta_bytes = os.path.getsize(os.path.join(t.path, delta_rel))
         manifest_bytes = os.path.getsize(os.path.join(t.path, mrel))
         # the delta commit wrote ~100 bytes of segment + a tiny manifest,
@@ -137,7 +143,7 @@ class TestCheckpointing:
         m, mrel = _current_manifest(t)
         mdir = os.path.join(t.path, "manifests")
         on_disk = set(os.listdir(mdir))
-        referenced = {os.path.basename(s) for s in m["segments"]}
+        referenced = {os.path.basename(_seg_rel(s)) for s in m["segments"]}
         referenced.add(os.path.basename(mrel))
         assert referenced <= on_disk
         # nothing else survives vacuum
@@ -170,3 +176,82 @@ class TestLegacyMigration:
         # data skipping still sees every file's stats after migration
         stats = t2._current_stats()
         assert set(stats) == set(t2._current_files())
+
+
+class TestSegmentRangePruning:
+    """Manifest v4 segment summaries (catalog.py _seg_entry /
+    _pruned_files): a selective scan replays only the segments whose
+    per-column min/max summary admits a match — at 10^6-10^7 files the
+    driver never materializes the full file->stats map just to plan a
+    point lookup (Iceberg manifest-list pruning design)."""
+
+    def _fresh(self, spark, t):
+        import pixeltable_spark as pxt
+        wh = os.path.dirname(t.path)
+        t2 = pxt.Catalog(spark, wh).get_table(t.name)
+        t2._segment_reads = 0
+        return t2
+
+    def test_point_scan_reads_bounded_segments(self, cat, spark):
+        t = cat.create_table("pr", {"k": pxt.Int(False), "v": pxt.Float()})
+        for j in range(8):                    # 8 disjoint-key segments
+            t.insert([{"k": 1000 * j + i, "v": float(i)}
+                      for i in range(20)])
+        t2 = self._fresh(spark, t)
+        k = ColumnRef("k", t2.schema["k"])
+        rows = t2.scan(where=k == 3005).collect()
+        assert len(rows) == 1 and rows[0]["k"] == 3005
+        # only the one admitting segment was opened (not all 8); no
+        # full-map materialization happened on this handle
+        assert t2._segment_reads <= 2
+
+    def test_range_scan_reads_matching_segments_only(self, cat, spark):
+        t = cat.create_table("pr2", {"k": pxt.Int(False), "v": pxt.Float()})
+        for j in range(6):
+            t.insert([{"k": 1000 * j + i, "v": float(i)}
+                      for i in range(20)])
+        t2 = self._fresh(spark, t)
+        k = ColumnRef("k", t2.schema["k"])
+        got = sorted(r["k"] for r in
+                     t2.scan(where=(k >= 2000) & (k < 4020))
+                     .collect())
+        assert got == sorted(list(range(2000, 2020))
+                             + list(range(3000, 3020))
+                             + list(range(4000, 4020)))
+        assert t2._segment_reads <= 4          # 3 admitting + slack
+
+    def test_segments_with_removes_always_apply(self, cat, spark):
+        """A segment whose adds can't match still has its REMOVE list
+        honored — skipping it would resurrect replaced files."""
+        t = cat.create_table("pr3", {"k": pxt.Int(False), "v": pxt.Float()})
+        t.insert([{"k": i, "v": 0.0} for i in range(10)])
+        t.insert([{"k": 1000 + i, "v": 0.0} for i in range(10)])
+        ref = t.ref()
+        t.update({"v": 9.0}, where=ref.k == 3)   # COW: remove+add
+        t2 = self._fresh(spark, t)
+        rows = {r["k"]: r["v"] for r in
+                t2.scan(where=t2.ref().k < 100).collect()}
+        assert rows[3] == 9.0 and len(rows) == 10
+
+    def test_pruned_equals_full_scan(self, cat, spark):
+        t = cat.create_table("pr4", {"k": pxt.Int(False), "v": pxt.Float()})
+        for j in range(5):
+            t.insert([{"k": 100 * j + i, "v": float(j)}
+                      for i in range(10)])
+        t.delete(where=t.ref().k == 205)
+        t2 = self._fresh(spark, t)
+        ref = t2.ref()
+        pruned = sorted(r["k"] for r in
+                        t2.scan(where=(ref.k >= 200) & (ref.k <= 300))
+                        .collect())
+        full = sorted(r["k"] for r in t2.collect()
+                      if 200 <= r["k"] <= 300)
+        assert pruned == full and 205 not in pruned
+
+    def test_summary_written_in_manifest(self, cat):
+        t = cat.create_table("pr5", {"k": pxt.Int(False)})
+        t.insert([{"k": 5}, {"k": 7}])
+        m, _ = _current_manifest(t)
+        e = m["segments"][-1]
+        assert e["lo"]["k"] == 5 and e["hi"]["k"] == 7
+        assert e["n"] >= 1 and e["r"] == 0

@@ -152,31 +152,29 @@ class TestSchemaTimeTravel:
 
 
 class TestSchemaCrashSafety:
-    """Physical-rename durability: the exhume/restore rewrites stamp the
-    post-rename schema state into the manifest commit itself, so a crash
-    between the CURRENT swap and the meta save reconciles on reload
-    (catalog.py _pending_schema_stamp; same pattern as the version
-    stamp)."""
+    """Schema ops are METADATA-ONLY (Delta column-mapping design): the
+    exhume/restore alias moves live purely in phys_map + the alias-keyed
+    maps, so a crash before the meta save simply means the op never
+    happened — no files were touched, nothing to reconcile."""
 
-    def test_crash_after_exhume_commit_before_meta_save(self, spark,
-                                                        tmp_path):
+    def test_crash_after_exhume_before_meta_save_is_a_noop(self, spark,
+                                                           tmp_path):
         wh = str(tmp_path / "wh")
         cat = pxt.Catalog(spark, wh)
         t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
         t.insert([{"k": 1, "y": 42}])
         vold = t.version
-        t.drop_column("y")                    # retired under phys 'y'
-        # simulate: exhume's rewrite commits, then the writer dies
-        # before any meta save (add_column never completes)
+        t.drop_column("y")                    # retired under alias 'y'
+        # simulate: the exhume runs, then the writer dies before any
+        # meta save (add_column never completes). Exhume is metadata-only
+        # now, so NOTHING became durable — the reload shows the
+        # pre-exhume state, consistent.
         t._exhume_if_retired("y")
         t2 = pxt.Catalog(spark, wh).get_table("t")
-        # the stamped maps must address the RENAMED physical, so the
-        # old version still reads its values
+        assert "y" in t2.retired              # exhume never landed
         assert {r["y"] for r in t2.user_df(version=vold).collect()} \
             == {42}
-        assert "y" not in t2.retired          # renamed away
-        assert any(p.startswith("y__v") for p in t2.retired)
-        # and the name is free for a clean re-add
+        # the re-add runs its own exhume and completes cleanly
         t2.add_column("y", pxt.String())
         t2.update({"y": "new"})
         assert {r["y"] for r in t2.collect()} == {"new"}
@@ -201,11 +199,11 @@ class TestSchemaCrashSafety:
         t2 = pxt.Catalog(spark, wh).get_table("t")
         assert t2.version == 2 and t2.columns() == ["k"]  # unreverted
 
-    def test_crash_mid_mangled_restore_reconciles(self, spark, tmp_path,
-                                                  monkeypatch):
-        """The mangled-restore rewrite (revert past a drop-then-re-add)
-        stamps the post-rename maps into its commit: a crash before the
-        meta save reconciles to the reverted schema on reload."""
+    def test_crash_mid_mangled_restore_is_a_noop(self, spark, tmp_path,
+                                                 monkeypatch):
+        """The mangled restore (revert past a drop-then-re-add) is now
+        metadata-only: a crash before the meta save means the revert
+        never happened, and retrying it completes cleanly."""
         wh = str(tmp_path / "wh")
         cat = pxt.Catalog(spark, wh)
         t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
@@ -223,6 +221,101 @@ class TestSchemaCrashSafety:
             t.revert()                        # v1: mangled restore runs
         monkeypatch.setattr(type(t), "_save_meta", orig)
         t2 = pxt.Catalog(spark, wh).get_table("t")
-        assert t2.version == 1                # manifest stamp won
+        assert t2.version == 2                # revert never landed
+        assert t2.columns() == ["k"]
+        t2.revert()                           # retry completes
+        assert t2.version == 1
         assert t2.columns() == ["k", "y"]     # int y restored
         assert {r["y"] for r in t2.collect()} == {42}
+
+
+class TestColumnMapping:
+    """Delta-style column-ID mapping (catalog.py phys_map): rename and
+    drop-then-re-add are METADATA-ONLY — no data file is rewritten at
+    any table size (the reference gets this free from Postgres,
+    catalog/table.py:221-459)."""
+
+    def test_rename_is_metadata_only(self, t):
+        cat, t = t
+        files_before = sorted(t._current_files())
+        t.rename_column("x", "z")
+        assert sorted(t._current_files()) == files_before  # no rewrite
+        assert {r["z"] for r in t.collect()} == {10, 20}
+
+    def test_drop_readd_is_metadata_only(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())                   # v2
+        t.update({"y": 5})                             # v3
+        vold = t.version
+        files_before = sorted(t._current_files())
+        t.drop_column("y")                             # v4, metadata-only
+        t.add_column("y", pxt.String())                # v5, exhume: no rewrite
+        assert sorted(t._current_files()) == files_before
+        # new incarnation reads NULL (no backfill), old one time-travels
+        assert {r["y"] for r in t.collect()} == {None}
+        assert {r["y"] for r in t.user_df(version=vold).collect()} == {5}
+
+    def test_rename_survives_reload_and_mutation(self, t, spark, tmp_path):
+        cat, t = t
+        t.rename_column("x", "z")
+        t2 = pxt.Catalog(spark, str(tmp_path / "wh")).get_table("t")
+        assert t2.columns() == ["k", "z"]
+        t2.update({"z": 99}, where=t2.ref().k == 1)    # COW rewrite
+        vals = {r["k"]: r["z"] for r in t2.collect()}
+        assert vals[1] == 99 and vals[2] == 20
+        # time travel across the rename still shows the OLD logical name
+        old = t2.user_df(version=1)
+        assert [f.name for f in old.schema.fields] == ["k", "x"]
+        assert {r["x"] for r in old.collect()} == {10, 20}
+
+    def test_rename_then_insert_then_rename_back(self, t):
+        cat, t = t
+        t.rename_column("x", "z")
+        t.insert([{"k": 3, "z": 30}])
+        t.rename_column("z", "x")                      # round trip
+        assert t.phys_map == {}                        # identity pruned
+        assert {r["x"] for r in t.collect()} == {10, 20, 30}
+
+    def test_rename_swap(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "whsw"))
+        t = cat.create_table("s", {"a": pxt.Int(), "b": pxt.Int()})
+        t.insert([{"a": 1, "b": 100}])
+        t.rename_column("a", "tmp")
+        t.rename_column("b", "a")
+        t.rename_column("tmp", "b")                    # a<->b swapped
+        r = t.collect()[0]
+        assert r["a"] == 100 and r["b"] == 1
+        t.insert([{"a": 200, "b": 2}])
+        got = sorted((r["a"], r["b"]) for r in t.collect())
+        assert got == [(100, 1), (200, 2)]
+
+    def test_rename_computed_column(self, t):
+        cat, t = t
+        t.add_computed_column("c", t.ref().x * 2)
+        files_before = sorted(t._current_files())
+        t.rename_column("c", "doubled")
+        assert sorted(t._current_files()) == files_before
+        assert {r["doubled"] for r in t.collect()} == {20, 40}
+        t.insert([{"k": 5, "x": 50}])                  # def still runs
+        vals = {r["k"]: r["doubled"] for r in t.collect()}
+        assert vals[5] == 100
+
+    def test_readd_then_write_both_incarnations_resolve(self, t):
+        cat, t = t
+        t.add_column("y", pxt.Int())
+        t.update({"y": 7})
+        vold = t.version
+        t.drop_column("y")
+        t.add_column("y", pxt.String())
+        t.update({"y": "s"})                           # rewrites files
+        assert {r["y"] for r in t.collect()} == {"s"}
+        assert {r["y"] for r in t.user_df(version=vold).collect()} == {7}
+
+    def test_bloom_filter_follows_rename(self, t):
+        cat, t = t
+        t.add_bloom_filter("x")
+        t.rename_column("x", "z")
+        assert "z" in t.bloom_cols and "x" not in t.bloom_cols
+        # pruned point lookup on the new name still answers correctly
+        assert {r["z"] for r in t.scan(where=t.ref().z == 10).collect()} \
+            == {10}
