@@ -3509,6 +3509,79 @@ def q149_image_quality(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q150_stream_leftouter_join(spark, sf_dir):
+    """leftOuter STREAM-STREAM join with heartbeat flush under the hard
+    oracle gate (streaming/incremental.py stream_stream_join +
+    heartbeat_replay_dir): views left-joined to same-user purchases
+    within 30 minutes, replayed availableNow. Plain bounded replays
+    withhold unmatched left rows inside the final watermark (inherent
+    Structured Streaming semantics — they emit only when the watermark
+    passes their join window); the heartbeat protocol appends two
+    sentinel-key rows past `max_ts + watermark + window` as trailing
+    micro-batches, so the replay flushes the tail and equals the batch
+    LEFT time-window join exactly. DuckDB computes that batch join;
+    per-user view/matched/unmatched counts and attributed value must
+    match cell-exact — and the unmatched tail is load-bearing: without
+    the flush, late unmatched views are missing and the counts break."""
+    import datetime
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.streaming import (heartbeat_replay_dir,
+                                            stream_stream_join)
+
+    src_file = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src_file).schema
+    b = spark.read.parquet(src_file)
+    maxts = b.agg(F.max("ts")).first()[0]
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        hb_ts = int(maxts) + (3600 + 1800 + 60) * 1_000_000
+    else:
+        hb_ts = maxts + datetime.timedelta(seconds=3600 + 1800 + 60)
+    src_dir = heartbeat_replay_dir(
+        spark, [src_file],
+        [(-1, hb_ts, -1, "view", None, None),
+         (-2, hb_ts, -1, "purchase", None, None)],
+        raw_schema)
+
+    def src():
+        raw = (spark.readStream.format("parquet").schema(raw_schema)
+               .option("maxFilesPerTrigger", "1").load(src_dir))
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return raw.select("event_id", "ts", "user_id", "event_type",
+                          "value")
+
+    views = src().where(F.col("event_type") == "view")
+    purchases = src().where(F.col("event_type") == "purchase")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        joined = stream_stream_join(views, purchases, "user_id",
+                                    within_s=1800, watermark_s=3600,
+                                    how="leftOuter", heartbeat_key=-1)
+        name = "q150_ssj_" + _uuid.uuid4().hex[:10]
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (spark.table(name)
+            .groupBy(F.col("l_user_id").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("r_event_id").isNotNull().cast("long"))
+                 .alias("n_matched"),
+                 F.sum(F.col("r_event_id").isNull().cast("long"))
+                 .alias("n_unmatched"),
+                 F.round(F.coalesce(F.sum("r_value"), F.lit(0.0)), 4)
+                 .alias("attributed"))
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3658,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_stream_stream_join": q147_stream_stream_join,
         "q148_audio_resample": q148_audio_resample,
         "q149_image_quality": q149_image_quality,
+        "q150_stream_leftouter_join": q150_stream_leftouter_join,
     }
 
 
@@ -5731,6 +5805,19 @@ SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
        round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
          AS dur_ms
 FROM q ORDER BY doc_id"""
+    # q150: leftOuter streaming replay + heartbeat flush == batch LEFT
+    # time-window join (unmatched tail included)
+    d["q150_stream_leftouter_join"] = """
+SELECT v.user_id AS user_id,
+       count(*) AS n_rows,
+       count(p.event_id) AS n_matched,
+       count(*) - count(p.event_id) AS n_unmatched,
+       round(coalesce(sum(p.value), 0.0), 4) AS attributed
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id ORDER BY user_id"""
     # q149: constant-image PSNR/SSIM in closed form. For solid frames:
     # mse = (a-b)^2; ssim's contrast/structure term is exactly c2/c2=1,
     # leaving the luminance term (2ab+c1)/(a^2+b^2+c1).

@@ -5,6 +5,7 @@ from .incremental import (
     sessionize_stream,
     run_stream_to_memory,
     curation_stream,
+    heartbeat_replay_dir,
     stream_stream_join,
 )
 from .stateful import (
@@ -19,4 +20,5 @@ __all__ = [
     "sessionize_stream", "run_stream_to_memory", "curation_stream",
     "stream_dedup_stateful", "stateful_running_uda", "funnel_stream",
     "sessionize_stream_stateful", "stream_stream_join",
+    "heartbeat_replay_dir",
 ]

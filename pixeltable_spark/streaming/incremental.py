@@ -153,7 +153,8 @@ def curation_stream(stream_df: DataFrame, text_col: str = "text",
 def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                        left_ts: str = "ts", right_ts: str = "ts",
                        within_s: int = 1800, watermark_s: int = 3600,
-                       how: str = "inner") -> DataFrame:
+                       how: str = "inner",
+                       heartbeat_key=None) -> DataFrame:
     """Watermarked stream-stream join: pair each left event with right
     events of the same `key` whose timestamp falls in
     (left_ts, left_ts + within_s] — the view->purchase attribution
@@ -173,14 +174,44 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
     `watermark_s` of the stream's END stay withheld in state when a
     bounded replay terminates — inner-join results are always complete,
     outer-null results are complete only up to the final watermark.
-    Append a max-timestamp heartbeat row to flush the tail, or use the
-    batch interval join for bounded data."""
+
+    `heartbeat_key=<sentinel>` enables the HEARTBEAT protocol that
+    closes the gap for bounded replays: rows whose `key` equals the
+    sentinel (a value no real key takes, e.g. -1) are watermark
+    heartbeats — they pass through each side's EventTimeWatermark node
+    (advancing the watermark to their event time) but are filtered
+    before the join state, so they never match and never appear in the
+    output. Append one sentinel-key row per side at
+    `max(event_ts) + watermark_s + within_s + slack`, as TWO separate
+    last-modified source files so they land in later micro-batches
+    (batch N's eviction runs with the watermark advanced by batch N-1
+    — the second heartbeat batch performs the flush); the replay then
+    emits every withheld unmatched left row and availableNow equals
+    the batch left time-window join exactly.
+
+    Two hard-won pushdown notes, pinned by tests: (1) the heartbeat
+    filter must REFERENCE the event-time column — Catalyst pushes
+    filters that don't mention it below the EventTimeWatermark node
+    and into the parquet scan, where they'd drop the heartbeat before
+    it ever advances the watermark; `ts IS NULL` is vacuous for rows
+    that reach a watermark node, so semantics stay `key != sentinel`.
+    (2) the sentinel must be a non-NULL key: a leftOuter join infers
+    `isnotnull(right_key)` from its condition and pushes it into the
+    right-side scan, so a NULL-key heartbeat never reaches the right
+    watermark at all (observed both failure modes on bounded
+    replays)."""
     if how not in ("inner", "leftOuter"):
         raise ValueError("stream_stream_join supports inner/leftOuter")
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]) \
         .withWatermark(f"l_{left_ts}", f"{watermark_s} seconds")
     r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]) \
         .withWatermark(f"r_{right_ts}", f"{watermark_s} seconds")
+    if heartbeat_key is not None:
+        hb = F.lit(heartbeat_key)
+        l = l.filter(~F.col(f"l_{key}").eqNullSafe(hb)
+                     | F.col(f"l_{left_ts}").isNull())
+        r = r.filter(~F.col(f"r_{key}").eqNullSafe(hb)
+                     | F.col(f"r_{right_ts}").isNull())
     cond = (
         (F.col(f"l_{key}") == F.col(f"r_{key}"))
         & (F.col(f"r_{right_ts}") > F.col(f"l_{left_ts}"))
@@ -188,3 +219,41 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within_s} SECONDS"))
     )
     return l.join(r, cond, how)
+
+
+def heartbeat_replay_dir(spark: SparkSession, source_files: list,
+                         heartbeat_rows: list, schema,
+                         base_dir: Optional[str] = None) -> str:
+    """Stage a bounded-replay source directory for
+    `stream_stream_join(..., heartbeat_key=...)`: the real source files
+    plus TWO trailing heartbeat files (identical content, strictly
+    later modification times). With `maxFilesPerTrigger=1` the file
+    source admits them as separate micro-batches after the data: the
+    first advances the watermark past every join window, the second
+    runs state eviction under that watermark — which is what actually
+    emits the withheld unmatched left rows (eviction in batch N uses
+    the watermark computed from batch N-1). `heartbeat_rows` must carry
+    the sentinel key and an event time of at least
+    `max(event_ts) + watermark_s + within_s`, plus slack for watermark
+    truncation."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    out = base_dir or tempfile.mkdtemp(prefix="pxt_replay_")
+    os.makedirs(out, exist_ok=True)
+    for i, f in enumerate(source_files):
+        shutil.copy(f, os.path.join(out, f"a{i:04d}_{os.path.basename(f)}"))
+    hb_tmp = os.path.join(out, ".hb-" + _uuid.uuid4().hex[:8])
+    spark.createDataFrame(heartbeat_rows, schema) \
+        .coalesce(1).write.parquet(hb_tmp)
+    part = next(p for p in sorted(os.listdir(hb_tmp))
+                if p.endswith(".parquet"))
+    import time as _time
+    now = _time.time()
+    for j in (1, 2):
+        dst = os.path.join(out, f"z{j}_heartbeat.parquet")
+        shutil.copy(os.path.join(hb_tmp, part), dst)
+        os.utime(dst, (now + 2 * j, now + 2 * j))
+    shutil.rmtree(hb_tmp, ignore_errors=True)
+    return out

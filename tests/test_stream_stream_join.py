@@ -64,3 +64,57 @@ def test_how_validation(spark):
     views = _src(spark)
     with pytest.raises(ValueError, match="inner/leftOuter"):
         stream_stream_join(views, views, "user_id", how="full")
+
+
+def test_leftouter_with_heartbeat_equals_batch(spark, tmp_path):
+    """leftOuter availableNow replay + heartbeat flush == batch left
+    time-window join, INCLUDING the unmatched tail rows inside the final
+    watermark that plain replays withhold (incremental.py heartbeat
+    protocol)."""
+    import datetime
+
+    from pixeltable_spark.streaming import heartbeat_replay_dir
+
+    b = _batch(spark)
+    maxts = b.agg(F.max("ts")).first()[0]
+    hb_ts = maxts + datetime.timedelta(seconds=3600 + 1800 + 60)
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    src_dir = heartbeat_replay_dir(
+        spark, [f"{SF}/events.parquet"],
+        [(-1, hb_ts, -1, "view", None, None),
+         (-2, hb_ts, -1, "purchase", None, None)],
+        raw_schema, base_dir=str(tmp_path / "replay"))
+
+    def src():
+        raw = (spark.readStream.format("parquet").schema(raw_schema)
+               .option("maxFilesPerTrigger", "1").load(src_dir))
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return raw.select("event_id", "ts", "user_id", "event_type",
+                          "value")
+
+    views = src().where(F.col("event_type") == "view")
+    buys = src().where(F.col("event_type") == "purchase")
+    joined = stream_stream_join(views, buys, "user_id", within_s=1800,
+                                watermark_s=3600, how="leftOuter",
+                                heartbeat_key=-1)
+    name = "ssjlo_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in spark.table(name).collect()}
+    bb = b.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    v = bb.where(F.col("event_type") == "view").alias("v")
+    p = bb.where(F.col("event_type") == "purchase").alias("p")
+    want = {(r["lv"], r["rp"]) for r in
+            v.join(p, (F.col("v.user_id") == F.col("p.user_id"))
+                   & (F.col("p.ts") > F.col("v.ts"))
+                   & (F.col("p.ts") <= F.col("v.ts")
+                      + F.expr("INTERVAL 1800 SECONDS")), "left")
+            .select(F.col("v.event_id").alias("lv"),
+                    F.col("p.event_id").alias("rp")).collect()}
+    assert got == want
+    # the tail actually exercised the flush: unmatched rows exist within
+    # the final watermark window
+    n_unmatched = sum(1 for _l, rr in got if rr is None)
+    assert n_unmatched > 0
