@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Any, Optional
 
@@ -172,10 +173,52 @@ def cmd_query(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from .serving import serve
+    if args.daemon:
+        # managed-daemon mode (reference service/proxy_daemon.py
+        # lifecycle): detach a child that registers the port lock,
+        # wait for /health, print the endpoint, return
+        from . import daemon as dmod
+        wh = args.home or os.environ.get("PXT_SPARK_HOME") \
+            or os.path.join(os.path.expanduser("~"), ".pixeltable_spark")
+        st = dmod.spawn_daemon(wh, host=args.host, port=args.port)
+        print(json.dumps(st) if args.json
+              else f"daemon running: {st['endpoint']} (pid {st['pid']})")
+        return 0
+    from .serving import TableServer
     cat = _init(args)
-    print(f"serving on {args.host}:{args.port} (ctrl-c to stop)")
-    serve(cat, host=args.host, port=args.port)
+    srv = TableServer(cat, host=args.host, port=args.port)
+    if args.register_daemon:
+        from . import daemon as dmod
+        dmod._write_lock(cat.root, srv.host, srv.port)
+        import atexit
+        atexit.register(dmod._remove_lock, cat.root, os.getpid())
+        import signal as _sig
+        _sig.signal(_sig.SIGTERM, lambda *_: sys.exit(0))
+    print(f"serving on {srv.host}:{srv.port} (ctrl-c to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
+def cmd_serve_status(args) -> int:
+    from . import daemon as dmod
+    wh = args.home or os.environ.get("PXT_SPARK_HOME") \
+        or os.path.join(os.path.expanduser("~"), ".pixeltable_spark")
+    st = dmod.daemon_status(wh)
+    print(json.dumps(st))
+    return 0 if st.get("running") else 1
+
+
+def cmd_serve_stop(args) -> int:
+    from . import daemon as dmod
+    wh = args.home or os.environ.get("PXT_SPARK_HOME") \
+        or os.path.join(os.path.expanduser("~"), ".pixeltable_spark")
+    stopped = dmod.stop_daemon(wh)
+    print("stopped" if stopped else "not running")
     return 0
 
 
@@ -243,7 +286,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("serve", help="HTTP serving layer (serving.py)")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--daemon", action="store_true",
+                    help="detach a managed daemon (port-lock + health "
+                         "wait) and return")
+    sp.add_argument("--register-daemon", action="store_true",
+                    help="(internal) foreground serve that registers "
+                         "the warehouse port lock")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("serve-status",
+                        help="managed-daemon status (port lock + health)")
+    sp.set_defaults(fn=cmd_serve_status)
+
+    sp = sub.add_parser("serve-stop", help="stop the managed daemon")
+    sp.set_defaults(fn=cmd_serve_stop)
 
     return p
 
