@@ -239,3 +239,93 @@ class TestOptimisticSemantics:
         # ... but the snapshot reads only the manifest's files
         assert t.count() == 10
         assert {r["k"]: r["v"] for r in t.collect()}[0] == -1.0
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_inflight_writer_files_survive_concurrent_vacuum(spark, tmp_path,
+                                                         backend):
+    """The Delta VACUUM-retention rationale, fault-injected: writer A's
+    data files are on disk but its commit has NOT landed when writer B
+    commits (B's commit vacuums everything unreferenced). With the
+    retention window on, A's young files survive B's vacuum and A's
+    commit then lands and reads correctly — on BOTH backends (the
+    posix flock prevents this interleaving through the API, but the
+    sparing contract itself is backend-independent)."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "wh")
+    store = _store(backend)
+    store.vacuum_min_age_s = 3600.0
+    cat = pxt.Catalog(spark, wh, commit_store=store)
+    t = _mk(cat)                                   # version 1, k 0..9
+
+    # writer A: slice written to DISK, commit still in flight.
+    # Its rows are stamped for the version A will commit at (3: B's
+    # racing commit lands at 2 first).
+    from pixeltable_spark.catalog import MAXV
+    file_schema = spark.read.parquet(
+        os.path.join(t.path, t._current_files()[0])).schema
+    store_fields = [
+        f"CAST({'1000 + k - 100' if f.name == '_rowid' else 3 if f.name == '_v_min' else MAXV if f.name == '_v_max' else f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+        for f in file_schema.fields if f.name != "_bkt"]
+    a_slice = (spark.createDataFrame(
+        [(100 + i, float(i)) for i in range(3)], "k int, v double")
+        .selectExpr(*store_fields))
+    a_files = t._write_snapshot_files(t._with_bkt(a_slice))
+    assert a_files and all(
+        os.path.exists(os.path.join(t.path, f)) for f in a_files)
+
+    # writer B commits through the API — its _commit_files runs the
+    # vacuum, which sees A's files as unreferenced
+    store_b = _store(backend)
+    store_b.vacuum_min_age_s = 3600.0
+    b = pxt.Catalog(spark, wh, commit_store=store_b).get_table("t")
+    b.insert([{"k": 50, "v": 5.0}])                # version 2 + vacuum
+
+    # retention spared A's uncommitted files
+    assert all(os.path.exists(os.path.join(t.path, f)) for f in a_files)
+
+    # A's commit now lands, rebased on B's snapshot
+    ta = pxt.Catalog(spark, wh, commit_store=store).get_table("t")
+    assert ta.version == 2
+    cur = ta._current_files()                      # records the token
+    ta._pending_version = 3
+    ta._pending_next_rowid = 1003
+    ta._commit_files(list(cur) + a_files)
+    ta.version = 3
+    ta.next_rowid = 1003
+    ta._save_meta()
+
+    fresh = pxt.Catalog(spark, wh, commit_store=_store(backend)) \
+        .get_table("t")
+    rows = {r["k"]: r["v"] for r in fresh.collect()}
+    assert len(rows) == 14                          # 10 + B's 1 + A's 3
+    assert rows[50] == 5.0 and rows[102] == 2.0
+
+
+def test_without_retention_inflight_files_are_collected(spark, tmp_path):
+    """Negative control pinning WHY the retention window exists: with
+    min_age 0 (the posix default, safe there because the flock
+    serializes writers), a racer's uncommitted files are vacuumed the
+    moment another commit lands."""
+    from pyspark.sql import functions as F
+
+    from pixeltable_spark.catalog import MAXV
+
+    wh = str(tmp_path / "wh")
+    store = _store("posix")
+    assert store.vacuum_min_age_s == 0.0
+    cat = pxt.Catalog(spark, wh, commit_store=store)
+    t = _mk(cat)
+    file_schema = spark.read.parquet(
+        os.path.join(t.path, t._current_files()[0])).schema
+    store_fields = [
+        f"CAST({1000 if f.name == '_rowid' else 3 if f.name == '_v_min' else MAXV if f.name == '_v_max' else f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+        for f in file_schema.fields if f.name != "_bkt"]
+    a_slice = (spark.createDataFrame([(100, 0.0)], "k int, v double")
+               .selectExpr(*store_fields))
+    a_files = t._write_snapshot_files(t._with_bkt(a_slice))
+    b = pxt.Catalog(spark, wh, commit_store=_store("posix")).get_table("t")
+    b.insert([{"k": 50, "v": 5.0}])
+    assert not any(os.path.exists(os.path.join(t.path, f))
+                   for f in a_files)
