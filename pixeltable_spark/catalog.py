@@ -2673,6 +2673,11 @@ class Table:
         table size, no rewrite."""
         if new in self.schema or new in self.computed:
             raise ValueError(f"duplicate column {new!r}")
+        if old in self.schema or old in self.computed:
+            # a dependent view's predicate/extra exprs reference columns
+            # by logical name: renaming underneath them would break the
+            # view exactly like dropping would (same guard as drop)
+            self._check_view_deps(old)
         if new in self.retired:
             # the target name is a retired alias: shunt the retired
             # incarnation to a mangled alias first so past snapshots
@@ -2719,6 +2724,14 @@ class Table:
                     c[1] = new
         if old in self.bloom_cols:
             self.bloom_cols[new] = self.bloom_cols.pop(old)
+        if old in (self.primary_key or []):
+            self.primary_key = [new if c == old else c
+                                for c in self.primary_key]
+        for ix in getattr(self, "_indexes", {}).values():
+            if ix.column == old:
+                ix.column = new
+            if ix.embed_col == old:
+                ix.embed_col = new
         self.version += 1
         self._log("rename_column", old=old, new=new)
         self._snapshot_schema()

@@ -195,13 +195,16 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
     and into the parquet scan, where they'd drop the heartbeat before
     it ever advances the watermark; `ts IS NULL` is vacuous for rows
     that reach a watermark node, so semantics stay `key != sentinel`.
-    (2) the sentinel must be a non-NULL key: a leftOuter join infers
-    `isnotnull(right_key)` from its condition and pushes it into the
-    right-side scan, so a NULL-key heartbeat never reaches the right
-    watermark at all (observed both failure modes on bounded
-    replays)."""
-    if how not in ("inner", "leftOuter"):
-        raise ValueError("stream_stream_join supports inner/leftOuter")
+    (2) the sentinel must be a non-NULL key: an outer join infers
+    `isnotnull(key)` from its condition and pushes it into the
+    preserved-side's opposite scan, so a NULL-key heartbeat never
+    reaches that watermark at all (observed both failure modes on
+    bounded replays). rightOuter/fullOuter work symmetrically — the
+    same heartbeat flushes their withheld tails."""
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(
+            "stream_stream_join supports inner/leftOuter/rightOuter/"
+            "fullOuter")
     l = left.select([F.col(c).alias(f"l_{c}") for c in left.columns]) \
         .withWatermark(f"l_{left_ts}", f"{watermark_s} seconds")
     r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]) \

@@ -319,3 +319,20 @@ class TestColumnMapping:
         # pruned point lookup on the new name still answers correctly
         assert {r["z"] for r in t.scan(where=t.ref().z == 10).collect()} \
             == {10}
+
+    def test_rename_of_view_referenced_column_refuses(self, t):
+        cat, t = t
+        cat.create_view("vr", t, predicate=t.ref().x > 1)
+        with pytest.raises(ValueError, match="referenced by views"):
+            t.rename_column("x", "z")
+
+    def test_rename_pk_column_keeps_enforcement(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "whpk"))
+        t = cat.create_table("p", {"id": pxt.Int(False), "x": pxt.Int()},
+                             primary_key=["id"])
+        t.insert([{"id": 1, "x": 1}])
+        t.rename_column("id", "ident")
+        assert t.primary_key == ["ident"]
+        t.insert([{"ident": 2, "x": 2}])          # probes use new name
+        with pytest.raises(ValueError, match="already exists"):
+            t.insert([{"ident": 1, "x": 9}])

