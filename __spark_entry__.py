@@ -3582,6 +3582,31 @@ def q150_stream_leftouter_join(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q151_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training export
+    (operators/mldata.py shuffle_shards; the reproducible epoch-order
+    step the reference's io/pytorch export hands off at): every
+    document gets an md5-derived shard and intra-shard shuffle key —
+    reproducible on any cluster/partitioning/retry, one shuffle total.
+    The oracle replays the identical md5 arithmetic in DuckDB; per
+    shard the row count, id sum, and the FIRST THREE doc_ids in
+    shuffle order must match exactly (the head sample pins the ORDER,
+    not just the partition assignment)."""
+    from pixeltable_spark.operators.mldata import shuffle_shards
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shards(docs, 8, "doc_id", seed=0)
+    pair = F.struct(F.col("shuffle_key").alias("k"),
+                    F.col("doc_id").alias("d"))
+    return (out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.slice(F.transform(
+                     F.array_sort(F.collect_list(pair)),
+                     lambda s: s["d"]), 1, 3).alias("head_ids"))
+            .orderBy("shard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3732,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_audio_resample": q148_audio_resample,
         "q149_image_quality": q149_image_quality,
         "q150_stream_leftouter_join": q150_stream_leftouter_join,
+        "q151_shuffle_shards": q151_shuffle_shards,
     }
 
 
@@ -5805,6 +5831,19 @@ SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
        round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
          AS dur_ms
 FROM q ORDER BY doc_id"""
+    # q151: deterministic shuffle-shard export — identical md5 replay
+    d["q151_shuffle_shards"] = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5('0_shard___' ||
+              CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 8 AS INT)
+           AS shard,
+         CAST('0x' || substr(md5('0_order___' ||
+              CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) AS k
+  FROM documents)
+SELECT shard, count(*) AS n, sum(doc_id) AS id_sum,
+       (list(doc_id ORDER BY k, doc_id))[1:3] AS head_ids
+FROM h GROUP BY shard ORDER BY shard"""
     # q150: leftOuter streaming replay + heartbeat flush == batch LEFT
     # time-window join (unmatched tail included)
     d["q150_stream_leftouter_join"] = """

@@ -250,3 +250,36 @@ def robust_scale(df: DataFrame, cols: Sequence[str],
         out = out.withColumn(
             f"{c}_r", F.when(iqr > 0, (F.col(c) - med) / iqr))
     return out.drop(*[f"__{p}_{c}" for c in cols for p in ("med", "iqr")])
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle + sharding — the step right before a
+    training export (to_pytorch / webdataset): fix an epoch-level
+    example order by seed, split into ~equal shards, and make BOTH
+    reproducible on any cluster, any partitioning, any retry.
+
+      shard       = md5(seed·shard-tag, id) mod n_shards
+      shuffle_key = md5(seed·order-tag, id)   (intra-shard order)
+
+    A different seed reshuffles globally; the same seed always yields
+    byte-identical shards. 100 TB plan: one hash projection + ONE
+    shuffle (repartition on shard) + a partition-local sort — the
+    minimum data motion any global shuffle needs. No global total
+    order or per-shard rank window is ever built (that would funnel
+    each shard through one reducer for numbering); the intra-shard
+    order IS the sort key, written clustered."""
+    if n_shards <= 0:
+        raise ValueError("shuffle_shards: n_shards must be positive")
+    kid = F.col(id_col).cast("string")
+
+    def h(tag: str) -> Column:
+        return F.conv(F.substring(
+            F.md5(F.concat_ws("___", F.lit(f"{seed}_{tag}"), kid)),
+            1, 14), 16, 10).cast("long")
+
+    out = (df.withColumn("shard",
+                         F.pmod(h("shard"), F.lit(n_shards)).cast("int"))
+           .withColumn("shuffle_key", h("order")))
+    return out.repartition(F.col("shard")) \
+        .sortWithinPartitions("shard", "shuffle_key")

@@ -221,3 +221,31 @@ class TestRobustScale:
         df = spark.createDataFrame([(1.0,)], ["x"])
         with pytest.raises(ValueError):
             robust_scale(df, [])
+
+
+class TestShuffleShards:
+    def test_deterministic_across_partitioning(self, spark):
+        from pixeltable_spark.operators.mldata import shuffle_shards
+        df1 = spark.range(500).withColumnRenamed("id", "doc_id")
+        df2 = df1.repartition(17)                   # different layout
+        a = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shuffle_shards(df1, 8).collect()}
+        b = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shuffle_shards(df2, 8).collect()}
+        assert a == b
+        # different seed reshuffles
+        c = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+             for r in shuffle_shards(df1, 8, seed=1).collect()}
+        assert c != a
+        # shards are roughly balanced (binomial: 500/8 ± a wide margin)
+        from collections import Counter
+        sizes = Counter(s for s, _k in a.values())
+        assert len(sizes) == 8 and max(sizes.values()) < 3 * 500 / 8
+
+    def test_n_shards_validated(self, spark):
+        import pytest as _pt
+
+        from pixeltable_spark.operators.mldata import shuffle_shards
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with _pt.raises(ValueError, match="positive"):
+            shuffle_shards(df, 0)
