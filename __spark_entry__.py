@@ -3607,6 +3607,29 @@ def q151_shuffle_shards(spark, sf_dir):
             .orderBy("shard"))
 
 
+def q152_dedup_segments(spark, sf_dir):
+    """Within-document repetition removal (operators/text.py
+    dedup_segments — the C4 "drop repeated segments inside a page"
+    cleanup as a TRANSFORM, complementing the duplicate_line_stats
+    measurements): keep each segment's first occurrence in order, here
+    at word granularity so the synthetic single-line documents actually
+    contain repeats. Pure JVM split/filter/array_distinct/array_join —
+    map-only at any corpus size. The DuckDB oracle replays
+    first-occurrence semantics via min(ordinal) per (doc, segment);
+    the FULL deduplicated text must match byte-exact, plus the unique
+    segment count."""
+    from pixeltable_spark.operators.text import dedup_segments
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = F.filter(F.split(F.col("text"), " "),
+                    lambda s: F.trim(s) != "")
+    return (docs.select(
+        "doc_id",
+        dedup_segments(F.col("text"), " ").alias("deduped"),
+        F.size(F.array_distinct(segs)).alias("n_unique"))
+        .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3758,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_image_quality": q149_image_quality,
         "q150_stream_leftouter_join": q150_stream_leftouter_join,
         "q151_shuffle_shards": q151_shuffle_shards,
+        "q152_dedup_segments": q152_dedup_segments,
     }
 
 
@@ -5831,6 +5855,19 @@ SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
        round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
          AS dur_ms
 FROM q ORDER BY doc_id"""
+    # q152: within-doc segment dedup — first-occurrence order replay
+    d["q152_dedup_segments"] = """
+WITH segs AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+firsts AS (
+  SELECT doc_id, seg, min(ord) AS first_ord
+  FROM segs WHERE trim(seg) <> '' GROUP BY doc_id, seg)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY first_ord) AS deduped,
+       CAST(count(*) AS INT) AS n_unique
+FROM firsts GROUP BY doc_id ORDER BY doc_id"""
     # q151: deterministic shuffle-shard export — identical md5 replay
     d["q151_shuffle_shards"] = """
 WITH h AS (

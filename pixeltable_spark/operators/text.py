@@ -264,6 +264,19 @@ def duplicate_line_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_segments(text: Column, sep: str = "\n") -> Column:
+    """Within-document repetition REMOVAL (the transform counterpart of
+    duplicate_line_stats — the C4 "drop repeated lines/paragraphs
+    inside a page" cleanup): split on `sep`, drop empty segments, keep
+    each segment's FIRST occurrence (exact match), rejoin. Pure JVM
+    column math — split / filter / array_distinct / array_join, no
+    Python — so it runs map-only at any corpus size. Spark's
+    array_distinct preserves first-occurrence order, which is exactly
+    the semantics wanted."""
+    segs = F.filter(F.split(text, sep), lambda s: F.trim(s) != "")
+    return F.array_join(F.array_distinct(segs), sep)
+
+
 # ---------------------------------------------------------------------------
 # character-n-gram LM quality score (the CCNet/Wenzek et al. 2019
 # perplexity-filter design, public — with a char-n-gram model standing in
