@@ -1792,7 +1792,8 @@ class Table:
     def _mutation_subset(self, prepare, ranges: Sequence[tuple] = (),
                          live_col: str = _VMAX,
                          live_floor: Optional[int] = None,
-                         ) -> "tuple[Optional[DataFrame], list[str], int]":
+                         probe_keys: Optional[Sequence[str]] = None,
+                         ) -> "tuple[Optional[DataFrame], list[str], int, set]":
         """File-granular mutation planning — the Delta MERGE two-pass
         shape (the reference mutates rows in place via Postgres,
         store.py:27-58; on immutable parquet the analog is copy-on-write
@@ -1823,14 +1824,14 @@ class Table:
         spark = self.catalog.spark
         files = self._current_files()
         if not files:
-            return None, [], 0
+            return None, [], 0, set()
         legacy = any(self._bucket_of(f) is None for f in files)
         floor = self.version if live_floor is None else live_floor
         cand = self._prune_files(
             files, self._current_stats(),
             self._translate_ranges([(live_col, ">", floor), *ranges]))
         if not cand:
-            return None, [], 0
+            return None, [], 0, set()
         reader = spark.read
         if self.retired or self.phys_map or self._explicit_read_schema:
             # explicit full reader schema: a COW rewrite must carry
@@ -1841,12 +1842,21 @@ class Table:
         probe = prepare(self._waist_rename(
             reader.parquet(*[os.path.join(self.path, f) for f in cand])
             .withColumn("__file", F.col("_metadata.file_path"))))
-        per_file = {r[0]: r[1]
-                    for r in probe.filter(F.col("__m"))
-                    .groupBy("__file").agg(F.count(F.lit(1))).collect()}
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if probe_keys:
+            # batch_update folds its matched-keys collect into THIS probe
+            # (bounded by the batch size) instead of a second job over
+            # the matched files
+            aggs.append(F.collect_set(F.struct(*probe_keys)).alias("__ks"))
+        probe_rows = (probe.filter(F.col("__m"))
+                      .groupBy("__file").agg(*aggs).collect())
+        per_file = {r["__file"]: r["__n"] for r in probe_rows}
+        keys: set = set()
+        if probe_keys:
+            keys = {tuple(k) for r in probe_rows for k in r["__ks"]}
         n = int(sum(per_file.values()))
         if n == 0:
-            return None, [], 0
+            return None, [], 0, set()
         if legacy:
             matched = list(files)
         else:
@@ -1855,7 +1865,7 @@ class Table:
                 for u in per_file)
         sub = prepare(self._with_bkt(self._waist_rename(reader.parquet(
             *[os.path.join(self.path, f) for f in matched]))))
-        return sub, matched, n
+        return sub, matched, n, keys
 
     def _replace_files(self, df: DataFrame, matched: Sequence[str]
                        ) -> list[str]:
@@ -3059,7 +3069,7 @@ class Table:
         ranges = self._extract_ranges(where) if where is not None else []
         # file-granular COW: stats-prune candidates, probe for the files
         # that actually hold matches, rewrite only those
-        sub, matched_files, n = self._mutation_subset(
+        sub, matched_files, n, _pk = self._mutation_subset(
             lambda df: df.withColumn("__m", live & pred), ranges)
         new_files: list[str] = []
         if sub is not None:
@@ -3193,20 +3203,17 @@ class Table:
             vals = [row[pk] for row in rows]
             if all(isinstance(v, (int, float, str, bool)) for v in vals):
                 ranges = [(pk, "in", vals)]
-        sub, matched_files, n = self._mutation_subset(prepare, ranges)
-        # which batch keys matched? (bounded by the batch size, so the
-        # collect is tiny; only needed when unmatched rows have a fate)
+        # which batch keys matched rides the probe job itself (bounded by
+        # the batch size) — round 9 ran a second distinct-collect over
+        # the matched files for it
+        sub, matched_files, n, matched_keys = self._mutation_subset(
+            prepare, ranges, probe_keys=key_cols)
+
         def _key(row):
             return tuple(row[pk] for pk in key_cols)
 
-        matched_keys: set = set()
         missing: list[dict] = []
         if if_not_exists != "ignore" or return_rows:
-            if sub is not None:
-                matched_keys = {tuple(r) for r in
-                                sub.filter(F.col("__m"))
-                                .select(*key_cols)
-                                .distinct().collect()}
             missing = [row for row in rows if _key(row) not in matched_keys]
             if missing and if_not_exists == "error":
                 raise ValueError(
@@ -3290,7 +3297,7 @@ class Table:
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
         pred = where.compile() if where is not None else F.lit(True)
         ranges = self._extract_ranges(where) if where is not None else []
-        sub, matched_files, n = self._mutation_subset(
+        sub, matched_files, n, _pk = self._mutation_subset(
             lambda df: df.withColumn("__m", live & pred), ranges)
         new_files: list[str] = []
         if sub is not None:
@@ -3351,7 +3358,7 @@ class Table:
             pred = pred & F.col(
                 f"{_cellmd_col(cols[0])}.errortype").isNotNull()
         ranges = self._extract_ranges(where) if where is not None else []
-        sub, matched_files, n = self._mutation_subset(
+        sub, matched_files, n, _pk = self._mutation_subset(
             lambda df: df.withColumn("__m", live & pred), ranges)
         new_files: list[str] = []
         if sub is not None:
@@ -3381,7 +3388,7 @@ class Table:
         # rows born or expired at v live ONLY in files whose max(_v_max)
         # >= v (born: MAXV; expired-at-v: exactly v) — so the liveness
         # floor is v-1 here, unlike the v of forward mutations
-        sub, matched_files, n = self._mutation_subset(
+        sub, matched_files, n, _pk = self._mutation_subset(
             lambda df: df.withColumn(
                 "__m", (F.col(_VMIN) == v) | (F.col(_VMAX) == v)),
             live_floor=v - 1)
@@ -3847,7 +3854,7 @@ class View(Table):
         has_affected = bounds is not None and bounds[0] is not None
         ranges = ([(_ROWID, ">=", int(bounds[0])),
                    (_ROWID, "<=", int(bounds[1]))] if has_affected else [])
-        sub, matched_files, _n = self._mutation_subset(
+        sub, matched_files, _n, _pk = self._mutation_subset(
             prepare, ranges, live_col=_VVMAX)
         # deleted base rows simply produce no replacement view rows; the
         # base re-scan is pruned by the same rowid bounds (table bases
