@@ -58,6 +58,11 @@ def _source(spark, factor: int):
          + F.col("l_linenumber").cast("long")).alias("k0"),
         F.col("l_extendedprice").cast("double").alias("v"),
         F.col("l_returnflag").alias("s"))
+    # the synthetic testdata has duplicate (orderkey, linenumber) pairs
+    # (~457k distinct of 600k at sf0.1); the table declares k as its
+    # PRIMARY KEY and the engine now enforces uniqueness at insert, so
+    # the source must be key-unique
+    li = li.dropDuplicates(["k0"])
     reps = spark.range(factor).withColumnRenamed("id", "__rep")
     # orderBy: a bulk fact load arrives roughly key-clustered (the ETL
     # norm); without it the crossJoin interleaves every replica per
