@@ -204,6 +204,41 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_deploy_build(args) -> int:
+    from . import deploy
+    cat = _init(args)
+    routes = {}
+    for spec in args.route or []:
+        name, _, rest = spec.partition("=")
+        table, _, kind = rest.partition(":")
+        if not table:
+            print(f"--route expects name=table[:rows|insert], got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        routes[name] = {"table": table, "kind": kind or "rows"}
+    p = deploy.build_deploy_bundle(
+        cat, args.name, args.out,
+        tables=args.tables.split(",") if args.tables else None,
+        routes=routes, pin_versions=args.pin_versions)
+    print(p)
+    return 0
+
+
+def cmd_deploy_serve(args) -> int:
+    from . import deploy
+    cat = _init(args)
+    srv = deploy.serve_bundle(cat, args.bundle,
+                              host=args.host, port=args.port)
+    print(f"serving bundle on {srv.host}:{srv.port} (ctrl-c to stop)")
+    try:
+        srv._httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+    return 0
+
+
 def cmd_serve_status(args) -> int:
     from . import daemon as dmod
     wh = args.home or os.environ.get("PXT_SPARK_HOME") \
@@ -293,6 +328,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="(internal) foreground serve that registers "
                          "the warehouse port lock")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("deploy-build",
+                        help="package tables + routes into a deploy "
+                             "bundle (deploy.py)")
+    sp.add_argument("name")
+    sp.add_argument("out")
+    sp.add_argument("--tables", default=None,
+                    help="comma-separated table names (default: route "
+                         "tables, else all)")
+    sp.add_argument("--route", action="append", metavar="NAME=TABLE[:KIND]",
+                    help="built-in route; KIND is rows (default) or insert")
+    sp.add_argument("--pin-versions", action="store_true")
+    sp.set_defaults(fn=cmd_deploy_build)
+
+    sp = sub.add_parser("deploy-serve",
+                        help="validate a bundle and serve its routes")
+    sp.add_argument("bundle")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.set_defaults(fn=cmd_deploy_serve)
 
     sp = sub.add_parser("serve-status",
                         help="managed-daemon status (port lock + health)")

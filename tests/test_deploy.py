@@ -90,3 +90,20 @@ class TestBundleRoundtrip:
             deploy.build_deploy_bundle(
                 cat, "x", str(tmp_path / "b6.tar.gz"),
                 routes={"bad": 42})
+
+
+class TestDeployCli:
+    def test_deploy_build_cli(self, cat, tmp_path):
+        import subprocess
+        import sys as _sys
+        wh = cat.root
+        out = str(tmp_path / "cli_bundle.tar.gz")
+        r = subprocess.run(
+            [_sys.executable, "-m", "pixeltable_spark.cli",
+             "--home", wh, "deploy-build", "svc", out,
+             "--route", "feed=m:rows"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert out in r.stdout
+        b = deploy.load_deploy_bundle(cat, out)
+        assert b["routes"]["feed"] == {"kind": "rows", "table": "m"}
