@@ -255,3 +255,48 @@ class TestSegmentRangePruning:
         e = m["segments"][-1]
         assert e["lo"]["k"] == 5 and e["hi"]["k"] == 7
         assert e["n"] >= 1 and e["r"] == 0
+
+
+class TestSegmentPruningAtScale:
+    def test_100k_file_manifest_plans_bounded(self, cat):
+        """The 10^6-file design claim, synthetically: a manifest chain of
+        200 segments x 500 files (100k files total, fabricated JSON —
+        planning never opens data files) with disjoint key ranges. A
+        point scan must read only the admitting segment's JSON and
+        return only its candidate files; the full file map is never
+        materialized on this handle."""
+        t = cat.create_table("big", {"k": pxt.Int(False)})
+        os.makedirs(os.path.join(t.path, "manifests"), exist_ok=True)
+        entries = []
+        for s in range(200):
+            lo, hi = s * 1000, s * 1000 + 999
+            add = {}
+            for i in range(500):
+                flo = lo + 2 * i
+                add[f"data/_bkt=0/fake-{s:04d}-{i:04d}.parquet"] = {
+                    "k": [flo, flo + 1],
+                    "_v_min": [1, 1], "_v_max": [2 ** 62, 2 ** 62]}
+            srel = f"manifests/s-fake{s:04d}.json"
+            with open(os.path.join(t.path, srel), "w") as f:
+                json.dump({"add": add, "remove": []}, f)
+            entries.append({"p": srel, "n": len(add), "r": 0,
+                            "lo": {"k": lo, "_v_min": 1, "_v_max": 2 ** 62},
+                            "hi": {"k": hi, "_v_min": 1,
+                                   "_v_max": 2 ** 62}})
+        mrel = "manifests/m-fake.json"
+        with open(os.path.join(t.path, mrel), "w") as f:
+            json.dump({"format_version": 4, "segments": entries,
+                       "version": 1, "next_rowid": 100000}, f)
+        with open(t._current_path, "w") as f:
+            json.dump({"format_version": 4, "manifest": mrel}, f)
+        t._resolve_cache = None
+        t._segment_reads = 0
+        got = t._pruned_files([("k", "==", 123456),
+                               ("_v_min", "<=", 1), ("_v_max", ">", 1)])
+        assert t._segment_reads == 1                  # ONE segment JSON
+        assert got == ["data/_bkt=0/fake-0123-0228.parquet"]
+        # range over 3 segments
+        t._segment_reads = 0
+        got = t._pruned_files([("k", ">=", 50_000), ("k", "<", 52_500)])
+        assert t._segment_reads == 3
+        assert len(got) == 500 + 500 + 250
