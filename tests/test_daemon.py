@@ -153,3 +153,38 @@ class TestDaemonCli:
             if not dmod.read_port_lock(wh):
                 break
             time.sleep(0.1)
+
+
+class TestClient:
+    """HTTP client (client.py) against the daemon — the reference
+    ProxyClient contract: results round-trip, server errors re-raise as
+    the identical engine exceptions."""
+
+    def test_client_roundtrip_and_errors(self, cat):
+        from pixeltable_spark.client import Client
+        from pixeltable_spark.exceptions import NotFoundError
+        t = cat.create_table("c", {"k": pxt.Int(False), "v": pxt.Float()})
+        t.insert([{"k": 1, "v": 1.5}, {"k": 2, "v": 2.5}])
+        srv = dmod.start_daemon(cat)
+        try:
+            c = Client.for_warehouse(cat.root)
+            assert c.health() is True
+            assert "c" in c.list_tables()
+            md = c.get_metadata("c")
+            assert md["name"] == "c" and "k" in md["columns"]
+            assert {r["k"] for r in c.rows("c")} == {1, 2}
+            st = c.insert("c", [{"k": 3, "v": 3.5}])
+            assert st["num_rows"] == 1
+            got = c.query("c", where={"k": 3}, select=["v"])
+            assert got == [{"v": 3.5}]
+            assert len(c.history("c")) >= 2
+            with pytest.raises(NotFoundError):
+                c.get_metadata("nope")
+        finally:
+            dmod.stop_daemon(cat.root, server=srv)
+
+    def test_client_no_daemon(self, cat):
+        from pixeltable_spark.client import Client
+        from pixeltable_spark.exceptions import Error
+        with pytest.raises(Error, match="no live serving daemon"):
+            Client.for_warehouse(cat.root)
