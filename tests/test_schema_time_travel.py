@@ -336,3 +336,95 @@ class TestColumnMapping:
         t.insert([{"ident": 2, "x": 2}])          # probes use new name
         with pytest.raises(ValueError, match="already exists"):
             t.insert([{"ident": 1, "x": 9}])
+
+
+class TestColumnMappingInterplay:
+    """Adversarial interplay of metadata-only renames with the rest of
+    the engine: embedding indexes, computed columns, stats-pruned
+    mutations, optimize, and reload chains."""
+
+    def test_rename_then_index_search_and_sync(self, spark, tmp_path):
+        from pixeltable_spark.index import add_embedding_index
+        cat = pxt.Catalog(spark, str(tmp_path / "whix"))
+        t = cat.create_table("d", {"doc_id": pxt.Int(False),
+                                   "body": pxt.String(False)})
+        t.insert([{"doc_id": i, "body": f"document {i} topic {i % 3}"}
+                  for i in range(20)])
+        def _embed(text, dim=8):
+            import asyncio
+
+            from pixeltable_spark.functions.llm import \
+                DeterministicFakeClient
+            loop = asyncio.new_event_loop()
+            try:
+                return loop.run_until_complete(
+                    DeterministicFakeClient().embed(
+                        text, "fake-embed-1", dim=dim))
+            finally:
+                loop.close()
+
+        idx = add_embedding_index(t, "body", dim=8)
+        t.rename_column("body", "content")
+        assert idx.column == "content"
+        hits = idx.search(_embed("document 7 topic 1"), k=1).collect()
+        assert hits[0].doc_id == 7
+        # index stays insert-synced THROUGH the rename
+        t.insert([{"doc_id": 100, "content": "a brand new document"}])
+        hits = idx.search(_embed("a brand new document"), k=1).collect()
+        assert hits[0].doc_id == 100
+
+    def test_rename_dependency_of_computed_column(self, t):
+        cat, t = t
+        t.add_computed_column("c", t.ref().x * 2)
+        # x is referenced by computed c AND x is renamable (computed
+        # refs are rewritten); new inserts must compute c from z
+        t.rename_column("x", "z")
+        t.insert([{"k": 7, "z": 70}])
+        vals = {r["k"]: r["c"] for r in t.collect()}
+        assert vals[7] == 140 and vals[1] == 20
+
+    def test_mutation_after_rename_prunes_and_rewrites(self, spark,
+                                                       tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "whmu"))
+        t = cat.create_table("m", {"k": pxt.Int(False), "v": pxt.Float()})
+        for j in range(4):
+            t.insert([{"k": 1000 * j + i, "v": 0.0} for i in range(50)])
+        t.rename_column("k", "key")
+        ref = t.ref()
+        t.update({"v": 9.0}, where=ref.key == 2005)     # stats-pruned COW
+        vals = {r["key"]: r["v"] for r in t.collect()}
+        assert vals[2005] == 9.0 and vals[2004] == 0.0
+        t.delete(where=t.ref().key == 1001)
+        assert t.count() == 199
+
+    def test_optimize_after_rename_and_drop_readd(self, spark, tmp_path):
+        cat = pxt.Catalog(spark, str(tmp_path / "whopt"))
+        t = cat.create_table("o", {"k": pxt.Int(False), "a": pxt.Int()})
+        t.insert([{"k": i, "a": i} for i in range(20)])
+        vold = t.version
+        t.rename_column("a", "b")
+        t.drop_column("b")
+        t.add_column("b", pxt.String())
+        t.update({"b": "s"}, where=t.ref().k == 3)
+        t.optimize()                                    # full rewrite
+        # current values survive compaction
+        vals = {r["k"]: r["b"] for r in t.collect()}
+        assert vals[3] == "s" and vals[4] is None
+        # and the OLD incarnation still time-travels (its file column
+        # rode through the optimize rewrite under the mangled alias)
+        old = {r["k"]: r["a"] for r in t.user_df(version=vold).collect()}
+        assert old[3] == 3
+
+    def test_reload_chain_rename_mutate_reload(self, spark, tmp_path):
+        wh = str(tmp_path / "whrl")
+        cat = pxt.Catalog(spark, wh)
+        t = cat.create_table("r", {"k": pxt.Int(False), "x": pxt.Int()})
+        t.insert([{"k": 1, "x": 10}])
+        t.rename_column("x", "y")
+        t2 = pxt.Catalog(spark, wh).get_table("r")
+        t2.update({"y": 11})
+        t2.rename_column("y", "z")
+        t3 = pxt.Catalog(spark, wh).get_table("r")
+        assert {r["z"] for r in t3.collect()} == {11}
+        assert [f.name for f in t3.user_df(version=1).schema.fields] \
+            == ["k", "x"]
