@@ -823,12 +823,21 @@ class Table:
                             int(bid), self.stream_batches.get(sid, -1))
                     ss = m.get("schema_state")
                     if ss is not None:
-                        # a physical-rename commit landed but its meta
-                        # save did not: the manifest's stamped maps match
-                        # the committed files and win over meta's
+                        # a schema-change commit landed but its meta
+                        # save did not: the manifest's stamped state
+                        # matches the committed files and wins over
+                        # meta's (Delta: schema changes are log actions)
                         self.retired = ss.get("retired", self.retired)
                         self.schema_history = ss.get(
                             "schema_history", self.schema_history)
+                        self.phys_map = ss.get("phys_map", self.phys_map)
+                        self._explicit_read_schema = bool(ss.get(
+                            "explicit_read_schema",
+                            self._explicit_read_schema))
+                        if "primary_key" in ss:
+                            self.primary_key = list(ss["primary_key"])
+                        if "bloom_cols" in ss:
+                            self.bloom_cols = dict(ss["bloom_cols"])
                         if "schema" in ss:  # crashed mid-revert restore
                             self.schema = {
                                 k: ColumnType.from_dict(v)
@@ -2463,14 +2472,17 @@ class Table:
         self._exhume_if_retired(name)
         cc = ComputedColumn(name, expr, col_type or expr.col_type, on_error)
         self.computed[name] = cc
-        if self._has_data():
-            store = self._store_df()
-            store = self._eval_computed(store, [cc])
-            self._pending_version = self.version + 1
-            self._rewrite(store)
         self.version += 1
         self._log("add_computed_column", column=name)
         self._snapshot_schema()
+        if self._has_data():
+            store = self._store_df()
+            store = self._eval_computed(store, [cc])
+            self._pending_version = self.version
+            self._pending_schema_stamp = self._schema_stamp()
+            self._rewrite(store)
+        else:
+            self._commit_schema_change()
         self._save_meta()
 
     def _eval_computed(self, df: DataFrame, ccs: Sequence[ComputedColumn]) -> DataFrame:
@@ -2529,6 +2541,41 @@ class Table:
         )
 
     # -- schema evolution (reference catalog/table.py:221-459) -------------
+    def _schema_stamp(self) -> dict:
+        """The complete post-change schema state, stamped into the next
+        manifest commit so the commit point carries the schema change
+        (Delta: schema changes are transaction-log actions). Loaders
+        reconcile from it when a crash lands between the CURRENT swap
+        and the meta save."""
+        return {
+            "schema": {n: ct.as_dict() for n, ct in self.schema.items()},
+            "schema_history": self.schema_history,
+            "retired": self.retired,
+            "phys_map": self.phys_map,
+            "explicit_read_schema": self._explicit_read_schema,
+            "computed": list(self.computed),
+            "primary_key": list(self.primary_key or []),
+            "bloom_cols": dict(self.bloom_cols),
+        }
+
+    def _commit_schema_change(self) -> None:
+        """Commit a METADATA-ONLY schema change through the commit store:
+        same file list, a new manifest stamped with the bumped version
+        AND the full schema state, published by the conditional swap.
+        This is what makes schema ops safe under OPTIMISTIC concurrency:
+        a racer's data commit landing mid-change fails this CAS and the
+        whole op retries against the rebased state (before round 10
+        these ops only rewrote meta.json — two optimistic writers could
+        claim the same version number for different changes). Cost is
+        one tiny segment + manifest JSON + the swap; no data file is
+        touched at any table size."""
+        self._pending_version = self.version
+        self._pending_schema_stamp = self._schema_stamp()
+        try:
+            self._commit_files(self._current_files())
+        finally:
+            self._pending_schema_stamp = None
+
     @_locked_mutation
     def add_column(self, name: str, col_type: ColumnType,
                    default: Any = None) -> None:
@@ -2543,20 +2590,28 @@ class Table:
             raise ValueError("non-nullable add_column requires a default")
         self._exhume_if_retired(name)
         self.schema[name] = col_type
-        if self._has_data() and default is not None:
-            store = self._store_df().withColumn(
-                name, F.lit(default).cast(col_type.spark_type()))
-            keep = [f.name for f in self._store_schema().fields] \
-                + [p for p in self.retired if p in store.columns]
-            self._pending_version = self.version + 1
-            self._rewrite(store.select(*keep))
-        elif self._has_data():
+        backfill = self._has_data() and default is not None
+        if self._has_data() and default is None:
             # existing files lack the new column: from now on reads go
             # through the explicit reader schema so it surfaces as NULL
             self._explicit_read_schema = True
         self.version += 1
         self._log("add_column", column=name)
         self._snapshot_schema()
+        if backfill:
+            store = self._store_df().withColumn(
+                name, F.lit(default).cast(col_type.spark_type()))
+            keep = [f.name for f in self._store_schema().fields] \
+                + [p for p in self.retired if p in store.columns]
+            self._pending_version = self.version
+            # the backfill commit carries the schema change too
+            self._pending_schema_stamp = self._schema_stamp()
+            self._rewrite(store.select(*keep))
+        else:
+            # metadata-only: the schema change still COMMITS through the
+            # store (CAS) so optimistic racers conflict instead of
+            # colliding on version numbers
+            self._commit_schema_change()
         self._save_meta()
 
     def _check_view_deps(self, name: str) -> None:
@@ -2650,6 +2705,7 @@ class Table:
         self.version += 1
         self._log("drop_column", column=name)
         self._snapshot_schema()
+        self._commit_schema_change()
         self._save_meta()
 
     @_locked_mutation
@@ -2664,14 +2720,17 @@ class Table:
             raise ValueError(
                 f"cannot alter the type of primary key column {name!r}")
         self.schema[name] = col_type
-        if self._has_data():
-            store = self._store_df().withColumn(
-                name, F.col(name).cast(col_type.spark_type()))
-            self._pending_version = self.version + 1
-            self._rewrite(store)
         self.version += 1
         self._log("alter_column", column=name, new_type=col_type.kind.name)
         self._snapshot_schema()
+        if self._has_data():
+            store = self._store_df().withColumn(
+                name, F.col(name).cast(col_type.spark_type()))
+            self._pending_version = self.version
+            self._pending_schema_stamp = self._schema_stamp()
+            self._rewrite(store)
+        else:
+            self._commit_schema_change()
         self._save_meta()
 
     @_locked_mutation
@@ -2745,6 +2804,7 @@ class Table:
         self.version += 1
         self._log("rename_column", old=old, new=new)
         self._snapshot_schema()
+        self._commit_schema_change()
         self._save_meta()
 
     # -- mutations ---------------------------------------------------------
@@ -3402,11 +3462,16 @@ class Table:
             self._replace_files(out, matched_files)
         self.version = v - 1
         self._history = [h for h in self._history if h["version"] < v]
-        self._restore_schema_at(v - 1)
+        schema_changed = self._restore_schema_at(v - 1)
+        if sub is None and schema_changed:
+            # schema-only revert: commit it through the store like the
+            # forward schema ops (CAS vs optimistic racers; the commit
+            # point carries the rewound version + schema state)
+            self._commit_schema_change()
         self._save_meta()
         self._propagate_refresh()
 
-    def _restore_schema_at(self, target_version: int) -> None:
+    def _restore_schema_at(self, target_version: int) -> bool:
         """Rewind the logical schema to its state at `target_version`
         (reference revert restores the catalog's schema version too):
         columns added by the reverted version retire, dropped columns
@@ -3414,12 +3479,12 @@ class Table:
         store."""
         if not any(s["version"] > target_version
                    for s in self.schema_history):
-            return  # no schema change is being reverted
+            return False  # no schema change is being reverted
         self.schema_history = [s for s in self.schema_history
                                if s["version"] <= target_version]
         snap = self.schema_history[-1] if self.schema_history else None
         if snap is None:
-            return
+            return False
         new_schema: dict[str, ColumnType] = {}
         new_computed: dict[str, ComputedColumn] = {}
         for logical, phys, tdict, is_comp in snap["cols"]:
@@ -3502,6 +3567,7 @@ class Table:
                 if cc.on_error == "ignore":
                     self.retired.pop(_cellmd_col(phys), None)
         self.schema, self.computed = new_schema, new_computed
+        return True
 
     def get_versions(self) -> list[VersionMetadata]:
         """Programmatic version metadata, most recent LAST (reference

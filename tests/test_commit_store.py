@@ -329,3 +329,41 @@ def test_without_retention_inflight_files_are_collected(spark, tmp_path):
     b.insert([{"k": 50, "v": 5.0}])
     assert not any(os.path.exists(os.path.join(t.path, f))
                    for f in a_files)
+
+
+def test_schema_change_conflicts_with_optimistic_racer(spark, tmp_path,
+                                                       monkeypatch):
+    """Round 10: metadata-only schema ops COMMIT through the store, so
+    an optimistic racer's data commit landing mid-rename surfaces as a
+    CAS conflict and the rename retries onto its own version — before,
+    both writers could claim the same version number for different
+    changes (rename only rewrote meta.json)."""
+    wh = str(tmp_path / "wh")
+    store = _store("object-store")
+    store.commit_retries = 10
+    cat = pxt.Catalog(spark, wh, commit_store=store)
+    t = _mk(cat)                                   # v1
+    fired = {}
+    orig = t._commit_files
+
+    def racing(files):
+        if not fired:
+            fired["x"] = 1
+            other = _cat(spark, wh, "object-store").get_table("t")
+            other.insert([{"k": 700, "v": 7.0}])   # racer lands v2
+        return orig(files)
+
+    monkeypatch.setattr(t, "_commit_files", racing)
+    t.rename_column("v", "val")                    # retries, lands v3
+    fresh = _cat(spark, wh, "object-store").get_table("t")
+    assert fresh.version == 3
+    assert fresh.columns() == ["k", "val"]
+    assert fresh.count() == 11                     # racer's row intact
+    vals = {r["k"]: r["val"] for r in fresh.collect()}
+    assert vals[700] == 7.0
+    # the two commits hold DISTINCT versions: v2 shows the racer's rows
+    # under the OLD name, v3 the renamed schema
+    assert [f.name for f in fresh.user_df(version=2).schema.fields] \
+        == ["k", "v"]
+    assert [f.name for f in fresh.user_df(version=3).schema.fields] \
+        == ["k", "val"]

@@ -181,11 +181,12 @@ class TestSchemaCrashSafety:
         assert {r["y"] for r in t2.user_df(version=vold).collect()} \
             == {42}
 
-    def test_metadata_only_revert_crash_is_a_noop(self, spark, tmp_path,
-                                                  monkeypatch):
-        """A revert whose only effect is schema metadata commits nothing
-        before its meta save — a crash there means the revert simply
-        did not happen (atomic)."""
+    def test_metadata_only_revert_crash_reconciles(self, spark, tmp_path,
+                                                    monkeypatch):
+        """Schema-only reverts COMMIT through the store before the meta
+        save (round 10; Delta: schema changes are log actions) — a
+        crash after the commit point reconciles to the REVERTED state
+        on reload, exactly like any crashed data commit."""
         wh = str(tmp_path / "wh")
         cat = pxt.Catalog(spark, wh)
         t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
@@ -197,13 +198,16 @@ class TestSchemaCrashSafety:
         with pytest.raises(RuntimeError):
             t.revert()                        # v2 -> v1, pure metadata
         t2 = pxt.Catalog(spark, wh).get_table("t")
-        assert t2.version == 2 and t2.columns() == ["k"]  # unreverted
+        assert t2.version == 1                # commit point won
+        assert t2.columns() == ["k", "y"]     # y restored
+        assert {r["y"] for r in t2.collect()} == {42}
 
-    def test_crash_mid_mangled_restore_is_a_noop(self, spark, tmp_path,
-                                                 monkeypatch):
-        """The mangled restore (revert past a drop-then-re-add) is now
-        metadata-only: a crash before the meta save means the revert
-        never happened, and retrying it completes cleanly."""
+    def test_crash_mid_mangled_restore_reconciles(self, spark, tmp_path,
+                                                  monkeypatch):
+        """The mangled restore (revert past a drop-then-re-add) is
+        metadata-only AND commits through the store (round 10): a crash
+        after the commit point reconciles to the reverted state on
+        reload — the commit is the commit point, not the meta save."""
         wh = str(tmp_path / "wh")
         cat = pxt.Catalog(spark, wh)
         t = cat.create_table("t", {"k": pxt.Int(False), "y": pxt.Int()})
@@ -221,12 +225,12 @@ class TestSchemaCrashSafety:
             t.revert()                        # v1: mangled restore runs
         monkeypatch.setattr(type(t), "_save_meta", orig)
         t2 = pxt.Catalog(spark, wh).get_table("t")
-        assert t2.version == 2                # revert never landed
-        assert t2.columns() == ["k"]
-        t2.revert()                           # retry completes
-        assert t2.version == 1
+        assert t2.version == 1                # commit point won
         assert t2.columns() == ["k", "y"]     # int y restored
         assert {r["y"] for r in t2.collect()} == {42}
+        # the rewound table stays fully usable
+        t2.update({"y": 43})
+        assert {r["y"] for r in t2.collect()} == {43}
 
 
 class TestColumnMapping:
