@@ -29,6 +29,7 @@ from .sources.registry import (
 from .type_system import ArrayType, ColumnType, TypeKind
 from .functions.udf import udf, uda, Aggregator, iterator, IteratorFn
 from .catalog import Catalog, Table, View, Snapshot
+InsertableTable = Table  # reference-name alias (catalog/__init__.py)
 from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
                              UpdateStatus, VersionMetadata)
 from .exceptions import (
@@ -37,13 +38,15 @@ from .exceptions import (
     ConcurrencyError,
     EngineWarning,
     Error,
+    PixeltableWarning,
     ErrorCode,
     ExternalServiceError,
     NotFoundError,
     RequestError,
     ServiceUnavailableError,
 )
-from .functions.query_template import (Tool, invoke_tools, mcp_udfs, query,
+from .functions.query_template import (Tool, ToolChoice, Tools,
+                                       invoke_tools, mcp_udfs, query,
                                        tools)
 from .globals_api import (
     Required,
@@ -68,7 +71,12 @@ from .globals_api import (
     retrieval_udf,
     tool,
 )
+from .exprs import Function
 from .index import EmbeddingIndex, add_embedding_index, drop_embedding_index
+from .iterators import ComponentIterator as PxtIterator
+from .model import Column, model_base
+from .types import (DirContents, DirectoryNode, TableKind, TableNode,
+                    TreeNode)
 from .results import ResultCursor, ResultSet, Row
 from . import iterators  # noqa: F401 — reference import-path parity
 from .serving import TableServer, serve
@@ -114,4 +122,8 @@ __all__ = [
     "mcp_udfs", "retrieval_udf", "expr_udf", "Tool", "array", "Required",
     "String", "Int", "Float", "Bool", "Timestamp", "Date", "Json", "Array",
     "Binary", "Image", "Video", "Audio", "Document",
+    # reference top-level parity (round 10)
+    "Column", "model_base", "InsertableTable", "PixeltableWarning",
+    "Function", "PxtIterator", "Tools", "ToolChoice",
+    "TableKind", "TableNode", "DirectoryNode", "TreeNode", "DirContents",
 ]

@@ -409,11 +409,29 @@ class Catalog:
         are file-granular, so n_buckets bounds files-per-bulk-commit and
         scan parallelism; size it to expected-table-size /
         target-file-size on a real deployment."""
-        # accept bare type factories (pxt.String) as well as instances
-        # (pxt.String(False)) — the reference's schema literals allow both
-        schema = {k: (v() if callable(v) and not isinstance(v, ColumnType)
-                      else v)
-                  for k, v in schema.items()}
+        # accept bare type factories (pxt.String), instances
+        # (pxt.String(False)), AND Column specs (pxt.Column(type=...,
+        # primary_key=...) / pxt.Column(value=expr) — the reference's
+        # schema-literal surface, catalog/model.py:31)
+        from .model import Column as _ColSpec
+        computed_specs: list = []
+        plain: dict[str, ColumnType] = {}
+        spec_pk: list[str] = []
+        for k, v in schema.items():
+            if isinstance(v, _ColSpec):
+                if v.value is not None:
+                    computed_specs.append((k, v))
+                    continue
+                plain[k] = v.col_type()
+                if v.primary_key:
+                    spec_pk.append(k)
+            elif callable(v) and not isinstance(v, ColumnType):
+                plain[k] = v()
+            else:
+                plain[k] = v
+        schema = plain
+        if spec_pk:
+            primary_key = list(primary_key or []) + spec_pk
         d = self._tbl_dir(name)
         if os.path.exists(d):
             if if_exists == "replace":
@@ -429,6 +447,10 @@ class Catalog:
             t.bucket_chunk = max(1, int(bucket_chunk))
             t._save_meta()
         self._tables[name] = t
+        for cname, spec in computed_specs:
+            from .model import _bind_value
+            t.add_computed_column(cname, _bind_value(spec, t),
+                                  on_error=spec.on_error)
         return t
 
     def get_table(self, name: str) -> "Table":

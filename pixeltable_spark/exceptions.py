@@ -110,3 +110,7 @@ class ServiceUnavailableError(Error, RuntimeError):
 
 class EngineWarning(UserWarning):
     """Reference: PixeltableWarning."""
+
+
+# reference-name alias (reference exceptions.py:313)
+PixeltableWarning = EngineWarning

@@ -118,9 +118,63 @@ def _json_type(ann: Any) -> str:
             str: "string"}.get(ann, "string")
 
 
-def tools(*fns: Callable) -> list[Tool]:
-    """pxt.tools(...) (reference globals.py:1078)."""
-    return [f if isinstance(f, Tool) else Tool(f) for f in fns]
+class ToolChoice:
+    """Provider-agnostic tool-choice directive (reference
+    func/tools.py:81): exactly one of auto / required / a specific
+    tool."""
+
+    def __init__(self, auto: bool = False, required: bool = False,
+                 tool: Optional[str] = None,
+                 parallel_tool_calls: bool = True):
+        self.auto = auto
+        self.required = required
+        self.tool = tool
+        self.parallel_tool_calls = parallel_tool_calls
+
+    def as_dict(self) -> dict:
+        return {"auto": self.auto, "required": self.required,
+                "tool": self.tool,
+                "parallel_tool_calls": self.parallel_tool_calls}
+
+    def __repr__(self) -> str:
+        return f"ToolChoice({self.as_dict()})"
+
+
+class Tools(list):
+    """The reference's Tools container (func/tools.py:88) as a list
+    subclass, so every existing list[Tool] consumer (invoke_tools, the
+    provider modules) keeps working unchanged."""
+
+    @property
+    def tools(self) -> "list[Tool]":
+        return list(self)
+
+    def specs(self) -> list[dict]:
+        """Provider-ready tool specs (the reference's ser_model)."""
+        return [t.spec() for t in self]
+
+    def choice(self, auto: bool = False, required: bool = False,
+               tool=None, parallel_tool_calls: bool = True) -> ToolChoice:
+        if sum([auto, required, tool is not None]) != 1:
+            raise ValueError(
+                "Exactly one of `auto`, `required`, or `tool` must be "
+                "specified.")
+        tool_name = None
+        if tool is not None:
+            for t in self:
+                if t is tool or t.fn is tool or t.name == tool:
+                    tool_name = t.name
+                    break
+            if tool_name is None:
+                raise ValueError(f"unknown tool: {tool!r}")
+        return ToolChoice(auto=auto, required=required, tool=tool_name,
+                          parallel_tool_calls=parallel_tool_calls)
+
+
+def tools(*fns: Callable) -> Tools:
+    """pxt.tools(...) (reference globals.py:1078) — returns a Tools
+    container (a list subclass with .choice()/.specs())."""
+    return Tools(f if isinstance(f, Tool) else Tool(f) for f in fns)
 
 
 def invoke_tools(tool_list: list[Tool], llm_response: "dict | str") -> list[dict]:
