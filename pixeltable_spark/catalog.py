@@ -431,7 +431,10 @@ class Catalog:
                 plain[k] = v
         schema = plain
         if spec_pk:
-            primary_key = list(primary_key or []) + spec_pk
+            # de-dup: a column marked primary_key in its Column spec AND
+            # listed in the explicit primary_key argument appears once
+            primary_key = list(dict.fromkeys(
+                list(primary_key or []) + spec_pk))
         d = self._tbl_dir(name)
         if os.path.exists(d):
             if if_exists == "replace":
@@ -447,10 +450,21 @@ class Catalog:
             t.bucket_chunk = max(1, int(bucket_chunk))
             t._save_meta()
         self._tables[name] = t
-        for cname, spec in computed_specs:
-            from .model import _bind_value
-            t.add_computed_column(cname, _bind_value(spec, t),
-                                  on_error=spec.on_error)
+        # computed Column(value=...) specs evaluate after the plain
+        # columns exist; a failing expression must not leave a
+        # half-created table behind (plain columns committed, computed
+        # columns missing — a retry would then hit AlreadyExistsError),
+        # so the whole create rolls back on any spec failure
+        try:
+            for cname, spec in computed_specs:
+                from .model import _bind_value
+                t.add_computed_column(cname, _bind_value(spec, t),
+                                      on_error=spec.on_error)
+        except BaseException:
+            self._tables.pop(name, None)
+            if os.path.exists(d):
+                self._atomic_drop(d)
+            raise
         return t
 
     def get_table(self, name: str) -> "Table":

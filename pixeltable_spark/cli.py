@@ -186,10 +186,29 @@ def cmd_serve(args) -> int:
         return 0
     from .serving import TableServer
     cat = _init(args)
+    if args.register_daemon:
+        # claim the slot BEFORE binding a server: registering while a
+        # live daemon holds the lock would hijack its registration and
+        # strand it (spawn_daemon guards this, but the flag is
+        # callable directly); --force explicitly takes the slot over
+        from . import daemon as dmod
+        if getattr(args, "force", False):
+            dmod._remove_lock(cat.root)
+        if not dmod._claim_lock(cat.root):
+            live = dmod.read_port_lock(cat.root) or {}
+            print(f"a live daemon is already registered for {cat.root}"
+                  f" (pid {live.get('pid')}, port {live.get('port')});"
+                  " use serve-stop first or pass --force",
+                  file=sys.stderr)
+            return 2
     srv = TableServer(cat, host=args.host, port=args.port)
     if args.register_daemon:
         from . import daemon as dmod
-        dmod._write_lock(cat.root, srv.host, srv.port)
+        if not dmod._publish_lock(cat.root, srv.host, srv.port):
+            print("lost the daemon slot while starting; exiting",
+                  file=sys.stderr)
+            srv.stop()
+            return 2
         import atexit
         atexit.register(dmod._remove_lock, cat.root, os.getpid())
         import signal as _sig
@@ -327,6 +346,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--register-daemon", action="store_true",
                     help="(internal) foreground serve that registers "
                          "the warehouse port lock")
+    sp.add_argument("--force", action="store_true",
+                    help="with --register-daemon: take the slot over "
+                         "even if a live daemon is registered")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("deploy-build",

@@ -70,13 +70,22 @@ def _pid_alive(pid: int) -> bool:
 
 def read_port_lock(warehouse: str) -> Optional[dict]:
     """``{"port", "pid", "host", ...}`` for a LIVE daemon, else None
-    (absent or stale lock)."""
-    try:
-        with open(_lock_path(warehouse)) as f:
-            info = json.load(f)
-    except (OSError, ValueError):
+    (absent lock, stale lock, or a claim-in-progress placeholder that
+    has no published port yet)."""
+    info = _read_lock_raw(warehouse)
+    if info is None or info.get("port") is None:
         return None
     return info if _pid_alive(int(info.get("pid", -1))) else None
+
+
+def _read_lock_raw(warehouse: str) -> Optional[dict]:
+    """The lock file's contents without liveness/placeholder filtering
+    (None when absent or unparseable)."""
+    try:
+        with open(_lock_path(warehouse)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def endpoint(warehouse: str) -> Optional[str]:
@@ -95,6 +104,55 @@ def _write_lock(warehouse: str, host: str, port: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, _lock_path(warehouse))
+
+
+def _claim_lock(warehouse: str) -> bool:
+    """Atomically claim the daemon slot for this process with
+    ``os.open(O_CREAT|O_EXCL)`` — the fix for the check-then-write
+    race where two concurrent starts both pass the liveness probe,
+    both start servers, and the later rename orphans the first
+    daemon. Writes a placeholder lock (our pid, no port yet; filtered
+    out by read_port_lock) and returns True on ownership. A live
+    daemon's lock returns False; a stale lock is cleared
+    (pid-verified) and the claim retried."""
+    os.makedirs(daemon_home(warehouse), exist_ok=True)
+    path = _lock_path(warehouse)
+    payload = json.dumps({"port": None, "pid": os.getpid(),
+                          "host": None, "claimed_at": time.time()})
+    for _ in range(16):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                         0o644)
+        except FileExistsError:
+            info = _read_lock_raw(warehouse)
+            if info is None:
+                # unreadable — either vanished between open and read
+                # (retry) or garbage; never blind-delete, retry and let
+                # the bounded loop surface persistent garbage
+                time.sleep(0.01)
+                continue
+            pid = int(info.get("pid", -1))
+            if _pid_alive(pid):
+                return False  # live daemon or a racer mid-claim
+            _remove_lock(warehouse, pid)  # stale: owner-verified clear
+            continue
+        try:
+            os.write(fd, payload.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+    return False
+
+
+def _publish_lock(warehouse: str, host: str, port: int) -> bool:
+    """Replace this process's claim placeholder with the real
+    endpoint, then re-read to confirm ownership (a crashed-claim
+    cleanup racing in between would mean we don't own the slot).
+    Returns True when the published lock is ours."""
+    _write_lock(warehouse, host, port)
+    info = _read_lock_raw(warehouse)
+    return bool(info) and int(info.get("pid", -1)) == os.getpid()
 
 
 def _remove_lock(warehouse: str, pid: Optional[int] = None) -> None:
@@ -121,12 +179,19 @@ def start_daemon(catalog, host: str = "127.0.0.1", port: int = 0):
     start contract). Returns the TableServer when this call started
     one."""
     wh = catalog.root
-    live = read_port_lock(wh)
-    if live is not None:
+    if read_port_lock(wh) is not None:
         return None
+    if not _claim_lock(wh):
+        return None  # a racer claimed the slot first
     from .serving import TableServer
-    srv = TableServer(catalog, host, port).start()
-    _write_lock(wh, srv.host, srv.port)
+    try:
+        srv = TableServer(catalog, host, port).start()
+    except BaseException:
+        _remove_lock(wh, os.getpid())
+        raise
+    if not _publish_lock(wh, srv.host, srv.port):
+        srv.stop()
+        return None
     return srv
 
 
@@ -191,7 +256,13 @@ def spawn_daemon(warehouse: str, host: str = "127.0.0.1",
     st = daemon_status(warehouse)
     if st.get("running"):
         return st
-    _remove_lock(warehouse)  # stale
+    # clear a stale lock pid-verified only — never a slot a racer just
+    # claimed (the child's --register-daemon claim handles the rest)
+    stale = _read_lock_raw(warehouse)
+    if stale is not None:
+        pid = int(stale.get("pid", -1))
+        if not _pid_alive(pid):
+            _remove_lock(warehouse, pid if pid > 0 else None)
     cmd = [sys.executable, "-m", "pixeltable_spark.cli",
            "--home", warehouse, "serve", "--host", host,
            "--port", str(port), "--register-daemon"]

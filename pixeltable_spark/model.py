@@ -24,10 +24,13 @@ reference's FORWARDED_TABLE_METHODS) to its bound table.
 
 Scope notes vs the reference: ViewModel (declarative views) and
 declarative embedding-index specs are not modeled yet; schema updates
-cover add/drop of plain and computed columns (adds are metadata-only
-commits in this engine, so update_all is O(1) per added column at any
-table size) and refuse type changes as 'unsupported', same as the
-reference's resolution taxonomy."""
+cover add/drop of plain and computed columns and refuse type changes
+as 'unsupported', same as the reference's resolution taxonomy.
+Migration cost: update_all adds of PLAIN columns without defaults are
+metadata-only commits (O(1) at any table size); adds of COMPUTED
+columns (``value=...``) backfill the expression via
+``add_computed_column``, which writes the new column's data — a full
+pass over the table, budget accordingly on large tables."""
 
 from __future__ import annotations
 

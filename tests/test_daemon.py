@@ -84,6 +84,53 @@ class TestDaemonLifecycle:
         dmod._remove_lock(wh, pid=os.getpid())       # the owner
         assert not os.path.exists(dmod._lock_path(wh))
 
+    def test_concurrent_claims_single_winner(self, cat):
+        """The O_CREAT|O_EXCL claim admits exactly one of N racers —
+        the check-then-write race where two starts both passed the
+        liveness probe and both started servers is closed."""
+        from concurrent.futures import ThreadPoolExecutor
+        wh = cat.root
+        with ThreadPoolExecutor(8) as ex:
+            wins = list(ex.map(lambda _: dmod._claim_lock(wh), range(8)))
+        assert sum(wins) == 1
+        # the placeholder (no port yet) is not a live registration …
+        assert dmod.read_port_lock(wh) is None
+        # … but publishing it completes the registration
+        assert dmod._publish_lock(wh, "127.0.0.1", 12345) is True
+        assert dmod.read_port_lock(wh)["port"] == 12345
+        dmod._remove_lock(wh, os.getpid())
+
+    def test_claim_refuses_live_then_steals_stale(self, cat):
+        wh = cat.root
+        os.makedirs(dmod.daemon_home(wh), exist_ok=True)
+        with open(dmod._lock_path(wh), "w") as f:
+            json.dump({"port": 1, "pid": os.getpid(), "host": "x"}, f)
+        assert dmod._claim_lock(wh) is False     # live pid holds it
+        with open(dmod._lock_path(wh), "w") as f:
+            json.dump({"port": 1, "pid": 2 ** 22 + 9999, "host": "x"}, f)
+        assert dmod._claim_lock(wh) is True      # stale: steal
+        info = dmod._read_lock_raw(wh)
+        assert info["pid"] == os.getpid() and info["port"] is None
+        dmod._remove_lock(wh, os.getpid())
+
+    def test_register_daemon_refuses_live_lock(self, cat):
+        """serve --register-daemon invoked while a live daemon is
+        registered refuses (rc 2) and leaves the live lock untouched
+        instead of hijacking it."""
+        import argparse
+        from pixeltable_spark.cli import cmd_serve
+        wh = cat.root
+        os.makedirs(dmod.daemon_home(wh), exist_ok=True)
+        with open(dmod._lock_path(wh), "w") as f:
+            json.dump({"port": 1, "pid": os.getpid(),
+                       "host": "127.0.0.1"}, f)
+        args = argparse.Namespace(
+            daemon=False, home=wh, host="127.0.0.1", port=0,
+            register_daemon=True, force=False, json=False)
+        assert cmd_serve(args) == 2
+        assert dmod._read_lock_raw(wh)["port"] == 1
+        dmod._remove_lock(wh, os.getpid())
+
     def test_http_roundtrip_through_daemon(self, cat):
         import urllib.request
         t = cat.create_table("d", {"k": pxt.Int(False)})

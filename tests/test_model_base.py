@@ -135,6 +135,28 @@ class TestColumnSpecInCreateTable:
         t.insert([{"fid": 1, "name": "alien"}])
         assert t.collect()[0]["upper"] == "ALIEN"
 
+    def test_failing_computed_spec_rolls_back(self, cat):
+        """A failing Column(value=...) expression must not leave a
+        half-created table behind (plain columns committed, computed
+        columns missing) — the whole create rolls back and a retry
+        succeeds instead of hitting AlreadyExistsError."""
+        with pytest.raises(Exception):
+            cat.create_table("halfway", {
+                "fid": pxt.Column(pxt.Int(False)),
+                "boom": pxt.Column(value=lambda r: r.no_such_col.upper()),
+            })
+        assert "halfway" not in cat.list_tables()
+        t = cat.create_table("halfway",
+                             {"fid": pxt.Column(pxt.Int(False))})
+        assert t.count() == 0
+
+    def test_spec_pk_deduped_against_explicit_pk(self, cat):
+        t = cat.create_table("dd", {
+            "fid": pxt.Column(pxt.Int(False), primary_key=True),
+            "name": pxt.Column(pxt.String()),
+        }, primary_key=["fid"])
+        assert t.primary_key == ["fid"]
+
     def test_tools_container(self):
         def add(a: int, b: int) -> int:
             """Add two ints."""
