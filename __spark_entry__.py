@@ -3630,6 +3630,37 @@ def q152_dedup_segments(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def q153_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM + CCNet perplexity buckets
+    (operators/ngram_lm.py — Wenzek et al. 2020's actual method: train
+    on a reference slice, score every doc's perplexity, partition the
+    corpus into head/middle/tail thirds). Train on doc_id % 5 == 0,
+    vocab top-500, D=0.75; score ALL docs; NTILE(3) over the tie-free
+    (ppl, doc_id) order. The DuckDB oracle replays the ENTIRE pipeline
+    — tokenization, vocab selection with the count-desc/token-asc
+    tie-break, <unk> mapping, bigram/context/continuation counts, the
+    add-one continuation smoothing, the KN interpolation, perplexity,
+    and the bucketing — so every count and every smoothed probability
+    is value-verified end to end, not just the bucket shapes."""
+    from pixeltable_spark.operators.ngram_lm import (kn_perplexity,
+                                                     perplexity_buckets,
+                                                     train_kn_bigram)
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_kn_bigram(docs.where(F.col("doc_id") % 5 == 0),
+                            vocab_size=500, discount=0.75)
+    scored = kn_perplexity(docs, model)
+    b = perplexity_buckets(scored, n_buckets=3)
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+                 F.round(F.min("ppl"), 4).alias("min_ppl"),
+                 F.round(F.max("ppl"), 4).alias("max_ppl"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3782,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_stream_leftouter_join": q150_stream_leftouter_join,
         "q151_shuffle_shards": q151_shuffle_shards,
         "q152_dedup_segments": q152_dedup_segments,
+        "q153_kn_perplexity": q153_kn_perplexity,
     }
 
 
@@ -5855,6 +5887,82 @@ SELECT doc_id, rate_in, CAST(n_in AS INT) AS n_in,
        round(1000.0 * round(n_in * 16000.0 / rate_in) / 16000, 6)
          AS dur_ms
 FROM q ORDER BY doc_id"""
+    # q153: KN bigram LM + CCNet buckets — FULL pipeline replay
+    # (tokenize, vocab top-500 with count-desc/token-asc tie-break,
+    # <unk> map, bigram/context/continuation counts, add-one
+    # continuation smoothing, interpolated-KN logp, ppl, NTILE thirds)
+    d["q153_kn_perplexity"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', regexp_extract_all(lower(text), '\\S+'))
+           AS l
+  FROM documents WHERE text IS NOT NULL),
+raw_pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(p)),
+train_pairs AS (SELECT * FROM raw_pairs WHERE doc_id % 5 = 0),
+vocab AS (
+  SELECT w2 AS tok FROM train_pairs GROUP BY w2
+  ORDER BY count(*) DESC, w2 LIMIT 500),
+tmap AS (
+  SELECT t.doc_id,
+         CASE WHEN t.w1 = '<s>' THEN '<s>'
+              WHEN v1.tok IS NOT NULL THEN t.w1
+              ELSE '<unk>' END AS w1,
+         CASE WHEN v2.tok IS NOT NULL THEN t.w2
+              ELSE '<unk>' END AS w2
+  FROM train_pairs t
+  LEFT JOIN vocab v1 ON t.w1 = v1.tok
+  LEFT JOIN vocab v2 ON t.w2 = v2.tok),
+bigrams AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM tmap GROUP BY 1, 2),
+contexts AS (
+  SELECT w1, sum(c) AS ctx, CAST(count(*) AS DOUBLE) AS nfollow
+  FROM bigrams GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM bigrams) AS t,
+         (SELECT count(*) FROM vocab) + 1 AS vp),
+pcont AS (
+  SELECT vv.w2,
+         (coalesce(nc.n1, 0) + 1) / CAST(c.t + c.vp AS DOUBLE) AS pc
+  FROM (SELECT tok AS w2 FROM vocab
+        UNION ALL SELECT '<unk>') vv
+  LEFT JOIN (SELECT w2, CAST(count(*) AS DOUBLE) AS n1
+             FROM bigrams GROUP BY 1) nc ON vv.w2 = nc.w2
+  CROSS JOIN consts c),
+smap AS (
+  SELECT r.doc_id,
+         CASE WHEN r.w1 = '<s>' THEN '<s>'
+              WHEN v1.tok IS NOT NULL THEN r.w1
+              ELSE '<unk>' END AS w1,
+         CASE WHEN v2.tok IS NOT NULL THEN r.w2
+              ELSE '<unk>' END AS w2
+  FROM raw_pairs r
+  LEFT JOIN vocab v1 ON r.w1 = v1.tok
+  LEFT JOIN vocab v2 ON r.w2 = v2.tok),
+terms AS (
+  SELECT s.doc_id,
+         CASE WHEN cx.ctx IS NULL THEN ln(pcont.pc)
+              ELSE ln(greatest(coalesce(b.c, 0) - 0.75, 0) / cx.ctx
+                      + 0.75 * cx.nfollow / cx.ctx * pcont.pc)
+         END AS lp
+  FROM smap s
+  LEFT JOIN bigrams b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN contexts cx ON s.w1 = cx.w1
+  JOIN pcont ON s.w2 = pcont.w2),
+scored AS (
+  SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl
+  FROM terms GROUP BY doc_id),
+bucketed AS (
+  SELECT doc_id, ppl,
+         ntile(3) OVER (ORDER BY ppl, doc_id) AS bucket
+  FROM scored)
+SELECT bucket, count(*) AS n_docs,
+       round(avg(ppl), 4) AS avg_ppl,
+       round(min(ppl), 4) AS min_ppl,
+       round(max(ppl), 4) AS max_ppl,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM bucketed GROUP BY bucket ORDER BY bucket"""
     # q152: within-doc segment dedup — first-occurrence order replay
     d["q152_dedup_segments"] = """
 WITH segs AS (
