@@ -3661,6 +3661,52 @@ def q153_kn_perplexity(spark, sf_dir):
             .orderBy("bucket"))
 
 
+def q154_ndv_sketch(spark, sf_dir):
+    """Manifest-resident HyperLogLog NDV sketches (catalog.py
+    add_ndv_stats/approx_count_distinct + ndv.py): approximate
+    COUNT(DISTINCT) answered from table METADATA — per-file sketches
+    ride the footer-stats pass at commit, live MVCC rows only,
+    register-max merged across every commit at read, zero data scan.
+    The battery: an insert commit, a delete, and an update that
+    rewrites the category column (leaving a live file set mixing
+    untouched and rewritten commits), then estimates over both a
+    high-cardinality key and a low-cardinality category. The DuckDB
+    oracle replays the ESTIMATE bit-exactly — same md5 over the same
+    canonical key bytes, same bucket/rho register fold (exact-integer
+    indicator sum, one double conversion), same linear-counting
+    correction — plus the exact distinct counts, so the sketch math,
+    the MVCC live-row filtering, and the file-granular refresh through
+    update/delete are all value-verified, not bounds-checked."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    docs = _df(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("k"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 50).cast("string"))
+         .alias("cat"))
+    wh = tempfile.mkdtemp(prefix="pxt_q154_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("t", {"k": pxt.Int(False),
+                               "cat": pxt.String(True)}, n_buckets=4)
+    t.add_ndv_stats("k")
+    t.add_ndv_stats("cat")
+    t.insert(docs.where(F.col("k") % 3 != 2))                     # v1
+    t.delete(where=ColumnRef("k", t.schema["k"]) % 7 == 0)        # v3
+    t.update({"cat": "upd"},
+             where=ColumnRef("k", t.schema["k"]) % 11 == 3)       # v4
+    k_est = t.approx_count_distinct("k")
+    cat_est = t.approx_count_distinct("cat")
+    exact = t.df().agg(
+        F.countDistinct("k").alias("k_exact"),
+        F.countDistinct("cat").alias("cat_exact")).first()
+    return spark.createDataFrame(
+        [(int(k_est), int(exact["k_exact"]),
+          int(cat_est), int(exact["cat_exact"]))],
+        "k_est long, k_exact long, cat_est long, cat_exact long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3814,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_shuffle_shards": q151_shuffle_shards,
         "q152_dedup_segments": q152_dedup_segments,
         "q153_kn_perplexity": q153_kn_perplexity,
+        "q154_ndv_sketch": q154_ndv_sketch,
     }
 
 
@@ -5963,6 +6010,60 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q154: manifest-resident HLL NDV — the oracle replays the sketch
+    # ESTIMATE bit-exactly (md5 over the engine's canonical key bytes,
+    # p=11 bucket/rho register fold with an exact-integer indicator
+    # sum, linear-counting correction) over the post-mutation live set
+    d["q154_ndv_sketch"] = """
+WITH live AS (
+  SELECT doc_id AS k,
+         CASE WHEN doc_id % 11 = 3 THEN 'upd'
+              ELSE 'c' || CAST(doc_id % 50 AS VARCHAR) END AS cat
+  FROM documents
+  WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 0),
+hk AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('i' ||
+           CAST(k AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+  FROM live),
+hc AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('s' || cat), 1, 16))
+           AS UBIGINT) AS h
+  FROM live),
+rk AS (SELECT CAST(h % 2048 AS INT) AS j, h // 2048 AS w FROM hk),
+rc AS (SELECT CAST(h % 2048 AS INT) AS j, h // 2048 AS w FROM hc),
+mk AS (SELECT j, max(54 - length(ltrim(bin(w), '0'))) AS m
+       FROM rk GROUP BY j),
+mc AS (SELECT j, max(54 - length(ltrim(bin(w), '0'))) AS m
+       FROM rc GROUP BY j),
+regk AS (SELECT g.range AS j, coalesce(mk.m, 0) AS m
+         FROM range(0, 2048) g LEFT JOIN mk ON g.range = mk.j),
+regc AS (SELECT g.range AS j, coalesce(mc.m, 0) AS m
+         FROM range(0, 2048) g LEFT JOIN mc ON g.range = mc.j),
+sk AS (SELECT sum(CAST(1 AS BIGINT) << (53 - m)) AS s,
+              sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z FROM regk),
+sc AS (SELECT sum(CAST(1 AS BIGINT) << (53 - m)) AS s,
+              sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z FROM regc),
+estk AS (
+  SELECT CASE WHEN 0.7213 / (1 + 1.079 / 2048) * 2048 * 2048
+                   * 9007199254740992.0 / CAST(s AS DOUBLE)
+                 <= 2.5 * 2048 AND z > 0
+              THEN 2048 * ln(2048.0 / z)
+              ELSE 0.7213 / (1 + 1.079 / 2048) * 2048 * 2048
+                   * 9007199254740992.0 / CAST(s AS DOUBLE)
+         END AS e FROM sk),
+estc AS (
+  SELECT CASE WHEN 0.7213 / (1 + 1.079 / 2048) * 2048 * 2048
+                   * 9007199254740992.0 / CAST(s AS DOUBLE)
+                 <= 2.5 * 2048 AND z > 0
+              THEN 2048 * ln(2048.0 / z)
+              ELSE 0.7213 / (1 + 1.079 / 2048) * 2048 * 2048
+                   * 9007199254740992.0 / CAST(s AS DOUBLE)
+         END AS e FROM sc)
+SELECT CAST(round(estk.e) AS BIGINT) AS k_est,
+       (SELECT count(DISTINCT k) FROM live) AS k_exact,
+       CAST(round(estc.e) AS BIGINT) AS cat_est,
+       (SELECT count(DISTINCT cat) FROM live) AS cat_exact
+FROM estk, estc"""
     # q152: within-doc segment dedup — first-occurrence order replay
     d["q152_dedup_segments"] = """
 WITH segs AS (

@@ -49,7 +49,8 @@ from pyspark.sql import types as T
 
 from . import telemetry
 from .commit_store import resolve_commit_store
-from .exceptions import AlreadyExistsError, ConcurrencyError, NotFoundError
+from .exceptions import (AlreadyExistsError, ConcurrencyError,
+                         Error, NotFoundError)
 from .table_metadata import (ColumnMetadata, IndexMetadata, TableMetadata,
                              UpdateStatus, VersionMetadata, version_metadata)
 from .exprs import Expr
@@ -129,6 +130,7 @@ def _seg_path(entry) -> str:
 # props; built only for NEW files at commit time (one column-pruned read).
 _BLOOM_PFX = "__bloom__"
 _NULLS_PFX = "__nulls__"
+_NDV_PFX = "__ndv__"
 _BLOOM_MAX_BITS = 1 << 21  # 256 KiB cap per (file, column)
 
 
@@ -588,6 +590,9 @@ class Table:
         self.bucket_chunk = 1 << 20
         # col -> target false-positive rate for per-file bloom skipping
         self.bloom_cols: dict[str, float] = {}
+        # col -> HLL precision for manifest-resident NDV sketches
+        # (approx_count_distinct from metadata — ndv.py)
+        self.ndv_cols: dict[str, int] = {}
         # earliest version still reconstructible: optimize(purge_before=v)
         # physically drops row-versions expired at/before v, so time travel
         # below v would silently miss rows — raise instead (see
@@ -751,6 +756,7 @@ class Table:
             "n_buckets": self.n_buckets,
             "bucket_chunk": self.bucket_chunk,
             "bloom_cols": self.bloom_cols,
+            "ndv_cols": self.ndv_cols,
             "version_floor": self.version_floor,
             "stream_batches": self.stream_batches,
             "schema": {k: v.as_dict() for k, v in self.schema.items()},
@@ -801,6 +807,8 @@ class Table:
         self.n_buckets = meta.get("n_buckets", 16)
         self.bucket_chunk = meta.get("bucket_chunk", 1)
         self.bloom_cols = meta.get("bloom_cols", {})
+        self.ndv_cols = {k: int(v) for k, v in
+                         meta.get("ndv_cols", {}).items()}
         self.version_floor = meta.get("version_floor", 0)
         self.stream_batches = {k: int(v) for k, v in
                                meta.get("stream_batches", {}).items()}
@@ -874,6 +882,8 @@ class Table:
                             self.primary_key = list(ss["primary_key"])
                         if "bloom_cols" in ss:
                             self.bloom_cols = dict(ss["bloom_cols"])
+                        if "ndv_cols" in ss:
+                            self.ndv_cols = dict(ss["ndv_cols"])
                         if "schema" in ss:  # crashed mid-revert restore
                             self.schema = {
                                 k: ColumnType.from_dict(v)
@@ -1377,6 +1387,25 @@ class Table:
                     bloom = None
                 if bloom is not None:
                     entry[_BLOOM_PFX + fcol] = bloom
+            # NDV sketches (ndv.py): like blooms, a column-pruned read
+            # per registered column — but over LIVE row-versions only
+            # (_v_max == MAXV): dead rows would inflate the estimate,
+            # and a row can only die through a rewrite of this very
+            # file, which refreshes this sketch with it
+            for ncol, prec in self.ndv_cols.items():
+                from .ndv import ndv_build
+                fcol = self.phys_map.get(ncol, ncol)
+                try:
+                    tbl = pq.read_table(os.path.join(self.path, rel),
+                                        columns=[fcol, _VMAX])
+                    vals = [v for v, vm in zip(tbl.column(0).to_pylist(),
+                                               tbl.column(1).to_pylist())
+                            if vm == MAXV]
+                    sk = ndv_build(vals, prec)
+                except Exception:  # noqa: BLE001 — stats are an optimization
+                    sk = None
+                if sk is not None:
+                    entry[_NDV_PFX + fcol] = sk
             return rel, entry
 
         if len(relpaths) > 4:
@@ -1529,11 +1558,14 @@ class Table:
         prev_stats = prev.get("stats", {})
         prev_segments = prev.get("segments")
 
-        def _fresh(f: str) -> bool:  # carried-over AND has every bloom col
+        def _fresh(f: str) -> bool:
+            # carried-over AND has every bloom + ndv entry
             st = prev_stats.get(f)
             return st is not None and all(
                 _BLOOM_PFX + self.phys_map.get(c, c) in st
-                for c in self.bloom_cols)
+                for c in self.bloom_cols) and all(
+                _NDV_PFX + self.phys_map.get(c, c) in st
+                for c in self.ndv_cols)
 
         fset = set(files)
         # (re)statted files: genuinely new ones, plus carried files whose
@@ -1638,7 +1670,8 @@ class Table:
         common: Optional[set] = None
         for st in stats_list:
             cols = {c for c in st
-                    if not c.startswith((_BLOOM_PFX, _NULLS_PFX))}
+                    if not c.startswith((_BLOOM_PFX, _NULLS_PFX,
+                                         _NDV_PFX))}
             common = cols if common is None else (common & cols)
         for col in common or ():
             try:
@@ -1959,6 +1992,79 @@ class Table:
         self.bloom_cols.pop(col, None)
         self._save_meta()
         self._log("drop_bloom_filter", column=col)
+
+    @_locked_mutation
+    def add_ndv_stats(self, col: str, precision: int = None) -> None:
+        """Maintain a per-file HyperLogLog sketch of `col` in the
+        manifest (ndv.py), so ``approx_count_distinct(col)`` answers
+        from METADATA — O(live files) driver work, zero data scan, at
+        any table size (the Snowflake/BigQuery table-stats design).
+        Backfills the current snapshot (one column-pruned read per
+        file); every later commit sketches only its new/rewritten
+        files, so estimates stay true through inserts, updates and
+        deletes without a global rebuild. ``precision`` p gives 2^p
+        registers with ~1.04/sqrt(2^p) standard error (default p=11 ≈
+        2.3%)."""
+        from .ndv import DEFAULT_P
+
+        target = dict(self.schema)
+        for cc in self.computed.values():
+            target[cc.name] = cc.col_type
+        if col not in target:
+            raise NotFoundError(f"unknown column {col!r}")
+        p = DEFAULT_P if precision is None else int(precision)
+        if not 4 <= p <= 16:
+            raise ValueError(f"precision must be in [4, 16], got {p}")
+        self.ndv_cols[col] = p
+        self._save_meta()
+        files = self._current_files()
+        if files:
+            # re-commit the same file list: _commit_files recomputes
+            # stats for any file missing an ndv entry (= all right now)
+            self._commit_files(files)
+        self._log("add_ndv_stats", column=col, precision=p)
+
+    @_locked_mutation
+    def drop_ndv_stats(self, col: str) -> None:
+        """Stop sketching `col`. Existing manifest entries stay until
+        files are rewritten (harmless — just unused)."""
+        self.ndv_cols.pop(col, None)
+        self._save_meta()
+        self._log("drop_ndv_stats", column=col)
+
+    def approx_count_distinct(self, col: str) -> int:
+        """Approximate COUNT(DISTINCT col) over the CURRENT version,
+        answered entirely from the manifest's per-file sketches — no
+        data scan, no Spark job; O(live files) metadata fold on the
+        driver. Requires ``add_ndv_stats(col)``; raises if any live
+        file lacks a sketch (e.g. a racer committed through a handle
+        that predates the registration) — re-run ``add_ndv_stats`` to
+        backfill. Estimate error is ~1.04/sqrt(2^p) (p=11 → ~2.3%)."""
+        from .ndv import ndv_estimate, ndv_merge
+
+        if col not in self.ndv_cols:
+            raise NotFoundError(
+                f"no NDV sketch registered for {col!r} — call "
+                f"add_ndv_stats({col!r}) first")
+        fcol = self.phys_map.get(col, col)
+        stats = self._current_stats()
+        files = self._current_files()
+        if not files:
+            return 0
+        sketches = []
+        missing = []
+        for f in files:
+            sk = (stats.get(f) or {}).get(_NDV_PFX + fcol)
+            if sk is None:
+                missing.append(f)
+            else:
+                sketches.append(sk)
+        if missing:
+            raise Error(
+                f"{len(missing)} live file(s) have no NDV sketch for "
+                f"{col!r} (committed before registration?) — re-run "
+                f"add_ndv_stats({col!r}) to backfill")
+        return int(round(ndv_estimate(ndv_merge(sketches))))
 
     def _zorder_expr(self, df: DataFrame, cols: Sequence[str]):
         """Morton z-value Column over `cols`: per-column equal-frequency
@@ -2592,6 +2698,7 @@ class Table:
             "computed": list(self.computed),
             "primary_key": list(self.primary_key or []),
             "bloom_cols": dict(self.bloom_cols),
+            "ndv_cols": dict(self.ndv_cols),
         }
 
     def _commit_schema_change(self) -> None:
@@ -2734,6 +2841,7 @@ class Table:
         else:
             raise ValueError(f"unknown column {name!r}")
         self.bloom_cols.pop(name, None)
+        self.ndv_cols.pop(name, None)
         # indexes over the dropped column (or backed by it) die with it
         for iname in [k for k, ix in getattr(self, "_indexes", {}).items()
                       if ix.column == name or ix.embed_col == name]:
@@ -2829,6 +2937,8 @@ class Table:
                     c[1] = new
         if old in self.bloom_cols:
             self.bloom_cols[new] = self.bloom_cols.pop(old)
+        if old in self.ndv_cols:
+            self.ndv_cols[new] = self.ndv_cols.pop(old)
         if old in (self.primary_key or []):
             self.primary_key = [new if c == old else c
                                 for c in self.primary_key]

@@ -1,0 +1,127 @@
+"""Manifest-resident HLL NDV sketches (ndv.py + catalog
+add_ndv_stats / approx_count_distinct): approximate COUNT(DISTINCT)
+from table metadata — per-file sketches built at commit over live MVCC
+rows, register-max merged at read, refreshed file-granularly by
+copy-on-write mutations."""
+import math
+
+import pytest
+
+import pixeltable_spark as pxt
+from pixeltable_spark.exceptions import Error, NotFoundError
+from pixeltable_spark.ndv import ndv_build, ndv_estimate, ndv_merge
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return pxt.Catalog(spark, str(tmp_path / "wh"))
+
+
+def _mk(cat, n=3000, mod=97):
+    t = cat.create_table("t", {"k": pxt.Int(False), "s": pxt.String(True)},
+                         n_buckets=4)
+    t.add_ndv_stats("k")
+    t.add_ndv_stats("s")
+    t.insert([{"k": i, "s": f"v{i % mod}"} for i in range(n)])
+    return t
+
+
+class TestSketchMath:
+    def test_estimate_within_3sigma(self):
+        for n in (0, 1, 50, 500, 20000):
+            sk = ndv_build(range(n), p=11)
+            est = ndv_estimate(sk)
+            # standard error 1.04/sqrt(2048) ≈ 2.3%; allow 3σ + small-n slack
+            assert abs(est - n) <= max(3, 3 * 0.023 * n), (n, est)
+
+    def test_merge_is_set_union(self):
+        a = ndv_build(range(0, 1000), p=11)
+        b = ndv_build(range(500, 1500), p=11)
+        u = ndv_merge([a, b])
+        # union == sketch built over the union (register max == global max)
+        assert u == ndv_build(range(0, 1500), p=11)
+
+    def test_duplicates_and_nulls_ignored(self):
+        a = ndv_build([1, 1, 1, None, 2, None, 2], p=11)
+        assert a == ndv_build([1, 2], p=11)
+
+    def test_mixed_precision_refused(self):
+        with pytest.raises(ValueError, match="mixed precisions"):
+            ndv_merge([ndv_build([1], p=11), ndv_build([1], p=12)])
+
+    def test_int_float_canonicalization(self):
+        # 5 and 5.0 hash identically (same canonical key as the blooms)
+        assert ndv_build([5], p=11) == ndv_build([5.0], p=11)
+
+
+class TestTableNdv:
+    def test_estimate_and_incremental_commits(self, cat):
+        t = _mk(cat)
+        est = t.approx_count_distinct("k")
+        assert abs(est - 3000) / 3000 < 0.08
+        assert t.approx_count_distinct("s") in range(90, 105)
+        # a second commit's files merge in
+        t.insert([{"k": i, "s": "x"} for i in range(3000, 5000)])
+        est2 = t.approx_count_distinct("k")
+        assert abs(est2 - 5000) / 5000 < 0.08
+
+    def test_delete_and_update_refresh(self, cat):
+        t = _mk(cat)
+        t.delete(t.ref().k >= 1000)
+        est = t.approx_count_distinct("k")
+        # dead row-versions stay in the rewritten files but are
+        # filtered at sketch build — the estimate tracks live rows
+        assert abs(est - 1000) / 1000 < 0.08
+        t.update({"s": "zz"}, where=t.ref().k < 500)
+        s_est = t.approx_count_distinct("s")
+        # live cats: v0..v96 (from k in [500,1000)) plus 'zz'
+        assert abs(s_est - 98) < 8
+
+    def test_zero_scan(self, cat, spark):
+        """The estimate runs NO Spark job — it is a driver-side
+        metadata fold (the 100 TB contract)."""
+        t = _mk(cat, n=500)
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        t.approx_count_distinct("k")
+        assert tracker.getJobIdsForGroup(None) == before
+
+    def test_backfill_on_existing_table(self, cat):
+        t = cat.create_table("t2", {"k": pxt.Int(False)})
+        t.insert([{"k": i % 700} for i in range(2000)])
+        t.add_ndv_stats("k")   # backfills the existing snapshot
+        assert abs(t.approx_count_distinct("k") - 700) / 700 < 0.08
+
+    def test_unregistered_and_unknown_column(self, cat):
+        t = cat.create_table("t3", {"k": pxt.Int(False)})
+        with pytest.raises(NotFoundError, match="no NDV sketch"):
+            t.approx_count_distinct("k")
+        with pytest.raises(NotFoundError, match="unknown column"):
+            t.add_ndv_stats("nope")
+        with pytest.raises(ValueError, match="precision"):
+            t.add_ndv_stats("k", precision=20)
+
+    def test_empty_table_is_zero(self, cat):
+        t = cat.create_table("t4", {"k": pxt.Int(False)})
+        t.add_ndv_stats("k")
+        assert t.approx_count_distinct("k") == 0
+
+    def test_persists_across_reload(self, cat, spark, tmp_path):
+        t = _mk(cat, n=800)
+        want = t.approx_count_distinct("k")
+        cat2 = pxt.Catalog(spark, str(tmp_path / "wh"))
+        t2 = cat2.get_table("t")
+        assert t2.ndv_cols == {"k": 11, "s": 11}
+        assert t2.approx_count_distinct("k") == want
+
+    def test_rename_carries_drop_clears(self, cat):
+        t = _mk(cat, n=400)
+        t.rename_column("k", "key")
+        assert "key" in t.ndv_cols and "k" not in t.ndv_cols
+        est = t.approx_count_distinct("key")
+        assert abs(est - 400) / 400 < 0.1
+        t.drop_ndv_stats("key")
+        with pytest.raises(NotFoundError):
+            t.approx_count_distinct("key")
+        t.drop_column("s")
+        assert "s" not in t.ndv_cols

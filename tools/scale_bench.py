@@ -114,6 +114,9 @@ def _ops(spark, d: str):
     from pixeltable_spark.operators import dedup, similarity
     from pixeltable_spark.operators import text as textops
     from pixeltable_spark.operators.langid import lang_id_table
+    from pixeltable_spark.operators import mldata
+    from pixeltable_spark.operators.ngram_lm import (kn_perplexity,
+                                                     train_kn_bigram)
     from pixeltable_spark.operators.search import bm25_topk
     from pixeltable_spark.operators.timeseries import funnel
 
@@ -124,6 +127,13 @@ def _ops(spark, d: str):
         df.write.format("noop").mode("overwrite").save()
 
     q = [round(((i * 37) % 19 - 9) / 10.0, 1) for i in range(64)]
+
+    def _kn():
+        # full pipeline: train on the 1-in-5 slice, score the corpus
+        m = train_kn_bigram(docs().where(F.col("doc_id") % 5 == 0),
+                            vocab_size=500)
+        return kn_perplexity(docs(), m)
+
     return {
         "tpch_q1_agg": lambda: noop(
             spark.read.parquet(f"{d}/lineitem.parquet")
@@ -149,10 +159,15 @@ def _ops(spark, d: str):
             by="user_id")),
         "topk_cosine": lambda: noop(similarity.topk_cosine(
             spark.read.parquet(f"{d}/embeddings.parquet"), q, k=10)),
+        "kn_perplexity": lambda: noop(_kn()),
+        "shuffle_shards": lambda: noop(mldata.shuffle_shards(
+            docs().select("doc_id"), 64, "doc_id", seed=0)),
+        "dedup_segments": lambda: noop(docs().select(
+            textops.dedup_segments(F.col("text"), " ").alias("t"))),
     }
 
 
-def main(distinct: bool = False) -> None:
+def main(distinct: bool = False, only: set | None = None) -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 5, 25]
     spark = pxt.get_session(app_name="pxt_scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,6 +175,8 @@ def main(distinct: bool = False) -> None:
     results: dict[str, dict[int, float]] = {}
     for f in factors:
         for name, thunk in _ops(spark, dirs[f]).items():
+            if only and name not in only:
+                continue
             t0 = time.time()
             thunk()
             t1 = time.time()
@@ -194,7 +211,10 @@ def main(distinct: bool = False) -> None:
                      + " | ".join(f"{times[f]:.2f}" for f in factors)
                      + f" | {e:.2f} |")
     path = os.path.join(ROOT, "SCALE.md")
-    mode = "a" if distinct else "w"
+    mode = "a" if (distinct or only) else "w"
+    if only:
+        lines[0:0] = ["", "## incremental op run "
+                      f"({', '.join(sorted(only))})", ""]
     with open(path, mode) as fh:
         fh.write("\n".join(lines) + "\n")
     print(("appended to" if distinct else "wrote") + " SCALE.md")
@@ -207,4 +227,9 @@ if __name__ == "__main__":
     _distinct = "--distinct" in sys.argv
     if _distinct:
         sys.argv.remove("--distinct")
-    main(distinct=_distinct)
+    _only = None
+    for a in list(sys.argv):
+        if a.startswith("--ops="):
+            _only = set(a[6:].split(","))
+            sys.argv.remove(a)
+    main(distinct=_distinct, only=_only)
