@@ -3707,6 +3707,26 @@ def q154_ndv_sketch(spark, sf_dir):
         "k_est long, k_exact long, cat_est long, cat_exact long")
 
 
+def q155_kmv_overlap(spark, sf_dir):
+    """KMV cross-corpus overlap estimation (operators/sketches.py —
+    Beyer et al. 2007): distinct counts + union/intersection/Jaccard
+    between two overlapping corpus slices (60% / 60% with a 20%-class
+    overlap on doc_id) estimated from two k-minimum-hash summaries —
+    each side pays one distinct-shuffle + TakeOrderedAndProject, the
+    comparison is a driver fold over ≤ 2k hashes, and NO cross-corpus
+    join ever runs (the contamination-estimate path for corpora too
+    big to shuffle on the key). The DuckDB oracle replays the exact
+    k-min hash sets (same md5 over the same canonical key bytes, ORDER
+    BY/LIMIT k) and the same estimator arithmetic — every output
+    double is bit-identical, not tolerance-checked."""
+    from pixeltable_spark.operators.sketches import corpus_overlap
+
+    docs = _df(spark, sf_dir, "documents").select("doc_id")
+    a = docs.where(F.col("doc_id") % 10 < 6)
+    b = docs.where(F.col("doc_id") % 10 >= 4)
+    return corpus_overlap(a, b, "doc_id", k=512, kind="int")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3861,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_dedup_segments": q152_dedup_segments,
         "q153_kn_perplexity": q153_kn_perplexity,
         "q154_ndv_sketch": q154_ndv_sketch,
+        "q155_kmv_overlap": q155_kmv_overlap,
     }
 
 
@@ -6010,6 +6031,46 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q155: KMV overlap — the oracle rebuilds the exact k-min hash
+    # sets (same md5/canonical bytes, ORDER BY h LIMIT k) and replays
+    # the estimator arithmetic; outputs are bit-identical doubles
+    d["q155_kmv_overlap"] = """
+WITH ha AS (
+  SELECT DISTINCT substr(md5('i' || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS h
+  FROM documents WHERE doc_id % 10 < 6),
+hb AS (
+  SELECT DISTINCT substr(md5('i' || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS h
+  FROM documents WHERE doc_id % 10 >= 4),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 512),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 512),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT 512),
+ndv AS (
+  SELECT
+    (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+         ELSE 511.0 / ((CAST(CAST(('0x' || max(h)) AS UBIGINT)
+                             AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0) END FROM ka) AS ndv_a,
+    (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+         ELSE 511.0 / ((CAST(CAST(('0x' || max(h)) AS UBIGINT)
+                             AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0) END FROM kb) AS ndv_b,
+    (SELECT CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+         ELSE 511.0 / ((CAST(CAST(('0x' || max(h)) AS UBIGINT)
+                             AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0) END FROM ku)
+      AS union_ndv,
+    (SELECT count(*) FROM ku
+     WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))
+      AS n_inter,
+    (SELECT count(*) FROM ku) AS n_union)
+SELECT ndv_a, ndv_b, union_ndv,
+       (CAST(n_inter AS DOUBLE) / n_union) * union_ndv
+         AS intersection_ndv,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM ndv"""
     # q154: manifest-resident HLL NDV — the oracle replays the sketch
     # ESTIMATE bit-exactly (md5 over the engine's canonical key bytes,
     # p=11 bucket/rho register fold with an exact-integer indicator
