@@ -3727,6 +3727,60 @@ def q155_kmv_overlap(spark, sf_dir):
     return corpus_overlap(a, b, "doc_id", k=512, kind="int")
 
 
+def q156_stream_approx_distinct(spark, sf_dir):
+    """Per-hour approximate distinct users as a STATEFUL STREAM with
+    BOUNDED state (streaming/stateful.py approx_distinct_stream): one
+    2 KB HyperLogLog register array per window instead of a seen-key
+    set — O(1) state per window on an unbounded stream, the sketch
+    contract shared with the manifest NDV layer (ndv.py). Register-max
+    folding is order- and batch-split-invariant, so the availableNow
+    replay's final per-window estimate equals the batch sketch over
+    the same rows exactly; emissions collapse by max_by(est, seq)
+    (last-wins — the linear-counting→raw branch crossing makes a
+    plain max() subtly wrong). The DuckDB oracle replays the estimate
+    bit-for-bit (same md5/bucket/rho fold grouped per hour, exact
+    HUGEINT indicator sums) — a fourth streaming query with a full
+    value oracle, and the first whose STATE is a sketch."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from pixeltable_spark.streaming import approx_distinct_stream
+    ts_type = spark.read.parquet(
+        f"{sf_dir}/events.parquet").schema["ts"].dataType
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    raw = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    raw = raw.withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        est = approx_distinct_stream(raw.select("wstart", "user_id"),
+                                     "user_id", "wstart", p=11,
+                                     kind="int")
+        name = "q156_hll_" + _uuid.uuid4().hex[:10]
+        q = (est.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return (spark.table(name).groupBy("wstart")
+            .agg(F.max_by("approx_distinct", "seq")
+                 .alias("approx_users"))
+            .orderBy("wstart"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3882,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_kn_perplexity": q153_kn_perplexity,
         "q154_ndv_sketch": q154_ndv_sketch,
         "q155_kmv_overlap": q155_kmv_overlap,
+        "q156_stream_approx_distinct": q156_stream_approx_distinct,
     }
 
 
@@ -6031,6 +6086,32 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q156: streaming HLL distinct — per-hour md5-HLL register fold
+    # replayed in SQL (HUGEINT indicator sums, linear-counting branch)
+    d["q156_stream_approx_distinct"] = """
+WITH hk AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS w,
+         CAST(('0x' || substr(md5('i' || CAST(user_id AS VARCHAR)),
+                              1, 16)) AS UBIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+rk AS (SELECT w, CAST(h % 2048 AS INT) AS j, h // 2048 AS ww FROM hk),
+mk AS (SELECT w, j, max(54 - length(ltrim(bin(ww), '0'))) AS m
+       FROM rk GROUP BY w, j),
+win AS (SELECT DISTINCT w FROM hk),
+regs AS (SELECT win.w, g.range AS j, coalesce(mk.m, 0) AS m
+         FROM win CROSS JOIN range(0, 2048) g
+         LEFT JOIN mk ON mk.w = win.w AND mk.j = g.range),
+s AS (SELECT w, sum(CAST(1 AS BIGINT) << (53 - m)) AS s,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS z
+      FROM regs GROUP BY w),
+est AS (SELECT w, z,
+               0.7213 / (1 + 1.079 / 2048) * 2048 * 2048
+                 * 9007199254740992.0 / CAST(s AS DOUBLE) AS raw
+        FROM s)
+SELECT w AS wstart,
+       CASE WHEN raw <= 2.5 * 2048 AND z > 0
+            THEN 2048 * ln(2048.0 / z) ELSE raw END AS approx_users
+FROM est ORDER BY wstart"""
     # q155: KMV overlap — the oracle rebuilds the exact k-min hash
     # sets (same md5/canonical bytes, ORDER BY h LIMIT k) and replays
     # the estimator arithmetic; outputs are bit-identical doubles

@@ -377,3 +377,84 @@ def sessionize_stream_stateful(stream_df: DataFrame, ts_col: str = "ts",
             fn, out_schema, state_schema, "update",
             GroupStateTimeout.NoTimeout)
     )
+
+
+def approx_distinct_stream(stream_df: DataFrame, key_col: str = "user_id",
+                           by: str = "wstart", p: int = 11,
+                           kind: str = "int") -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT key_col) as a STATEFUL
+    STREAM with BOUNDED state: one HyperLogLog register array (2^p
+    bytes) per group instead of a seen-key set — the difference
+    between O(distinct keys) and O(2 KB) of state per window on a
+    100 TB event stream. Same sketch contract as the manifest NDV
+    layer (ndv.py): md5 over the engine's canonical key bytes,
+    register-max folds, linear-counting correction — so an
+    availableNow replay's final estimate equals the batch sketch over
+    the same rows EXACTLY (register max is order/batch-split
+    invariant), and a DuckDB oracle can replay the estimate
+    bit-for-bit (q156).
+
+    Emits (by, seq, approx_distinct) per group per micro-batch in
+    update mode; collapse with ``max_by(approx_distinct, seq)`` — the
+    last emission carries the final registers' estimate (the estimate
+    is *almost* monotone across folds, but the linear-counting→raw
+    branch crossing makes max() subtly wrong; last-wins is exact).
+
+    ``by`` is any pre-computed grouping column (e.g. an event-time
+    window start); group it coarse enough that 2^p bytes x groups
+    fits the state store."""
+    import hashlib
+
+    from .. import ndv as _ndv
+
+    out_schema = T.StructType([
+        T.StructField(by, T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("approx_distinct", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("regs", T.BinaryType()),
+        T.StructField("seq", T.LongType()),
+    ])
+    m = 1 << p
+    pre = "i" if kind == "int" else "s"
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        regs, seq = (state.get if state.exists
+                     else (bytes(m), 0))
+        regs = bytearray(regs)
+        n_new = 0
+        for pdf in pdfs:
+            for v in pdf[key_col]:
+                if v is None or v != v:
+                    continue
+                if kind == "int":
+                    kb = ("i" + str(int(v))).encode()
+                else:
+                    kb = ("s" + str(v)).encode()
+                h = int(hashlib.md5(kb).hexdigest()[:16], 16)
+                j = h & (m - 1)
+                rho = (64 - p) - (h >> p).bit_length() + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+                n_new += 1
+        if not n_new and seq:
+            return
+        seq += 1
+        state.update((bytes(regs), int(seq)))
+        import base64
+        est = _ndv.ndv_estimate(
+            {"p": p, "r": base64.b64encode(bytes(regs)).decode()})
+        yield pd.DataFrame([{by: key[0], "seq": int(seq),
+                             "approx_distinct": float(est)}])
+
+    return (
+        stream_df.groupBy(F.col(by))
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout)
+    )

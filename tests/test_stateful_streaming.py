@@ -306,3 +306,73 @@ class TestSessionizeStreamStateful:
                (spark.table("sess_t3").groupBy("user_id")
                 .agg(F.max("n_sessions").alias("n")).collect())}
         assert got == {1: 4, 2: 2}   # 60s gap splits every user-1 event
+
+
+class TestApproxDistinctStream:
+    @pytest.fixture()
+    def hll_landing(self, spark, tmp_path):
+        """Two files splitting each window's users across micro-batches:
+        window 10:00 sees users 0..59 in file A and 30..89 in file B
+        (overlap 30..59 must not double-count); window 11:00 only in B."""
+        rows_a = [(i, "2024-01-01 10:00:00", i, 0.0) for i in range(60)]
+        rows_b = [(100 + i, "2024-01-01 10:00:00", 30 + i, 0.0)
+                  for i in range(60)] + \
+                 [(200 + i, "2024-01-01 11:00:00", i % 25, 0.0)
+                  for i in range(50)]
+        d = str(tmp_path / "hll")
+        for rows in (rows_a, rows_b):
+            spark.createDataFrame(
+                rows, "event_id long, ts string, user_id long, value double"
+            ).withColumn("ts", F.to_timestamp("ts")).coalesce(1) \
+             .write.mode("append").parquet(d)
+        return d
+
+    def _run(self, spark, landing, name):
+        stream = streaming.stream_from_directory(
+            spark, landing, SCHEMA,
+            options={"maxFilesPerTrigger": "1"}) \
+            .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        est = streaming.approx_distinct_stream(
+            stream.select("wstart", "user_id"), "user_id", "wstart")
+        streaming.run_stream_to_memory(est, name, output_mode="update")
+        return {str(r["wstart"]): r["e"] for r in
+                (spark.table(name).groupBy("wstart")
+                 .agg(F.max_by("approx_distinct", "seq").alias("e"))
+                 .collect())}
+
+    def test_state_merges_across_batches(self, spark, hll_landing):
+        """The 30..59 overlap arrives in BOTH micro-batches; the
+        register state must fold it once (set semantics), and the
+        final estimate must equal the one-shot batch sketch over the
+        same rows — register max is batch-split invariant."""
+        from pixeltable_spark.ndv import ndv_build, ndv_estimate
+
+        got = self._run(spark, hll_landing, "hll_t1")
+        want_10 = ndv_estimate(ndv_build(range(90)))
+        want_11 = ndv_estimate(ndv_build(range(25)))
+        assert got["2024-01-01 10:00:00"] == pytest.approx(want_10)
+        assert got["2024-01-01 11:00:00"] == pytest.approx(want_11)
+        # linear-counting regime at this size: estimates are near-exact
+        assert abs(got["2024-01-01 10:00:00"] - 90) < 6
+        assert abs(got["2024-01-01 11:00:00"] - 25) < 4
+
+    def test_bounded_state_contract(self, spark, hll_landing):
+        """Output rows carry one (seq, estimate) per window per batch —
+        state is a fixed 2KB register array, never a seen-key set (the
+        emission count pins that the operator runs per-batch folds,
+        not per-event state)."""
+        stream = streaming.stream_from_directory(
+            spark, hll_landing, SCHEMA,
+            options={"maxFilesPerTrigger": "1"}) \
+            .withColumn("wstart", F.date_trunc("hour", F.col("ts")))
+        est = streaming.approx_distinct_stream(
+            stream.select("wstart", "user_id"), "user_id", "wstart")
+        streaming.run_stream_to_memory(est, "hll_t2",
+                                       output_mode="update")
+        rows = spark.table("hll_t2").collect()
+        # window 10:00 emits in both batches, 11:00 once
+        per_w = {}
+        for r in rows:
+            per_w.setdefault(str(r["wstart"]), []).append(r["seq"])
+        assert sorted(per_w["2024-01-01 10:00:00"]) == [1, 2]
+        assert per_w["2024-01-01 11:00:00"] == [1]
