@@ -3781,6 +3781,33 @@ def q156_stream_approx_distinct(spark, sf_dir):
             .orderBy("wstart"))
 
 
+def q157_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/sketches.py
+    cm_sketch/cm_estimate — Cormode & Muthukrishnan 2005): build a
+    4x1024 counter grid over every token occurrence in the corpus
+    (map-only bucket explode + one map-side-combined groupBy bounded
+    by depth*width cells), then probe the top-10 tokens' frequencies
+    from the 16 KB summary next to their exact counts. The DuckDB
+    oracle rebuilds the identical grid (same md5 32-bit digest
+    slices) and replays the min-over-rows estimates — integer-exact,
+    and the CM guarantee est >= exact is visible in the output."""
+    from pixeltable_spark.operators.sketches import cm_estimate, cm_sketch
+
+    docs = _df(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '\\\\S+', 0)")).alias("tok"))
+    sk = cm_sketch(toks, "tok", depth=4, width=1024, kind="str")
+    cand = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("tok"))
+            .limit(10).collect())
+    rows = [(r["tok"], int(cm_estimate(sk, r["tok"], "str")),
+             int(r["cnt"])) for r in cand]
+    return (spark.createDataFrame(rows,
+                                  "tok string, est long, exact long")
+            .orderBy("tok"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3937,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_ndv_sketch": q154_ndv_sketch,
         "q155_kmv_overlap": q155_kmv_overlap,
         "q156_stream_approx_distinct": q156_stream_approx_distinct,
+        "q157_count_min": q157_count_min,
     }
 
 
@@ -6086,6 +6114,36 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q157: count-min — identical 4x1024 grid from the same md5
+    # 32-bit slices; min-over-rows probes for the top-10 tokens
+    d["q157_count_min"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+cand AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT 10),
+hashes AS (
+  SELECT tok, md5('s' || tok) AS h
+  FROM (SELECT DISTINCT tok FROM toks)),
+cells AS (
+  SELECT rr.r,
+         CAST(('0x' || substr(h.h, rr.r * 8 + 1, 8)) AS BIGINT)
+           % 1024 AS b,
+         count(*) AS c
+  FROM toks t JOIN hashes h ON t.tok = h.tok
+  CROSS JOIN (VALUES (0), (1), (2), (3)) rr(r)
+  GROUP BY 1, 2),
+probed AS (
+  SELECT cand.tok, cand.cnt, min(cells.c) AS est
+  FROM cand
+  JOIN hashes ON cand.tok = hashes.tok
+  CROSS JOIN (VALUES (0), (1), (2), (3)) rr(r)
+  JOIN cells ON cells.r = rr.r
+            AND cells.b = CAST(('0x' || substr(hashes.h,
+                                rr.r * 8 + 1, 8)) AS BIGINT) % 1024
+  GROUP BY cand.tok, cand.cnt)
+SELECT tok, est, cnt AS exact FROM probed ORDER BY tok"""
     # q156: streaming HLL distinct — per-hour md5-HLL register fold
     # replayed in SQL (HUGEINT indicator sums, linear-counting branch)
     d["q156_stream_approx_distinct"] = """

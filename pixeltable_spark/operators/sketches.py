@@ -126,3 +126,77 @@ def corpus_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
     return spark.createDataFrame(
         [row], "ndv_a double, ndv_b double, union_ndv double, "
                "intersection_ndv double, jaccard double")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public): mergeable
+# frequency summaries — estimate any value's occurrence count from a
+# depth x width counter grid (est >= true, overestimate bounded by
+# eps = e/width of the total mass per row). The pipeline use: ship a
+# ~16 KB per-shard token-frequency summary instead of a full
+# frequency table, cell-wise-ADD to merge shards, probe candidate
+# vocabularies without re-scanning the corpus.
+# ---------------------------------------------------------------------------
+
+def _cm_buckets_col(col: Column, depth: int, width: int,
+                    kind: str) -> list[Column]:
+    """Row-r bucket for a value: independent 32-bit slices of ONE md5
+    over the canonical key (hex slice r*8..r*8+8), mod width — each
+    row uses disjoint digest bits, and the SQL replay carves the same
+    slices."""
+    if kind == "str":
+        key = F.concat(F.lit("s"), col)
+    else:
+        key = F.concat(F.lit("i"), col.cast("long").cast("string"))
+    h = F.md5(key)
+    return [
+        (F.conv(F.substring(h, r * 8 + 1, 8), 16, 10).cast("long")
+         % width).alias("b")
+        for r in range(depth)
+    ]
+
+
+def cm_sketch(df: DataFrame, col: str, depth: int = 4,
+              width: int = 1024, kind: str = "str") -> dict:
+    """Build the sketch over all (non-null) occurrences of
+    ``df[col]``: ``{"depth", "width", "cells": {(r, b): count}}``.
+    One map-only explode of depth (r, bucket) pairs per row + one
+    map-side-combined groupBy whose output is bounded by depth*width
+    cells — the collect is the bounded summary, not data."""
+    c = F.col(col)
+    buckets = _cm_buckets_col(c, depth, width, kind)
+    pairs = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"), b.alias("b"))
+        for r, b in enumerate(buckets)])
+    cells = (df.where(c.isNotNull())
+             .select(F.explode(pairs).alias("p"))
+             .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+             .agg(F.count(F.lit(1)).alias("c"))).collect()
+    return {"depth": depth, "width": width,
+            "cells": {(r["r"], r["b"]): r["c"] for r in cells}}
+
+
+def _cm_buckets_py(v, depth: int, width: int, kind: str) -> list[int]:
+    import hashlib
+    pre = "i" if kind != "str" else "s"
+    hx = hashlib.md5((pre + str(v)).encode()).hexdigest()
+    return [int(hx[r * 8:r * 8 + 8], 16) % width for r in range(depth)]
+
+
+def cm_estimate(sketch: dict, v, kind: str = "str") -> int:
+    """Point frequency estimate: min over rows of the value's counter
+    (>= true count always; == for values that never collide)."""
+    d, w, cells = sketch["depth"], sketch["width"], sketch["cells"]
+    return min(cells.get((r, b), 0)
+               for r, b in enumerate(_cm_buckets_py(v, d, w, kind)))
+
+
+def cm_merge(a: dict, b: dict) -> dict:
+    """Cell-wise sum — sketches over disjoint corpus shards merge to
+    the sketch of the union corpus exactly."""
+    if (a["depth"], a["width"]) != (b["depth"], b["width"]):
+        raise ValueError("cm_merge: shape mismatch")
+    cells = dict(a["cells"])
+    for k, v in b["cells"].items():
+        cells[k] = cells.get(k, 0) + v
+    return {"depth": a["depth"], "width": a["width"], "cells": cells}

@@ -82,3 +82,43 @@ class TestKmv:
         got = kmv_sketch(df, "s", k=32, kind="str")
         assert got == _py_sketch([f"w{i}" for i in range(300)], 32,
                                  kind="str")
+
+
+class TestCountMin:
+    def test_estimate_upper_bounds_and_python_replay(self, spark):
+        from pixeltable_spark.operators.sketches import (cm_estimate,
+                                                         cm_sketch)
+        rows = [(f"t{i % 40}",) for i in range(4000)]  # 40 tokens x 100
+        df = spark.createDataFrame(rows, "tok string")
+        sk = cm_sketch(df, "tok", depth=4, width=256, kind="str")
+        assert sum(sk["cells"].values()) == 4000 * 4
+        for i in range(40):
+            est = cm_estimate(sk, f"t{i}", "str")
+            assert est >= 100              # CM guarantee: est >= true
+            assert est <= 100 + 4000 // 4  # loose eps bound sanity
+        assert cm_estimate(sk, "absent", "str") >= 0
+
+    def test_merge_equals_union_build(self, spark):
+        from pixeltable_spark.operators.sketches import cm_merge, cm_sketch
+        a = spark.createDataFrame([(f"t{i % 7}",) for i in range(700)],
+                                  "tok string")
+        b = spark.createDataFrame([(f"t{i % 11}",) for i in range(550)],
+                                  "tok string")
+        sa = cm_sketch(a, "tok", 4, 128)
+        sb = cm_sketch(b, "tok", 4, 128)
+        su = cm_sketch(a.unionAll(b), "tok", 4, 128)
+        assert cm_merge(sa, sb) == su
+        with pytest.raises(ValueError, match="shape"):
+            cm_merge(sa, cm_sketch(b, "tok", 4, 256))
+
+    def test_exact_when_no_collisions(self, spark):
+        from pixeltable_spark.operators.sketches import (cm_estimate,
+                                                         cm_sketch)
+        # 5 values in a wide grid: collisions in ALL 4 rows are
+        # vanishingly unlikely, so estimates are exact
+        df = spark.createDataFrame(
+            [(f"v{i}",) for i in range(5) for _ in range(i + 1)],
+            "tok string")
+        sk = cm_sketch(df, "tok", depth=4, width=4096, kind="str")
+        for i in range(5):
+            assert cm_estimate(sk, f"v{i}", "str") == i + 1
