@@ -114,7 +114,7 @@ def _ops(spark, d: str):
     from pixeltable_spark.operators import dedup, similarity
     from pixeltable_spark.operators import text as textops
     from pixeltable_spark.operators.langid import lang_id_table
-    from pixeltable_spark.operators import mldata
+    from pixeltable_spark.operators import mldata, sketches
     from pixeltable_spark.operators.ngram_lm import (kn_perplexity,
                                                      train_kn_bigram)
     from pixeltable_spark.operators.search import bm25_topk
@@ -164,6 +164,10 @@ def _ops(spark, d: str):
             docs().select("doc_id"), 64, "doc_id", seed=0)),
         "dedup_segments": lambda: noop(docs().select(
             textops.dedup_segments(F.col("text"), " ").alias("t"))),
+        "kmv_overlap": lambda: noop(sketches.corpus_overlap(
+            docs().where(F.col("doc_id") % 10 < 6),
+            docs().where(F.col("doc_id") % 10 >= 4),
+            "doc_id", k=1024, kind="int")),
     }
 
 
