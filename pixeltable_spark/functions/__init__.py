@@ -51,6 +51,21 @@ count_distinct = Function("count_distinct", ColumnType.int_(), spark_fn=F.countD
 approx_count_distinct = Function(
     "approx_count_distinct", ColumnType.int_(), spark_fn=F.approx_count_distinct, is_agg=True
 )
+# Apache DataSketches HLL (Spark 3.5+ built-ins, JVM-side): the
+# query-time fast path for approximate distincts — sketches are
+# BINARY columns you can persist per shard/partition and re-union
+# later (hll_union_agg), complementing the metadata-resident python
+# sketches (ndv.py) that answer without any scan at all. NOTE: a
+# different sketch implementation than ndv.py — estimates from the
+# two layers agree within error bounds, not bit-for-bit.
+hll_sketch_agg = Function("hll_sketch_agg", ColumnType.binary(),
+                          spark_fn=F.hll_sketch_agg, is_agg=True)
+hll_union_agg = Function("hll_union_agg", ColumnType.binary(),
+                         spark_fn=F.hll_union_agg, is_agg=True)
+hll_sketch_estimate = Function("hll_sketch_estimate", ColumnType.int_(),
+                               spark_fn=F.hll_sketch_estimate)
+hll_union = Function("hll_union", ColumnType.binary(),
+                     spark_fn=F.hll_union)
 stddev = Function("stddev", ColumnType.float_(), spark_fn=F.stddev, is_agg=True, allows_window=True)
 variance = Function("variance", ColumnType.float_(), spark_fn=F.variance, is_agg=True, allows_window=True)
 
@@ -129,6 +144,7 @@ from .udf import uda, udf  # noqa: E402,F401
 __all__ = [
     "sum", "count", "min", "max", "mean", "count_distinct",
     "approx_count_distinct", "stddev", "variance", "make_list", "count_star",
+    "hll_sketch_agg", "hll_union_agg", "hll_sketch_estimate", "hll_union",
     "row_number", "rank", "dense_rank", "lag", "lead",
     "string", "math", "timestamp", "date", "json", "array",
     "image", "video", "audio", "vision", "document", "llm", "util",

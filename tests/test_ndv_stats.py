@@ -125,3 +125,35 @@ class TestTableNdv:
             t.approx_count_distinct("key")
         t.drop_column("s")
         assert "s" not in t.ndv_cols
+
+
+class TestJvmHllFunctions:
+    """The JVM DataSketches fast path (functions hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate): per-shard BINARY sketches
+    that persist and re-union later — complements the metadata layer
+    (different sketch impl; agreement is within error bounds)."""
+
+    def test_sketch_union_estimate_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from pixeltable_spark import functions as pxtf
+
+        df = spark.range(0, 10000).selectExpr(
+            "id as k", "cast(id % 4 as int) as shard")
+        # per-shard sketches re-unioned later ≈ global estimate (the
+        # DataSketches union is NOT bit-lossless across sparse/dense
+        # mode transitions — both land within the error bound)
+        shards = df.groupBy("shard").agg(
+            F.hll_sketch_agg("k").alias("sk"))
+        est_union = shards.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+        ).first()["e"]
+        est_global = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("e")
+        ).first()["e"]
+        assert abs(est_union - 10000) / 10000 < 0.05
+        assert abs(est_global - 10000) / 10000 < 0.05
+        # engine Function wrappers resolve and aggregate
+        assert pxtf.hll_sketch_agg.name == "hll_sketch_agg"
+        assert pxtf.hll_sketch_agg.is_agg
+        assert not pxtf.hll_sketch_estimate.is_agg

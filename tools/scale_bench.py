@@ -217,8 +217,14 @@ def main(distinct: bool = False, only: set | None = None) -> None:
     path = os.path.join(ROOT, "SCALE.md")
     mode = "a" if (distinct or only) else "w"
     if only:
-        lines[0:0] = ["", "## incremental op run "
-                      f"({', '.join(sorted(only))})", ""]
+        # incremental section: drop the full-file header, keep the table
+        table_at = next(i for i, ln in enumerate(lines)
+                        if ln.startswith("| operator"))
+        lines = ["", "## incremental op run "
+                 f"({', '.join(sorted(only))})", "",
+                 "Same harness as §1 (near-duplicate replicas, "
+                 "min-of-2 walls, e fits wall ~ factor^e).",
+                 ""] + lines[table_at:]
     with open(path, mode) as fh:
         fh.write("\n".join(lines) + "\n")
     print(("appended to" if distinct else "wrote") + " SCALE.md")
