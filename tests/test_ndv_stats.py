@@ -157,3 +157,49 @@ class TestJvmHllFunctions:
         assert pxtf.hll_sketch_agg.name == "hll_sketch_agg"
         assert pxtf.hll_sketch_agg.is_agg
         assert not pxtf.hll_sketch_estimate.is_agg
+
+
+class TestNdvInterplay:
+    """Adversarial interplay: the sketches must stay true through
+    every other path that rewrites or re-lists files."""
+
+    def test_optimize_rewrite_keeps_estimate(self, cat):
+        t = _mk(cat, n=1200)
+        before = t.approx_count_distinct("k")
+        t.insert([{"k": i, "s": "x"} for i in range(1200, 1500)])
+        t.optimize()   # compaction rewrites buckets -> fresh sketches
+        est = t.approx_count_distinct("k")
+        assert abs(est - 1500) / 1500 < 0.08
+        assert before != 0
+
+    def test_revert_rolls_estimate_back(self, cat):
+        t = _mk(cat, n=1000)
+        v1_est = t.approx_count_distinct("k")
+        t.insert([{"k": i, "s": "y"} for i in range(1000, 2000)])
+        assert t.approx_count_distinct("k") > v1_est
+        t.revert()
+        # current files are v1's again; the metadata fold follows
+        assert t.approx_count_distinct("k") == v1_est
+
+    def test_checkpoint_collapse_carries_sketches(self, cat, monkeypatch):
+        from pixeltable_spark.catalog import Table
+        monkeypatch.setattr(Table, "_CHECKPOINT_SEGMENTS", 3)
+        t = _mk(cat, n=200)
+        for i in range(5):   # > threshold: forces a checkpoint collapse
+            t.insert([{"k": 200 + 100 * i + j, "s": "c"}
+                      for j in range(100)])
+        est = t.approx_count_distinct("k")
+        assert abs(est - 700) / 700 < 0.08
+
+    def test_zorder_keeps_estimate(self, cat):
+        t = _mk(cat, n=800)
+        t.optimize(zorder_by=["k"])
+        assert abs(t.approx_count_distinct("k") - 800) / 800 < 0.08
+
+    def test_purge_does_not_resurrect_dead_rows(self, cat):
+        t = _mk(cat, n=1000)
+        t.delete(t.ref().k >= 400)
+        v = t.version
+        t.optimize(purge_before=v)   # physically drops expired rows
+        est = t.approx_count_distinct("k")
+        assert abs(est - 400) / 400 < 0.1
