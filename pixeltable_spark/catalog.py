@@ -34,6 +34,7 @@ incremental loads are plain filtered scans.
 
 from __future__ import annotations
 
+import builtins
 import functools
 import json
 import os
@@ -3738,6 +3739,57 @@ class Table:
             if recursive:
                 out.extend(v.list_views(recursive=True))
         return out
+
+    def stats(self) -> dict:
+        """Zero-scan table statistics from the manifest — the
+        ops-facing summary a planner or operator consults before
+        touching data (Delta DESCRIBE DETAIL / Snowflake table-stats
+        analog): file count, total bytes, and per-column min/max,
+        null fraction, and (where ``add_ndv_stats`` is registered)
+        the approximate distinct count. Pure driver-side metadata
+        fold over the per-file footer stats already in the manifest;
+        O(live files), no Spark job, at any table size."""
+        files = self._current_files()
+        fstats = self._current_stats()
+        total_bytes = 0
+        for f in files:
+            try:
+                total_bytes += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                pass
+        cols: dict[str, dict] = {}
+        names = list(self.schema) + list(self.computed)
+        for cname in names:
+            fcol = self.phys_map.get(cname, cname)
+            lo = hi = None
+            nulls = rows = 0
+            known_nulls = True
+            for f in files:
+                st = fstats.get(f) or {}
+                mm = st.get(fcol)
+                if mm:
+                    try:
+                        lo = mm[0] if lo is None else builtins.min(lo, mm[0])
+                        hi = mm[1] if hi is None else builtins.max(hi, mm[1])
+                    except TypeError:
+                        lo = hi = None
+                nc = st.get(_NULLS_PFX + fcol)
+                if nc:
+                    nulls += nc[0]
+                    rows += nc[1]
+                else:
+                    known_nulls = False
+            entry: dict[str, Any] = {"min": lo, "max": hi}
+            if known_nulls and rows:
+                entry["null_frac"] = nulls / rows
+            if cname in self.ndv_cols:
+                try:
+                    entry["approx_ndv"] = self.approx_count_distinct(cname)
+                except Error:
+                    pass  # some files predate registration: omit
+            cols[cname] = entry
+        return {"n_files": len(files), "total_bytes": total_bytes,
+                "version": self.version, "columns": cols}
 
     def get_metadata(self) -> TableMetadata:
         """Reference-shaped table metadata (reference

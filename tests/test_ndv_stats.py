@@ -203,3 +203,29 @@ class TestNdvInterplay:
         t.optimize(purge_before=v)   # physically drops expired rows
         est = t.approx_count_distinct("k")
         assert abs(est - 400) / 400 < 0.1
+
+
+class TestTableStats:
+    def test_stats_zero_scan_summary(self, cat, spark):
+        t = _mk(cat, n=1000, mod=50)
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        st = t.stats()
+        assert tracker.getJobIdsForGroup(None) == before  # no Spark job
+        assert st["n_files"] >= 1 and st["total_bytes"] > 0
+        assert st["version"] == t.version
+        k = st["columns"]["k"]
+        assert k["min"] == 0 and k["max"] == 999
+        assert k["null_frac"] == 0.0
+        assert abs(k["approx_ndv"] - 1000) / 1000 < 0.08
+        s = st["columns"]["s"]
+        assert s["min"] == "v0" and abs(s["approx_ndv"] - 50) < 8
+
+    def test_stats_null_fraction(self, cat):
+        t = cat.create_table("tn", {"k": pxt.Int(False),
+                                    "v": pxt.Float(True)})
+        t.insert([{"k": i, "v": (None if i % 4 == 0 else 1.0 * i)}
+                  for i in range(400)])
+        st = t.stats()
+        assert st["columns"]["v"]["null_frac"] == pytest.approx(0.25)
+        assert "approx_ndv" not in st["columns"]["v"]  # not registered
