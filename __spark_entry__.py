@@ -3808,6 +3808,57 @@ def q157_count_min(spark, sf_dir):
             .orderBy("tok"))
 
 
+def q158_rollup_maintenance(spark, sf_dir):
+    """Incrementally-maintained aggregate rollup under the hard gate
+    (catalog.py Rollup / create_rollup — the TimescaleDB continuous-
+    aggregate design; beyond-reference: the reference's views are
+    row-wise only). Build a per-segment rollup over customers
+    (count/sum/avg/min/max of acctbal), then drive the maintenance
+    through the hard cases: an UPDATE that moves every BUILDING row
+    into a new segment (old group shrinks via its PRE-update key, new
+    group appears), a DELETE of negative balances (groups shrink or
+    vanish), and an INSERT batch (existing + brand-new groups). Each
+    commit recomputes ONLY the delta-affected groups (file-granular
+    swap), yet must equal DuckDB's from-scratch aggregation of the
+    replayed mutation history — both the FINAL state and the TIME-
+    TRAVELED rollup at version 1 (MVCC intervals on rollup rows)."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    wh = tempfile.mkdtemp(prefix="pxt_q158_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("c", {"k": pxt.Int(False), "seg": pxt.String(True),
+                               "bal": pxt.Float(True)}, n_buckets=4)
+    t.insert(cust.select(
+        F.col("c_custkey").cast("int").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal")))
+    r = cat.create_rollup("seg_stats", t, ["seg"], {
+        "n": ("count", None), "total": ("sum", "bal"),
+        "avg_bal": ("avg", "bal"), "lo": ("min", "bal"),
+        "hi": ("max", "bal")}, n_buckets=4)                       # r v1
+    t.update({"seg": "MOVED"},
+             where=ColumnRef("seg", t.schema["seg"]) == "BUILDING")
+    t.delete(where=ColumnRef("bal", t.schema["bal"]) < 0.0)
+    t.insert([{"k": 10_000_000 + i,
+               "seg": ("FRESH" if i % 2 == 0 else "MOVED"),
+               "bal": float(100 * i)} for i in range(50)])
+
+    def fmt(df, tag):
+        return df.select(
+            F.lit(tag).alias("state"), "seg", "n",
+            F.round("total", 2).alias("total"),
+            F.round("avg_bal", 4).alias("avg_bal"),
+            F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi"))
+
+    return (fmt(r.df(), "final")
+            .unionByName(fmt(r.df(version=1), "v1"))
+            .orderBy("state", "seg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3965,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_kmv_overlap": q155_kmv_overlap,
         "q156_stream_approx_distinct": q156_stream_approx_distinct,
         "q157_count_min": q157_count_min,
+        "q158_rollup_maintenance": q158_rollup_maintenance,
     }
 
 
@@ -6114,6 +6166,35 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q158: rollup maintenance — from-scratch aggregation of the
+    # replayed mutation history, final state AND time travel to v1
+    d["q158_rollup_maintenance"] = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer),
+final_rows AS (
+  SELECT k, CASE WHEN seg = 'BUILDING' THEN 'MOVED' ELSE seg END AS seg,
+         bal
+  FROM base
+  WHERE NOT (bal < 0.0)
+  UNION ALL
+  SELECT 10000000 + i AS k,
+         CASE WHEN i % 2 = 0 THEN 'FRESH' ELSE 'MOVED' END AS seg,
+         CAST(100 * i AS DOUBLE) AS bal
+  FROM range(0, 50) t(i)),
+agg_final AS (
+  SELECT 'final' AS state, seg, count(*) AS n,
+         round(sum(bal), 2) AS total, round(avg(bal), 4) AS avg_bal,
+         round(min(bal), 2) AS lo, round(max(bal), 2) AS hi
+  FROM final_rows GROUP BY seg),
+agg_v1 AS (
+  SELECT 'v1' AS state, seg, count(*) AS n,
+         round(sum(bal), 2) AS total, round(avg(bal), 4) AS avg_bal,
+         round(min(bal), 2) AS lo, round(max(bal), 2) AS hi
+  FROM base GROUP BY seg)
+SELECT * FROM agg_final UNION ALL SELECT * FROM agg_v1
+ORDER BY state, seg"""
     # q157: count-min — identical 4x1024 grid from the same md5
     # 32-bit slices; min-over-rows probes for the top-10 tokens
     d["q157_count_min"] = """

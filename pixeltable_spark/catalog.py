@@ -44,7 +44,7 @@ import uuid as _uuid
 from contextlib import contextmanager
 from typing import Any, Callable, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -480,6 +480,8 @@ class Catalog:
                 raise NotFoundError(f"no such table: {name!r}") from e
             if kind == "view":
                 self._tables[name] = View._load_view(self, name, d)
+            elif kind == "rollup":
+                self._tables[name] = Rollup._load_rollup(self, name, d)
             else:
                 self._tables[name] = Table._load(self, name, d)
         return self._tables[name]
@@ -528,6 +530,42 @@ class Catalog:
 
     def create_snapshot(self, name: str, base: "Table") -> "Snapshot":
         return Snapshot(base, base.version)
+
+    def create_rollup(self, name: str, base: "Table",
+                      group_by: Sequence[str], aggs: dict,
+                      n_buckets: Optional[int] = None,
+                      bucket_chunk: Optional[int] = None) -> "Rollup":
+        """Incrementally-maintained aggregate view (see Rollup): one
+        row per ``group_by`` group with the declared aggregates,
+        refreshed per base commit by recomputing only delta-affected
+        groups. ``aggs``: {out_name: (fn, col)} with fn one of
+        count/sum/avg/min/max/count_distinct/stddev (col None for
+        count)."""
+        if isinstance(base, View):
+            raise Error("create_rollup: rollups over views are not "
+                        "supported yet — roll up the base table")
+        cols = set(base.schema) | set(base.computed)
+        for g in group_by:
+            if g not in cols:
+                raise NotFoundError(f"unknown group column {g!r}")
+        for out, spec in aggs.items():
+            fn, col = (spec if isinstance(spec, (tuple, list))
+                       else (spec, None))
+            if fn not in _ROLLUP_AGGS:
+                raise ValueError(
+                    f"unknown aggregate {fn!r} for {out!r} "
+                    f"(have {sorted(_ROLLUP_AGGS)})")
+            if col is not None and col not in cols:
+                raise NotFoundError(f"unknown agg column {col!r}")
+        norm = {out: (spec if isinstance(spec, (tuple, list))
+                      else (spec, None))
+                for out, spec in aggs.items()}
+        r = Rollup._create_rollup(self, name, self._tbl_dir(name), base,
+                                  group_by, norm, n_buckets=n_buckets,
+                                  bucket_chunk=bucket_chunk)
+        base._views.append(r)
+        self._tables[name] = r
+        return r
 
 
 def _locked_mutation(fn):
@@ -3921,9 +3959,12 @@ class View(Table):
         v._save_view_meta()
         return v
 
+    _meta_kind = "view"
+
     def _save_view_meta(self) -> None:
         from pyspark import cloudpickle
-        meta = {"kind": "view", "name": self.name, "base": self.base.name,
+        meta = {"kind": self._meta_kind, "name": self.name,
+                "base": self.base.name,
                 "version": self.version,
                 "version_floor": self._version_floor,
                 "loaded_base_version": self._loaded_base_version,
@@ -3934,12 +3975,14 @@ class View(Table):
         vpath = os.path.join(self.path, "view.pkl")
         tmp = vpath + ".tmp-" + _uuid.uuid4().hex[:8]
         with open(tmp, "wb") as f:
-            cloudpickle.dump(
-                {"predicate": self.predicate, "extra": self.extra,
-                 "iterator": self.iterator}, f)
+            cloudpickle.dump(self._spec_dict(), f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, vpath)
+
+    def _spec_dict(self) -> dict:
+        return {"predicate": self.predicate, "extra": self.extra,
+                "iterator": self.iterator}
 
     def _manifest_version_stamp(self) -> Optional[int]:
         """The version stamped into the CURRENT manifest, or None. Pre-
@@ -4234,6 +4277,195 @@ class View(Table):
                   for f in out.schema.fields}
         return ResultSet([r.asDict(recursive=True) for r in out.collect()],
                          schema)
+
+
+_ROLLUP_AGGS: dict[str, Callable] = {
+    "count": lambda c: (F.count(F.lit(1)) if c is None
+                        else F.count(F.col(c))),
+    "sum": lambda c: F.sum(F.col(c)),
+    "avg": lambda c: F.avg(F.col(c)),
+    "min": lambda c: F.min(F.col(c)),
+    "max": lambda c: F.max(F.col(c)),
+    "count_distinct": lambda c: F.countDistinct(F.col(c)),
+    "stddev": lambda c: F.stddev(F.col(c)),
+}
+
+
+class Rollup(View):
+    """Incrementally-maintained AGGREGATE view — the continuous-
+    aggregate / summary-table design (TimescaleDB continuous
+    aggregates, the classic materialized-rollup literature; the
+    reference's views are row-wise only, this is the beyond-reference
+    aggregate counterpart the task brief's 'hypertable rollup' asks
+    for). One materialized row per group of ``group_cols`` with the
+    declared aggregates; on every base commit only the DELTA-AFFECTED
+    GROUPS are recomputed and swapped file-granularly.
+
+    Maintenance model — recompute-affected-groups, not partial-merge:
+    the delta's group keys (including the PRE-update values of moved
+    rows and the keys of deleted rows, read O(delta) from the base's
+    newest row-versions) select the groups to refresh; those groups'
+    aggregates re-derive from the base's live rows (a semi-join the
+    base's stats/bloom pruning narrows), so ANY aggregate works —
+    min/max/count_distinct/stddev need no retraction algebra and
+    results are exactly the from-scratch aggregation at every
+    version. Cost is O(affected groups' base rows) per commit, never
+    O(table). Rollup rows carry the same MVCC intervals as views, so
+    the rollup itself time-travels.
+
+    Group identity: ``_rowid`` = 62-bit xxhash64 of the group key —
+    deterministic, so a recomputed group lands in the same bucket and
+    the copy-on-write swap touches only the files that held it."""
+
+    _meta_kind = "rollup"
+
+    def __init__(self, catalog: Catalog, name: str, path: str):
+        super().__init__(catalog, name, path)
+        self.group_cols: list[str] = []
+        self.aggs: dict[str, tuple[str, Optional[str]]] = {}
+
+    def _spec_dict(self) -> dict:
+        return {"group_cols": self.group_cols, "aggs": self.aggs}
+
+    @classmethod
+    def _create_rollup(cls, catalog: Catalog, name: str, path: str,
+                       base: Table, group_cols: Sequence[str],
+                       aggs: dict, n_buckets: Optional[int] = None,
+                       bucket_chunk: Optional[int] = None) -> "Rollup":
+        r = cls(catalog, name, path)
+        r.base = base
+        r.group_cols = list(group_cols)
+        r.aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
+        if n_buckets is not None:
+            r.n_buckets = int(n_buckets)
+        if bucket_chunk is not None:
+            r.bucket_chunk = max(1, int(bucket_chunk))
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        r._full_refresh()
+        r._save_view_meta()
+        return r
+
+    @classmethod
+    def _load_rollup(cls, catalog: Catalog, name: str,
+                     path: str) -> "Rollup":
+        from pyspark import cloudpickle
+        r = cls(catalog, name, path)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(path, "view.pkl"), "rb") as f:
+            spec = cloudpickle.load(f)
+        r.base = catalog.get_table(meta["base"])
+        r.version = meta["version"]
+        stamp = r._manifest_version_stamp()
+        if stamp is not None and stamp > r.version:
+            r.version = stamp
+        r._version_floor = meta.get("version_floor", meta["version"])
+        r._loaded_base_version = meta.get("loaded_base_version", -1)
+        r.n_buckets = meta.get("n_buckets", 16)
+        r.bucket_chunk = meta.get("bucket_chunk", 1)
+        r.group_cols = list(spec["group_cols"])
+        r.aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+        r.base._views.append(r)
+        if r._loaded_base_version < r.base.version:
+            r._full_refresh()
+            r._save_view_meta()
+        return r
+
+    def _group_rowid(self) -> Column:
+        return F.xxhash64(
+            *[F.col(g).cast("string") for g in self.group_cols]
+        ).bitwiseAND(F.lit((1 << 62) - 1))
+
+    def _view_plan(self, base_df: DataFrame) -> DataFrame:
+        df = base_df
+        if _BKT in df.columns:
+            df = df.drop(_BKT)
+        exprs = [_ROLLUP_AGGS[fn](col).alias(name)
+                 for name, (fn, col) in self.aggs.items()]
+        out = df.groupBy(*[F.col(g) for g in self.group_cols]).agg(*exprs)
+        return out.withColumn(_ROWID, self._group_rowid())
+
+    @_locked_mutation
+    def _load_increment(self) -> None:
+        """Insert propagation: the new base slice's group keys select
+        the groups to recompute — O(delta) key discovery, stats-pruned
+        exactly like View._load_increment's born-rows read."""
+        bv = self.base.version
+        new_rows = self.base._store_df(
+            [(_VMIN, "==", bv), (_VMAX, ">", bv)]).filter(
+            (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        keys = new_rows.select(*self.group_cols).distinct()
+        self._maintain(keys)
+
+    @_locked_mutation
+    def _apply_base_update(self, affected_rowids: DataFrame) -> None:
+        """Update/delete propagation: affected groups are the union of
+        the rows' CURRENT group keys (live at bv — absent for deletes)
+        and their PREVIOUS keys (live at bv−1 — catches rows that
+        moved between groups and rows that vanished)."""
+        bv = self.base.version
+        now = self.base._store_df(
+            [(_VMIN, "<=", bv), (_VMAX, ">", bv)]).filter(
+            (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        prev = self.base._store_df(
+            [(_VMIN, "<=", bv - 1), (_VMAX, ">", bv - 1)]).filter(
+            (F.col(_VMIN) <= bv - 1) & (F.col(_VMAX) > bv - 1))
+        keys = (now.join(affected_rowids, on=_ROWID, how="left_semi")
+                .select(*self.group_cols)
+                .unionByName(
+                    prev.join(affected_rowids, on=_ROWID, how="left_semi")
+                    .select(*self.group_cols))
+                .distinct())
+        self._maintain(keys)
+
+    def _maintain(self, keys_df: DataFrame) -> None:
+        """Shared incremental step: expire the affected groups' live
+        rollup rows (file-granular COW via the same two-pass probe as
+        table mutations), re-aggregate exactly those groups from the
+        base's live rows, append the fresh rows at the new version."""
+        raw = self._read_current_raw()
+        if raw is None or _VVMIN not in raw.columns:
+            self._full_refresh()
+            self._propagate_refresh()
+            return
+        new_v = self.version + 1
+        aff = keys_df.withColumn("__aff", F.lit(True))
+        live = ((F.col(_VVMIN) <= self.version)
+                & (F.col(_VVMAX) > self.version))
+
+        def prepare(df):
+            return (df.join(aff, on=self.group_cols, how="left")
+                    .withColumn("__m", live & F.coalesce(F.col("__aff"),
+                                                         F.lit(False))))
+
+        sub, matched_files, _n, _pk = self._mutation_subset(
+            prepare, [], live_col=_VVMAX)
+        base_rows = self.base.df().join(
+            keys_df, on=self.group_cols, how="left_semi")
+        out = (self._view_plan(base_rows)
+               .withColumn(_VVMIN, F.lit(new_v))
+               .withColumn(_VVMAX, F.lit(MAXV)))
+        self._pending_version = new_v
+        if sub is not None:
+            expired = self._with_bkt(sub.withColumn(
+                _VVMAX, F.when(F.col("__m"), F.lit(new_v))
+                         .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
+            self._replace_files(
+                expired.unionByName(self._with_bkt(out)), matched_files)
+        else:
+            # no existing rollup rows for these groups: pure append
+            # (brand-new groups); an empty key set still bumps the
+            # version (a no-op propagation is a commit, view parity)
+            self._append(out)
+        self._loaded_base_version = self.base.version
+        self.version = new_v
+        self._save_view_meta()
+        # dependents keyed by this rollup's group-hash rowids
+        if self._views:
+            changed = keys_df.select(
+                self._group_rowid().alias(_ROWID)).distinct()
+            for child in self._views:
+                child._apply_base_update(changed)
 
 
 class Snapshot:
