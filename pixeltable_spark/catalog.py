@@ -4422,13 +4422,39 @@ class Rollup(View):
         """Shared incremental step: expire the affected groups' live
         rollup rows (file-granular COW via the same two-pass probe as
         table mutations), re-aggregate exactly those groups from the
-        base's live rows, append the fresh rows at the new version."""
+        base's live rows, append the fresh rows at the new version.
+
+        Scale shape: a small delta (≤ 64 affected groups — the common
+        point/range mutation) collects its keys driver-side and prunes
+        BOTH sides with them — the rollup-file probe by per-group
+        in-list admission and the base re-scan by the keys' min/max
+        band (effective when the group column correlates with insert
+        order, e.g. time buckets; the stats can only admit more, never
+        lie). Wider deltas fall back to the probe's column-pruned scan
+        of the rollup (O(groups), not O(base)) and a full base
+        live-scan filtered by the semi-join."""
         raw = self._read_current_raw()
         if raw is None or _VVMIN not in raw.columns:
             self._full_refresh()
             self._propagate_refresh()
             return
         new_v = self.version + 1
+        key_rows = keys_df.limit(65).collect()
+        few = len(key_rows) <= 64
+        ranges: list[tuple] = []
+        base_ranges: list[tuple] = []
+        if few and key_rows:
+            keys_df = self.catalog.spark.createDataFrame(
+                key_rows, keys_df.schema)
+            for g in self.group_cols:
+                vals = [r[g] for r in key_rows]
+                ranges.append((g, "in", vals))
+                try:
+                    if vals and None not in vals:
+                        base_ranges += [(g, ">=", builtins.min(vals)),
+                                        (g, "<=", builtins.max(vals))]
+                except TypeError:
+                    pass  # unorderable group values: no band pruning
         aff = keys_df.withColumn("__aff", F.lit(True))
         live = ((F.col(_VVMIN) <= self.version)
                 & (F.col(_VVMAX) > self.version))
@@ -4439,8 +4465,15 @@ class Rollup(View):
                                                          F.lit(False))))
 
         sub, matched_files, _n, _pk = self._mutation_subset(
-            prepare, [], live_col=_VVMAX)
-        base_rows = self.base.df().join(
+            prepare, ranges, live_col=_VVMAX)
+        if base_ranges and not isinstance(self.base, View):
+            bv = self.base.version
+            base_live = self.base._store_df(
+                [(_VMIN, "<=", bv), (_VMAX, ">", bv)] + base_ranges
+            ).filter((F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        else:
+            base_live = self.base.df()
+        base_rows = base_live.join(
             keys_df, on=self.group_cols, how="left_semi")
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))

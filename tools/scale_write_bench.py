@@ -70,7 +70,7 @@ def _source(spark, factor: int):
     # of the timed bulk_load, as it would be in a real clustered load.
     return li.crossJoin(reps).select(
         (F.col("k0") + F.col("__rep") * ID_STRIDE).alias("k"), "v", "s"
-    ).orderBy("k")
+    ).withColumn("gk", (F.col("k") / 4096).cast("long")).orderBy("k")
 
 
 def _timed(fn):
@@ -97,7 +97,7 @@ def run_factor(spark, factor: int) -> dict[str, float]:
         # EVERY factor, so exponents measure the engine, not file size
         t = cat.create_table(
             "t", {"k": pxt.Int(False), "v": pxt.Float(True),
-                  "s": pxt.String(True)},
+                  "s": pxt.String(True), "gk": pxt.Int(True)},
             primary_key=["k"], n_buckets=n_buckets, bucket_chunk=1 << 17)
         t.insert(src)
 
@@ -112,12 +112,15 @@ def run_factor(spark, factor: int) -> dict[str, float]:
     fresh = 900_000_000  # new-key space for inserts
 
     res["small_insert"] = _timed(lambda: t.insert(
-        [{"k": fresh + i, "v": 1.0, "s": "N"} for i in range(1000)]))
+        [{"k": fresh + i, "v": 1.0, "s": "N", "gk": (fresh + i) // 4096}
+         for i in range(1000)]))
 
     def chain():
         for c in range(10):
-            t.insert([{"k": fresh + 10_000 + c * 1000 + i,
-                       "v": 2.0, "s": "N"} for i in range(100)])
+            t.insert([{"k": fresh + 10_000 + c * 1000 + i, "v": 2.0,
+                       "s": "N",
+                       "gk": (fresh + 10_000 + c * 1000 + i) // 4096}
+                      for i in range(100)])
 
     res["chain_insert"] = _timed(chain) / 10.0
 
@@ -140,12 +143,38 @@ def run_factor(spark, factor: int) -> dict[str, float]:
     _mut("small_delete",
          lambda: t.delete(where=(kref >= hi) & (kref < hi + 8_000)))
 
+    # rollup maintenance: ~n/4096 groups of constant size (the
+    # time-bucket shape); a point mutation touches 1-2 groups — the
+    # ≤64-key fast path prunes the rollup-file probe by in-list
+    # admission and the base re-scan by the keys' band, so maintenance
+    # cost is group-size-bound, not table-bound
+    holder = {}
+
+    def _build_rollup():
+        holder["r"] = cat.create_rollup(
+            "gk_roll", t, ["gk"],
+            {"n": ("count", None), "sv": ("sum", "v")},
+            n_buckets=max(4, n_buckets // 4))
+
+    res["rollup_build"] = _timed(_build_rollup)
+    res["rollup_insert"] = _timed(lambda: t.insert(
+        [{"k": fresh + 200_000 + i, "v": 3.0, "s": "R",
+          "gk": (fresh + 200_000 + i) // 4096} for i in range(1000)]))
+    _mut("rollup_update",
+         lambda: t.update({"v": 0.75},
+                          where=(kref >= lo + 16_000)
+                          & (kref < lo + 16_008)))
+    # detach before the view cases so their timings stay comparable to
+    # earlier rounds (no rollup maintenance riding view_insert)
+    t._views.remove(holder["r"])
+    cat.drop_table("gk_roll")
+
     view = cat.create_view("big", t, predicate=vref >= 50_000.0,
                            extra_columns={"half": (vref * 0.5,
                                                    pxt.Float())})
     res["view_insert"] = _timed(lambda: t.insert(
-        [{"k": fresh + 50_000 + i, "v": 60_000.0, "s": "V"}
-         for i in range(1000)]))
+        [{"k": fresh + 50_000 + i, "v": 60_000.0, "s": "V",
+          "gk": (fresh + 50_000 + i) // 4096} for i in range(1000)]))
     res["view_update"] = _timed(
         lambda: t.update({"v": 70_000.0}, where=kref == fresh + 50_000))
 
@@ -172,11 +201,12 @@ def run_factor(spark, factor: int) -> dict[str, float]:
 
 
 OPS = ["bulk_load", "small_insert", "chain_insert", "point_update",
-       "range_update", "small_delete", "view_insert", "view_update",
+       "range_update", "small_delete", "rollup_build", "rollup_insert",
+       "rollup_update", "view_insert", "view_update",
        "timetravel_read", "add_column", "rename_column", "drop_column",
        "drop_readd", "optimize"]
 
-LINEAR_BY_DESIGN = {"bulk_load", "timetravel_read", "optimize"}
+LINEAR_BY_DESIGN = {"bulk_load", "rollup_build", "timetravel_read", "optimize"}
 METADATA_ONLY = {"add_column", "rename_column", "drop_column", "drop_readd"}
 
 
