@@ -54,6 +54,7 @@ from .globals_api import (
     create_dir,
     create_snapshot,
     create_table,
+    create_rollup,
     create_view,
     drop_dir,
     drop_table,
@@ -116,7 +117,7 @@ __all__ = [
     "RequestError", "ConcurrencyError", "ExternalServiceError",
     "AuthorizationError", "ServiceUnavailableError", "EngineWarning",
     "init", "home", "create_table", "get_table", "drop_table",
-    "list_tables", "create_view", "create_snapshot", "create_dir",
+    "list_tables", "create_view", "create_rollup", "create_snapshot", "create_dir",
     "drop_dir", "list_dirs", "get_dir_contents", "get_dir_tree", "ls",
     "move", "list_functions", "tool", "tools", "invoke_tools", "query",
     "mcp_udfs", "retrieval_udf", "expr_udf", "Tool", "array", "Required",

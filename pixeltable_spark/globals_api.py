@@ -84,6 +84,13 @@ def create_snapshot(name: str, base: Table) -> Snapshot:
     return _cat().create_snapshot(name, base)
 
 
+def create_rollup(name: str, base: Table, group_by, aggs, **kw: Any):
+    """Incrementally-maintained aggregate view (catalog
+    create_rollup): delta-affected groups only, any aggregate, MVCC
+    time travel."""
+    return _cat().create_rollup(name, base, group_by, aggs, **kw)
+
+
 def create_dir(path: str) -> None:
     _cat().create_dir(path)
 
