@@ -2809,6 +2809,13 @@ class Table:
                 refs += list(e.column_refs())
             if any(r.name == name for r in refs):
                 vdeps.append(v.name)
+            # rollups reference columns by NAME in their spec (group
+            # keys + aggregate inputs) — dropping/renaming one out
+            # from under them would silently break maintenance
+            if name in getattr(v, "group_cols", ()) or any(
+                    col == name
+                    for _fn, col in getattr(v, "aggs", {}).values()):
+                vdeps.append(v.name)
         if vdeps:
             raise ValueError(
                 f"column {name!r} is referenced by views {vdeps}")

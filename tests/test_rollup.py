@@ -129,3 +129,22 @@ class TestRollupMaintenance:
                           F.count(F.lit(1)).alias("n"),
                           F.sum("v").alias("s")).collect())
         assert got == want
+
+
+class TestRollupSchemaInterplay:
+    def test_drop_rename_of_referenced_columns_refuse(self, cat):
+        t, r = _mk(cat)
+        with pytest.raises(ValueError, match="referenced by views"):
+            t.drop_column("g")          # group key
+        with pytest.raises(ValueError, match="referenced by views"):
+            t.drop_column("v")          # aggregate input
+        with pytest.raises(ValueError, match="referenced by views"):
+            t.rename_column("g", "grp")
+
+    def test_base_revert_refreshes_rollup(self, cat):
+        t, r = _mk(cat)
+        before = _state(r)
+        t.insert([{"g": "x", "v": 1.0}])
+        assert _state(r) != before
+        t.revert()
+        assert _state(r) == _scratch(t) == before
