@@ -4295,6 +4295,9 @@ _ROLLUP_AGGS: dict[str, Callable] = {
     "max": lambda c: F.max(F.col(c)),
     "count_distinct": lambda c: F.countDistinct(F.col(c)),
     "stddev": lambda c: F.stddev(F.col(c)),
+    # exact median — the canonical "impossible to maintain by partial
+    # merge" aggregate; trivial under recompute-affected-groups
+    "median": lambda c: F.median(F.col(c)),
 }
 
 

@@ -148,3 +148,46 @@ class TestRollupSchemaInterplay:
         assert _state(r) != before
         t.revert()
         assert _state(r) == _scratch(t) == before
+
+
+class TestRollupExtras:
+    def test_median_agg(self, cat):
+        t = cat.create_table("tmed", {"g": pxt.String(True),
+                                      "v": pxt.Float(True)}, n_buckets=2)
+        t.insert([{"g": f"g{i % 2}", "v": float(i)} for i in range(21)])
+        r = cat.create_rollup("rmed", t, ["g"], {"md": ("median", "v")})
+        t.delete(t.ref().v >= 15.0)
+        got = {row["g"]: row["md"] for row in r.df().collect()}
+        want = {row["g"]: row["md"] for row in
+                t.df().groupBy("g").agg(F.median("v").alias("md"))
+                .collect()}
+        assert got == want
+
+    def test_streaming_ingest_maintains_rollup(self, cat, spark, tmp_path):
+        """Exactly-once streaming ingest (incremental_ingest) flows
+        through Table.insert, so attached rollups maintain per
+        micro-batch with no extra wiring."""
+        from pyspark.sql import types as T
+
+        from pixeltable_spark.streaming import (incremental_ingest,
+                                                stream_from_directory)
+        t = cat.create_table("ts", {"g": pxt.String(True),
+                                    "v": pxt.Float(True)}, n_buckets=2)
+        t.insert([{"g": "a", "v": 1.0}])
+        r = cat.create_rollup("rs", t, ["g"], {"n": ("count", None),
+                                               "s": ("sum", "v")})
+        landing = str(tmp_path / "landing")
+        schema = T.StructType([T.StructField("g", T.StringType()),
+                               T.StructField("v", T.DoubleType())])
+        for i, rows in enumerate([[("a", 2.0), ("b", 3.0)],
+                                  [("b", 4.0)]]):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(landing)
+        src = stream_from_directory(spark, landing, schema,
+                                    options={"maxFilesPerTrigger": "1"})
+        q = incremental_ingest(src, t,
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        got = sorted((row["g"], row["n"], row["s"])
+                     for row in r.df().collect())
+        assert got == [("a", 2, 3.0), ("b", 2, 7.0)]
