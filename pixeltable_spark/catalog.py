@@ -541,10 +541,14 @@ class Catalog:
         groups. ``aggs``: {out_name: (fn, col)} with fn one of
         count/sum/avg/min/max/count_distinct/stddev (col None for
         count)."""
+        if isinstance(base, Rollup):
+            raise Error("create_rollup: rollups over rollups are not "
+                        "supported — aggregate the base directly")
         if isinstance(base, View):
-            raise Error("create_rollup: rollups over views are not "
-                        "supported yet — roll up the base table")
-        cols = set(base.schema) | set(base.computed)
+            # views carry their column set in storage, not in .schema
+            cols = set(base.df().columns) - SYSTEM_COLS
+        else:
+            cols = set(base.schema) | set(base.computed)
         for g in group_by:
             if g not in cols:
                 raise NotFoundError(f"unknown group column {g!r}")
@@ -4399,11 +4403,19 @@ class Rollup(View):
     def _load_increment(self) -> None:
         """Insert propagation: the new base slice's group keys select
         the groups to recompute — O(delta) key discovery, stats-pruned
-        exactly like View._load_increment's born-rows read."""
+        exactly like View._load_increment's born-rows read. A VIEW
+        base versions its rows with the view-local interval."""
         bv = self.base.version
-        new_rows = self.base._store_df(
-            [(_VMIN, "==", bv), (_VMAX, ">", bv)]).filter(
-            (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+        if isinstance(self.base, View):
+            braw = self.base._read_current_raw([(_VVMIN, "==", bv),
+                                                (_VVMAX, ">", bv)])
+            new_rows = (braw.filter((F.col(_VVMIN) == bv)
+                                    & (F.col(_VVMAX) > bv))
+                        if braw is not None else self.base.df().limit(0))
+        else:
+            new_rows = self.base._store_df(
+                [(_VMIN, "==", bv), (_VMAX, ">", bv)]).filter(
+                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
         keys = new_rows.select(*self.group_cols).distinct()
         self._maintain(keys)
 
@@ -4412,14 +4424,26 @@ class Rollup(View):
         """Update/delete propagation: affected groups are the union of
         the rows' CURRENT group keys (live at bv — absent for deletes)
         and their PREVIOUS keys (live at bv−1 — catches rows that
-        moved between groups and rows that vanished)."""
+        moved between groups and rows that vanished). View bases read
+        both states through their own MVCC intervals; a base whose
+        version floor forbids the bv−1 read falls back to a full
+        refresh (correct, just not incremental)."""
         bv = self.base.version
-        now = self.base._store_df(
-            [(_VMIN, "<=", bv), (_VMAX, ">", bv)]).filter(
-            (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
-        prev = self.base._store_df(
-            [(_VMIN, "<=", bv - 1), (_VMAX, ">", bv - 1)]).filter(
-            (F.col(_VMIN) <= bv - 1) & (F.col(_VMAX) > bv - 1))
+        if isinstance(self.base, View):
+            try:
+                now = self.base.df()
+                prev = self.base.df(version=bv - 1)
+            except (NotFoundError, ValueError):
+                self._full_refresh()
+                self._propagate_refresh()
+                return
+        else:
+            now = self.base._store_df(
+                [(_VMIN, "<=", bv), (_VMAX, ">", bv)]).filter(
+                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+            prev = self.base._store_df(
+                [(_VMIN, "<=", bv - 1), (_VMAX, ">", bv - 1)]).filter(
+                (F.col(_VMIN) <= bv - 1) & (F.col(_VMAX) > bv - 1))
         keys = (now.join(affected_rowids, on=_ROWID, how="left_semi")
                 .select(*self.group_cols)
                 .unionByName(

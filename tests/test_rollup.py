@@ -106,12 +106,15 @@ class TestRollupMaintenance:
         with pytest.raises(NotFoundError, match="group column"):
             cat.create_rollup("x", t, ["nope"], {"n": ("count", None)})
         with pytest.raises(ValueError, match="unknown aggregate"):
-            cat.create_rollup("x", t, ["g"], {"n": ("median", "g")})
+            cat.create_rollup("x", t, ["g"], {"n": ("mode", "g")})
         with pytest.raises(NotFoundError, match="agg column"):
             cat.create_rollup("x", t, ["g"], {"n": ("sum", "zz")})
         v = cat.create_view("vv", t)
-        with pytest.raises(Error, match="rollups over views"):
-            cat.create_rollup("x", v, ["g"], {"n": ("count", None)})
+        r = cat.create_rollup("rv0", v, ["g"], {"n": ("count", None)})
+        with pytest.raises(Error, match="rollups over rollups"):
+            cat.create_rollup("x", r, ["g"], {"n": ("count", None)})
+        with pytest.raises(NotFoundError, match="group column"):
+            cat.create_rollup("x", v, ["zz"], {"n": ("count", None)})
 
     def test_multi_column_groups(self, cat):
         t = cat.create_table("tm", {"a": pxt.String(True),
@@ -191,3 +194,37 @@ class TestRollupExtras:
         got = sorted((row["g"], row["n"], row["s"])
                      for row in r.df().collect())
         assert got == [("a", 2, 3.0), ("b", 2, 7.0)]
+
+
+class TestRollupOverView:
+    def test_view_base_incremental(self, cat):
+        """Rollup over a PREDICATE VIEW: base mutations propagate
+        table -> view (row-wise incremental) -> rollup (group
+        incremental), and the rollup equals a from-scratch aggregation
+        of the view at every step."""
+        t = cat.create_table("tb", {"g": pxt.String(True),
+                                    "v": pxt.Float(True)}, n_buckets=2)
+        t.insert([{"g": f"g{i % 4}", "v": float(i)} for i in range(80)])
+        view = cat.create_view("big", t, predicate=t.ref().v >= 10.0)
+        r = cat.create_rollup("rv", view, ["g"],
+                              {"n": ("count", None), "s": ("sum", "v")})
+
+        def scratch():
+            return sorted((row["g"], row["n"], row["s"]) for row in
+                          view.df().groupBy("g").agg(
+                              F.count(F.lit(1)).alias("n"),
+                              F.sum("v").alias("s")).collect())
+
+        def state():
+            return sorted((row["g"], row["n"], row["s"])
+                          for row in r.df().collect())
+
+        assert state() == scratch()
+        t.insert([{"g": "g0", "v": 100.0}, {"g": "new", "v": 50.0},
+                  {"g": "tiny", "v": 1.0}])   # 'tiny' filtered out
+        assert state() == scratch()
+        # update that moves rows ACROSS the predicate boundary
+        t.update({"v": 5.0}, where=t.ref().g == "g1")
+        assert state() == scratch()
+        t.delete(t.ref().g == "g2")
+        assert state() == scratch()
