@@ -3865,6 +3865,56 @@ def q158_rollup_maintenance(spark, sf_dir):
             .orderBy("state", "seg"))
 
 
+def q159_component_rollup(spark, sf_dir):
+    """The FULL incremental chain under the hard gate: documents table
+    → token-chunk COMPONENT VIEW (DocumentSplitter iterator) →
+    AGGREGATE ROLLUP of chunks per document (catalog.py Rollup over a
+    View base — round 11). Mutations drive every propagation edge: an
+    UPDATE rewrites some documents' text (their chunk count changes),
+    a DELETE removes documents (their groups vanish), an INSERT adds
+    documents with synthesized token counts (new groups) — each commit
+    flows table → view (row-wise incremental) → rollup (delta-group
+    incremental). DuckDB replays the token chunking in closed form
+    (ceil(tokens/20)) over the replayed mutation history; the FINAL
+    rollup and the TIME-TRAVELED v1 rollup must both match."""
+    import tempfile
+
+    import pixeltable_spark as pxt
+    from pixeltable_spark.exprs import ColumnRef
+    from pixeltable_spark.iterators import DocumentSplitter
+
+    docs = (_df(spark, sf_dir, "documents")
+            .orderBy("doc_id").limit(150)
+            .where(F.length(F.trim(F.col("text"))) > 0))
+    wh = tempfile.mkdtemp(prefix="pxt_q159_")
+    cat = pxt.Catalog(spark, wh)
+    t = cat.create_table("d", {"doc_id": pxt.Int(False),
+                               "text": pxt.String(True)}, n_buckets=4)
+    t.insert(docs.select("doc_id", "text"))
+    chunks = cat.create_view("chunks", t, iterator=DocumentSplitter.create(
+        document="text", separators="token_limit", limit=20))
+    # component views key their rows by the BASE _rowid (+_pos), so
+    # the per-document rollup groups by _rowid and joins doc_id back
+    roll = cat.create_rollup("chunk_stats", chunks, ["_rowid"],
+                             {"n_chunks": ("count", None)},
+                             n_buckets=4)                          # r v1
+    const45 = " ".join(f"w{i}" for i in range(45))     # 45 tokens
+    t.update({"text": const45},
+             where=ColumnRef("doc_id", t.schema["doc_id"]) % 5 == 3)
+    t.delete(where=ColumnRef("doc_id", t.schema["doc_id"]) % 7 == 0)
+    t.insert([{"doc_id": 100_000 + i,
+               "text": " ".join(["tok"] * (i % 50 + 1))}
+              for i in range(40)])
+
+    def fmt(rdf, base_df, tag):
+        return (rdf.join(base_df.select("_rowid", "doc_id"), on="_rowid")
+                .select(F.lit(tag).alias("state"), "doc_id", "n_chunks"))
+
+    return (fmt(roll.df(), t.df(), "final")
+            .unionByName(fmt(roll.df(version=1), t.df(version=1), "v1"))
+            .orderBy("state", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4023,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_stream_approx_distinct": q156_stream_approx_distinct,
         "q157_count_min": q157_count_min,
         "q158_rollup_maintenance": q158_rollup_maintenance,
+        "q159_component_rollup": q159_component_rollup,
     }
 
 
@@ -6172,6 +6223,29 @@ SELECT bucket, count(*) AS n_docs,
        round(max(ppl), 4) AS max_ppl,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    # q159: table -> component view -> rollup chain — closed-form
+    # token chunking (ceil(n/20)) over the replayed mutation history
+    d["q159_component_rollup"] = r"""
+WITH src AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 150),
+nz AS (SELECT doc_id, text FROM src WHERE length(trim(text)) > 0),
+v1 AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n FROM nz),
+final_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 3 THEN 45
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM nz WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 100000 + i AS doc_id, i % 50 + 1 AS n FROM range(0, 40) t(i)),
+agg_final AS (
+  SELECT 'final' AS state, doc_id,
+         CAST(ceil(n / 20.0) AS BIGINT) AS n_chunks FROM final_docs),
+agg_v1 AS (
+  SELECT 'v1' AS state, doc_id,
+         CAST(ceil(n / 20.0) AS BIGINT) AS n_chunks FROM v1)
+SELECT * FROM agg_final UNION ALL SELECT * FROM agg_v1
+ORDER BY state, doc_id"""
     # q158: rollup maintenance — from-scratch aggregation of the
     # replayed mutation history, final state AND time travel to v1
     d["q158_rollup_maintenance"] = """

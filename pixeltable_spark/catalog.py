@@ -545,8 +545,12 @@ class Catalog:
             raise Error("create_rollup: rollups over rollups are not "
                         "supported — aggregate the base directly")
         if isinstance(base, View):
-            # views carry their column set in storage, not in .schema
+            # views carry their column set in storage, not in .schema;
+            # ``_rowid`` (alone) groups a COMPONENT view back to its
+            # base rows — the per-document chunk-stats shape
             cols = set(base.df().columns) - SYSTEM_COLS
+            if list(group_by) == ["_rowid"]:
+                cols |= {"_rowid"}
         else:
             cols = set(base.schema) | set(base.computed)
         for g in group_by:
@@ -4386,6 +4390,11 @@ class Rollup(View):
         return r
 
     def _group_rowid(self) -> Column:
+        if self.group_cols == [_ROWID]:
+            # per-base-row rollup (component-view aggregation): the
+            # group identity IS a rowid already — keep it, so the
+            # rollup's rows co-key with their base rows
+            return F.col(_ROWID)
         return F.xxhash64(
             *[F.col(g).cast("string") for g in self.group_cols]
         ).bitwiseAND(F.lit((1 << 62) - 1))
@@ -4397,6 +4406,8 @@ class Rollup(View):
         exprs = [_ROLLUP_AGGS[fn](col).alias(name)
                  for name, (fn, col) in self.aggs.items()]
         out = df.groupBy(*[F.col(g) for g in self.group_cols]).agg(*exprs)
+        if self.group_cols == [_ROWID]:
+            return out
         return out.withColumn(_ROWID, self._group_rowid())
 
     @_locked_mutation
