@@ -2268,8 +2268,9 @@ def q109_ranking_metrics(spark, sf_dir):
     ranked = bm25_topk(df, qs, k=10)
     vocab = sorted({t for _, s in qs for t in s.split()})
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, s in qs for t in s.split()],
+    from pixeltable_spark.localframe import local_df
+    qterms = local_df(
+        spark, [(qid, t) for qid, s in qs for t in s.split()],
         "query_id string, term string")
     present = (df.select(F.col("doc_id"), F.explode(toks).alias("term"))
                .filter(F.col("term").isin(vocab)).distinct()
@@ -3707,9 +3708,10 @@ def q154_ndv_sketch(spark, sf_dir):
     exact = t.df().agg(
         F.countDistinct("k").alias("k_exact"),
         F.countDistinct("cat").alias("cat_exact")).first()
-    return spark.createDataFrame(
-        [(int(k_est), int(exact["k_exact"]),
-          int(cat_est), int(exact["cat_exact"]))],
+    from pixeltable_spark.localframe import local_df
+    return local_df(
+        spark, [(int(k_est), int(exact["k_exact"]),
+                 int(cat_est), int(exact["cat_exact"]))],
         "k_est long, k_exact long, cat_est long, cat_exact long")
 
 
@@ -3809,8 +3811,8 @@ def q157_count_min(spark, sf_dir):
             .limit(10).collect())
     rows = [(r["tok"], int(cm_estimate(sk, r["tok"], "str")),
              int(r["cnt"])) for r in cand]
-    return (spark.createDataFrame(rows,
-                                  "tok string, est long, exact long")
+    from pixeltable_spark.localframe import local_df
+    return (local_df(spark, rows, "tok string, est long, exact long")
             .orderBy("tok"))
 
 

@@ -35,6 +35,7 @@ incremental loads are plain filtered scans.
 from __future__ import annotations
 
 import builtins
+import contextlib
 import functools
 import json
 import os
@@ -576,6 +577,45 @@ class Catalog:
         return r
 
 
+from .localframe import local_df as _local_df  # noqa: E402
+
+
+@contextlib.contextmanager
+def _mutation_shuffle_conf(spark):
+    """Let AQE coalesce a mutation's shuffles all the way down by BYTES
+    while the mutation runs. The session default keeps
+    `coalescePartitions.parallelismFirst=true` (Spark's default), which
+    refuses to coalesce below defaultParallelism — right for wide
+    compute-heavy query stages, wrong for commit-path jobs (constraint
+    probe, COW rewrite, rollup maintain) whose shuffles carry a few KB
+    and were measured scheduling 32 near-empty tasks per stage. Sizing
+    by bytes is the scale-adaptive behavior: a 100 GB rewrite still
+    gets its thousands of partitions, a 3-file commit gets 1.
+    Reentrant (nested view/rollup maintenance) via a depth counter."""
+    depth = getattr(_mutation_shuffle_conf, "_depth", 0)
+    _mutation_shuffle_conf._depth = depth + 1
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev = None
+    if depth == 0:
+        try:
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+        except Exception:  # noqa: BLE001 — conf is an optimization
+            prev = None
+    try:
+        yield
+    finally:
+        _mutation_shuffle_conf._depth = depth
+        if depth == 0:
+            try:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+            except Exception:  # noqa: BLE001
+                pass
+
+
 def _locked_mutation(fn):
     """Run a Table mutation inside the commit-store's mutation guard
     (see Table._write_lock): the posix backend serializes racing
@@ -591,7 +631,8 @@ def _locked_mutation(fn):
         attempt = 0
         while True:
             try:
-                with self._write_lock():
+                with self._write_lock(), \
+                        _mutation_shuffle_conf(self.catalog.spark):
                     return fn(self, *args, **kwargs)
             except ConcurrencyError:
                 if getattr(self, "_lock_depth", 0):
@@ -745,6 +786,17 @@ class Table:
             fields.append(T.StructField(
                 self.phys_map.get(alias, alias), dt, True))
         return T.StructType(fields)
+
+    def _reader_schema(self) -> Optional[T.StructType]:
+        """Explicit reader schema when knowable without touching files —
+        saves the footer-inference Spark job per read construction. Exact
+        for plain tables (manifest-derived); View overrides with a
+        per-version cache of the observed file schema (its store layout
+        is plan-derived, not declared)."""
+        return self._full_read_schema()
+
+    def _note_file_schema(self, schema: T.StructType) -> None:
+        """Hook for View's schema cache (no-op for plain tables)."""
 
     def _waist_rename(self, df: DataFrame) -> DataFrame:
         """The READ waist of column mapping: rename file columns to their
@@ -1808,14 +1860,14 @@ class Table:
         skipping; pruning everything still returns an empty-but-typed
         scan over one file so the schema survives."""
         spark = self.catalog.spark
-        # once a column has been retired (metadata-only drop), files
-        # written before and after the drop disagree on columns: read
-        # under the explicit full schema so pre-drop files keep their
-        # values and post-drop files surface NULLs. Tables with no
-        # retired columns read exactly as before.
-        reader = spark.read
-        if self.retired or self.phys_map or self._explicit_read_schema:
-            reader = reader.schema(self._full_read_schema())
+        # read under an explicit schema whenever it is knowable: footer
+        # inference burns one Spark job (~0.1 s) per read construction —
+        # measured ~30 such jobs across a mutation battery. Explicit
+        # schemas are also what lets retired/renamed columns read
+        # correctly (pre-drop files keep their values, post-drop files
+        # surface NULLs).
+        rs = self._reader_schema()
+        reader = spark.read.schema(rs) if rs is not None else spark.read
         if ranges:
             tr = self._translate_ranges(ranges)
             # segment-range pruning first: a selective scan replays only
@@ -1842,8 +1894,10 @@ class Table:
             files = self._current_files()
             if not files:
                 return None
-        return self._waist_rename(reader.parquet(
-            *[os.path.join(self.path, f) for f in files]))
+        out = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        if rs is None:
+            self._note_file_schema(out.schema)
+        return self._waist_rename(out)
 
     def _has_data(self) -> bool:
         return bool(self._current_files())
@@ -1957,13 +2011,13 @@ class Table:
             self._translate_ranges([(live_col, ">", floor), *ranges]))
         if not cand:
             return None, [], 0, set()
-        reader = spark.read
-        if self.retired or self.phys_map or self._explicit_read_schema:
-            # explicit full reader schema: a COW rewrite must carry
-            # retired columns (time travel) and renamed file columns
-            # through the waist, whatever mix of pre-/post-drop files
-            # the matched set holds
-            reader = reader.schema(self._full_read_schema())
+        # explicit reader schema when knowable: skips the
+        # footer-inference Spark job per read, and a COW rewrite must
+        # carry retired columns (time travel) and renamed file columns
+        # through the waist, whatever mix of pre-/post-drop files the
+        # matched set holds
+        rs = self._reader_schema()
+        reader = spark.read.schema(rs) if rs is not None else spark.read
         probe = prepare(self._waist_rename(
             reader.parquet(*[os.path.join(self.path, f) for f in cand])
             .withColumn("__file", F.col("_metadata.file_path"))))
@@ -2917,12 +2971,16 @@ class Table:
             # reference catalog/local_table.py:669
             raise ValueError(
                 f"cannot alter the type of primary key column {name!r}")
+        # capture the store read BEFORE the schema flips: the files
+        # still hold the OLD physical type, and the explicit reader
+        # schema (built from self.schema) must describe what is on disk
+        store = self._store_df() if self._has_data() else None
         self.schema[name] = col_type
         self.version += 1
         self._log("alter_column", column=name, new_type=col_type.kind.name)
         self._snapshot_schema()
-        if self._has_data():
-            store = self._store_df().withColumn(
+        if store is not None:
+            store = store.withColumn(
                 name, F.col(name).cast(col_type.spark_type()))
             self._pending_version = self.version
             self._pending_schema_stamp = self._schema_stamp()
@@ -3151,7 +3209,7 @@ class Table:
                     if not ct.nullable and r.get(c) is None:
                         raise ValueError(
                             f"missing required column {c!r} in row {i}")
-            src = spark.createDataFrame(rows, schema_to_struct(self.schema))
+            src = _local_df(spark, rows, schema_to_struct(self.schema))
         missing = [c for c in self.schema if c not in src.columns]
         for c in missing:
             if not self.schema[c].nullable:
@@ -3206,10 +3264,12 @@ class Table:
         self.next_rowid += n
         self._log("insert", rows=n)
         self._save_meta()
-        self._propagate_insert()
+        self._propagate_insert(new_files)
         out_rows = None
         if return_rows and new_files:
-            nf = self._waist_rename(spark.read.parquet(
+            _rs = self._reader_schema()
+            _rd = spark.read.schema(_rs) if _rs is not None else spark.read
+            nf = self._waist_rename(_rd.parquet(
                 *[os.path.join(self.path, f) for f in new_files]))
             keep = [c for c in self.column_names() if c in nf.columns]
             out_rows = [r.asDict(recursive=True)
@@ -3359,7 +3419,10 @@ class Table:
         if return_rows:
             out_rows = []
             if new_files:
-                nf = self._waist_rename(self.catalog.spark.read.parquet(
+                _rs = self._reader_schema()
+                _rd = (self.catalog.spark.read.schema(_rs)
+                       if _rs is not None else self.catalog.spark.read)
+                nf = self._waist_rename(_rd.parquet(
                     *[os.path.join(self.path, f) for f in new_files]
                 )).filter(F.col(_VMIN) == new_version)
                 keep = [c for c in self.column_names() if c in nf.columns]
@@ -3442,7 +3505,7 @@ class Table:
             for row in rows
         ]
         spark = self.catalog.spark
-        upd_df = spark.createDataFrame(data, T.StructType(fields))
+        upd_df = _local_df(spark, data, T.StructType(fields))
 
         new_version = self.version + 1
         live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
@@ -3491,9 +3554,9 @@ class Table:
                         raise ValueError(
                             f"batch_update(if_not_exists='insert'): missing "
                             f"required column {c!r} in unmatched row {i}")
-            src = spark.createDataFrame(
-                [tuple(row.get(c) for c in self.schema) for row in inserts],
-                schema_to_struct(self.schema))
+            src = _local_df(
+                spark, [tuple(row.get(c) for c in self.schema)
+                        for row in inserts], schema_to_struct(self.schema))
             ins_df, n_new = self._assign_rowids(src, self.next_rowid)
             ins_df = (ins_df.withColumn(_VMIN, F.lit(new_version))
                       .withColumn(_VMAX, F.lit(MAXV)))
@@ -3538,8 +3601,8 @@ class Table:
                 + [_key(row) for row in inserts]
             out_rows = []
             if affected:
-                kdf = spark.createDataFrame(
-                    affected, T.StructType(
+                kdf = _local_df(
+                    spark, affected, T.StructType(
                         [T.StructField(pk, self.schema[pk].spark_type(),
                                        False) for pk in self.primary_key]))
                 out_rows = [r.asDict(recursive=True) for r in
@@ -3897,9 +3960,26 @@ class Table:
         return [r.asDict(recursive=True) for r in df.collect()]
 
     # -- view propagation --------------------------------------------------
-    def _propagate_insert(self) -> None:
+    def _propagate_insert(self,
+                          delta_files: Optional[Sequence[str]] = None
+                          ) -> None:
+        """Insert propagation. With `delta_files` (the commit's newly
+        written files) dependents receive the born rows as an explicit
+        O(delta) scan instead of re-deriving them through a stats-pruned
+        read of the whole store — one less probe job per dependent."""
+        if not self._views:
+            return
+        src = None
+        if delta_files:
+            rs = self._reader_schema()
+            rd = (self.catalog.spark.read.schema(rs) if rs is not None
+                  else self.catalog.spark.read)
+            raw = self._waist_rename(rd.parquet(
+                *[os.path.join(self.path, f) for f in delta_files]))
+            vcol = _VVMIN if isinstance(self, View) else _VMIN
+            src = raw.filter(F.col(vcol) == self.version)
         for v in self._views:
-            v._load_increment()
+            v._load_increment(delta_src=src)
 
     def _propagate_refresh(self) -> None:
         for v in self._views:
@@ -3921,15 +4001,17 @@ class Table:
         if delta_files is None:
             src = self._store_df()
         elif delta_files:
-            src = self._waist_rename(self.catalog.spark.read.parquet(
+            _rs = self._reader_schema()
+            _rd = (self.catalog.spark.read.schema(_rs)
+                   if _rs is not None else self.catalog.spark.read)
+            src = self._waist_rename(_rd.parquet(
                 *[os.path.join(self.path, f) for f in delta_files]))
         else:  # no data changed at this version: nothing to propagate,
             src = self._store_df().limit(0)  # but views still bump
-        affected = (src
-                    .filter((F.col(_VMIN) == v) | (F.col(_VMAX) == v))
-                    .select(_ROWID).distinct())
+        changed = src.filter((F.col(_VMIN) == v) | (F.col(_VMAX) == v))
+        affected = changed.select(_ROWID).distinct()
         for view in self._views:
-            view._apply_base_update(affected)
+            view._apply_base_update(affected, delta_src=changed)
 
 
 class View(Table):
@@ -3952,6 +4034,33 @@ class View(Table):
         # earliest view version still reconstructible (a full refresh
         # rewrites storage and truncates history below it)
         self._version_floor = 0
+        # (version, StructType) — see _reader_schema
+        self._file_schema_cache: Optional[tuple] = None
+
+    def _reader_schema(self) -> Optional[T.StructType]:
+        """A view's store layout is plan-derived (base cols + extras +
+        _pos levels + _vv intervals), not declared, so it cannot be
+        reconstructed from the manifest like a table's. Instead the
+        schema observed by the first (inference) read of each view
+        version is cached and reused: within one maintenance cycle the
+        view store is read several times, and only the first pays the
+        footer-inference job. Any commit bumps `version`, invalidating
+        the cache."""
+        c = self._file_schema_cache
+        if c is not None and c[0] == self.version:
+            return c[1]
+        return None
+
+    def _note_file_schema(self, schema: T.StructType) -> None:
+        self._file_schema_cache = (self.version, schema)
+
+    def _carry_schema_cache(self) -> None:
+        """Re-key the cached file schema to the CURRENT version — called
+        only by the propagation paths, which never change the store
+        layout (they write the same plan output schema)."""
+        if self._file_schema_cache is not None:
+            self._file_schema_cache = (self.version,
+                                       self._file_schema_cache[1])
 
     @classmethod
     def _create(cls, catalog: Catalog, name: str, path: str, base: Table,
@@ -4107,16 +4216,23 @@ class View(Table):
             self._save_view_meta()
 
     @_locked_mutation
-    def _load_increment(self) -> None:
+    def _load_increment(self,
+                        delta_src: Optional[DataFrame] = None) -> None:
         """Incremental maintenance: only base rows created at the current
         base version flow through the view plan. A VIEW base versions its
-        rows with the view-local interval (_vv_min), not the table one."""
+        rows with the view-local interval (_vv_min), not the table one.
+        `delta_src` (the base commit's newly-written rows, passed by the
+        base's propagation) short-circuits the stats-pruned re-read."""
         vcol = _VVMIN if isinstance(self.base, View) else _VMIN
         bv = self.base.version
+        if delta_src is not None:
+            new_rows = delta_src
+            if _BKT in new_rows.columns:
+                new_rows = new_rows.drop(_BKT)
         # manifest-stats pruning: rows born at bv can only live in files
         # whose vcol range admits bv — the base's latest commit delta,
         # not the whole base table
-        if isinstance(self.base, View):
+        elif isinstance(self.base, View):
             braw = self.base._read_current_raw([(vcol, "==", bv),
                                                 (_VVMAX, ">", bv)])
             if braw is not None and _BKT in braw.columns:
@@ -4135,19 +4251,25 @@ class View(Table):
         out = out.withColumn(_VVMIN, F.lit(new_v)).withColumn(_VVMAX, F.lit(MAXV))
         # layout-aware append (partitioned by _bkt unless legacy flat dir)
         self._pending_version = new_v
-        self._append(out)
+        my_new_files = self._append(out)
         self._loaded_base_version = self.base.version
         self.version += 1
+        self._carry_schema_cache()
         self._save_view_meta()
-        self._propagate_insert()
+        self._propagate_insert(my_new_files)
 
     @_locked_mutation
-    def _apply_base_update(self, affected_rowids: DataFrame) -> None:
+    def _apply_base_update(self, affected_rowids: DataFrame,
+                           delta_src: Optional[DataFrame] = None) -> None:
         """Incremental update/delete propagation: expire live view rows for
         the affected base ``_rowid``s, re-run the view plan over ONLY those
         base rows (as they now stand), append the results — unaffected rows
         are never rescanned by the plan (reference plan.py:717-760
-        create_view_update_plan)."""
+        create_view_update_plan). `delta_src` (the immediate base's
+        newly-written rows) is unused here — row-wise views key on
+        `affected_rowids` — but the signature matches Rollup's, and this
+        view passes its OWN delta on to children so aggregate dependents
+        read group keys O(delta)."""
         raw = self._read_current_raw()
         if raw is None or _VVMIN not in raw.columns:
             # legacy pre-versioning storage: no interval columns to expire —
@@ -4194,21 +4316,43 @@ class View(Table):
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
         self._pending_version = new_v
+        my_new_files: list[str] = []
         if sub is not None:
             expired = self._with_bkt(sub.withColumn(
                 _VVMAX, F.when(F.col("__m"), F.lit(new_v))
                          .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
-            self._replace_files(
+            my_new_files = self._replace_files(
                 expired.unionByName(self._with_bkt(out)), matched_files)
         elif has_affected:
             # no existing view rows to expire, but affected base rows may
             # newly satisfy the view predicate: pure append
-            self._append(out)
+            my_new_files = self._append(out)
         self._loaded_base_version = self.base.version
         self.version = new_v
+        self._carry_schema_cache()
         self._save_view_meta()
-        for child in self._views:
-            child._apply_base_update(affected_rowids)
+        if self._views:
+            my_delta = self._delta_scan(my_new_files)
+            for child in self._views:
+                child._apply_base_update(affected_rowids,
+                                         delta_src=my_delta)
+
+    def _delta_scan(self, new_files: Sequence[str]
+                    ) -> Optional[DataFrame]:
+        """Rows changed by this view's LATEST commit (born or expired at
+        `self.version`), read from exactly the commit's new files — the
+        only place such rows can live. O(delta) at any view size; feeds
+        aggregate dependents' group-key discovery."""
+        v = self.version
+        if not new_files:
+            raw = self._read_current_raw()
+            return None if raw is None else raw.limit(0)
+        rs = self._reader_schema()
+        rd = (self.catalog.spark.read.schema(rs) if rs is not None
+              else self.catalog.spark.read)
+        raw = self._waist_rename(rd.parquet(
+            *[os.path.join(self.path, f) for f in new_files]))
+        return raw.filter((F.col(_VVMIN) == v) | (F.col(_VVMAX) == v))
 
     def _component_identity_cols(self) -> list[str]:
         """Base identity + one ordinal per iterator level along the view
@@ -4411,13 +4555,19 @@ class Rollup(View):
         return out.withColumn(_ROWID, self._group_rowid())
 
     @_locked_mutation
-    def _load_increment(self) -> None:
+    def _load_increment(self,
+                        delta_src: Optional[DataFrame] = None) -> None:
         """Insert propagation: the new base slice's group keys select
-        the groups to recompute — O(delta) key discovery, stats-pruned
-        exactly like View._load_increment's born-rows read. A VIEW
-        base versions its rows with the view-local interval."""
+        the groups to recompute — O(delta) key discovery. `delta_src`
+        (the base commit's born rows, passed by the base) makes that
+        literal: one scan of the commit's new files. Without it, the
+        born rows re-derive through a stats-pruned read of the base
+        store. A VIEW base versions its rows with the view-local
+        interval."""
         bv = self.base.version
-        if isinstance(self.base, View):
+        if delta_src is not None:
+            new_rows = delta_src
+        elif isinstance(self.base, View):
             braw = self.base._read_current_raw([(_VVMIN, "==", bv),
                                                 (_VVMAX, ">", bv)])
             new_rows = (braw.filter((F.col(_VVMIN) == bv)
@@ -4431,15 +4581,24 @@ class Rollup(View):
         self._maintain(keys)
 
     @_locked_mutation
-    def _apply_base_update(self, affected_rowids: DataFrame) -> None:
+    def _apply_base_update(self, affected_rowids: DataFrame,
+                           delta_src: Optional[DataFrame] = None) -> None:
         """Update/delete propagation: affected groups are the union of
-        the rows' CURRENT group keys (live at bv — absent for deletes)
-        and their PREVIOUS keys (live at bv−1 — catches rows that
-        moved between groups and rows that vanished). View bases read
-        both states through their own MVCC intervals; a base whose
-        version floor forbids the bv−1 read falls back to a full
-        refresh (correct, just not incremental)."""
+        the changed rows' PRE-mutation keys (rows expired at bv — their
+        old column values ride the expired row-versions) and POST-
+        mutation keys (rows born at bv). With `delta_src` (the base
+        commit's newly-written rows — the only place rows born or
+        expired at bv can live) both key sets come from ONE O(delta)
+        scan: no semi-joins against the full base, no bv−1 read.
+        Without it, fall back to the two-sided semi-join (now ∪ prev
+        against the affected rowids). A view base whose version floor
+        forbids the bv−1 read falls back to a full refresh (correct,
+        just not incremental)."""
         bv = self.base.version
+        if delta_src is not None:
+            keys = delta_src.select(*self.group_cols).distinct()
+            self._maintain(keys)
+            return
         if isinstance(self.base, View):
             try:
                 now = self.base.df()
@@ -4489,8 +4648,8 @@ class Rollup(View):
         ranges: list[tuple] = []
         base_ranges: list[tuple] = []
         if few and key_rows:
-            keys_df = self.catalog.spark.createDataFrame(
-                key_rows, keys_df.schema)
+            keys_df = _local_df(self.catalog.spark,
+                                key_rows, keys_df.schema)
             for g in self.group_cols:
                 vals = [r[g] for r in key_rows]
                 ranges.append((g, "in", vals))
@@ -4537,6 +4696,7 @@ class Rollup(View):
             self._append(out)
         self._loaded_base_version = self.base.version
         self.version = new_v
+        self._carry_schema_cache()
         self._save_view_meta()
         # dependents keyed by this rollup's group-hash rowids
         if self._views:

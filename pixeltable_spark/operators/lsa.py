@@ -124,10 +124,11 @@ def lsa_train(df: DataFrame, text_col: str = "text", dim: int = 32,
 
     # map words to vocab ids with a broadcast join (drops OOV), count
     spark = df.sparkSession
-    va = spark.createDataFrame(
-        [(w, i) for w, i in vocab.items()], ["wa", "ia"])
-    vb = spark.createDataFrame(
-        [(w, i) for w, i in vocab.items()], ["wb", "ib"])
+    from ..localframe import local_df
+    va = local_df(spark, [(w, i) for w, i in vocab.items()],
+                  "wa string, ia int")
+    vb = local_df(spark, [(w, i) for w, i in vocab.items()],
+                  "wb string, ib int")
     counts = (allp
               .join(F.broadcast(va), allp["a"] == va["wa"])
               .join(F.broadcast(vb), allp["b"] == vb["wb"])

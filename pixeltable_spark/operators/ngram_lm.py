@@ -126,7 +126,9 @@ def train_kn_bigram(train_df: DataFrame, text_col: str = "text",
                   .agg(F.sum("c").alias("c"))
                   .orderBy(F.col("c").desc(), F.col("tok"))
                   .limit(int(vocab_size)).select("tok").collect())
-    vocab = spark.createDataFrame(vocab_rows, "tok string") \
+    from ..localframe import local_df
+    vocab = local_df(spark, vocab_rows, "tok string",
+                     literal_threshold=2048) \
         if vocab_rows else spark.createDataFrame([], "tok string")
     # <unk>-mapped bigram counts: re-aggregate the COUNTS table under
     # the mapping — O(raw bigram types), zero corpus work
@@ -142,7 +144,7 @@ def train_kn_bigram(train_df: DataFrame, text_col: str = "text",
     pcont_counts = (bigrams.groupBy("w2")
                     .agg(F.count(F.lit(1)).alias("n1")))
     pcont = (vocab.select(F.col("tok").alias("w2"))
-             .unionByName(spark.createDataFrame([(UNK,)], "w2 string"))
+             .unionByName(local_df(spark, [(UNK,)], "w2 string"))
              .join(F.broadcast(pcont_counts), "w2", "left")
              .select("w2",
                      ((F.coalesce(F.col("n1"), F.lit(0)) + F.lit(1))

@@ -64,8 +64,9 @@ def bm25_topk(df: DataFrame, queries: Sequence[Tuple[str, str]],
     vocab = sorted({t for (_, t) in qterms})
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(qid, t, n) for (qid, t), n in sorted(qterms.items())],
+    from ..localframe import local_df
+    qdf = local_df(
+        spark, [(qid, t, n) for (qid, t), n in sorted(qterms.items())],
         "query_id string, term string, qtf int")
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

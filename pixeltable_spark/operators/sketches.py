@@ -123,9 +123,10 @@ def corpus_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
     ov = kmv_overlap(a, b, k)
     row = (kmv_ndv(a, k), kmv_ndv(b, k), ov["union_ndv"],
            ov["intersection_ndv"], ov["jaccard"])
-    return spark.createDataFrame(
-        [row], "ndv_a double, ndv_b double, union_ndv double, "
-               "intersection_ndv double, jaccard double")
+    from ..localframe import local_df
+    return local_df(
+        spark, [row], "ndv_a double, ndv_b double, union_ndv double, "
+                      "intersection_ndv double, jaccard double")
 
 
 # ---------------------------------------------------------------------------

@@ -248,8 +248,14 @@ def heartbeat_replay_dir(spark: SparkSession, source_files: list,
     for i, f in enumerate(source_files):
         shutil.copy(f, os.path.join(out, f"a{i:04d}_{os.path.basename(f)}"))
     hb_tmp = os.path.join(out, ".hb-" + _uuid.uuid4().hex[:8])
-    spark.createDataFrame(heartbeat_rows, schema) \
-        .coalesce(1).write.parquet(hb_tmp)
+    # literal JVM frame (localframe.local_df): createDataFrame+coalesce
+    # of a 2-row list paid 32 SERIAL Python-worker round-trips (~5 s)
+    # for what is one tiny parquet write
+    from ..localframe import local_df
+    hb_df = local_df(spark, heartbeat_rows, schema)
+    if hb_df.rdd.getNumPartitions() > 1:   # stock fallback path only
+        hb_df = hb_df.coalesce(1)
+    hb_df.write.parquet(hb_tmp)
     part = next(p for p in sorted(os.listdir(hb_tmp))
                 if p.endswith(".parquet"))
     import time as _time
