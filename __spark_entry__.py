@@ -35,6 +35,15 @@ from pixeltable_spark.operators import dedup, multimodal, similarity, text as te
 R = Function("round_half_up", pxt.Float(), spark_fn=lambda x, digits=0: F.round(x, digits))
 
 
+def _rp(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet through the registry's single-file schema
+    cache: skips the per-construction footer-inference job for the
+    immutable testdata files (metadata caching only — data is always
+    scanned fresh)."""
+    from pixeltable_spark.sources.registry import _parquet_df
+    return _parquet_df(spark, path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str):
     return pxt.table_from_parquet(spark, f"{sf_dir}/{name}.parquet", name)
 
@@ -700,7 +709,7 @@ def q49_stream_windowed(spark, sf_dir):
     # the testdata's ts physical type differs by generator version:
     # TIMESTAMP(NANOS) (long under the legacy conf) vs TIMESTAMP_NTZ
     # (micros) — probe the static footer once to pick the stream schema
-    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_type = _rp(spark, f"{sf_dir}/events.parquet").schema["ts"].dataType
     read_schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", ts_type),
@@ -921,7 +930,7 @@ def q60_stream_dedup(spark, sf_dir):
     from pyspark.sql import types as T
 
     from pixeltable_spark import streaming
-    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_type = _rp(spark, f"{sf_dir}/events.parquet").schema["ts"].dataType
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", ts_type),
@@ -2353,7 +2362,7 @@ def q114_funnel_stream(spark, sf_dir):
 
     from pixeltable_spark import streaming
     steps = ["view", "click", "purchase"]
-    ts_type = spark.read.parquet(
+    ts_type = _rp(spark, 
         f"{sf_dir}/events.parquet").schema["ts"].dataType
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -2681,7 +2690,7 @@ def q132_curation_stream(spark, sf_dir):
     from pyspark.sql import types as T
 
     from pixeltable_spark.streaming import curation_stream
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _rp(spark, f"{sf_dir}/documents.parquet").schema
     raw = (spark.readStream.format("parquet").schema(schema)
            .option("pathGlobFilter", "documents.parquet").load(sf_dir))
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2712,7 +2721,7 @@ def q133_mvcc_mutations(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark.exprs import ColumnRef
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _rp(spark, f"{sf_dir}/customer.parquet")
     wh = tempfile.mkdtemp(prefix="pxt_q133_")
     cat = pxt.Catalog(spark, wh)
     # n_buckets=4: the update/delete predicates are not rowid-aligned so
@@ -2751,7 +2760,7 @@ def q134_view_propagation(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark.exprs import ColumnRef
 
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ords = _rp(spark, f"{sf_dir}/orders.parquet")
     src = ords.select(F.col("o_orderkey").cast("int").alias("k"),
                       F.col("o_totalprice").cast("double").alias("p"),
                       F.col("o_orderstatus").alias("st"))
@@ -2786,7 +2795,7 @@ def q135_schema_evolution(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark.exprs import ColumnRef
 
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat = _rp(spark, f"{sf_dir}/nation.parquet")
     src = nat.select(F.col("n_nationkey").cast("int").alias("nk"),
                      F.col("n_name").alias("name"),
                      F.col("n_regionkey").cast("int").alias("rk"))
@@ -3032,7 +3041,7 @@ def q139_index_maintenance(spark, sf_dir):
     from pixeltable_spark.index import EmbeddingIndex
     from pixeltable_spark.type_system import ArrayType
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("int").alias("vid"),
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
@@ -3066,7 +3075,7 @@ def q140_sessionize_stream(spark, sf_dir):
     from pyspark.sql import types as T
 
     from pixeltable_spark import streaming
-    ts_type = spark.read.parquet(
+    ts_type = _rp(spark, 
         f"{sf_dir}/events.parquet").schema["ts"].dataType
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -3244,7 +3253,7 @@ def q144_similarity_expr(spark, sf_dir):
     from pixeltable_spark import functions as pxtf
     from pixeltable_spark.type_system import ArrayType
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("int").alias("vid"),
         F.transform("embedding", lambda x: x.cast("double"))
         .alias("embedding"))
@@ -3281,7 +3290,7 @@ def q145_schema_time_travel(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark.exprs import ColumnRef
 
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat = _rp(spark, f"{sf_dir}/nation.parquet")
     src = nat.select(F.col("n_nationkey").cast("int").alias("nk"),
                      F.col("n_name").alias("name"),
                      F.col("n_regionkey").cast("int").alias("rk"))
@@ -3325,7 +3334,7 @@ def q146_serialized_query(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark import functions as pxtf
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _rp(spark, f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").cast("long").alias("ok"),
         F.col("o_orderpriority").alias("prio"),
         F.col("o_totalprice").cast("double").alias("price"))
@@ -3363,7 +3372,7 @@ def q147_stream_stream_join(spark, sf_dir):
 
     from pixeltable_spark.streaming import stream_stream_join
 
-    ts_type = spark.read.parquet(
+    ts_type = _rp(spark, 
         f"{sf_dir}/events.parquet").schema["ts"].dataType
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -3536,8 +3545,8 @@ def q150_stream_leftouter_join(spark, sf_dir):
                                             stream_stream_join)
 
     src_file = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(src_file).schema
-    b = spark.read.parquet(src_file)
+    raw_schema = _rp(spark, src_file).schema
+    b = _rp(spark, src_file)
     maxts = b.agg(F.max("ts")).first()[0]
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         hb_ts = int(maxts) + (3600 + 1800 + 60) * 1_000_000
@@ -3754,7 +3763,7 @@ def q156_stream_approx_distinct(spark, sf_dir):
     from pyspark.sql import types as T
 
     from pixeltable_spark.streaming import approx_distinct_stream
-    ts_type = spark.read.parquet(
+    ts_type = _rp(spark, 
         f"{sf_dir}/events.parquet").schema["ts"].dataType
     schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -3835,7 +3844,7 @@ def q158_rollup_maintenance(spark, sf_dir):
     import pixeltable_spark as pxt
     from pixeltable_spark.exprs import ColumnRef
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _rp(spark, f"{sf_dir}/customer.parquet")
     wh = tempfile.mkdtemp(prefix="pxt_q158_")
     cat = pxt.Catalog(spark, wh)
     t = cat.create_table("c", {"k": pxt.Int(False), "seg": pxt.String(True),

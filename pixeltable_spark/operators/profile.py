@@ -52,51 +52,81 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
         spark = df.sparkSession
         return spark.createDataFrame(
             [], "col_name string, stat string, value double")
+    tags = [f"p{int(round(p * 100)):02d}" for p in percentiles]
+    pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    if exact:
+        # MELT + groupBy(col_name): the exact `percentile` aggregate
+        # buffers every value and sorts them in its FINAL merge, so a
+        # single wide df.agg() funnels ALL profiled columns' buffers
+        # through ONE reducer task (measured 2.4 s of a 4.2 s profile at
+        # 600k rows x 4 cols). Melting to (col_name, value) rows and
+        # grouping by col_name gives each column its own reducer — the
+        # same sorts run in parallel. Exact mode is inherently
+        # value-buffering (the 100 TB path is exact=False), so the melt
+        # shuffle of n_rows x n_cols doubles is not the scale concern.
+        # Exact distincts keep their OWN global aggregate over the
+        # native column types: count_distinct on the double-cast melt
+        # would collapse int64 keys beyond 2^53.
+        melted = df.select(F.inline(F.array(*[
+            F.struct(F.lit(c).alias("col_name"),
+                     F.col(c).cast("double").alias("value"))
+            for c in cols])))
+        g = melted.groupBy("col_name").agg(
+            F.count("value").cast("double").alias("n"),
+            F.count(F.when(F.col("value").isNull(), 1))
+            .cast("double").alias("n_null"),
+            F.min("value").cast("double").alias("min"),
+            F.max("value").cast("double").alias("max"),
+            F.avg("value").cast("double").alias("mean"),
+            F.percentile(F.col("value"), pcts).alias("__pcts"))
+        dist = df.agg(*[F.count_distinct(F.col(c)).cast("double")
+                        .alias(f"__d{i}") for i, c in enumerate(cols)])
+        dist_long = dist.select(F.inline(F.array(*[
+            F.struct(F.lit(c).alias("col_name"),
+                     F.col(f"__d{i}").alias("n_distinct"))
+            for i, c in enumerate(cols)])))
+        # dist_long (a global agg) yields one row per column even over an
+        # EMPTY table; driving the join from it preserves the old
+        # contract that an empty input still profiles as n=0 rows
+        g = (dist_long.join(g, "col_name", "left")
+             .withColumn("n", F.coalesce(F.col("n"), F.lit(0.0)))
+             .withColumn("n_null", F.coalesce(F.col("n_null"),
+                                              F.lit(0.0))))
+        pairs = F.array(
+            *[F.struct(F.col("col_name"), F.lit(s).alias("stat"),
+                       F.col(s).alias("value"))
+              for s in ("n", "n_null", "n_distinct", "min", "max",
+                        "mean")],
+            *[F.struct(F.col("col_name"), F.lit(t).alias("stat"),
+                       F.element_at(F.col("__pcts"), i + 1)
+                       .cast("double").alias("value"))
+              for i, t in enumerate(tags)])
+        return (g.select(F.explode(pairs).alias("ps"))
+                .select("ps.col_name", "ps.stat", "ps.value"))
     aggs = []
-    dist_aggs = []
     # (col, stat, alias): positional alias, immune to '__' in column names
     stats: list[tuple[str, str, str]] = []
 
-    def add(col: str, stat: str, expr, bucket=None) -> None:
+    def add(col: str, stat: str, expr) -> None:
         alias = f"__prof_{len(stats)}"
-        (aggs if bucket is None else bucket).append(
-            expr.cast("double").alias(alias))
+        aggs.append(expr.cast("double").alias(alias))
         stats.append((col, stat, alias))
 
     for c in cols:
         x = F.col(c)
         add(c, "n", F.count(x))
         add(c, "n_null", F.count(F.when(x.isNull(), 1)))
-        if exact:
-            # exact distincts go in their OWN aggregate: multiple
-            # count_distinct columns plan through an Expand (input x
-            # (n_cols+1)), and running the percentiles' imperative value
-            # buffers over that expanded stream is catastrophically slower
-            # than the two aggregates' scans combined (measured 72 s vs
-            # 6 s at 600k rows x 4 cols)
-            add(c, "n_distinct", F.count_distinct(x), dist_aggs)
-        else:
-            add(c, "n_distinct", F.approx_count_distinct(x))
+        add(c, "n_distinct", F.approx_count_distinct(x))
         add(c, "min", F.min(x))
         add(c, "max", F.max(x))
         add(c, "mean", F.avg(x))
         # ONE percentile aggregate per column (array of percentages =
         # one shared value buffer), then unpack — q percentiles as
         # separate aggregates would build q copies of the value buffer
-        tags = [f"p{int(round(p * 100)):02d}" for p in percentiles]
-        pcts = F.array(*[F.lit(float(p)) for p in percentiles])
-        fn = F.percentile if exact else (
-            lambda x_, ps: F.percentile_approx(x_, ps, F.lit(accuracy)))
-        arr = fn(x, pcts)
+        arr = F.percentile_approx(x, pcts, F.lit(accuracy))
         for i, tag in enumerate(tags):
             add(c, tag, F.element_at(arr, i + 1))
     wide = df.agg(*aggs)
-    if dist_aggs:
-        # both sides are single-row aggregates — the cross join is a
-        # broadcast of one row; exact mode costs a second scan, which is
-        # why the sketch mode (exact=False, single pass) is the 100 TB
-        # default path
-        wide = wide.crossJoin(df.agg(*dist_aggs))
     pairs = F.array(*[
         F.struct(F.lit(c).alias("col_name"), F.lit(s).alias("stat"),
                  F.col(a).alias("value"))

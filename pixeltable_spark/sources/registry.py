@@ -38,6 +38,33 @@ TESTDATA_JSON_COLS: dict[str, list[str]] = {"events": ["props"]}
 # and get cast to microsecond timestamps here — a pure JVM-side projection.
 TESTDATA_NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
+# (path) -> ((mtime_ns, size), StructType): schema cache for SINGLE-FILE
+# parquet sources. Constructing a reader without an explicit schema runs
+# a footer-inference Spark job every time; a session that builds many
+# plans over the same immutable file (the bench runs ~600 such reads)
+# pays ~0.05-0.15 s each for a schema that never changes. Metadata
+# caching only — the data itself is always scanned fresh; the
+# (mtime, size) key invalidates on any rewrite. Directories are never
+# cached (entry mtimes don't propagate reliably).
+_PARQUET_SCHEMA_CACHE: dict[str, tuple] = {}
+
+
+def _parquet_df(spark: SparkSession, path: str) -> DataFrame:
+    import os
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            raise OSError
+        key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    ent = _PARQUET_SCHEMA_CACHE.get(path)
+    if ent is not None and ent[0] == key:
+        return spark.read.schema(ent[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _PARQUET_SCHEMA_CACHE[path] = (key, df.schema)
+    return df
+
 
 def table_from_parquet(
     spark: SparkSession,
@@ -60,7 +87,7 @@ def table_from_parquet(
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — read-only conf in some environments
         pass
-    df = spark.read.parquet(path)
+    df = _parquet_df(spark, path)
     for c in TESTDATA_NANO_TS_COLS.get(name, []):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
