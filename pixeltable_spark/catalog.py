@@ -71,6 +71,33 @@ _BKT = "_bkt"
 _TOMBSTONE_PFX = ".dropped-"
 SYSTEM_COLS = {_ROWID, _VMIN, _VMAX, _POS, _VVMIN, _VVMAX, _BKT}
 
+
+@functools.lru_cache(maxsize=None)
+def _ccol(name: str) -> Column:
+    """Cached unresolved Column for the fixed system columns: each
+    ``F.col`` is a ~1-2.5 ms py4j round trip and the mutation/visibility
+    paths rebuild the same handful of references hundreds of times per
+    battery. Unresolved Columns are immutable and session-independent
+    (one JVM per process), so reuse is safe."""
+    return F.col(name)
+
+
+@functools.lru_cache(maxsize=512)
+def _vis_pred(v: int, vmin: str = _VMIN, vmax: str = _VMAX) -> Column:
+    """Cached MVCC visibility predicate for version v (the single
+    hottest rebuilt expression: every df()/time-travel read and every
+    propagation pass filters on it — 4 py4j round trips per build)."""
+    return (_ccol(vmin) <= v) & (_ccol(vmax) > v)
+
+
+@functools.lru_cache(maxsize=64)
+def _bkt_col(chunk: int, n_buckets: int) -> Column:
+    """Cached bucket expression (see Table._with_bkt): depends only on
+    (bucket_chunk, n_buckets), yet was rebuilt (~10 py4j round trips)
+    for every store read of every commit."""
+    return F.pmod(F.floor(_ccol(_ROWID) / F.lit(chunk)),
+                  F.lit(n_buckets)).cast("int")
+
 # -- Bloom-filter file skipping ---------------------------------------------
 # Per-file Bloom filters stored in the manifest alongside min/max stats:
 # a point lookup (`col == v`) on a 100 TB table prunes every file whose
@@ -1375,7 +1402,7 @@ class Table:
             # x100 write battery). optimize(zorder_by=...) passes
             # preserve_partitioning=True — its range-partition-on-z
             # layout IS the point and must reach the writer untouched.
-            df = df.repartition(F.col(_BKT))
+            df = df.repartition(_ccol(_BKT))
         w = df.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy(_BKT)
@@ -1914,9 +1941,7 @@ class Table:
         if _BKT in df.columns or _ROWID not in df.columns:
             return df
         chunk = max(1, int(getattr(self, "bucket_chunk", 1)))
-        return df.withColumn(
-            _BKT, F.pmod(F.floor(F.col(_ROWID) / F.lit(chunk)),
-                         F.lit(self.n_buckets)).cast("int"))
+        return df.withColumn(_BKT, _bkt_col(chunk, self.n_buckets))
 
     def _store_df(self, ranges: Optional[Sequence[tuple]] = None) -> DataFrame:
         """All row-versions, including expired ones (+ `_bkt`)."""
@@ -2306,7 +2331,7 @@ class Table:
                         "files_after": 0}
             store = self._store_df()
             if purge_before is not None:
-                store = store.filter(F.col(_VMAX) > purge_before)
+                store = store.filter(_ccol(_VMAX) > purge_before)
             spark = self.catalog.spark
             n_out = int(target_files or spark.sparkContext.defaultParallelism)
             staged = self._zorder_expr(store, list(zorder_by))
@@ -2339,7 +2364,7 @@ class Table:
             # to the bucketed layout and compacts in one pass
             store = self._store_df()
             if purge_before is not None:
-                store = store.filter(F.col(_VMAX) > purge_before)
+                store = store.filter(_ccol(_VMAX) > purge_before)
             self._rewrite(store)
             after = self._current_files()
             self._log("optimize", files_before=len(cur), files_after=len(after))
@@ -2351,11 +2376,11 @@ class Table:
                     "files_after": len(cur)}
         targets = crowded if purge_before is None else [
             b for b in by_bucket if b is not None]
-        sub = self._store_df().filter(F.col(_BKT).isin([int(b) for b in targets]))
+        sub = self._store_df().filter(_ccol(_BKT).isin([int(b) for b in targets]))
         if purge_before is not None:
-            sub = sub.filter(F.col(_VMAX) > purge_before)
+            sub = sub.filter(_ccol(_VMAX) > purge_before)
         # one shuffle task per bucket -> exactly one output file per bucket
-        sub = sub.repartition(max(len(targets), 1), F.col(_BKT))
+        sub = sub.repartition(max(len(targets), 1), _ccol(_BKT))
         keep = [f for f in cur if self._bucket_of(f) not in set(targets)]
         new = self._write_snapshot_files(sub)
         self._commit_files(keep + new)
@@ -2416,7 +2441,7 @@ class Table:
         # 100 TB table reads only the files that existed at v
         ranges = [(_VMIN, "<=", v), (_VMAX, ">", v)]
         return self._store_df(ranges).filter(
-            (F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
+            _vis_pred(v))
 
     def user_df(self, version: Optional[int] = None) -> DataFrame:
         if version is None:
@@ -2454,7 +2479,7 @@ class Table:
             v = self._validate_version(version)
             snap = self._schema_at(v)
             if snap is not None:
-                proj = [F.col(_ROWID)] + [
+                proj = [_ccol(_ROWID)] + [
                     F.col(phys).alias(logical)
                     for logical, phys, _t, _c in snap["cols"]]
                 schema_v = {_ROWID: ColumnType.int_(False)}
@@ -2545,7 +2570,7 @@ class Table:
         if where is not None:
             ranges += self._extract_ranges(where)
         df = self._store_df(ranges).filter(
-            (F.col(_VMIN) <= v) & (F.col(_VMAX) > v))
+            _vis_pred(v))
         schema = dict(self.schema)
         for cc in self.computed.values():
             schema[cc.name] = cc.col_type
@@ -3127,8 +3152,7 @@ class Table:
         keys = src.groupBy(*pk).agg(F.count(F.lit(1)).alias("__n"))
         if self._has_data():
             live = (self._store_df(ranges)
-                    .filter((F.col(_VMIN) <= self.version)
-                            & (F.col(_VMAX) > self.version))
+                    .filter(_vis_pred(self.version))
                     .select(*pk)
                     .withColumn("__hit", F.lit(1)))
             keys = keys.join(live, on=pk, how="left")
@@ -3384,7 +3408,7 @@ class Table:
                 raise ValueError(
                     f"column {col!r} is a primary key column and cannot "
                     "be updated")
-        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        live = _vis_pred(self.version)
         pred = where.compile() if where is not None else F.lit(True)
         ranges = self._extract_ranges(where) if where is not None else []
         # file-granular COW: stats-prune candidates, probe for the files
@@ -3396,7 +3420,7 @@ class Table:
             # old row-versions: expire at new_version
             expired = sub.withColumn(
                 _VMAX, F.when(F.col("__m"), F.lit(new_version))
-                        .otherwise(F.col(_VMAX)))
+                        .otherwise(_ccol(_VMAX)))
             # new row-versions for matched rows
             updated = sub.filter(F.col("__m"))
             for col, val in value_spec.items():
@@ -3424,7 +3448,7 @@ class Table:
                        if _rs is not None else self.catalog.spark.read)
                 nf = self._waist_rename(_rd.parquet(
                     *[os.path.join(self.path, f) for f in new_files]
-                )).filter(F.col(_VMIN) == new_version)
+                )).filter(_ccol(_VMIN) == new_version)
                 keep = [c for c in self.column_names() if c in nf.columns]
                 out_rows = [r.asDict(recursive=True)
                             for r in nf.orderBy(_ROWID).select(*keep)
@@ -3508,7 +3532,7 @@ class Table:
         upd_df = _local_df(spark, data, T.StructType(fields))
 
         new_version = self.version + 1
-        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        live = _vis_pred(self.version)
         helper_cols = ["__matched"] + [x for c in upd_cols
                                        for x in (f"__upd_{c}", f"__has_{c}")]
 
@@ -3569,7 +3593,7 @@ class Table:
         if sub is not None:
             expired = sub.withColumn(
                 _VMAX, F.when(F.col("__m"), F.lit(new_version))
-                        .otherwise(F.col(_VMAX))).drop(*helper_cols)
+                        .otherwise(_ccol(_VMAX))).drop(*helper_cols)
             updated = sub.filter(F.col("__m"))
             for c in upd_cols:
                 updated = updated.withColumn(
@@ -3617,7 +3641,7 @@ class Table:
     def delete(self, where: Optional[Expr] = None) -> int:
         """Expire matching rows (reference catalog/table.py:1062)."""
         new_version = self.version + 1
-        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        live = _vis_pred(self.version)
         pred = where.compile() if where is not None else F.lit(True)
         ranges = self._extract_ranges(where) if where is not None else []
         sub, matched_files, n, _pk = self._mutation_subset(
@@ -3626,7 +3650,7 @@ class Table:
         if sub is not None:
             out = sub.withColumn(
                 _VMAX, F.when(F.col("__m"), F.lit(new_version))
-                        .otherwise(F.col(_VMAX))).drop("__m")
+                        .otherwise(_ccol(_VMAX))).drop("__m")
             self._pending_version = new_version
             new_files = self._replace_files(out, matched_files)
         self.version = new_version
@@ -3675,7 +3699,7 @@ class Table:
             # declaration order == topo order for the re-evaluation
             ccs = [cc for cc in self.computed.values() if cc.name in names]
         new_version = self.version + 1
-        live = (F.col(_VMIN) <= self.version) & (F.col(_VMAX) > self.version)
+        live = _vis_pred(self.version)
         pred = where.compile() if where is not None else F.lit(True)
         if errors_only:
             pred = pred & F.col(
@@ -3687,7 +3711,7 @@ class Table:
         if sub is not None:
             expired = sub.withColumn(
                 _VMAX, F.when(F.col("__m"), F.lit(new_version))
-                        .otherwise(F.col(_VMAX)))
+                        .otherwise(_ccol(_VMAX)))
             recomputed = self._eval_computed(sub.filter(F.col("__m")), ccs)
             recomputed = (recomputed.withColumn(_VMIN, F.lit(new_version))
                           .withColumn(_VMAX, F.lit(MAXV)))
@@ -3713,13 +3737,13 @@ class Table:
         # floor is v-1 here, unlike the v of forward mutations
         sub, matched_files, n, _pk = self._mutation_subset(
             lambda df: df.withColumn(
-                "__m", (F.col(_VMIN) == v) | (F.col(_VMAX) == v)),
+                "__m", (_ccol(_VMIN) == v) | (_ccol(_VMAX) == v)),
             live_floor=v - 1)
         if sub is not None:
             out = (
-                sub.drop("__m").filter(F.col(_VMIN) < v)
-                .withColumn(_VMAX, F.when(F.col(_VMAX) == v, F.lit(MAXV))
-                            .otherwise(F.col(_VMAX)))
+                sub.drop("__m").filter(_ccol(_VMIN) < v)
+                .withColumn(_VMAX, F.when(_ccol(_VMAX) == v, F.lit(MAXV))
+                            .otherwise(_ccol(_VMAX)))
             )
             self._pending_version = v - 1
             self._replace_files(out, matched_files)
@@ -4008,7 +4032,7 @@ class Table:
                 *[os.path.join(self.path, f) for f in delta_files]))
         else:  # no data changed at this version: nothing to propagate,
             src = self._store_df().limit(0)  # but views still bump
-        changed = src.filter((F.col(_VMIN) == v) | (F.col(_VMAX) == v))
+        changed = src.filter((_ccol(_VMIN) == v) | (_ccol(_VMAX) == v))
         affected = changed.select(_ROWID).distinct()
         for view in self._views:
             view._apply_base_update(affected, delta_src=changed)
@@ -4237,14 +4261,13 @@ class View(Table):
                                                 (_VVMAX, ">", bv)])
             if braw is not None and _BKT in braw.columns:
                 braw = braw.drop(_BKT)
-            new_rows = (braw.filter((F.col(_VVMIN) <= bv)
-                                    & (F.col(_VVMAX) > bv))
+            new_rows = (braw.filter(_vis_pred(bv, _VVMIN, _VVMAX))
                         if braw is not None
                         else self.base.df())
         else:
             new_rows = self.base._store_df(
                 [(vcol, "==", bv), (_VMAX, ">", bv)]).filter(
-                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+                _vis_pred(bv))
         new_rows = new_rows.filter(F.col(vcol) == bv)
         out = self._view_plan(new_rows)
         new_v = self.version + 1
@@ -4283,7 +4306,7 @@ class View(Table):
         # A one-row base update touches the one or two view files whose
         # _rowid stats admit it, not a bucket, not the whole view.
         aff = affected_rowids.withColumn("__aff", F.lit(True))
-        live = (F.col(_VVMIN) <= self.version) & (F.col(_VVMAX) > self.version)
+        live = _vis_pred(self.version, _VVMIN, _VVMAX)
 
         def prepare(df):
             return (df.join(aff, on=_ROWID, how="left")
@@ -4310,7 +4333,7 @@ class View(Table):
                 [(_VMIN, "<=", bv), (_VMAX, ">", bv),
                  (_ROWID, ">=", int(bounds[0])),
                  (_ROWID, "<=", int(bounds[1]))]).filter(
-                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+                _vis_pred(bv))
         base_rows = base_live.join(affected_rowids, on=_ROWID, how="left_semi")
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
@@ -4320,7 +4343,7 @@ class View(Table):
         if sub is not None:
             expired = self._with_bkt(sub.withColumn(
                 _VVMAX, F.when(F.col("__m"), F.lit(new_v))
-                         .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
+                         .otherwise(_ccol(_VVMAX))).drop("__aff", "__m"))
             my_new_files = self._replace_files(
                 expired.unionByName(self._with_bkt(out)), matched_files)
         elif has_affected:
@@ -4352,7 +4375,7 @@ class View(Table):
               else self.catalog.spark.read)
         raw = self._waist_rename(rd.parquet(
             *[os.path.join(self.path, f) for f in new_files]))
-        return raw.filter((F.col(_VVMIN) == v) | (F.col(_VVMAX) == v))
+        return raw.filter((_ccol(_VVMIN) == v) | (_ccol(_VVMAX) == v))
 
     def _component_identity_cols(self) -> list[str]:
         """Base identity + one ordinal per iterator level along the view
@@ -4410,7 +4433,7 @@ class View(Table):
                 f"full refresh (floor={self._version_floor}) and is no "
                 "longer reconstructible")
         if _VVMIN in raw.columns:
-            return raw.filter((F.col(_VVMIN) <= v) & (F.col(_VVMAX) > v))
+            return raw.filter(_vis_pred(v, _VVMIN, _VVMAX))
         return raw  # pre-versioning storage (legacy)
 
     def ref(self, version: Optional[int] = None) -> TableRef:
@@ -4538,7 +4561,7 @@ class Rollup(View):
             # per-base-row rollup (component-view aggregation): the
             # group identity IS a rowid already — keep it, so the
             # rollup's rows co-key with their base rows
-            return F.col(_ROWID)
+            return _ccol(_ROWID)
         return F.xxhash64(
             *[F.col(g).cast("string") for g in self.group_cols]
         ).bitwiseAND(F.lit((1 << 62) - 1))
@@ -4570,13 +4593,13 @@ class Rollup(View):
         elif isinstance(self.base, View):
             braw = self.base._read_current_raw([(_VVMIN, "==", bv),
                                                 (_VVMAX, ">", bv)])
-            new_rows = (braw.filter((F.col(_VVMIN) == bv)
-                                    & (F.col(_VVMAX) > bv))
+            new_rows = (braw.filter((_ccol(_VVMIN) == bv)
+                                    & (_ccol(_VVMAX) > bv))
                         if braw is not None else self.base.df().limit(0))
         else:
             new_rows = self.base._store_df(
                 [(_VMIN, "==", bv), (_VMAX, ">", bv)]).filter(
-                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+                _vis_pred(bv))
         keys = new_rows.select(*self.group_cols).distinct()
         self._maintain(keys)
 
@@ -4610,10 +4633,10 @@ class Rollup(View):
         else:
             now = self.base._store_df(
                 [(_VMIN, "<=", bv), (_VMAX, ">", bv)]).filter(
-                (F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+                _vis_pred(bv))
             prev = self.base._store_df(
                 [(_VMIN, "<=", bv - 1), (_VMAX, ">", bv - 1)]).filter(
-                (F.col(_VMIN) <= bv - 1) & (F.col(_VMAX) > bv - 1))
+                _vis_pred(bv - 1))
         keys = (now.join(affected_rowids, on=_ROWID, how="left_semi")
                 .select(*self.group_cols)
                 .unionByName(
@@ -4660,8 +4683,7 @@ class Rollup(View):
                 except TypeError:
                     pass  # unorderable group values: no band pruning
         aff = keys_df.withColumn("__aff", F.lit(True))
-        live = ((F.col(_VVMIN) <= self.version)
-                & (F.col(_VVMAX) > self.version))
+        live = _vis_pred(self.version, _VVMIN, _VVMAX)
 
         def prepare(df):
             return (df.join(aff, on=self.group_cols, how="left")
@@ -4674,7 +4696,7 @@ class Rollup(View):
             bv = self.base.version
             base_live = self.base._store_df(
                 [(_VMIN, "<=", bv), (_VMAX, ">", bv)] + base_ranges
-            ).filter((F.col(_VMIN) <= bv) & (F.col(_VMAX) > bv))
+            ).filter(_vis_pred(bv))
         else:
             base_live = self.base.df()
         base_rows = base_live.join(
@@ -4686,7 +4708,7 @@ class Rollup(View):
         if sub is not None:
             expired = self._with_bkt(sub.withColumn(
                 _VVMAX, F.when(F.col("__m"), F.lit(new_v))
-                         .otherwise(F.col(_VVMAX))).drop("__aff", "__m"))
+                         .otherwise(_ccol(_VVMAX))).drop("__aff", "__m"))
             self._replace_files(
                 expired.unionByName(self._with_bkt(out)), matched_files)
         else:

@@ -12,6 +12,8 @@ narrow transformation (no shuffle at all).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -179,6 +181,61 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
             f"input_format must be text|markdown|html|xml|pdf|docx|pptx"
             f"|xlsx|epub, got {input_format!r}")
 
+    # All Column/Window expressions below are df-independent (they
+    # reference columns by NAME only), so they are built once per
+    # argument combination: rebuilding the chain costs 300-600 py4j
+    # round trips (~1 ms each) per invocation, and view maintenance
+    # re-invokes the splitter on every commit. UDF-bearing formats stay
+    # uncached (a cached UDF column could go stale across session
+    # restarts).
+    build = (_v2_build if input_format in ("pdf", "docx", "pptx",
+                                           "xlsx", "epub")
+             else _v2_build_cached)
+    ns = build(separators, limit, overlap, metadata, text_col, id_col,
+               input_format)
+
+    out = (df.select(ns.id_c, ns.sec_explode)
+           .filter(ns.sec_nonempty)
+           .withColumn("__section", ns.sec_trim))
+
+    if "title" in meta or "heading" in meta:
+        out = out.withColumn("__hlvl", ns.lvl).withColumn("__htext",
+                                                          ns.htext)
+        if "heading" in meta:
+            out = out.withColumn("heading", ns.heading_json)
+        if "title" in meta:
+            out = out.withColumn("title", ns.title_expr)
+        out = out.drop("__hlvl", "__htext")
+
+    # limit stage: subdivide each section into windows
+    if "token_limit" in seps:
+        out = (out.withColumn("__w", ns.words)
+               .select("*", ns.start_explode)
+               .withColumn("__chunk", ns.chunk_expr)
+               .drop("__w", "__k"))
+    elif "char_limit" in seps:
+        out = (out.select("*", ns.start_explode)
+               .withColumn("__chunk", ns.chunk_expr)
+               .drop("__k"))
+    else:
+        out = out.withColumn("__chunk", ns.chunk_expr)
+
+    return (out.withColumn("pos", ns.pos_expr)
+            .withColumn("text", ns.text_expr)
+            .select(*ns.keep))
+
+
+def _v2_build(separators: str, limit: int, overlap: int, metadata: str,
+              text_col: str, id_col: str, input_format: str):
+    """df-independent expression set for document_splitter_v2 (see the
+    call site for why this is split out and cached)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import Window as W
+
+    seps = [s.strip() for s in separators.split(",") if s.strip()]
+    meta = [m.strip() for m in metadata.split(",") if m.strip()]
+
     col = F.col(text_col)
     if input_format == "markdown":
         # setext headings (underlined with === / ---) normalize to ATX so
@@ -218,15 +275,15 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
         col = F.regexp_replace(col, r"([.!?])\s+", "$1" + _SENT)
     sections = F.split(col, _SENT)
 
-    out = (df.select(F.col(id_col), F.posexplode(sections)
-                     .alias("__sec_pos", "__section"))
-           .filter(F.length(F.trim(F.col("__section"))) > 0)
-           .withColumn("__section", F.trim(F.col("__section"))))
+    ns = SimpleNamespace()
+    ns.id_c = F.col(id_col)
+    ns.sec_explode = F.posexplode(sections).alias("__sec_pos", "__section")
+    ns.sec_nonempty = F.length(F.trim(F.col("__section"))) > 0
+    ns.sec_trim = F.trim(F.col("__section"))
 
     if "title" in meta or "heading" in meta:
-        lvl = F.length(F.regexp_extract("__section", r"^(#{1,6})\s", 1))
-        htext = F.regexp_extract("__section", r"^#{1,6}\s*([^\n]*)", 1)
-        out = out.withColumn("__hlvl", lvl).withColumn("__htext", htext)
+        ns.lvl = F.length(F.regexp_extract("__section", r"^(#{1,6})\s", 1))
+        ns.htext = F.regexp_extract("__section", r"^#{1,6}\s*([^\n]*)", 1)
         wdoc = (W.partitionBy(id_col).orderBy("__sec_pos")
                 .rowsBetween(W.unboundedPreceding, W.currentRow))
         if "heading" in meta:
@@ -241,47 +298,44 @@ def document_splitter_v2(df: DataFrame, separators: str = "token_limit",
                                     F.col("__htext").alias("t"))),
                     True).over(wdoc)
                 levels.append(F.when(ev["l"] == n, ev["t"]).alias(f"h{n}"))
-            out = out.withColumn("heading", F.to_json(F.struct(*levels)))
+            ns.heading_json = F.to_json(F.struct(*levels))
         if "title" in meta:
             wall = (W.partitionBy(id_col).orderBy("__sec_pos")
                     .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-            out = out.withColumn(
-                "title",
-                F.first(F.when(F.col("__hlvl") > 0, F.col("__htext")), True).over(wall))
-        out = out.drop("__hlvl", "__htext")
+            ns.title_expr = F.first(
+                F.when(F.col("__hlvl") > 0, F.col("__htext")), True).over(wall)
 
     # limit stage: subdivide each section into windows
     if "token_limit" in seps or "char_limit" in seps:
         stride = limit - overlap
         if "token_limit" in seps:
-            words = F.split(F.col("__section"), r"\s+")
-            starts = F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)),
+            ns.words = F.split(F.col("__section"), r"\s+")
+            starts = F.sequence(F.lit(0),
+                                F.greatest(F.size(ns.words) - 1, F.lit(0)),
                                 F.lit(stride))
-            out = (out.withColumn("__w", words)
-                   .select("*", F.posexplode(starts).alias("__k", "__start"))
-                   .withColumn("__chunk", F.array_join(
-                       F.slice("__w", F.col("__start") + 1, limit), " "))
-                   .drop("__w", "__k"))
+            ns.chunk_expr = F.array_join(
+                F.slice("__w", F.col("__start") + 1, limit), " ")
         else:
             starts = F.sequence(
                 F.lit(0),
                 F.greatest(F.length("__section") - 1, F.lit(0)), F.lit(stride))
-            out = (out.select("*", F.posexplode(starts).alias("__k", "__start"))
-                   .withColumn("__chunk", F.substring(
-                       F.col("__section"), F.col("__start") + 1, limit))
-                   .drop("__k"))
+            ns.chunk_expr = F.substring(
+                F.col("__section"), F.col("__start") + 1, limit)
+        ns.start_explode = F.posexplode(starts).alias("__k", "__start")
         order = [F.col("__sec_pos"), F.col("__start")]
     else:
-        out = out.withColumn("__chunk", F.col("__section"))
+        ns.chunk_expr = F.col("__section")
         order = [F.col("__sec_pos")]
 
     wpos = W.partitionBy(id_col).orderBy(*order)
-    keep = [id_col, "pos", "text"] + [m for m in ("title", "heading")
-                                      if m in meta]
-    return (out.withColumn("pos", (F.row_number().over(wpos) - 1)
-                           .cast(T.LongType()))
-            .withColumn("text", F.col("__chunk"))
-            .select(*keep))
+    ns.keep = [id_col, "pos", "text"] + [m for m in ("title", "heading")
+                                         if m in meta]
+    ns.pos_expr = (F.row_number().over(wpos) - 1).cast(T.LongType())
+    ns.text_expr = F.col("__chunk")
+    return ns
+
+
+_v2_build_cached = functools.lru_cache(maxsize=64)(_v2_build)
 
 
 def string_splitter(df: DataFrame, separator: str = r"\n\n",

@@ -49,6 +49,13 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # periodic System.gc in long sessions) otherwise lands as an
         # 8-30 s IO burst inside whichever query runs next
         .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+        # DataFrame-debugging call-site capture costs TWO py4j round
+        # trips (conf.get + PySparkCurrentOrigin.set) plus a Python
+        # stack walk on EVERY DataFrame API call — measured ~25-40% of
+        # all py4j traffic in the mutation batteries. It only enriches
+        # error messages with the user call site; errors themselves are
+        # unchanged. Scale-independent driver-overhead setting.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
