@@ -1378,7 +1378,8 @@ class Table:
         return None
 
     def _write_snapshot_files(self, df: DataFrame,
-                              preserve_partitioning: bool = False
+                              preserve_partitioning: bool = False,
+                              skip_repartition: bool = False
                               ) -> list[str]:
         """Write `df` as NEW parquet files into the stable `_bkt=N/` layout
         (flat when unbucketed) and return their relative paths. Existing
@@ -1387,7 +1388,8 @@ class Table:
         df = self._to_file_cols(df)
         tmp = os.path.join(self._data_dir, ".tmp-" + _uuid.uuid4().hex[:8])
         partitioned = _BKT in df.columns
-        if partitioned and not preserve_partitioning:
+        if partitioned and not preserve_partitioning \
+                and not skip_repartition:
             # co-locate each bucket in one task before the partitioned
             # write: otherwise every upstream task emits a file per
             # bucket it touches (tasks x buckets small files per commit
@@ -1965,11 +1967,16 @@ class Table:
                 fields.append(T.StructField(_cellmd_col(cc.name), _CELLMD_TYPE))
         return T.StructType(fields)
 
-    def _append(self, df: DataFrame) -> list[str]:
+    def _append(self, df: DataFrame,
+                single_partition: bool = False) -> list[str]:
         """Add new rows: new files + manifest commit (current ∪ new).
-        Returns the new files (the commit's delta)."""
+        Returns the new files (the commit's delta). `single_partition`
+        marks a frame known to be one narrow partition (literal insert):
+        the bucket co-location shuffle is pointless there — one task
+        already writes exactly one file per touched bucket."""
         cur = self._current_files()
-        new = self._write_snapshot_files(self._with_bkt(df))
+        new = self._write_snapshot_files(self._with_bkt(df),
+                                         skip_repartition=single_partition)
         if cur and len(new) == 1 and new[0].endswith("-empty.parquet"):
             # empty increment on a table that already has files: the
             # schema-bearing empty marker is only needed for EMPTY
@@ -3138,6 +3145,45 @@ class Table:
                           (rng_col, "<=", max(his))]
         return counts, ranges
 
+    def _precheck_local(self, rows: Sequence[dict]) -> tuple:
+        """Driver-side replica of _insert_precheck for literal row lists
+        (the rows are already in hand — a Spark job over them buys
+        nothing). NOT NULL was checked by insert's Python loop; the
+        partition-count map of a one-partition literal frame is trivial;
+        the PK range mirrors min/max-after-cast EXACTLY for plain
+        int/str keys (Python str order == UTF8String byte order under
+        UTF-8) and declines anything else — (None, None) sends the
+        caller to the Spark precheck, never a lax range (a too-tight
+        range could mask a PK collision; too-loose is merely slower)."""
+        counts = {0: len(rows)}
+        pk = list(self.primary_key or [])
+        enforce_pk = bool(pk) and \
+            os.environ.get("PXT_SPARK_ENFORCE_PK", "1") != "0"
+        if not (enforce_pk and len(pk) == 1):
+            return counts, []
+        c = pk[0]
+        st = self.schema[c].spark_type()
+        vals = []
+        for r in rows:
+            v = r.get(c) if isinstance(r, dict) else None
+            if v is None:
+                return None, None
+            vals.append(v)
+        if isinstance(st, T.LongType):
+            lo, hi = -(1 << 63), (1 << 63) - 1
+            ok = all(type(v) is int and lo <= v <= hi for v in vals)
+        elif isinstance(st, T.IntegerType):
+            lo, hi = -(1 << 31), (1 << 31) - 1
+            ok = all(type(v) is int and lo <= v <= hi for v in vals)
+        elif isinstance(st, T.StringType):
+            ok = all(type(v) is str for v in vals)
+        else:
+            ok = False   # float/date/... PKs: let Spark compute the range
+        if not ok:
+            return None, None
+        return counts, [(c, ">=", builtins.min(vals)),
+                        (c, "<=", builtins.max(vals))]
+
     def _enforce_pk_unique(self, src: DataFrame,
                            ranges: Sequence[tuple]) -> None:
         """ONE Spark job combining the intra-batch duplicate probe and the
@@ -3223,6 +3269,7 @@ class Table:
                 src_df = src_df.withColumn(
                     c, F.col(c).cast(ct.spark_type()))
             rows = src_df
+        lit_1p = False
         if isinstance(rows, TableRef):
             src = rows.df()
         elif isinstance(rows, DataFrame):
@@ -3234,13 +3281,22 @@ class Table:
                         raise ValueError(
                             f"missing required column {c!r} in row {i}")
             src = _local_df(spark, rows, schema_to_struct(self.schema))
+            # literal one-partition plan: the whole slice stays narrow
+            # (casts/computed cols/bucket col are projections), so the
+            # batch-side precheck job, the rowid window exchange and the
+            # bucket repartition all collapse (see _precheck_local)
+            lit_1p = getattr(src, "_pxt_1p", False)
         missing = [c for c in self.schema if c not in src.columns]
         for c in missing:
             if not self.schema[c].nullable:
                 raise ValueError(f"missing required column {c!r}")
             src = src.withColumn(c, F.lit(None).cast(self.schema[c].spark_type()))
         src = src.select(*[F.col(c).cast(self.schema[c].spark_type()) for c in self.schema])
-        counts, pk_ranges = self._insert_precheck(src)
+        counts = pk_ranges = None
+        if lit_1p:
+            counts, pk_ranges = self._precheck_local(rows)
+        if counts is None:
+            counts, pk_ranges = self._insert_precheck(src)
         if self.primary_key and \
                 os.environ.get("PXT_SPARK_ENFORCE_PK", "1") != "0":
             self._enforce_pk_unique(src, pk_ranges)
@@ -3248,7 +3304,8 @@ class Table:
         new_version = self.version + 1
         t0 = time.time()
         slice_df, n = self._assign_rowids(src, self.next_rowid,
-                                          counts=counts)
+                                          counts=counts,
+                                          single_partition=lit_1p)
         slice_df = (
             slice_df
             .withColumn(_VMIN, F.lit(new_version))
@@ -3281,7 +3338,7 @@ class Table:
         slice_df = slice_df.select(*[f.name for f in self._store_schema().fields])
         self._pending_version = new_version
         self._pending_next_rowid = self.next_rowid + n
-        new_files = self._append(slice_df)
+        new_files = self._append(slice_df, single_partition=lit_1p)
         if obs is not None:
             num_excs = int(sum(v or 0 for v in obs.get.values()))
         self.version = new_version
@@ -3354,7 +3411,8 @@ class Table:
         return int(batch_id) <= self.stream_batches.get(stream_id, -1)
 
     def _assign_rowids(self, src: DataFrame, start: int,
-                       counts: Optional[dict] = None
+                       counts: Optional[dict] = None,
+                       single_partition: bool = False
                        ) -> tuple[DataFrame, int]:
         """Monotonic _rowid continuing from `start`, assigned scalably:
         per-partition counts (tiny driver collect) give each partition an
@@ -3365,6 +3423,17 @@ class Table:
         computed (same deterministic partitioning assumption the
         two-pass path always made), skipping the count job."""
         from pyspark.sql import Window as W
+
+        if single_partition and counts is not None:
+            # literal local frame (one partition, pid 0):
+            # monotonically_increasing_id IS the row index there, so the
+            # pid-offset window — and its exchange — collapses to a
+            # narrow projection. Same rowids as the window path: the
+            # window orders by __mid, which is this very id.
+            n = sum(counts.values())
+            out = src.withColumn(
+                _ROWID, F.lit(start) + F.monotonically_increasing_id())
+            return out, n
 
         tagged = src.withColumn("__pid", F.spark_partition_id()) \
                     .withColumn("__mid", F.monotonically_increasing_id())

@@ -168,7 +168,9 @@ def local_df(spark, data, schema, literal_threshold: int = 256):
             and all(isinstance(f.dataType, _ATOMIC) for f in fields)):
         cell = _cell
         try:
-            return _sql_plan(spark, data, fields)
+            df = _sql_plan(spark, data, fields)
+            df._pxt_1p = True   # literal plan: exactly one partition
+            return df
         except Exception:  # noqa: BLE001 — per-cell Column builder next
             pass
         try:
@@ -177,8 +179,10 @@ def local_df(spark, data, schema, literal_threshold: int = 256):
                            .alias(f.name)
                            for i, f in enumerate(fields)])
                 for r in data]
-            return (spark.range(0, 1, 1, 1)   # exactly ONE partition
-                    .select(F.inline(F.array(*structs))))
+            df = (spark.range(0, 1, 1, 1)   # exactly ONE partition
+                  .select(F.inline(F.array(*structs))))
+            df._pxt_1p = True
+            return df
         except Exception:  # noqa: BLE001 — fall back to the stock path
             pass
     return spark.createDataFrame(data, schema)

@@ -54,6 +54,14 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
             [], "col_name string, stat string, value double")
     tags = [f"p{int(round(p * 100)):02d}" for p in percentiles]
     pcts = F.array(*[F.lit(float(p)) for p in percentiles])
+    # few-split scans (one testdata file, a fresh ingest) would run the
+    # whole melt/expand + map-side partial aggregation on ONE core
+    # (measured: the 2.1 s count_distinct job and the 1.4 s percentile
+    # job of a 600k x 4 profile were both single-map-task). spread() is
+    # a no-op at real corpus scale (thousands of splits) and projecting
+    # to the profiled columns first keeps the one-time shuffle slim.
+    from .text import spread
+    df = spread(df.select(*cols))
     if exact:
         # MELT + groupBy(col_name): the exact `percentile` aggregate
         # buffers every value and sorts them in its FINAL merge, so a

@@ -56,6 +56,20 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         # error messages with the user call site; errors themselves are
         # unchanged. Scale-independent driver-overhead setting.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # FileOutputCommitter v2 + no _SUCCESS marker: the engine's own
+        # manifest commit (catalog._commit_files) is the atomicity
+        # point — files are written to a private .tmp dir, renamed, and
+        # only become visible when the manifest lands — so the v1
+        # committer's two-phase rename tree and the _SUCCESS file are
+        # pure overhead paid by EVERY store write (measured 0.27 s ->
+        # 0.15 s per small commit write; scale-independent: v2 is the
+        # standard choice whenever the writer above it is atomic).
+        # Nothing in the engine reads _SUCCESS (grep: only pruned as
+        # debris).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".marksuccessfuljobs", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
