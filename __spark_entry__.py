@@ -900,7 +900,10 @@ def q59_html_sections(spark, sf_dir):
     The whole pipeline is regexp_replace/split/posexplode column math —
     RE2-compatible, so DuckDB replicates it exactly."""
     from pixeltable_spark.functions.document import document_splitter_v2
-    df = _df(spark, sf_dir, "documents")
+    from pixeltable_spark.operators import text as textops
+    # spread the one-split scan so the regex/split battery parallelizes
+    # (measured 0.9 s single-task job); no-op at real scale
+    df = textops.spread(_df(spark, sf_dir, "documents"))
     ids = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><body><h1>Doc "), ids, F.lit(" &amp; Co</h1><p>"),
@@ -1629,7 +1632,12 @@ def q80_mean_ap(spark, sf_dir):
     pred_labels = F.transform(ks, lambda k: (d + k) % 3)
     pred_scores = F.transform(
         ks, lambda k: F.lit(0.5) + ((d * 7 + k) % 40).cast("double") / 100)
-    det = (_df(spark, sf_dir, "documents").select(
+    # spread the one-split scan: the Python matching kernel is a narrow
+    # map and otherwise runs single-task (measured 1.9 s one-task job);
+    # no-op at real scale, per-image verdicts partition-independent
+    from pixeltable_spark.operators import text as textops
+    det = (textops.spread(_df(spark, sf_dir, "documents").select("doc_id"))
+           .select(
         d.alias("image_id"),
         pred_boxes.alias("pred_boxes"), pred_labels.alias("pred_labels"),
         pred_scores.alias("pred_scores"),
@@ -3513,7 +3521,12 @@ def q149_image_quality(spark, sf_dir):
                 rows.append((did, bytearray(pa), bytearray(pb)))
             yield pd.DataFrame(rows, columns=["doc_id", "a", "b"])
 
-    docs = _df(spark, sf_dir, "documents").select("doc_id")
+    # spread the one-split scan: the narrow gen -> psnr/ssim chain
+    # otherwise inherits ONE partition and the whole codec/metric
+    # battery runs single-task (measured two ~1.9 s one-task jobs);
+    # no-op at real scale, per-row metrics unaffected by partitioning
+    from pixeltable_spark.operators import text as textops
+    docs = textops.spread(_df(spark, sf_dir, "documents").select("doc_id"))
     pairs = docs.mapInPandas(gen, pair_schema)
     return (pairs.select(
         "doc_id",

@@ -206,8 +206,14 @@ def knn_join(left: DataFrame, right: DataFrame, k: int = 5,
                     "allow_broadcast=True if the probe side really fits in "
                     "executor memory")
         # broadcast the probes; BroadcastNestedLoopJoin keeps `right`
-        # partition-local (no shuffle of the big side)
-        joined = r.crossJoin(F.broadcast(l))
+        # partition-local (no shuffle of the big side). spread() the
+        # right side first: a few-split scan would score the whole
+        # corpus in ONE task (measured 1.2 s single-task job on the
+        # one-file local corpus); at real scale the scan already has
+        # thousands of splits and this is a no-op. The final window is
+        # an exact global top-k, so partitioning never changes results.
+        from .text import spread
+        joined = spread(r).crossJoin(F.broadcast(l))
         scored = joined.withColumn(
             "cos", F.round(cosine_col(F.col("lv"), F.col("rv")), 6))
         # partial top-k per Arrow batch: the window below then ranks at most
