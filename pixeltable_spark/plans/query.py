@@ -997,21 +997,26 @@ class Planner:
         if sc.fraction is not None:
             thresh = SampleClause.fraction_to_md5_hex(sc.fraction)
             return df.filter(F.substring(key, 1, 16) <= F.lit(thresh))
-        # The n-sampling paths sort/group by the md5 key. Left as an
-        # expression, the key is evaluated inside the post-exchange sort
-        # stage — whose task count is the STRATA count (3 strata = 3
-        # tasks hashing the whole table, at any cluster size; measured
-        # 1.8 s of q12's 2.2 s). Materialize it map-side first, and
-        # spread() the few-split local scan (no-op at real scale), so
-        # the hashing runs at full width and the sort stage only sorts.
-        from ..operators.text import spread
-        kc = "__pxt_sample_key"
-        df = spread(df).withColumn(kc, key)
-        key = F.col(kc)
         if sc.stratify_by and sc.n_per_stratum is not None:
+            # The window path sorts by the md5 key INSIDE the post-exchange
+            # window stage — whose task count is the STRATA count (3 strata
+            # = 3 tasks hashing the whole table, at any cluster size;
+            # measured 1.8 s of q12's 2.2 s). Materialize the key map-side
+            # first, and spread() the few-split local scan (no-op at real
+            # scale), so the hashing runs at full width and the window
+            # stage only sorts. The other n-paths DON'T want this: the
+            # proportional-allocation path already evaluates the key
+            # map-side in its prefilter, and the global-n path's
+            # TakeOrderedAndProject is map-side by construction — for both,
+            # the extra round-robin exchange was a measured net loss
+            # (q52 interleaved A/B +0.4 s).
             from pyspark.sql import Window as W
+
+            from ..operators.text import spread
+            kc = "__pxt_sample_key"
+            df = spread(df).withColumn(kc, key)
             strata = [e.compile(ctx) for e in sc.stratify_by]
-            w = W.partitionBy(*strata).orderBy(key)
+            w = W.partitionBy(*strata).orderBy(F.col(kc))
             return (
                 df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= sc.n_per_stratum)
@@ -1019,9 +1024,9 @@ class Planner:
             )
         if sc.n is not None:
             if sc.stratify_by:
-                return self._stratified_n(df, sc, key, ctx).drop(kc)
+                return self._stratified_n(df, sc, key, ctx)
             # global n: top-n by hash key -> TakeOrderedAndProject, no full sort
-            return df.orderBy(key).limit(sc.n).drop(kc)
+            return df.orderBy(key).limit(sc.n)
         raise ValueError("sample() requires n, n_per_stratum, or fraction")
 
     def _stratified_n(self, df: DataFrame, sc: SampleClause, key: Column,
