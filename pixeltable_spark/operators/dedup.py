@@ -24,7 +24,7 @@ results bit-for-bit.
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import lru_cache, reduce
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -176,6 +176,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=8)
+def _simhash_exprs(bits: int) -> tuple:
+    """df-independent simhash expression set, built once per `bits`:
+    the ~10 py4j round trips per bit (x32 bits, rebuilt per call) were
+    ~0.4 s of driver wall per plan build. Columns are immutable values,
+    so reuse across DataFrames/queries is safe."""
+    h = F.md5(F.col("shingle"))
+    aggs = []
+    for b in range(bits):
+        # bit b = parity of hex char b of ONE md5 per token (balanced 0/1 map)
+        parity = F.ascii(F.substring(h, b + 1, 1)) % 2
+        aggs.append(F.sum(parity * 2 - 1).alias(f"s_{b}"))
+    val = F.lit(0).cast(T.LongType())
+    for b in range(bits):
+        val = val + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return tuple(aggs), val
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over word tokens. Bit b of token t = parity of the first hex
@@ -186,16 +204,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     is `bits` ints per doc."""
     assert bits <= 32, "md5 yields 32 hex-char parities"
     ex = explode_shingles(df, text_col, id_col, n=1)
-    h = F.md5(F.col("shingle"))
-    aggs = []
-    for b in range(bits):
-        # bit b = parity of hex char b of ONE md5 per token (balanced 0/1 map)
-        parity = F.ascii(F.substring(h, b + 1, 1)) % 2
-        aggs.append(F.sum(parity * 2 - 1).alias(f"s_{b}"))
+    aggs, val = _simhash_exprs(bits)
     sums = ex.groupBy(id_col).agg(*aggs)
-    val = F.lit(0).cast(T.LongType())
-    for b in range(bits):
-        val = val + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return sums.select(F.col(id_col), val.alias("simhash"))
 
 
@@ -933,6 +943,17 @@ def _icws_uniform(term: Column, salt: str) -> Column:
     return (h53.cast("double") + F.lit(1.0)) / F.lit(9007199254740992.0)
 
 
+def _icws_uniform_sql(term_sql: str, salt: str) -> str:
+    """SQL-text twin of _icws_uniform — parses to the identical Catalyst
+    tree (same functions, same double literals), so values are bit-exact.
+    Rendering the K-sample battery as SQL strings replaces ~700 py4j
+    round trips per plan build (~1 s of driver wall, measured via
+    cProfile on warm q95) with one parse per sample."""
+    return ("((cast(shiftrightunsigned(xxhash64(concat('%s', %s)), 11) "
+            "as double) + 1.0D) / 9007199254740992.0D)"
+            % (salt, term_sql))
+
+
 def icws_signatures(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     num_samples: int = 8) -> DataFrame:
@@ -962,36 +983,40 @@ def icws_signatures(df: DataFrame, text_col: str = "text",
     # the groupBy(id) distribution, so the aggregate adds NO extra exchange
     sc = df.sparkSession.sparkContext
     tc = tc.repartition(sc.defaultParallelism, id_col)
-    lnw = F.log(F.col("cnt").cast("double"))
+    lnw = "ln(cast(cnt as double))"
     # The whole per-(term, k) battery lives in ONE projection whose output
     # structs the aggregate min()s by plain column reference (the barrier
     # column keeps CollapseProject from folding it into the Aggregate).
-    # Measured cost is the same either way — codegen subexpression
-    # elimination covers the repeated hash subtrees in both shapes; the
-    # split is kept for plan readability, not speed. The real costs here
-    # were the 1-partition AQE coalesce (fixed by the repartition above)
-    # and md5+conv vs xxhash64 draws (see _icws_uniform).
-    struct_cols = []
+    # The battery is rendered as SQL text (one parse per sample) instead
+    # of Column-by-Column: building K=12 samples through the functions
+    # API costs ~700 py4j round trips ≈ 1 s of driver wall PER PLAN BUILD
+    # (cProfile, warm q95); the parsed trees are node-identical (same
+    # functions, same double literals — pinned bit-exact by
+    # tests/test_weighted_jaccard.py and the q95 numpy-replay oracle).
+    # The real executor-side costs here were the 1-partition AQE coalesce
+    # (fixed by the repartition above) and md5+conv vs xxhash64 draws
+    # (see _icws_uniform).
+    struct_sqls = []
     for k in range(num_samples):
-        u1, u2, u3, u4 = (_icws_uniform(F.col("term"), f"icws{k}u{s}|")
+        u1, u2, u3, u4 = (_icws_uniform_sql("term", f"icws{k}u{s}|")
                           for s in range(4))
-        beta = _icws_uniform(F.col("term"), f"icws{k}b|")
-        r = -(F.log(u1) + F.log(u2))
-        ln_c = F.log(-(F.log(u3) + F.log(u4)))
-        t = F.floor(lnw / r + beta)
-        ln_y = r * (t.cast("double") - beta)
-        ln_a = ln_c - ln_y - r
-        struct_cols.append(F.struct(
-            ln_a.alias("a"), F.col("term").alias("t"),
-            t.alias("tk")).alias(f"__pk{k}"))
-    ex = tc.select(F.col(id_col), *struct_cols,
-                   F.monotonically_increasing_id().alias("__nocollapse"))
+        beta = _icws_uniform_sql("term", f"icws{k}b|")
+        r = f"(-(ln({u1}) + ln({u2})))"
+        ln_c = f"ln(-(ln({u3}) + ln({u4})))"
+        t = f"floor((({lnw} / {r}) + {beta}))"
+        ln_y = f"({r} * (cast({t} as double) - {beta}))"
+        ln_a = f"(({ln_c} - {ln_y}) - {r})"
+        struct_sqls.append(
+            f"named_struct('a', {ln_a}, 't', term, 'tk', {t}) as __pk{k}")
+    ex = tc.selectExpr(
+        f"`{id_col}`", *struct_sqls,
+        "monotonically_increasing_id() as __nocollapse")
     sigs = ex.groupBy(id_col).agg(
         *[F.min(f"__pk{k}").alias(f"__m{k}") for k in range(num_samples)])
-    return sigs.select(
-        F.col(id_col),
-        *[F.concat_ws("|", F.col(f"__m{k}.t"), F.col(f"__m{k}.tk"))
-          .alias(f"s_{k}") for k in range(num_samples)])
+    return sigs.selectExpr(
+        f"`{id_col}`",
+        *[f"concat_ws('|', __m{k}.t, __m{k}.tk) as s_{k}"
+          for k in range(num_samples)])
 
 
 def icws_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -1025,15 +1050,17 @@ def icws_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .localCheckpoint()
     # 64-bit sample hashes instead of the "term|t" strings: one long per
     # sample in the shuffle, long comparisons in the verify (collision
-    # 2^-64 -- immaterial to a K-sample estimate)
-    sig_arr = F.array(*[F.xxhash64(F.col(c)) for c in sig_cols])
-    band_keys = F.array(*[
-        F.xxhash64(F.concat_ws(
-            "\x1f", *[F.col(sig_cols[b * rows_per_band + r])
-                      for r in range(rows_per_band)]))
-        for b in range(bands)])
-    packed = sigs.select(F.col(id_col), sig_arr.alias("sig"),
-                         band_keys.alias("bk"))
+    # 2^-64 -- immaterial to a K-sample estimate). SQL-text rendering for
+    # the same reason as icws_signatures (py4j chatter per plan build);
+    # the 0x1f band separator renders as the \\u001F parser escape.
+    sig_arr = "array(%s)" % ", ".join(
+        f"xxhash64({c})" for c in sig_cols)
+    band_keys = "array(%s)" % ", ".join(
+        "xxhash64(concat_ws('\\u001F', %s))" % ", ".join(
+            sig_cols[b * rows_per_band + r] for r in range(rows_per_band))
+        for b in range(bands))
+    packed = sigs.selectExpr(f"`{id_col}`", f"{sig_arr} as sig",
+                             f"{band_keys} as bk")
     # candidate generation is SLIM -- ids only. A corpus-wide boilerplate
     # band can put thousands of docs in one bucket, and every pair of that
     # bucket materializes inside the single join task that owns the key
@@ -1059,21 +1086,23 @@ def icws_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # first AGREEING BAND wins (the distinct()-free pair dedup). The
     # verify math is all element_at/when chains -- whole-stage codegen;
     # zip_with/filter/array_position HOFs are interpreted (~2us/element)
-    # and dominate at millions of candidate rows.
-    eq = [F.element_at(F.col("sig_a"), i + 1)
-          == F.element_at(F.col("sig_b"), i + 1)
+    # and dominate at millions of candidate rows. Rendered as SQL text
+    # (same nodes, one parse) -- see icws_signatures.
+    eq = [f"(element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1}))"
           for i in range(num_samples)]
-    matches = reduce(lambda x, y: x + y,
-                     [e.cast("int") for e in eq])
-    est = matches.cast("double") / F.lit(float(num_samples))
+    matches = reduce(lambda x, y: f"({x} + {y})",
+                     [f"cast({e} as int)" for e in eq])
+    est = f"(cast({matches} as double) / {float(num_samples)!r}D)"
     band_agree = [
-        reduce(lambda x, y: x & y,
+        reduce(lambda x, y: f"({x} AND {y})",
                [eq[i * rows_per_band + r] for r in range(rows_per_band)])
         for i in range(bands)
     ]
-    first_agree = F.lit(-1)
+    first_agree = "-1"
     for i in range(bands - 1, -1, -1):
-        first_agree = F.when(band_agree[i], F.lit(i)).otherwise(first_agree)
-    return (j.filter(F.col("band") == first_agree)
-            .filter(est >= threshold)
-            .select("id_a", "id_b", F.round(est, 6).alias("est_wjaccard")))
+        first_agree = (f"(CASE WHEN {band_agree[i]} THEN {i} "
+                       f"ELSE {first_agree} END)")
+    return (j.filter(f"(band = {first_agree})")
+            .filter(f"({est} >= {float(threshold)!r}D)")
+            .selectExpr("id_a", "id_b",
+                        f"round({est}, 6) as est_wjaccard"))
