@@ -4103,8 +4103,28 @@ class Table:
             src = self._store_df().limit(0)  # but views still bump
         changed = src.filter((_ccol(_VMIN) == v) | (_ccol(_VMAX) == v))
         affected = changed.select(_ROWID).distinct()
+        # the affected-rowid BOUNDS (used by every dependent's view-file
+        # probe pruning) come free from the delta files' footer stats,
+        # which this commit just wrote into the manifest — the per-view
+        # min/max Spark job they replace was ~0.25 s of every propagated
+        # commit. Delta-file bounds can only be LOOSER than the true
+        # affected bounds (carried-over rows widen them), and ranges only
+        # prune, so looser is still correct.
+        bounds = self._bounds_from_stats(delta_files) if delta_files else None
         for view in self._views:
-            view._apply_base_update(affected, delta_src=changed)
+            view._apply_base_update(affected, delta_src=changed,
+                                    bounds=bounds)
+
+    def _bounds_from_stats(self, files: Sequence[str]) -> Optional[tuple]:
+        """(min, max) `_rowid` across `files` from the manifest's footer
+        stats — no Spark job. None when any file lacks rowid stats (the
+        caller then falls back to the aggregation job)."""
+        st = self._current_stats()
+        got = [st.get(f, {}).get(_ROWID) for f in files]
+        if got and all(g is not None for g in got):
+            return (int(builtins.min(g[0] for g in got)),
+                    int(builtins.max(g[1] for g in got)))
+        return None
 
 
 class View(Table):
@@ -4352,16 +4372,20 @@ class View(Table):
 
     @_locked_mutation
     def _apply_base_update(self, affected_rowids: DataFrame,
-                           delta_src: Optional[DataFrame] = None) -> None:
+                           delta_src: Optional[DataFrame] = None,
+                           bounds: Optional[tuple] = None) -> None:
         """Incremental update/delete propagation: expire live view rows for
         the affected base ``_rowid``s, re-run the view plan over ONLY those
         base rows (as they now stand), append the results — unaffected rows
         are never rescanned by the plan (reference plan.py:717-760
         create_view_update_plan). `delta_src` (the immediate base's
-        newly-written rows) is unused here — row-wise views key on
-        `affected_rowids` — but the signature matches Rollup's, and this
-        view passes its OWN delta on to children so aggregate dependents
-        read group keys O(delta)."""
+        newly-written rows — the ONLY place rows born at the new base
+        version can live) directly supplies the replacement rows for
+        Table bases: the affected rowids' current live rows are exactly
+        the delta's born-at-bv live rows, so no base re-scan or
+        semi-join is needed. `bounds` (min/max affected `_rowid`,
+        derived by the caller from the delta files' footer stats) skips
+        the per-propagation bounds aggregation job."""
         raw = self._read_current_raw()
         if raw is None or _VVMIN not in raw.columns:
             # legacy pre-versioning storage: no interval columns to expire —
@@ -4382,28 +4406,44 @@ class View(Table):
                     .withColumn("__m", live & F.coalesce(F.col("__aff"),
                                                          F.lit(False))))
 
-        # one tiny agg gives (a) emptiness and (b) the rowid bounds that
-        # prune the view-file probe: chunked bucket assignment makes
-        # per-file _rowid ranges near-disjoint, so a narrow base change
-        # opens only the view files that can hold those rowids
-        bounds = affected_rowids.agg(F.min(_ROWID), F.max(_ROWID)).first()
-        has_affected = bounds is not None and bounds[0] is not None
-        ranges = ([(_ROWID, ">=", int(bounds[0])),
-                   (_ROWID, "<=", int(bounds[1]))] if has_affected else [])
+        # the rowid bounds prune the view-file probe: chunked bucket
+        # assignment makes per-file _rowid ranges near-disjoint, so a
+        # narrow base change opens only the view files that can hold
+        # those rowids. Bounds normally arrive from the caller (footer
+        # stats of the base commit's delta files — no job); the
+        # aggregation is the fallback for foreign-handle refresh paths.
+        if bounds is None:
+            b = affected_rowids.agg(F.min(_ROWID), F.max(_ROWID)).first()
+            if b is not None and b[0] is not None:
+                bounds = (int(b[0]), int(b[1]))
+        has_affected = bounds is not None
+        ranges = ([(_ROWID, ">=", bounds[0]),
+                   (_ROWID, "<=", bounds[1])] if has_affected else [])
         sub, matched_files, _n, _pk = self._mutation_subset(
             prepare, ranges, live_col=_VVMAX)
-        # deleted base rows simply produce no replacement view rows; the
-        # base re-scan is pruned by the same rowid bounds (table bases
-        # version rows with _v_min/_v_max — view bases differ, skip)
-        base_live = self.base.df()
-        if has_affected and not isinstance(self.base, View):
+        # deleted base rows simply produce no replacement view rows
+        if has_affected and delta_src is not None \
+                and not isinstance(self.base, View):
+            # the affected rowids' CURRENT live rows are exactly the
+            # delta's born-at-bv live rows (update replacements + upsert
+            # inserts; carried-over rewrites keep their old _v_min and
+            # are excluded) — zero base re-scan, no semi-join
             bv = self.base.version
-            base_live = self.base._store_df(
-                [(_VMIN, "<=", bv), (_VMAX, ">", bv),
-                 (_ROWID, ">=", int(bounds[0])),
-                 (_ROWID, "<=", int(bounds[1]))]).filter(
-                _vis_pred(bv))
-        base_rows = base_live.join(affected_rowids, on=_ROWID, how="left_semi")
+            base_rows = delta_src.filter(
+                (_ccol(_VMIN) == bv) & (_ccol(_VMAX) > bv))
+        else:
+            # fallback: stats-pruned base re-scan semi-joined on the
+            # affected rowids (foreign refresh / view bases)
+            base_live = self.base.df()
+            if has_affected and not isinstance(self.base, View):
+                bv = self.base.version
+                base_live = self.base._store_df(
+                    [(_VMIN, "<=", bv), (_VMAX, ">", bv),
+                     (_ROWID, ">=", bounds[0]),
+                     (_ROWID, "<=", bounds[1])]).filter(
+                    _vis_pred(bv))
+            base_rows = base_live.join(affected_rowids, on=_ROWID,
+                                       how="left_semi")
         out = (self._view_plan(base_rows)
                .withColumn(_VVMIN, F.lit(new_v))
                .withColumn(_VVMAX, F.lit(MAXV)))
@@ -4426,8 +4466,11 @@ class View(Table):
         if self._views:
             my_delta = self._delta_scan(my_new_files)
             for child in self._views:
+                # children key on the SAME base rowid space, so the
+                # caller's bounds stay valid for their probes
                 child._apply_base_update(affected_rowids,
-                                         delta_src=my_delta)
+                                         delta_src=my_delta,
+                                         bounds=bounds)
 
     def _delta_scan(self, new_files: Sequence[str]
                     ) -> Optional[DataFrame]:
@@ -4674,7 +4717,8 @@ class Rollup(View):
 
     @_locked_mutation
     def _apply_base_update(self, affected_rowids: DataFrame,
-                           delta_src: Optional[DataFrame] = None) -> None:
+                           delta_src: Optional[DataFrame] = None,
+                           bounds: Optional[tuple] = None) -> None:
         """Update/delete propagation: affected groups are the union of
         the changed rows' PRE-mutation keys (rows expired at bv — their
         old column values ride the expired row-versions) and POST-
