@@ -74,11 +74,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingle_array(text, n))
 
 
+@lru_cache(maxsize=64)
+def _word_shingles_cached(text_col: str, n: int) -> Column:
+    """df-independent shingle expression, built once per (column, n):
+    the zip_with chain costs dozens of py4j round trips per build and
+    every dedup operator rebuilds it per call. Columns are immutable
+    values — reuse across DataFrames/queries is safe."""
+    return word_shingles(F.col(text_col), n)
+
+
 def explode_shingles(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", n: int = 3) -> DataFrame:
     df = spread(df)   # few-split scans would explode on one core
     return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col),
+        F.explode(_word_shingles_cached(text_col, n)).alias("shingle")
     )
 
 
@@ -99,20 +109,60 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     aggregation reduces shuffle to K short strings per doc regardless of
     doc size. Output: id, sig_0..sig_{K-1}.
     """
-    n_md5 = (num_hashes + 3) // 4
     ex = explode_shingles(df, text_col, id_col, shingle_n)
+    hash_cols, aggs = _minhash_exprs(num_hashes)
+    ex = ex.select(F.col(id_col), *hash_cols)
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+@lru_cache(maxsize=16)
+def _minhash_band_exprs(num_hashes: int, bands: int) -> tuple:
+    """df-independent banding/verify expressions for minhash_lsh_pairs
+    (see _simhash_exprs): (select list [sig array, exploded band struct],
+    first-agreeing-band expression over the a/b join aliases).
+
+    Band i agrees iff every sig row in the band matches; md5 keys agree
+    exactly when the underlying sig tuples do ("|"-joined fixed-width hex
+    can't collide), so `first agreeing band == join band` dedups exactly.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}")
+                                     for r in range(rows_per_band)]))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
+    band_agree = [
+        reduce(lambda x, y: x & y,
+               [F.element_at(F.col("a.sig"), i * rows_per_band + r + 1)
+                == F.element_at(F.col("b.sig"), i * rows_per_band + r + 1)
+                for r in range(rows_per_band)])
+        for i in range(bands)
+    ]
+    first_agree = F.array_position(F.array(*band_agree), F.lit(True)) - 1
+    return ((sig_arr.alias("sig"),
+             F.explode(F.array(*band_cols)).alias("bk")), first_agree)
+
+
+@lru_cache(maxsize=16)
+def _minhash_exprs(num_hashes: int) -> tuple:
+    """df-independent minhash expression set (see _simhash_exprs)."""
+    n_md5 = (num_hashes + 3) // 4
     # materialize each salted md5 once so the K slices don't recompute it
-    hash_cols = [
+    hash_cols = tuple(
         (F.md5(F.col("shingle")) if j == 0
          else F.md5(F.concat(F.lit(f"mh{j}|"), F.col("shingle")))).alias(f"__h{j}")
         for j in range(n_md5)
-    ]
-    ex = ex.select(F.col(id_col), *hash_cols)
-    aggs = [
+    )
+    aggs = tuple(
         F.min(F.substring(F.col(f"__h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"sig_{i}")
         for i in range(num_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    )
+    return hash_cols, aggs
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -136,33 +186,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # reuse across aliases); K longs/doc caches at any scale
     sigs = minhash_signatures(df, text_col, id_col, num_hashes,
                               shingle_n).localCheckpoint(eager=False)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows_per_band + r}")
-                                     for r in range(rows_per_band)])).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    sig_arr = F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)])
+    banded_expr, first_agree = _minhash_band_exprs(num_hashes, bands)
     banded = sigs.select(
-        F.col(id_col), sig_arr.alias("sig"),
-        F.explode(F.array(*band_cols)).alias("bk"),
+        F.col(id_col), *banded_expr,
     ).select(F.col(id_col), "sig",
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
-    # band i agrees iff every sig row in the band matches; md5 keys agree
-    # exactly when the underlying sig tuples do ("|"-joined fixed-width hex
-    # can't collide), so `first agreeing band == join band` dedups exactly
-    band_agree = [
-        reduce(lambda x, y: x & y,
-               [F.element_at(F.col("a.sig"), i * rows_per_band + r + 1)
-                == F.element_at(F.col("b.sig"), i * rows_per_band + r + 1)
-                for r in range(rows_per_band)])
-        for i in range(bands)
-    ]
-    first_agree = F.array_position(F.array(*band_agree), F.lit(True)) - 1
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.key") == F.col("b.key"),
