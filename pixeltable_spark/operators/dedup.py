@@ -576,9 +576,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .select(F.least("u", "w").alias("u"),
                      F.greatest("u", "w").alias("v"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
         # fixpoint: the edge set is stable when (count, sum(u), sum(v))
-        # stops changing — one tiny agg per round
+        # stops changing. The global agg computes EVERY partition of e, so
+        # this one action also materializes the lazy checkpoint — one job
+        # per round instead of an eager-checkpoint job plus an agg job
+        # (the next round reads e twice, so it must be materialized here)
         sig = tuple(e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first())
         if sig == prev_sig:
             break
