@@ -116,7 +116,11 @@ def train_kn_bigram(train_df: DataFrame, text_col: str = "text",
     # types-bounded counts table, never the corpus again
     raw_counts = (raw.groupBy("w1", "w2")
                   .agg(F.count(F.lit(1)).alias("c"))
-                  .localCheckpoint(eager=True))
+                  # lazy: the vocab collect below is a full re-aggregation
+                  # of raw_counts (its TakeOrdered computes every
+                  # partition), so that one action also materializes the
+                  # checkpoint — no separate materialization job
+                  .localCheckpoint(eager=False))
     # top-V vocabulary from predicted-position counts (w2 covers every
     # token except the prepended <s>, which is reserved); collected to
     # the driver — at V ≤ ~10⁵ that is the memory a broadcast of it
@@ -135,7 +139,8 @@ def train_kn_bigram(train_df: DataFrame, text_col: str = "text",
     mapped = _map_unk(_map_unk(raw_counts, "w1", vocab), "w2", vocab)
     bigrams = (mapped.groupBy("w1", "w2")
                .agg(F.sum("c").alias("c"))
-               .localCheckpoint(eager=True))
+               # lazy: n_types = bigrams.count() below materializes it
+               .localCheckpoint(eager=False))
     contexts = bigrams.groupBy("w1").agg(
         F.sum("c").alias("ctx"), F.count(F.lit(1)).alias("nfollow"))
     # continuation counts + add-one over the predictable types
