@@ -1097,7 +1097,9 @@ class Planner:
                 W.partitionBy("__sk").orderBy(key)))
             .withColumn("__q", quota[F.col("__sk")])
             .filter(F.col("__rn") <= F.col("__q"))
-        ).localCheckpoint(eager=True)
+        # lazy: the per-stratum count below aggregates every partition of
+        # cand, so that one action also materializes the checkpoint
+        ).localCheckpoint(eager=False)
         got = {r["__sk"]: r["c"] for r in
                cand.groupBy("__sk").agg(F.count(F.lit(1)).alias("c")).collect()}
         if all(got.get(k, 0) >= min(alloc[k], counts[k]) for k in alloc):
