@@ -608,32 +608,51 @@ from .localframe import local_df as _local_df  # noqa: E402
 
 
 @contextlib.contextmanager
-def _mutation_shuffle_conf(spark):
-    """Let AQE coalesce a mutation's shuffles all the way down by BYTES
-    while the mutation runs. The session default keeps
-    `coalescePartitions.parallelismFirst=true` (Spark's default), which
-    refuses to coalesce below defaultParallelism — right for wide
-    compute-heavy query stages, wrong for commit-path jobs (constraint
-    probe, COW rewrite, rollup maintain) whose shuffles carry a few KB
-    and were measured scheduling 32 near-empty tasks per stage. Sizing
-    by bytes is the scale-adaptive behavior: a 100 GB rewrite still
-    gets its thousands of partitions, a 3-file commit gets 1.
-    Reentrant (nested view/rollup maintenance) via a depth counter."""
+def _mutation_shuffle_conf(spark, n_buckets=None):
+    """Run a mutation's Spark work with AQE OFF and the shuffle width
+    pinned to the mutated table's own bucket count.
+
+    Round 11 only flipped `coalescePartitions.parallelismFirst=false`
+    here (byte-sized AQE coalescing instead of padding tiny commit
+    shuffles to defaultParallelism). Round 12 measured the remaining
+    cost of AQE itself on the commit path: every shuffle stage of every
+    commit action materializes as its OWN Spark job plus a driver
+    replanning pass (30-145 ms/job floor depending on boot) — for
+    mutation batteries that is the dominant term. A/B on the five
+    mutation-battery queries, warm, same boot: 23.3 s with AQE vs
+    18.6 s without (-20%), oracles unchanged EXACT.
+
+    The explicit width is NOT a local[32] constant — it is the table's
+    `n_buckets`, the engine's own write geometry (deployments size a
+    bucket ~ 1 GB): the COW rewrite, the rollup-maintain merge and the
+    bucket-partitioned write all land on bucket granularity anyway, so
+    pinning commit shuffles to that width matches the files the commit
+    must produce at ANY table size. What AQE would have added — skew
+    splits on the rewrite join (already broadcast by design) and byte
+    coalescing of tiny probes (now width-bounded) — is covered.
+    Reentrant (nested view/rollup maintenance keeps the OUTERMOST
+    table's settings) via a depth counter."""
     depth = getattr(_mutation_shuffle_conf, "_depth", 0)
     _mutation_shuffle_conf._depth = depth + 1
-    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    prev = None
+    saved: list[tuple[str, str | None]] = []
     if depth == 0:
-        try:
-            prev = spark.conf.get(key, None)
-            spark.conf.set(key, "false")
-        except Exception:  # noqa: BLE001 — conf is an optimization
-            prev = None
+        confs = [("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                  "false")]
+        if n_buckets:
+            confs = [("spark.sql.adaptive.enabled", "false"),
+                     ("spark.sql.shuffle.partitions",
+                      str(max(1, int(n_buckets))))]
+        for key, val in confs:
+            try:
+                saved.append((key, spark.conf.get(key, None)))
+                spark.conf.set(key, val)
+            except Exception:  # noqa: BLE001 — conf is an optimization
+                pass
     try:
         yield
     finally:
         _mutation_shuffle_conf._depth = depth
-        if depth == 0:
+        for key, prev in saved:
             try:
                 if prev is None:
                     spark.conf.unset(key)
@@ -659,7 +678,9 @@ def _locked_mutation(fn):
         while True:
             try:
                 with self._write_lock(), \
-                        _mutation_shuffle_conf(self.catalog.spark):
+                        _mutation_shuffle_conf(
+                            self.catalog.spark,
+                            getattr(self, "n_buckets", None)):
                     return fn(self, *args, **kwargs)
             except ConcurrencyError:
                 if getattr(self, "_lock_depth", 0):
