@@ -189,12 +189,16 @@ def _ngram_buckets(text: Column, n_buckets: int) -> Column:
                        lambda g: _bucket_expr(g, n_buckets))
 
 
+@functools.lru_cache(maxsize=64)
 def _weight_array(w) -> Column:
     """Integer weight list as ONE Column expression. F.lit(list) builds
     array(*[lit(x) ...]) — 1024 py4j round trips per language, measured
     4-5 s of driver time PER QUERY BUILD across the 8 languages. A single
     F.expr with the SQL array literal is one call; Catalyst's constant
-    folding collapses it to the same array Literal."""
+    folding collapses it to the same array Literal. lru-cached on the
+    (hashable) weight tuple: parsing the ~6 KB literal still cost
+    ~30 ms x 13 languages per build — Columns are immutable values, so
+    the cached expression is reusable across every plan in the session."""
     return F.expr("CAST(array(" + ",".join(str(int(v)) for v in w)
                   + ") AS ARRAY<BIGINT>)")
 

@@ -10,6 +10,8 @@ values.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -450,6 +452,29 @@ def dsir_score(df: DataFrame, model: DataFrame, text_col: str = "text",
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+@lru_cache(maxsize=16)
+def _gopher_base_exprs(text_col: str):
+    """The df-independent Gopher signal expressions for one text column
+    — (n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    n_stopword_kinds). Building the HOF-lambda forest costs ~0.3 s of
+    driver py4j per call; Columns are immutable values, so the set is
+    cacheable per column name (wave-6 dedup-cache pattern)."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_wl = (F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t)).cast("double")
+               / F.greatest(n_words, F.lit(1)))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    return n_words, mean_wl, symbol_ratio, alpha_frac, n_stop
+
+
 def gopher_filter(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   min_words: int = 50, max_words: int = 100_000,
@@ -472,19 +497,8 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     aggregations) joined back on the id — so the full filter is the scan
     plus two keyed aggregations however large the corpus, and `keep`
     pushes down as a filter on the joined result."""
-    c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
-    n_words = F.size(toks)
-    mean_wl = (F.aggregate(toks, F.lit(0).cast("long"),
-                           lambda acc, t: acc + F.length(t)).cast("double")
-               / F.greatest(n_words, F.lit(1)))
-    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
-    symbol_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    alpha_frac = alpha_words.cast("double") / F.greatest(n_words, F.lit(1))
-    n_stop = F.size(F.array_intersect(
-        F.array_distinct(toks),
-        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    n_words, mean_wl, symbol_ratio, alpha_frac, n_stop = \
+        _gopher_base_exprs(text_col)
 
     base = spread(df).select(
         F.col(id_col),
@@ -510,12 +524,13 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
         "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
         "ok_top_ngram": F.col("top_ngram_frac") <= max_top_ngram_frac,
     }
-    out = j
+    # one withColumns call (8 sequential withColumn plan-wraps cost a
+    # py4j round trip + plan node each); `keep` ANDs the rule
+    # expressions directly — same rows, same values
     keep = F.lit(True)
-    for name, cond in rules.items():
-        out = out.withColumn(name, cond)
-        keep = keep & F.col(name)
-    return out.withColumn("keep", keep)
+    for cond in rules.values():
+        keep = keep & cond
+    return j.withColumns({**rules, "keep": keep})
 
 
 # ---------------------------------------------------------------------------
